@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` aggregates the REGISTRY of every query pack in
+``xova_spark.queries``; ``oracle_sql()`` returns their DuckDB twins.
+``entry(spark)`` runs the flagship TPC-H Q1-style pricing summary —
+the Spark analogue of the reference's single-kernel multi-column
+aggregation (reference: xova/apps/xova/averaging.py:251-255).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _registries() -> dict[str, tuple]:
+    from xova_spark.queries import relational
+
+    merged: dict[str, tuple] = {}
+    merged.update(relational.REGISTRY)
+    for modname in ("textops", "dedup", "similarity", "msdomain"):
+        try:
+            mod = __import__(f"xova_spark.queries.{modname}", fromlist=["REGISTRY"])
+            merged.update(mod.REGISTRY)
+        except ImportError:
+            pass
+    return merged
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from xova_spark.queries.relational import tpch_q1
+
+    return tpch_q1(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in _registries().items() if sql is not None
+    }

@@ -1,0 +1,130 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB (same parquet tables registered as views),
+then compares row count, column names, and values (columns sorted by name,
+rows sorted by all columns). Reports both an exact match (what a value-hash
+needs) and a tolerance match (float aggregation order).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from xova_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def keyify(col: pd.Series):
+        if col.dtype == object:
+            return col.map(lambda v: str(v))
+        return col
+
+    if len(df) > 0:
+        df = df.sort_values(by=list(df.columns), key=keyify, kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, bool, str]:
+    if len(sdf) != len(odf):
+        return False, False, f"rowcount spark={len(sdf)} oracle={len(odf)}"
+    scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+    if scols != ocols:
+        return False, False, f"columns spark={scols} oracle={ocols}"
+    sdf, odf = normalize(sdf), normalize(odf)
+    exact = True
+    close = True
+    detail = []
+    for c in sdf.columns:
+        a, b = sdf[c], odf[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            af = a.astype(float).to_numpy()
+            bf = b.astype(float).to_numpy()
+            both_nan = np.isnan(af) & np.isnan(bf)
+            eq = (af == bf) | both_nan
+            if not eq.all():
+                exact = False
+                ok = np.isclose(af, bf, rtol=1e-9, atol=1e-12) | both_nan
+                if not ok.all():
+                    close = False
+                    i = int(np.argmin(ok))
+                    detail.append(f"col {c} row {i}: {af[i]!r} vs {bf[i]!r}")
+                else:
+                    md = np.nanmax(np.abs(af - bf))
+                    detail.append(f"col {c} float drift max {md:.3e}")
+        else:
+            av = a.map(lambda v: str(v)).to_numpy()
+            bv = b.map(lambda v: str(v)).to_numpy()
+            if not (av == bv).all():
+                exact = close = False
+                i = int(np.argmin(av == bv))
+                detail.append(f"col {c} row {i}: {av[i]!r} vs {bv[i]!r}")
+    return exact, close, "; ".join(detail)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_exact = n_close = n_fail = n_noor = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"NOOR  {name}: rows={len(sdf)} (rows-only check)")
+            n_noor += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        exact, close, detail = compare(name, sdf, odf)
+        if exact:
+            print(f"EXACT {name}: rows={len(sdf)}")
+            n_exact += 1
+        elif close:
+            print(f"CLOSE {name}: rows={len(sdf)} ({detail})")
+            n_close += 1
+        else:
+            print(f"FAIL  {name}: {detail}")
+            n_fail += 1
+    print(
+        f"\n== exact={n_exact} close={n_close} fail={n_fail} rows_only={n_noor} "
+        f"total={n_exact + n_close + n_fail + n_noor}"
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,88 @@
+"""SparkSession factory tuned for this engine.
+
+Design notes (100 TB target, tested on local[32]):
+- AQE on: runtime coalesce of post-shuffle partitions replaces the
+  reference's manual "group ≥4 row chunks before write" compaction
+  (reference: xova/apps/xova/averaging.py:39-77) and its hand-rolled
+  reduction fan-in (chunking.py:256 split_every=16).
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+- Arrow enabled for the few pandas-UDF operators (UVW synthesis, exact
+  greedy binning); everything else stays JVM-side.
+- shuffle.partitions defaults to the local core count; on a real cluster
+  AQE's coalesce makes the initial number a ceiling, not a commitment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "xova_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+# Parquet TIMESTAMP(NANOS) columns (Spark has no nanosecond timestamp type;
+# read as long nanos via the legacy conf, then truncate to micros exactly as
+# DuckDB does when it converts ns -> its native us timestamps).
+NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Read the driver's parquet tables and register them as temp views.
+
+    Returns a dict name -> DataFrame. Mirrors the reference's table-open
+    step (xova/apps/xova/app.py:162-195) for the TPC-H-ish harness tables.
+    """
+    # The driver runs queries on ITS OWN SparkSession — pin the dynamic
+    # confs the oracle comparison depends on here, not only in get_spark().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    names = names or (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    out = {}
+    for n in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+        for c in NANO_TS_COLS.get(n, ()):
+            if dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out
