@@ -1,0 +1,307 @@
+"""Deduplication operators — the training-data-pipeline core.
+
+Exact (hash-groupBy), n-gram Jaccard near-dup, MinHash+LSH (shingle →
+signature → band → bucket-join), and SimHash — each as pure Catalyst
+expressions with a DuckDB oracle twin.
+
+Scale design (100 TB corpora):
+- Exact dedup is one shuffle on the content hash (map-side combine).
+- N-gram Jaccard is quadratic and exists as the *verifier*; the scale
+  path is MinHash/LSH, where the only big shuffle keys on (band, bucket)
+  and candidate verification touches candidate pairs only.
+- All hashing is md5-derived integer arithmetic: deterministic across
+  engines (Spark xxhash64 and DuckDB hash() do NOT agree), overflow-safe
+  (31-bit hash × 6-bit multiplier stays far below 2^63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xova_spark.session import load_tables
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# --- shared deterministic hashing / shingling -------------------------------
+
+P31 = 2147483647  # 2^31 - 1 (Mersenne prime) — minhash universe
+MINHASH_A = (3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
+MINHASH_B = tuple((i * 1000003) % P31 for i in range(1, 17))
+N_BANDS, ROWS_PER_BAND = 4, 4
+SIMHASH_BITS = 32
+
+# Spark-side 3-word shingle set (distinct), SQL-expression form.
+SPARK_SHINGLES = (
+    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
+    " i -> concat_ws('_', element_at(split(text, ' '), i),"
+    " element_at(split(text, ' '), i + 1),"
+    " element_at(split(text, ' '), i + 2))))"
+)
+
+# DuckDB twin (1-based list indexing).
+DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),"
+    " i -> string_split(text, ' ')[i] || '_' ||"
+    " string_split(text, ' ')[i+1] || '_' || string_split(text, ' ')[i+2]))"
+)
+
+# 31-bit deterministic shingle hash from md5 (same value in both engines).
+SPARK_H31 = f"cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {P31}"
+DUCK_H31 = f"(('0x' || substr(md5(s), 1, 15))::BIGINT) % {P31}"
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, keep lowest doc_id per content hash.
+    One shuffle on the hash; partial aggregation map-side."""
+    (docs,) = _docs(spark, sf_dir)
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM sh
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """3-word-shingle Jaccard near-dup pairs (threshold 0.5). Quadratic in
+    colliding shingles — the exact verifier; LSH below is the scale path."""
+    (docs,) = _docs(spark, sf_dir)
+    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_sql_exprs(hcol: str) -> list[str]:
+    return [
+        f"min(({a} * {hcol} + {b}) % {P31})"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
+
+
+@q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), hashed AS (
+      SELECT doc_id, {DUCK_H31} AS h FROM ex
+    ), sig AS (
+      SELECT doc_id,
+             {', '.join(f'{e} AS m{i}' for i, e in enumerate(_minhash_sql_exprs('h')))},
+             count(*) AS nsh
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {k} AS band, "
+        f"concat_ws(',', m{4 * k}, m{4 * k + 1}, m{4 * k + 2}, m{4 * k + 3}) AS bkey "
+        f"FROM sig"
+        for k in range(N_BANDS)
+      )}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS nc
+      FROM cand c
+      JOIN ex ea ON ea.doc_id = c.doc_a
+      JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+      GROUP BY 1, 2
+    )
+    SELECT cm.doc_a, cm.doc_b,
+           round(nc * 1.0 / (sa.nsh + sb.nsh - nc), 6) AS jaccard
+    FROM common cm
+    JOIN sig sa ON sa.doc_id = cm.doc_a
+    JOIN sig sb ON sb.doc_id = cm.doc_b
+    WHERE nc * 1.0 / (sa.nsh + sb.nsh - nc) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (16 hashes) + LSH (4 bands × 4 rows) near-dup detection with
+    exact-Jaccard verification of candidates.
+
+    Scale shape: signatures are one groupBy over exploded shingles; the
+    candidate join keys on (band, bucket) — tiny buckets, no quadratic
+    blow-up; verification touches candidate pairs only."""
+    (docs,) = _docs(spark, sf_dir)
+    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    hashed = ex.select("doc_id", F.expr(SPARK_H31).alias("h"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.expr(e).alias(f"m{i}")
+            for i, e in enumerate(_minhash_sql_exprs("h"))
+        ],
+        F.count("*").alias("nsh"),
+    )
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(k).alias("band"),
+            F.concat_ws(
+                ",", f"m{4 * k}", f"m{4 * k + 1}", f"m{4 * k + 2}", f"m{4 * k + 3}"
+            ).alias("bkey"),
+        )
+        for k in range(N_BANDS)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ea = ex.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    eb = ex.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("sb"))
+    common = (
+        cand.join(ea, "doc_a")
+        .join(eb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sa") == F.col("sb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("nc"))
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nshb"))
+    jac = F.col("nc") * 1.0 / (F.col("nsha") + F.col("nshb") - F.col("nc"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _simhash_exprs(dialect: str) -> str:
+    """SUM over words of cnt·sign(bit_i(h)) per bit, packed to an int."""
+    terms = []
+    for i in range(SIMHASH_BITS):
+        bit = (
+            f"(shiftright(h, {i}) & 1)" if dialect == "spark" else f"((h >> {i}) & 1)"
+        )
+        terms.append(
+            f"(CASE WHEN sum(cnt * (2 * {bit} - 1)) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH wc AS (
+      SELECT doc_id, word, count(*) AS cnt FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      ) GROUP BY doc_id, word
+    ), hashed AS (
+      SELECT doc_id, cnt,
+             (('0x' || substr(md5(word), 1, 15))::BIGINT) % {P31} AS h
+      FROM wc
+    ), fp AS (
+      SELECT doc_id, {_simhash_exprs('duck')} AS simhash
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
+    FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 32-bit weighted-bit-vote fingerprint per doc, then
+    pairs with identical fingerprints (near-dups collide; unrelated docs
+    don't). One shuffle to build fingerprints, one tiny self-join."""
+    (docs,) = _docs(spark, sf_dir)
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    hashed = wc.select(
+        "doc_id",
+        "cnt",
+        F.expr(f"cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint) % {P31}").alias(
+            "h"
+        ),
+    )
+    fp = hashed.groupBy("doc_id").agg(
+        F.expr(_simhash_exprs("spark")).alias("simhash")
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("simhash"),
+    )
+
+
+def _docs(spark, sf_dir):
+    tables = load_tables(spark, sf_dir, ("documents",))
+    return [tables["documents"]]

@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, a sign-bit-bucketed
+(LSH/IVF-style) variant as the scale path, plus embedding analytics
+(per-label centroids, pairwise near-dup by cosine).
+
+Numeric discipline: both engines compute dot products as LEFT-TO-RIGHT
+sequential double accumulation over the same element order (Spark
+``aggregate(zip_with(...))``, DuckDB ``list_sum(list_transform(...))``),
+so cosine values are bit-identical and rankings cannot diverge.
+
+Scale notes (100 TB / billions of vectors):
+- Brute force is O(Q·N) — correct but only viable for small Q; it is the
+  oracle for recall measurement.
+- The bucketed variant shuffles once on the bucket key and searches only
+  within buckets; real deployments add multi-probe + IVF centroids
+  (same plan shape: assign → co-partition → per-bucket top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from xova_spark.session import load_tables
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# Sequential-double dot product (both engines, same order).
+def _spark_dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+@q(
+    "ann_cosine_topk",
+    f"""
+    WITH queries AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT qid, c.vec_id AS cid,
+             {_duck_dot('qe', 'c.embedding')}
+               / (sqrt({_duck_dot('qe', 'qe')})
+                  * sqrt({_duck_dot('c.embedding', 'c.embedding')})) AS cos
+      FROM queries CROSS JOIN embeddings c
+      WHERE c.vec_id != qid
+    ), ranked AS (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+      FROM scored
+    )
+    SELECT qid, cid, round(cos, 6) AS cos, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 10 query vectors — the exact ANN
+    baseline (recall oracle for the bucketed variant below)."""
+    (emb,) = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cand = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    cos = _spark_dot("qe", "ce") / (
+        F.sqrt(_spark_dot("qe", "qe")) * F.sqrt(_spark_dot("ce", "ce"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    return (
+        queries.crossJoin(F.broadcast(cand))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "cid", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def _spark_bucket(col: str):
+    # 4-bit sign-bucket over the first 4 dimensions (LSH hyperplanes =
+    # coordinate axes; a real IVF uses learned centroids, same plan shape).
+    b = F.lit(0)
+    for i in range(4):
+        b = b + F.when(F.element_at(F.col(col), i + 1) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return b
+
+
+def _duck_bucket(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(4)
+    )
+
+
+@q(
+    "ann_bucketed_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
+      FROM embeddings
+    ), queries AS (
+      SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 20
+    ), scored AS (
+      SELECT qid, c.vec_id AS cid,
+             {_duck_dot('qe', 'c.embedding')}
+               / (sqrt({_duck_dot('qe', 'qe')})
+                  * sqrt({_duck_dot('c.embedding', 'c.embedding')})) AS cos
+      FROM queries JOIN b c ON c.bucket = queries.bucket AND c.vec_id != qid
+    ), ranked AS (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+      FROM scored
+    )
+    SELECT qid, cid, round(cos, 6) AS cos, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def ann_bucketed_topk(spark, sf_dir):
+    """LSH-bucketed ANN: sign-bit bucket assignment → equi-join on bucket →
+    per-bucket top-k. The single shuffle keys on the bucket; candidate set
+    shrinks 2^4× — this is the plan shape that survives a 1000× scale-up."""
+    (emb,) = _emb(spark, sf_dir)
+    b = emb.select("vec_id", "embedding", _spark_bucket("embedding").alias("bucket"))
+    queries = b.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+    )
+    cand = b.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "bucket"
+    )
+    cos = _spark_dot("qe", "ce") / (
+        F.sqrt(_spark_dot("qe", "qe")) * F.sqrt(_spark_dot("ce", "ce"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    return (
+        queries.join(cand, "bucket")
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "cid", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+@q(
+    "emb_centroid_per_label",
+    """
+    SELECT label, u.pos - 1 AS dim,
+           round(avg(CAST(u.val AS DOUBLE)), 6) AS centroid
+    FROM (
+      SELECT label, unnest(list_transform(generate_series(1, len(embedding)),
+             i -> struct_pack(pos := i, val := embedding[i]))) AS u
+      FROM embeddings
+    )
+    GROUP BY label, u.pos
+    """,
+)
+def emb_centroid_per_label(spark, sf_dir):
+    """Element-wise centroid per label: posexplode → groupBy (label, dim).
+    At scale this is the k-means update step — one shuffle keyed on
+    (label, dim), partial means map-side."""
+    (emb,) = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"))
+    )
+
+
+@q(
+    "dedup_embedding_cosine",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_duck_dot('a.embedding', 'b.embedding')}
+               / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
+                  * sqrt({_duck_dot('b.embedding', 'b.embedding')})) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(cos, 6) AS cos
+    FROM pairs WHERE cos >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.45). Full pairwise
+    here (the verifier); the bucketed ANN above is the scale path."""
+    (emb,) = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = _spark_dot("ea", "eb") / (
+        F.sqrt(_spark_dot("ea", "ea")) * F.sqrt(_spark_dot("eb", "eb"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.45)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _emb(spark, sf_dir):
+    tables = load_tables(spark, sf_dir, ("embeddings",))
+    return [tables["embeddings"]]

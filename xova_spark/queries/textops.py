@@ -1,0 +1,216 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID (stopword heuristic), quality scoring, token counting, and
+document fingerprinting over the ``documents`` table — all pure Catalyst
+expressions (split / higher-order array functions / md5), no Python UDFs,
+so the hot path stays JVM-side and scales to 100 TB document corpora.
+
+Each entry has a DuckDB oracle twin (same registry shape as
+``relational.REGISTRY``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xova_spark.session import load_tables
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# Shared stopword sets for the language-ID heuristic (deterministic,
+# vocabulary-based — the harness corpus is synthetic word soup, so the
+# heuristic keys on function words that real corpora separate by language).
+EN_STOP = ("the", "a", "of", "and", "to", "in", "is", "it")
+DATA_WORDS = ("join", "merge", "filter", "window", "table", "query")
+
+
+@q(
+    "t_token_count",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_actual,
+           n_chars
+    FROM documents
+    """,
+)
+def t_token_count(spark, sf_dir):
+    """Whitespace token counting + char-length validation."""
+    (docs,) = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        "n_chars",
+    )
+
+
+@q(
+    "t_quality_score",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS words,
+             length(text) AS nc
+      FROM documents
+    )
+    SELECT doc_id,
+           len(words) AS n_tokens,
+           round(len(list_distinct(words)) * 1.0 / len(words), 6) AS uniq_ratio,
+           round(nc * 1.0 / len(words), 6) AS avg_token_len,
+           round(len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it')))
+                 * 1.0 / len(words), 6) AS stopword_ratio,
+           CASE WHEN len(words) BETWEEN 20 AND 1000
+                 AND len(list_distinct(words)) * 1.0 / len(words) > 0.2
+                THEN 1 ELSE 0 END AS quality_keep
+    FROM w
+    """,
+)
+def t_quality_score(spark, sf_dir):
+    """Quality scoring: length, lexical diversity, stopword ratio, keep flag
+    (the filter a pretraining pipeline applies before dedup)."""
+    (docs,) = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    n = F.size(words)
+    uniq = F.size(F.array_distinct(words)) * F.lit(1.0) / n
+    stop_ratio = (
+        F.size(F.filter(words, lambda x: x.isin(*EN_STOP))) * F.lit(1.0) / n
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(uniq, 6).alias("uniq_ratio"),
+        F.round(F.length("text") * F.lit(1.0) / n, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.when(n.between(20, 1000) & (uniq > 0.2), 1).otherwise(0).alias("quality_keep"),
+    )
+
+
+@q(
+    "t_lang_id",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+    ), feat AS (
+      SELECT doc_id, lang,
+             len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it')))
+               * 1.0 / len(words) AS stop_r,
+             len(list_filter(words, x -> x IN ('join','merge','filter','window','table','query')))
+               * 1.0 / len(words) AS data_r
+      FROM w
+    )
+    SELECT doc_id, lang,
+           CASE WHEN stop_r >= 0.08 THEN 'en'
+                WHEN data_r >= 0.15 THEN 'tech'
+                ELSE 'other' END AS pred_lang,
+           round(stop_r, 6) AS stop_r
+    FROM feat
+    """,
+)
+def t_lang_id(spark, sf_dir):
+    """N-gram/stopword language-ID heuristic (vocabulary-ratio features →
+    classification). The harness corpus is synthetic; the operator shape —
+    per-doc feature extraction + threshold classifier, zero UDFs — is what
+    scales."""
+    (docs,) = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    n = F.size(words)
+    stop_r = F.size(F.filter(words, lambda x: x.isin(*EN_STOP))) * F.lit(1.0) / n
+    data_r = F.size(F.filter(words, lambda x: x.isin(*DATA_WORDS))) * F.lit(1.0) / n
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(stop_r >= 0.08, "en")
+        .when(data_r >= 0.15, "tech")
+        .otherwise("other")
+        .alias("pred_lang"),
+        F.round(stop_r, 6).alias("stop_r"),
+    )
+
+
+@q(
+    "t_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_hash,
+           md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_hash
+    FROM documents
+    """,
+)
+def t_fingerprint(spark, sf_dir):
+    """Document fingerprinting: full-content hash + prefix hash (the cheap
+    first-pass key for exact/near-prefix dedup)."""
+    (docs,) = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
+        F.md5(F.array_join(F.slice(words, 1, 8), " ")).alias("prefix_hash"),
+    )
+
+
+@q(
+    "t_word_freq_topk",
+    """
+    SELECT word, n FROM (
+      SELECT word, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ) WHERE rn <= 20
+    """,
+)
+def t_word_freq_topk(spark, sf_dir):
+    """Corpus vocabulary: explode → count → top-k. The explode shuffles by
+    word; at 100 TB this is the map-side-combine-friendly shape (partial
+    counts per partition before the shuffle — Spark does this for free)."""
+    from pyspark.sql import Window
+
+    (docs,) = _docs(spark, sf_dir)
+    w = Window.orderBy(F.desc("n"), "word")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("word", "n")
+    )
+
+
+@q(
+    "mm_binary_plumbing",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS blob_hash
+    FROM documents
+    """,
+)
+def mm_binary_plumbing(spark, sf_dir):
+    """Opaque-binary column plumbing — the multimodal data model: payloads
+    as ``binary`` columns with typed metadata alongside. Here the binary is
+    utf-8 text (the container has no image/audio codecs); the schema /
+    hashing / length plumbing is exactly what image-bytes columns use.
+    Decode/feature-extraction stubs live in operators/multimodal.py."""
+    (docs,) = _docs(spark, sf_dir)
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.md5(blob).alias("blob_hash"),
+    )
+
+
+def _docs(spark, sf_dir):
+    tables = load_tables(spark, sf_dir, ("documents",))
+    return [tables["documents"]]
