@@ -1,0 +1,86 @@
+"""Benchmark harness — runs the headline queries and prints ONE JSON line.
+
+    {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
+     "queries": {"tpch_q1": <sec>, ...}, "sf": <sf>}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+
+Each query is fully executed via a count-collecting noop write
+(``df.write.format("noop")``) so the measured time covers scan →
+shuffle → aggregation, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = (
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "a1_time_binned_agg",
+    "join_asof",
+    "join_range_theta",
+    "w_sessionize",
+    "t_word_freq_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "timechannel_avg",
+    "bda_avg",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from xova_spark.session import get_spark
+
+    spark = get_spark("xova-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # Warm the JVM/session on a cheap query so q1 doesn't pay startup cost.
+    if "s2_column_pruned_scan" in qs:
+        qs["s2_column_pruned_scan"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
