@@ -1,0 +1,220 @@
+"""Fixed time-and-channel averaging — the reference's primary pipeline.
+
+Re-expresses ``xova timechannel`` (reference: xova/apps/xova/averaging.py
+:184-267, kernel call :251-255; CLI defaults arguments.py:127-132) as pure
+DataFrame aggregation over the long layout: every africanus kernel column
+becomes a built-in SQL aggregate in ONE ``groupBy().agg()`` per table —
+no UDFs anywhere in the hot path.
+
+Binning semantics ("same math" per SURVEY §7 hard-parts decision, not
+bit-identical greedy bins): within each (FIELD_ID, DATA_DESC_ID,
+SCAN_NUMBER) partition and per baseline (ANTENNA1, ANTENNA2),
+``time_bin = floor((TIME - min(TIME) over partition+baseline) / time_bin_secs)``
+and ``chan_bin = floor(chan / chan_bin_size)``.
+
+Per-column averaging semantics (reference A1a, mirroring the
+codex-africanus time_and_channel contract the reference delegates to):
+- TIME: mean over ALL rows in bin;  INTERVAL: sum over ALL rows.
+- EXPOSURE: sum over unflagged rows; TIME_CENTROID: EXPOSURE-weighted
+  mean over unflagged rows; UVW: mean over unflagged rows — each falling
+  back to the all-rows aggregate when the bin is fully flagged.
+- WEIGHT: sum over unflagged; SIGMA: sqrt(sum(w²σ²))/sum(w) (weighted RMS).
+- visibilities: WEIGHT_SPECTRUM-weighted mean over unflagged samples,
+  falling back to the flagged samples when the output bin is fully
+  flagged; FLAG out = all inputs flagged (averaging.py:225 convention).
+
+Scale design: the row aggregation is one shuffle keyed on
+(partition, baseline) — the min-TIME window and the subsequent groupBy
+share that hash partitioning (HashPartitioning on a key subset satisfies
+the grouped distribution, so Catalyst inserts no second exchange). The
+vis aggregation joins the big samples table to the (row_id -> bin) map —
+broadcast when small, AQE shuffle-join otherwise — then aggregates in a
+single shuffle. Skewed baselines are handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PART_KEYS = ["FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER"]  # app.py:43 GROUP_COLS
+BL_KEYS = ["ANTENNA1", "ANTENNA2"]
+BIN_KEYS = PART_KEYS + BL_KEYS + ["time_bin"]
+
+
+def _fallback(unflagged_expr, all_expr):
+    """Aggregate over unflagged rows, falling back to all rows when the
+    bin is fully flagged (null unflagged aggregate)."""
+    return F.coalesce(unflagged_expr, all_expr)
+
+
+def assign_time_bins(rows: DataFrame, time_bin_secs: float) -> DataFrame:
+    """P1+W1: add the time_bin column (floor of time offset per
+    partition+baseline; ref chunking.py:125-157 greedy analogue)."""
+    w = Window.partitionBy(*PART_KEYS, *BL_KEYS)
+    return rows.withColumn(
+        "time_bin",
+        F.floor((F.col("TIME") - F.min("TIME").over(w)) / F.lit(time_bin_secs)).cast(
+            "int"
+        ),
+    )
+
+
+def average_rows(
+    rows: DataFrame,
+    time_bin_secs: float = 2.0,
+    fields: list[int] | None = None,
+    scans: list[int] | None = None,
+) -> DataFrame:
+    """A1 row-level averaging (ref averaging.py:184-267)."""
+    if fields:
+        rows = rows.filter(F.col("FIELD_ID").isin(fields))  # averaging.py:218-221
+    if scans:
+        rows = rows.filter(F.col("SCAN_NUMBER").isin(scans))
+    binned = assign_time_bins(rows, time_bin_secs)
+    fr = F.col("FLAG_ROW")
+    unfl = ~fr
+    return binned.groupBy(*BIN_KEYS).agg(
+        F.avg("TIME").alias("TIME"),
+        F.sum("INTERVAL").alias("INTERVAL"),
+        _fallback(
+            F.sum(F.when(unfl, F.col("EXPOSURE"))), F.sum("EXPOSURE")
+        ).alias("EXPOSURE"),
+        _fallback(
+            F.sum(F.when(unfl, F.col("EXPOSURE") * F.col("TIME_CENTROID")))
+            / F.sum(F.when(unfl, F.col("EXPOSURE"))),
+            F.sum(F.col("EXPOSURE") * F.col("TIME_CENTROID")) / F.sum("EXPOSURE"),
+        ).alias("TIME_CENTROID"),
+        *[
+            _fallback(F.avg(F.when(unfl, F.col(c))), F.avg(F.col(c))).alias(c)
+            for c in ("u", "v", "w")
+        ],
+        F.bool_and(fr).alias("FLAG_ROW"),
+        F.count(F.when(unfl, F.lit(1))).alias("n_unflagged"),
+        F.count("*").alias("n_rows"),
+        # Constant ID columns pass through (ref averaging.py:117-136).
+        *[
+            F.any_value(F.col(c)).alias(c)
+            for c in ("ARRAY_ID", "OBSERVATION_ID", "PROCESSOR_ID", "STATE_ID")
+        ],
+    )
+
+
+def bin_map(rows: DataFrame, time_bin_secs: float = 2.0) -> DataFrame:
+    """row_id -> output-bin key + row flag (the join key for the weights
+    and visibility aggregations)."""
+    return assign_time_bins(rows, time_bin_secs).select(
+        "row_id", *BIN_KEYS, "FLAG_ROW"
+    )
+
+
+def average_weights(weights: DataFrame, bins: DataFrame) -> DataFrame:
+    """WEIGHT/SIGMA per (bin, corr): sum of weights over unflagged rows;
+    SIGMA = sqrt(sum(w²σ²))/sum(w) — weighted RMS (A1a)."""
+    j = weights.join(bins, "row_id")
+    unfl = ~F.col("FLAG_ROW")
+    w, s = F.col("WEIGHT"), F.col("SIGMA")
+    sum_w = _fallback(F.sum(F.when(unfl, w)), F.sum(w))
+    sum_w2s2 = _fallback(
+        F.sum(F.when(unfl, w * w * s * s)), F.sum(w * w * s * s)
+    )
+    return j.groupBy(*BIN_KEYS, "corr").agg(
+        sum_w.alias("WEIGHT"),
+        (F.sqrt(sum_w2s2) / sum_w).alias("SIGMA"),
+    )
+
+
+def average_vis(
+    vis: DataFrame, bins: DataFrame, chan_bin_size: int = 16
+) -> DataFrame:
+    """Visibility averaging per (bin, chan_bin, corr): weighted complex
+    mean over unflagged samples with fully-flagged fallback (A1/A1a)."""
+    j = vis.join(bins.drop("FLAG_ROW"), "row_id").withColumn(
+        "chan_bin", F.floor(F.col("chan") / F.lit(chan_bin_size)).cast("int")
+    )
+    fl, w = F.col("flag"), F.col("weight_sp")
+    re, im, s = F.col("vis_re"), F.col("vis_im"), F.col("sigma_sp")
+    n_unfl = F.count(F.when(~fl, F.lit(1)))
+    # Weighted means over the unflagged set, else over the flagged set.
+    def wmean(x):
+        return F.when(
+            n_unfl > 0, F.sum(F.when(~fl, w * x)) / F.sum(F.when(~fl, w))
+        ).otherwise(F.sum(w * x) / F.sum(w))
+
+    sum_w = F.when(n_unfl > 0, F.sum(F.when(~fl, w))).otherwise(F.sum(w))
+    sum_w2s2 = F.when(n_unfl > 0, F.sum(F.when(~fl, w * w * s * s))).otherwise(
+        F.sum(w * w * s * s)
+    )
+    return j.groupBy(*BIN_KEYS, "chan_bin", "corr").agg(
+        wmean(re).alias("vis_re"),
+        wmean(im).alias("vis_im"),
+        F.bool_and(fl).alias("flag"),
+        sum_w.alias("weight_sp"),
+        (F.sqrt(sum_w2s2) / sum_w).alias("sigma_sp"),
+        F.count("*").alias("n_samples"),
+    )
+
+
+def average_spw(
+    spw_chans: DataFrame, spw_meta: DataFrame, chan_bin_size: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """A3: SPW channel metadata averaging (ref averaging.py:357-406):
+    CHAN_FREQ mean per bin; CHAN_WIDTH/EFFECTIVE_BW/RESOLUTION summed;
+    NUM_CHAN = ceil(nchan / bin)."""
+    out_chans = (
+        spw_chans.withColumn(
+            "chan_bin", F.floor(F.col("chan") / F.lit(chan_bin_size)).cast("int")
+        )
+        .groupBy("SPECTRAL_WINDOW_ID", "chan_bin")
+        .agg(
+            F.avg("CHAN_FREQ").alias("CHAN_FREQ"),
+            F.sum("CHAN_WIDTH").alias("CHAN_WIDTH"),
+            F.sum("EFFECTIVE_BW").alias("EFFECTIVE_BW"),
+            F.sum("RESOLUTION").alias("RESOLUTION"),
+        )
+        .withColumnRenamed("chan_bin", "chan")
+    )
+    out_meta = (
+        out_chans.groupBy("SPECTRAL_WINDOW_ID")
+        .agg(
+            F.count("*").cast("int").alias("NUM_CHAN"),
+            F.sum("CHAN_WIDTH").alias("TOTAL_BANDWIDTH"),
+        )
+        .join(
+            spw_meta.select("SPECTRAL_WINDOW_ID", "REF_FREQUENCY"),
+            "SPECTRAL_WINDOW_ID",
+        )
+    )
+    return out_chans, out_meta
+
+
+def timechannel(
+    tables: dict,
+    time_bin_secs: float = 2.0,
+    chan_bin_size: int = 16,
+    fields: list[int] | None = None,
+    scans: list[int] | None = None,
+) -> dict:
+    """Full timechannel pipeline over a loaded MS (ref app.py:59-128):
+    returns the averaged main-table parts + regenerated SPW tables.
+    Subtables other than SPW pass through unchanged (ref subtables.py)."""
+    rows = tables["ms_rows"]
+    if fields:
+        rows = rows.filter(F.col("FIELD_ID").isin(fields))
+    if scans:
+        rows = rows.filter(F.col("SCAN_NUMBER").isin(scans))
+    bins = bin_map(rows, time_bin_secs)
+    out_chans, out_meta = average_spw(
+        tables["spw_chans"], tables["spw_meta"], chan_bin_size
+    )
+    return {
+        "ms_rows": average_rows(rows, time_bin_secs),
+        "ms_weights": average_weights(tables["ms_weights"], bins),
+        "ms_vis": average_vis(tables["ms_vis"], bins, chan_bin_size),
+        "spw_chans": out_chans,
+        "spw_meta": out_meta,
+        "ddid": tables["ddid"],
+        "pol": tables["pol"],
+        "field": tables["field"],
+        "antenna": tables["antenna"],
+    }

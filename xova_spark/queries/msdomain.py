@@ -1,0 +1,448 @@
+"""MS-domain query pack — the averaging engine under the driver's oracle gate.
+
+The reference's whole product surface (time+channel averaging, SPW
+averaging, schema check — reference: xova/apps/xova/averaging.py:184-406,
+check.py:22-76) is registered here as ``name -> (spark_fn, oracle_sql)``
+entries. Inputs are the seeded synthetic MS fixture
+(xova_spark/sources/ms_fixture.py — the analogue of the reference's
+xova/testing_data.py), materialized as parquet under the repo cache; the
+DuckDB oracle reads the same files via ``read_parquet``.
+
+Every fixture value is a dyadic rational (see ms_fixture docstring), so
+all sums are exact in float64 and Spark/DuckDB agree bit-for-bit with no
+rounding — these queries hold to the same EXACT standard as the
+relational pack.
+
+``sf_dir`` is accepted for driver-contract uniformity but unused: the MS
+fixture is its own (seeded, deterministic) dataset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from xova_spark.operators import timechannel as tc
+from xova_spark.operators.check import check_ms, check_spw
+from xova_spark.sources.ms_fixture import NA, load_ms, ms_fixture_dir
+
+REGISTRY: dict[str, tuple] = {}
+
+# Generated at import so the oracle SQL's read_parquet paths exist before
+# either side of the driver's comparison runs.
+_DIR = ms_fixture_dir()
+
+TIME_BIN_SECS = 4.0  # 2 s cadence, 3 times per scan -> bins of 2 and 1 rows
+CHAN_BIN = 16
+
+_BIN_CTE = f"""
+WITH b AS (
+    SELECT *,
+        CAST(floor((TIME - min(TIME) OVER (
+            PARTITION BY FIELD_ID, DATA_DESC_ID, SCAN_NUMBER,
+                         ANTENNA1, ANTENNA2)) / {TIME_BIN_SECS}) AS INTEGER)
+        AS time_bin
+    FROM read_parquet('{_DIR}/ms_rows.parquet')
+)
+"""
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _ms(spark):
+    return load_ms(spark, _DIR)
+
+
+# ---------------------------------------------------------------------------
+# A1/A1a — time averaging of row-level columns (averaging.py:184-267)
+# ---------------------------------------------------------------------------
+
+_TC_ROWS_SELECT = """
+SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, time_bin,
+    avg(TIME) AS TIME,
+    sum("INTERVAL") AS "INTERVAL",
+    coalesce(sum(EXPOSURE) FILTER (WHERE NOT FLAG_ROW), sum(EXPOSURE))
+        AS EXPOSURE,
+    coalesce(sum(EXPOSURE * TIME_CENTROID) FILTER (WHERE NOT FLAG_ROW)
+                 / sum(EXPOSURE) FILTER (WHERE NOT FLAG_ROW),
+             sum(EXPOSURE * TIME_CENTROID) / sum(EXPOSURE)) AS TIME_CENTROID,
+    coalesce(avg(u) FILTER (WHERE NOT FLAG_ROW), avg(u)) AS u,
+    coalesce(avg(v) FILTER (WHERE NOT FLAG_ROW), avg(v)) AS v,
+    coalesce(avg(w) FILTER (WHERE NOT FLAG_ROW), avg(w)) AS w,
+    bool_and(FLAG_ROW) AS FLAG_ROW,
+    count(*) FILTER (WHERE NOT FLAG_ROW) AS n_unflagged,
+    count(*) AS n_rows,
+    any_value(ARRAY_ID) AS ARRAY_ID,
+    any_value(OBSERVATION_ID) AS OBSERVATION_ID,
+    any_value(PROCESSOR_ID) AS PROCESSOR_ID,
+    any_value(STATE_ID) AS STATE_ID
+FROM b
+{where}
+GROUP BY FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2, time_bin
+"""
+
+
+@q("ms_tc_rows", _BIN_CTE + _TC_ROWS_SELECT.format(where=""))
+def ms_tc_rows(spark, sf_dir):
+    """A1 row averaging: TIME mean / INTERVAL sum over all rows;
+    EXPOSURE-weighted TIME_CENTROID, UVW means over unflagged rows with
+    fully-flagged fallback (averaging.py:251-255 kernel contract)."""
+    t = _ms(spark)
+    return tc.average_rows(t["ms_rows"], TIME_BIN_SECS)
+
+
+@q(
+    "ms_tc_rows_fieldsel",
+    _BIN_CTE
+    + _TC_ROWS_SELECT.format(where="WHERE FIELD_ID IN (0) AND SCAN_NUMBER IN (0, 2)"),
+)
+def ms_tc_rows_fieldsel(spark, sf_dir):
+    """P1 partition-value selection composed with A1
+    (averaging.py:218-221 field/scan filters)."""
+    t = _ms(spark)
+    return tc.average_rows(t["ms_rows"], TIME_BIN_SECS, fields=[0], scans=[0, 2])
+
+
+@q(
+    "ms_tc_weights",
+    _BIN_CTE
+    + f"""
+SELECT b.FIELD_ID, b.DATA_DESC_ID, b.SCAN_NUMBER, b.ANTENNA1, b.ANTENNA2,
+    b.time_bin, w.corr,
+    coalesce(sum(w.WEIGHT) FILTER (WHERE NOT b.FLAG_ROW), sum(w.WEIGHT))
+        AS WEIGHT,
+    sqrt(coalesce(sum(w.WEIGHT * w.WEIGHT * w.SIGMA * w.SIGMA)
+                      FILTER (WHERE NOT b.FLAG_ROW),
+                  sum(w.WEIGHT * w.WEIGHT * w.SIGMA * w.SIGMA)))
+        / coalesce(sum(w.WEIGHT) FILTER (WHERE NOT b.FLAG_ROW), sum(w.WEIGHT))
+        AS SIGMA
+FROM read_parquet('{_DIR}/ms_weights.parquet') w
+JOIN b USING (row_id)
+GROUP BY b.FIELD_ID, b.DATA_DESC_ID, b.SCAN_NUMBER, b.ANTENNA1, b.ANTENNA2,
+         b.time_bin, w.corr
+""",
+)
+def ms_tc_weights(spark, sf_dir):
+    """A1a WEIGHT sum / SIGMA weighted-RMS per (bin, corr)."""
+    t = _ms(spark)
+    return tc.average_weights(
+        t["ms_weights"], tc.bin_map(t["ms_rows"], TIME_BIN_SECS)
+    )
+
+
+_VIS_UNFL = "count(*) FILTER (WHERE NOT v.flag) > 0"
+_VIS_WSUM = (
+    f"CASE WHEN {_VIS_UNFL} THEN sum(v.weight_sp) FILTER (WHERE NOT v.flag) "
+    "ELSE sum(v.weight_sp) END"
+)
+
+
+def _vis_wmean(x: str) -> str:
+    return (
+        f"CASE WHEN {_VIS_UNFL} "
+        f"THEN sum(v.weight_sp * v.{x}) FILTER (WHERE NOT v.flag) "
+        f"     / sum(v.weight_sp) FILTER (WHERE NOT v.flag) "
+        f"ELSE sum(v.weight_sp * v.{x}) / sum(v.weight_sp) END"
+    )
+
+
+_VIS_W2S2 = (
+    f"CASE WHEN {_VIS_UNFL} "
+    "THEN sum(v.weight_sp * v.weight_sp * v.sigma_sp * v.sigma_sp) "
+    "         FILTER (WHERE NOT v.flag) "
+    "ELSE sum(v.weight_sp * v.weight_sp * v.sigma_sp * v.sigma_sp) END"
+)
+
+
+@q(
+    "ms_tc_vis",
+    _BIN_CTE
+    + f"""
+SELECT b.FIELD_ID, b.DATA_DESC_ID, b.SCAN_NUMBER, b.ANTENNA1, b.ANTENNA2,
+    b.time_bin,
+    CAST(floor(v.chan / {CHAN_BIN}) AS INTEGER) AS chan_bin, v.corr,
+    {_vis_wmean("vis_re")} AS vis_re,
+    {_vis_wmean("vis_im")} AS vis_im,
+    bool_and(v.flag) AS flag,
+    {_VIS_WSUM} AS weight_sp,
+    sqrt({_VIS_W2S2}) / ({_VIS_WSUM}) AS sigma_sp,
+    count(*) AS n_samples
+FROM read_parquet('{_DIR}/ms_vis.parquet') v
+JOIN b USING (row_id)
+GROUP BY b.FIELD_ID, b.DATA_DESC_ID, b.SCAN_NUMBER, b.ANTENNA1, b.ANTENNA2,
+         b.time_bin, chan_bin, v.corr
+""",
+)
+def ms_tc_vis(spark, sf_dir):
+    """A1/A1a visibility averaging: WEIGHT_SPECTRUM-weighted complex mean
+    per (time_bin, chan_bin, corr) over unflagged samples, flagged-set
+    fallback; FLAG out = all inputs flagged (averaging.py:225)."""
+    t = _ms(spark)
+    return tc.average_vis(
+        t["ms_vis"], tc.bin_map(t["ms_rows"], TIME_BIN_SECS), CHAN_BIN
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — SPW channel metadata averaging (averaging.py:357-406)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ms_tc_spw_chans",
+    f"""
+SELECT SPECTRAL_WINDOW_ID,
+    CAST(floor(chan / {CHAN_BIN}) AS INTEGER) AS chan,
+    avg(CHAN_FREQ) AS CHAN_FREQ,
+    sum(CHAN_WIDTH) AS CHAN_WIDTH,
+    sum(EFFECTIVE_BW) AS EFFECTIVE_BW,
+    sum(RESOLUTION) AS RESOLUTION
+FROM read_parquet('{_DIR}/spw_chans.parquet')
+GROUP BY SPECTRAL_WINDOW_ID, CAST(floor(chan / {CHAN_BIN}) AS INTEGER)
+""",
+)
+def ms_tc_spw_chans(spark, sf_dir):
+    t = _ms(spark)
+    out_chans, _ = tc.average_spw(t["spw_chans"], t["spw_meta"], CHAN_BIN)
+    return out_chans
+
+
+@q(
+    "ms_tc_spw_meta",
+    f"""
+WITH oc AS (
+    SELECT SPECTRAL_WINDOW_ID,
+        CAST(floor(chan / {CHAN_BIN}) AS INTEGER) AS chan,
+        sum(CHAN_WIDTH) AS CHAN_WIDTH
+    FROM read_parquet('{_DIR}/spw_chans.parquet')
+    GROUP BY 1, 2
+)
+SELECT oc.SPECTRAL_WINDOW_ID,
+    CAST(count(*) AS INTEGER) AS NUM_CHAN,
+    sum(oc.CHAN_WIDTH) AS TOTAL_BANDWIDTH,
+    any_value(m.REF_FREQUENCY) AS REF_FREQUENCY
+FROM oc
+JOIN read_parquet('{_DIR}/spw_meta.parquet') m USING (SPECTRAL_WINDOW_ID)
+GROUP BY oc.SPECTRAL_WINDOW_ID
+""",
+)
+def ms_tc_spw_meta(spark, sf_dir):
+    t = _ms(spark)
+    _, out_meta = tc.average_spw(t["spw_chans"], t["spw_meta"], CHAN_BIN)
+    return out_meta
+
+
+# ---------------------------------------------------------------------------
+# V1 — `xova check` shape conformance (check.py:22-76)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ms_check_shape",
+    f"""
+WITH shapes AS (
+    SELECT row_id, max(chan) + 1 AS actual_nchan, max(corr) + 1 AS actual_ncorr,
+           count(*) AS n_samples
+    FROM read_parquet('{_DIR}/ms_vis.parquet') GROUP BY row_id
+), expected AS (
+    SELECT d.DATA_DESC_ID, s.NUM_CHAN, p.NUM_CORR
+    FROM read_parquet('{_DIR}/ddid.parquet') d
+    JOIN read_parquet('{_DIR}/spw_meta.parquet') s USING (SPECTRAL_WINDOW_ID)
+    JOIN read_parquet('{_DIR}/pol.parquet') p USING (POLARIZATION_ID)
+)
+SELECT count(*) AS n_rows,
+    count(*) FILTER (WHERE actual_nchan != NUM_CHAN
+                        OR actual_ncorr != NUM_CORR
+                        OR n_samples != NUM_CHAN * NUM_CORR) AS n_violations
+FROM read_parquet('{_DIR}/ms_rows.parquet') r
+JOIN shapes USING (row_id)
+JOIN expected USING (DATA_DESC_ID)
+""",
+)
+def ms_check_shape(spark, sf_dir):
+    """V1 conformance as a single summary row (violations == 0 on a
+    well-formed MS; the violating-row set itself is check_ms's output)."""
+    t = _ms(spark)
+    n_violations = check_ms(t).count()
+    n_rows = t["ms_rows"].count()
+    return spark.createDataFrame(
+        [(n_rows, n_violations)], "n_rows: bigint, n_violations: bigint"
+    )
+
+
+@q(
+    "ms_check_spw",
+    f"""
+WITH chans AS (
+    SELECT *, lag(CHAN_FREQ) OVER (
+        PARTITION BY SPECTRAL_WINDOW_ID ORDER BY chan) AS prev_freq
+    FROM read_parquet('{_DIR}/spw_chans.parquet')
+), per_spw AS (
+    SELECT SPECTRAL_WINDOW_ID, count(*) AS n_chans,
+        max(CASE WHEN prev_freq IS NOT NULL AND CHAN_FREQ <= prev_freq
+                 THEN 1 ELSE 0 END) AS non_increasing
+    FROM chans GROUP BY SPECTRAL_WINDOW_ID
+)
+SELECT count(*) AS n_spws,
+    count(*) FILTER (WHERE n_chans != NUM_CHAN OR n_chans = 0
+                        OR non_increasing = 1) AS n_violations
+FROM per_spw
+JOIN read_parquet('{_DIR}/spw_meta.parquet') USING (SPECTRAL_WINDOW_ID)
+""",
+)
+def ms_check_spw(spark, sf_dir):
+    """SPW invariants (averaging.py:488-493): monotone CHAN_FREQ,
+    non-empty, NUM_CHAN consistency — summarized."""
+    t = _ms(spark)
+    n_violations = check_spw(t).count()
+    n_spws = t["spw_meta"].count()
+    return spark.createDataFrame(
+        [(n_spws, n_violations)], "n_spws: bigint, n_violations: bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 / P6 / A6 / A9 / A4 — derivations and planning aggregates
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ms_flag_row_derive",
+    f"""
+WITH derived AS (
+    SELECT row_id, bool_and(flag) AS fr_derived
+    FROM read_parquet('{_DIR}/ms_vis.parquet') GROUP BY row_id
+)
+SELECT count(*) AS n_rows,
+    count(*) FILTER (WHERE fr_derived != FLAG_ROW) AS n_mismatch
+FROM read_parquet('{_DIR}/ms_rows.parquet')
+JOIN derived USING (row_id)
+""",
+)
+def ms_flag_row_derive(spark, sf_dir):
+    """P2: FLAG_ROW = all(FLAG over chan,corr) (averaging.py:224-225);
+    verifies the derivation against the stored column."""
+    t = _ms(spark)
+    derived = (
+        t["ms_vis"].groupBy("row_id").agg(F.bool_and("flag").alias("fr_derived"))
+    )
+    j = t["ms_rows"].select("row_id", "FLAG_ROW").join(derived, "row_id")
+    return j.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("fr_derived") != F.col("FLAG_ROW"), 1)).alias(
+            "n_mismatch"
+        ),
+    )
+
+
+@q(
+    "ms_baseline_index",
+    f"""
+SELECT DISTINCT ANTENNA1, ANTENNA2,
+    CAST(ANTENNA1 * (2 * {NA} - ANTENNA1 - 1) / 2
+         + (ANTENNA2 - ANTENNA1 - 1) AS INTEGER) AS bl_idx
+FROM read_parquet('{_DIR}/ms_rows.parquet')
+""",
+)
+def ms_baseline_index(spark, sf_dir):
+    """P6 baseline index from (ANTENNA1, ANTENNA2) (fixvis.py:39-71):
+    row-major upper-triangle enumeration, no autocorrelations."""
+    t = _ms(spark)
+    a1, a2 = F.col("ANTENNA1"), F.col("ANTENNA2")
+    return (
+        t["ms_rows"]
+        .select("ANTENNA1", "ANTENNA2")
+        .distinct()
+        .withColumn(
+            "bl_idx",
+            (a1 * (2 * NA - a1 - 1) / 2 + (a2 - a1 - 1)).cast("int"),
+        )
+    )
+
+
+@q(
+    "ms_chunk_stats",
+    f"""
+SELECT TIME, count(*) AS n_rows, sum("INTERVAL") AS sum_interval,
+    arg_max(row_id, u * u + v * v + w * w) AS max_uvw_row,
+    max(u * u + v * v + w * w) AS max_uvw_dist
+FROM read_parquet('{_DIR}/ms_rows.parquet')
+GROUP BY TIME
+""",
+)
+def ms_chunk_stats(spark, sf_dir):
+    """A6 chunk-planning aggregate (chunking.py:13-65): per unique TIME,
+    row count + interval sum + argmax-|uvw|² row."""
+    t = _ms(spark)
+    dist = F.col("u") * F.col("u") + F.col("v") * F.col("v") + F.col("w") * F.col("w")
+    return t["ms_rows"].groupBy("TIME").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("INTERVAL").alias("sum_interval"),
+        F.max_by("row_id", dist).alias("max_uvw_row"),
+        F.max(dist).alias("max_uvw_dist"),
+    )
+
+
+@q(
+    "ms_time_monotonic",
+    f"""
+WITH lagged AS (
+    SELECT TIME, lag(TIME) OVER (
+        PARTITION BY FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2
+        ORDER BY TIME, row_id) AS prev_time
+    FROM read_parquet('{_DIR}/ms_rows.parquet')
+)
+SELECT count(*) AS n_rows,
+    count(*) FILTER (WHERE prev_time IS NOT NULL AND TIME < prev_time)
+        AS n_violations
+FROM lagged
+""",
+)
+def ms_time_monotonic(spark, sf_dir):
+    """A9 monotonicity enforcement (chunking.py:267,287-289) as a lag
+    window check."""
+    t = _ms(spark)
+    w = Window.partitionBy(*tc.PART_KEYS, *tc.BL_KEYS).orderBy("TIME", "row_id")
+    lagged = t["ms_rows"].withColumn("prev_time", F.lag("TIME").over(w))
+    return lagged.agg(
+        F.count("*").alias("n_rows"),
+        F.count(
+            F.when(
+                F.col("prev_time").isNotNull()
+                & (F.col("TIME") < F.col("prev_time")),
+                1,
+            )
+        ).alias("n_violations"),
+    )
+
+
+@q(
+    "ms_distinct_chanisation",
+    f"""
+SELECT DISTINCT d.DATA_DESC_ID, d.SPECTRAL_WINDOW_ID, d.POLARIZATION_ID,
+    s.NUM_CHAN, p.NUM_CORR
+FROM read_parquet('{_DIR}/ddid.parquet') d
+JOIN read_parquet('{_DIR}/spw_meta.parquet') s USING (SPECTRAL_WINDOW_ID)
+JOIN read_parquet('{_DIR}/pol.parquet') p USING (POLARIZATION_ID)
+""",
+)
+def ms_distinct_chanisation(spark, sf_dir):
+    """A4/A5 distinct (DDID, SPW, POL, NUM_CHAN) channelisation tuples
+    (averaging.py:409-433) via broadcast dimension joins."""
+    t = _ms(spark)
+    return (
+        t["ddid"]
+        .join(F.broadcast(t["spw_meta"].select("SPECTRAL_WINDOW_ID", "NUM_CHAN")),
+              "SPECTRAL_WINDOW_ID")
+        .join(F.broadcast(t["pol"].select("POLARIZATION_ID", "NUM_CORR")),
+              "POLARIZATION_ID")
+        .select("DATA_DESC_ID", "SPECTRAL_WINDOW_ID", "POLARIZATION_ID",
+                "NUM_CHAN", "NUM_CORR")
+        .distinct()
+    )
