@@ -1,0 +1,103 @@
+"""BDA tests: oracle differential + the domain properties that define
+baseline-dependent averaging (reference: xova/tests/test_averaging.py
+:10-73 targets the SPW/DDID remint logic; we add decorrelation
+monotonicity and remap-consistency invariants the reference lacks)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from xova_spark.operators import bda as B
+from xova_spark.queries import bda as Q
+from xova_spark.testing import assert_frames_match
+
+
+@pytest.fixture(scope="module")
+def ducon():
+    return duckdb.connect()
+
+
+@pytest.fixture(scope="module")
+def params(spark, ms):
+    return B.bin_params(
+        ms["ms_rows"], B.ddid_dims(ms), Q.DECORR, Q.MAX_FOV, Q.TIME_CAP, Q.MIN_NCHAN
+    )
+
+
+@pytest.mark.parametrize("name", sorted(Q.REGISTRY))
+def test_bda_oracle(spark, ducon, name):
+    fn, sql = Q.REGISTRY[name]
+    sdf = fn(spark, "").toPandas()
+    odf = ducon.execute(sql).df()
+    assert_frames_match(sdf, odf)
+
+
+def test_decorrelation_monotonicity(params):
+    """Longer baselines must average LESS: n_int and chan_fac are
+    non-increasing in |b_uv| within a DDID (the defining BDA property,
+    ref averaging.py:313-317)."""
+    pdf = params.toPandas()
+    for _, g in pdf.groupby("DATA_DESC_ID"):
+        g = g.sort_values("bl_uv")
+        assert (g["n_int"].diff().dropna() <= 0).all()
+        assert (g["chan_fac"].diff().dropna() <= 0).all()
+    # and the fixture genuinely exercises variety
+    assert pdf["n_int"].nunique() > 1
+    assert pdf["chan_fac"].nunique() > 1
+
+
+def test_bda_repartition_invariance(spark, ms, params):
+    """BDA output must not depend on input partitioning (the
+    reference's chunk-count invariance, test_averaging.py:29)."""
+    base = B.average_rows(B.assign_bins(ms["ms_rows"], params)).toPandas()
+    shuf = B.average_rows(
+        B.assign_bins(ms["ms_rows"].repartition(17, "ANTENNA1"), params)
+    ).toPandas()
+    assert_frames_match(base, shuf, rtol=0, atol=0)
+
+
+def test_bda_row_conservation(spark, ms, params):
+    out = B.average_rows(B.assign_bins(ms["ms_rows"], params)).toPandas()
+    assert out["n_rows"].sum() == ms["ms_rows"].count()
+
+
+def test_bda_vis_chan_conservation(spark, ms, params):
+    """Each output row's visibility spectrum has exactly out_nchan
+    channel bins (ragged contract, averaging.py:159-161)."""
+    binned = B.assign_bins(ms["ms_rows"], params)
+    vis = B.average_vis(ms["ms_vis"], B.bin_map(binned))
+    per_bin = (
+        vis.groupBy(*B.BIN_KEYS)
+        .agg((F.max("chan_bin") + 1).alias("got_nchan"))
+        .join(B.average_rows(binned), B.BIN_KEYS)
+    )
+    bad = per_bin.filter(F.col("got_nchan") != F.col("NUM_CHAN")).count()
+    assert bad == 0
+
+
+def test_bda_pipeline_remap_consistency(spark, ms):
+    """Full pipeline: every averaged row remaps to a reminted DDID, and
+    its NUM_CHAN matches the reminted SPW's channel count (V3
+    invariants, averaging.py:488-493)."""
+    out = B.bda(ms, Q.DECORR, Q.MAX_FOV, Q.TIME_CAP, Q.MIN_NCHAN)
+    rows = out["ms_rows"]
+    assert rows.filter(F.col("NEW_DATA_DESC_ID").isNull()).count() == 0
+    spw_sizes = (
+        out["spw"].groupBy("NEW_SPW_ID").agg(F.count("*").alias("n_chans"))
+    )
+    joined = (
+        rows.join(out["ddid_map"].select(
+            F.col("NEW_DATA_DESC_ID"), F.col("NEW_SPW_ID")).distinct(),
+            "NEW_DATA_DESC_ID")
+        .join(spw_sizes, "NEW_SPW_ID")
+    )
+    assert joined.filter(F.col("n_chans") != F.col("NUM_CHAN")).count() == 0
+    # reminted grids satisfy the SPW invariants: monotone CHAN_FREQ,
+    # uniform widths summing to the original band
+    grid = out["spw"].toPandas().sort_values(["NEW_SPW_ID", "chan"])
+    for _, g in grid.groupby("NEW_SPW_ID"):
+        assert g["CHAN_FREQ"].is_monotonic_increasing
+        assert g["CHAN_WIDTH"].nunique() == 1
+        assert abs(g["CHAN_WIDTH"].sum() - g["TOTAL_BANDWIDTH"].iloc[0]) < 1e-6

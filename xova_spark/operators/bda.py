@@ -1,0 +1,358 @@
+"""Baseline-dependent averaging (BDA) — the reference's second pipeline.
+
+Re-expresses ``xova bda`` (reference: xova/apps/xova/averaging.py:270-354
+— kernel call :338-342, SPW/DDID regeneration :436-722; CLI defaults
+arguments.py:135-146) as the two-phase Spark plan SURVEY §2.4/A2
+prescribes:
+
+  phase 1 — deterministic per-baseline bin parameters from the standard
+  interferometric smearing model (public formulas: Bridle & Schwab 1999,
+  "Bandwidth and Time-Average Smearing"; Thompson/Moran/Swenson ch. 6):
+
+    time decorrelation      R_t = sinc(omega_E * |b_uv| * (nu/c) * sin(fov) * dt)
+    bandwidth decorrelation R_f = sinc(dnu * |b_uv| * sin(fov) / c)
+
+  holding R >= `decorrelation` gives per-baseline caps
+
+    dt_max  = KT / (|b_uv| * nu_max)   with KT = x_max * C_LIGHT / (OMEGA_E * sin_fov)
+    dnu_max = KF /  |b_uv|             with KF = x_max * C_LIGHT / sin_fov
+
+  where x_max = sinc^-1(decorrelation) is solved ONCE driver-side by
+  bisection. KT/KF are embedded as exact repr() literals in both the
+  Spark expression and the DuckDB oracle SQL, so ALL query-time
+  arithmetic is IEEE *, /, sqrt, floor — bit-identical across engines
+  (no transcendental libm calls whose last ulp could differ).
+
+  Long baselines therefore average few integrations / few channels, and
+  short baselines many — the defining BDA behavior. The time cap becomes
+  an integration count n_int = clamp(floor(dt_max / interval), 1,
+  floor(time_bin_secs / interval)) (the reference's optional
+  --time-bin-secs cap, arguments.py:135-137); the channel cap becomes
+  the largest divisor of NUM_CHAN whose merged width fits dnu_max while
+  keeping >= min_nchan output channels (the reference's "factorization
+  of nchan >= min_nchan", arguments.py:142-146).
+
+  phase 2 — plain groupBy().agg() with the A1a per-column semantics on
+  the derived (baseline, time_bin) / (baseline, time_bin, chan_bin)
+  keys. Ragged output (different baselines -> different output channel
+  counts, averaging.py:317 'ragged') is natural in the long layout: the
+  per-row NUM_CHAN / DECORR_CHAN_WIDTH columns (averaging.py:159-164)
+  ride along as group constants.
+
+Scale design: phase 1 is one narrow aggregation over (partition,
+baseline) — output cardinality #partitions x #baselines, tiny versus the
+row table, so the params join back to rows/vis is a broadcast. Phase 2
+is one shuffle each for rows and vis, both keyed on the (partition,
+baseline) prefix. The SPW/DDID regeneration operates on the distinct
+channelisation set (A4/A5) — driver-scale data, broadcast back (J3).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xova_spark.operators.timechannel import BIN_KEYS, BL_KEYS, PART_KEYS, _fallback
+
+C_LIGHT = 299792458.0  # m/s
+OMEGA_E = 7.292115e-5  # Earth sidereal rotation rate, rad/s
+
+
+def sinc_inverse(decorr: float) -> float:
+    """Solve sinc(x) = sin(pi x)/(pi x) = decorr for x in (0, 1) by
+    bisection (sinc is monotone decreasing there). Driver-side only."""
+    if not 0.0 < decorr < 1.0:
+        raise ValueError("decorrelation must be in (0, 1)")
+    lo, hi = 0.0, 1.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        val = math.sin(math.pi * mid) / (math.pi * mid) if mid > 0 else 1.0
+        if val > decorr:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+def bda_constants(
+    decorrelation: float = 0.95, max_fov: float = 1.0
+) -> tuple[float, float]:
+    """(KT, KF) smearing constants; max_fov in degrees (the reference's
+    --max-fov, arguments.py:140-141), radius = fov/2."""
+    x_max = sinc_inverse(decorrelation)
+    sin_fov = math.sin(math.radians(max_fov) / 2.0)
+    kt = x_max * C_LIGHT / (OMEGA_E * sin_fov)
+    kf = x_max * C_LIGHT / sin_fov
+    return kt, kf
+
+
+def ddid_dims(tables: dict) -> DataFrame:
+    """Per-DDID spectral facts needed by the decorrelation model:
+    nu_max (top channel edge — worst-case smearing), chan_width,
+    NUM_CHAN. Reference joins the same columns at averaging.py:306-308."""
+    spw = tables["spw_chans"].groupBy("SPECTRAL_WINDOW_ID").agg(
+        F.max(F.col("CHAN_FREQ") + F.col("CHAN_WIDTH") / 2).alias("nu_max"),
+        F.max("CHAN_WIDTH").alias("chan_width"),
+    )
+    return (
+        tables["ddid"]
+        .join(F.broadcast(spw), "SPECTRAL_WINDOW_ID")
+        .join(
+            F.broadcast(tables["spw_meta"].select("SPECTRAL_WINDOW_ID", "NUM_CHAN")),
+            "SPECTRAL_WINDOW_ID",
+        )
+        .select("DATA_DESC_ID", "SPECTRAL_WINDOW_ID", "nu_max", "chan_width", "NUM_CHAN")
+    )
+
+
+def bin_params(
+    rows: DataFrame,
+    dims: DataFrame,
+    decorrelation: float = 0.95,
+    max_fov: float = 1.0,
+    time_bin_secs: float = 16.0,
+    min_nchan: int = 1,
+) -> DataFrame:
+    """Phase 1: per (partition, baseline) BDA bin parameters.
+
+    Columns out: PART_KEYS + BL_KEYS, bl_uv (max projected baseline),
+    t0, interval_nom, n_int (integrations per time bin), chan_fac
+    (channels merged per output channel), out_nchan, decorr_chan_width.
+    """
+    kt, kf = bda_constants(decorrelation, max_fov)
+    per_bl = rows.groupBy(*PART_KEYS, *BL_KEYS).agg(
+        F.max(F.sqrt(F.col("u") * F.col("u") + F.col("v") * F.col("v"))).alias(
+            "bl_uv"
+        ),
+        F.min("TIME").alias("t0"),
+        F.min("INTERVAL").alias("interval_nom"),
+    )
+    p = per_bl.join(F.broadcast(dims), "DATA_DESC_ID")
+    dt_max = F.lit(kt) / (F.col("bl_uv") * F.col("nu_max"))
+    cap_n = F.floor(F.lit(time_bin_secs) / F.col("interval_nom"))
+    n_int = F.greatest(
+        F.lit(1).cast("long"),
+        F.least(cap_n, F.floor(dt_max / F.col("interval_nom"))),
+    )
+    dnu_max = F.lit(kf) / F.col("bl_uv")
+    nchan, width = F.col("NUM_CHAN"), F.col("chan_width")
+    # Largest divisor d of NUM_CHAN with d*width <= dnu_max and
+    # NUM_CHAN/d >= min_nchan; d=1 always admissible (no averaging).
+    chan_fac = F.coalesce(
+        F.array_max(
+            F.filter(
+                F.sequence(F.lit(1), nchan),
+                lambda d: (nchan % d == 0)
+                & ((d == 1) | (d.cast("double") * width <= dnu_max))
+                & (nchan / d >= F.lit(min_nchan)),
+            )
+        ),
+        F.lit(1),
+    )
+    return (
+        p.withColumn("n_int", n_int)
+        .withColumn("chan_fac", chan_fac)
+        .withColumn("out_nchan", (nchan / F.col("chan_fac")).cast("int"))
+        .withColumn("decorr_chan_width", F.col("chan_fac").cast("double") * width)
+        .select(
+            *PART_KEYS,
+            *BL_KEYS,
+            "bl_uv",
+            "t0",
+            "interval_nom",
+            "n_int",
+            "chan_fac",
+            "out_nchan",
+            "decorr_chan_width",
+        )
+    )
+
+
+def assign_bins(rows: DataFrame, params: DataFrame) -> DataFrame:
+    """Attach the per-baseline time_bin (floor of the time offset over
+    the baseline-dependent bin length) plus the channelisation columns.
+    The params side is broadcast — it is #partitions x #baselines rows."""
+    j = rows.join(F.broadcast(params), PART_KEYS + BL_KEYS)
+    return j.withColumn(
+        "time_bin",
+        F.floor(
+            (F.col("TIME") - F.col("t0"))
+            / (F.col("n_int").cast("double") * F.col("interval_nom"))
+        ).cast("int"),
+    )
+
+
+def average_rows(binned: DataFrame) -> DataFrame:
+    """Phase 2a: A1a row-level aggregation on BDA bins + the ragged
+    NUM_CHAN / DECORR_CHAN_WIDTH outputs (averaging.py:159-164)."""
+    fr = F.col("FLAG_ROW")
+    unfl = ~fr
+    return binned.groupBy(*BIN_KEYS).agg(
+        F.avg("TIME").alias("TIME"),
+        F.sum("INTERVAL").alias("INTERVAL"),
+        _fallback(F.sum(F.when(unfl, F.col("EXPOSURE"))), F.sum("EXPOSURE")).alias(
+            "EXPOSURE"
+        ),
+        _fallback(
+            F.sum(F.when(unfl, F.col("EXPOSURE") * F.col("TIME_CENTROID")))
+            / F.sum(F.when(unfl, F.col("EXPOSURE"))),
+            F.sum(F.col("EXPOSURE") * F.col("TIME_CENTROID")) / F.sum("EXPOSURE"),
+        ).alias("TIME_CENTROID"),
+        *[
+            _fallback(F.avg(F.when(unfl, F.col(c))), F.avg(F.col(c))).alias(c)
+            for c in ("u", "v", "w")
+        ],
+        F.bool_and(fr).alias("FLAG_ROW"),
+        F.count("*").alias("n_rows"),
+        F.any_value("out_nchan").alias("NUM_CHAN"),
+        F.any_value("decorr_chan_width").alias("DECORR_CHAN_WIDTH"),
+    )
+
+
+def bin_map(binned: DataFrame) -> DataFrame:
+    """row_id -> BDA bin key + chan_fac + row flag, the join map for the
+    visibility aggregation (analogue of timechannel.bin_map)."""
+    return binned.select("row_id", *BIN_KEYS, "chan_fac", "FLAG_ROW")
+
+
+def average_vis(vis: DataFrame, bins: DataFrame) -> DataFrame:
+    """Phase 2b: ragged visibility averaging — chan_bin width varies per
+    baseline (chan_fac), A1a weighted-mean semantics with fully-flagged
+    fallback. One shuffle."""
+    j = vis.join(bins.drop("FLAG_ROW"), "row_id").withColumn(
+        "chan_bin", F.floor(F.col("chan") / F.col("chan_fac")).cast("int")
+    )
+    fl, w = F.col("flag"), F.col("weight_sp")
+    s = F.col("sigma_sp")
+    n_unfl = F.count(F.when(~fl, F.lit(1)))
+
+    def wmean(x):
+        return F.when(
+            n_unfl > 0, F.sum(F.when(~fl, w * x)) / F.sum(F.when(~fl, w))
+        ).otherwise(F.sum(w * x) / F.sum(w))
+
+    sum_w = F.when(n_unfl > 0, F.sum(F.when(~fl, w))).otherwise(F.sum(w))
+    sum_w2s2 = F.when(n_unfl > 0, F.sum(F.when(~fl, w * w * s * s))).otherwise(
+        F.sum(w * w * s * s)
+    )
+    return j.groupBy(*BIN_KEYS, "chan_bin", "corr").agg(
+        wmean(F.col("vis_re")).alias("vis_re"),
+        wmean(F.col("vis_im")).alias("vis_im"),
+        F.bool_and(fl).alias("flag"),
+        sum_w.alias("weight_sp"),
+        (F.sqrt(sum_w2s2) / sum_w).alias("sigma_sp"),
+        F.count("*").alias("n_samples"),
+    )
+
+
+def spw_grid(params: DataFrame, tables: dict) -> DataFrame:
+    """V3: regenerate SPECTRAL_WINDOW rows for the ragged output — one
+    new SPW per distinct (original SPW, out_nchan) channelisation, its
+    channel grid a uniform linspace over the original band
+    (averaging.py:504-523). NEW_SPW_ID = dense_rank over the distinct
+    set (deterministic). Driver-scale data: the distinct set has at most
+    #SPWs x #divisors rows."""
+    from pyspark.sql import Window
+
+    band = tables["spw_chans"].groupBy("SPECTRAL_WINDOW_ID").agg(
+        F.min(F.col("CHAN_FREQ") - F.col("CHAN_WIDTH") / 2).alias("f_start"),
+        F.sum("CHAN_WIDTH").alias("band"),
+    )
+    ddid = tables["ddid"].select("DATA_DESC_ID", "SPECTRAL_WINDOW_ID")
+    distinct = (
+        params.join(F.broadcast(ddid), "DATA_DESC_ID")
+        .select("SPECTRAL_WINDOW_ID", "out_nchan")
+        .distinct()
+    )
+    w = Window.orderBy("SPECTRAL_WINDOW_ID", "out_nchan")
+    keyed = distinct.withColumn(
+        "NEW_SPW_ID", (F.dense_rank().over(w) - 1).cast("int")
+    ).join(F.broadcast(band), "SPECTRAL_WINDOW_ID")
+    new_width = F.col("band") / F.col("out_nchan").cast("double")
+    return (
+        keyed.withColumn("chan", F.explode(F.sequence(F.lit(0), F.col("out_nchan") - 1)))
+        .select(
+            "NEW_SPW_ID",
+            "SPECTRAL_WINDOW_ID",
+            F.col("out_nchan").alias("NUM_CHAN"),
+            F.col("chan").cast("int").alias("chan"),
+            (
+                F.col("f_start")
+                + (F.col("chan").cast("double") + 0.5) * new_width
+            ).alias("CHAN_FREQ"),
+            new_width.alias("CHAN_WIDTH"),
+            F.col("band").alias("TOTAL_BANDWIDTH"),
+        )
+    )
+
+
+def ddid_map(params: DataFrame, tables: dict) -> DataFrame:
+    """J3: old (DATA_DESC_ID, out_nchan) -> NEW_DATA_DESC_ID /
+    NEW_SPW_ID broadcast remap (averaging.py:527-547,693-698).
+    POLARIZATION_ID carries over unchanged."""
+    from pyspark.sql import Window
+
+    ddid = tables["ddid"]
+    distinct = (
+        params.join(F.broadcast(ddid), "DATA_DESC_ID")
+        .select("DATA_DESC_ID", "SPECTRAL_WINDOW_ID", "POLARIZATION_ID", "out_nchan")
+        .distinct()
+    )
+    wd = Window.orderBy("DATA_DESC_ID", "out_nchan")
+    ws = Window.orderBy("SPECTRAL_WINDOW_ID", "out_nchan")
+    return (
+        distinct.withColumn(
+            "NEW_DATA_DESC_ID", (F.dense_rank().over(wd) - 1).cast("int")
+        )
+        .withColumn("NEW_SPW_ID", (F.dense_rank().over(ws) - 1).cast("int"))
+        .select(
+            "DATA_DESC_ID",
+            "out_nchan",
+            "NEW_DATA_DESC_ID",
+            "NEW_SPW_ID",
+            "POLARIZATION_ID",
+        )
+    )
+
+
+def bda(
+    tables: dict,
+    decorrelation: float = 0.95,
+    max_fov: float = 1.0,
+    time_bin_secs: float = 16.0,
+    min_nchan: int = 1,
+    fields: list[int] | None = None,
+    scans: list[int] | None = None,
+) -> dict:
+    """Full BDA pipeline (ref averaging.py:270-354 + 550-722): averaged
+    main-table parts with remapped DATA_DESC_ID, regenerated SPW/DDID."""
+    rows = tables["ms_rows"]
+    if fields:
+        rows = rows.filter(F.col("FIELD_ID").isin(fields))
+    if scans:
+        rows = rows.filter(F.col("SCAN_NUMBER").isin(scans))
+    params = bin_params(
+        rows, ddid_dims(tables), decorrelation, max_fov, time_bin_secs, min_nchan
+    )
+    binned = assign_bins(rows, params)
+    dmap = ddid_map(params, tables)
+    return {
+        "ms_rows": _remap_rows(average_rows(binned), dmap),
+        "ms_vis": average_vis(tables["ms_vis"], bin_map(binned)),
+        "spw": spw_grid(params, tables),
+        "ddid_map": dmap,
+        "pol": tables["pol"],
+        "field": tables["field"],
+        "antenna": tables["antenna"],
+    }
+
+
+def _remap_rows(avg_rows: DataFrame, dmap: DataFrame) -> DataFrame:
+    """Apply the J3 DDID remap to the averaged rows: the output NUM_CHAN
+    selects which reminted DDID a row points at."""
+    m = dmap.select(
+        "DATA_DESC_ID", F.col("out_nchan").alias("NUM_CHAN"), "NEW_DATA_DESC_ID"
+    )
+    return avg_rows.join(F.broadcast(m), ["DATA_DESC_ID", "NUM_CHAN"], "left")

@@ -56,7 +56,7 @@ TIMES_PER_SCAN = 3
 
 def ms_fixture_dir(na: int = NA, ntime: int = NTIME, seed: int = 42) -> str:
     """Generate (or reuse cached) fixture tables; returns the directory."""
-    out = os.path.join(DEFAULT_CACHE, f"na{na}_nt{ntime}_s{seed}_v2")
+    out = os.path.join(DEFAULT_CACHE, f"na{na}_nt{ntime}_s{seed}_v3")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
@@ -168,11 +168,17 @@ def _generate(out: str, na: int, ntime: int, seed: int) -> None:
     pq.write_table(pa.concat_tables(v_tabs), os.path.join(out, "ms_vis.parquet"))
 
     # SPECTRAL_WINDOW (testing_data.py:75-97): uniform integer-valued grid
-    # per SPW over the same total band (0.856-1.712 GHz).
-    f0, f1 = 0.856e9, 2 * 0.856e9
+    # per SPW. Narrow L-band sub-bands (856 kHz, so 53.5/26.75 kHz
+    # channels) rather than the reference's full 856 MHz band: with the
+    # fixture's 25-91 km baselines these widths put the BDA
+    # decorrelation thresholds MID-RANGE, so chan_fac/n_int genuinely
+    # vary per baseline (the defining BDA behavior) instead of clamping
+    # to 1. All values remain integer-valued doubles (exactness).
+    band = 0.856e6
     spw_rows, meta_rows = [], []
     for spw_id, nchan in enumerate(SPW_NCHAN):
-        width = (f1 - f0) / nchan  # 53.5e6 / 26.75e6 — integer-valued
+        f0 = 1.4e9 + spw_id * band
+        width = band / nchan  # 53500.0 / 26750.0 — integer-valued
         chan_freq = f0 + width * np.arange(nchan) + width / 2
         spw_rows.append(
             pa.table(
