@@ -23,7 +23,15 @@ def _registries() -> dict[str, tuple]:
 
     merged: dict[str, tuple] = {}
     merged.update(relational.REGISTRY)
-    for modname in ("textops", "dedup", "similarity", "msdomain", "bda"):
+    for modname in (
+        "textops",
+        "dedup",
+        "similarity",
+        "msdomain",
+        "bda",
+        "uvw",
+        "streamingq",
+    ):
         try:
             mod = __import__(f"xova_spark.queries.{modname}", fromlist=["REGISTRY"])
             merged.update(mod.REGISTRY)

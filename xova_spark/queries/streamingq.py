@@ -1,0 +1,93 @@
+"""Streaming query pack — Structured Streaming runs under the batch
+oracle gate.
+
+A Trigger.AvailableNow stream that has consumed all input converges to
+a deterministic result, so its DuckDB twin is simply the equivalent
+batch SQL: tumbling windows become epoch-aligned floor(TIME/bin) groups
+and session windows become per-(partition, baseline) min/max spans
+(valid because the fixture's intra-scan cadence 2 s < gap 4 s and
+SCAN_NUMBER is a grouping key — each group is exactly one session).
+This puts the streaming execution path itself — watermarking,
+incremental state, window assignment — under the value-hash gate.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from xova_spark.sources.ms_fixture import load_ms, ms_fixture_dir
+from xova_spark.streaming import average as SA
+
+REGISTRY: dict[str, tuple] = {}
+
+_DIR = ms_fixture_dir()
+_BIN = 4.0
+_GAP = 4.0
+_uniq = itertools.count()
+
+_ROW_AGG_SQL = """
+    avg(TIME) AS TIME,
+    sum("INTERVAL") AS "INTERVAL",
+    coalesce(sum(EXPOSURE) FILTER (WHERE NOT FLAG_ROW), sum(EXPOSURE))
+        AS EXPOSURE,
+    coalesce(sum(EXPOSURE * TIME_CENTROID) FILTER (WHERE NOT FLAG_ROW)
+                 / sum(EXPOSURE) FILTER (WHERE NOT FLAG_ROW),
+             sum(EXPOSURE * TIME_CENTROID) / sum(EXPOSURE)) AS TIME_CENTROID,
+    coalesce(avg(u) FILTER (WHERE NOT FLAG_ROW), avg(u)) AS u,
+    coalesce(avg(v) FILTER (WHERE NOT FLAG_ROW), avg(v)) AS v,
+    coalesce(avg(w) FILTER (WHERE NOT FLAG_ROW), avg(w)) AS w,
+    bool_and(FLAG_ROW) AS FLAG_ROW,
+    count(*) AS n_rows
+"""
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+@q(
+    "stream_tc_rows",
+    f"""
+SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2,
+    CAST(floor(TIME / {_BIN}) AS INTEGER) AS time_bin,
+    {_ROW_AGG_SQL}
+FROM read_parquet('{_DIR}/ms_rows.parquet')
+GROUP BY FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2,
+         CAST(floor(TIME / {_BIN}) AS INTEGER)
+""",
+)
+def stream_tc_rows(spark, sf_dir):
+    """A1 via Structured Streaming: tumbling window + watermark,
+    availableNow-converged; equals the epoch-aligned batch aggregation
+    (SURVEY §2.8 — window(col, '2 seconds') + watermark shape)."""
+    load_ms(spark, _DIR)
+    stream = SA.read_rows_stream(spark, _DIR)
+    name = f"q_stream_tc_rows_{next(_uniq)}"
+    return SA.run_to_memory(SA.streaming_average_rows(stream, _BIN), name)
+
+
+@q(
+    "stream_session_bins",
+    f"""
+SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2,
+    {_ROW_AGG_SQL},
+    CAST(min(TIME) AS BIGINT) AS session_start,
+    CAST(max(TIME) + {_GAP} AS BIGINT) AS session_end
+FROM read_parquet('{_DIR}/ms_rows.parquet')
+GROUP BY FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2
+""",
+)
+def stream_session_bins(spark, sf_dir):
+    """W3 as streaming session windows: a bin closes when a baseline
+    goes quiet for gap seconds (the streaming shape of BDA bin
+    closure). One session per (partition, baseline) on the fixture."""
+    load_ms(spark, _DIR)
+    stream = SA.read_rows_stream(spark, _DIR)
+    name = f"q_stream_sessions_{next(_uniq)}"
+    return SA.run_to_memory(SA.streaming_session_bins(stream, _GAP), name)

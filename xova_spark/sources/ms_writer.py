@@ -1,0 +1,61 @@
+"""MS output sink — parquet-backed Measurement Set writes (S8-S11).
+
+Re-expresses the reference's write path (reference: xova/apps/xova/
+app.py:107-116 main+subtable writes, app.py:152-159 --force overwrite
+guard, subtables.py:9-37 passthrough copy): one directory per MS, one
+parquet dataset per table, the main row table partitioned by the
+GROUP_COLS so partition-value filters (P1) become partition pruning on
+re-read.
+
+Scale design: the main table write is ``partitionBy(FIELD_ID,
+DATA_DESC_ID)`` — low-cardinality directory keys (fields x ddids), with
+SCAN_NUMBER left inside files to avoid tiny-file explosion at high scan
+counts. AQE coalescing handles the reference's small-output compaction
+(V2, averaging.py:39-77) for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+MAIN_PARTITION_COLS = ("FIELD_ID", "DATA_DESC_ID")
+
+# Tables whose rows the averaging pipelines rewrite; everything else is
+# passthrough (ref subtables.py:9-37 copies them wholesale).
+MAIN_TABLES = ("ms_rows", "ms_weights", "ms_vis")
+
+
+class OutputExistsError(RuntimeError):
+    pass
+
+
+def write_ms(tables: dict, path: str, force: bool = False) -> None:
+    """S8/S9/S10/S11: write every DataFrame in ``tables`` under
+    ``path``; refuse to overwrite unless force (app.py:152-159)."""
+    if os.path.exists(path):
+        if not force:
+            raise OutputExistsError(
+                f"{path} exists. Use force=True to overwrite (ref --force)."
+            )
+    mode = "overwrite" if force else "errorifexists"
+    for name, df in tables.items():
+        if not isinstance(df, DataFrame):
+            continue
+        writer = df.write.mode(mode)
+        if name == "ms_rows":
+            part = [c for c in MAIN_PARTITION_COLS if c in df.columns]
+            if part:
+                writer = writer.partitionBy(*part)
+        writer.parquet(os.path.join(path, name))
+
+
+def read_ms(spark: SparkSession, path: str) -> dict:
+    """Load a written MS back into a table dict (inverse of write_ms)."""
+    out = {}
+    for name in sorted(os.listdir(path)):
+        sub = os.path.join(path, name)
+        if os.path.isdir(sub):
+            out[name] = spark.read.parquet(sub)
+    return out

@@ -1,0 +1,144 @@
+"""Structured Streaming variant of the averaging pipeline (SURVEY §2.8).
+
+The reference is batch-only (one ``dask.compute`` at reference:
+xova/apps/xova/app.py:146); this module is the additive extension the
+blueprint prescribes: the A1 time-binned aggregation as a tumbling
+``window()`` with a watermark for late data, and a session-window
+variant (the streaming shape of BDA's adaptive bin closure, W3).
+
+Semantics note: streaming tumbling windows are EPOCH-ALIGNED —
+``window(ts, "4 seconds")`` bins at absolute 4 s boundaries — whereas
+the batch path bins from each baseline's first sample. The batch twin
+of a streaming result is therefore ``floor(TIME / bin)`` binning; the
+equivalence is asserted in tests/test_streaming.py.
+
+All aggregates here are the same single-pass A1a expressions as the
+batch path — Structured Streaming runs them with incremental state, so
+the operator inventory carries over unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xova_spark.operators.timechannel import BL_KEYS, PART_KEYS, _fallback
+
+
+def read_rows_stream(spark: SparkSession, ms_dir: str) -> DataFrame:
+    """File-source stream over the main row table: each parquet file
+    arriving in the directory is a micro-batch (S1 as readStream).
+
+    The file source requires a directory; the fixture keeps one file
+    per table in a flat dir, so expose ``<ms_dir>/stream/ms_rows/`` with
+    the table file symlinked in (new files dropped there later become
+    further micro-batches)."""
+    import os
+
+    src = os.path.join(ms_dir, "ms_rows.parquet")
+    stream_dir = os.path.join(ms_dir, "stream", "ms_rows")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "part-0.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    static = spark.read.parquet(src)
+    return (
+        spark.readStream.schema(static.schema).format("parquet").load(stream_dir)
+    )
+
+
+def _row_aggs() -> list:
+    fr = F.col("FLAG_ROW")
+    unfl = ~fr
+    return [
+        F.avg("TIME").alias("TIME"),
+        F.sum("INTERVAL").alias("INTERVAL"),
+        _fallback(F.sum(F.when(unfl, F.col("EXPOSURE"))), F.sum("EXPOSURE")).alias(
+            "EXPOSURE"
+        ),
+        _fallback(
+            F.sum(F.when(unfl, F.col("EXPOSURE") * F.col("TIME_CENTROID")))
+            / F.sum(F.when(unfl, F.col("EXPOSURE"))),
+            F.sum(F.col("EXPOSURE") * F.col("TIME_CENTROID")) / F.sum("EXPOSURE"),
+        ).alias("TIME_CENTROID"),
+        *[
+            _fallback(F.avg(F.when(unfl, F.col(c))), F.avg(F.col(c))).alias(c)
+            for c in ("u", "v", "w")
+        ],
+        F.bool_and(fr).alias("FLAG_ROW"),
+        F.count("*").alias("n_rows"),
+    ]
+
+
+def streaming_average_rows(
+    rows_stream: DataFrame,
+    time_bin_secs: float = 4.0,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """A1 as a streaming tumbling-window aggregation with late-data
+    watermark. TIME (MJD seconds) maps onto the event-time axis via
+    timestamp_seconds; the window struct is projected back to a
+    time_bin = floor(TIME / bin) integer so output keys match the batch
+    twin."""
+    ts = F.timestamp_seconds(F.col("TIME"))
+    win = F.window(ts, f"{time_bin_secs} seconds")
+    out = (
+        rows_stream.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), *PART_KEYS, *BL_KEYS)
+        .agg(*_row_aggs())
+    )
+    return out.withColumn(
+        "time_bin",
+        F.floor(
+            F.unix_timestamp(F.col("win.start")) / F.lit(time_bin_secs)
+        ).cast("int"),
+    ).drop("win")
+
+
+def batch_twin_average_rows(rows: DataFrame, time_bin_secs: float = 4.0) -> DataFrame:
+    """The batch computation a converged stream must equal: identical
+    aggregates on epoch-aligned bins."""
+    binned = rows.withColumn(
+        "time_bin", F.floor(F.col("TIME") / F.lit(time_bin_secs)).cast("int")
+    )
+    return binned.groupBy("time_bin", *PART_KEYS, *BL_KEYS).agg(*_row_aggs())
+
+
+def streaming_session_bins(
+    rows_stream: DataFrame,
+    gap_secs: float = 4.0,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """W3 as a stream: session windows close a bin when a baseline goes
+    quiet for gap_secs — the streaming analogue of BDA's adaptive
+    per-baseline bin closure (ref averaging.py:338-342 semantics)."""
+    ts = F.timestamp_seconds(F.col("TIME"))
+    return (
+        rows_stream.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window(F.col("ts"), f"{gap_secs} seconds").alias("sess"),
+            *PART_KEYS,
+            *BL_KEYS,
+        )
+        .agg(*_row_aggs())
+        .withColumn("session_start", F.unix_timestamp(F.col("sess.start")))
+        .withColumn("session_end", F.unix_timestamp(F.col("sess.end")))
+        .drop("sess")
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Execute a streaming aggregation to completion over the available
+    files (Trigger.AvailableNow) into an in-memory sink; returns the
+    result as a DataFrame. Used by tests and the smoke query."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
