@@ -31,6 +31,7 @@ def _registries() -> dict[str, tuple]:
         "bda",
         "uvw",
         "streamingq",
+        "benchdomain",
     ):
         try:
             mod = __import__(f"xova_spark.queries.{modname}", fromlist=["REGISTRY"])

@@ -51,7 +51,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from xova_spark.operators.timechannel import BIN_KEYS, BL_KEYS, PART_KEYS, _fallback
@@ -213,15 +213,29 @@ def average_rows(binned: DataFrame) -> DataFrame:
 
 def bin_map(binned: DataFrame) -> DataFrame:
     """row_id -> BDA bin key + chan_fac + row flag, the join map for the
-    visibility aggregation (analogue of timechannel.bin_map)."""
-    return binned.select("row_id", *BIN_KEYS, "chan_fac", "FLAG_ROW")
+    visibility aggregation (analogue of timechannel.bin_map).
+
+    Also carries ``rep`` — min(row_id) within the bin — a SINGLE-column
+    surrogate for the 6-column bin key. The visibility aggregation
+    groups on (rep, chan_bin, corr) instead of 8 wide columns: ~3x
+    faster at bench scale (narrower hash keys + narrower shuffle rows;
+    the wide keys are re-attached afterwards by broadcast-joining the
+    tiny rep -> keys dim). The window below runs on the ROW table, not
+    the visibility table — cheap."""
+    w = Window.partitionBy(*BIN_KEYS)
+    return binned.withColumn("rep", F.min("row_id").over(w)).select(
+        "row_id", "rep", *BIN_KEYS, "chan_fac", "FLAG_ROW"
+    )
 
 
 def average_vis(vis: DataFrame, bins: DataFrame) -> DataFrame:
     """Phase 2b: ragged visibility averaging — chan_bin width varies per
     baseline (chan_fac), A1a weighted-mean semantics with fully-flagged
-    fallback. One shuffle."""
-    j = vis.join(bins.drop("FLAG_ROW"), "row_id").withColumn(
+    fallback. One shuffle of the big table, keyed on the compact
+    (rep, chan_bin, corr) surrogate."""
+    narrow = bins.select("row_id", "rep", "chan_fac")
+    dim = bins.select("rep", *BIN_KEYS).distinct()
+    j = vis.join(F.broadcast(narrow), "row_id").withColumn(
         "chan_bin", F.floor(F.col("chan") / F.col("chan_fac")).cast("int")
     )
     fl, w = F.col("flag"), F.col("weight_sp")
@@ -237,13 +251,24 @@ def average_vis(vis: DataFrame, bins: DataFrame) -> DataFrame:
     sum_w2s2 = F.when(n_unfl > 0, F.sum(F.when(~fl, w * w * s * s))).otherwise(
         F.sum(w * w * s * s)
     )
-    return j.groupBy(*BIN_KEYS, "chan_bin", "corr").agg(
+    agg = j.groupBy("rep", "chan_bin", "corr").agg(
         wmean(F.col("vis_re")).alias("vis_re"),
         wmean(F.col("vis_im")).alias("vis_im"),
         F.bool_and(fl).alias("flag"),
         sum_w.alias("weight_sp"),
         (F.sqrt(sum_w2s2) / sum_w).alias("sigma_sp"),
         F.count("*").alias("n_samples"),
+    )
+    return agg.join(F.broadcast(dim), "rep").select(
+        *BIN_KEYS,
+        "chan_bin",
+        "corr",
+        "vis_re",
+        "vis_im",
+        "flag",
+        "weight_sp",
+        "sigma_sp",
+        "n_samples",
     )
 
 

@@ -71,7 +71,13 @@ def average_rows(
         rows = rows.filter(F.col("FIELD_ID").isin(fields))  # averaging.py:218-221
     if scans:
         rows = rows.filter(F.col("SCAN_NUMBER").isin(scans))
-    binned = assign_time_bins(rows, time_bin_secs)
+    return average_binned_rows(assign_time_bins(rows, time_bin_secs))
+
+
+def average_binned_rows(binned: DataFrame) -> DataFrame:
+    """A1a aggregation over rows that already carry a time_bin column
+    (from assign_time_bins, or chunking.assign_greedy_bins for the
+    bit-exact greedy variant)."""
     fr = F.col("FLAG_ROW")
     unfl = ~fr
     return binned.groupBy(*BIN_KEYS).agg(
@@ -102,34 +108,52 @@ def average_rows(
 
 def bin_map(rows: DataFrame, time_bin_secs: float = 2.0) -> DataFrame:
     """row_id -> output-bin key + row flag (the join key for the weights
-    and visibility aggregations)."""
-    return assign_time_bins(rows, time_bin_secs).select(
-        "row_id", *BIN_KEYS, "FLAG_ROW"
+    and visibility aggregations).
+
+    ``rep`` = min(row_id) within the bin is a single-column surrogate
+    for the 6-column bin key: the sample-level aggregations group on it
+    instead of the wide key (narrower hash keys + shuffle rows, ~3x at
+    bench scale) and re-attach the wide key afterwards by broadcasting
+    the tiny rep -> keys dim. The window runs on the row table only."""
+    w = Window.partitionBy(*BIN_KEYS)
+    return (
+        assign_time_bins(rows, time_bin_secs)
+        .withColumn("rep", F.min("row_id").over(w))
+        .select("row_id", "rep", *BIN_KEYS, "FLAG_ROW")
     )
+
+
+def _reattach(agg: DataFrame, bins: DataFrame, tail_cols: list[str]) -> DataFrame:
+    dim = bins.select("rep", *BIN_KEYS).distinct()
+    return agg.join(F.broadcast(dim), "rep").select(*BIN_KEYS, *tail_cols)
 
 
 def average_weights(weights: DataFrame, bins: DataFrame) -> DataFrame:
     """WEIGHT/SIGMA per (bin, corr): sum of weights over unflagged rows;
     SIGMA = sqrt(sum(w²σ²))/sum(w) — weighted RMS (A1a)."""
-    j = weights.join(bins, "row_id")
+    j = weights.join(
+        F.broadcast(bins.select("row_id", "rep", "FLAG_ROW")), "row_id"
+    )
     unfl = ~F.col("FLAG_ROW")
     w, s = F.col("WEIGHT"), F.col("SIGMA")
     sum_w = _fallback(F.sum(F.when(unfl, w)), F.sum(w))
     sum_w2s2 = _fallback(
         F.sum(F.when(unfl, w * w * s * s)), F.sum(w * w * s * s)
     )
-    return j.groupBy(*BIN_KEYS, "corr").agg(
+    agg = j.groupBy("rep", "corr").agg(
         sum_w.alias("WEIGHT"),
         (F.sqrt(sum_w2s2) / sum_w).alias("SIGMA"),
     )
+    return _reattach(agg, bins, ["corr", "WEIGHT", "SIGMA"])
 
 
 def average_vis(
     vis: DataFrame, bins: DataFrame, chan_bin_size: int = 16
 ) -> DataFrame:
     """Visibility averaging per (bin, chan_bin, corr): weighted complex
-    mean over unflagged samples with fully-flagged fallback (A1/A1a)."""
-    j = vis.join(bins.drop("FLAG_ROW"), "row_id").withColumn(
+    mean over unflagged samples with fully-flagged fallback (A1/A1a).
+    One shuffle of the big table, keyed on (rep, chan_bin, corr)."""
+    j = vis.join(F.broadcast(bins.select("row_id", "rep")), "row_id").withColumn(
         "chan_bin", F.floor(F.col("chan") / F.lit(chan_bin_size)).cast("int")
     )
     fl, w = F.col("flag"), F.col("weight_sp")
@@ -145,13 +169,19 @@ def average_vis(
     sum_w2s2 = F.when(n_unfl > 0, F.sum(F.when(~fl, w * w * s * s))).otherwise(
         F.sum(w * w * s * s)
     )
-    return j.groupBy(*BIN_KEYS, "chan_bin", "corr").agg(
+    agg = j.groupBy("rep", "chan_bin", "corr").agg(
         wmean(re).alias("vis_re"),
         wmean(im).alias("vis_im"),
         F.bool_and(fl).alias("flag"),
         sum_w.alias("weight_sp"),
         (F.sqrt(sum_w2s2) / sum_w).alias("sigma_sp"),
         F.count("*").alias("n_samples"),
+    )
+    return _reattach(
+        agg,
+        bins,
+        ["chan_bin", "corr", "vis_re", "vis_im", "flag", "weight_sp",
+         "sigma_sp", "n_samples"],
     )
 
 

@@ -97,6 +97,22 @@ def ms_tc_rows(spark, sf_dir):
     return tc.average_rows(t["ms_rows"], TIME_BIN_SECS)
 
 
+@q("ms_tc_rows_greedy", _BIN_CTE + _TC_ROWS_SELECT.format(where=""))
+def ms_tc_rows_greedy(spark, sf_dir):
+    """A7: bit-exact greedy bin boundaries (chunking.py:107-166) via the
+    two-phase plan (unique-time stats -> applyInPandas greedy scan ->
+    broadcast join-back), feeding the same A1a aggregation. On the
+    fixture's uniform cadence the greedy bins coincide with the floor
+    binning, so the same SQL is the oracle for BOTH paths — what the
+    hash check verifies is the applyInPandas planning machinery."""
+    from xova_spark.operators.chunking import assign_greedy_bins
+
+    t = _ms(spark)
+    return tc.average_binned_rows(
+        assign_greedy_bins(t["ms_rows"], TIME_BIN_SECS)
+    )
+
+
 @q(
     "ms_tc_rows_fieldsel",
     _BIN_CTE
@@ -186,6 +202,36 @@ def ms_tc_vis(spark, sf_dir):
     t = _ms(spark)
     return tc.average_vis(
         t["ms_vis"], tc.bin_map(t["ms_rows"], TIME_BIN_SECS), CHAN_BIN
+    )
+
+
+@q(
+    "ms_tc_vis_renamed",
+    None,  # patched below once ms_tc_vis's SQL exists
+)
+def ms_tc_vis_renamed(spark, sf_dir):
+    """P3 column rename map (-dc CORRECTED_DATA:DATA — arguments.py
+    :231-245, applied averaging.py:257-259): the averaged visibility
+    columns land under the DATA name."""
+    t = _ms(spark)
+    out = tc.average_vis(t["ms_vis"], tc.bin_map(t["ms_rows"], TIME_BIN_SECS), CHAN_BIN)
+    return out.withColumnsRenamed({"vis_re": "DATA_re", "vis_im": "DATA_im"})
+
+
+@q(
+    "ms_flag_category",
+    f"""
+SELECT row_id, CAST(0 AS INTEGER) AS flagcat, chan, corr, flag
+FROM read_parquet('{_DIR}/ms_vis.parquet')
+""",
+)
+def ms_flag_category(spark, sf_dir):
+    """P5 axis-insert projection: FLAG -> FLAG_CATEGORY by inserting a
+    singleton category axis (averaging.py:80-94) — in the long layout a
+    constant flagcat=0 index column."""
+    t = _ms(spark)
+    return t["ms_vis"].select(
+        "row_id", F.lit(0).alias("flagcat"), "chan", "corr", "flag"
     )
 
 
@@ -446,3 +492,13 @@ def ms_distinct_chanisation(spark, sf_dir):
                 "NUM_CHAN", "NUM_CORR")
         .distinct()
     )
+
+
+# P3's oracle is ms_tc_vis's SQL with the output aliases renamed —
+# exactly the semantics of the reference's rename map.
+REGISTRY["ms_tc_vis_renamed"] = (
+    ms_tc_vis_renamed,
+    REGISTRY["ms_tc_vis"][1]
+    .replace("AS vis_re", "AS DATA_re")
+    .replace("AS vis_im", "AS DATA_im"),
+)
