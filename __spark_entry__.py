@@ -32,6 +32,7 @@ def _registries() -> dict[str, tuple]:
         "uvw",
         "streamingq",
         "benchdomain",
+        "multimodalq",
     ):
         try:
             mod = __import__(f"xova_spark.queries.{modname}", fromlist=["REGISTRY"])

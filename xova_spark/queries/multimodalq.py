@@ -1,0 +1,142 @@
+"""Multimodal query pack — mapInPandas media plumbing under the hash gate.
+
+The deterministic fake decode (payload bytes = intensity samples; see
+operators/multimodal.py) makes every media transform ALSO expressible
+in ANSI SQL over characters (the corpus is ASCII, so byte == char):
+the driver's value-hash therefore verifies the Arrow batch iteration,
+multi-row frame explode, and metadata propagation — the parts that stay
+when a real codec replaces the fake kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xova_spark.operators import multimodal as MM
+from xova_spark.queries.relational import load_tables
+
+REGISTRY: dict[str, tuple] = {}
+
+_STRIDE = 4
+_FRAME = 64
+_EVERY = 4
+_BINS = 8
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _media(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return MM.media_table(docs)
+
+
+@q(
+    "mm_media_schema",
+    f"""
+SELECT doc_id,
+    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+    length(text) AS n_bytes,
+    CAST(ceil(sqrt(length(text))) AS INTEGER) AS width,
+    CAST(ceil(length(text) / ceil(sqrt(length(text)))) AS INTEGER) AS height,
+    CAST(floor(length(text) / 64) AS INTEGER) AS n_frames
+FROM documents
+""",
+)
+def mm_media_schema(spark, sf_dir):
+    """The typed media table: opaque payload + metadata struct; the
+    query projects ONLY metadata — at scale, column pruning must skip
+    the payload bytes entirely (verified in tests via ReadSchema)."""
+    m = _media(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+@q(
+    "mm_decode_stats",
+    """
+SELECT d.doc_id,
+    CAST(count(*) AS INTEGER) AS n_samples,
+    sum(ascii(substring(d.text, g.i, 1))) / count(*) AS mean_intensity,
+    CAST(min(ascii(substring(d.text, g.i, 1))) AS INTEGER) AS min_intensity,
+    CAST(max(ascii(substring(d.text, g.i, 1))) AS INTEGER) AS max_intensity
+FROM documents d, generate_series(1, 600) g(i)
+WHERE g.i <= length(d.text)
+GROUP BY d.doc_id
+""",
+)
+def mm_decode_stats(spark, sf_dir):
+    """decode -> per-item sample stats via Arrow-batched mapInPandas."""
+    return MM.decode_stats(_media(spark, sf_dir))
+
+
+@q(
+    "mm_feature_extract",
+    "SELECT d.doc_id, "
+    + ", ".join(
+        f"CAST(count(*) FILTER (WHERE ascii(substring(d.text, g.i, 1)) % {_BINS}"
+        f" = {i}) AS INTEGER) AS f{i}"
+        for i in range(_BINS)
+    )
+    + """
+FROM documents d, generate_series(1, 600) g(i)
+WHERE g.i <= length(d.text)
+GROUP BY d.doc_id
+""",
+)
+def mm_feature_extract(spark, sf_dir):
+    """decode -> fixed-width histogram feature vector (the embedding
+    stage of a media pipeline)."""
+    return MM.extract_features(_media(spark, sf_dir), _BINS)
+
+
+@q(
+    "mm_resize_stride",
+    f"""
+SELECT d.doc_id,
+    md5(string_agg(substring(d.text, g.i, 1), '' ORDER BY g.i))
+        AS payload_hash,
+    CAST(count(*) AS INTEGER) AS n_samples
+FROM documents d, generate_series(1, 600) g(i)
+WHERE g.i <= length(d.text) AND (g.i - 1) % {_STRIDE} = 0
+GROUP BY d.doc_id
+""",
+)
+def mm_resize_stride(spark, sf_dir):
+    """resize (stride-downsample): payload in -> smaller payload out;
+    hashes compared so the oracle checks the exact output BYTES."""
+    out = MM.resize(_media(spark, sf_dir), _STRIDE)
+    return out.select(
+        "doc_id", F.md5(F.col("payload")).alias("payload_hash"), "n_samples"
+    )
+
+
+@q(
+    "mm_frame_sample",
+    f"""
+SELECT d.doc_id,
+    CAST(g.k AS INTEGER) AS frame_id,
+    md5(substring(d.text, g.k * {_FRAME} + 1, {_FRAME})) AS frame_hash
+FROM documents d, generate_series(0, 63) g(k)
+WHERE g.k < floor(length(d.text) / {_FRAME})
+  AND g.k % {_EVERY} = 0
+""",
+)
+def mm_frame_sample(spark, sf_dir):
+    """frame-sample: one payload -> many frame rows (multi-row
+    mapInPandas output), every n-th fixed-size frame kept."""
+    out = MM.frame_sample(_media(spark, sf_dir), _FRAME, _EVERY)
+    return out.select(
+        "doc_id", "frame_id", F.md5(F.col("frame")).alias("frame_hash")
+    )
