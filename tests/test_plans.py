@@ -1,0 +1,95 @@
+"""Plan-shape regression tests: the physical plans the 100 TB design
+depends on, pinned as assertions (SURVEY §4 — everything the reference
+does by hand must come out of Catalyst automatically)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xova_spark import plans as P
+from xova_spark.queries.relational import REGISTRY, load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _q(spark, name):
+    return REGISTRY[name][0](spark, SF_DIR)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """S3: the auto-correlation-filter analogue must appear in
+    PushedFilters, not as a post-scan Filter only."""
+    q = _q(spark, "s3_predicate_pushdown")
+    assert P.pushed_filters(q), P.executed_plan(q)
+
+
+def test_column_pruning_reaches_scan(spark):
+    """S2: a two-column projection reads two columns."""
+    q = _q(spark, "s2_column_pruned_scan")
+    schemas = P.read_schema_columns(q)
+    assert schemas and all(len(cols) <= 3 for cols in schemas), schemas
+
+
+def test_dimension_joins_broadcast(spark):
+    """J1: the snowflake chain over region/nation dims must broadcast
+    every dimension — zero sort-merge joins."""
+    q = _q(spark, "j1_snowflake_chain")
+    assert P.sortmerge_join_count(q) == 0
+    assert P.broadcast_join_count(q) >= 2
+
+
+def test_tpch_q5_join_strategy(spark):
+    """Six-table join: small dims broadcast; no more than one
+    sort-merge (orders-lineitem, the two big tables) at test scale."""
+    q = _q(spark, "tpch_q5")
+    assert P.broadcast_join_count(q) >= 3, P.plan_stats(q)
+
+
+def test_single_shuffle_aggregation(spark):
+    """A1: the flagship grouped aggregation is ONE shuffle (partial
+    aggs map-side) — the reference needs an explicit reduction tree for
+    this (chunking.py split_every=16); Catalyst plans it for free."""
+    q = _q(spark, "a1_time_binned_agg")
+    assert P.exchange_count(q) <= 2, P.plan_stats(q)  # window + final agg
+
+
+def test_timechannel_rows_plan(spark, ms):
+    """Domain hot path: row averaging = window + grouped agg sharing
+    one hash partitioning; no sort-merge joins anywhere."""
+    from xova_spark.operators import timechannel as tc
+
+    q = tc.average_rows(ms["ms_rows"], 4.0)
+    assert P.sortmerge_join_count(q) == 0
+    assert P.exchange_count(q) <= 2, P.plan_stats(q)
+
+
+def test_bda_vis_plan(spark, ms):
+    """BDA visibility hot path: every join broadcast, big table
+    shuffles exactly once (the final compact-key aggregation)."""
+    from xova_spark.operators import bda as B
+    from xova_spark.queries import bda as bq
+
+    params = B.bin_params(
+        ms["ms_rows"], B.ddid_dims(ms), bq.DECORR, bq.MAX_FOV, bq.TIME_CAP,
+        bq.MIN_NCHAN,
+    )
+    binned = B.assign_bins(ms["ms_rows"], params)
+    q = B.average_vis(ms["ms_vis"], B.bin_map(binned))
+    assert P.sortmerge_join_count(q) == 0, P.plan_stats(q)
+
+
+def test_codegen_covers_hot_path(spark):
+    """The pricing-summary scan->filter->agg pipeline runs inside
+    whole-stage codegen (at least one span; no interpreter fallback
+    errors)."""
+    q = _q(spark, "tpch_q1")
+    assert P.wholestage_codegen_spans(q) >= 1
+
+
+def test_partition_value_filter_prunes(spark, ms):
+    """P1 on a partitioned write prunes directories — covered in
+    test_streaming_sinks.test_partition_pruning_on_reread; here assert
+    the in-memory path at least pushes the filter."""
+    q = ms["ms_rows"].filter(F.col("FIELD_ID").isin([0]))
+    assert any("FIELD_ID" in f for f in P.pushed_filters(q))
