@@ -1,0 +1,281 @@
+"""Application layer — the ``xova`` CLI re-expressed for the Spark engine.
+
+Mirrors the reference's entry points and argument surface (reference:
+xova/apps/xova/arguments.py:77-258, app.py:59-128): subcommands
+``timechannel`` / ``bda`` / ``check`` over a parquet-backed MS directory,
+with the same spec-string parsers (fields "1,3C147,2" as ints-or-names,
+scans, channel ranges "3~100"), output-name derivation
+(foo.ms -> foo_averaged.ms), the -dc column rename map, the
+auto-correlation drop (the TAQL-pushdown filter, S3), FLAG_ROW
+derivation vs --respect-flag-row (P2), the --force overwrite guard
+(S11), and the UVW recomputation post-pass unless
+--average-uvw-coordinates (V4).
+
+Flags that configured the reference's manual chunking/execution
+(-rc/--row-chunks, -grc/--group-row-chunks, --boring) are accepted for
+CLI compatibility but are no-ops: partitioning, write batching, and
+reduction trees are Catalyst/AQE's job here (SURVEY §4).
+
+Usage::
+
+    python -m xova_spark.app timechannel /path/to/ms_dir -t 4 -c 16
+    python -m xova_spark.app bda /path/to/ms_dir -d 0.95 -fov 0.315
+    python -m xova_spark.app check /path/to/ms_dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Spec-string parsers (arguments.py:12-74)
+# ---------------------------------------------------------------------------
+
+
+def parse_fields(field_str: str) -> list:
+    """"0,3C147,2" -> [0, "3C147", 2] — ints or field NAMEs."""
+    if not field_str:
+        return []
+    out = []
+    for f in (f.strip() for f in field_str.split(",")):
+        try:
+            out.append(int(f))
+        except ValueError:
+            out.append(f)
+    return out
+
+
+def parse_scans(scan_str: str) -> list[int]:
+    if not scan_str:
+        return []
+    try:
+        return [int(s.strip()) for s in scan_str.split(",")]
+    except ValueError as e:
+        raise argparse.ArgumentTypeError(f"Invalid SCAN_NUMBER in {scan_str!r}") from e
+
+
+def parse_channels(channel_str: str) -> list:
+    """"3~100,7" -> [(3, 100), 7] — ranges and single channels."""
+    if not channel_str:
+        return []
+    out = []
+    for s in channel_str.split(","):
+        rsplit = s.split("~")
+        try:
+            if len(rsplit) == 1:
+                out.append(int(rsplit[0].strip()))
+            elif len(rsplit) == 2:
+                out.append((int(rsplit[0].strip()), int(rsplit[1].strip())))
+            else:
+                raise ValueError(s)
+        except ValueError as e:
+            raise argparse.ArgumentTypeError(f"Invalid channel spec {s!r}") from e
+    return out
+
+
+def parse_data_column_map(columns: list[str]) -> dict[str, str]:
+    """["CORRECTED_DATA:DATA"] -> {"CORRECTED_DATA": "DATA"} (P3,
+    arguments.py:231-245)."""
+    out = {}
+    for column in columns:
+        csplit = column.split(":")
+        if len(csplit) == 2:
+            out[csplit[0]] = csplit[1]
+        elif len(csplit) == 1:
+            out[csplit[0]] = csplit[0]
+        else:
+            raise ValueError(f"Invalid data column spec: {column!r}")
+    return out
+
+
+def derive_output_name(ms: str) -> str:
+    """foo.ms -> foo_averaged.ms; foo -> foo_averaged.ms
+    (arguments.py:222-229)."""
+    path, msname = os.path.split(ms.rstrip(os.sep))
+    if msname[-3:].upper().endswith(".MS"):
+        return os.path.join(path, msname[:-3] + "_averaged.ms")
+    return os.path.join(path, msname + "_averaged.ms")
+
+
+# ---------------------------------------------------------------------------
+# CLI (arguments.py:77-154)
+# ---------------------------------------------------------------------------
+
+
+def create_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="xova-spark", formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    sp = parser.add_subparsers(dest="command")
+    tc = sp.add_parser("timechannel")
+    bda = sp.add_parser("bda")
+    for p in (tc, bda):
+        p.add_argument("ms", help="Input MS directory (parquet tables)")
+        p.add_argument("-f", "--fields", type=parse_fields, default="")
+        p.add_argument("-s", "--scan-numbers", type=parse_scans, default="")
+        p.add_argument("-o", "--output", default=None)
+        p.add_argument("--force", action="store_true", default=False)
+        p.add_argument("-rc", "--row-chunks", type=int, default=10000,
+                       help="accepted for compatibility; partitioning is "
+                            "Catalyst/AQE's job in this engine")
+        p.add_argument("-grc", "--group-row-chunks", type=int, default=4,
+                       help="accepted for compatibility (AQE coalesce)")
+        p.add_argument("-rfr", "--respect-flag-row", action="store_true",
+                       default=False)
+        p.add_argument("-dc", "--data-column", default=["DATA"], nargs="+")
+        p.add_argument("--include-auto-correlations", action="store_true",
+                       default=False)
+        p.add_argument("--average-uvw-coordinates", action="store_true",
+                       default=False)
+        p.add_argument("--boring", action="store_true", default=False)
+    tc.add_argument("-t", "--time-bin-secs", default=2.0, type=float)
+    tc.add_argument("-c", "--chan-bin-size", default=16, type=int)
+    bda.add_argument("-t", "--time-bin-secs", default=None, type=float)
+    bda.add_argument("-d", "--decorrelation", default=0.99, type=float)
+    bda.add_argument("-fov", "--max-fov", default=15.0, type=float)
+    bda.add_argument("-mc", "--min-nchan", default=1, type=int)
+    check = sp.add_parser("check")
+    check.add_argument("ms")
+    check.add_argument("-r", "--row-chunks", type=int, default=10000)
+    return parser
+
+
+def parse_args(cmdline: list[str]) -> argparse.Namespace:
+    parser = create_parser()
+    args = parser.parse_args(cmdline)
+    if not args.command:
+        parser.print_help()
+        sys.exit(0)
+    if args.command != "check":
+        if args.output is None:
+            args.output = derive_output_name(args.ms)
+        args.data_column = parse_data_column_map(args.data_column)
+    return args
+
+
+# ---------------------------------------------------------------------------
+# Application (app.py:59-128)
+# ---------------------------------------------------------------------------
+
+
+class Application:
+    def __init__(self, cmdline: list[str], spark: SparkSession | None = None):
+        self.args = parse_args(cmdline)
+        self.spark = spark
+
+    def _session(self) -> SparkSession:
+        if self.spark is None:
+            from xova_spark.session import get_spark
+
+            self.spark = get_spark("xova-spark-app")
+        return self.spark
+
+    def _resolve_fields(self, tables: dict, fields: list) -> list[int]:
+        """Map field NAMEs to FIELD_IDs (the reference resolves names
+        against the FIELD subtable)."""
+        if not fields:
+            return []
+        names = {f for f in fields if isinstance(f, str)}
+        ids = [f for f in fields if isinstance(f, int)]
+        if names:
+            rows = tables["field"].filter(F.col("NAME").isin(list(names))).collect()
+            ids += [int(r["FIELD_ID"]) for r in rows]
+        return sorted(set(ids))
+
+    def _prepare(self, tables: dict) -> dict:
+        """Shared input transforms: drop auto-correlations (S3 — pushed
+        to the scan) and derive FLAG_ROW = all(FLAG) unless
+        --respect-flag-row (P2, averaging.py:224-225)."""
+        rows = tables["ms_rows"]
+        if not self.args.include_auto_correlations:
+            rows = rows.filter(F.col("ANTENNA1") != F.col("ANTENNA2"))
+        if not self.args.respect_flag_row:
+            derived = (
+                tables["ms_vis"]
+                .groupBy("row_id")
+                .agg(F.bool_and("flag").alias("_fr"))
+            )
+            rows = (
+                rows.join(derived, "row_id", "left")
+                .withColumn("FLAG_ROW", F.coalesce(F.col("_fr"), F.col("FLAG_ROW")))
+                .drop("_fr")
+            )
+        return {**tables, "ms_rows": rows}
+
+    def execute(self) -> str | None:
+        args = self.args
+        spark = self._session()
+        from xova_spark.sources.ms_fixture import load_ms
+
+        tables = load_ms(spark, args.ms)
+
+        if args.command == "check":
+            from xova_spark.operators.check import check_ms, check_spw
+
+            bad_rows = check_ms(tables).count()
+            bad_spws = check_spw(tables).count()
+            print(f"check: {bad_rows} row violations, {bad_spws} SPW violations")
+            if bad_rows or bad_spws:
+                raise SystemExit(1)
+            return None
+
+        tables = self._prepare(tables)
+        fields = self._resolve_fields(tables, args.fields)
+        scans = list(args.scan_numbers) or None
+
+        if args.command == "timechannel":
+            from xova_spark.operators.timechannel import timechannel
+
+            out = timechannel(
+                tables,
+                time_bin_secs=args.time_bin_secs,
+                chan_bin_size=args.chan_bin_size,
+                fields=fields or None,
+                scans=scans,
+            )
+        else:
+            from xova_spark.operators.bda import bda
+
+            out = bda(
+                tables,
+                decorrelation=args.decorrelation,
+                max_fov=args.max_fov,
+                time_bin_secs=args.time_bin_secs or 1e9,
+                min_nchan=args.min_nchan,
+                fields=fields or None,
+                scans=scans,
+            )
+
+        if not args.average_uvw_coordinates:
+            # V4: resynthesize UVW at averaged TIMEs, joined before the
+            # single write (not the reference's post-write update).
+            from xova_spark.operators.uvw import fixms
+
+            out["ms_rows"] = fixms(out["ms_rows"], tables["antenna"], tables["field"])
+
+        # P3: surface the averaged data under the mapped column names.
+        dc = args.data_column
+        if "ms_vis" in out and dc and list(dc.items()) != [("DATA", "DATA")]:
+            (to_name,) = set(dc.values())
+            out["ms_vis"] = out["ms_vis"].withColumnsRenamed(
+                {"vis_re": f"{to_name}_re", "vis_im": f"{to_name}_im"}
+            )
+
+        from xova_spark.sources.ms_writer import write_ms
+
+        write_ms(out, args.output, force=args.force)
+        return args.output
+
+
+def main() -> None:
+    Application(sys.argv[1:]).execute()
+
+
+if __name__ == "__main__":
+    main()
