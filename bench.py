@@ -52,20 +52,21 @@ def main() -> None:
 
     qs = entrymod.queries()
 
-    # Warm the JVM/session on a cheap query so q1 doesn't pay startup cost.
-    if "s2_column_pruned_scan" in qs:
-        qs["s2_column_pruned_scan"](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
 
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
+        # Warmup run first: codegen compilation, file listing, and scan
+        # setup are one-time session costs, not query throughput. The
+        # timed run measures steady state.
+        run(name)
+        dt = round(run(name), 3)
         timings[name] = dt
         total += dt
 

@@ -282,19 +282,21 @@ def _simhash_exprs(dialect: str) -> str:
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 32-bit weighted-bit-vote fingerprint per doc, then
     pairs with identical fingerprints (near-dups collide; unrelated docs
-    don't). One shuffle to build fingerprints, one tiny self-join."""
+    don't). One shuffle to build fingerprints, one tiny self-join.
+
+    The Spark path sums bit-signs directly over word OCCURRENCES (cnt=1
+    per row) — identical integer result to the oracle's
+    distinct-word-weighted-by-count formulation, but one less shuffle
+    (no (doc_id, word) pre-aggregation)."""
     (docs,) = _docs(spark, sf_dir)
-    wc = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("cnt"))
-    )
-    hashed = wc.select(
+    hashed = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).select(
         "doc_id",
-        "cnt",
-        F.expr(f"cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint) % {P31}").alias(
-            "h"
-        ),
+        F.lit(1).alias("cnt"),
+        F.expr(
+            f"cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint) % {P31}"
+        ).alias("h"),
     )
     fp = hashed.groupBy("doc_id").agg(
         F.expr(_simhash_exprs("spark")).alias("simhash")

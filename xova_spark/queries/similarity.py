@@ -54,14 +54,17 @@ def _duck_dot(a: str, b: str) -> str:
 @q(
     "ann_cosine_topk",
     f"""
-    WITH queries AS (
-      SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+    WITH normed AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), queries AS (
+      SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+      FROM normed WHERE vec_id < 10
     ), scored AS (
       SELECT qid, c.vec_id AS cid,
-             {_duck_dot('qe', 'c.embedding')}
-               / (sqrt({_duck_dot('qe', 'qe')})
-                  * sqrt({_duck_dot('c.embedding', 'c.embedding')})) AS cos
-      FROM queries CROSS JOIN embeddings c
+             {_duck_dot('qe', 'c.embedding')} / (qn * c.nrm) AS cos
+      FROM queries CROSS JOIN normed c
       WHERE c.vec_id != qid
     ), ranked AS (
       SELECT qid, cid, cos,
@@ -73,15 +76,25 @@ def _duck_dot(a: str, b: str) -> str:
 )
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for 10 query vectors — the exact ANN
-    baseline (recall oracle for the bucketed variant below)."""
+    baseline (recall oracle for the bucketed variant below). Per-vector
+    norms are computed ONCE up front (N + Q sequential dot products
+    instead of 3 per pair) — same sqrt values, 3x less work."""
     (emb,) = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    normed = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
     )
-    cand = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    cos = _spark_dot("qe", "ce") / (
-        F.sqrt(_spark_dot("qe", "qe")) * F.sqrt(_spark_dot("ce", "ce"))
+    queries = normed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
     )
+    cand = normed.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
     return (
         queries.crossJoin(F.broadcast(cand))
@@ -114,15 +127,15 @@ def _duck_bucket(col: str) -> str:
     "ann_bucketed_topk",
     f"""
     WITH b AS (
-      SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
+      SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
       FROM embeddings
     ), queries AS (
-      SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 20
+      SELECT vec_id AS qid, embedding AS qe, bucket, nrm AS qn
+      FROM b WHERE vec_id < 20
     ), scored AS (
       SELECT qid, c.vec_id AS cid,
-             {_duck_dot('qe', 'c.embedding')}
-               / (sqrt({_duck_dot('qe', 'qe')})
-                  * sqrt({_duck_dot('c.embedding', 'c.embedding')})) AS cos
+             {_duck_dot('qe', 'c.embedding')} / (qn * c.nrm) AS cos
       FROM queries JOIN b c ON c.bucket = queries.bucket AND c.vec_id != qid
     ), ranked AS (
       SELECT qid, cid, cos,
@@ -137,16 +150,20 @@ def ann_bucketed_topk(spark, sf_dir):
     per-bucket top-k. The single shuffle keys on the bucket; candidate set
     shrinks 2^4× — this is the plan shape that survives a 1000× scale-up."""
     (emb,) = _emb(spark, sf_dir)
-    b = emb.select("vec_id", "embedding", _spark_bucket("embedding").alias("bucket"))
+    b = emb.select(
+        "vec_id", "embedding",
+        _spark_bucket("embedding").alias("bucket"),
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
     queries = b.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        "bucket", F.col("nrm").alias("qn"),
     )
     cand = b.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "bucket"
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        "bucket", F.col("nrm").alias("cn"),
     )
-    cos = _spark_dot("qe", "ce") / (
-        F.sqrt(_spark_dot("qe", "qe")) * F.sqrt(_spark_dot("ce", "ce"))
-    )
+    cos = _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
     return (
         queries.join(cand, "bucket")
@@ -186,12 +203,14 @@ def emb_centroid_per_label(spark, sf_dir):
 @q(
     "dedup_embedding_cosine",
     f"""
-    WITH pairs AS (
+    WITH normed AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             {_duck_dot('a.embedding', 'b.embedding')}
-               / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
-                  * sqrt({_duck_dot('b.embedding', 'b.embedding')})) AS cos
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cos
+      FROM normed a JOIN normed b ON a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, round(cos, 6) AS cos
     FROM pairs WHERE cos >= 0.45
@@ -201,11 +220,19 @@ def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (threshold 0.45). Full pairwise
     here (the verifier); the bucketed ANN above is the scale path."""
     (emb,) = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = _spark_dot("ea", "eb") / (
-        F.sqrt(_spark_dot("ea", "ea")) * F.sqrt(_spark_dot("eb", "eb"))
+    normed = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
     )
+    a = normed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _spark_dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos", cos)
