@@ -33,6 +33,7 @@ def _registries() -> dict[str, tuple]:
         "streamingq",
         "benchdomain",
         "multimodalq",
+        "relext",
     ):
         try:
             mod = __import__(f"xova_spark.queries.{modname}", fromlist=["REGISTRY"])

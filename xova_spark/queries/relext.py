@@ -1,0 +1,245 @@
+"""Relational extension pack: deeper TPC-H coverage, time-series
+rollup with gap-fill, and the salted-join skew pattern.
+
+Float-hash discipline: every order-dependent double aggregate is
+round(x, 4/6) on BOTH engines (the dyadic-exactness trick is not
+available on the driver's full-precision harness tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from xova_spark.session import load_tables
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+@q(
+    "tpch_q6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2024-03-01'
+      AND l_shipdate < TIMESTAMP '2024-09-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    """Forecast-revenue: pure filter + global agg — every predicate
+    must reach the parquet scan (PushedFilters)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2024-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2024-09-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@q(
+    "tpch_q10",
+    """
+    SELECT c_custkey, any_value(c_name) AS c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           any_value(n_name) AS n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark, sf_dir):
+    """Returned-item revenue: 4-table join (dims broadcast), grouped
+    sum, deterministic top-20 (revenue DESC, custkey tie-break)."""
+    cu, o, li, na = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    rev = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+    ).alias("revenue")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey")
+        .agg(F.any_value("c_name").alias("c_name"), rev,
+             F.any_value("n_name").alias("n_name"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q14",
+    """
+    SELECT round(
+        100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+              / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '2024-05-01'
+      AND l_shipdate < TIMESTAMP '2024-06-01'
+    """,
+)
+def tpch_q14(spark, sf_dir):
+    """Promotion effect: conditional aggregation over a broadcast part
+    join."""
+    li, p = _t(spark, sf_dir, "lineitem", "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2024-05-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2024-06-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 6).alias("promo_revenue")
+        )
+    )
+
+
+@q(
+    "tpch_q18",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+           round(total_qty, 4) AS total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def tpch_q18(spark, sf_dir):
+    """Large-volume orders: HAVING-style aggregate subquery joined back
+    to dims — the agg output is small, so both joins broadcast IT."""
+    cu, o, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+    )
+
+
+@q(
+    "ev_hourly_rollup_gapfill",
+    """
+    WITH hours AS (
+      SELECT unnest(generate_series(0, 23)) AS hour
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), grid AS (
+      SELECT hour, event_type FROM hours CROSS JOIN types
+    ), agg AS (
+      SELECT CAST(extract(hour FROM ts) AS INTEGER) AS hour, event_type,
+             count(*) AS n, round(sum(value), 4) AS total_value
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-02'
+      GROUP BY 1, 2
+    )
+    SELECT g.hour, g.event_type,
+           coalesce(n, 0) AS n,
+           coalesce(total_value, 0.0) AS total_value
+    FROM grid g LEFT JOIN agg USING (hour, event_type)
+    """,
+)
+def ev_hourly_rollup_gapfill(spark, sf_dir):
+    """Hypertable-style rollup: hourly aggregate over the stream table
+    plus GAP-FILL — the dense (hour x type) grid is generated with
+    sequence/explode and left-joined so silent hours surface as zeros
+    (time_bucket_gapfill semantics via pure DataFrame ops)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    day1 = ev.filter(F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+    agg = (
+        day1.withColumn("hour", F.hour("ts"))
+        .groupBy("hour", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    hours = spark.range(24).select(F.col("id").cast("int").alias("hour"))
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    return grid.join(agg, ["hour", "event_type"], "left").select(
+        "hour",
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
+
+
+@q(
+    "salted_join_skew",
+    """
+    SELECT c_nationkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def salted_join_skew(spark, sf_dir):
+    """Skew pattern: SALTED equi-join — the fact side's join key is
+    extended with salt = hash(orderkey) % S and the dim side is
+    replicated S ways (explode of a salt sequence), so one hot customer
+    key spreads over S tasks instead of one straggler. Result is
+    provably identical to the plain join (the oracle IS the plain
+    join). At local scale AQE's skew-join split does this adaptively;
+    explicit salting is the portable 1000-executor insurance."""
+    o, cu = _t(spark, sf_dir, "orders", "customer")
+    S = 8
+    salted_o = o.withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(S)).cast("int")
+    )
+    salted_cu = cu.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+    ).withColumn("salt", F.col("salt").cast("int"))
+    return (
+        salted_o.join(
+            salted_cu,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (salted_o["salt"] == salted_cu["salt"]),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
