@@ -115,6 +115,48 @@ def stream_dedup_events(spark, sf_dir):
 
 
 @q(
+    "stream_stateful_user_stats",
+    """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def stream_stateful_user_stats(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running accumulator; availableNow-converged state == the batch
+    aggregation (SURVEY §2.8 flatMapGroupsWithState analogue)."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.queries.relational import load_tables
+    from xova_spark.streaming.stateful import stateful_user_stats
+
+    load_tables(spark, sf_dir, ("events",))
+    out = stateful_user_stats(_events_stream(spark, sf_dir))
+    name = f"q_stream_state_{next(_uniq)}"
+    q_ = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    # update mode may emit a row per micro-batch; keep the final state
+    # per user (single static file -> one batch, but stay order-proof)
+    t = spark.table(name)
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        .select(
+            "user_id", "n_events", F.round("total_value", 4).alias("total_value")
+        )
+    )
+
+
+@q(
     "stream_session_bins",
     f"""
 SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2,
