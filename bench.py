@@ -25,14 +25,19 @@ HEADLINE = (
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
     "a1_time_binned_agg",
     "join_asof",
     "join_range_theta",
     "w_sessionize",
+    "ev_hourly_rollup_gapfill",
+    "salted_join_skew",
     "t_word_freq_topk",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "mm_feature_extract",
     "timechannel_avg",
     "bda_avg",
 )

@@ -244,3 +244,95 @@ def dedup_embedding_cosine(spark, sf_dir):
 def _emb(spark, sf_dir):
     tables = load_tables(spark, sf_dir, ("embeddings",))
     return [tables["embeddings"]]
+
+
+_EXACT_TOP5 = f"""
+    normed AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), queries AS (
+      SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
+             {_duck_bucket('embedding')} AS qbucket
+      FROM normed WHERE vec_id < 10
+    ), exact_scored AS (
+      SELECT qid, c.vec_id AS cid,
+             {_duck_dot('qe', 'c.embedding')} / (qn * c.nrm) AS cos
+      FROM queries CROSS JOIN normed c WHERE c.vec_id != qid
+    ), exact_top AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM exact_scored) WHERE rnk <= 5
+    ), bucket_scored AS (
+      SELECT qid, c.vec_id AS cid,
+             {_duck_dot('qe', 'c.embedding')} / (qn * c.nrm) AS cos
+      FROM queries JOIN (
+        SELECT n.*, {_duck_bucket('n.embedding')} AS bucket FROM normed n) c
+        ON c.bucket = qbucket AND c.vec_id != qid
+    ), bucket_top AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM bucket_scored) WHERE rnk <= 5
+    )
+"""
+
+
+@q(
+    "ann_recall_at5",
+    "WITH " + _EXACT_TOP5 + """
+    SELECT e.qid,
+           CAST(count(b.cid) AS INTEGER) AS n_hits,
+           round(count(b.cid) / 5.0, 6) AS recall_at_5
+    FROM exact_top e
+    LEFT JOIN bucket_top b ON b.qid = e.qid AND b.cid = e.cid
+    GROUP BY e.qid
+    """,
+)
+def ann_recall_at5(spark, sf_dir):
+    """Measure, don't guess: recall@5 of the LSH-bucketed search against
+    the exact top-5, per query — the metric that justifies (or rejects)
+    the bucketed scale path. Same plan on both engines."""
+    (emb,) = _emb(spark, sf_dir)
+    normed = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+        _spark_bucket("embedding").alias("bucket"),
+    )
+    queries = normed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"), F.col("bucket").alias("qbucket"),
+    )
+    cand = normed.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"), "bucket",
+    )
+    cos = _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+
+    def top5(joined):
+        return (
+            joined.withColumn("cos", cos)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("qid", "cid")
+        )
+
+    exact_top = top5(
+        queries.crossJoin(F.broadcast(cand)).filter(F.col("cid") != F.col("qid"))
+    )
+    bucket_top = top5(
+        queries.join(
+            F.broadcast(cand), (F.col("bucket") == F.col("qbucket"))
+        ).filter(F.col("cid") != F.col("qid"))
+    )
+    hit = bucket_top.withColumn("hit", F.lit(1))
+    return (
+        exact_top.join(hit, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").cast("int").alias("n_hits"),
+            F.round(F.count("hit") / 5.0, 6).alias("recall_at_5"),
+        )
+    )

@@ -214,3 +214,31 @@ def mm_binary_plumbing(spark, sf_dir):
 def _docs(spark, sf_dir):
     tables = load_tables(spark, sf_dir, ("documents",))
     return [tables["documents"]]
+
+
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@q(
+    "t_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_subword_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def t_bpe_token_count(spark, sf_dir):
+    """BPE-ish regex tokenization (letter runs / digit runs / single
+    punctuation — the pre-tokenizer split GPT-style BPE applies before
+    merges) vs whitespace tokens; the training-data token-budget
+    estimator."""
+    (docs,) = _docs(spark, sf_dir)
+    # F.lit keeps the raw regex (an F.expr SQL literal would eat the \s)
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+        ).alias("n_subword_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
