@@ -494,6 +494,30 @@ def ms_distinct_chanisation(spark, sf_dir):
     )
 
 
+@q(
+    "ms_source_scan",
+    f"""
+SELECT row_id, TIME, ANTENNA1, ANTENNA2, u, v, w
+FROM read_parquet('{_DIR}/ms_rows.parquet')
+WHERE FIELD_ID = 0 AND SCAN_NUMBER = 0
+""",
+)
+def ms_source_scan(spark, sf_dir):
+    """S1 through the custom Python DataSource (sources/ms_datasource):
+    format('xova_ms') scan with EqualTo filters pushed into the source
+    (row-group stats skipping + arrow-batch row filtering)."""
+    from xova_spark.sources.ms_datasource import MSDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(MSDataSource)
+    return (
+        spark.read.format("xova_ms")
+        .load(_DIR)
+        .filter((F.col("FIELD_ID") == 0) & (F.col("SCAN_NUMBER") == 0))
+        .select("row_id", "TIME", "ANTENNA1", "ANTENNA2", "u", "v", "w")
+    )
+
+
 # P3's oracle is ms_tc_vis's SQL with the output aliases renamed —
 # exactly the semantics of the reference's rename map.
 REGISTRY["ms_tc_vis_renamed"] = (
