@@ -1,0 +1,100 @@
+"""Multi-micro-batch streaming: state must accumulate correctly ACROSS
+batches, not just within one. The row table is split into several files
+and the stream is forced to one file per trigger — watermark state,
+window aggregation state, and applyInPandasWithState state all evolve
+over 4 real micro-batches and must still converge to the batch twin."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xova_spark.streaming import average as SA
+from xova_spark.testing import assert_frames_match
+
+
+@pytest.fixture(scope="module")
+def split_dir(spark, ms, tmp_path_factory):
+    """ms_rows split into 4 files by time range (arrival in time order,
+    as a live instrument would deliver)."""
+    out = str(tmp_path_factory.mktemp("stream_in"))
+    rows = ms["ms_rows"]
+    tmin, tmax = rows.agg(F.min("TIME"), F.max("TIME")).first()
+    span = (tmax - tmin) / 4
+    for i in range(4):
+        lo = tmin + i * span
+        hi = tmin + (i + 1) * span if i < 3 else tmax + 1
+        chunk = rows.filter((F.col("TIME") >= lo) & (F.col("TIME") < hi))
+        chunk.coalesce(1).write.parquet(os.path.join(out, f"chunk_{i}"))
+    # flatten: one parquet file per chunk dir
+    files = []
+    for i in range(4):
+        d = os.path.join(out, f"chunk_{i}")
+        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        files.append(os.path.join(d, part))
+    flat = os.path.join(out, "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(files):
+        os.rename(f, os.path.join(flat, f"{i:02d}.parquet"))
+    return flat
+
+
+def _one_file_per_trigger(spark, split_dir, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(split_dir)
+    )
+
+
+def test_windowed_agg_across_batches(spark, ms, split_dir):
+    stream = _one_file_per_trigger(spark, split_dir, ms["ms_rows"].schema)
+    out = SA.run_to_memory(
+        SA.streaming_average_rows(stream, 4.0), "mb_tc_rows"
+    ).toPandas()
+    twin = SA.batch_twin_average_rows(ms["ms_rows"], 4.0).toPandas()
+    assert_frames_match(out, twin, rtol=0, atol=0)
+
+
+def test_stateful_operator_across_batches(spark, ms, split_dir):
+    """applyInPandasWithState folds 4 separate micro-batches into one
+    per-key state; the final emission must equal the batch aggregate."""
+    from xova_spark.streaming.stateful import stateful_user_stats
+
+    stream = (
+        _one_file_per_trigger(spark, split_dir, ms["ms_rows"].schema)
+        .select(F.col("ANTENNA1").cast("long").alias("user_id"),
+                F.col("EXPOSURE").alias("value"))
+    )
+    q = (
+        stateful_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("mb_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("mb_state")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.max("total_value").alias("total_value"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    want = (
+        ms["ms_rows"]
+        .groupBy(F.col("ANTENNA1").cast("long").alias("user_id"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum("EXPOSURE").alias("total_value"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (got["n_events"] == want["n_events"]).all()
+    assert (abs(got["total_value"] - want["total_value"]) < 1e-9).all()
