@@ -243,3 +243,55 @@ def salted_join_skew(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 4).alias("total_price"),
         )
     )
+
+
+@q(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 4) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): three grouping
+    levels in one pass — Spark plans a single Expand + aggregation."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, round(sum(l_quantity), 4) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+@q(
+    "agg_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark, sf_dir):
+    """Exact continuous percentiles (sort-based; approx_percentile is
+    the sketch alternative at 100 TB — same API shape, bounded memory).
+    Spark percentile() and DuckDB quantile_cont share the linear
+    interpolation definition."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    pct = lambda p: F.round(  # noqa: E731
+        F.percentile(F.col("l_extendedprice"), F.lit(p)), 6
+    )
+    return li.groupBy("l_returnflag").agg(
+        pct(0.25).alias("p25"),
+        pct(0.50).alias("p50"),
+        pct(0.75).alias("p75"),
+        pct(0.99).alias("p99"),
+    )
