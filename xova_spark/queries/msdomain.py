@@ -495,6 +495,23 @@ def ms_distinct_chanisation(spark, sf_dir):
 
 
 @q(
+    "ms_layout_roundtrip",
+    f"""
+SELECT row_id, chan, corr, vis_re, vis_im, flag, weight_sp, sigma_sp
+FROM read_parquet('{_DIR}/ms_vis.parquet')
+""",
+)
+def ms_layout_roundtrip(spark, sf_dir):
+    """SURVEY §1.4 layout adapters: long -> MS-shaped nested arrays
+    (DATA as [chan][corr] re/im structs) -> long must be the identity;
+    the oracle is the untouched input table."""
+    from xova_spark.functions.layout import to_array_form, to_long_form
+
+    t = _ms(spark)
+    return to_long_form(to_array_form(t["ms_vis"]))
+
+
+@q(
     "ms_source_scan",
     f"""
 SELECT row_id, TIME, ANTENNA1, ANTENNA2, u, v, w
