@@ -495,6 +495,47 @@ def ms_distinct_chanisation(spark, sf_dir):
 
 
 @q(
+    "ms_tc_vis_noweightsp",
+    _BIN_CTE
+    + f"""
+SELECT b.FIELD_ID, b.DATA_DESC_ID, b.SCAN_NUMBER, b.ANTENNA1, b.ANTENNA2,
+    b.time_bin,
+    CAST(floor(v.chan / {CHAN_BIN}) AS INTEGER) AS chan_bin, v.corr,
+    CASE WHEN count(*) FILTER (WHERE NOT v.flag) > 0
+         THEN sum(w.WEIGHT * v.vis_re) FILTER (WHERE NOT v.flag)
+              / sum(w.WEIGHT) FILTER (WHERE NOT v.flag)
+         ELSE sum(w.WEIGHT * v.vis_re) / sum(w.WEIGHT) END AS vis_re,
+    CASE WHEN count(*) FILTER (WHERE NOT v.flag) > 0
+         THEN sum(w.WEIGHT * v.vis_im) FILTER (WHERE NOT v.flag)
+              / sum(w.WEIGHT) FILTER (WHERE NOT v.flag)
+         ELSE sum(w.WEIGHT * v.vis_im) / sum(w.WEIGHT) END AS vis_im,
+    bool_and(v.flag) AS flag,
+    count(*) AS n_samples
+FROM read_parquet('{_DIR}/ms_vis.parquet') v
+JOIN read_parquet('{_DIR}/ms_weights.parquet') w USING (row_id, corr)
+JOIN b USING (row_id)
+GROUP BY b.FIELD_ID, b.DATA_DESC_ID, b.SCAN_NUMBER, b.ANTENNA1, b.ANTENNA2,
+         b.time_bin, chan_bin, v.corr
+""",
+)
+def ms_tc_vis_noweightsp(spark, sf_dir):
+    """A1a with WEIGHT_SPECTRUM ABSENT (it is optional in the reference,
+    averaging.py:167-169): the per-(row, corr) WEIGHT column stands in
+    as the sample weight — one extra broadcast-able join against the
+    weights table, same aggregation shape."""
+    t = _ms(spark)
+    vis = t["ms_vis"].drop("weight_sp", "sigma_sp").join(
+        t["ms_weights"].select("row_id", "corr", F.col("WEIGHT").alias("weight_sp")),
+        ["row_id", "corr"],
+    )
+    bins = tc.bin_map(t["ms_rows"], TIME_BIN_SECS)
+    out = tc.average_vis(
+        vis.withColumn("sigma_sp", F.lit(0.0)), bins, CHAN_BIN
+    )
+    return out.drop("weight_sp", "sigma_sp")
+
+
+@q(
     "ms_layout_roundtrip",
     f"""
 SELECT row_id, chan, corr, vis_re, vis_im, flag, weight_sp, sigma_sp

@@ -242,3 +242,49 @@ def t_bpe_token_count(spark, sf_dir):
         ).alias("n_subword_tokens"),
         F.size(F.split("text", " ")).alias("n_ws_tokens"),
     )
+
+
+from xova_spark.queries.dedup import P31  # noqa: E402  (31-bit hash universe)
+
+
+@q(
+    "t_rolling_fingerprint",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(substring(text, g.i, 16)), 1, 15))::BIGINT)
+               % {P31} AS hv
+      FROM documents, generate_series(1, 600) g(i)
+      WHERE g.i <= length(text) - 15
+    ), sk AS (
+      SELECT doc_id, list_sort(list(hv)) AS hs FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, hs[1] AS f1, hs[2] AS f2, hs[3] AS f3, hs[4] AS f4
+    FROM sk
+    """,
+)
+def t_rolling_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (winnowing/MOSS style): hash
+    every 16-char sliding window, keep the bottom-4 sketch — documents
+    sharing ANY long substring share sketch entries, the basis for
+    plagiarism-style near-dup at corpus scale (one explode + one
+    aggregation; sketch size is constant per doc)."""
+    (docs,) = _docs(spark, sf_dir)
+    h = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - 15)
+        ).alias("i"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"cast(conv(substring(md5(substring(text, i, 16)), 1, 15), 16, 10)"
+            f" as bigint) % {P31}"
+        ).alias("hv"),
+    )
+    sk = h.groupBy("doc_id").agg(F.sort_array(F.collect_list("hv")).alias("hs"))
+    return sk.select(
+        "doc_id",
+        *[F.element_at("hs", k + 1).alias(f"f{k + 1}") for k in range(4)],
+    )
