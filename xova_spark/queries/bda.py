@@ -192,6 +192,40 @@ def bda_vis(spark, sf_dir):
 
 
 @q(
+    "bda_rows_remapped",
+    _PARAMS_CTE
+    + """
+, avg_rows AS (
+"""
+    + _BDA_ROWS_SELECT
+    + """
+), dist AS (
+    SELECT DISTINCT DATA_DESC_ID,
+        CAST(NUM_CHAN // chan_fac AS INTEGER) AS out_nchan
+    FROM params
+), dmap AS (
+    SELECT DATA_DESC_ID, out_nchan,
+        CAST(dense_rank() OVER (ORDER BY DATA_DESC_ID, out_nchan) - 1
+             AS INTEGER) AS NEW_DATA_DESC_ID
+    FROM dist
+)
+SELECT a.*, m.NEW_DATA_DESC_ID
+FROM avg_rows a
+JOIN dmap m ON m.DATA_DESC_ID = a.DATA_DESC_ID AND m.out_nchan = a.NUM_CHAN
+""",
+)
+def bda_rows_remapped(spark, sf_dir):
+    """Full A2+J3 composition: averaged rows with their DATA_DESC_ID
+    remapped to the reminted DDIDs (the output-row surface a consumer
+    of `xova bda` actually reads; averaging.py:693-705)."""
+    t, params = _params(spark)
+    return B._remap_rows(
+        B.average_rows(B.assign_bins(t["ms_rows"], params)),
+        B.ddid_map(params, t),
+    )
+
+
+@q(
     "bda_spw_grid",
     _PARAMS_CTE
     + f"""
