@@ -56,7 +56,7 @@ TIMES_PER_SCAN = 3
 
 def ms_fixture_dir(na: int = NA, ntime: int = NTIME, seed: int = 42) -> str:
     """Generate (or reuse cached) fixture tables; returns the directory."""
-    out = os.path.join(DEFAULT_CACHE, f"na{na}_nt{ntime}_s{seed}_v3")
+    out = os.path.join(DEFAULT_CACHE, f"na{na}_nt{ntime}_s{seed}_v4")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
@@ -163,9 +163,23 @@ def _generate(out: str, na: int, ntime: int, seed: int) -> None:
         )
         row0 += nrow
 
-    pq.write_table(pa.concat_tables(row_tabs), os.path.join(out, "ms_rows.parquet"))
-    pq.write_table(pa.concat_tables(w_tabs), os.path.join(out, "ms_weights.parquet"))
-    pq.write_table(pa.concat_tables(v_tabs), os.path.join(out, "ms_vis.parquet"))
+    # Small row groups: Spark's file-scan parallelism is bounded by row
+    # groups, so a bench-scale vis table must split 32+ ways.
+    pq.write_table(
+        pa.concat_tables(row_tabs),
+        os.path.join(out, "ms_rows.parquet"),
+        row_group_size=1 << 16,
+    )
+    pq.write_table(
+        pa.concat_tables(w_tabs),
+        os.path.join(out, "ms_weights.parquet"),
+        row_group_size=1 << 17,
+    )
+    pq.write_table(
+        pa.concat_tables(v_tabs),
+        os.path.join(out, "ms_vis.parquet"),
+        row_group_size=1 << 18,
+    )
 
     # SPECTRAL_WINDOW (testing_data.py:75-97): uniform integer-valued grid
     # per SPW. Narrow L-band sub-bands (856 kHz, so 53.5/26.75 kHz
