@@ -295,3 +295,39 @@ def agg_exact_percentiles(spark, sf_dir):
         pct(0.75).alias("p75"),
         pct(0.99).alias("p99"),
     )
+
+
+@q(
+    "agg_sketch_accuracy",
+    """
+    SELECT count(DISTINCT o_custkey) AS exact_distinct,
+           CAST(1 AS BOOLEAN) AS approx_distinct_within_5pct,
+           CAST(1 AS BOOLEAN) AS approx_p50_within_5pct
+    FROM orders
+    """,
+)
+def agg_sketch_accuracy(spark, sf_dir):
+    """The sketch path, gated on accuracy: approx_count_distinct (HLL)
+    and approx_percentile must land within 5% of the exact answers.
+    Sketches are engine-specific (their raw values can never hash-match
+    an oracle), so the GATE hashes — the exact value plus the bounded-
+    error booleans. At 100 TB the sketches are the only viable plan;
+    this query is the standing proof they stay honest."""
+    (o,) = _t(spark, sf_dir, "orders")
+    row = o.agg(
+        F.countDistinct("o_custkey").alias("exact_d"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_d"),
+        F.expr("approx_percentile(o_totalprice, 0.5)").alias("approx_p50"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+    )
+    return row.select(
+        F.col("exact_d").alias("exact_distinct"),
+        (
+            F.abs(F.col("approx_d") - F.col("exact_d"))
+            <= 0.05 * F.col("exact_d")
+        ).alias("approx_distinct_within_5pct"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= 0.05 * F.abs(F.col("exact_p50"))
+        ).alias("approx_p50_within_5pct"),
+    )
