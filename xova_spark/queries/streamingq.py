@@ -175,3 +175,45 @@ def stream_session_bins(spark, sf_dir):
     stream = SA.read_rows_stream(spark, _DIR)
     name = f"q_stream_sessions_{next(_uniq)}"
     return SA.run_to_memory(SA.streaming_session_bins(stream, _GAP), name)
+
+
+_VIS_BIN = 4.0
+_VIS_CHAN_BIN = 16
+
+
+@q(
+    "stream_tc_vis",
+    f"""
+SELECT r.FIELD_ID, r.DATA_DESC_ID, r.SCAN_NUMBER, r.ANTENNA1, r.ANTENNA2,
+    CAST(floor(v.chan / {_VIS_CHAN_BIN}) AS INTEGER) AS chan_bin, v.corr,
+    CASE WHEN count(*) FILTER (WHERE NOT v.flag) > 0
+         THEN sum(v.weight_sp * v.vis_re) FILTER (WHERE NOT v.flag)
+              / sum(v.weight_sp) FILTER (WHERE NOT v.flag)
+         ELSE sum(v.weight_sp * v.vis_re) / sum(v.weight_sp) END AS vis_re,
+    CASE WHEN count(*) FILTER (WHERE NOT v.flag) > 0
+         THEN sum(v.weight_sp * v.vis_im) FILTER (WHERE NOT v.flag)
+              / sum(v.weight_sp) FILTER (WHERE NOT v.flag)
+         ELSE sum(v.weight_sp * v.vis_im) / sum(v.weight_sp) END AS vis_im,
+    bool_and(v.flag) AS flag,
+    count(*) AS n_samples,
+    CAST(floor(r.TIME / {_VIS_BIN}) AS INTEGER) AS time_bin
+FROM read_parquet('{_DIR}/ms_vis.parquet') v
+JOIN read_parquet('{_DIR}/ms_rows.parquet') r USING (row_id)
+GROUP BY r.FIELD_ID, r.DATA_DESC_ID, r.SCAN_NUMBER, r.ANTENNA1, r.ANTENNA2,
+         chan_bin, v.corr, CAST(floor(r.TIME / {_VIS_BIN}) AS INTEGER)
+""",
+)
+def stream_tc_vis(spark, sf_dir):
+    """Full A1 visibility averaging as a streaming pipeline:
+    stream-static join (streaming samples x static row dim) + tumbling
+    window x chan_bin x corr aggregation with A1a semantics —
+    converged availableNow result == the epoch-aligned batch twin."""
+    from xova_spark.sources.ms_fixture import load_ms
+
+    t = load_ms(spark, _DIR)
+    stream = SA.read_vis_stream(spark, _DIR)
+    name = f"q_stream_tc_vis_{next(_uniq)}"
+    return SA.run_to_memory(
+        SA.streaming_average_vis(stream, t["ms_rows"], _VIS_BIN, _VIS_CHAN_BIN),
+        name,
+    )

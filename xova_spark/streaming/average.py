@@ -142,3 +142,72 @@ def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def read_vis_stream(spark: SparkSession, ms_dir: str) -> DataFrame:
+    """File-source stream over the visibility sample table."""
+    import os
+
+    src = os.path.join(ms_dir, "ms_vis.parquet")
+    stream_dir = os.path.join(ms_dir, "stream", "ms_vis")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "part-0.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    static = spark.read.parquet(src)
+    return (
+        spark.readStream.schema(static.schema).format("parquet").load(stream_dir)
+    )
+
+
+def streaming_average_vis(
+    vis_stream: DataFrame,
+    rows_static: DataFrame,
+    time_bin_secs: float = 4.0,
+    chan_bin_size: int = 16,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """The full A1 visibility pipeline as a STREAM-STATIC JOIN +
+    windowed aggregation: streaming fact samples join the static
+    row-dimension (row_id -> partition/baseline keys + event time),
+    then aggregate per tumbling window x chan_bin x corr with the A1a
+    weighted-mean semantics. This is the 100 TB streaming shape — the
+    unbounded table is the fact stream; dimensions stay static."""
+    from xova_spark.operators.timechannel import BL_KEYS, PART_KEYS
+
+    dim = rows_static.select("row_id", *PART_KEYS, *BL_KEYS, "TIME")
+    j = vis_stream.join(dim, "row_id").withColumn(
+        "chan_bin", F.floor(F.col("chan") / F.lit(chan_bin_size)).cast("int")
+    )
+    ts = F.timestamp_seconds(F.col("TIME"))
+    fl, w = F.col("flag"), F.col("weight_sp")
+    n_unfl = F.count(F.when(~fl, F.lit(1)))
+
+    def wmean(x):
+        return F.when(
+            n_unfl > 0, F.sum(F.when(~fl, w * x)) / F.sum(F.when(~fl, w))
+        ).otherwise(F.sum(w * x) / F.sum(w))
+
+    out = (
+        j.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{time_bin_secs} seconds").alias("win"),
+            *PART_KEYS,
+            *BL_KEYS,
+            "chan_bin",
+            "corr",
+        )
+        .agg(
+            wmean(F.col("vis_re")).alias("vis_re"),
+            wmean(F.col("vis_im")).alias("vis_im"),
+            F.bool_and(fl).alias("flag"),
+            F.count("*").alias("n_samples"),
+        )
+    )
+    return out.withColumn(
+        "time_bin",
+        F.floor(
+            F.unix_timestamp(F.col("win.start")) / F.lit(time_bin_secs)
+        ).cast("int"),
+    ).drop("win")
