@@ -336,3 +336,99 @@ def ann_recall_at5(spark, sf_dir):
             F.round(F.count("hit") / 5.0, 6).alias("recall_at_5"),
         )
     )
+
+
+def _duck_probe_buckets(col: str) -> str:
+    """Bucket of `col` plus the 4 one-bit-flip neighbors (multi-probe)."""
+    base = _duck_bucket(col)
+    probes = ", ".join(f"xor(({base}), {1 << i})" for i in range(4))
+    return f"[({base}), {probes}]"
+
+
+@q(
+    "ann_multiprobe_recall_at5",
+    "WITH " + _EXACT_TOP5 + f"""
+    , probe_q AS (
+      SELECT qid, qe, qn, unnest({_duck_probe_buckets('qe')}) AS pbucket FROM queries
+    ), probe_scored AS (
+      SELECT qp.qid, c.vec_id AS cid,
+             {_duck_dot('qp.qe', 'c.embedding')} / (qp.qn * c.nrm) AS cos
+      FROM probe_q qp
+      JOIN (SELECT n.*, {_duck_bucket('n.embedding')} AS bucket FROM normed n) c
+        ON c.bucket = qp.pbucket AND c.vec_id != qp.qid
+    ), probe_top AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM (SELECT DISTINCT qid, cid, cos FROM probe_scored))
+      WHERE rnk <= 5
+    )
+    SELECT e.qid,
+           CAST(count(b.cid) AS INTEGER) AS n_hits,
+           round(count(b.cid) / 5.0, 6) AS recall_at_5
+    FROM exact_top e
+    LEFT JOIN probe_top b ON b.qid = e.qid AND b.cid = e.cid
+    GROUP BY e.qid
+    """,
+)
+def ann_multiprobe_recall_at5(spark, sf_dir):
+    """Multi-probe LSH: probe the query's bucket PLUS the 4 one-bit-flip
+    neighbors — 5/16 of the corpus searched instead of 1/16, recall
+    strictly >= single-bucket (asserted in tests). The standard
+    recall-vs-cost knob for bucketed ANN at scale."""
+    (emb,) = _emb(spark, sf_dir)
+    normed = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+        _spark_bucket("embedding").alias("bucket"),
+    )
+    base = _spark_bucket("embedding")
+    probes = F.array(
+        base, *[base.bitwiseXOR(F.lit(1 << i)) for i in range(4)]
+    )
+    queries = (
+        normed.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"), probes.alias("probes"),
+        )
+        .select("qid", "qe", "qn", F.explode("probes").alias("pbucket"))
+    )
+    cand = normed.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"), "bucket",
+    )
+    cos = _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    probe_top = (
+        queries.join(F.broadcast(cand), F.col("bucket") == F.col("pbucket"))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cos", cos)
+        .select("qid", "cid", "cos")
+        .distinct()
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "cid")
+    )
+    exact_w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    exact_queries = normed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    exact_top = (
+        exact_queries.crossJoin(F.broadcast(cand.drop("bucket")))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(exact_w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "cid")
+    )
+    hit = probe_top.withColumn("hit", F.lit(1))
+    return (
+        exact_top.join(hit, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").cast("int").alias("n_hits"),
+            F.round(F.count("hit") / 5.0, 6).alias("recall_at_5"),
+        )
+    )
