@@ -217,3 +217,61 @@ def stream_tc_vis(spark, sf_dir):
         SA.streaming_average_vis(stream, t["ms_rows"], _VIS_BIN, _VIS_CHAN_BIN),
         name,
     )
+
+
+@q(
+    "stream_bda_vis",
+    None,  # patched below: bda params CTE + session aggregation
+)
+def stream_bda_vis(spark, sf_dir):
+    """BDA-as-stream: session windows close per-baseline bins, the
+    static decorrelation params supply the ragged chan_fac; converged
+    result == the batch per-(scan-session, baseline) aggregation."""
+    from xova_spark.operators import bda as B
+    from xova_spark.queries import bda as bq
+    from xova_spark.sources.ms_fixture import load_ms
+
+    t = load_ms(spark, _DIR)
+    params = B.bin_params(
+        t["ms_rows"], B.ddid_dims(t), bq.DECORR, bq.MAX_FOV, bq.TIME_CAP,
+        bq.MIN_NCHAN,
+    )
+    stream = SA.read_vis_stream(spark, _DIR)
+    name = f"q_stream_bda_vis_{next(_uniq)}"
+    return SA.run_to_memory(
+        SA.streaming_bda_vis(stream, t["ms_rows"], params, _GAP), name
+    )
+
+
+def _patch_stream_bda_oracle():
+    """Oracle: each (partition, baseline) is ONE session on the fixture
+    (intra-scan cadence < gap, SCAN_NUMBER in the keys), so the batch
+    twin groups by keys x chan_bin x corr with session_start = min TIME."""
+    from xova_spark.queries import bda as bq
+
+    sql = (
+        bq._PARAMS_CTE
+        + f"""
+SELECT b.FIELD_ID, b.DATA_DESC_ID, b.SCAN_NUMBER, b.ANTENNA1, b.ANTENNA2,
+    CAST(floor(v.chan / b.chan_fac) AS INTEGER) AS chan_bin, v.corr,
+    CASE WHEN count(*) FILTER (WHERE NOT v.flag) > 0
+         THEN sum(v.weight_sp * v.vis_re) FILTER (WHERE NOT v.flag)
+              / sum(v.weight_sp) FILTER (WHERE NOT v.flag)
+         ELSE sum(v.weight_sp * v.vis_re) / sum(v.weight_sp) END AS vis_re,
+    CASE WHEN count(*) FILTER (WHERE NOT v.flag) > 0
+         THEN sum(v.weight_sp * v.vis_im) FILTER (WHERE NOT v.flag)
+              / sum(v.weight_sp) FILTER (WHERE NOT v.flag)
+         ELSE sum(v.weight_sp * v.vis_im) / sum(v.weight_sp) END AS vis_im,
+    bool_and(v.flag) AS flag,
+    count(*) AS n_samples,
+    CAST(min(b.TIME) AS BIGINT) AS session_start
+FROM read_parquet('{_DIR}/ms_vis.parquet') v
+JOIN binned b USING (row_id)
+GROUP BY b.FIELD_ID, b.DATA_DESC_ID, b.SCAN_NUMBER, b.ANTENNA1, b.ANTENNA2,
+         chan_bin, v.corr
+"""
+    )
+    REGISTRY["stream_bda_vis"] = (stream_bda_vis, sql)
+
+
+_patch_stream_bda_oracle()

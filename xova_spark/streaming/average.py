@@ -211,3 +211,56 @@ def streaming_average_vis(
             F.unix_timestamp(F.col("win.start")) / F.lit(time_bin_secs)
         ).cast("int"),
     ).drop("win")
+
+
+def streaming_bda_vis(
+    vis_stream: DataFrame,
+    rows_static: DataFrame,
+    params_static: DataFrame,
+    gap_secs: float = 4.0,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """BDA as a stream: per-baseline SESSION windows (a bin closes when
+    the baseline goes quiet — W3's adaptive closure) combined with the
+    per-baseline RAGGED channel factor from the static decorrelation
+    params. Stream-static joins attach the row dim and chan_fac; the
+    stateful aggregation keys on session x baseline x chan_bin x corr."""
+    from xova_spark.operators.timechannel import BL_KEYS, PART_KEYS
+
+    dim = rows_static.select("row_id", *PART_KEYS, *BL_KEYS, "TIME")
+    fac = params_static.select(*PART_KEYS, *BL_KEYS, "chan_fac")
+    j = (
+        vis_stream.join(dim, "row_id")
+        .join(fac, [*PART_KEYS, *BL_KEYS])
+        .withColumn(
+            "chan_bin", F.floor(F.col("chan") / F.col("chan_fac")).cast("int")
+        )
+    )
+    fl, w = F.col("flag"), F.col("weight_sp")
+    n_unfl = F.count(F.when(~fl, F.lit(1)))
+
+    def wmean(x):
+        return F.when(
+            n_unfl > 0, F.sum(F.when(~fl, w * x)) / F.sum(F.when(~fl, w))
+        ).otherwise(F.sum(w * x) / F.sum(w))
+
+    out = (
+        j.withColumn("ts", F.timestamp_seconds(F.col("TIME")))
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window(F.col("ts"), f"{gap_secs} seconds").alias("sess"),
+            *PART_KEYS,
+            *BL_KEYS,
+            "chan_bin",
+            "corr",
+        )
+        .agg(
+            wmean(F.col("vis_re")).alias("vis_re"),
+            wmean(F.col("vis_im")).alias("vis_im"),
+            F.bool_and(fl).alias("flag"),
+            F.count("*").alias("n_samples"),
+        )
+    )
+    return out.withColumn(
+        "session_start", F.unix_timestamp(F.col("sess.start"))
+    ).drop("sess")
