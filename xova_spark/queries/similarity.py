@@ -432,3 +432,104 @@ def ann_multiprobe_recall_at5(spark, sf_dir):
             F.round(F.count("hit") / 5.0, 6).alias("recall_at_5"),
         )
     )
+
+
+_IVF_K = 8       # coarse-quantizer size (cells)
+_IVF_NPROBE = 2  # cells searched per query
+
+
+@q(
+    "ann_ivf_topk",
+    f"""
+    WITH normed AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+      FROM normed WHERE vec_id < {_IVF_K}
+    ), assigned AS (
+      SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+        SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_duck_dot('n.embedding', 'c.cemb')} / (n.nrm * c.cnrm)
+                          DESC, c.cent_id) AS rn
+        FROM normed n CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS qid, embedding AS qe, nrm AS qn, cent_id AS pcell FROM (
+        SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_duck_dot('n.embedding', 'c.cemb')} / (n.nrm * c.cnrm)
+                          DESC, c.cent_id) AS rn
+        FROM normed n CROSS JOIN cent c
+        WHERE n.vec_id < 10
+      ) WHERE rn <= {_IVF_NPROBE}
+    ), scored AS (
+      SELECT qid, a.vec_id AS cid,
+             {_duck_dot('qe', 'a.embedding')} / (qn * a.nrm) AS cos
+      FROM probes JOIN assigned a ON a.cell = pcell AND a.vec_id != qid
+    ), ranked AS (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+      FROM scored
+    )
+    SELECT qid, cid, round(cos, 6) AS cos, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: a deterministic coarse quantizer (the first K seed
+    vectors — a real deployment trains k-means centroids; identical plan
+    shape, and seed centroids keep both engines bit-identical since no
+    order-dependent averaging enters the cell assignment), every vector
+    assigned to its nearest cell by cosine, queries probing their
+    NPROBE nearest cells. The inverted-file search joins probes to cells
+    on the cell id — ONE shuffle keyed on the cell, candidate set
+    ~NPROBE/K of the corpus. At billions of vectors the assignment pass
+    is a broadcast of K centroids over one scan, and the cell id is the
+    natural storage-partitioning key (partition pruning per probe)."""
+    (emb,) = _emb(spark, sf_dir)
+    normed = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+    cent = normed.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cent_cos = _spark_dot("embedding", "cemb") / (F.col("nrm") * F.col("cnrm"))
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), "cent_id")
+    ranked_cells = (
+        normed.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", cent_cos)
+        .withColumn("rn", F.row_number().over(wc))
+    )
+    assigned = ranked_cells.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+        F.col("cent_id").alias("cell"),
+    )
+    probes = (
+        ranked_cells.filter(
+            (F.col("vec_id") < 10) & (F.col("rn") <= _IVF_NPROBE)
+        ).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+            F.col("cent_id").alias("pcell"),
+        )
+    )
+    cos = _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    return (
+        probes.join(assigned, F.col("cell") == F.col("pcell"))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "cid", F.round("cos", 6).alias("cos"), "rank")
+    )
