@@ -101,3 +101,74 @@ def test_bda_pipeline_remap_consistency(spark, ms):
         assert g["CHAN_FREQ"].is_monotonic_increasing
         assert g["CHAN_WIDTH"].nunique() == 1
         assert abs(g["CHAN_WIDTH"].sum() - g["TOTAL_BANDWIDTH"].iloc[0]) < 1e-6
+
+
+def test_greedy_bda_matches_floor_on_uniform_cadence(spark, ms, params):
+    """On the fixture's uniform 2 s cadence the greedy accumulate-and-
+    reset closure must reproduce the floor grid bin-for-bin (this is
+    what lets the floor-binned SQL oracle gate bda_rows_greedy)."""
+    floor_bins = B.assign_bins(ms["ms_rows"], params).select("row_id", "time_bin")
+    greedy_bins = B.greedy_bda_map(ms["ms_rows"], params)
+    diff = (
+        floor_bins.join(
+            greedy_bins.withColumnRenamed("time_bin", "gbin"), "row_id"
+        )
+        .filter(F.col("time_bin") != F.col("gbin"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_greedy_bda_adapts_on_irregular_cadence(spark, ms, params):
+    """Where greedy earns its keep: drop every fifth integration (a
+    realistic flagged-dump gap — keyed on the TIME index so the gap
+    lands inside every baseline, not on whole baselines) so the time
+    axis is irregular. The greedy closure must (1) keep every bin's
+    accumulated INTERVAL within the baseline's decorrelation budget,
+    (2) keep bins time-contiguous per baseline, and (3) actually
+    diverge from the floor grid somewhere (the floor grid bins by
+    wall-clock offset, so a gap wastes part of a bin's budget; greedy
+    re-packs it)."""
+    import pandas as pd
+
+    rows = ms["ms_rows"].filter(
+        F.floor(F.col("TIME") / 2).cast("long") % 5 != 2
+    )
+    gmap = B.greedy_bda_map(rows, params)
+    joined = (
+        rows.join(F.broadcast(gmap), "row_id")
+        .join(
+            F.broadcast(
+                params.select(
+                    *B.PART_KEYS, *B.BL_KEYS, "n_int", "interval_nom"
+                )
+            ),
+            B.PART_KEYS + B.BL_KEYS,
+        )
+        .select(
+            *B.PART_KEYS, *B.BL_KEYS, "row_id", "TIME", "INTERVAL",
+            "time_bin", "n_int", "interval_nom",
+        )
+        .toPandas()
+    )
+    keys = B.PART_KEYS + B.BL_KEYS
+    for _, g in joined.groupby(keys):
+        budget = float(g["n_int"].iloc[0]) * float(g["interval_nom"].iloc[0])
+        g = g.sort_values(["TIME", "row_id"])
+        per_bin = g.groupby("time_bin")["INTERVAL"].sum()
+        assert (per_bin <= budget + 1e-9).all()
+        # bins numbered consecutively from 0 in time order
+        seen = g["time_bin"].to_numpy()
+        assert seen[0] == 0
+        assert ((seen[1:] - seen[:-1] == 0) | (seen[1:] - seen[:-1] == 1)).all()
+    # (3) divergence from the floor grid on at least one row
+    floor_bins = (
+        B.assign_bins(rows, params).select("row_id", "time_bin").toPandas()
+    )
+    merged = pd.merge(
+        joined[["row_id", "time_bin"]],
+        floor_bins,
+        on="row_id",
+        suffixes=("_greedy", "_floor"),
+    )
+    assert (merged["time_bin_greedy"] != merged["time_bin_floor"]).any()

@@ -381,3 +381,55 @@ def _remap_rows(avg_rows: DataFrame, dmap: DataFrame) -> DataFrame:
         "DATA_DESC_ID", F.col("out_nchan").alias("NUM_CHAN"), "NEW_DATA_DESC_ID"
     )
     return avg_rows.join(F.broadcast(m), ["DATA_DESC_ID", "NUM_CHAN"], "left")
+
+
+def greedy_bda_map(rows: DataFrame, params: DataFrame) -> DataFrame:
+    """Bit-greedy BDA time binning (A2 x A7): per (partition, baseline),
+    walk rows in TIME order accumulating each row's ACTUAL INTERVAL and
+    close the bin when adding the next integration would exceed the
+    baseline's decorrelation budget (n_int * interval_nom — the same
+    quantized cap assign_bins uses).
+
+    This is the accumulate-and-reset closure of the reference's
+    chunking.py:125-157 applied per baseline, i.e. the greedy semantics
+    of africanus's bda kernel (averaging.py:338-342): the reset makes
+    it non-associative, hence not window-expressible — one of SURVEY
+    §2.9's legitimate applyInPandas sites. On uniform cadence it
+    coincides with assign_bins' floor binning (the oracle gate); on
+    irregular cadence (dropped integrations, mixed dump times) it
+    adapts where the floor grid would mis-bin.
+
+    Scale: runs on the ROW table joined to the broadcast params —
+    #rows per group = #times (thousands), never visibility-sized.
+    Returns the (row_id -> time_bin) map; broadcast it back onto
+    assign_bins' output to swap binning disciplines.
+    """
+    import numpy as np
+    import pandas as pd
+
+    j = rows.join(
+        F.broadcast(params.select(*PART_KEYS, *BL_KEYS, "n_int", "interval_nom")),
+        PART_KEYS + BL_KEYS,
+    ).select(
+        *PART_KEYS, *BL_KEYS, "row_id", "TIME", "INTERVAL", "n_int", "interval_nom"
+    )
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["TIME", "row_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        budget = float(pdf["n_int"].iloc[0]) * float(pdf["interval_nom"].iloc[0])
+        iv = pdf["INTERVAL"].to_numpy(dtype=np.float64)
+        bins = np.empty(len(pdf), dtype=np.int32)
+        bin_id, acc = 0, 0.0
+        for i in range(len(pdf)):
+            if i > 0 and acc + iv[i] > budget:
+                bin_id += 1
+                acc = 0.0
+            bins[i] = bin_id
+            acc += iv[i]
+        return pd.DataFrame({"row_id": pdf["row_id"], "time_bin": bins})
+
+    return j.groupBy(*PART_KEYS, *BL_KEYS).applyInPandas(
+        assign, "row_id long, time_bin int"
+    )

@@ -289,3 +289,18 @@ def bda_ddid_map(spark, sf_dir):
     (averaging.py:527-547,693-698)."""
     t, params = _params(spark)
     return B.ddid_map(params, t)
+
+
+@q("bda_rows_greedy", _PARAMS_CTE + _BDA_ROWS_SELECT)
+def bda_rows_greedy(spark, sf_dir):
+    """A2 with BIT-GREEDY bin boundaries (the africanus accumulate-and-
+    reset closure, operators/bda.greedy_bda_map) instead of the floor
+    grid — the SURVEY §7 'same bins' alternative to 'same math'. The
+    oracle is the floor-binned SQL: on the fixture's uniform cadence the
+    two disciplines provably coincide, which IS the parity statement."""
+    from pyspark.sql import functions as F
+
+    t, params = _params(spark)
+    binned = B.assign_bins(t["ms_rows"], params).drop("time_bin")
+    gmap = B.greedy_bda_map(t["ms_rows"], params)
+    return B.average_rows(binned.join(F.broadcast(gmap), "row_id"))
