@@ -67,3 +67,60 @@ def test_rollup_converges_to_batch(spark, split_events, tmp_path):
     assert (got["n"] == want["n"]).all()
     assert (abs(got["total"] - want["total"]) < 1e-6).all()
     assert got["n"].sum() == n
+
+
+@pytest.fixture(scope="module")
+def split_vis(spark, ms_dir, tmp_path_factory):
+    """The fixture's ms_vis split into 3 arrival files by row_id."""
+    out = str(tmp_path_factory.mktemp("vis_in"))
+    vis = spark.read.parquet(os.path.join(ms_dir, "ms_vis.parquet"))
+    flat = os.path.join(out, "flat")
+    os.makedirs(flat)
+    for i in range(3):
+        d = os.path.join(out, f"c{i}")
+        vis.filter((F.col("row_id") % 3) == i).coalesce(1).write.parquet(d)
+        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        os.rename(os.path.join(d, part), os.path.join(flat, f"{i:02d}.parquet"))
+        os.utime(os.path.join(flat, f"{i:02d}.parquet"), (1_000_000_000 + i,) * 2)
+    return flat, vis
+
+
+def test_ms_maintenance_converges_to_batch_average(
+    spark, ms, ms_dir, split_vis, tmp_path
+):
+    """The foreachBatch-maintained averaged MS, after consuming all
+    micro-batches, must equal the one-shot batch average_vis — the
+    reference's write path (app.py:107-116) as continuous maintenance."""
+    from xova_spark.operators import timechannel as tc
+    from xova_spark.streaming.materialize import (
+        finalize_vis,
+        materialized_ms_vis,
+    )
+
+    flat, vis = split_vis
+    bin_secs, chan_bin = 4.0, 8
+    bins = tc.bin_map(ms["ms_rows"], bin_secs)
+    stream = (
+        spark.readStream.schema(vis.schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(flat)
+    )
+    out_dir = str(tmp_path / "ms_out")
+    q = materialized_ms_vis(
+        stream, bins, out_dir, str(tmp_path / "ckpt"), chan_bin
+    )
+    q.awaitTermination()
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 3
+
+    got = finalize_vis(spark, out_dir).toPandas()
+    want = tc.average_vis(vis, bins, chan_bin).toPandas()
+    keys = ["FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER", "ANTENNA1", "ANTENNA2",
+            "time_bin", "chan_bin", "corr"]
+    got = got.set_index(keys).sort_index()
+    want = want.set_index(keys).sort_index()
+    assert len(got) == len(want)
+    assert (got["n_samples"] == want["n_samples"]).all()
+    assert (got["flag"] == want["flag"]).all()
+    for c in ("vis_re", "vis_im", "weight_sp", "sigma_sp"):
+        assert (abs(got[c] - want[c]) < 1e-9).all(), c

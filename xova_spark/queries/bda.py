@@ -304,3 +304,22 @@ def bda_rows_greedy(spark, sf_dir):
     binned = B.assign_bins(t["ms_rows"], params).drop("time_bin")
     gmap = B.greedy_bda_map(t["ms_rows"], params)
     return B.average_rows(binned.join(F.broadcast(gmap), "row_id"))
+
+
+_BDA_VIS_SQL = REGISTRY["bda_vis"][1]
+
+
+@q("bda_vis_greedy", _BDA_VIS_SQL)
+def bda_vis_greedy(spark, sf_dir):
+    """Full A2 visibility aggregation under BIT-GREEDY bin boundaries:
+    greedy_bda_map's (row_id -> time_bin) swapped into the pipeline
+    before bin_map — the ragged channel averaging is untouched. Same
+    coincidence oracle as bda_rows_greedy (uniform cadence => greedy ==
+    floor grid)."""
+    from pyspark.sql import functions as F
+
+    t, params = _params(spark)
+    binned = B.assign_bins(t["ms_rows"], params).drop("time_bin")
+    gmap = B.greedy_bda_map(t["ms_rows"], params)
+    binned = binned.join(F.broadcast(gmap), "row_id")
+    return B.average_vis(t["ms_vis"], B.bin_map(binned))

@@ -65,3 +65,114 @@ def materialized_rollup(
 
 def read_rollup(spark, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "current"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming MS maintenance: the averaging pipeline as a continuously
+# materialized output MS. Each micro-batch of visibility samples merges
+# DECOMPOSABLE A1a partials (count/sum pairs per component; flag merged
+# by AND) into the stored table; the final averaged columns — weighted
+# means with the fully-flagged fallback — derive at read time from the
+# partials. This is the reference's write path (app.py:107-116) turned
+# into incremental maintenance the batch engine cannot express.
+
+_VIS_KEYS = ["FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER", "ANTENNA1", "ANTENNA2",
+             "time_bin", "chan_bin", "corr"]
+
+
+def _vis_partials(vis: DataFrame, bins: DataFrame, chan_bin_size: int) -> DataFrame:
+    """Per-(bin, chan_bin, corr) decomposable partials of the A1a
+    visibility aggregation (operators/timechannel.average_vis):
+    everything here merges by plain sum / AND across micro-batches."""
+    j = vis.join(F.broadcast(bins), "row_id").withColumn(
+        "chan_bin", F.floor(F.col("chan") / F.lit(chan_bin_size)).cast("int")
+    )
+    fl, w, s = F.col("flag"), F.col("weight_sp"), F.col("sigma_sp")
+    unfl = ~fl
+    return j.groupBy(*_VIS_KEYS).agg(
+        F.count("*").alias("n"),
+        F.count(F.when(unfl, F.lit(1))).alias("n_unfl"),
+        F.sum(F.when(unfl, w)).alias("sw_u"),
+        F.sum(F.when(unfl, w * F.col("vis_re"))).alias("swre_u"),
+        F.sum(F.when(unfl, w * F.col("vis_im"))).alias("swim_u"),
+        F.sum(F.when(unfl, w * w * s * s)).alias("sw2s2_u"),
+        F.sum(w).alias("sw_a"),
+        F.sum(w * F.col("vis_re")).alias("swre_a"),
+        F.sum(w * F.col("vis_im")).alias("swim_a"),
+        F.sum(w * w * s * s).alias("sw2s2_a"),
+        F.bool_and(fl).alias("flag_all"),
+    )
+
+
+_PARTIAL_SUMS = ["n", "n_unfl", "sw_u", "swre_u", "swim_u", "sw2s2_u",
+                 "sw_a", "swre_a", "swim_a", "sw2s2_a"]
+
+
+def _merge_vis_into(batch_df: DataFrame, batch_id: int, out_dir: str,
+                    bins: DataFrame, chan_bin_size: int):
+    spark = batch_df.sparkSession
+    partial = _vis_partials(batch_df, bins, chan_bin_size)
+    cur = os.path.join(out_dir, "current")
+    if os.path.exists(cur):
+        merged = (
+            spark.read.parquet(cur)
+            .unionByName(partial)
+            .groupBy(*_VIS_KEYS)
+            .agg(
+                *[F.sum(c).alias(c) for c in _PARTIAL_SUMS],
+                F.bool_and("flag_all").alias("flag_all"),
+            )
+        )
+    else:
+        merged = partial
+    tmp = os.path.join(out_dir, "_staged")
+    merged.write.mode("overwrite").parquet(tmp)
+    swap = os.path.join(out_dir, "_old")
+    if os.path.exists(cur):
+        os.rename(cur, swap)
+    os.rename(tmp, cur)
+    if os.path.exists(swap):
+        import shutil
+
+        shutil.rmtree(swap)
+
+
+def materialized_ms_vis(
+    vis_stream: DataFrame,
+    bins: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    chan_bin_size: int = 16,
+):
+    """Start the MS-maintenance query (availableNow): every arriving
+    visibility file merges into the averaged output table."""
+    return (
+        vis_stream.writeStream.foreachBatch(
+            lambda df, bid: _merge_vis_into(df, bid, out_dir, bins, chan_bin_size)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def finalize_vis(spark, out_dir: str) -> DataFrame:
+    """Derive the A1a averaged columns from the stored partials — the
+    same weighted-mean-with-fallback expressions as the batch
+    average_vis, evaluated over merged sums instead of raw samples."""
+    p = spark.read.parquet(os.path.join(out_dir, "current"))
+    has_u = F.col("n_unfl") > 0
+
+    def pick(u, a):
+        return F.when(has_u, F.col(u)).otherwise(F.col(a))
+
+    sw = pick("sw_u", "sw_a")
+    return p.select(
+        *_VIS_KEYS,
+        (pick("swre_u", "swre_a") / sw).alias("vis_re"),
+        (pick("swim_u", "swim_a") / sw).alias("vis_im"),
+        F.col("flag_all").alias("flag"),
+        sw.alias("weight_sp"),
+        (F.sqrt(pick("sw2s2_u", "sw2s2_a")) / sw).alias("sigma_sp"),
+        F.col("n").alias("n_samples"),
+    )
