@@ -312,6 +312,114 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
+# Shared near-dup edge set: verified n-gram-Jaccard pairs (>= 0.5).
+_DUCK_EDGE_CTES = f"""
+    sh AS (
+      SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM sh
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    )
+"""
+
+
+@q(
+    "dedup_cc_clusters",
+    f"""
+    WITH RECURSIVE {_DUCK_EDGE_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach AS (
+      SELECT DISTINCT src AS doc_id, src AS comp FROM edges
+      UNION
+      SELECT e.dst AS doc_id, r.comp
+      FROM reach r JOIN edges e ON e.src = r.doc_id
+    )
+    SELECT doc_id, min(comp) AS component
+    FROM reach GROUP BY doc_id
+    """,
+)
+def dedup_cc_clusters(spark, sf_dir):
+    """Near-dup CLUSTER ASSIGNMENT: connected components over the verified
+    Jaccard>=0.5 edge graph, by iterative min-label propagation (the
+    Pregel/GraphFrames pattern). Each iteration is ONE shuffle join
+    (edges x current labels) plus a groupBy-min; iterations are bounded
+    by the cluster graph's diameter (near-dup clusters are shallow —
+    single digits in practice). Labels only decrease, so the sum of
+    labels is a monotone convergence witness; the loop is deterministic,
+    hence oracle-EXACT against DuckDB's recursive CTE.
+
+    Scale notes (100 TB): edge generation uses the LSH path
+    (dedup_minhash_lsh) rather than the quadratic shingle self-join used
+    here for oracle parity; the frontier DataFrame is cached per round
+    and unpersisted after, so state is O(|V|); for adversarially deep
+    chains, switch to large-star/small-star contraction (same join
+    primitive, O(log n) rounds)."""
+    (docs,) = _docs(spark, sf_dir)
+    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    ea = ex.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    eb = ex.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    common = (
+        ea.join(eb, (F.col("sa") == F.col("sb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    pairs = (
+        common.join(sa, "doc_a").join(sb, "doc_b").filter(jac >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("component", F.col("doc_id"))
+        .cache()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(50):
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "component")
+        new_labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .cache()
+        )
+        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels
+
+
 def _docs(spark, sf_dir):
     tables = load_tables(spark, sf_dir, ("documents",))
     return [tables["documents"]]

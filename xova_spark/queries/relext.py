@@ -600,3 +600,50 @@ def tpch_q22_antijoin(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+@q(
+    "join_range_binned",
+    """
+    SELECT a.event_id, count(*) AS n_window
+    FROM events a JOIN events b
+      ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    WHERE a.event_id < 200
+    GROUP BY a.event_id
+    """,
+)
+def join_range_binned(spark, sf_dir):
+    """PURE range join (no equi-key) via the bucketing rewrite. A naive
+    `b.ts BETWEEN a.ts AND a.ts+w` join with no equality conjunct plans
+    as a broadcast-nested-loop — O(n*m), the classic 100 TB killer. The
+    rewrite bins both sides into w-sized buckets; a window (a.ts,
+    a.ts+w] can only contain b rows whose bucket is bucket(a) or
+    bucket(a)+1, so the probe side explodes into those two bucket keys
+    and the join becomes a plain EQUI-join on the bucket (hash,
+    shuffle-partitionable, AQE-skew-splittable) followed by the exact
+    range residual filter. Provably identical to the naive join — the
+    oracle IS the naive join. Each (a, b) pair matches at most once
+    because b carries a single bucket value."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w_secs = 600
+
+    def bucket(c):
+        return F.floor(F.unix_timestamp(c) / F.lit(w_secs))
+
+    a = ev.filter(F.col("event_id") < 200).select(
+        "event_id",
+        F.col("ts").alias("a_ts"),
+        F.explode(
+            F.array(bucket(F.col("ts")), bucket(F.col("ts")) + 1)
+        ).alias("bucket"),
+    )
+    b = ev.select(F.col("ts").alias("b_ts"), bucket(F.col("ts")).alias("bucket"))
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_window"))
+    )

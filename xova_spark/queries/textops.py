@@ -288,3 +288,87 @@ def t_rolling_fingerprint(spark, sf_dir):
         "doc_id",
         *[F.element_at("hs", k + 1).alias(f"f{k + 1}") for k in range(4)],
     )
+
+
+@q(
+    "t_pack_sequences",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT lang, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS pack_id
+      FROM toks
+    )
+    SELECT lang, pack_id,
+           count(*) AS n_docs,
+           sum(n_tokens) AS sum_tokens
+    FROM packed GROUP BY lang, pack_id
+    """,
+)
+def t_pack_sequences(spark, sf_dir):
+    """Sequence packing for training: assign documents to fixed token-budget
+    packs (512) per language stream by cumulative-fill — pack_id =
+    floor(tokens_before / budget). One window per lang partition + one
+    groupBy; no Python. At 100 TB the window partitions by (lang, shard)
+    so no single partition serializes the corpus — packing is per-shard
+    by construction in real pipelines."""
+    from pyspark.sql import Window
+
+    (docs,) = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512)),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+@q(
+    "t_split_deterministic",
+    """
+    WITH r AS (
+      SELECT n_chars,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) % 100 AS h
+      FROM documents
+    )
+    SELECT CASE WHEN h < 80 THEN 'train'
+                WHEN h < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM r GROUP BY 1
+    """,
+)
+def t_split_deterministic(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by content-independent
+    key hash (md5 of doc_id) — reproducible across engines and runs,
+    unlike sample()/TABLESAMPLE. Embarrassingly parallel: the split is a
+    per-row projection, no shuffle until the audit aggregate; at 100 TB
+    the split column is written as a partition column so downstream
+    readers prune to their split for free."""
+    (docs,) = _docs(spark, sf_dir)
+    h = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+        " as bigint) % 100"
+    )
+    r = docs.select(F.col("n_chars"), h.alias("h"))
+    split = (
+        F.when(F.col("h") < 80, "train")
+        .when(F.col("h") < 90, "val")
+        .otherwise("test")
+    )
+    return r.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
