@@ -124,3 +124,57 @@ def test_ms_maintenance_converges_to_batch_average(
     assert (got["flag"] == want["flag"]).all()
     for c in ("vis_re", "vis_im", "weight_sp", "sigma_sp"):
         assert (abs(got[c] - want[c]) < 1e-9).all(), c
+
+
+def test_stream_finalized_ms_write_roundtrip(spark, ms, split_vis, tmp_path):
+    """Close the loop: stream-maintained partials -> finalize_vis ->
+    write_ms (S8-S11) -> read_ms; the re-read MS equals the one-shot
+    batch-averaged MS (vis + averaged SPW subtables + passthrough),
+    i.e. the reference's full write path (app.py:107-116) driven
+    entirely from a stream."""
+    from xova_spark.operators import timechannel as tc
+    from xova_spark.sources.ms_writer import read_ms, write_ms
+    from xova_spark.streaming.materialize import (
+        finalize_vis,
+        materialized_ms_vis,
+    )
+
+    flat, vis = split_vis
+    chan_bin = 8
+    bins = tc.bin_map(ms["ms_rows"], 4.0)
+    stream = (
+        spark.readStream.schema(vis.schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(flat)
+    )
+    part_dir = str(tmp_path / "partials")
+    q = materialized_ms_vis(stream, bins, part_dir, str(tmp_path / "ck"), chan_bin)
+    q.awaitTermination()
+
+    out_chans, out_meta = tc.average_spw(ms["spw_chans"], ms["spw_meta"], chan_bin)
+    out = str(tmp_path / "averaged_ms")
+    write_ms(
+        {
+            "ms_vis": finalize_vis(spark, part_dir),
+            "spw_chans": out_chans,
+            "spw_meta": out_meta,
+            "antenna": ms["antenna"],  # S10 passthrough subtable
+        },
+        out,
+    )
+    back = read_ms(spark, out)
+    assert set(back) == {"ms_vis", "spw_chans", "spw_meta", "antenna"}
+
+    keys = ["FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER", "ANTENNA1", "ANTENNA2",
+            "time_bin", "chan_bin", "corr"]
+    got = back["ms_vis"].toPandas().set_index(keys).sort_index()
+    want = tc.average_vis(vis, bins, chan_bin).toPandas().set_index(keys).sort_index()
+    assert len(got) == len(want)
+    assert (got["flag"] == want["flag"]).all()
+    for c in ("vis_re", "vis_im", "weight_sp", "sigma_sp"):
+        assert (abs(got[c] - want[c]) < 1e-9).all(), c
+    assert back["antenna"].count() == ms["antenna"].count()
+    assert back["spw_meta"].toPandas().set_index("SPECTRAL_WINDOW_ID")[
+        "NUM_CHAN"
+    ].equals(out_meta.toPandas().set_index("SPECTRAL_WINDOW_ID")["NUM_CHAN"])
