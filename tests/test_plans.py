@@ -93,3 +93,18 @@ def test_partition_value_filter_prunes(spark, ms):
     the in-memory path at least pushes the filter."""
     q = ms["ms_rows"].filter(F.col("FIELD_ID").isin([0]))
     assert any("FIELD_ID" in f for f in P.pushed_filters(q))
+
+
+def test_range_join_bucket_rewrite_avoids_nested_loop(spark):
+    """join_range_binned: the pure range join (no equi conjunct) must
+    plan as a hash/sort-merge EQUI-join on the time bucket — a
+    BroadcastNestedLoopJoin here is the O(n*m) plan the rewrite exists
+    to eliminate."""
+    from xova_spark.queries.relext import REGISTRY as RX
+
+    q = RX["join_range_binned"][0](spark, SF_DIR)
+    plan = P.executed_plan(q)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
