@@ -130,3 +130,30 @@ def test_app_overwrite_guard(spark, ms_dir, tmp_path):
         Application(
             ["timechannel", ms_dir, "-t", "4", "-o", out], spark=spark
         ).execute()
+
+
+def test_app_stream_matches_batch_average(spark, ms_dir, ms, tmp_path):
+    """``xova-spark stream``: draining the fixture's vis files through
+    the streaming maintenance path must produce the same averaged MS as
+    the one-shot batch aggregation."""
+    from xova_spark.operators import timechannel as tc
+
+    out = os.path.join(str(tmp_path), "streamed.ms")
+    got_path = Application(
+        ["stream", ms_dir, "-o", out, "-t", "4", "-c", "8"], spark=spark
+    ).execute()
+    back = read_ms(spark, got_path)
+    for name in ("ms_vis", "spw_chans", "spw_meta", "ddid", "pol", "field",
+                 "antenna"):
+        assert name in back, name
+
+    keys = ["FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER", "ANTENNA1", "ANTENNA2",
+            "time_bin", "chan_bin", "corr"]
+    bins = tc.bin_map(ms["ms_rows"], 4.0)
+    want = (
+        tc.average_vis(ms["ms_vis"], bins, 8).toPandas().set_index(keys).sort_index()
+    )
+    got = back["ms_vis"].toPandas().set_index(keys).sort_index()
+    assert len(got) == len(want)
+    for c in ("vis_re", "vis_im", "weight_sp", "sigma_sp"):
+        assert (abs(got[c] - want[c]) < 1e-9).all(), c

@@ -143,6 +143,21 @@ def create_parser() -> argparse.ArgumentParser:
     check = sp.add_parser("check")
     check.add_argument("ms")
     check.add_argument("-r", "--row-chunks", type=int, default=10000)
+    st = sp.add_parser(
+        "stream",
+        help="continuous averaging: consume arriving visibility files, "
+             "maintain the averaged MS incrementally, finalize on drain",
+    )
+    st.add_argument("ms", help="Input MS directory (static row/subtables)")
+    st.add_argument("--vis-dir", default=None,
+                    help="directory of arriving ms_vis parquet files "
+                         "(default: <ms>/ms_vis.parquet)")
+    st.add_argument("-o", "--output", default=None)
+    st.add_argument("--checkpoint", default=None,
+                    help="streaming checkpoint dir (default: <output>.ckpt)")
+    st.add_argument("--force", action="store_true", default=False)
+    st.add_argument("-t", "--time-bin-secs", default=2.0, type=float)
+    st.add_argument("-c", "--chan-bin-size", default=16, type=int)
     return parser
 
 
@@ -155,7 +170,8 @@ def parse_args(cmdline: list[str]) -> argparse.Namespace:
     if args.command != "check":
         if args.output is None:
             args.output = derive_output_name(args.ms)
-        args.data_column = parse_data_column_map(args.data_column)
+        if args.command != "stream":
+            args.data_column = parse_data_column_map(args.data_column)
     return args
 
 
@@ -225,6 +241,9 @@ class Application:
                 raise SystemExit(1)
             return None
 
+        if args.command == "stream":
+            return self._execute_stream(tables)
+
         tables = self._prepare(tables)
         fields = self._resolve_fields(tables, args.fields)
         scans = list(args.scan_numbers) or None
@@ -269,6 +288,75 @@ class Application:
 
         from xova_spark.sources.ms_writer import write_ms
 
+        write_ms(out, args.output, force=args.force)
+        return args.output
+
+
+    def _execute_stream(self, tables: dict) -> str:
+        """``xova-spark stream``: continuous time-and-channel averaging.
+
+        Arriving visibility files (availableNow drain) merge into a
+        partial-aggregate store via foreachBatch; on drain the partials
+        finalize into the A1a averaged columns and the output MS is
+        written through the same write_ms path as the batch commands —
+        the streaming twin of the reference's one-shot
+        read→average→write (app.py:59-128), with identical results
+        because the maintained partials are decomposable sums."""
+        import os
+
+        args = self.args
+        spark = self._session()
+        from xova_spark.operators import timechannel as tc
+        from xova_spark.sources.ms_writer import write_ms
+        from xova_spark.streaming.materialize import (
+            finalize_vis,
+            materialized_ms_vis,
+        )
+
+        vis_dir = args.vis_dir or os.path.join(args.ms, "ms_vis.parquet")
+        checkpoint = args.checkpoint or args.output + ".ckpt"
+        schema = spark.read.parquet(vis_dir).schema
+        bins = tc.bin_map(tables["ms_rows"], args.time_bin_secs)
+        # The file stream source requires a directory (it force-sets
+        # basePath to the load path for non-glob paths); a single-file
+        # vis source (the fixture layout) is staged behind a symlink dir.
+        if not os.path.isdir(vis_dir):
+            staged = args.output + ".vis_src"
+            os.makedirs(staged, exist_ok=True)
+            link = os.path.join(staged, os.path.basename(vis_dir))
+            if not os.path.exists(link):
+                try:
+                    os.symlink(os.path.abspath(vis_dir), link)
+                except OSError:
+                    import shutil
+
+                    shutil.copy(vis_dir, link)
+            vis_dir = staged
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(vis_dir)
+        )
+        part_dir = args.output + ".partials"
+        q = materialized_ms_vis(
+            stream, bins, part_dir, checkpoint, args.chan_bin_size
+        )
+        q.awaitTermination()
+
+        out_chans, out_meta = tc.average_spw(
+            tables["spw_chans"], tables["spw_meta"], args.chan_bin_size
+        )
+        out = {
+            "ms_vis": finalize_vis(spark, part_dir),
+            "spw_chans": out_chans,
+            "spw_meta": out_meta,
+            # S10 passthrough subtables
+            "ddid": tables["ddid"],
+            "pol": tables["pol"],
+            "field": tables["field"],
+            "antenna": tables["antenna"],
+        }
         write_ms(out, args.output, force=args.force)
         return args.output
 
