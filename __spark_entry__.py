@@ -34,6 +34,7 @@ def _registries() -> dict[str, tuple]:
         "benchdomain",
         "multimodalq",
         "relext",
+        "pipelineq",
     ):
         try:
             mod = __import__(f"xova_spark.queries.{modname}", fromlist=["REGISTRY"])

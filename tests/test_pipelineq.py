@@ -1,0 +1,64 @@
+"""Invariant tests for the training-pipeline composite operators
+(queries/pipelineq.py). The DuckDB hash gate lives in check_oracle /
+the driver; these pin semantic invariants the hash can't express."""
+
+from __future__ import annotations
+
+import pytest
+
+from xova_spark.queries.pipelineq import (
+    _K,
+    emb_kmeans_assign,
+    t_decontam_overlap,
+    t_domain_mix_sample,
+    t_repetition_signals,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_repetition_signals_bounds(spark):
+    rows = t_repetition_signals(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 < r["top_word_frac"] <= 1
+        assert 0 <= r["dup_word_frac"] < 1
+        assert 0 <= r["dup_2gram_frac"] <= 1
+        # keep flag consistent with its own thresholds (rounded cols)
+        if r["top_word_frac"] > 0.201 or r["dup_2gram_frac"] > 0.601:
+            assert r["repetition_keep"] == 0
+
+
+def test_decontam_excludes_eval_split(spark):
+    rows = t_decontam_overlap(spark, SF).collect()
+    assert rows, "synthetic corpus must have some n-gram overlap"
+    for r in rows:
+        assert r["doc_id"] % 20 != 0, "eval docs must never be flagged"
+        assert 0 < r["n_hits"] <= r["n_grams"]
+
+
+def test_domain_mix_deterministic_and_rate_keyed(spark):
+    a = {r["source"]: r for r in t_domain_mix_sample(spark, SF).collect()}
+    b = {r["source"]: r for r in t_domain_mix_sample(spark, SF).collect()}
+    assert a.keys() == b.keys() and len(a) == 20
+    for src, r in a.items():
+        # reruns bit-identical (hash sampling, not sample())
+        assert r["n_kept"] == b[src]["n_kept"]
+        assert r["target_rate"] == pytest.approx(
+            0.25 + 0.05 * (int(src[3:]) % 10)
+        )
+        assert 0 <= r["n_kept"] <= r["n_total"]
+
+
+def test_kmeans_assignment_is_nearest_seeded_centroid(spark):
+    out = emb_kmeans_assign(spark, SF)
+    rows = out.collect()
+    assert len(rows) == 500
+    clusters = {r["cluster"] for r in rows}
+    assert clusters <= set(range(_K)) and len(clusters) > 1
+    # deterministic across reruns (fixed seeds + dyadic-exact arithmetic)
+    again = {r["vec_id"]: r["cluster"] for r in emb_kmeans_assign(spark, SF).collect()}
+    assert {r["vec_id"]: r["cluster"] for r in rows} == again
+    # seeds end up in the cluster they named while centroids stay near them
+    for r in rows:
+        assert r["dist_sq"] >= 0

@@ -1,0 +1,395 @@
+"""Training-data pipeline composites: corpus hygiene + iterative ML.
+
+Four first-class operators a 100 TB pretraining pipeline runs between
+raw crawl and tokenizer:
+
+- ``t_repetition_signals`` — Gopher-style repetition quality signals
+  (top-word fraction, duplicate-word fraction, duplicate-2-gram
+  fraction) with a keep/drop flag.
+- ``t_decontam_overlap`` — benchmark decontamination: n-gram overlap of
+  training docs against a held-out eval split, broadcast-joined.
+- ``t_domain_mix_sample`` — deterministic per-source mixture sampling
+  by content-independent hash threshold (reproducible, engine-agnostic,
+  unlike ``sample()``).
+- ``emb_kmeans_assign`` — Lloyd's k-means over the embedding column
+  (the semantic-dedup / data-curation clustering primitive), fixed
+  iteration count, oracle-EXACT against a programmatically generated
+  nested-CTE DuckDB formulation.
+
+Numeric discipline for the iterative op: embeddings are quantized to a
+dyadic grid (floor(x·1024)/1024 — exactly representable doubles), so
+every centroid sum is EXACT in IEEE double regardless of accumulation
+order (Spark partial aggregation vs DuckDB sequential), and the single
+rounding site per mean (sum/count) is bit-identical in both engines.
+Distances are sequential left-to-right double accumulation on both
+sides (same contract as queries/similarity.py), so assignments cannot
+diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from xova_spark.queries.dedup import DUCK_SHINGLES, SPARK_SHINGLES
+from xova_spark.session import load_tables
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _emb(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+@q(
+    "t_repetition_signals",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), wc AS (
+      SELECT doc_id, word, count(*) AS c
+      FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+      GROUP BY doc_id, word
+    ), pd AS (
+      SELECT doc_id, sum(c) AS n_words, max(c) AS topc, count(*) AS nd
+      FROM wc GROUP BY doc_id
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 2
+                  THEN 1 - len(list_distinct(list_transform(
+                         generate_series(1, len(ws) - 1),
+                         i -> ws[i] || '_' || ws[i + 1]))) * 1.0 / (len(ws) - 1)
+                  ELSE 0.0 END AS dup2
+      FROM w
+    )
+    SELECT pd.doc_id,
+           n_words,
+           round(topc * 1.0 / n_words, 6) AS top_word_frac,
+           round(1 - nd * 1.0 / n_words, 6) AS dup_word_frac,
+           round(dup2, 6) AS dup_2gram_frac,
+           CASE WHEN topc * 1.0 / n_words > 0.2 OR dup2 > 0.6
+                THEN 0 ELSE 1 END AS repetition_keep
+    FROM pd JOIN g ON g.doc_id = pd.doc_id
+    """,
+)
+def t_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition signals per document: most-frequent-word
+    fraction, duplicate-word fraction, duplicate-2-gram fraction, and the
+    resulting keep/drop flag.
+
+    Scale shape: the word-frequency path is explode → two-level groupBy
+    keyed on (doc_id, word) then doc_id — skew-free keys with map-side
+    partial aggregation; the 2-gram path is a pure per-row array
+    projection (zero shuffle). The final equi-join on doc_id co-partitions
+    with the aggregation output. No UDFs anywhere.
+    """
+    docs = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    base = docs.select("doc_id", ws.alias("ws"))
+
+    wc = (
+        base.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    pd_ = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("topc"),
+        F.count("*").alias("nd"),
+    )
+
+    n = F.size("ws")
+    grams = F.zip_with(
+        F.slice("ws", 1, n - 1),
+        F.slice("ws", 2, n - 1),
+        lambda x, y: F.concat(x, F.lit("_"), y),
+    )
+    dup2 = F.when(
+        n >= 2,
+        F.lit(1) - F.size(F.array_distinct(grams)) * F.lit(1.0) / (n - 1),
+    ).otherwise(F.lit(0.0))
+    g = base.select("doc_id", dup2.alias("dup2"))
+
+    top_frac = F.col("topc") * F.lit(1.0) / F.col("n_words")
+    return (
+        pd_.join(g, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(top_frac, 6).alias("top_word_frac"),
+            F.round(
+                F.lit(1) - F.col("nd") * F.lit(1.0) / F.col("n_words"), 6
+            ).alias("dup_word_frac"),
+            F.round("dup2", 6).alias("dup_2gram_frac"),
+            F.when((top_frac > 0.2) | (F.col("dup2") > 0.6), 0)
+            .otherwise(1)
+            .alias("repetition_keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+@q(
+    "t_decontam_overlap",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), eval_g AS (
+      SELECT DISTINCT s FROM ex WHERE doc_id % 20 = 0
+    ), hits AS (
+      SELECT t.doc_id, count(*) AS n_hits
+      FROM ex t JOIN eval_g e ON t.s = e.s
+      WHERE t.doc_id % 20 != 0
+      GROUP BY t.doc_id
+    )
+    SELECT h.doc_id, n_hits,
+           len(sh.shingles) AS n_grams,
+           round(n_hits * 1.0 / len(sh.shingles), 6) AS hit_frac,
+           CASE WHEN n_hits * 1.0 / len(sh.shingles) >= 0.2
+                THEN 1 ELSE 0 END AS contaminated
+    FROM hits h JOIN sh ON sh.doc_id = h.doc_id
+    """,
+)
+def t_decontam_overlap(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing word
+    n-grams with a held-out eval split (doc_id % 20 == 0 stands in for the
+    benchmark set; real pipelines use 8-13-grams — the 3-gram shingles are
+    shared with the dedup pack so the synthetic corpus has overlap).
+
+    Scale shape: the eval n-gram set is tiny relative to the corpus and is
+    broadcast — the only big-data operation is one broadcast-hash semi-join
+    over exploded training n-grams followed by a per-doc count. At larger
+    eval sets the broadcast becomes a bloom-filter pre-pass with the same
+    plan skeleton.
+    """
+    docs = _docs(spark, sf_dir)
+    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    eval_g = ex.filter(F.col("doc_id") % 20 == 0).select("s").distinct()
+    hits = (
+        ex.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(eval_g), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    frac = F.col("n_hits") * F.lit(1.0) / F.size("shingles")
+    return (
+        hits.join(sh, "doc_id")
+        .select(
+            "doc_id",
+            "n_hits",
+            F.size("shingles").alias("n_grams"),
+            F.round(frac, 6).alias("hit_frac"),
+            F.when(frac >= 0.2, 1).otherwise(0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic domain-mixture sampling
+# ---------------------------------------------------------------------------
+
+_SPARK_MIX_H = (
+    "cast(conv(substring(md5(concat('mix:', cast(doc_id as string))), 1, 15),"
+    " 16, 10) as bigint) % 10000"
+)
+_DUCK_MIX_H = "(('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT) % 10000"
+
+
+@q(
+    "t_domain_mix_sample",
+    f"""
+    WITH r AS (
+      SELECT source,
+             2500 + 500 * (substr(source, 4)::INT % 10) AS rate_bp,
+             {_DUCK_MIX_H} AS h
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           sum(CASE WHEN h < rate_bp THEN 1 ELSE 0 END) AS n_kept,
+           round(sum(CASE WHEN h < rate_bp THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS kept_frac,
+           round(max(rate_bp) / 10000.0, 4) AS target_rate
+    FROM r GROUP BY source
+    """,
+)
+def t_domain_mix_sample(spark, sf_dir):
+    """Domain-mixture sampling: each source gets a target keep-rate
+    (25-70%, derived here from the source id; in production a config
+    table), and rows are kept by comparing a salted content-independent
+    hash against the rate — deterministic and reproducible across engines
+    and reruns, unlike ``sample()``/TABLESAMPLE.
+
+    Scale shape: the keep decision is a per-row projection (no shuffle);
+    the audit aggregate groups on the low-cardinality source key with
+    map-side combine. Writing the keep flag as a partition column lets
+    downstream epochs prune dropped rows for free.
+    """
+    docs = _docs(spark, sf_dir)
+    rate_bp = F.lit(2500) + F.lit(500) * (
+        F.substring("source", 4, 10).cast("int") % 10
+    )
+    h = F.expr(_SPARK_MIX_H)
+    r = docs.select("source", rate_bp.alias("rate_bp"), h.alias("h"))
+    kept = F.sum(F.when(F.col("h") < F.col("rate_bp"), 1).otherwise(0))
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        kept.alias("n_kept"),
+        F.round(kept * F.lit(1.0) / F.count("*"), 6).alias("kept_frac"),
+        F.round(F.max("rate_bp") / F.lit(10000.0), 4).alias("target_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd's k-means over the embedding column
+# ---------------------------------------------------------------------------
+
+_K = 4
+_DIM = 64
+_ITERS = 2  # centroid updates; final assignment afterwards
+
+# Dyadic quantization: floor(x*1024)/1024 is exactly representable, so
+# sums are exact in any order (see module docstring).
+_DUCK_Q = (
+    "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"
+)
+
+
+def _duck_dist(evec: str, cvec: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {_DIM}),"
+        f" i -> ({evec}[i] - {cvec}[i]) * ({evec}[i] - {cvec}[i])))"
+    )
+
+
+def _kmeans_sql() -> str:
+    ctes = [
+        f"e AS (SELECT vec_id, {_DUCK_Q} AS emb FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id < {_K})",
+    ]
+    for it in range(_ITERS + 1):
+        d = _duck_dist("e.emb", "c.cv")
+        ctes.append(
+            f"s{it} AS (SELECT e.vec_id, c.cid, {d} AS d "
+            f"FROM e CROSS JOIN c{it} c)"
+        )
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, cid, d FROM ("
+            f"SELECT vec_id, cid, d, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY d, cid) AS rn FROM s{it}"
+            f") WHERE rn = 1)"
+        )
+        if it < _ITERS:
+            ctes.append(
+                f"m{it} AS (SELECT a.cid, g.i AS dim, "
+                f"sum(e.emb[g.i]) / count(*) AS v "
+                f"FROM a{it} a JOIN e USING (vec_id), "
+                f"generate_series(1, {_DIM}) g(i) GROUP BY a.cid, g.i)"
+            )
+            ctes.append(
+                f"c{it + 1} AS (SELECT cid, list(v ORDER BY dim) AS cv "
+                f"FROM m{it} GROUP BY cid)"
+            )
+    return (
+        "WITH " + ", ".join(ctes) +
+        f" SELECT vec_id, cid AS cluster, round(d, 6) AS dist_sq FROM a{_ITERS}"
+    )
+
+
+@q("emb_kmeans_assign", _kmeans_sql())
+def emb_kmeans_assign(spark, sf_dir):
+    """Lloyd's k-means (k=4, 2 update iterations + final assignment) over
+    the embedding column — the clustering primitive behind semantic dedup
+    and data-curation domain discovery.
+
+    Plan shape per iteration (the MLlib KMeans shape): centroids live on
+    the driver (k x dim doubles — tiny) and enter the plan as a broadcast
+    literal table; assignment is a broadcast cross join + per-vector
+    argmin (window top-1 with cid tie-break); the update is
+    posexplode(dim) → groupBy(cluster, dim) sum/count — one shuffle of
+    k·dim partial sums per iteration. Embeddings are cached across
+    iterations. At 100 TB nothing changes: the only all-data operations
+    are the per-row argmin and the partial-aggregated update.
+
+    Oracle-EXACT by construction: dyadic-quantized inputs make centroid
+    sums order-independent-exact; distances are sequential same-order
+    accumulation in both engines (see module docstring).
+    """
+    spark_ = spark
+    emb = _emb(spark_, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1024) / 1024,
+        ).alias("emb"),
+    ).cache()
+
+    cents = {
+        r["vec_id"]: list(r["emb"])
+        for r in emb.filter(F.col("vec_id") < _K).collect()
+    }
+
+    def assign(cent_map):
+        cent_rows = [(int(cid), [float(v) for v in cv]) for cid, cv in
+                     sorted(cent_map.items())]
+        cdf = spark_.createDataFrame(cent_rows, "cid int, cv array<double>")
+        d = F.aggregate(
+            F.zip_with("emb", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        return (
+            emb.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "cid", d.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "d")
+        )
+
+    for _ in range(_ITERS):
+        a = assign(cents)
+        upd = (
+            a.join(emb, "vec_id")
+            .select("cid", F.posexplode("emb").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg((F.sum("x") / F.count("*")).alias("v"))
+            .collect()
+        )
+        new_cents: dict[int, list[float]] = {}
+        for row in upd:
+            new_cents.setdefault(row["cid"], [0.0] * _DIM)[row["dim"]] = row["v"]
+        cents = new_cents
+
+    final = assign(cents)
+    emb.unpersist()
+    return final.select(
+        "vec_id",
+        F.col("cid").alias("cluster"),
+        F.round("d", 6).alias("dist_sq"),
+    )
