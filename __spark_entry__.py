@@ -35,6 +35,7 @@ def _registries() -> dict[str, tuple]:
         "multimodalq",
         "relext",
         "pipelineq",
+        "tpchx",
     ):
         try:
             mod = __import__(f"xova_spark.queries.{modname}", fromlist=["REGISTRY"])

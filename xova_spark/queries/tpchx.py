@@ -1,0 +1,327 @@
+"""TPC-H remainder pack — the query SHAPES the harness schema supports
+that weren't yet covered: left-join distribution (q13), scalar-max
+join-back (q15), multi-dim star profit (q9), conditional counts (q12),
+double-correlated EXISTS / NOT EXISTS (q21), correlated per-group min
+(q2), and global-fraction HAVING (q11).
+
+The harness schema has no partsupp table and no
+l_shipmode/l_commitdate/l_receiptdate columns, so q2/q9/q11/q12/q21 are
+*adapted*: same relational shape (the thing Catalyst plans), predicates
+re-keyed to existing columns. Every entry is DuckDB-oracle-gated.
+
+Scale notes: all dimension sides (part, supplier, nation, customer,
+1-row scalars) are explicit ``broadcast()``; the only shuffles key on
+l_orderkey / l_partkey / c_custkey — high-cardinality, skew-free. The
+correlated shapes (q2, q15) use window-min / broadcast-scalar instead
+of per-row subqueries, so they stay single-pass over the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from xova_spark.session import load_tables
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+@q(
+    "tpch_q13_custdist",
+    """
+    WITH o AS (
+      SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'
+    ), c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN o ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def tpch_q13_custdist(spark, sf_dir):
+    """Q13 customer-order distribution: left join preserving zero-order
+    customers (count(col) skips the nulls the outer join introduces),
+    then a second aggregation over the first's output — the classic
+    histogram-of-group-sizes shape."""
+    cu, o = _t(spark, sf_dir, "customer", "orders")
+    c_orders = (
+        cu.join(
+            o.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@q(
+    "tpch_q15_topsupplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_topsupplier(spark, sf_dir):
+    """Q15 top supplier: revenue CTE reused twice — once as the join
+    input, once reduced to a 1-row scalar max that gates the filter.
+    Spark materializes the scalar as a broadcast 1-row join (no
+    collect in the plan; the reuse is explicit, not a correlated
+    subquery per row)."""
+    s, li = _t(spark, sf_dir, "supplier", "lineitem")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
+    "tpch_q9_profit",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS profit
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN part     ON p_partkey = l_partkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def tpch_q9_profit(spark, sf_dir):
+    """Q9 product-line profit (adapted: no partsupp/supplycost in the
+    harness schema — revenue stands in for profit): 5-table star join
+    grouped by (nation, order year). The selective part filter is
+    broadcast so it prunes the fact scan's join early; orders is the
+    only non-broadcast join (orderkey vs orderkey, co-shuffled)."""
+    li, o, s, na, p = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation", "part"
+    )
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_name").like("%red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("profit")
+        )
+    )
+
+
+@q(
+    "tpch_q12_priority",
+    """
+    SELECT l_returnflag,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_priority(spark, sf_dir):
+    """Q12 shipping-priority counts (adapted: returnflag stands in for
+    the missing shipmode): one fact-fact join + conditional counts —
+    the pivot-without-pivot shape every ETL report uses."""
+    o, li = _t(spark, sf_dir, "orders", "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "tpch_q21_waiting",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_waiting(spark, sf_dir):
+    """Q21 sole-blamed-supplier (adapted: returnflag 'R' stands in for
+    the receipt-after-commit lateness predicate): the double-correlated
+    shape — EXISTS another supplier on the order, NOT EXISTS another
+    supplier who also returned. In Spark: left-semi then left-anti
+    self-joins on (orderkey, suppkey-inequality), both shuffling on the
+    same l_orderkey key so AQE can reuse the exchange."""
+    s, li, o = _t(spark, sf_dir, "supplier", "lineitem", "orders")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    blamed = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@q(
+    "tpch_q2_minsupply",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS minp
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, s_name, round(ps.minp, 4) AS supply_price
+    FROM part
+    JOIN ps ON p_partkey = ps.l_partkey
+    JOIN supplier ON s_suppkey = ps.l_suppkey
+    WHERE p_size <= 15
+      AND ps.minp = (SELECT min(x.minp) FROM ps x
+                     WHERE x.l_partkey = ps.l_partkey)
+    """,
+)
+def tpch_q2_minsupply(spark, sf_dir):
+    """Q2 minimum-cost supplier (adapted: observed lineitem price stands
+    in for the missing partsupp.supplycost): the correlated per-group
+    min-equality shape. Spark rewrites the correlated subquery as a
+    window min over l_partkey — one pass, no per-row subquery; min is
+    an exact selection (no float accumulation), so the equality join is
+    hash-safe."""
+    p, li, s = _t(spark, sf_dir, "part", "lineitem", "supplier")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("minp")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = ps.withColumn("pmin", F.min("minp").over(w)).filter(
+        F.col("minp") == F.col("pmin")
+    )
+    return (
+        best.join(
+            F.broadcast(p.filter(F.col("p_size") <= 15)),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("p_partkey", "s_name", F.round("minp", 4).alias("supply_price"))
+    )
+
+
+@q(
+    "tpch_q11_important",
+    """
+    WITH pv AS (
+      SELECT l_partkey, sum(l_extendedprice * l_quantity) AS val
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(val, 4) AS part_value
+    FROM pv
+    WHERE val > (SELECT avg(val) * 1.5 FROM pv)
+    """,
+)
+def tpch_q11_important(spark, sf_dir):
+    """Q11 important stock (adapted: lineitem value stands in for
+    partsupp stock value): per-part value vs a global scalar threshold
+    — aggregate reused at two granularities. TPC-H scales its fraction
+    by SF; the scale-invariant analogue is 1.5x the average part value,
+    which stays non-vacuous at every SF. The scalar side is a 1-row
+    broadcast join."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val")
+    )
+    total = pv.agg((F.avg("val") * 1.5).alias("threshold"))
+    return (
+        pv.join(F.broadcast(total), F.col("val") > F.col("threshold"))
+        .select("l_partkey", F.round("val", 4).alias("part_value"))
+    )
