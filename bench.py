@@ -38,6 +38,7 @@ HEADLINE = (
     "dedup_simhash",
     "ann_cosine_topk",
     "mm_feature_extract",
+    "pipeline_corpus_e2e",
     "timechannel_avg",
     "bda_avg",
 )

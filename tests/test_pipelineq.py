@@ -9,6 +9,7 @@ import pytest
 from xova_spark.queries.pipelineq import (
     _K,
     emb_kmeans_assign,
+    pipeline_corpus_e2e,
     t_decontam_overlap,
     t_domain_mix_sample,
     t_repetition_signals,
@@ -48,6 +49,20 @@ def test_domain_mix_deterministic_and_rate_keyed(spark):
             0.25 + 0.05 * (int(src[3:]) % 10)
         )
         assert 0 <= r["n_kept"] <= r["n_total"]
+
+
+def test_corpus_pipeline_funnel_is_realistic(spark):
+    """The composite must drop SOME docs at each class of filter but
+    never collapse the corpus (the 3-gram decontam over-flag bug)."""
+    rows = pipeline_corpus_e2e(spark, SF).collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert 0.3 * 500 < total < 500, total
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "val", "test"}
+    langs = {r["lang"] for r in rows}
+    assert langs == {"de", "en", "es", "fr", "zh"}
+    for r in rows:
+        assert r["sum_tokens"] >= 20 * r["n_docs"]  # quality floor held
 
 
 def test_kmeans_assignment_is_nearest_seeded_centroid(spark):

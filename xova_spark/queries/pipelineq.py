@@ -266,6 +266,168 @@ def t_domain_mix_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# End-to-end corpus pipeline (the flagship composite)
+# ---------------------------------------------------------------------------
+
+@q(
+    "pipeline_corpus_e2e",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, lang, source, string_split(text, ' ') AS ws
+      FROM documents
+    ), qual AS (
+      SELECT * FROM base
+      WHERE len(ws) BETWEEN 20 AND 1000
+        AND len(list_distinct(ws)) * 1.0 / len(ws) > 0.2
+    ), wc AS (
+      SELECT doc_id, word, count(*) AS c
+      FROM (SELECT doc_id, unnest(ws) AS word FROM qual)
+      GROUP BY doc_id, word
+    ), rep_ok AS (
+      SELECT doc_id FROM wc GROUP BY doc_id
+      HAVING max(c) * 1.0 / sum(c) <= 0.2
+    ), rep2 AS (
+      SELECT q.* FROM qual q JOIN rep_ok USING (doc_id)
+      WHERE 1 - len(list_distinct(list_transform(
+              generate_series(1, len(ws) - 1),
+              i -> ws[i] || '_' || ws[i + 1]))) * 1.0 / (len(ws) - 1) <= 0.6
+    ), dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM rep2
+      ) WHERE rn = 1
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, len(ws) - 7),
+               i -> array_to_string(ws[i:i+7], '_'))) AS shingles
+      FROM base WHERE len(ws) >= 8
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), eval_g AS (
+      SELECT DISTINCT s FROM ex WHERE doc_id % 20 = 0
+    ), hits AS (
+      SELECT t.doc_id, count(*) AS nh
+      FROM ex t JOIN eval_g e ON t.s = e.s GROUP BY t.doc_id
+    ), contaminated AS (
+      SELECT h.doc_id
+      FROM hits h JOIN (SELECT doc_id, len(shingles) AS n FROM sh) z
+        ON z.doc_id = h.doc_id
+      WHERE nh * 1.0 / n >= 0.2
+    ), clean AS (
+      SELECT * FROM dedup
+      WHERE doc_id % 20 != 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), kept AS (
+      SELECT * FROM clean
+      WHERE {_DUCK_MIX_H} < 2500 + 500 * (substr(source, 4)::INT % 10)
+    ), final AS (
+      SELECT lang, len(ws) AS n_tokens,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) % 100 AS hs
+      FROM kept
+    )
+    SELECT CASE WHEN hs < 80 THEN 'train'
+                WHEN hs < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+    FROM final GROUP BY 1, 2
+    """,
+)
+def pipeline_corpus_e2e(spark, sf_dir):
+    """The flagship training-data composite: quality filter → repetition
+    filter → exact dedup → benchmark decontamination → domain-mixture
+    sampling → deterministic split, ending in a per-(split, lang) token
+    audit. One DataFrame chain — Catalyst sees the whole pipeline and
+    prunes/pushes across stage boundaries that a multi-job pipeline
+    would materialize.
+
+    Scale shape: the chain is per-row projections + three keyed shuffles
+    (word-frequency agg, content-hash dedup window, decontam hit count)
+    + one broadcast (eval n-gram set) + one left-anti (contaminated ids,
+    tiny). Every filter is decided from per-row or per-doc-key state —
+    no global barrier until the final audit aggregate. Decontamination
+    here uses 8-word shingles (the realistic long-n-gram setting — short
+    n-grams over-flag; the 3-gram variant in t_decontam_overlap is the
+    aggressive-overlap demonstrator).
+    """
+    docs = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    n = F.size("ws")
+    base = docs.select("doc_id", "text", "lang", "source", ws.alias("ws"))
+    qual = base.filter(
+        n.between(20, 1000)
+        & (F.size(F.array_distinct("ws")) * F.lit(1.0) / n > 0.2)
+    )
+    wc = (
+        qual.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    rep_ok = (
+        wc.groupBy("doc_id")
+        .agg((F.max("c") * F.lit(1.0) / F.sum("c")).alias("topfrac"))
+        .filter(F.col("topfrac") <= 0.2)
+        .select("doc_id")
+    )
+    grams = F.zip_with(
+        F.slice("ws", 1, n - 1),
+        F.slice("ws", 2, n - 1),
+        lambda x, y: F.concat(x, F.lit("_"), y),
+    )
+    dup2 = F.lit(1) - F.size(F.array_distinct(grams)) * F.lit(1.0) / (n - 1)
+    rep2 = qual.join(rep_ok, "doc_id").filter(dup2 <= 0.6)
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        rep2.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # Spark-side shingles are xxhash64 of the 8-word slice (8-byte longs,
+    # no string construction; the oracle joins the equivalent strings —
+    # equal results modulo 64-bit collisions, i.e. never at these scales).
+    # The per-doc gram count rides through the explode so the shingle
+    # array is computed exactly once.
+    sh = base.filter(n >= 8).select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(1, size(ws) - 7),"
+            " i -> xxhash64(slice(ws, i, 8))))"
+        ).alias("shingles"),
+    )
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("ng"), F.explode("shingles").alias("s")
+    )
+    eval_g = ex.filter(F.col("doc_id") % 20 == 0).select("s").distinct()
+    contaminated = (
+        ex.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(eval_g), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nh"), F.max("ng").alias("ng"))
+        .filter(F.col("nh") * F.lit(1.0) / F.col("ng") >= 0.2)
+        .select("doc_id")
+    )
+    clean = dedup.filter(F.col("doc_id") % 20 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    rate_bp = F.lit(2500) + F.lit(500) * (
+        F.substring("source", 4, 10).cast("int") % 10
+    )
+    kept = clean.filter(F.expr(_SPARK_MIX_H) < rate_bp)
+    hs = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+        " as bigint) % 100"
+    )
+    split = (
+        F.when(hs < 80, "train").when(hs < 90, "val").otherwise("test")
+    )
+    return (
+        kept.select(split.alias("split"), "lang", F.size("ws").alias("n_tokens"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Lloyd's k-means over the embedding column
 # ---------------------------------------------------------------------------
 
