@@ -108,3 +108,35 @@ def test_range_join_bucket_rewrite_avoids_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_tpch_q9_star_broadcasts_dims(spark):
+    """tpchx q9: part/supplier/nation broadcast; the part name filter
+    is pushed to its scan so the star prunes before the fact join."""
+    from xova_spark.queries.tpchx import REGISTRY as RX
+
+    q = RX["tpch_q9_profit"][0](spark, SF_DIR)
+    assert P.broadcast_join_count(q) >= 3, P.plan_stats(q)
+    assert P.sortmerge_join_count(q) == 0, P.plan_stats(q)
+    assert any("p_name" in f for f in P.pushed_filters(q)), P.pushed_filters(q)
+
+
+def test_tpch_q21_semi_anti_share_orderkey(spark):
+    """tpchx q21: EXISTS/NOT EXISTS become semi+anti joins; the
+    returnflag filters reach the lineitem scans."""
+    from xova_spark.queries.tpchx import REGISTRY as RX
+
+    q = RX["tpch_q21_waiting"][0](spark, SF_DIR)
+    plan = P.executed_plan(q)
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert any("l_returnflag" in f for f in P.pushed_filters(q))
+
+
+def test_corpus_pipeline_broadcasts_eval_grams(spark):
+    """pipeline_corpus_e2e: the eval n-gram set and the contaminated-id
+    anti-join must both be broadcast — the only all-data shuffles key on
+    (doc_id, word), md5(text), and the gram hash."""
+    from xova_spark.queries.pipelineq import REGISTRY as RP
+
+    q = RP["pipeline_corpus_e2e"][0](spark, SF_DIR)
+    assert P.broadcast_join_count(q) >= 2, P.plan_stats(q)
