@@ -77,3 +77,44 @@ def test_kmeans_assignment_is_nearest_seeded_centroid(spark):
     # seeds end up in the cluster they named while centroids stay near them
     for r in rows:
         assert r["dist_sq"] >= 0
+
+
+def test_countmin_estimates_dominate_exact(spark):
+    """CMS guarantee: est >= exact for every queried word; with w=64
+    and this vocabulary, the heavy hitters should rarely be inflated
+    by more than the corpus/w bound."""
+    from xova_spark.queries.pipelineq import t_countmin_heavy_hitters
+
+    rows = t_countmin_heavy_hitters(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["est_n"] >= r["exact_n"], r
+
+
+def test_stream_corpus_audit_matches_batch(spark):
+    """The streaming ingest audit must converge to the batch
+    quality+dedup aggregation."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.queries.streamingq import stream_corpus_audit
+    from xova_spark.session import load_tables
+
+    got = {
+        r["lang"]: (r["n_docs"], r["sum_tokens"])
+        for r in stream_corpus_audit(spark, SF).collect()
+    }
+    docs = load_tables(spark, SF, ("documents",))["documents"]
+    toks = F.size(F.split("text", " "))
+    want = {
+        r["lang"]: (r["n_docs"], r["sum_tokens"])
+        for r in (
+            docs.filter(toks >= 20)
+            .select("lang", F.md5("text").alias("h"), toks.alias("n"))
+            .groupBy("lang", "h")
+            .agg(F.min("n").alias("n"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"), F.sum("n").alias("sum_tokens"))
+            .collect()
+        )
+    }
+    assert got == want

@@ -555,3 +555,108 @@ def emb_kmeans_assign(spark, sf_dir):
         F.col("cid").alias("cluster"),
         F.round("d", 6).alias("dist_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+from xova_spark.queries.dedup import MINHASH_A, MINHASH_B, P31  # noqa: E402
+
+_CMS_W, _CMS_D, _CMS_TOPK = 64, 4, 10
+_CMS_PAIRS = list(zip(MINHASH_A[:_CMS_D], MINHASH_B[:_CMS_D]))
+
+_DUCK_WORD_H = f"(('0x' || substr(md5(word), 1, 15))::BIGINT) % {P31}"
+_SPARK_WORD_H = (
+    f"cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint) % {P31}"
+)
+
+
+def _cms_bucket_sql(r: int) -> str:
+    a, b = _CMS_PAIRS[r]
+    return f"(({a} * hv + {b}) % {P31}) % {_CMS_W}"
+
+
+@q(
+    "t_countmin_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), h AS (
+      SELECT word, {_DUCK_WORD_H} AS hv FROM tok
+    ), cells AS (
+      {' UNION ALL '.join(f"SELECT {r} AS r, {_cms_bucket_sql(r)} AS bucket FROM h" for r in range(_CMS_D))}
+    ), sketch AS (
+      SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY r, bucket
+    ), exact AS (
+      SELECT word, count(*) AS exact_n,
+             row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+      FROM tok GROUP BY word
+    ), top AS (
+      SELECT word, exact_n, {_DUCK_WORD_H} AS hv
+      FROM exact WHERE rn <= {_CMS_TOPK}
+    ), probes AS (
+      {' UNION ALL '.join(f"SELECT word, exact_n, {r} AS r, {_cms_bucket_sql(r)} AS bucket FROM top" for r in range(_CMS_D))}
+    )
+    SELECT p.word, min(p.exact_n) AS exact_n, min(s.cnt) AS est_n
+    FROM probes p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+    GROUP BY p.word
+    """,
+)
+def t_countmin_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (w=64, d=4) heavy-hitter estimation: build the
+    sketch in one pass over the token stream, then point-query the
+    top-10 exact words — est_n >= exact_n always, equal when no bucket
+    collisions. The sketch construction is md5-derived integer
+    arithmetic shared verbatim with the DuckDB twin, so the ESTIMATES
+    (not just the exact counts) are under the hash gate.
+
+    Scale shape: the sketch is d shuffles' worth of (r, bucket) partial
+    counts — d·w cells total regardless of corpus size (the point of a
+    sketch); construction is map-side-combined. In production the cells
+    land in one driver array per executor via treeAggregate; here they
+    stay a DataFrame to keep the whole path declarative."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    h = tok.select("word", F.expr(_SPARK_WORD_H).alias("hv"))
+
+    def bucket(r):
+        a, b = _CMS_PAIRS[r]
+        return ((F.lit(a) * F.col("hv") + F.lit(b)) % P31) % _CMS_W
+
+    cells = h.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("r"), bucket(r).alias("bucket"))
+                for r in range(_CMS_D)
+            ])
+        ).alias("c")
+    ).select("c.r", "c.bucket")
+    sketch = cells.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
+
+    from pyspark.sql import Window as W
+
+    exact = (
+        tok.groupBy("word")
+        .agg(F.count("*").alias("exact_n"))
+        .withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("exact_n"), "word"))
+        )
+        .filter(F.col("rn") <= _CMS_TOPK)
+        .select("word", "exact_n", F.expr(_SPARK_WORD_H).alias("hv"))
+    )
+    probes = exact.select(
+        "word",
+        "exact_n",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("r"), bucket(r).alias("bucket"))
+                for r in range(_CMS_D)
+            ])
+        ).alias("c"),
+    ).select("word", "exact_n", "c.r", "c.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("word")
+        .agg(F.min("exact_n").alias("exact_n"), F.min("cnt").alias("est_n"))
+    )

@@ -275,3 +275,70 @@ GROUP BY b.FIELD_ID, b.DATA_DESC_ID, b.SCAN_NUMBER, b.ANTENNA1, b.ANTENNA2,
 
 
 _patch_stream_bda_oracle()
+
+
+def _documents_stream(spark, sf_dir: str):
+    """File-source stream over the documents table (same symlink-dir
+    staging as _events_stream — the file source needs a directory)."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stream_dir = os.path.join("/root/repo/.cache/stream_documents", tag)
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "part-0.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    static = spark.read.parquet(src)
+    return (
+        spark.readStream.schema(static.schema).format("parquet").load(stream_dir)
+    )
+
+
+@q(
+    "stream_corpus_audit",
+    """
+    WITH u AS (
+      SELECT lang, md5(text) AS h,
+             min(len(string_split(text, ' '))) AS n_tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 20
+      GROUP BY lang, md5(text)
+    )
+    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+    FROM u GROUP BY lang
+    """,
+)
+def stream_corpus_audit(spark, sf_dir):
+    """Streaming corpus ingest: quality-filter arriving documents,
+    stateful exact-dedup (dropDuplicates keyed on (lang, content-hash) —
+    unbounded dedup state, the streaming twin of dedup_exact), and a
+    running per-language doc/token audit in complete mode. The
+    availableNow-converged result equals the batch formulation —
+    duplicates have identical text, so the audit is invariant to WHICH
+    copy the streaming dedup keeps. At 100 TB the dedup state is the
+    thing to bound: dropDuplicatesWithinWatermark bounds it by arrival
+    time (contract pinned in test_streaming_dedup_watermark.py)."""
+    from xova_spark.queries.relational import load_tables
+
+    load_tables(spark, sf_dir, ("documents",))
+    toks = F.size(F.split("text", " "))
+    dedup = (
+        _documents_stream(spark, sf_dir)
+        .filter(toks >= 20)
+        .select("lang", F.md5("text").alias("h"), toks.alias("n_tokens"))
+        .dropDuplicates(["lang", "h"])
+    )
+    out = dedup.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens")
+    )
+    name = f"q_stream_corpus_{next(_uniq)}"
+    q_ = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return spark.table(name)
