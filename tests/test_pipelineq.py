@@ -118,3 +118,15 @@ def test_stream_corpus_audit_matches_batch(spark):
         )
     }
     assert got == want
+
+
+def test_quantize_int8_codes_bounded(spark):
+    """Absmax quantization: codes fit int8 (|q| <= 127 => q_l1 <= 127*64)
+    and reconstruction error is bounded by dims * scale/2."""
+    from xova_spark.queries.pipelineq import emb_quantize_int8
+
+    rows = emb_quantize_int8(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 < r["q_l1"] <= 127 * 64
+        assert 0 <= r["recon_err"] <= 64 * r["scale"] / 2 + 1e-6

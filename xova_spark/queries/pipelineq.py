@@ -660,3 +660,73 @@ def t_countmin_heavy_hitters(spark, sf_dir):
         .groupBy("word")
         .agg(F.min("exact_n").alias("exact_n"), F.min("cnt").alias("est_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (vector compression for the ANN store)
+# ---------------------------------------------------------------------------
+
+@q(
+    "emb_quantize_int8",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) / 127 AS scale_raw
+      FROM e
+    )
+    SELECT vec_id,
+           round(scale_raw, 6) AS scale,
+           CAST(list_sum(list_transform(emb,
+                 x -> abs(floor(x / scale_raw + 0.5)))) AS BIGINT) AS q_l1,
+           round(list_sum(list_transform(emb,
+                 x -> abs(x - floor(x / scale_raw + 0.5) * scale_raw))), 6)
+             AS recon_err
+    FROM s
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column (per-vector
+    absmax scale, the standard ANN-store compression): emits the scale,
+    the L1 norm of the quantized codes (an exact-integer checksum of
+    the codes themselves), and the sequential-sum reconstruction error.
+    Pure per-row projection — zero shuffle; at 100 TB this is the 4x
+    memory cut that lets an IVF index hold 4x more vectors per
+    executor. abs-max is an exact selection and code sums are integer
+    math, so the oracle gate covers the actual quantized values, not a
+    rounded shadow of them."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    # the raw scale keeps a distinct name: an output alias "scale" in
+    # the same select would capture F.col references via Spark's lateral
+    # column alias resolution (DuckDB resolves to the source column —
+    # silent cross-engine divergence on the unrounded-vs-rounded value)
+    s = emb.select(
+        "vec_id",
+        "emb",
+        (F.array_max(F.transform("emb", F.abs)) / 127).alias("scale_raw"),
+    )
+    # floor(v + 0.5): identical half-up quantizer in BOTH engines
+    # (native round() tie/impl semantics differ between them)
+    qcode = lambda x: F.floor(x / F.col("scale_raw") + 0.5)  # noqa: E731
+    recon = F.aggregate(
+        F.transform("emb", lambda x: F.abs(x - qcode(x) * F.col("scale_raw"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q_l1 = F.aggregate(
+        F.transform("emb", lambda x: F.abs(qcode(x))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).cast("bigint")
+    return s.select(
+        "vec_id",
+        F.round("scale_raw", 6).alias("scale"),
+        q_l1.alias("q_l1"),
+        F.round(recon, 6).alias("recon_err"),
+    )

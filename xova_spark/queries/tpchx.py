@@ -325,3 +325,69 @@ def tpch_q11_important(spark, sf_dir):
         pv.join(F.broadcast(total), F.col("val") > F.col("threshold"))
         .select("l_partkey", F.round("val", 4).alias("part_value"))
     )
+
+
+@q(
+    "tpch_q16_suppcnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_size <= 20
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_suppcnt(spark, sf_dir):
+    """Q16 supplier-count-per-product (adapted: acctbal<0 replaces the
+    missing comment-based complaint filter): COUNT DISTINCT over a
+    broadcast-dim join with a NOT IN exclusion — lowered to a left-anti
+    join (never a per-row subquery). The distinct aggregation's partial
+    phase dedups (key, suppkey) map-side before the shuffle."""
+    p, li, s = _t(spark, sf_dir, "part", "lineitem", "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(
+            F.broadcast(p.filter(F.col("p_size") <= 20)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "tpch_q20_qtysupp",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 100
+    )
+    """,
+)
+def tpch_q20_qtysupp(spark, sf_dir):
+    """Q20 surplus-stock suppliers (adapted: aggregate-HAVING replaces
+    the partsupp availqty correlation): IN over an AGGREGATED subquery —
+    the inner groupBy must complete before the semi-join, but the
+    aggregate's output is tiny so the semi side broadcasts."""
+    s, li, p = _t(spark, sf_dir, "supplier", "lineitem", "part")
+    qty = (
+        li.join(
+            F.broadcast(p.filter(F.col("p_name").like("%red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 100)
+        .select("l_suppkey")
+    )
+    return s.join(
+        F.broadcast(qty), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
