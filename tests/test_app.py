@@ -157,3 +157,31 @@ def test_app_stream_matches_batch_average(spark, ms_dir, ms, tmp_path):
     assert len(got) == len(want)
     for c in ("vis_re", "vis_im", "weight_sp", "sigma_sp"):
         assert (abs(got[c] - want[c]) < 1e-9).all(), c
+
+
+def test_app_stream_bda_matches_batch_average(spark, ms_dir, ms, tmp_path):
+    """``xova-spark stream --mode bda``: the ragged-binned maintenance
+    path must converge to the batch BDA visibility aggregation."""
+    from xova_spark.operators import bda as B
+
+    out = os.path.join(str(tmp_path), "streamed_bda.ms")
+    got_path = Application(
+        ["stream", ms_dir, "-o", out, "--mode", "bda", "-d", "0.95",
+         "-fov", "1.0"], spark=spark
+    ).execute()
+    back = read_ms(spark, got_path)
+    for name in ("ms_rows", "ms_vis", "spw", "ddid_map", "pol", "field",
+                 "antenna"):
+        assert name in back, name
+
+    params = B.bin_params(ms["ms_rows"], B.ddid_dims(ms), 0.95, 1.0, 1e9, 1)
+    bins = B.bin_map(B.assign_bins(ms["ms_rows"], params))
+    keys = ["FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER", "ANTENNA1", "ANTENNA2",
+            "time_bin", "chan_bin", "corr"]
+    want = (
+        B.average_vis(ms["ms_vis"], bins).toPandas().set_index(keys).sort_index()
+    )
+    got = back["ms_vis"].toPandas().set_index(keys).sort_index()
+    assert len(got) == len(want)
+    for c in ("vis_re", "vis_im", "weight_sp", "sigma_sp"):
+        assert (abs(got[c] - want[c]) < 1e-9).all(), c

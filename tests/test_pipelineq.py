@@ -130,3 +130,26 @@ def test_quantize_int8_codes_bounded(spark):
     for r in rows:
         assert 0 < r["q_l1"] <= 127 * 64
         assert 0 <= r["recon_err"] <= 64 * r["scale"] / 2 + 1e-6
+
+
+def test_composites_partition_count_invariant(spark):
+    """Shuffle-partition count must not change results (the engine-side
+    analogue of the reference's chunk-count invariance) — guards against
+    accidental order dependence in the funnel and the iterative k-means."""
+    from xova_spark.queries.pipelineq import pipeline_corpus_e2e
+
+    def snap(fn):
+        return sorted(tuple(r) for r in fn(spark, SF).collect())
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a_pipe = snap(pipeline_corpus_e2e)
+        a_km = snap(emb_kmeans_assign)
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b_pipe = snap(pipeline_corpus_e2e)
+        b_km = snap(emb_kmeans_assign)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a_pipe == b_pipe
+    assert a_km == b_km

@@ -156,8 +156,16 @@ def create_parser() -> argparse.ArgumentParser:
     st.add_argument("--checkpoint", default=None,
                     help="streaming checkpoint dir (default: <output>.ckpt)")
     st.add_argument("--force", action="store_true", default=False)
-    st.add_argument("-t", "--time-bin-secs", default=2.0, type=float)
+    st.add_argument("--mode", choices=["timechannel", "bda"],
+                    default="timechannel",
+                    help="which averaging pipeline the maintenance runs")
+    st.add_argument("-t", "--time-bin-secs", default=None, type=float,
+                    help="timechannel bin (default 2.0) / bda cap "
+                         "(default uncapped)")
     st.add_argument("-c", "--chan-bin-size", default=16, type=int)
+    st.add_argument("-d", "--decorrelation", default=0.99, type=float)
+    st.add_argument("-fov", "--max-fov", default=15.0, type=float)
+    st.add_argument("-mc", "--min-nchan", default=1, type=int)
     return parser
 
 
@@ -316,7 +324,6 @@ class Application:
         vis_dir = args.vis_dir or os.path.join(args.ms, "ms_vis.parquet")
         checkpoint = args.checkpoint or args.output + ".ckpt"
         schema = spark.read.parquet(vis_dir).schema
-        bins = tc.bin_map(tables["ms_rows"], args.time_bin_secs)
         # The file stream source requires a directory (it force-sets
         # basePath to the load path for non-glob paths); a single-file
         # vis source (the fixture layout) is staged behind a symlink dir.
@@ -339,24 +346,56 @@ class Application:
             .load(vis_dir)
         )
         part_dir = args.output + ".partials"
-        q = materialized_ms_vis(
-            stream, bins, part_dir, checkpoint, args.chan_bin_size
-        )
-        q.awaitTermination()
+        if args.mode == "bda":
+            from xova_spark.operators import bda as B
+            from xova_spark.streaming.materialize import (
+                finalize_bda_vis,
+                materialized_bda_vis,
+            )
 
-        out_chans, out_meta = tc.average_spw(
-            tables["spw_chans"], tables["spw_meta"], args.chan_bin_size
-        )
-        out = {
-            "ms_vis": finalize_vis(spark, part_dir),
-            "spw_chans": out_chans,
-            "spw_meta": out_meta,
-            # S10 passthrough subtables
-            "ddid": tables["ddid"],
-            "pol": tables["pol"],
-            "field": tables["field"],
-            "antenna": tables["antenna"],
-        }
+            params = B.bin_params(
+                tables["ms_rows"],
+                B.ddid_dims(tables),
+                args.decorrelation,
+                args.max_fov,
+                args.time_bin_secs or 1e9,
+                args.min_nchan,
+            )
+            binned = B.assign_bins(tables["ms_rows"], params)
+            bins = B.bin_map(binned)
+            q = materialized_bda_vis(stream, bins, part_dir, checkpoint)
+            q.awaitTermination()
+            dmap = B.ddid_map(params, tables)
+            out = {
+                "ms_rows": B._remap_rows(B.average_rows(binned), dmap),
+                "ms_vis": finalize_bda_vis(spark, part_dir, bins),
+                "spw": B.spw_grid(params, tables),
+                "ddid_map": dmap,
+                # S10 passthrough subtables
+                "pol": tables["pol"],
+                "field": tables["field"],
+                "antenna": tables["antenna"],
+            }
+        else:
+            bins = tc.bin_map(tables["ms_rows"], args.time_bin_secs or 2.0)
+            q = materialized_ms_vis(
+                stream, bins, part_dir, checkpoint, args.chan_bin_size
+            )
+            q.awaitTermination()
+
+            out_chans, out_meta = tc.average_spw(
+                tables["spw_chans"], tables["spw_meta"], args.chan_bin_size
+            )
+            out = {
+                "ms_vis": finalize_vis(spark, part_dir),
+                "spw_chans": out_chans,
+                "spw_meta": out_meta,
+                # S10 passthrough subtables
+                "ddid": tables["ddid"],
+                "pol": tables["pol"],
+                "field": tables["field"],
+                "antenna": tables["antenna"],
+            }
         write_ms(out, args.output, force=args.force)
         return args.output
 

@@ -176,3 +176,116 @@ def finalize_vis(spark, out_dir: str) -> DataFrame:
         (F.sqrt(pick("sw2s2_u", "sw2s2_a")) / sw).alias("sigma_sp"),
         F.col("n").alias("n_samples"),
     )
+
+
+# --- BDA maintenance: same partial-merge machinery, ragged bins ---------
+
+_BDA_KEYS = ["rep", "chan_bin", "corr"]
+
+
+def _bda_vis_partials(vis: DataFrame, bins: DataFrame) -> DataFrame:
+    """BDA twin of _vis_partials: the chan_bin width varies per baseline
+    (chan_fac from the bin map) and grouping keys on the compact
+    (rep, chan_bin, corr) surrogate (operators/bda.average_vis)."""
+    narrow = bins.select("row_id", "rep", "chan_fac")
+    j = vis.join(F.broadcast(narrow), "row_id").withColumn(
+        "chan_bin", F.floor(F.col("chan") / F.col("chan_fac")).cast("int")
+    )
+    fl, w, s = F.col("flag"), F.col("weight_sp"), F.col("sigma_sp")
+    unfl = ~fl
+    return j.groupBy(*_BDA_KEYS).agg(
+        F.count("*").alias("n"),
+        F.count(F.when(unfl, F.lit(1))).alias("n_unfl"),
+        F.sum(F.when(unfl, w)).alias("sw_u"),
+        F.sum(F.when(unfl, w * F.col("vis_re"))).alias("swre_u"),
+        F.sum(F.when(unfl, w * F.col("vis_im"))).alias("swim_u"),
+        F.sum(F.when(unfl, w * w * s * s)).alias("sw2s2_u"),
+        F.sum(w).alias("sw_a"),
+        F.sum(w * F.col("vis_re")).alias("swre_a"),
+        F.sum(w * F.col("vis_im")).alias("swim_a"),
+        F.sum(w * w * s * s).alias("sw2s2_a"),
+        F.bool_and(fl).alias("flag_all"),
+    )
+
+
+def _merge_bda_vis_into(batch_df: DataFrame, batch_id: int, out_dir: str,
+                        bins: DataFrame):
+    spark = batch_df.sparkSession
+    partial = _bda_vis_partials(batch_df, bins)
+    cur = os.path.join(out_dir, "current")
+    if os.path.exists(cur):
+        merged = (
+            spark.read.parquet(cur)
+            .unionByName(partial)
+            .groupBy(*_BDA_KEYS)
+            .agg(
+                *[F.sum(c).alias(c) for c in _PARTIAL_SUMS],
+                F.bool_and("flag_all").alias("flag_all"),
+            )
+        )
+    else:
+        merged = partial
+    tmp = os.path.join(out_dir, "_staged")
+    merged.write.mode("overwrite").parquet(tmp)
+    swap = os.path.join(out_dir, "_old")
+    if os.path.exists(cur):
+        os.rename(cur, swap)
+    os.rename(tmp, cur)
+    if os.path.exists(swap):
+        import shutil
+
+        shutil.rmtree(swap)
+
+
+def materialized_bda_vis(
+    vis_stream: DataFrame,
+    bins: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+):
+    """Start the BDA MS-maintenance query (availableNow): every arriving
+    visibility file merges into the ragged-binned partial store."""
+    return (
+        vis_stream.writeStream.foreachBatch(
+            lambda df, bid: _merge_bda_vis_into(df, bid, out_dir, bins)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def finalize_bda_vis(spark, out_dir: str, bins: DataFrame) -> DataFrame:
+    """Derive the A1a averaged columns from merged BDA partials and
+    re-attach the wide bin keys by broadcast dim join — the streamed
+    twin of operators/bda.average_vis (same output schema)."""
+    from xova_spark.operators.timechannel import BIN_KEYS
+
+    p = spark.read.parquet(os.path.join(out_dir, "current"))
+    has_u = F.col("n_unfl") > 0
+
+    def pick(u, a):
+        return F.when(has_u, F.col(u)).otherwise(F.col(a))
+
+    sw = pick("sw_u", "sw_a")
+    derived = p.select(
+        *_BDA_KEYS,
+        (pick("swre_u", "swre_a") / sw).alias("vis_re"),
+        (pick("swim_u", "swim_a") / sw).alias("vis_im"),
+        F.col("flag_all").alias("flag"),
+        sw.alias("weight_sp"),
+        (F.sqrt(pick("sw2s2_u", "sw2s2_a")) / sw).alias("sigma_sp"),
+        F.col("n").alias("n_samples"),
+    )
+    dim = bins.select("rep", *BIN_KEYS).distinct()
+    return derived.join(F.broadcast(dim), "rep").select(
+        *BIN_KEYS,
+        "chan_bin",
+        "corr",
+        "vis_re",
+        "vis_im",
+        "flag",
+        "weight_sp",
+        "sigma_sp",
+        "n_samples",
+    )
