@@ -346,6 +346,14 @@ class Application:
             .load(vis_dir)
         )
         part_dir = args.output + ".partials"
+        # Rerun safety: the checkpoint is what prevents re-consuming
+        # files already merged into the partials. Partials WITHOUT a
+        # checkpoint mean a torn state — a fresh run would double-merge
+        # them, so clear and rebuild from the stream.
+        if os.path.exists(part_dir) and not os.path.exists(checkpoint):
+            import shutil
+
+            shutil.rmtree(part_dir)
         if args.mode == "bda":
             from xova_spark.operators import bda as B
             from xova_spark.streaming.materialize import (

@@ -730,3 +730,62 @@ def emb_quantize_int8(spark, sf_dir):
         q_l1.alias("q_l1"),
         F.round(recon, 6).alias("recon_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global-quantile quality cutoff
+# ---------------------------------------------------------------------------
+
+@q(
+    "t_quality_quantile_cut",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS uniq_ratio
+      FROM documents
+    ), thr AS (
+      SELECT lang, quantile_cont(uniq_ratio, 0.1) AS q10
+      FROM scored GROUP BY lang
+    )
+    SELECT s.lang,
+           round(min(t.q10), 6) AS q10,
+           count(*) AS n_docs,
+           count(CASE WHEN s.uniq_ratio > t.q10 THEN 1 END) AS n_kept
+    FROM scored s JOIN thr t ON t.lang = s.lang
+    GROUP BY s.lang
+    """,
+)
+def t_quality_quantile_cut(spark, sf_dir):
+    """Percentile-based quality cutoff: score every doc (lexical
+    diversity), compute the per-language 10th-percentile threshold, and
+    keep docs above it — the adaptive-threshold curation pattern (fixed
+    thresholds drift as the corpus mix changes; percentiles don't).
+
+    Scale shape: one narrow score projection, one per-language exact
+    percentile (at 100 TB swap in approx_percentile — same plan, bounded
+    memory; the exact form here keeps the oracle hash-tight), and a
+    broadcast of the #langs-row threshold table back onto the scores."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        (F.size(F.array_distinct(ws)) * F.lit(1.0) / F.size(ws)).alias(
+            "uniq_ratio"
+        ),
+    )
+    thr = scored.groupBy("lang").agg(
+        F.percentile("uniq_ratio", F.lit(0.1)).alias("q10")
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .groupBy("lang")
+        .agg(
+            F.round(F.min("q10"), 6).alias("q10"),
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("uniq_ratio") > F.col("q10"), 1)).alias(
+                "n_kept"
+            ),
+        )
+    )
