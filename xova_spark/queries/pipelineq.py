@@ -789,3 +789,119 @@ def t_quality_quantile_cut(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Recall of ANN over the int8-reconstructed vectors
+# ---------------------------------------------------------------------------
+
+from xova_spark.queries.similarity import _duck_dot, _spark_dot  # noqa: E402
+
+
+@q(
+    "ann_quantized_recall_at5",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) / 127 AS sc
+      FROM e
+    ), rq AS (
+      SELECT vec_id, emb,
+             list_transform(emb, x -> floor(x / sc + 0.5) * sc) AS qv
+      FROM s
+    ), nf AS (
+      SELECT vec_id, emb, qv,
+             sqrt({_duck_dot('emb', 'emb')}) AS nrm_f,
+             sqrt({_duck_dot('qv', 'qv')}) AS nrm_q
+      FROM rq
+    ), qs AS (
+      SELECT vec_id AS qid, emb AS qe, qv AS qqe,
+             nrm_f AS qnf, nrm_q AS qnq
+      FROM nf WHERE vec_id < 10
+    ), exact_top AS (
+      SELECT qid, cid FROM (
+        SELECT qid, c.vec_id AS cid,
+               row_number() OVER (PARTITION BY qid ORDER BY
+                 {_duck_dot('qe', 'c.emb')} / (qnf * c.nrm_f) DESC,
+                 c.vec_id) AS rnk
+        FROM qs CROSS JOIN nf c WHERE c.vec_id != qid
+      ) WHERE rnk <= 5
+    ), quant_top AS (
+      SELECT qid, cid FROM (
+        SELECT qid, c.vec_id AS cid,
+               row_number() OVER (PARTITION BY qid ORDER BY
+                 {_duck_dot('qqe', 'c.qv')} / (qnq * c.nrm_q) DESC,
+                 c.vec_id) AS rnk
+        FROM qs CROSS JOIN nf c WHERE c.vec_id != qid
+      ) WHERE rnk <= 5
+    )
+    SELECT e.qid,
+           CAST(count(b.cid) AS INTEGER) AS n_hits,
+           round(count(b.cid) / 5.0, 6) AS recall_at_5
+    FROM exact_top e
+    LEFT JOIN quant_top b ON b.qid = e.qid AND b.cid = e.cid
+    GROUP BY e.qid
+    """,
+)
+def ann_quantized_recall_at5(spark, sf_dir):
+    """Measure, don't guess (quantization edition): recall@5 of cosine
+    search over int8-RECONSTRUCTED vectors (both sides compressed — the
+    realistic deployment) against the exact full-precision top-5. This
+    is the number that justifies emb_quantize_int8's 4x memory cut.
+    Same deterministic sequential-dot discipline as the ann_* family,
+    so the measured recall itself is hash-gated."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    s = emb.select(
+        "vec_id", "emb",
+        (F.array_max(F.transform("emb", F.abs)) / 127).alias("sc"),
+    )
+    rq = s.select(
+        "vec_id", "emb",
+        F.transform(
+            "emb", lambda x: F.floor(x / F.col("sc") + 0.5) * F.col("sc")
+        ).alias("qv"),
+    )
+    nf = rq.select(
+        "vec_id", "emb", "qv",
+        F.sqrt(_spark_dot("emb", "emb")).alias("nrm_f"),
+        F.sqrt(_spark_dot("qv", "qv")).alias("nrm_q"),
+    )
+    qs = nf.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe"),
+        F.col("qv").alias("qqe"), F.col("nrm_f").alias("qnf"),
+        F.col("nrm_q").alias("qnq"),
+    )
+    cand = nf.select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"),
+        F.col("qv").alias("cq"), F.col("nrm_f").alias("cnf"),
+        F.col("nrm_q").alias("cnq"),
+    )
+
+    def top5(score):
+        w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+        return (
+            qs.crossJoin(F.broadcast(cand))
+            .filter(F.col("cid") != F.col("qid"))
+            .withColumn("cos", score)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("qid", "cid")
+        )
+
+    exact_top = top5(_spark_dot("qe", "ce") / (F.col("qnf") * F.col("cnf")))
+    quant_top = top5(_spark_dot("qqe", "cq") / (F.col("qnq") * F.col("cnq")))
+    hit = quant_top.withColumn("hit", F.lit(1))
+    return (
+        exact_top.join(hit, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").cast("int").alias("n_hits"),
+            F.round(F.count("hit") / 5.0, 6).alias("recall_at_5"),
+        )
+    )
