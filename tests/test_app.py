@@ -185,3 +185,38 @@ def test_app_stream_bda_matches_batch_average(spark, ms_dir, ms, tmp_path):
     assert len(got) == len(want)
     for c in ("vis_re", "vis_im", "weight_sp", "sigma_sp"):
         assert (abs(got[c] - want[c]) < 1e-9).all(), c
+
+
+def test_app_corpus_writes_split_partitioned(spark, tmp_path):
+    """``xova-spark corpus``: the kept set lands partitioned by split
+    and its audit equals the registry composite's."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.queries.pipelineq import pipeline_corpus_e2e
+
+    sf = "/root/testdata/sf0.001"
+    out = os.path.join(str(tmp_path), "corpus_out")
+    got = Application(["corpus", sf, "-o", out], spark=spark).execute()
+    assert got == out
+    for s in ("train", "val", "test"):
+        assert os.path.isdir(os.path.join(out, "corpus", f"split={s}")), s
+    back = spark.read.parquet(os.path.join(out, "corpus"))
+    audit = {
+        (r["split"], r["lang"]): (r["n_docs"], r["sum_tokens"])
+        for r in spark.read.parquet(os.path.join(out, "audit")).collect()
+    }
+    want = {
+        (r["split"], r["lang"]): (r["n_docs"], r["sum_tokens"])
+        for r in pipeline_corpus_e2e(spark, sf).collect()
+    }
+    assert audit == want
+    derived = {
+        (r["split"], r["lang"]): (r["n_docs"], r["sum_tokens"])
+        for r in back.groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
+        .collect()
+    }
+    assert derived == want
+    # overwrite guard
+    with pytest.raises(SystemExit):
+        Application(["corpus", sf, "-o", out], spark=spark).execute()

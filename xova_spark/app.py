@@ -166,6 +166,15 @@ def create_parser() -> argparse.ArgumentParser:
     st.add_argument("-d", "--decorrelation", default=0.99, type=float)
     st.add_argument("-fov", "--max-fov", default=15.0, type=float)
     st.add_argument("-mc", "--min-nchan", default=1, type=int)
+    co = sp.add_parser(
+        "corpus",
+        help="training-data funnel: quality/repetition filters, exact "
+             "dedup, decontamination, mixture sampling, split; writes "
+             "the kept corpus partitioned by split",
+    )
+    co.add_argument("ms", help="directory containing documents.parquet")
+    co.add_argument("-o", "--output", default=None)
+    co.add_argument("--force", action="store_true", default=False)
     return parser
 
 
@@ -178,7 +187,7 @@ def parse_args(cmdline: list[str]) -> argparse.Namespace:
     if args.command != "check":
         if args.output is None:
             args.output = derive_output_name(args.ms)
-        if args.command != "stream":
+        if args.command in ("timechannel", "bda"):
             args.data_column = parse_data_column_map(args.data_column)
     return args
 
@@ -235,6 +244,10 @@ class Application:
     def execute(self) -> str | None:
         args = self.args
         spark = self._session()
+
+        if args.command == "corpus":
+            return self._execute_corpus()
+
         from xova_spark.sources.ms_fixture import load_ms
 
         tables = load_ms(spark, args.ms)
@@ -299,6 +312,38 @@ class Application:
         write_ms(out, args.output, force=args.force)
         return args.output
 
+
+    def _execute_corpus(self) -> str:
+        """``xova-spark corpus``: run the training-data funnel (quality,
+        repetition, exact dedup, 8-gram decontamination, mixture
+        sampling, deterministic split — queries/pipelineq.corpus_funnel)
+        over <ms>/documents.parquet and write the kept set partitioned
+        by split, so downstream epoch readers prune to their split for
+        free. Also writes the per-(split, lang) audit alongside."""
+        import os
+
+        args = self.args
+        spark = self._session()
+        from xova_spark.queries.pipelineq import corpus_funnel
+
+        if os.path.exists(args.output) and not args.force:
+            print(f"{args.output} exists, use --force to overwrite")
+            raise SystemExit(1)
+        docs = spark.read.parquet(os.path.join(args.ms, "documents.parquet"))
+        kept = corpus_funnel(docs)
+        (
+            kept.write.mode("overwrite")
+            .partitionBy("split")
+            .parquet(os.path.join(args.output, "corpus"))
+        )
+        audit = kept.groupBy("split", "lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        audit.write.mode("overwrite").parquet(
+            os.path.join(args.output, "audit")
+        )
+        return args.output
 
     def _execute_stream(self, tables: dict) -> str:
         """``xova-spark stream``: continuous time-and-channel averaging.

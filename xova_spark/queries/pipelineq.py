@@ -350,7 +350,19 @@ def pipeline_corpus_e2e(spark, sf_dir):
     n-grams over-flag; the 3-gram variant in t_decontam_overlap is the
     aggressive-overlap demonstrator).
     """
-    docs = _docs(spark, sf_dir)
+    return (
+        corpus_funnel(_docs(spark, sf_dir))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
+    )
+
+
+def corpus_funnel(docs):
+    """The kept-document set of the corpus funnel (the shared core of
+    pipeline_corpus_e2e and the ``xova-spark corpus`` CLI): returns one
+    row per surviving document with (doc_id, lang, source, n_tokens,
+    split). See pipeline_corpus_e2e's docstring for stage semantics and
+    the scale shape."""
     ws = F.split("text", " ")
     n = F.size("ws")
     base = docs.select("doc_id", "text", "lang", "source", ws.alias("ws"))
@@ -420,10 +432,12 @@ def pipeline_corpus_e2e(spark, sf_dir):
     split = (
         F.when(hs < 80, "train").when(hs < 90, "val").otherwise("test")
     )
-    return (
-        kept.select(split.alias("split"), "lang", F.size("ws").alias("n_tokens"))
-        .groupBy("split", "lang")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
+    return kept.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("ws").alias("n_tokens"),
+        split.alias("split"),
     )
 
 
