@@ -153,3 +153,26 @@ def test_composites_partition_count_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a_pipe == b_pipe
     assert a_km == b_km
+
+
+def test_funnel_duplicate_insertion_invariant(spark):
+    """Inserting an exact duplicate (higher doc_id, non-eval, same text)
+    must leave the funnel's kept set unchanged — the dedup stage keeps
+    the min-doc_id copy before sampling/splitting ever sees the dup."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.queries.pipelineq import corpus_funnel
+    from xova_spark.session import load_tables
+
+    docs = load_tables(spark, SF, ("documents",))["documents"]
+    base = {tuple(r) for r in corpus_funnel(docs).collect()}
+
+    # duplicate an arbitrary kept-eligible doc under a fresh high id
+    # that is not divisible by 20 (stays out of the eval split)
+    src = docs.filter((F.col("doc_id") % 20 != 0)).limit(1)
+    dup = src.select(
+        (F.lit(100001)).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    with_dup = docs.unionByName(dup)
+    again = {tuple(r) for r in corpus_funnel(with_dup).collect()}
+    assert again == base
