@@ -919,3 +919,156 @@ def ann_quantized_recall_at5(spark, sf_dir):
             F.round(F.count("hit") / 5.0, 6).alias("recall_at_5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified eval-set construction
+# ---------------------------------------------------------------------------
+
+@q(
+    "t_eval_sample_stratified",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (('0x' || substr(md5('eval:' || doc_id::VARCHAR),
+                          1, 15))::BIGINT) % 2147483647, doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def t_eval_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: the 5 lowest-salted-hash docs
+    per language — how a held-out eval set is actually constructed
+    (uniform-at-random within stratum, reproducible across engines and
+    reruns, balanced across strata by construction). One window per
+    stratum; at 100 TB the rank is a per-partition top-k (takeOrdered
+    semantics) — no global sort."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    h = F.expr(
+        "cast(conv(substring(md5(concat('eval:', cast(doc_id as string))),"
+        " 1, 15), 16, 10) as bigint) % 2147483647"
+    )
+    w = W.partitionBy("lang").orderBy(h.asc(), "doc_id")
+    return (
+        docs.select(
+            "doc_id", "lang",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash precision against exact Jaccard
+# ---------------------------------------------------------------------------
+
+from xova_spark.queries.dedup import _simhash_exprs  # noqa: E402
+
+
+@q(
+    "dedup_simhash_precision",
+    f"""
+    WITH wc AS (
+      SELECT doc_id, word, count(*) AS cnt FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      ) GROUP BY doc_id, word
+    ), hashed AS (
+      SELECT doc_id, cnt,
+             (('0x' || substr(md5(word), 1, 15))::BIGINT) % {P31} AS h
+      FROM wc
+    ), fp AS (
+      SELECT doc_id, {_simhash_exprs('duck')} AS simhash
+      FROM hashed GROUP BY doc_id
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    ), sh AS (
+      SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS nc
+      FROM cand c
+      JOIN ex ea ON ea.doc_id = c.doc_a
+      JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(coalesce(nc, 0) * 1.0
+                 / (sa.n + sb.n - coalesce(nc, 0)), 6) AS jaccard,
+           CASE WHEN coalesce(nc, 0) * 1.0
+                     / (sa.n + sb.n - coalesce(nc, 0)) >= 0.5
+                THEN 1 ELSE 0 END AS true_dup
+    FROM cand c
+    LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = c.doc_a
+    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = c.doc_b
+    """,
+)
+def dedup_simhash_precision(spark, sf_dir):
+    """Measure, don't guess (dedup edition): every simhash-identical
+    candidate pair labeled with its EXACT 3-gram Jaccard and a
+    true-dup flag — the precision audit that justifies fingerprint
+    dedup. Verification cost is proportional to the candidate set, not
+    the corpus (the candidate ids broadcast into the shingle join)."""
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).select(
+        "doc_id",
+        F.lit(1).alias("cnt"),
+        F.expr(
+            f"cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint) % {P31}"
+        ).alias("h"),
+    )
+    fp = hashed.groupBy("doc_id").agg(
+        F.expr(_simhash_exprs("spark")).alias("simhash")
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ea = ex.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    eb = ex.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("sb"))
+    common = (
+        F.broadcast(cand).join(ea, "doc_a")
+        .join(eb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sa") == F.col("sb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("nc"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    nc = F.coalesce(F.col("nc"), F.lit(0))
+    jac = nc * 1.0 / (F.col("na") + F.col("nb") - nc)
+    return (
+        cand.join(common, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.round(jac, 6).alias("jaccard"),
+            F.when(jac >= 0.5, 1).otherwise(0).alias("true_dup"),
+        )
+    )
