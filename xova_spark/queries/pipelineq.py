@@ -1072,3 +1072,62 @@ def dedup_simhash_precision(spark, sf_dir):
             F.when(jac >= 0.5, 1).otherwise(0).alias("true_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window document chunking
+# ---------------------------------------------------------------------------
+
+@q(
+    "t_chunk_documents",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), ks AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(0, (len(ws) - 1) // 48)) AS chunk_id
+      FROM w
+    ), c AS (
+      SELECT doc_id, chunk_id,
+             1 + 48 * chunk_id AS chunk_start,
+             least(64, len(ws) - 48 * chunk_id) AS chunk_len,
+             ws
+      FROM ks
+    )
+    SELECT doc_id, chunk_id, chunk_start, chunk_len,
+           md5(array_to_string(
+             ws[chunk_start : chunk_start + chunk_len - 1], ' ')) AS chunk_hash
+    FROM c
+    """,
+)
+def t_chunk_documents(spark, sf_dir):
+    """Context-window chunking: split each document into 64-token
+    windows with stride 48 (16-token overlap) — the RAG/embedding-prep
+    op every long-document pipeline runs before encoding. Emits the
+    chunk geometry plus a content hash of each window (the dedup key
+    for chunk-level dedup downstream).
+
+    Scale shape: pure per-row explode over the computed chunk count —
+    no shuffle at all; output cardinality ~n_tokens/stride per doc. The
+    window slice stays inside codegen (slice + concat_ws on the already
+    split array)."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    n = F.size("ws")
+    base = docs.select("doc_id", ws.alias("ws"))
+    c = base.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((n - 1) / F.lit(48)))
+        ).alias("chunk_id"),
+    )
+    start = 1 + 48 * F.col("chunk_id")
+    clen = F.least(F.lit(64), F.size("ws") - 48 * F.col("chunk_id"))
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("chunk_start"),
+        clen.cast("bigint").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", F.slice("ws", start, clen))).alias("chunk_hash"),
+    )
