@@ -1131,3 +1131,69 @@ def t_chunk_documents(spark, sf_dir):
         clen.cast("bigint").alias("chunk_len"),
         F.md5(F.concat_ws(" ", F.slice("ws", start, clen))).alias("chunk_hash"),
     )
+
+
+@q(
+    "t_chunk_boilerplate",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), ks AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(0, (len(ws) - 1) // 48)) AS chunk_id
+      FROM w
+    ), c AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               ws[1 + 48 * chunk_id :
+                  48 * chunk_id + least(64, len(ws) - 48 * chunk_id)],
+               ' ')) AS chunk_hash
+      FROM ks
+    ), rep AS (
+      SELECT chunk_hash, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs
+      FROM c GROUP BY chunk_hash
+      HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT count(*) AS n_boilerplate_chunks,
+           sum(n_occurrences) AS total_occurrences,
+           max(n_docs) AS max_docs_sharing
+    FROM rep
+    """,
+)
+def t_chunk_boilerplate(spark, sf_dir):
+    """Boilerplate detection: chunk windows shared across MULTIPLE
+    documents (headers, footers, templates — the chunk-level dedup
+    signal that document-level dedup misses). Composes the chunking op
+    with a hash-keyed aggregation; at 100 TB this is the standard
+    two-level groupBy on the 16-byte chunk hash."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    n = F.size("ws")
+    base = docs.select("doc_id", ws.alias("ws"))
+    c = base.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((n - 1) / F.lit(48)))
+        ).alias("k"),
+    )
+    start = 1 + 48 * F.col("k")
+    clen = F.least(F.lit(64), F.size("ws") - 48 * F.col("k"))
+    hashed = c.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("ws", start, clen))).alias("chunk_hash"),
+    )
+    rep = (
+        hashed.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return rep.agg(
+        F.count("*").alias("n_boilerplate_chunks"),
+        F.sum("n_occurrences").alias("total_occurrences"),
+        F.max("n_docs").alias("max_docs_sharing"),
+    )
