@@ -1197,3 +1197,60 @@ def t_chunk_boilerplate(spark, sf_dir):
         F.sum("n_occurrences").alias("total_occurrences"),
         F.max("n_docs").alias("max_docs_sharing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel conversion over the event stream
+# ---------------------------------------------------------------------------
+
+@q(
+    "ev_funnel_conversion",
+    """
+    WITH s AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(t_view) AS n_view,
+           count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+           count(CASE WHEN t_purchase > t_click AND t_click > t_view
+                      THEN 1 END) AS n_full_funnel
+    FROM s
+    """,
+)
+def ev_funnel_conversion(spark, sf_dir):
+    """Ordered funnel analysis: users whose first click follows their
+    first view, and whose first purchase follows that click — the
+    behavioral-analytics sequence-match shape (min-per-stage + ordered
+    comparison; no self-joins, one shuffle on user_id). Timestamp
+    ORDER is all that matters, so the nanos-as-long Spark encoding and
+    DuckDB's native timestamps agree by construction."""
+    from xova_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+
+    def first(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    s = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    return s.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(
+            F.when(F.col("t_click") > F.col("t_view"), 1)
+        ).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
