@@ -176,3 +176,28 @@ def test_funnel_duplicate_insertion_invariant(spark):
     with_dup = docs.unionByName(dup)
     again = {tuple(r) for r in corpus_funnel(with_dup).collect()}
     assert again == base
+
+
+def test_empty_selection_pipelines_stay_well_formed(spark, ms):
+    """Empty selections must flow through every major pipeline as empty
+    DataFrames with intact schemas — no driver-side collect assumes
+    non-empty input (the classic distributed-pipeline edge case)."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.operators.bda import bda
+    from xova_spark.operators.timechannel import timechannel
+    from xova_spark.queries.pipelineq import corpus_funnel
+
+    tc_out = timechannel(ms, time_bin_secs=4.0, chan_bin_size=8, fields=[999])
+    assert tc_out["ms_vis"].count() == 0 and tc_out["ms_rows"].count() == 0
+    assert "vis_re" in tc_out["ms_vis"].columns
+
+    bda_out = bda(ms, scans=[999])
+    assert bda_out["ms_vis"].count() == 0 and bda_out["spw"].count() == 0
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") < 0)
+    empty = corpus_funnel(docs)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"doc_id", "lang", "source", "n_tokens", "split"}
