@@ -65,8 +65,11 @@ def test_timechannel_rows_plan(spark, ms):
 
 
 def test_bda_vis_plan(spark, ms):
-    """BDA visibility hot path: every join broadcast, big table
-    shuffles exactly once (the final compact-key aggregation)."""
+    """BDA visibility hot path: the row-scale joins carry no forced
+    hints (see test_bda_vis_join_not_force_broadcast), so the INITIAL
+    AQE plan may stage them as shuffle joins — but at this measured
+    scale the FINAL adaptive plan must have converted every one to
+    broadcast: zero sort-merge joins after execution."""
     from xova_spark.operators import bda as B
     from xova_spark.queries import bda as bq
 
@@ -76,7 +79,42 @@ def test_bda_vis_plan(spark, ms):
     )
     binned = B.assign_bins(ms["ms_rows"], params)
     q = B.average_vis(ms["ms_vis"], B.bin_map(binned))
+    q.collect()  # finalize THIS DataFrame's adaptive plan (count() would
+    # build a separate QueryExecution and leave q's plan initial)
     assert P.sortmerge_join_count(q) == 0, P.plan_stats(q)
+
+
+def test_timechannel_vis_join_not_force_broadcast(spark, ms):
+    """The row -> bin map has one entry per MS row: a forced broadcast
+    hint there is a 100 TB driver OOM. The whole timechannel sample-side
+    chain must carry ZERO explicit hints — strategy belongs to AQE
+    (which still picks broadcast at this scale, measured, not forced)."""
+    from xova_spark.operators import timechannel as tc
+
+    bins = tc.bin_map(ms["ms_rows"], 4.0)
+    assert P.broadcast_hint_count(tc.average_vis(ms["ms_vis"], bins)) == 0
+    assert P.broadcast_hint_count(tc.average_weights(ms["ms_weights"], bins)) == 0
+
+
+def test_bda_vis_join_not_force_broadcast(spark, ms):
+    """BDA sample-side chain: phase-1 params joins may hint (bounded by
+    #baselines x #partitions), but bin_map/average_vis must add none —
+    the row-scale map and per-output-bin dim joins stay AQE-chosen.
+    Feed a hint-free binned input so any hint seen is one THEY added
+    (the real assign_bins subtree carries legit dim hints and appears
+    twice in average_vis's plan, which would double-count them)."""
+    from xova_spark.operators import bda as B
+
+    binned = (
+        ms["ms_rows"]
+        .withColumn("time_bin", F.lit(0))
+        .withColumn("chan_fac", F.lit(2))
+    )
+    q = B.average_vis(ms["ms_vis"], B.bin_map(binned))
+    assert P.broadcast_hint_count(q) == 0, (
+        "average_vis/bin_map introduced a forced broadcast on a "
+        "row-scale table"
+    )
 
 
 def test_codegen_covers_hot_path(spark):

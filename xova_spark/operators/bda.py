@@ -219,9 +219,9 @@ def bin_map(binned: DataFrame) -> DataFrame:
     surrogate for the 6-column bin key. The visibility aggregation
     groups on (rep, chan_bin, corr) instead of 8 wide columns: ~3x
     faster at bench scale (narrower hash keys + narrower shuffle rows;
-    the wide keys are re-attached afterwards by broadcast-joining the
-    tiny rep -> keys dim). The window below runs on the ROW table, not
-    the visibility table — cheap."""
+    the wide keys are re-attached afterwards by joining the rep -> keys
+    dim — join strategy left to AQE). The window below runs on the ROW
+    table, not the visibility table — cheap."""
     w = Window.partitionBy(*BIN_KEYS)
     return binned.withColumn("rep", F.min("row_id").over(w)).select(
         "row_id", "rep", *BIN_KEYS, "chan_fac", "FLAG_ROW"
@@ -233,9 +233,13 @@ def average_vis(vis: DataFrame, bins: DataFrame) -> DataFrame:
     baseline (chan_fac), A1a weighted-mean semantics with fully-flagged
     fallback. One shuffle of the big table, keyed on the compact
     (rep, chan_bin, corr) surrogate."""
+    # Both the row -> bin map (one entry per MS row) and the rep -> keys
+    # dim (one entry per output bin) scale with the input; neither is
+    # broadcast-hinted. AQE measures them at runtime and picks broadcast
+    # only when genuinely small — at 100 TB these are shuffle joins.
     narrow = bins.select("row_id", "rep", "chan_fac")
     dim = bins.select("rep", *BIN_KEYS).distinct()
-    j = vis.join(F.broadcast(narrow), "row_id").withColumn(
+    j = vis.join(narrow, "row_id").withColumn(
         "chan_bin", F.floor(F.col("chan") / F.col("chan_fac")).cast("int")
     )
     fl, w = F.col("flag"), F.col("weight_sp")
@@ -259,7 +263,7 @@ def average_vis(vis: DataFrame, bins: DataFrame) -> DataFrame:
         (F.sqrt(sum_w2s2) / sum_w).alias("sigma_sp"),
         F.count("*").alias("n_samples"),
     )
-    return agg.join(F.broadcast(dim), "rep").select(
+    return agg.join(dim, "rep").select(
         *BIN_KEYS,
         "chan_bin",
         "corr",

@@ -14,8 +14,10 @@ floor((TIME-t0)/bin) binning. Greedy accumulate-and-reset is not
 expressible with plain window functions (the reset makes it
 non-associative), so this is one of the three legitimate UDF sites
 (SURVEY §2.9): a per-partition applyInPandas over the UNIQUE-TIME
-table — #partitions x #times rows, thousands at 100 TB scale, not
-billions — whose output joins back to the row table broadcast.
+table — #partitions x #times rows, orders of magnitude smaller than
+the row table — whose output joins back to the row table (join
+strategy left to AQE: broadcast when measured small, shuffle join
+when the unique-time table itself is large).
 """
 
 from __future__ import annotations
@@ -80,8 +82,8 @@ def assign_greedy_bins(
     max_rows_per_bin: int | None = None,
 ) -> DataFrame:
     """Attach the greedy time_bin to every row: plan on the unique-time
-    table, broadcast the (partition, TIME) -> bin map back (the Spark
-    shape of the reference's plan-then-reopen lifecycle,
-    app.py:161-195)."""
+    table, join the (partition, TIME) -> bin map back (the Spark shape
+    of the reference's plan-then-reopen lifecycle, app.py:161-195).
+    Un-hinted join: AQE broadcasts the plan when it is measured small."""
     plan = greedy_bins(unique_time_stats(rows), time_bin_secs, max_rows_per_bin)
-    return rows.join(F.broadcast(plan), [*PART_KEYS, "TIME"])
+    return rows.join(plan, [*PART_KEYS, "TIME"])

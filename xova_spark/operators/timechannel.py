@@ -124,16 +124,22 @@ def bin_map(rows: DataFrame, time_bin_secs: float = 2.0) -> DataFrame:
 
 
 def _reattach(agg: DataFrame, bins: DataFrame, tail_cols: list[str]) -> DataFrame:
+    # No broadcast hint: the rep -> keys dim has one row per OUTPUT bin,
+    # which scales with the input. AQE picks broadcast when it measures
+    # small, and falls back to shuffle join at 100 TB (a forced hint here
+    # would be a driver OOM, not a slow plan).
     dim = bins.select("rep", *BIN_KEYS).distinct()
-    return agg.join(F.broadcast(dim), "rep").select(*BIN_KEYS, *tail_cols)
+    return agg.join(dim, "rep").select(*BIN_KEYS, *tail_cols)
 
 
 def average_weights(weights: DataFrame, bins: DataFrame) -> DataFrame:
     """WEIGHT/SIGMA per (bin, corr): sum of weights over unflagged rows;
-    SIGMA = sqrt(sum(w²σ²))/sum(w) — weighted RMS (A1a)."""
-    j = weights.join(
-        F.broadcast(bins.select("row_id", "rep", "FLAG_ROW")), "row_id"
-    )
+    SIGMA = sqrt(sum(w²σ²))/sum(w) — weighted RMS (A1a).
+
+    The row -> bin map has one entry per MS row; the join strategy is
+    left to AQE (shuffle join at scale, broadcast only when measured
+    small), never hinted."""
+    j = weights.join(bins.select("row_id", "rep", "FLAG_ROW"), "row_id")
     unfl = ~F.col("FLAG_ROW")
     w, s = F.col("WEIGHT"), F.col("SIGMA")
     sum_w = _fallback(F.sum(F.when(unfl, w)), F.sum(w))
@@ -152,8 +158,10 @@ def average_vis(
 ) -> DataFrame:
     """Visibility averaging per (bin, chan_bin, corr): weighted complex
     mean over unflagged samples with fully-flagged fallback (A1/A1a).
-    One shuffle of the big table, keyed on (rep, chan_bin, corr)."""
-    j = vis.join(F.broadcast(bins.select("row_id", "rep")), "row_id").withColumn(
+    One shuffle of the big table, keyed on (rep, chan_bin, corr).
+    The row -> bin map join is un-hinted: AQE decides (see
+    average_weights)."""
+    j = vis.join(bins.select("row_id", "rep"), "row_id").withColumn(
         "chan_bin", F.floor(F.col("chan") / F.lit(chan_bin_size)).cast("int")
     )
     fl, w = F.col("flag"), F.col("weight_sp")

@@ -1,4 +1,5 @@
 from xova_spark.plans.inspect import (  # noqa: F401
+    broadcast_hint_count,
     broadcast_join_count,
     exchange_count,
     executed_plan,

@@ -31,19 +31,26 @@ def executed_plan(df: DataFrame) -> str:
         spark.conf.set(key, old)
 
 
+def _current_plan(df: DataFrame) -> str:
+    """The current/final plan only: an executed AdaptiveSparkPlan's
+    toString appends an '== Initial Plan ==' section — counting node
+    names over the whole string would double-count and see pre-AQE
+    shapes (e.g. a shuffle join AQE already converted to broadcast)."""
+    return executed_plan(df).split("== Initial Plan ==")[0]
+
+
 def exchange_count(df: DataFrame) -> int:
     """Shuffle exchanges (SinglePartition collects excluded)."""
-    return len(re.findall(r"Exchange hashpartitioning", executed_plan(df)))
+    return len(re.findall(r"Exchange hashpartitioning", _current_plan(df)))
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return executed_plan(df).count("BroadcastHashJoin") + executed_plan(
-        df
-    ).count("BroadcastNestedLoopJoin")
+    text = _current_plan(df)
+    return text.count("BroadcastHashJoin") + text.count("BroadcastNestedLoopJoin")
 
 
 def sortmerge_join_count(df: DataFrame) -> int:
-    return executed_plan(df).count("SortMergeJoin")
+    return _current_plan(df).count("SortMergeJoin")
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
@@ -86,6 +93,17 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
         spark.conf.set(key, old)
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", text)
     return int(m.group(1)) if m else 0
+
+
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of EXPLICIT broadcast hints in the analyzed logical plan.
+
+    A forced hint overrides AQE's size-based strategy choice, so a hint
+    on anything that scales with the input (row -> bin maps, per-output-
+    bin dims) is a 100 TB OOM, not a slow plan. Tests pin the row-scale
+    joins to zero hints; only genuinely bounded dims may carry one."""
+    text = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", text))
 
 
 def plan_stats(df: DataFrame) -> dict:

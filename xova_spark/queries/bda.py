@@ -303,7 +303,7 @@ def bda_rows_greedy(spark, sf_dir):
     t, params = _params(spark)
     binned = B.assign_bins(t["ms_rows"], params).drop("time_bin")
     gmap = B.greedy_bda_map(t["ms_rows"], params)
-    return B.average_rows(binned.join(F.broadcast(gmap), "row_id"))
+    return B.average_rows(binned.join(gmap, "row_id"))
 
 
 _BDA_VIS_SQL = REGISTRY["bda_vis"][1]
@@ -321,5 +321,5 @@ def bda_vis_greedy(spark, sf_dir):
     t, params = _params(spark)
     binned = B.assign_bins(t["ms_rows"], params).drop("time_bin")
     gmap = B.greedy_bda_map(t["ms_rows"], params)
-    binned = binned.join(F.broadcast(gmap), "row_id")
+    binned = binned.join(gmap, "row_id")
     return B.average_vis(t["ms_vis"], B.bin_map(binned))

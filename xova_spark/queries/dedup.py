@@ -140,9 +140,7 @@ def _minhash_sql_exprs(hcol: str) -> list[str]:
     ]
 
 
-@q(
-    "dedup_minhash_lsh",
-    f"""
+_MINHASH_LSH_SQL = f"""
     WITH sh AS (
       SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents
       WHERE len(string_split(text, ' ')) >= 3
@@ -179,16 +177,16 @@ def _minhash_sql_exprs(hcol: str) -> list[str]:
     JOIN sig sa ON sa.doc_id = cm.doc_a
     JOIN sig sb ON sb.doc_id = cm.doc_b
     WHERE nc * 1.0 / (sa.nsh + sb.nsh - nc) >= 0.5
-    """,
-)
-def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash (16 hashes) + LSH (4 bands × 4 rows) near-dup detection with
-    exact-Jaccard verification of candidates.
+    """
 
-    Scale shape: signatures are one groupBy over exploded shingles; the
-    candidate join keys on (band, bucket) — tiny buckets, no quadratic
-    blow-up; verification touches candidate pairs only."""
-    (docs,) = _docs(spark, sf_dir)
+def _lsh_verified_pairs(docs, band_specs: list[tuple[int, ...]], threshold=0.5):
+    """Shared MinHash+LSH candidate generation with exact-Jaccard
+    verification — the scale path for every near-dup consumer.
+
+    ``band_specs`` is a list of tuples of minhash indices; docs whose
+    signatures agree on ALL indices of any one band become a candidate
+    pair. The only big shuffle keys on (band, bucket); verification
+    touches candidate pairs only. Returns (doc_a, doc_b, jaccard)."""
     sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
         "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
     )
@@ -208,11 +206,9 @@ def dedup_minhash_lsh(spark, sf_dir):
         sig.select(
             "doc_id",
             F.lit(k).alias("band"),
-            F.concat_ws(
-                ",", f"m{4 * k}", f"m{4 * k + 1}", f"m{4 * k + 2}", f"m{4 * k + 3}"
-            ).alias("bkey"),
+            F.concat_ws(",", *[f"m{i}" for i in idxs]).alias("bkey"),
         )
-        for k in range(N_BANDS)
+        for k, idxs in enumerate(band_specs)
     ]
     bands = band_frames[0]
     for bf in band_frames[1:]:
@@ -242,9 +238,30 @@ def dedup_minhash_lsh(spark, sf_dir):
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.5)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# The classic 4 bands x 4 rows banding over the 16-hash signature.
+BANDS_4x4 = [tuple(range(4 * k, 4 * k + 4)) for k in range(N_BANDS)]
+# High-recall banding for clustering: 16 bands x 1 row — docs sharing ANY
+# single minhash become candidates (miss probability (1-s)^16; ~1.5e-5 at
+# the 0.5 threshold, vanishing above it), still bucket-bounded, never
+# quadratic in the corpus.
+BANDS_16x1 = [(i,) for i in range(len(MINHASH_A))]
+
+
+@q("dedup_minhash_lsh", _MINHASH_LSH_SQL)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (16 hashes) + LSH (4 bands × 4 rows) near-dup detection with
+    exact-Jaccard verification of candidates.
+
+    Scale shape: signatures are one groupBy over exploded shingles; the
+    candidate join keys on (band, bucket) — tiny buckets, no quadratic
+    blow-up; verification touches candidate pairs only."""
+    (docs,) = _docs(spark, sf_dir)
+    return _lsh_verified_pairs(docs, BANDS_4x4)
 
 
 def _simhash_exprs(dialect: str) -> str:
@@ -363,32 +380,17 @@ def dedup_cc_clusters(spark, sf_dir):
     labels is a monotone convergence witness; the loop is deterministic,
     hence oracle-EXACT against DuckDB's recursive CTE.
 
-    Scale notes (100 TB): edge generation uses the LSH path
-    (dedup_minhash_lsh) rather than the quadratic shingle self-join used
-    here for oracle parity; the frontier DataFrame is cached per round
-    and unpersisted after, so state is O(|V|); for adversarially deep
-    chains, switch to large-star/small-star contraction (same join
-    primitive, O(log n) rounds)."""
+    Scale notes (100 TB): edge generation composes with the LSH path
+    (_lsh_verified_pairs) under the high-recall 16x1 banding — candidate
+    pairs share at least one minhash, then verify exactly — so the only
+    big shuffles key on shingle hashes and (band, bucket), never the
+    quadratic all-pairs join (that form survives only in the DuckDB
+    oracle, which IS the exhaustive referee). The frontier DataFrame is
+    cached per round and unpersisted after, so state is O(|V|); for
+    adversarially deep chains, switch to large-star/small-star
+    contraction (same join primitive, O(log n) rounds)."""
     (docs,) = _docs(spark, sf_dir)
-    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
-    )
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    ea = ex.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    eb = ex.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    common = (
-        ea.join(eb, (F.col("sa") == F.col("sb")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
-    pairs = (
-        common.join(sa, "doc_a").join(sb, "doc_b").filter(jac >= 0.5)
-        .select("doc_a", "doc_b")
-    )
+    pairs = _lsh_verified_pairs(docs, BANDS_16x1).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

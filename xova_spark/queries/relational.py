@@ -824,14 +824,17 @@ def w_lag_lead(spark, sf_dir):
       SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        IS NULL
-                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 1 HOUR
+                    OR epoch_us(ts)
+                       - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                       > 3600000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
     ), sess AS (
       SELECT user_id, event_id,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, count(*) AS n_events
@@ -844,11 +847,15 @@ def w_sessionize(spark, sf_dir):
     (ev,) = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Microsecond-exact gap compare: Spark's ts is truncated ns->us on load
+    # (session.load_tables), and DuckDB's epoch_us() truncates its
+    # TIMESTAMP_NS identically, so both engines compare the same integers.
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
     return (
         ev.withColumn(
             "new_sess",
-            F.when(gap.isNull() | (gap > 3600), F.lit(1)).otherwise(F.lit(0)),
+            F.when(gap.isNull() | (gap > 3_600_000_000), F.lit(1)).otherwise(F.lit(0)),
         )
         .withColumn("session_id", F.sum("new_sess").over(wc))
         .groupBy("user_id", "session_id")

@@ -84,7 +84,7 @@ def _vis_partials(vis: DataFrame, bins: DataFrame, chan_bin_size: int) -> DataFr
     """Per-(bin, chan_bin, corr) decomposable partials of the A1a
     visibility aggregation (operators/timechannel.average_vis):
     everything here merges by plain sum / AND across micro-batches."""
-    j = vis.join(F.broadcast(bins), "row_id").withColumn(
+    j = vis.join(bins, "row_id").withColumn(
         "chan_bin", F.floor(F.col("chan") / F.lit(chan_bin_size)).cast("int")
     )
     fl, w, s = F.col("flag"), F.col("weight_sp"), F.col("sigma_sp")
@@ -188,7 +188,7 @@ def _bda_vis_partials(vis: DataFrame, bins: DataFrame) -> DataFrame:
     (chan_fac from the bin map) and grouping keys on the compact
     (rep, chan_bin, corr) surrogate (operators/bda.average_vis)."""
     narrow = bins.select("row_id", "rep", "chan_fac")
-    j = vis.join(F.broadcast(narrow), "row_id").withColumn(
+    j = vis.join(narrow, "row_id").withColumn(
         "chan_bin", F.floor(F.col("chan") / F.col("chan_fac")).cast("int")
     )
     fl, w, s = F.col("flag"), F.col("weight_sp"), F.col("sigma_sp")
@@ -278,7 +278,7 @@ def finalize_bda_vis(spark, out_dir: str, bins: DataFrame) -> DataFrame:
         F.col("n").alias("n_samples"),
     )
     dim = bins.select("rep", *BIN_KEYS).distinct()
-    return derived.join(F.broadcast(dim), "rep").select(
+    return derived.join(dim, "rep").select(
         *BIN_KEYS,
         "chan_bin",
         "corr",
