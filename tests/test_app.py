@@ -102,8 +102,11 @@ def test_app_bda(spark, ms_dir, tmp_path):
     assert len(rows) > 0
     # ragged output: multiple channelisations, all remapped to new DDIDs
     assert rows["NUM_CHAN"].nunique() > 1
-    assert rows["NEW_DATA_DESC_ID"].notna().all()
+    assert (rows["DATA_DESC_ID"] != rows["ORIG_DATA_DESC_ID"]).any()
     assert back["spw"].count() > 0
+    # conformant subtables present: the output is a reopenable MS
+    for name in ("ddid", "spw_chans", "spw_meta"):
+        assert name in back, name
 
 
 def test_app_column_rename(spark, ms_dir, tmp_path):
@@ -153,10 +156,17 @@ def test_app_stream_matches_batch_average(spark, ms_dir, ms, tmp_path):
     want = (
         tc.average_vis(ms["ms_vis"], bins, 8).toPandas().set_index(keys).sort_index()
     )
-    got = back["ms_vis"].toPandas().set_index(keys).sort_index()
+    got = (
+        back["ms_vis"].toPandas()
+        .rename(columns={"chan": "chan_bin"})  # written under the reopen contract
+        .set_index(keys).sort_index()
+    )
     assert len(got) == len(want)
     for c in ("vis_re", "vis_im", "weight_sp", "sigma_sp"):
         assert (abs(got[c] - want[c]) < 1e-9).all(), c
+    # stream output now carries the averaged ROW tables too (batch parity)
+    assert back["ms_rows"].count() > 0
+    assert back["ms_weights"].count() > 0
 
 
 def test_app_stream_bda_matches_batch_average(spark, ms_dir, ms, tmp_path):
@@ -181,10 +191,96 @@ def test_app_stream_bda_matches_batch_average(spark, ms_dir, ms, tmp_path):
     want = (
         B.average_vis(ms["ms_vis"], bins).toPandas().set_index(keys).sort_index()
     )
-    got = back["ms_vis"].toPandas().set_index(keys).sort_index()
+    got = (
+        back["ms_vis"].toPandas()
+        .rename(columns={"chan": "chan_bin"})
+        .set_index(keys).sort_index()
+    )
     assert len(got) == len(want)
     for c in ("vis_re", "vis_im", "weight_sp", "sigma_sp"):
         assert (abs(got[c] - want[c]) < 1e-9).all(), c
+
+
+def test_app_output_reopens_checks_and_reaverages(spark, ms_dir, tmp_path):
+    """The reference's average-then-check workflow (check.py:22-76) on
+    OUR OWN output: a written timechannel MS must load back through
+    load_ms (bare-directory layout), pass `check` cleanly, and feed a
+    second round of averaging."""
+    from xova_spark.operators.check import check_ms, check_spw
+    from xova_spark.operators.timechannel import timechannel
+    from xova_spark.sources.ms_fixture import load_ms
+
+    out = os.path.join(str(tmp_path), "reopen.ms")
+    Application(
+        ["timechannel", ms_dir, "-t", "4", "-c", "8", "-o", out], spark=spark
+    ).execute()
+    back = load_ms(spark, out)
+    assert check_ms(back).count() == 0
+    assert check_spw(back).count() == 0
+    # the check CLI itself accepts the written layout
+    Application(["check", out], spark=spark).execute()
+    # re-averaging the averaged output runs end-to-end and shrinks rows
+    again = timechannel(back, time_bin_secs=16.0, chan_bin_size=2)
+    assert 0 < again["ms_rows"].count() < back["ms_rows"].count()
+
+
+def test_app_bda_output_passes_check(spark, ms_dir, tmp_path):
+    """BDA's ragged output carries reminted conformant DDID/SPW tables:
+    every output row's channel count must match its (new) DDID's
+    NUM_CHAN — the shape contract the reference validates via TAQL."""
+    from xova_spark.operators.check import check_ms, check_spw
+    from xova_spark.sources.ms_fixture import load_ms
+
+    out = os.path.join(str(tmp_path), "bda_check.ms")
+    Application(
+        ["bda", ms_dir, "-d", "0.95", "-fov", "0.315", "-t", "16",
+         "-o", out], spark=spark
+    ).execute()
+    back = load_ms(spark, out)
+    assert check_ms(back).count() == 0
+    assert check_spw(back).count() == 0
+
+
+def test_app_unknown_subtable_and_keywords_roundtrip(spark, ms_dir, tmp_path):
+    """S10 wholesale passthrough (subtables.py:9-37 + putkeywords :35):
+    a subtable this engine knows NOTHING about — plus table keywords —
+    must survive load -> average -> write -> load."""
+    import shutil
+
+    from xova_spark.operators.timechannel import timechannel
+    from xova_spark.sources.ms_fixture import load_ms
+    from xova_spark.sources.ms_writer import write_ms
+
+    staged = os.path.join(str(tmp_path), "in.ms")
+    shutil.copytree(ms_dir, staged)
+    import pandas as pd
+
+    pd.DataFrame({"SOURCE_ID": [0, 1], "NAME": ["J1939", "J0437"]}).to_parquet(
+        os.path.join(staged, "source.parquet")
+    )
+    import json
+
+    with open(os.path.join(staged, "_keywords.json"), "w") as fh:
+        json.dump({"ms_rows": {"MS_VERSION": 2.0}}, fh)
+
+    tables = load_ms(spark, staged)
+    assert "source" in tables and tables["_keywords"]["ms_rows"]["MS_VERSION"] == 2.0
+    out_dir = os.path.join(str(tmp_path), "out.ms")
+    write_ms(timechannel(tables, 4.0, 8), out_dir)
+    back = load_ms(spark, out_dir)
+    assert back["source"].toPandas()["NAME"].tolist() == ["J1939", "J0437"]
+    assert back["_keywords"]["ms_rows"]["MS_VERSION"] == 2.0
+
+
+def test_app_rejects_multi_target_data_column_map(spark):
+    """-dc with two distinct output targets is a clear parse error, not
+    a silent single rename (ref data_column map, arguments.py:231-245)."""
+    with pytest.raises(SystemExit):
+        Application(
+            ["timechannel", "/nonexistent", "-dc", "DATA",
+             "CORRECTED_DATA:CDATA"],
+            spark=spark,
+        )
 
 
 def test_app_corpus_writes_split_partitioned(spark, tmp_path):

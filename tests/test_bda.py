@@ -83,14 +83,22 @@ def test_bda_pipeline_remap_consistency(spark, ms):
     invariants, averaging.py:488-493)."""
     out = B.bda(ms, Q.DECORR, Q.MAX_FOV, Q.TIME_CAP, Q.MIN_NCHAN)
     rows = out["ms_rows"]
-    assert rows.filter(F.col("NEW_DATA_DESC_ID").isNull()).count() == 0
+    # every averaged row points at a reminted DDID (DATA_DESC_ID is the
+    # NEW id under the reopen contract; ORIG_DATA_DESC_ID is lineage)
+    assert rows.filter(F.col("DATA_DESC_ID").isNull()).count() == 0
+    assert (
+        rows.filter(
+            F.col("DATA_DESC_ID") != F.col("ORIG_DATA_DESC_ID")
+        ).count() > 0
+    )
     spw_sizes = (
         out["spw"].groupBy("NEW_SPW_ID").agg(F.count("*").alias("n_chans"))
     )
     joined = (
         rows.join(out["ddid_map"].select(
-            F.col("NEW_DATA_DESC_ID"), F.col("NEW_SPW_ID")).distinct(),
-            "NEW_DATA_DESC_ID")
+            F.col("NEW_DATA_DESC_ID").alias("DATA_DESC_ID"),
+            F.col("NEW_SPW_ID")).distinct(),
+            "DATA_DESC_ID")
         .join(spw_sizes, "NEW_SPW_ID")
     )
     assert joined.filter(F.col("n_chans") != F.col("NUM_CHAN")).count() == 0
@@ -101,6 +109,83 @@ def test_bda_pipeline_remap_consistency(spark, ms):
         assert g["CHAN_FREQ"].is_monotonic_increasing
         assert g["CHAN_WIDTH"].nunique() == 1
         assert abs(g["CHAN_WIDTH"].sum() - g["TOTAL_BANDWIDTH"].iloc[0]) < 1e-6
+
+
+def test_bin_params_match_independent_smearing_model(spark, ms, params):
+    """Parity cross-check vs the PUBLISHED decorrelation model (VERDICT
+    r1 item 7; methodology in PARITY.md). The reference's kernel
+    (africanus bda, called at xova/apps/xova/averaging.py:338-342) and
+    this engine both derive per-baseline caps from the Bridle & Schwab
+    1999 smearing sinc. The reference stack is not installable in this
+    container, so the referee here is a THIRD implementation: plain
+    numpy/pandas, written from the formulas, sharing no code with
+    operators/bda.py — even sinc^-1 is solved by a different method
+    (dense-grid interpolation + Newton polish, vs bisection). Any silent
+    divergence in the Spark expressions (unit slip, edge-of-band error,
+    divisor logic) breaks this exact comparison."""
+    import math
+
+    import numpy as np
+
+    decorr, fov, tcap, minc = Q.DECORR, Q.MAX_FOV, Q.TIME_CAP, Q.MIN_NCHAN
+
+    # sinc^-1 by grid + Newton (independent of B.sinc_inverse's bisection)
+    xs = np.linspace(1e-9, 1.0 - 1e-9, 20001)
+    sinc = np.sin(np.pi * xs) / (np.pi * xs)
+    x = float(np.interp(-decorr, -sinc, xs))  # sinc is decreasing
+    for _ in range(60):
+        fx = math.sin(math.pi * x) / (math.pi * x) - decorr
+        dfx = (math.cos(math.pi * x) * math.pi * x - math.sin(math.pi * x)) / (
+            math.pi * x * x
+        )
+        x -= fx / dfx
+    C, OMEGA = 299792458.0, 7.292115e-5
+    sin_half_fov = math.sin(math.radians(fov) / 2.0)
+    kt = x * C / (OMEGA * sin_half_fov)
+    kf = x * C / sin_half_fov
+    assert abs(kt - B.bda_constants(decorr, fov)[0]) < abs(kt) * 1e-12
+    assert abs(kf - B.bda_constants(decorr, fov)[1]) < abs(kf) * 1e-12
+
+    rows = ms["ms_rows"].toPandas()
+    chans = ms["spw_chans"].toPandas()
+    meta = ms["spw_meta"].toPandas().set_index("SPECTRAL_WINDOW_ID")
+    ddid = ms["ddid"].toPandas().set_index("DATA_DESC_ID")
+    per_spw = chans.groupby("SPECTRAL_WINDOW_ID").apply(
+        lambda g: (
+            (g["CHAN_FREQ"] + g["CHAN_WIDTH"] / 2).max(),
+            g["CHAN_WIDTH"].max(),
+        ),
+        include_groups=False,
+    )
+
+    got = params.toPandas().set_index(B.PART_KEYS + B.BL_KEYS).sort_index()
+    keys = B.PART_KEYS + B.BL_KEYS
+    rows["bl"] = np.hypot(rows["u"], rows["v"])
+    checked = 0
+    for key, g in rows.groupby(keys):
+        spw = int(ddid.loc[key[1], "SPECTRAL_WINDOW_ID"])
+        nu_max, width = per_spw.loc[spw]
+        nchan = int(meta.loc[spw, "NUM_CHAN"])
+        bl_uv = g["bl"].max()
+        interval = g["INTERVAL"].min()
+        dt_max = kt / (bl_uv * nu_max)
+        n_int = max(1, min(int(tcap // interval), int(dt_max // interval)))
+        dnu_max = kf / bl_uv
+        fac = max(
+            d
+            for d in range(1, nchan + 1)
+            if nchan % d == 0
+            and (d == 1 or d * width <= dnu_max)
+            and nchan // d >= minc
+        )
+        w = got.loc[key]
+        assert int(w["n_int"]) == n_int, (key, int(w["n_int"]), n_int)
+        assert int(w["chan_fac"]) == fac, (key, int(w["chan_fac"]), fac)
+        assert int(w["out_nchan"]) == nchan // fac
+        assert abs(w["decorr_chan_width"] - fac * width) < 1e-9
+        assert abs(w["bl_uv"] - bl_uv) < 1e-9
+        checked += 1
+    assert checked == len(got)
 
 
 def test_greedy_bda_matches_floor_on_uniform_cadence(spark, ms, params):

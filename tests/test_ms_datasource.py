@@ -90,3 +90,51 @@ def test_row_group_stats_skipping():
     assert not r._row_group_can_match(FakeMeta(), 0)
     r.eq_filters = [("FIELD_ID", 3)]
     assert r._row_group_can_match(FakeMeta(), 0)
+
+
+# -- CASA MS bridge (sources/casa_ms) ---------------------------------------
+
+def test_load_ms_auto_falls_back_to_parquet(spark, ms_dir):
+    """Without python-casacore, a parquet-layout directory loads through
+    the fixture loader — the bridge must never be on that path."""
+    from xova_spark.sources.casa_ms import is_casa_ms, load_ms_auto
+
+    assert not is_casa_ms(ms_dir)
+    tables = load_ms_auto(spark, ms_dir)
+    assert tables["ms_rows"].count() > 0
+
+
+def test_casa_ms_path_raises_clearly_without_codec(spark, tmp_path):
+    """A REAL .ms directory (marker: table.dat) without python-casacore
+    is a clear NotImplementedError, not a confusing parquet failure."""
+    import pytest
+
+    from xova_spark.sources import casa_ms
+
+    if casa_ms.HAVE_CASACORE:
+        pytest.skip("python-casacore installed; the gated path is live")
+    fake_ms = tmp_path / "real.ms"
+    fake_ms.mkdir()
+    (fake_ms / "table.dat").write_bytes(b"\xbe\xbe")
+    assert casa_ms.is_casa_ms(str(fake_ms))
+    with pytest.raises(NotImplementedError):
+        casa_ms.load_ms_auto(spark, str(fake_ms))
+
+
+def test_casa_bridge_parity_with_parquet_path(spark, tmp_path):
+    """ACTIVATES WHEN python-casacore SHIPS: generate a small real MS
+    (mirroring the reference's xova/testing_data.py:9-166 synthetic MS),
+    ingest it through the casacore bridge, and the timechannel pipeline
+    must agree with the same data pushed through the parquet path."""
+    import pytest
+
+    from xova_spark.sources import casa_ms
+
+    if not casa_ms.HAVE_CASACORE:
+        pytest.skip("python-casacore not installed in this container")
+    # Sketch (runs only with the codec): build an MS with casacore's
+    # default_ms + putcol of the fixture arrays, then:
+    #   t1 = timechannel(casa_ms.read_casa_ms(spark, path), 4.0, 8)
+    #   t2 = timechannel(load_ms(spark, parquet_twin), 4.0, 8)
+    # and assert frame equality on ms_rows/ms_vis.
+    raise AssertionError("implement MS generation now that casacore is present")

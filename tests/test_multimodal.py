@@ -18,12 +18,126 @@ def media(spark):
     return MM.media_table(docs)
 
 
-def test_codec_stub_raises(media):
-    """The real-decode hook is a clearly-marked stub until a codec
-    ships; the fake decode is the active kernel."""
-    with pytest.raises(NotImplementedError):
-        MM.decode_image_real(b"\x89PNG")
+def test_codec_fallback_raises_for_non_png(media):
+    """Non-PNG payloads still need a third-party codec; the seam raises
+    clearly when none is installed. The fake decode is the oracle-gated
+    kernel."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: the fallback path is live, not a stub")
+    except ImportError:
+        pass
+    with pytest.raises((NotImplementedError, ValueError)):
+        MM.decode_image_real(b"\xff\xd8\xff\xe0 jpeg-ish")
     assert list(MM._fake_decode(b"abc")) == [97, 98, 99]
+
+
+# -- real PNG codec (stdlib zlib path) --------------------------------------
+
+def _encode_png(pixels, filters=None) -> bytes:
+    """Spec-following PNG writer used ONLY as the test's independent
+    referee: scanlines are FILTERED here by the spec's forward formulas
+    (§9.2), so a correct decode must invert them exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y, ftype in zip(range(h), filters):
+        line = px[y].reshape(-1).astype(np.int16)
+        out = line.copy()
+        if ftype == 1:
+            out[ch:] = (line[ch:] - line[:-ch]) % 256
+        elif ftype == 2:
+            out = (line - prev) % 256
+        elif ftype == 3:
+            for x in range(w * ch):
+                left = int(line[x - ch]) if x >= ch else 0
+                out[x] = (int(line[x]) - (left + int(prev[x])) // 2) % 256
+        elif ftype == 4:
+            for x in range(w * ch):
+                left = int(line[x - ch]) if x >= ch else 0
+                ul = int(prev[x - ch]) if x >= ch else 0
+                out[x] = (int(line[x]) - MM._paeth(left, int(prev[x]), ul)) % 256
+        raw.append(ftype)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        MM.PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filter_types():
+    """Golden path: pixels -> spec-filtered scanlines -> decode -> the
+    same pixels, for every PNG filter type and for gray/RGB/RGBA."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 3, 4):
+        px = rng.randint(0, 256, size=(5, 4, ch)).astype(np.uint8)
+        for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5,
+                        [0, 1, 2, 3, 4]):
+            got = MM.decode_png(_encode_png(px, filters))
+            assert got.shape == px.shape
+            assert (got == px).all(), (ch, filters)
+
+
+def test_png_decode_known_tiny_image():
+    """A well-known 1x1 PNG (the ubiquitous tracking-pixel bytes)
+    decodes without error to a 1x1 image."""
+    import base64
+
+    payload = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+        "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    got = MM.decode_png(payload)
+    assert got.shape[0] == 1 and got.shape[1] == 1
+
+
+def test_decode_stats_runs_real_png_through_spark(spark):
+    """The mapInPandas plumbing with the REAL codec: a media table of
+    genuine PNG payloads -> decode_stats(kernel=decode_auto) must
+    reproduce the per-image pixel statistics computed locally."""
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    imgs = {i: rng.randint(0, 256, size=(6, 5, 3)).astype(np.uint8)
+            for i in range(8)}
+    rows = [(i, _encode_png(px, filters=[4] * 6)) for i, px in imgs.items()]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = (
+        MM.decode_stats(media, kernel=MM.decode_auto)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i, px in imgs.items():
+        flat = px.reshape(-1)
+        assert got.loc[i, "n_samples"] == flat.size
+        assert abs(got.loc[i, "mean_intensity"] - flat.mean()) < 1e-9
+        assert got.loc[i, "min_intensity"] == flat.min()
+        assert got.loc[i, "max_intensity"] == flat.max()
 
 
 def test_metadata_query_prunes_payload(spark, media, tmp_path):

@@ -84,25 +84,31 @@ def test_bda_vis_plan(spark, ms):
     assert P.sortmerge_join_count(q) == 0, P.plan_stats(q)
 
 
-def test_timechannel_vis_join_not_force_broadcast(spark, ms):
-    """The row -> bin map has one entry per MS row: a forced broadcast
-    hint there is a 100 TB driver OOM. The whole timechannel sample-side
-    chain must carry ZERO explicit hints — strategy belongs to AQE
-    (which still picks broadcast at this scale, measured, not forced)."""
+def test_timechannel_vis_broadcast_is_size_gated(spark, ms):
+    """The row -> bin map has one entry per MS row: an UNCONDITIONAL
+    broadcast hint there is a 100 TB driver OOM, while no hint stages
+    the sample table through an avoidable shuffle at bench scale. The
+    hint must be gated on the planning count: present when the map
+    measures small, ABSENT when the gate says it doesn't fit."""
     from xova_spark.operators import timechannel as tc
 
     bins = tc.bin_map(ms["ms_rows"], 4.0)
-    assert P.broadcast_hint_count(tc.average_vis(ms["ms_vis"], bins)) == 0
-    assert P.broadcast_hint_count(tc.average_weights(ms["ms_weights"], bins)) == 0
+    # fixture scale: map fits -> hinted single-shuffle plan
+    assert P.broadcast_hint_count(tc.average_vis(ms["ms_vis"], bins)) > 0
+    # simulated 100 TB (gate forced shut): zero hints anywhere
+    assert P.broadcast_hint_count(
+        tc.average_vis(ms["ms_vis"], bins, map_broadcast_rows=0)
+    ) == 0
+    assert P.broadcast_hint_count(
+        tc.average_weights(ms["ms_weights"], bins, map_broadcast_rows=0)
+    ) == 0
 
 
-def test_bda_vis_join_not_force_broadcast(spark, ms):
-    """BDA sample-side chain: phase-1 params joins may hint (bounded by
-    #baselines x #partitions), but bin_map/average_vis must add none —
-    the row-scale map and per-output-bin dim joins stay AQE-chosen.
-    Feed a hint-free binned input so any hint seen is one THEY added
-    (the real assign_bins subtree carries legit dim hints and appears
-    twice in average_vis's plan, which would double-count them)."""
+def test_bda_vis_broadcast_is_size_gated(spark, ms):
+    """BDA sample-side chain: same gate. Feed a hint-free binned input
+    so any hint seen is one average_vis/bin_map added (the real
+    assign_bins subtree carries legit dim hints and appears twice in
+    average_vis's plan, which would double-count them)."""
     from xova_spark.operators import bda as B
 
     binned = (
@@ -110,11 +116,12 @@ def test_bda_vis_join_not_force_broadcast(spark, ms):
         .withColumn("time_bin", F.lit(0))
         .withColumn("chan_fac", F.lit(2))
     )
-    q = B.average_vis(ms["ms_vis"], B.bin_map(binned))
-    assert P.broadcast_hint_count(q) == 0, (
-        "average_vis/bin_map introduced a forced broadcast on a "
-        "row-scale table"
-    )
+    assert P.broadcast_hint_count(
+        B.average_vis(ms["ms_vis"], B.bin_map(binned), map_broadcast_rows=0)
+    ) == 0, "gate shut but a row-scale broadcast hint survived"
+    assert P.broadcast_hint_count(
+        B.average_vis(ms["ms_vis"], B.bin_map(binned))
+    ) > 0, "map fits at fixture scale but was not hinted"
 
 
 def test_codegen_covers_hot_path(spark):

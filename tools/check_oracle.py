@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -93,14 +94,16 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        dt = time.monotonic() - t0
         if name not in oracles:
-            print(f"NOOR  {name}: rows={len(sdf)} (rows-only check)")
+            print(f"NOOR  {name}: rows={len(sdf)} (rows-only check) [{dt:.1f}s]")
             n_noor += 1
             continue
         try:
@@ -111,13 +114,13 @@ def main():
             continue
         exact, close, detail = compare(name, sdf, odf)
         if exact:
-            print(f"EXACT {name}: rows={len(sdf)}")
+            print(f"EXACT {name}: rows={len(sdf)} [{dt:.1f}s]")
             n_exact += 1
         elif close:
-            print(f"CLOSE {name}: rows={len(sdf)} ({detail})")
+            print(f"CLOSE {name}: rows={len(sdf)} ({detail}) [{dt:.1f}s]")
             n_close += 1
         else:
-            print(f"FAIL  {name}: {detail}")
+            print(f"FAIL  {name}: {detail} [{dt:.1f}s]")
             n_fail += 1
     print(
         f"\n== exact={n_exact} close={n_close} fail={n_fail} rows_only={n_noor} "

@@ -159,6 +159,12 @@ def create_parser() -> argparse.ArgumentParser:
     st.add_argument("--mode", choices=["timechannel", "bda"],
                     default="timechannel",
                     help="which averaging pipeline the maintenance runs")
+    st.add_argument("-rfr", "--respect-flag-row", action="store_true",
+                    default=False)
+    st.add_argument("--include-auto-correlations", action="store_true",
+                    default=False)
+    st.add_argument("--average-uvw-coordinates", action="store_true",
+                    default=False)
     st.add_argument("-t", "--time-bin-secs", default=None, type=float,
                     help="timechannel bin (default 2.0) / bda cap "
                          "(default uncapped)")
@@ -189,6 +195,18 @@ def parse_args(cmdline: list[str]) -> argparse.Namespace:
             args.output = derive_output_name(args.ms)
         if args.command in ("timechannel", "bda"):
             args.data_column = parse_data_column_map(args.data_column)
+            # This engine averages ONE visibility column into one output
+            # name; a map with multiple distinct targets (e.g. 'DATA
+            # CORRECTED_DATA:CDATA') would silently rename only once —
+            # reject it up front with a clear message instead.
+            targets = set(args.data_column.values())
+            if len(targets) > 1:
+                parser.error(
+                    "-dc maps multiple output columns "
+                    f"({', '.join(sorted(targets))}); this engine averages "
+                    "a single visibility column — pass one SOURCE:TARGET "
+                    "pair (ref -dc semantics, arguments.py:231-245)"
+                )
     return args
 
 
@@ -248,9 +266,11 @@ class Application:
         if args.command == "corpus":
             return self._execute_corpus()
 
-        from xova_spark.sources.ms_fixture import load_ms
+        # Opens real CASA MS directories too when python-casacore is
+        # installed (sources/casa_ms bridge); parquet layout otherwise.
+        from xova_spark.sources.casa_ms import load_ms_auto
 
-        tables = load_ms(spark, args.ms)
+        tables = load_ms_auto(spark, args.ms)
 
         if args.command == "check":
             from xova_spark.operators.check import check_ms, check_spw
@@ -263,7 +283,11 @@ class Application:
             return None
 
         if args.command == "stream":
-            return self._execute_stream(tables)
+            # Same input maintenance as the batch commands: autocorr
+            # drop + FLAG_ROW derivation apply to the STATIC tables the
+            # stream aggregates against, so the drained result equals
+            # the batch run on the same flags.
+            return self._execute_stream(self._prepare(tables))
 
         tables = self._prepare(tables)
         fields = self._resolve_fields(tables, args.fields)
@@ -399,6 +423,18 @@ class Application:
             import shutil
 
             shutil.rmtree(part_dir)
+        # Only the visibility samples ARRIVE; the row table is static, so
+        # its averaged form (and the weights) come from the same batch
+        # operators the one-shot commands use — the stream maintains the
+        # one table batch could not: the sample partials.
+        def _vis_contract(vis_df, bins_df):
+            dim = bins_df.select(*tc.BIN_KEYS, "rep").distinct()
+            return (
+                vis_df.join(dim, tc.BIN_KEYS)
+                .withColumnRenamed("rep", "row_id")
+                .withColumnRenamed("chan_bin", "chan")
+            )
+
         if args.mode == "bda":
             from xova_spark.operators import bda as B
             from xova_spark.streaming.materialize import (
@@ -419,18 +455,28 @@ class Application:
             q = materialized_bda_vis(stream, bins, part_dir, checkpoint)
             q.awaitTermination()
             dmap = B.ddid_map(params, tables)
+            grid = B.spw_grid(params, tables)
+            rewritten = {"ms_rows", "ms_weights", "ms_vis", "spw_chans",
+                         "spw_meta", "ddid"}
             out = {
-                "ms_rows": B._remap_rows(B.average_rows(binned), dmap),
-                "ms_vis": finalize_bda_vis(spark, part_dir, bins),
-                "spw": B.spw_grid(params, tables),
+                "ms_rows": B.remap_main(
+                    B._remap_rows(B.average_rows(binned, with_row_id=True), dmap)
+                ),
+                "ms_weights": (
+                    tc.average_weights(tables["ms_weights"], bins, keep_rep=True)
+                    .withColumnRenamed("rep", "row_id")
+                ),
+                "ms_vis": _vis_contract(
+                    finalize_bda_vis(spark, part_dir, bins), bins
+                ),
+                "spw": grid,
                 "ddid_map": dmap,
-                # S10 passthrough subtables
-                "pol": tables["pol"],
-                "field": tables["field"],
-                "antenna": tables["antenna"],
+                **B.conformant_subtables(dmap, grid),
+                **{k: v for k, v in tables.items() if k not in rewritten},
             }
         else:
-            bins = tc.bin_map(tables["ms_rows"], args.time_bin_secs or 2.0)
+            tbin = args.time_bin_secs or 2.0
+            bins = tc.bin_map(tables["ms_rows"], tbin)
             q = materialized_ms_vis(
                 stream, bins, part_dir, checkpoint, args.chan_bin_size
             )
@@ -439,16 +485,27 @@ class Application:
             out_chans, out_meta = tc.average_spw(
                 tables["spw_chans"], tables["spw_meta"], args.chan_bin_size
             )
+            rewritten = {"ms_rows", "ms_weights", "ms_vis", "spw_chans",
+                         "spw_meta"}
             out = {
-                "ms_vis": finalize_vis(spark, part_dir),
+                "ms_rows": tc.average_rows(
+                    tables["ms_rows"], tbin, with_row_id=True
+                ),
+                "ms_weights": (
+                    tc.average_weights(tables["ms_weights"], bins, keep_rep=True)
+                    .withColumnRenamed("rep", "row_id")
+                ),
+                "ms_vis": _vis_contract(finalize_vis(spark, part_dir), bins),
                 "spw_chans": out_chans,
                 "spw_meta": out_meta,
-                # S10 passthrough subtables
-                "ddid": tables["ddid"],
-                "pol": tables["pol"],
-                "field": tables["field"],
-                "antenna": tables["antenna"],
+                **{k: v for k, v in tables.items() if k not in rewritten},
             }
+        if not args.average_uvw_coordinates:
+            from xova_spark.operators.uvw import fixms
+
+            out["ms_rows"] = fixms(
+                out["ms_rows"], tables["antenna"], tables["field"]
+            )
         write_ms(out, args.output, force=args.force)
         return args.output
 

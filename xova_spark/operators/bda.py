@@ -184,12 +184,18 @@ def assign_bins(rows: DataFrame, params: DataFrame) -> DataFrame:
     )
 
 
-def average_rows(binned: DataFrame) -> DataFrame:
+def average_rows(binned: DataFrame, with_row_id: bool = False) -> DataFrame:
     """Phase 2a: A1a row-level aggregation on BDA bins + the ragged
-    NUM_CHAN / DECORR_CHAN_WIDTH outputs (averaging.py:159-164)."""
+    NUM_CHAN / DECORR_CHAN_WIDTH outputs (averaging.py:159-164).
+
+    ``with_row_id`` adds row_id = min(input row_id) per bin (the rep
+    surrogate) so written BDA output satisfies the load_ms row-identity
+    contract and is check-able/re-openable."""
     fr = F.col("FLAG_ROW")
     unfl = ~fr
+    extra = [F.min("row_id").alias("row_id")] if with_row_id else []
     return binned.groupBy(*BIN_KEYS).agg(
+        *extra,
         F.avg("TIME").alias("TIME"),
         F.sum("INTERVAL").alias("INTERVAL"),
         _fallback(F.sum(F.when(unfl, F.col("EXPOSURE"))), F.sum("EXPOSURE")).alias(
@@ -228,17 +234,28 @@ def bin_map(binned: DataFrame) -> DataFrame:
     )
 
 
-def average_vis(vis: DataFrame, bins: DataFrame) -> DataFrame:
+def average_vis(
+    vis: DataFrame,
+    bins: DataFrame,
+    keep_rep: bool = False,
+    map_broadcast_rows: int | None = None,
+) -> DataFrame:
     """Phase 2b: ragged visibility averaging — chan_bin width varies per
     baseline (chan_fac), A1a weighted-mean semantics with fully-flagged
     fallback. One shuffle of the big table, keyed on the compact
     (rep, chan_bin, corr) surrogate."""
     # Both the row -> bin map (one entry per MS row) and the rep -> keys
-    # dim (one entry per output bin) scale with the input; neither is
-    # broadcast-hinted. AQE measures them at runtime and picks broadcast
-    # only when genuinely small — at 100 TB these are shuffle joins.
+    # dim (one entry per output bin) scale with the input: the broadcast
+    # hint is SIZE-GATED by one planning count (the reference's eager
+    # plan-pass analogue, chunking.py:281-285). Small -> hinted
+    # single-shuffle plan; at 100 TB -> plain joins, AQE decides.
+    from xova_spark.operators.timechannel import map_fits_broadcast
+
+    fits = map_fits_broadcast(bins, map_broadcast_rows)
     narrow = bins.select("row_id", "rep", "chan_fac")
     dim = bins.select("rep", *BIN_KEYS).distinct()
+    if fits:
+        narrow, dim = F.broadcast(narrow), F.broadcast(dim)
     j = vis.join(narrow, "row_id").withColumn(
         "chan_bin", F.floor(F.col("chan") / F.col("chan_fac")).cast("int")
     )
@@ -263,8 +280,9 @@ def average_vis(vis: DataFrame, bins: DataFrame) -> DataFrame:
         (F.sqrt(sum_w2s2) / sum_w).alias("sigma_sp"),
         F.count("*").alias("n_samples"),
     )
-    return agg.join(dim, "rep").select(
-        *BIN_KEYS,
+    head = ["rep", *BIN_KEYS] if keep_rep else BIN_KEYS
+    return agg.join(dim, "rep").select(  # dim already hint-wrapped above
+        *head,
         "chan_bin",
         "corr",
         "vis_re",
@@ -356,7 +374,16 @@ def bda(
     scans: list[int] | None = None,
 ) -> dict:
     """Full BDA pipeline (ref averaging.py:270-354 + 550-722): averaged
-    main-table parts with remapped DATA_DESC_ID, regenerated SPW/DDID."""
+    main-table parts with remapped DATA_DESC_ID, regenerated SPW/DDID.
+
+    Like timechannel(), the output satisfies the load_ms contract so a
+    written BDA MS re-opens and `check`-validates: main tables carry
+    row_id (the bin's rep surrogate), ms_rows.DATA_DESC_ID points at the
+    REMINTED ddid table (one row per distinct channelisation,
+    averaging.py:527-547), and spw_chans/spw_meta describe the new
+    uniform grids. The ragged-specific ``spw``/``ddid_map`` views are
+    kept alongside for lineage. Unknown subtables pass through
+    (subtables.py:9-37)."""
     rows = tables["ms_rows"]
     if fields:
         rows = rows.filter(F.col("FIELD_ID").isin(fields))
@@ -367,14 +394,76 @@ def bda(
     )
     binned = assign_bins(rows, params)
     dmap = ddid_map(params, tables)
+    grid = spw_grid(params, tables)
+    bins = bin_map(binned)
+    remapped = _remap_rows(average_rows(binned, with_row_id=True), dmap)
+    rewritten = {
+        "ms_rows", "ms_weights", "ms_vis", "spw_chans", "spw_meta", "ddid"
+    }
+    from xova_spark.operators.timechannel import average_weights
+
+    out_weights = None
+    if "ms_weights" in tables:
+        out_weights = (
+            average_weights(tables["ms_weights"], bins, keep_rep=True)
+            .withColumnRenamed("rep", "row_id")
+        )
     return {
-        "ms_rows": _remap_rows(average_rows(binned), dmap),
-        "ms_vis": average_vis(tables["ms_vis"], bin_map(binned)),
-        "spw": spw_grid(params, tables),
+        "ms_rows": remap_main(remapped),
+        **({"ms_weights": out_weights} if out_weights is not None else {}),
+        "ms_vis": (
+            average_vis(tables["ms_vis"], bins, keep_rep=True)
+            .withColumnRenamed("rep", "row_id")
+            .withColumnRenamed("chan_bin", "chan")
+        ),
+        "spw": grid,
         "ddid_map": dmap,
-        "pol": tables["pol"],
-        "field": tables["field"],
-        "antenna": tables["antenna"],
+        **conformant_subtables(dmap, grid),
+        **{k: v for k, v in tables.items() if k not in rewritten},
+    }
+
+
+def remap_main(remapped: DataFrame) -> DataFrame:
+    """Point the averaged rows' DATA_DESC_ID at the REMINTED ddid table
+    (averaging.py:693-705): the original id is kept as ORIG_DATA_DESC_ID
+    for lineage; rows whose channelisation had no remint (none in
+    practice — the map is built from the same distinct set) keep the
+    original."""
+    return (
+        remapped.withColumn("ORIG_DATA_DESC_ID", F.col("DATA_DESC_ID"))
+        .withColumn(
+            "DATA_DESC_ID", F.coalesce("NEW_DATA_DESC_ID", "DATA_DESC_ID")
+        )
+        .drop("NEW_DATA_DESC_ID")
+    )
+
+
+def conformant_subtables(dmap: DataFrame, grid: DataFrame) -> dict:
+    """DDID / SPW subtables under the standard names and schemas so a
+    written BDA output re-opens through load_ms and passes `check`
+    (V3 wiring, averaging.py:707-720). EFFECTIVE_BW/RESOLUTION equal
+    CHAN_WIDTH on the regenerated uniform grid."""
+    return {
+        "ddid": dmap.select(
+            F.col("NEW_DATA_DESC_ID").alias("DATA_DESC_ID"),
+            F.col("NEW_SPW_ID").alias("SPECTRAL_WINDOW_ID"),
+            "POLARIZATION_ID",
+        ).distinct(),
+        "spw_chans": grid.select(
+            F.col("NEW_SPW_ID").alias("SPECTRAL_WINDOW_ID"),
+            "chan",
+            "CHAN_FREQ",
+            "CHAN_WIDTH",
+            F.col("CHAN_WIDTH").alias("EFFECTIVE_BW"),
+            F.col("CHAN_WIDTH").alias("RESOLUTION"),
+        ),
+        "spw_meta": grid.groupBy(
+            F.col("NEW_SPW_ID").alias("SPECTRAL_WINDOW_ID")
+        ).agg(
+            F.any_value("NUM_CHAN").alias("NUM_CHAN"),
+            F.any_value("TOTAL_BANDWIDTH").alias("TOTAL_BANDWIDTH"),
+            F.min("CHAN_FREQ").alias("REF_FREQUENCY"),
+        ),
     }
 
 

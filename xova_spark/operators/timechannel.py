@@ -34,12 +34,47 @@ single shuffle. Skewed baselines are handled by AQE skew-join splitting.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PART_KEYS = ["FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER"]  # app.py:43 GROUP_COLS
 BL_KEYS = ["ANTENNA1", "ANTENNA2"]
 BIN_KEYS = PART_KEYS + BL_KEYS + ["time_bin"]
+
+# Size gate for broadcasting the row -> bin map: ~64 bytes/row serialized,
+# so 4M rows ~ 256 MB build side — comfortably under executor memory on
+# the design-point cluster, far above the bench fixtures.
+DEFAULT_MAP_BROADCAST_ROWS = 4_000_000
+
+
+def planned_broadcast(df: DataFrame, limit_rows: int | None = None):
+    """Size-GATED broadcast hint for tables that scale with the input
+    (row -> bin maps, per-output-bin dims).
+
+    An unconditional hint is a 100 TB driver OOM; NO hint makes AQE
+    stage the big-table side through a shuffle write before its runtime
+    conversion can kick in (6x slower at bench scale). So do what the
+    reference does: an eager planning pass (its dataset_chunks computes
+    chunk stats up front, chunking.py:281-285) — here one cheap count()
+    of the ROW-scale map (3 orders of magnitude smaller than the sample
+    table) decides. Small -> hint broadcast (single-shuffle plan);
+    large -> plain join, AQE picks the strategy at 100 TB."""
+    if map_fits_broadcast(df, limit_rows):
+        return F.broadcast(df)
+    return df
+
+
+def map_fits_broadcast(df: DataFrame, limit_rows: int | None = None) -> bool:
+    """The planning decision behind planned_broadcast, reusable when one
+    decision covers several derived joins (average_vis hints BOTH its
+    row-map and bin-dim sides from a single count)."""
+    if limit_rows is None:
+        limit_rows = int(
+            os.environ.get("XOVA_MAP_BROADCAST_ROWS", DEFAULT_MAP_BROADCAST_ROWS)
+        )
+    return limit_rows > 0 and df.count() <= limit_rows
 
 
 def _fallback(unflagged_expr, all_expr):
@@ -65,22 +100,33 @@ def average_rows(
     time_bin_secs: float = 2.0,
     fields: list[int] | None = None,
     scans: list[int] | None = None,
+    with_row_id: bool = False,
 ) -> DataFrame:
     """A1 row-level averaging (ref averaging.py:184-267)."""
     if fields:
         rows = rows.filter(F.col("FIELD_ID").isin(fields))  # averaging.py:218-221
     if scans:
         rows = rows.filter(F.col("SCAN_NUMBER").isin(scans))
-    return average_binned_rows(assign_time_bins(rows, time_bin_secs))
+    return average_binned_rows(
+        assign_time_bins(rows, time_bin_secs), with_row_id=with_row_id
+    )
 
 
-def average_binned_rows(binned: DataFrame) -> DataFrame:
+def average_binned_rows(binned: DataFrame, with_row_id: bool = False) -> DataFrame:
     """A1a aggregation over rows that already carry a time_bin column
     (from assign_time_bins, or chunking.assign_greedy_bins for the
-    bit-exact greedy variant)."""
+    bit-exact greedy variant).
+
+    ``with_row_id`` adds row_id = min(input row_id) per bin — the same
+    ``rep`` surrogate bin_map uses — so the written output satisfies the
+    load_ms row-identity contract and can be re-opened, re-checked, and
+    re-averaged like any input MS (the reference's average-then-check
+    workflow, check.py:22-76)."""
     fr = F.col("FLAG_ROW")
     unfl = ~fr
+    extra = [F.min("row_id").alias("row_id")] if with_row_id else []
     return binned.groupBy(*BIN_KEYS).agg(
+        *extra,
         F.avg("TIME").alias("TIME"),
         F.sum("INTERVAL").alias("INTERVAL"),
         _fallback(
@@ -123,23 +169,37 @@ def bin_map(rows: DataFrame, time_bin_secs: float = 2.0) -> DataFrame:
     )
 
 
-def _reattach(agg: DataFrame, bins: DataFrame, tail_cols: list[str]) -> DataFrame:
-    # No broadcast hint: the rep -> keys dim has one row per OUTPUT bin,
-    # which scales with the input. AQE picks broadcast when it measures
-    # small, and falls back to shuffle join at 100 TB (a forced hint here
-    # would be a driver OOM, not a slow plan).
+def _reattach(
+    agg: DataFrame,
+    bins: DataFrame,
+    tail_cols: list[str],
+    keep_rep: bool = False,
+    hint: bool = False,
+) -> DataFrame:
+    # The rep -> keys dim has one row per OUTPUT bin, which scales with
+    # the input — the broadcast hint is applied only when the caller's
+    # planning count said the map side fits (planned_broadcast).
     dim = bins.select("rep", *BIN_KEYS).distinct()
-    return agg.join(dim, "rep").select(*BIN_KEYS, *tail_cols)
+    head = ["rep", *BIN_KEYS] if keep_rep else BIN_KEYS
+    joined = agg.join(F.broadcast(dim) if hint else dim, "rep")
+    return joined.select(*head, *tail_cols)
 
 
-def average_weights(weights: DataFrame, bins: DataFrame) -> DataFrame:
+def average_weights(
+    weights: DataFrame,
+    bins: DataFrame,
+    keep_rep: bool = False,
+    map_broadcast_rows: int | None = None,
+) -> DataFrame:
     """WEIGHT/SIGMA per (bin, corr): sum of weights over unflagged rows;
     SIGMA = sqrt(sum(w²σ²))/sum(w) — weighted RMS (A1a).
 
-    The row -> bin map has one entry per MS row; the join strategy is
-    left to AQE (shuffle join at scale, broadcast only when measured
-    small), never hinted."""
-    j = weights.join(bins.select("row_id", "rep", "FLAG_ROW"), "row_id")
+    The row -> bin map has one entry per MS row; its join strategy is
+    size-gated by one planning count (planned_broadcast): hinted
+    broadcast when small, AQE's choice at 100 TB."""
+    fits = map_fits_broadcast(bins, map_broadcast_rows)
+    narrow = bins.select("row_id", "rep", "FLAG_ROW")
+    j = weights.join(F.broadcast(narrow) if fits else narrow, "row_id")
     unfl = ~F.col("FLAG_ROW")
     w, s = F.col("WEIGHT"), F.col("SIGMA")
     sum_w = _fallback(F.sum(F.when(unfl, w)), F.sum(w))
@@ -150,18 +210,22 @@ def average_weights(weights: DataFrame, bins: DataFrame) -> DataFrame:
         sum_w.alias("WEIGHT"),
         (F.sqrt(sum_w2s2) / sum_w).alias("SIGMA"),
     )
-    return _reattach(agg, bins, ["corr", "WEIGHT", "SIGMA"])
+    return _reattach(agg, bins, ["corr", "WEIGHT", "SIGMA"], keep_rep, fits)
 
 
 def average_vis(
-    vis: DataFrame, bins: DataFrame, chan_bin_size: int = 16
+    vis: DataFrame, bins: DataFrame, chan_bin_size: int = 16,
+    keep_rep: bool = False,
+    map_broadcast_rows: int | None = None,
 ) -> DataFrame:
     """Visibility averaging per (bin, chan_bin, corr): weighted complex
     mean over unflagged samples with fully-flagged fallback (A1/A1a).
     One shuffle of the big table, keyed on (rep, chan_bin, corr).
-    The row -> bin map join is un-hinted: AQE decides (see
-    average_weights)."""
-    j = vis.join(bins.select("row_id", "rep"), "row_id").withColumn(
+    The row -> bin map join is size-gated (see average_weights); one
+    planning count covers both the map and dim sides."""
+    fits = map_fits_broadcast(bins, map_broadcast_rows)
+    narrow = bins.select("row_id", "rep")
+    j = vis.join(F.broadcast(narrow) if fits else narrow, "row_id").withColumn(
         "chan_bin", F.floor(F.col("chan") / F.lit(chan_bin_size)).cast("int")
     )
     fl, w = F.col("flag"), F.col("weight_sp")
@@ -190,6 +254,8 @@ def average_vis(
         bins,
         ["chan_bin", "corr", "vis_re", "vis_im", "flag", "weight_sp",
          "sigma_sp", "n_samples"],
+        keep_rep,
+        fits,
     )
 
 
@@ -235,7 +301,15 @@ def timechannel(
 ) -> dict:
     """Full timechannel pipeline over a loaded MS (ref app.py:59-128):
     returns the averaged main-table parts + regenerated SPW tables.
-    Subtables other than SPW pass through unchanged (ref subtables.py)."""
+
+    The output satisfies the SAME table contract load_ms reads — row
+    identity (row_id = the bin's rep surrogate) on every main table,
+    sample tables keyed (row_id, chan, corr) — so a written output can
+    be re-opened, `check`-validated, and re-averaged exactly like the
+    reference's own output MS (check.py:22-76 workflow). ALL subtables
+    not rewritten by the pipeline pass through unchanged, including ones
+    this engine knows nothing about (ref subtables.py:9-37 copies
+    unknown subtables wholesale)."""
     rows = tables["ms_rows"]
     if fields:
         rows = rows.filter(F.col("FIELD_ID").isin(fields))
@@ -245,14 +319,20 @@ def timechannel(
     out_chans, out_meta = average_spw(
         tables["spw_chans"], tables["spw_meta"], chan_bin_size
     )
+    rewritten = {"ms_rows", "ms_weights", "ms_vis", "spw_chans", "spw_meta"}
     return {
-        "ms_rows": average_rows(rows, time_bin_secs),
-        "ms_weights": average_weights(tables["ms_weights"], bins),
-        "ms_vis": average_vis(tables["ms_vis"], bins, chan_bin_size),
+        "ms_rows": average_rows(rows, time_bin_secs, with_row_id=True),
+        "ms_weights": (
+            average_weights(tables["ms_weights"], bins, keep_rep=True)
+            .withColumnRenamed("rep", "row_id")
+        ),
+        "ms_vis": (
+            average_vis(tables["ms_vis"], bins, chan_bin_size, keep_rep=True)
+            .withColumnRenamed("rep", "row_id")
+            .withColumnRenamed("chan_bin", "chan")
+        ),
         "spw_chans": out_chans,
         "spw_meta": out_meta,
-        "ddid": tables["ddid"],
-        "pol": tables["pol"],
-        "field": tables["field"],
-        "antenna": tables["antenna"],
+        # S10 passthrough: every other table (known or unknown) verbatim.
+        **{k: v for k, v in tables.items() if k not in rewritten},
     }

@@ -273,21 +273,57 @@ def _generate(out: str, na: int, ntime: int, seed: int) -> None:
     )
 
 
+KNOWN_TABLES = (
+    "ms_rows",
+    "ms_weights",
+    "ms_vis",
+    "spw_chans",
+    "spw_meta",
+    "ddid",
+    "pol",
+    "field",
+    "antenna",
+)
+
+
 def load_ms(spark, ms_dir: str) -> dict:
-    """Read all fixture tables; register temp views ms_rows/ms_vis/..."""
+    """Open an MS directory as a table dict; register temp views.
+
+    Accepts BOTH layouts so the engine can re-open its own output (the
+    reference's average-then-check workflow, check.py:22-76):
+    - fixture layout: ``<ms>/<name>.parquet`` files,
+    - write_ms layout: ``<ms>/<name>/`` parquet dataset directories.
+    Tables missing from the directory are skipped rather than an error
+    (a BDA output also carries spw/ddid_map lineage tables; a stream
+    output may omit row tables), and any EXTRA table present — known to
+    this engine or not — is loaded too (the read-side of the S10
+    wholesale subtable passthrough, subtables.py:9-37). Table keywords
+    saved by write_ms come back under ``_keywords``."""
     out = {}
-    for name in (
-        "ms_rows",
-        "ms_weights",
-        "ms_vis",
-        "spw_chans",
-        "spw_meta",
-        "ddid",
-        "pol",
-        "field",
-        "antenna",
-    ):
-        df = spark.read.parquet(os.path.join(ms_dir, f"{name}.parquet"))
-        df.createOrReplaceTempView(name)
-        out[name] = df
+    names = list(KNOWN_TABLES)
+    for entry in sorted(os.listdir(ms_dir)):
+        stem = entry[:-8] if entry.endswith(".parquet") else entry
+        if stem not in names and not stem.startswith("_"):
+            names.append(stem)
+    for name in names:
+        for candidate in (os.path.join(ms_dir, f"{name}.parquet"),
+                          os.path.join(ms_dir, name)):
+            if os.path.exists(candidate):
+                try:
+                    df = spark.read.parquet(candidate)
+                except Exception:  # noqa: BLE001 — non-table entry
+                    # Best-effort discovery: a directory that is not a
+                    # parquet dataset (scratch dirs, checkpoints) is not
+                    # a subtable; known tables were never optional here
+                    # either (a missing one simply isn't in the dict).
+                    continue
+                df.createOrReplaceTempView(name)
+                out[name] = df
+                break
+    kw_path = os.path.join(ms_dir, "_keywords.json")
+    if os.path.exists(kw_path):
+        import json
+
+        with open(kw_path) as fh:
+            out["_keywords"] = json.load(fh)
     return out

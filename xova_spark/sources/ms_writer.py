@@ -33,7 +33,12 @@ class OutputExistsError(RuntimeError):
 
 def write_ms(tables: dict, path: str, force: bool = False) -> None:
     """S8/S9/S10/S11: write every DataFrame in ``tables`` under
-    ``path``; refuse to overwrite unless force (app.py:152-159)."""
+    ``path``; refuse to overwrite unless force (app.py:152-159).
+
+    A ``_keywords`` entry (a plain JSON-able dict, keyed by table name)
+    is persisted as ``<path>/_keywords.json`` — the parquet-layout
+    analogue of the reference's table-keyword relink on passthrough
+    subtables (subtables.py:35 putkeywords); load_ms restores it."""
     if os.path.exists(path):
         if not force:
             raise OutputExistsError(
@@ -49,6 +54,13 @@ def write_ms(tables: dict, path: str, force: bool = False) -> None:
             if part:
                 writer = writer.partitionBy(*part)
         writer.parquet(os.path.join(path, name))
+    keywords = tables.get("_keywords")
+    if isinstance(keywords, dict):
+        import json
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "_keywords.json"), "w") as fh:
+            json.dump(keywords, fh, indent=1, sort_keys=True)
 
 
 def read_ms(spark: SparkSession, path: str) -> dict:
