@@ -66,15 +66,54 @@ def planned_broadcast(df: DataFrame, limit_rows: int | None = None):
     return df
 
 
+# Decision memo keyed by DataFrame object: a pipeline builds ONE bin map
+# and derives several joins from it (rows/weights/vis) — one planning
+# count covers them all. The df reference is held so id() stays unique.
+_FITS_CACHE: dict[int, tuple[DataFrame, int, bool]] = {}
+# Catalyst's plan-statistics estimate is trustworthy in ONE direction
+# only: scan-derived plans carry (compressed) file bytes, so a SMALL
+# estimate really is small — but join nodes multiply child stats, so a
+# huge estimate may be garbage (measured: 3e18 "bytes" for a 2 MB BDA bin
+# map). The estimate therefore only ever CONFIRMS fits (zero planning
+# jobs); refusal always goes through the exact count. 8 bytes/row keeps
+# a 10x parquet-compression surprise under the broadcast design point.
+_EST_CONFIRM_BYTES_PER_ROW = 8
+
+
 def map_fits_broadcast(df: DataFrame, limit_rows: int | None = None) -> bool:
     """The planning decision behind planned_broadcast, reusable when one
     decision covers several derived joins (average_vis hints BOTH its
-    row-map and bin-dim sides from a single count)."""
+    row-map and bin-dim sides from a single count).
+
+    Two stages, cheapest first: (1) Catalyst's free plan-statistics
+    estimate may CONFIRM a small map with no job at all (scan-derived
+    maps at bench scale); (2) otherwise one exact count(), memoized per
+    map object so sibling operators (average_rows / average_weights /
+    average_vis on the same bin map) share the single planning job —
+    this count is the path a genuinely large input takes, and its False
+    verdict is what keeps 100 TB plans hint-free."""
     if limit_rows is None:
         limit_rows = int(
             os.environ.get("XOVA_MAP_BROADCAST_ROWS", DEFAULT_MAP_BROADCAST_ROWS)
         )
-    return limit_rows > 0 and df.count() <= limit_rows
+    if limit_rows <= 0:
+        return False
+    hit = _FITS_CACHE.get(id(df))
+    if hit is not None and hit[0] is df and hit[1] == limit_rows:
+        return hit[2]
+    fits = None
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if est <= limit_rows * _EST_CONFIRM_BYTES_PER_ROW:
+            fits = True
+    except Exception:  # noqa: BLE001 — stats unavailable; fall through to count
+        pass
+    if fits is None:
+        fits = df.count() <= limit_rows
+    if len(_FITS_CACHE) > 512:
+        _FITS_CACHE.clear()
+    _FITS_CACHE[id(df)] = (df, limit_rows, fits)
+    return fits
 
 
 def _fallback(unflagged_expr, all_expr):
