@@ -341,11 +341,13 @@ def pipeline_corpus_e2e(spark, sf_dir):
     prunes/pushes across stage boundaries that a multi-job pipeline
     would materialize.
 
-    Scale shape: the chain is per-row projections + three keyed shuffles
-    (word-frequency agg, content-hash dedup window, decontam hit count)
-    + one broadcast (eval n-gram set) + one left-anti (contaminated ids,
-    tiny). Every filter is decided from per-row or per-doc-key state —
-    no global barrier until the final audit aggregate. Decontamination
+    Scale shape: the chain is per-row projections + two keyed shuffles
+    (content-hash dedup window, decontam hit count) + one broadcast
+    (eval n-gram set) + one left-anti (contaminated ids, tiny). The
+    repetition signals (top-word fraction, 2-gram dup rate) are pure
+    per-row array expressions — no token explode ever shuffles. Every
+    filter is decided from per-row or per-doc-key state — no global
+    barrier until the final audit aggregate. Decontamination
     here uses 8-word shingles (the realistic long-n-gram setting — short
     n-grams over-flag; the 3-gram variant in t_decontam_overlap is the
     aggressive-overlap demonstrator).
@@ -370,16 +372,27 @@ def corpus_funnel(docs):
         n.between(20, 1000)
         & (F.size(F.array_distinct("ws")) * F.lit(1.0) / n > 0.2)
     )
-    wc = (
-        qual.select("doc_id", F.explode("ws").alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("c"))
-    )
-    rep_ok = (
-        wc.groupBy("doc_id")
-        .agg((F.max("c") * F.lit(1.0) / F.sum("c")).alias("topfrac"))
-        .filter(F.col("topfrac") <= 0.2)
-        .select("doc_id")
+    # topfrac = max word multiplicity / n. The multiplicity of the most
+    # repeated word equals the longest equal-run in the SORTED token
+    # array — an O(n log n) per-row expression, fully JVM-side, versus
+    # the naive explode + two keyed shuffles over every token in the
+    # corpus (the same quantity the DuckDB oracle computes by explode).
+    max_mult = F.aggregate(
+        F.array_sort("ws"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
     grams = F.zip_with(
         F.slice("ws", 1, n - 1),
@@ -387,7 +400,7 @@ def corpus_funnel(docs):
         lambda x, y: F.concat(x, F.lit("_"), y),
     )
     dup2 = F.lit(1) - F.size(F.array_distinct(grams)) * F.lit(1.0) / (n - 1)
-    rep2 = qual.join(rep_ok, "doc_id").filter(dup2 <= 0.6)
+    rep2 = qual.filter(max_mult * F.lit(1.0) / n <= 0.2).filter(dup2 <= 0.6)
     wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     dedup = (
         rep2.withColumn("rn", F.row_number().over(wdup))
