@@ -316,3 +316,23 @@ def test_app_corpus_writes_split_partitioned(spark, tmp_path):
     # overwrite guard
     with pytest.raises(SystemExit):
         Application(["corpus", sf, "-o", out], spark=spark).execute()
+
+
+def test_app_profile_dump(spark, ms_dir, tmp_path):
+    """--profile writes the chosen Catalyst plans + timing (the
+    reference's opt-in profiler analogue, app.py:35-40,130-150)."""
+    import json
+
+    out = os.path.join(str(tmp_path), "prof.ms")
+    pdir = os.path.join(str(tmp_path), "profile")
+    Application(
+        ["timechannel", ms_dir, "-t", "4", "-c", "8", "-o", out,
+         "--profile", pdir],
+        spark=spark,
+    ).execute()
+    with open(os.path.join(pdir, "profile.json")) as fh:
+        prof = json.load(fh)
+    assert prof["write_secs"] > 0
+    assert "ms_vis" in prof["tables"]
+    plan = open(os.path.join(pdir, "ms_vis.plan.txt")).read()
+    assert "Physical Plan" in plan

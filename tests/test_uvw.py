@@ -120,3 +120,22 @@ def test_w_term_geometry(spark, ms):
         > 1e-4
     ).count()
     assert bad == 0
+
+
+def test_fixms_keeps_averaged_uvw_for_polynomial_centres(spark, ms):
+    """The reference refuses UVW resynthesis when any field's phase
+    centre is a time polynomial (NUM_POLY > 0, fixvis.py:213-218) and
+    keeps the averaged coordinates; fixms must mirror that guard."""
+    poly_field = ms["field"].withColumn(
+        "NUM_POLY",
+        F.when(F.col("FIELD_ID") == 0, F.lit(1)).otherwise(F.col("NUM_POLY")),
+    )
+    rows = ms["ms_rows"]
+    out = U.fixms(rows, ms["antenna"], poly_field)
+    base = rows.select("row_id", "u", "v", "w").toPandas().set_index("row_id")
+    got = out.select("row_id", "u", "v", "w").toPandas().set_index("row_id")
+    assert (got.sort_index() == base.sort_index()).all().all()
+    # and with all-zero NUM_POLY the synthesis DOES replace them
+    replaced = U.fixms(rows, ms["antenna"], ms["field"])
+    got2 = replaced.select("row_id", "u", "v", "w").toPandas().set_index("row_id")
+    assert (got2.sort_index() != base.sort_index()).any().any()

@@ -28,6 +28,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -134,6 +135,10 @@ def create_parser() -> argparse.ArgumentParser:
         p.add_argument("--average-uvw-coordinates", action="store_true",
                        default=False)
         p.add_argument("--boring", action="store_true", default=False)
+        p.add_argument("--profile", default=None, metavar="DIR",
+                       help="dump per-table Catalyst plans + write timing "
+                            "to DIR (the reference's opt-in profiler "
+                            "analogue, app.py:35-40,130-150)")
     tc.add_argument("-t", "--time-bin-secs", default=2.0, type=float)
     tc.add_argument("-c", "--chan-bin-size", default=16, type=int)
     bda.add_argument("-t", "--time-bin-secs", default=None, type=float)
@@ -333,7 +338,12 @@ class Application:
 
         from xova_spark.sources.ms_writer import write_ms
 
+        t0 = time.perf_counter()
         write_ms(out, args.output, force=args.force)
+        if getattr(args, "profile", None):
+            from xova_spark.profiling import write_profile
+
+            write_profile(out, args.profile, time.perf_counter() - t0)
         return args.output
 
 

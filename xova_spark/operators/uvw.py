@@ -177,7 +177,23 @@ def fixms(averaged_rows: DataFrame, antenna: DataFrame, field: DataFrame) -> Dat
     """V4 post-pass: replace the averaged u/v/w with coordinates
     re-synthesized at the averaged TIME — joined in BEFORE the final
     write (one write, not the reference's post-write in-place update,
-    fixvis.py:262-265)."""
+    fixvis.py:262-265).
+
+    Mirrors the reference's time-variable-centre guard (fixvis.py:213-218):
+    when any field carries NUM_POLY > 0 the phase centre is a polynomial
+    in time, the closed-form synthesis is invalid, and the averaged UVW
+    coordinates are kept as-is (with the same critical-log warning)."""
+    if "NUM_POLY" in field.columns:
+        import logging
+
+        # Field tables are dimension-scale; this is a planning-time check.
+        if field.filter(F.col("NUM_POLY") != 0).limit(1).count() > 0:
+            logging.getLogger(__name__).critical(
+                "UVW recompute does not support time-variable reference "
+                "centres. Your dataset will contain averaged UVW "
+                "coordinates!"
+            )
+            return averaged_rows
     return (
         uvw_columns(averaged_rows, antenna, field)
         .drop("u", "v", "w")
