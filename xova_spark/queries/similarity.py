@@ -123,6 +123,13 @@ def _duck_bucket(col: str) -> str:
     )
 
 
+def _duck_probe_buckets(col: str) -> str:
+    """Bucket of `col` plus the 4 one-bit-flip neighbors (multi-probe)."""
+    base = _duck_bucket(col)
+    probes = ", ".join(f"xor(({base}), {1 << i})" for i in range(4))
+    return f"[({base}), {probes}]"
+
+
 @q(
     "ann_bucketed_topk",
     f"""
@@ -246,6 +253,151 @@ def _emb(spark, sf_dir):
     return [tables["embeddings"]]
 
 
+_NEARDUP_T = 0.45
+
+
+@q(
+    "dedup_embedding_lsh_pairs",
+    f"""
+    WITH normed AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), probed AS (
+      SELECT vec_id, unnest({_duck_probe_buckets('embedding')}) AS bucket
+      FROM normed
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM probed a JOIN probed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), pairs AS (
+      SELECT vec_a, vec_b,
+             {_duck_dot('na.embedding', 'nb.embedding')} / (na.nrm * nb.nrm) AS cos
+      FROM cand
+      JOIN normed na ON na.vec_id = vec_a
+      JOIN normed nb ON nb.vec_id = vec_b
+    )
+    SELECT vec_a, vec_b, round(cos, 6) AS cos
+    FROM pairs WHERE cos >= {_NEARDUP_T}
+    """,
+)
+def dedup_embedding_lsh_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup, SCALE PATH: multi-probe sign-bit LSH
+    generates candidate pairs (vectors sharing any of 5 probe buckets —
+    own bucket + 4 one-bit flips), exact cosine verifies only the
+    candidates. Nothing quadratic shuffles: the self-join keys on the
+    bucket id, candidates ≪ all-pairs, and the verify re-joins
+    embeddings by vec_id. ``dedup_embedding_cosine`` is the all-pairs
+    verifier; ``dedup_embedding_lsh_recall`` measures what the buckets
+    miss."""
+    (emb,) = _emb(spark, sf_dir)
+    normed = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+    base = _spark_bucket("embedding")
+    probes = F.array(base, *[base.bitwiseXOR(F.lit(1 << i)) for i in range(4)])
+    probed = normed.select(
+        "vec_id", F.explode(probes).alias("bucket")
+    )
+    cand = (
+        probed.select(F.col("vec_id").alias("vec_a"), "bucket")
+        .join(probed.select(F.col("vec_id").alias("vec_b"), "bucket"), "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    na = normed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("nra"),
+    )
+    nb = normed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nrb"),
+    )
+    cos = _spark_dot("ea", "eb") / (F.col("nra") * F.col("nrb"))
+    return (
+        cand.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _NEARDUP_T)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+@q(
+    "dedup_embedding_lsh_recall",
+    f"""
+    WITH normed AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), exact_pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+      WHERE {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+            >= {_NEARDUP_T}
+    ), probed AS (
+      SELECT vec_id, unnest({_duck_probe_buckets('embedding')}) AS bucket
+      FROM normed
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM probed a JOIN probed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), found AS (
+      SELECT e.vec_a, e.vec_b FROM exact_pairs e
+      JOIN cand c ON c.vec_a = e.vec_a AND c.vec_b = e.vec_b
+    )
+    SELECT CAST((SELECT count(*) FROM exact_pairs) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+           round((SELECT count(*) FROM found) * 1.0 /
+                 (SELECT count(*) FROM exact_pairs), 6) AS recall
+    """,
+)
+def dedup_embedding_lsh_recall(spark, sf_dir):
+    """Recall gate for the LSH near-dup path: fraction of the exact
+    all-pairs near-duplicates (the quadratic verifier) that the
+    multi-probe buckets recover. Measured, not assumed — the same
+    discipline as the ANN recall gates."""
+    (emb,) = _emb(spark, sf_dir)
+    normed = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+    a = normed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("nra"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nrb"),
+    )
+    cos = _spark_dot("ea", "eb") / (F.col("nra") * F.col("nrb"))
+    exact_pairs = (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= _NEARDUP_T)
+        .select("vec_a", "vec_b")
+    )
+    base = _spark_bucket("embedding")
+    probes = F.array(base, *[base.bitwiseXOR(F.lit(1 << i)) for i in range(4)])
+    probed = normed.select("vec_id", F.explode(probes).alias("bucket"))
+    cand = (
+        probed.select(F.col("vec_id").alias("vec_a"), "bucket")
+        .join(probed.select(F.col("vec_id").alias("vec_b"), "bucket"), "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    found = exact_pairs.join(cand, ["vec_a", "vec_b"])
+    return exact_pairs.agg(
+        F.count("*").alias("n_exact")
+    ).crossJoin(found.agg(F.count("*").alias("n_found"))).select(
+        "n_exact",
+        "n_found",
+        F.round(F.col("n_found") * 1.0 / F.col("n_exact"), 6).alias("recall"),
+    )
+
+
 _EXACT_TOP5 = f"""
     normed AS (
       SELECT vec_id, embedding,
@@ -336,13 +488,6 @@ def ann_recall_at5(spark, sf_dir):
             F.round(F.count("hit") / 5.0, 6).alias("recall_at_5"),
         )
     )
-
-
-def _duck_probe_buckets(col: str) -> str:
-    """Bucket of `col` plus the 4 one-bit-flip neighbors (multi-probe)."""
-    base = _duck_bucket(col)
-    probes = ", ".join(f"xor(({base}), {1 << i})" for i in range(4))
-    return f"[({base}), {probes}]"
 
 
 @q(
