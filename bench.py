@@ -64,29 +64,36 @@ def main() -> None:
         return time.perf_counter() - t0
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in qs:
             continue
-        # Warmup run first: codegen compilation, file listing, and scan
-        # setup are one-time session costs, not query throughput. The
-        # timed run measures steady state.
-        run(name)
-        dt = round(run(name), 3)
+        # Per-query error isolation: a broken query costs its own row,
+        # never the whole artifact (round-2 lesson: one AnalysisException
+        # zeroed the entire bench output).
+        try:
+            # Warmup run first: codegen compilation, file listing, and scan
+            # setup are one-time session costs, not query throughput. The
+            # timed run measures steady state.
+            run(name)
+            dt = round(run(name), 3)
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = dt
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

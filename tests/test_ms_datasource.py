@@ -121,20 +121,97 @@ def test_casa_ms_path_raises_clearly_without_codec(spark, tmp_path):
         casa_ms.load_ms_auto(spark, str(fake_ms))
 
 
-def test_casa_bridge_parity_with_parquet_path(spark, tmp_path):
-    """ACTIVATES WHEN python-casacore SHIPS: generate a small real MS
-    (mirroring the reference's xova/testing_data.py:9-166 synthetic MS),
-    ingest it through the casacore bridge, and the timechannel pipeline
-    must agree with the same data pushed through the parquet path."""
-    import pytest
+def _sorted_pdf(df, keys):
+    pdf = df.toPandas().sort_values(keys).reset_index(drop=True)
+    return pdf.reindex(sorted(pdf.columns), axis=1)
+
+
+def test_casa_bridge_parity_with_parquet_path(spark, ms_dir, tmp_path):
+    """The bridge's distributed windowing + cube assembly vs the parquet
+    path, over IDENTICAL data: the parquet fixture (DDID 0) converted to
+    a wide-layout fake CASA table (casa_fake — same getcol API the real
+    library serves), ingested with a window size that forces multiple
+    getcol pages per executor, must reproduce ms_rows / ms_vis /
+    ms_weights exactly. With python-casacore installed the same bridge
+    code runs against real tables; this pins the Spark side either way."""
+    import pandas as pd
 
     from xova_spark.sources import casa_ms
+    from xova_spark.sources.casa_fake import fake_ms_from_fixture
+    from xova_spark.sources.ms_fixture import load_ms
 
-    if not casa_ms.HAVE_CASACORE:
-        pytest.skip("python-casacore not installed in this container")
-    # Sketch (runs only with the codec): build an MS with casacore's
-    # default_ms + putcol of the fixture arrays, then:
-    #   t1 = timechannel(casa_ms.read_casa_ms(spark, path), 4.0, 8)
-    #   t2 = timechannel(load_ms(spark, parquet_twin), 4.0, 8)
-    # and assert frame equality on ms_rows/ms_vis.
-    raise AssertionError("implement MS generation now that casacore is present")
+    twin = fake_ms_from_fixture(ms_dir, str(tmp_path / "twin.ms"))
+    assert casa_ms.is_casa_ms(twin)  # routes through the bridge
+    got = casa_ms.load_ms_auto(spark, twin, window=211)  # odd → ragged pages
+
+    ref = load_ms(spark, ms_dir)
+    ref_rows = ref["ms_rows"].filter("DATA_DESC_ID = 0")
+    keep = ref_rows.select("row_id")
+
+    g = _sorted_pdf(got["ms_rows"].drop("DATA_DESC_ID"), ["row_id"])
+    r = _sorted_pdf(ref_rows.drop("DATA_DESC_ID"), ["row_id"])
+    pd.testing.assert_frame_equal(g, r, check_dtype=False)
+
+    g = _sorted_pdf(got["ms_vis"], ["row_id", "chan", "corr"])
+    r = _sorted_pdf(ref["ms_vis"].join(keep, "row_id"), ["row_id", "chan", "corr"])
+    pd.testing.assert_frame_equal(g, r, check_dtype=False)
+
+    g = _sorted_pdf(got["ms_weights"], ["row_id", "corr"])
+    r = _sorted_pdf(ref["ms_weights"].join(keep, "row_id"), ["row_id", "corr"])
+    pd.testing.assert_frame_equal(g, r, check_dtype=False)
+
+
+def test_casa_bridge_weight_broadcast_without_spectrum(spark, ms_dir, tmp_path):
+    """MS v2 convention: absent WEIGHT_SPECTRUM / SIGMA_SPECTRUM, the
+    per-(row, corr) WEIGHT/SIGMA broadcast across channels — the
+    colnames()-gated branch in read_casa_vis."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.sources import casa_ms
+    from xova_spark.sources.casa_fake import fake_ms_from_fixture
+
+    twin = fake_ms_from_fixture(
+        ms_dir, str(tmp_path / "nospec.ms"), with_spectrum=False
+    )
+    got = casa_ms.read_casa_ms(spark, twin, window=500)
+    joined = got["ms_vis"].join(got["ms_weights"], ["row_id", "corr"])
+    bad = joined.filter(
+        (F.col("weight_sp") != F.col("WEIGHT"))
+        | (F.col("sigma_sp") != F.col("SIGMA"))
+    )
+    assert bad.count() == 0
+    # every channel present for every (row, corr)
+    per = got["ms_vis"].groupBy("row_id", "corr").count()
+    assert per.select("count").distinct().count() == 1
+
+
+def test_casa_bridge_subtables_match_fixture(spark, ms_dir, tmp_path):
+    """Driver-side dimension subtable assembly: SPW grid, DDID map,
+    POLARIZATION, FIELD phase centres, ANTENNA positions."""
+    from xova_spark.sources import casa_ms
+    from xova_spark.sources.casa_fake import fake_ms_from_fixture
+    from xova_spark.sources.ms_fixture import load_ms
+
+    twin = fake_ms_from_fixture(ms_dir, str(tmp_path / "sub.ms"))
+    got = casa_ms.read_casa_ms(spark, twin)
+    ref = load_ms(spark, ms_dir)
+
+    g = _sorted_pdf(got["spw_chans"], ["SPECTRAL_WINDOW_ID", "chan"])
+    r = _sorted_pdf(
+        ref["spw_chans"].filter("SPECTRAL_WINDOW_ID = 0"),
+        ["SPECTRAL_WINDOW_ID", "chan"],
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(g, r, check_dtype=False)
+
+    assert got["ddid"].count() == 1
+    pol = got["pol"].toPandas()
+    assert list(pol["NUM_CORR"]) == [4]
+    assert list(pol["CORR_TYPE"][0]) == [9, 10, 11, 12]
+    fld = _sorted_pdf(got["field"], ["FIELD_ID"])
+    r_fld = _sorted_pdf(ref["field"], ["FIELD_ID"])
+    pd.testing.assert_frame_equal(fld, r_fld, check_dtype=False)
+    ant = _sorted_pdf(got["antenna"], ["ANTENNA_ID"])
+    r_ant = _sorted_pdf(ref["antenna"], ["ANTENNA_ID"])
+    pd.testing.assert_frame_equal(ant, r_ant, check_dtype=False)

@@ -18,10 +18,10 @@ def media(spark):
     return MM.media_table(docs)
 
 
-def test_codec_fallback_raises_for_non_png(media):
-    """Non-PNG payloads still need a third-party codec; the seam raises
-    clearly when none is installed. The fake decode is the oracle-gated
-    kernel."""
+def test_codec_fallback_raises_for_unknown_format(media):
+    """Formats beyond the native PNG/JPEG codecs still need a
+    third-party library; the seam raises clearly when none is
+    installed. The fake decode is the oracle-gated kernel."""
     try:
         import PIL  # noqa: F401
 
@@ -29,7 +29,7 @@ def test_codec_fallback_raises_for_non_png(media):
     except ImportError:
         pass
     with pytest.raises((NotImplementedError, ValueError)):
-        MM.decode_image_real(b"\xff\xd8\xff\xe0 jpeg-ish")
+        MM.decode_image_real(b"GIF89a gif-ish payload")
     assert list(MM._fake_decode(b"abc")) == [97, 98, 99]
 
 
@@ -134,6 +134,74 @@ def test_decode_stats_runs_real_png_through_spark(spark):
     )
     for i, px in imgs.items():
         flat = px.reshape(-1)
+        assert got.loc[i, "n_samples"] == flat.size
+        assert abs(got.loc[i, "mean_intensity"] - flat.mean()) < 1e-9
+        assert got.loc[i, "min_intensity"] == flat.min()
+        assert got.loc[i, "max_intensity"] == flat.max()
+
+
+# -- real baseline JPEG codec (pure numpy Huffman + IDCT) -------------------
+
+def test_jpeg_roundtrip_flat_and_noise():
+    """Encoder referee -> decoder: flat blocks are EXACT (only the DC
+    coefficient survives, quant=1 preserves it); dense noise must stay
+    within the +/-1 DCT rounding envelope; non-multiple-of-8 dims crop
+    correctly."""
+    import numpy as np
+
+    from xova_spark.operators import jpeg as J
+
+    flat = np.full((8, 16), 100, np.uint8)
+    assert np.array_equal(J.decode_jpeg(J.encode_jpeg(flat)), flat)
+
+    rng = np.random.RandomState(13)
+    noise = rng.randint(0, 256, (13, 21), np.uint8)
+    got = J.decode_jpeg(J.encode_jpeg(noise))
+    assert got.shape == noise.shape
+    assert np.abs(got.astype(int) - noise.astype(int)).max() <= 1
+
+
+def test_jpeg_color_and_quantized():
+    """YCbCr 4:4:4 color roundtrip within the color-transform envelope;
+    a coarse quant table is lossy but structurally decodable (DQT path,
+    ZRL/EOB runs)."""
+    import numpy as np
+
+    from xova_spark.operators import jpeg as J
+
+    rng = np.random.RandomState(29)
+    img = rng.randint(0, 256, (16, 8, 3), np.uint8)
+    got = J.decode_jpeg(J.encode_jpeg(img))
+    assert got.shape == img.shape
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 3
+
+    q = np.full(64, 16, np.int32)
+    lossy = J.decode_jpeg(J.encode_jpeg(img, quant=q))
+    assert lossy.shape == img.shape
+    assert np.abs(lossy.astype(int) - img.astype(int)).mean() < 16
+
+
+def test_decode_stats_runs_real_jpeg_through_spark(spark):
+    """mm_decode_stats on REAL JPEG payloads (VERDICT r2 item 6): media
+    table of baseline JPEGs -> decode_stats(kernel=decode_auto) matches
+    statistics computed on the locally-decoded pixels."""
+    import numpy as np
+
+    from xova_spark.operators import jpeg as J
+
+    rng = np.random.RandomState(31)
+    imgs = {i: rng.randint(0, 256, (11, 7), np.uint8) for i in range(6)}
+    payloads = {i: J.encode_jpeg(px) for i, px in imgs.items()}
+    rows = [(i, p) for i, p in payloads.items()]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = (
+        MM.decode_stats(media, kernel=MM.decode_auto)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i, p in payloads.items():
+        flat = J.decode_jpeg(p).reshape(-1)  # local referee decode
         assert got.loc[i, "n_samples"] == flat.size
         assert abs(got.loc[i, "mean_intensity"] - flat.mean()) < 1e-9
         assert got.loc[i, "min_intensity"] == flat.min()

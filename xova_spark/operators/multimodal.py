@@ -121,9 +121,14 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def decode_image_real(payload: bytes) -> "np.ndarray":
     """Real image decode: PNG handled natively (decode_png, stdlib
-    zlib); other formats fall through to PIL when installed."""
+    zlib), baseline JPEG natively (operators.jpeg — pure numpy Huffman +
+    IDCT); other formats fall through to PIL when installed."""
     if payload.startswith(PNG_MAGIC):
         return decode_png(payload)
+    from xova_spark.operators.jpeg import JPEG_MAGIC, decode_jpeg
+
+    if payload.startswith(JPEG_MAGIC):
+        return decode_jpeg(payload)
     try:
         import io
 
@@ -132,7 +137,7 @@ def decode_image_real(payload: bytes) -> "np.ndarray":
         return np.asarray(Image.open(io.BytesIO(payload)))
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG payload and no PIL in this environment; multimodal "
+            "non-PNG/JPEG payload and no PIL in this environment; multimodal "
             "transforms fall back to the deterministic _fake_decode"
         ) from e
 
@@ -167,11 +172,15 @@ def media_table(docs: DataFrame) -> DataFrame:
 
 
 def decode_auto(payload: bytes) -> np.ndarray:
-    """Kernel dispatch: real PNG decode when the payload IS a PNG,
+    """Kernel dispatch: real PNG/JPEG decode when the payload IS one,
     deterministic byte-sample fake otherwise (flattened to 1-D samples
     either way, so every downstream stat is codec-agnostic)."""
     if payload.startswith(PNG_MAGIC):
         return decode_png(payload).reshape(-1)
+    from xova_spark.operators.jpeg import JPEG_MAGIC, decode_jpeg
+
+    if payload.startswith(JPEG_MAGIC):
+        return decode_jpeg(payload).reshape(-1)
     return _fake_decode(payload)
 
 

@@ -847,9 +847,9 @@ def w_sessionize(spark, sf_dir):
     (ev,) = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # Microsecond-exact gap compare: Spark's ts is truncated ns->us on load
-    # (session.load_tables), and DuckDB's epoch_us() truncates its
-    # TIMESTAMP_NS identically, so both engines compare the same integers.
+    # Microsecond-exact gap compare: load_tables normalizes the parquet
+    # NTZ micros column to TIMESTAMP (UTC-preserving), so unix_micros and
+    # DuckDB's epoch_us() compare the same integers.
     us = F.unix_micros(F.col("ts"))
     gap = us - F.lag(us).over(w)
     return (

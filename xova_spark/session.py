@@ -50,9 +50,11 @@ def get_spark(
     return builder.getOrCreate()
 
 
-# Parquet TIMESTAMP(NANOS) columns (Spark has no nanosecond timestamp type;
-# read as long nanos via the legacy conf, then truncate to micros exactly as
-# DuckDB does when it converts ns -> its native us timestamps).
+# Legacy: if a parquet TIMESTAMP(NANOS) column is read as long nanos (the
+# spark.sql.legacy.parquet.nanosAsLong path), truncate to micros exactly as
+# DuckDB does. The driver fixture's events.ts is actually INT64
+# Timestamp(isAdjustedToUTC=false, unit=MICROS) — Spark 4's TIMESTAMP_NTZ
+# inference reads it as timestamp_ntz, handled generically below.
 NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -71,24 +73,28 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     Cached per (session, sf_dir): repeat calls (one per registry query in
     the oracle gate) return the already-registered views.
     """
+    # The driver runs queries on ITS OWN SparkSession — pin the dynamic
+    # confs the oracle comparison depends on here, not only in get_spark().
+    # Pinned BEFORE the cache lookup: the tz must hold for every query,
+    # not just the first load of a given dir.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # noqa: BLE001 — immutable conf in foreign session
+        pass
+    # Timestamp semantics vs the DuckDB oracle depend on a UTC session tz
+    # (date_trunc/hour/... on TIMESTAMP render in session tz; DuckDB's
+    # timestamps are naive). Fail loudly rather than let every hash
+    # silently diverge in a non-UTC immutable session.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"xova_spark requires spark.sql.session.timeZone=UTC for oracle "
+            f"parity; session has immutable tz={tz!r}"
+        )
     cache_key = (id(spark), os.path.abspath(sf_dir), names or ())
     hit = _LOAD_CACHE.get(cache_key)
     if hit is not None:
         return hit
-    # The driver runs queries on ITS OWN SparkSession — pin the dynamic
-    # confs the oracle comparison depends on here, not only in get_spark().
-    # A foreign session may have marked these immutable; degrade
-    # gracefully rather than fail the load (the ns->us conversion below
-    # also handles the case where the conf could not take effect and the
-    # column arrived as a timestamp type already).
-    for key, val in (
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-        ("spark.sql.session.timeZone", "UTC"),
-    ):
-        try:
-            spark.conf.set(key, val)
-        except Exception:  # noqa: BLE001 — immutable conf in foreign session
-            pass
     names = names or (
         "region",
         "nation",
@@ -104,9 +110,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     out = {}
     for n in names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
-        for c in NANO_TS_COLS.get(n, ()):
-            if dict(df.dtypes).get(c) == "bigint":
+        for c, dt in df.dtypes:
+            if dt == "bigint" and c in NANO_TS_COLS.get(n, ()):
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            elif dt == "timestamp_ntz":
+                # Normalize NTZ -> TIMESTAMP so epoch extraction
+                # (unix_micros et al.) analyzes everywhere. to_utc_timestamp
+                # on an NTZ input interprets the wall time as UTC regardless
+                # of session tz — value-preserving and tz-independent, unlike
+                # a bare cast("timestamp").
+                df = df.withColumn(c, F.to_utc_timestamp(F.col(c), "UTC"))
         df.createOrReplaceTempView(n)
         out[n] = df
     _LOAD_CACHE[cache_key] = out

@@ -19,10 +19,14 @@ cluster, peak memory O(window). Subtables are driver-read whole (they
 are dimension tables, exactly like the reference's eager
 DATA_DESCRIPTION compute, app.py:191-193).
 
-Parity contract (activates with the codec): tests/test_ms_datasource.py
-carries a skipif(not HAVE_CASACORE) test that generates a small real MS
-(mirroring xova/testing_data.py:9-166), runs the timechannel pipeline
-over BOTH this bridge and the parquet fixture path, and compares.
+Parity contract: tests/test_ms_datasource.py converts the parquet
+fixture into a wide-layout twin under ``casa_fake`` (a pure-Python
+file-backed stand-in for the casacore table API — same
+nrows/colnames/getcol surface) and asserts the bridge's distributed
+ingest reproduces ms_rows/ms_vis/ms_weights exactly, so the windowing +
+assembly logic runs in CI even without python-casacore. With the real
+library installed, ``_open_table`` dispatches to casacore and the same
+code paths serve real .ms directories.
 """
 
 from __future__ import annotations
@@ -43,6 +47,8 @@ except ImportError:
     casa_table = None
     HAVE_CASACORE = False
 
+from xova_spark.sources.casa_fake import FakeCasaTable, is_fake_table
+
 DEFAULT_WINDOW = 100_000  # rows per getcol page (ref --row-chunks scale)
 
 ROW_COLS = [
@@ -57,12 +63,23 @@ def is_casa_ms(path: str) -> bool:
     return os.path.isdir(path) and os.path.exists(os.path.join(path, "table.dat"))
 
 
-def _require_casacore() -> None:
-    if not HAVE_CASACORE:
+def _require_backend(path: str) -> None:
+    if not HAVE_CASACORE and not is_fake_table(path):
         raise NotImplementedError(
             "python-casacore is not installed; CASA MS paths need it — "
             "parquet-layout MS directories load without it"
         )
+
+
+def _open_table(path: str):
+    """Open a table by path: the fake store (CI scaffolding, checked
+    first so it works regardless of the environment) or real casacore.
+    Called on the DRIVER for nrows()/colnames() and ON EACH EXECUTOR by
+    the mapInPandas paging closures — both backends open by path."""
+    if is_fake_table(path):
+        return FakeCasaTable(path)
+    _require_backend(path)
+    return casa_table(path, ack=False)
 
 
 def _window_frame(spark: SparkSession, n_rows: int, window: int) -> DataFrame:
@@ -77,12 +94,12 @@ def read_casa_main_rows(
 ) -> DataFrame:
     """Row-level main-table columns (+ UVW split to u/v/w), long-layout
     row_id = the MS row number. Distributed getcol paging."""
-    _require_casacore()
-    with casa_table(path, ack=False) as t:
+    _require_backend(path)
+    with _open_table(path) as t:
         n_rows = t.nrows()
 
     def page(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with casa_table(path, ack=False) as t:
+        with _open_table(path) as t:
             for pdf in batches:
                 for start, nrow in zip(pdf["startrow"], pdf["nrow"]):
                     start, nrow = int(start), int(nrow)
@@ -112,15 +129,15 @@ def read_casa_vis(
     """Visibility cube -> long layout (row_id, chan, corr, vis_re,
     vis_im, flag, weight_sp, sigma_sp): each executor pages its windows
     and flattens the (row, chan, corr) cube column-wise."""
-    _require_casacore()
-    with casa_table(path, ack=False) as t:
+    _require_backend(path)
+    with _open_table(path) as t:
         n_rows = t.nrows()
         colnames = set(t.colnames())
     have_wsp = "WEIGHT_SPECTRUM" in colnames
     have_ssp = "SIGMA_SPECTRUM" in colnames
 
     def page(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with casa_table(path, ack=False) as t:
+        with _open_table(path) as t:
             for pdf in batches:
                 for start, nrow in zip(pdf["startrow"], pdf["nrow"]):
                     start, nrow = int(start), int(nrow)
@@ -166,7 +183,7 @@ def _subtable_frames(spark: SparkSession, path: str) -> dict:
     """Dimension subtables, driver-read whole (tiny — the reference's
     eager DDID compute, app.py:191-193)."""
     out: dict[str, DataFrame] = {}
-    with casa_table(os.path.join(path, "SPECTRAL_WINDOW"), ack=False) as t:
+    with _open_table(os.path.join(path, "SPECTRAL_WINDOW")) as t:
         freq = t.getcol("CHAN_FREQ")     # (n_spw, n_chan)
         width = t.getcol("CHAN_WIDTH")
         ebw = t.getcol("EFFECTIVE_BW")
@@ -194,7 +211,7 @@ def _subtable_frames(spark: SparkSession, path: str) -> dict:
         "SPECTRAL_WINDOW_ID int, NUM_CHAN int, REF_FREQUENCY double, "
         "TOTAL_BANDWIDTH double",
     )
-    with casa_table(os.path.join(path, "DATA_DESCRIPTION"), ack=False) as t:
+    with _open_table(os.path.join(path, "DATA_DESCRIPTION")) as t:
         out["ddid"] = spark.createDataFrame(
             [
                 (i, int(s), int(p))
@@ -204,7 +221,7 @@ def _subtable_frames(spark: SparkSession, path: str) -> dict:
             ],
             "DATA_DESC_ID int, SPECTRAL_WINDOW_ID int, POLARIZATION_ID int",
         )
-    with casa_table(os.path.join(path, "POLARIZATION"), ack=False) as t:
+    with _open_table(os.path.join(path, "POLARIZATION")) as t:
         out["pol"] = spark.createDataFrame(
             [
                 (i, int(n), [int(x) for x in ct])
@@ -214,7 +231,7 @@ def _subtable_frames(spark: SparkSession, path: str) -> dict:
             ],
             "POLARIZATION_ID int, NUM_CORR int, CORR_TYPE array<int>",
         )
-    with casa_table(os.path.join(path, "FIELD"), ack=False) as t:
+    with _open_table(os.path.join(path, "FIELD")) as t:
         pd_dir = t.getcol("PHASE_DIR")  # (n_field, n_poly+1, 2)
         out["field"] = spark.createDataFrame(
             [
@@ -226,7 +243,7 @@ def _subtable_frames(spark: SparkSession, path: str) -> dict:
             "FIELD_ID int, NAME string, NUM_POLY int, "
             "PHASE_DIR_RA double, PHASE_DIR_DEC double",
         )
-    with casa_table(os.path.join(path, "ANTENNA"), ack=False) as t:
+    with _open_table(os.path.join(path, "ANTENNA")) as t:
         pos = t.getcol("POSITION")
         out["antenna"] = spark.createDataFrame(
             [
@@ -247,13 +264,13 @@ def read_casa_ms(
     """Full CASA MS -> engine table dict (long layout): distributed
     main/vis reads + driver-side dimension subtables. WEIGHT/SIGMA land
     in ms_weights (per row, corr)."""
-    _require_casacore()
+    _require_backend(path)
     tables = _subtable_frames(spark, path)
     tables["ms_rows"] = read_casa_main_rows(spark, path, window)
     tables["ms_vis"] = read_casa_vis(spark, path, data_column, window)
 
     def page_weights(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with casa_table(path, ack=False) as t:
+        with _open_table(path) as t:
             for pdf in batches:
                 for start, nrow in zip(pdf["startrow"], pdf["nrow"]):
                     start, nrow = int(start), int(nrow)
@@ -270,7 +287,7 @@ def read_casa_ms(
                         }
                     )
 
-    with casa_table(path, ack=False) as t:
+    with _open_table(path) as t:
         n_rows = t.nrows()
     tables["ms_weights"] = _window_frame(spark, n_rows, window).mapInPandas(
         page_weights, "row_id long, corr int, WEIGHT double, SIGMA double"
