@@ -10,11 +10,13 @@ an edgeless singleton (which must be absent from the output).
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from xova_spark.queries.dedup import dedup_cc_clusters
 
 
-def test_cc_chain_propagates_across_rounds(spark, tmp_path):
+@pytest.mark.parametrize("path", ["unionfind", "distributed"])
+def test_cc_chain_propagates_across_rounds(spark, tmp_path, monkeypatch, path):
     words = [f"w{i}" for i in range(20)]
     texts = {
         1: " ".join(words[0:10]),   # shingles s0..s7
@@ -34,6 +36,12 @@ def test_cc_chain_propagates_across_rounds(spark, tmp_path):
         }
     ).to_parquet(tmp_path / "documents.parquet")
 
+    if path == "distributed":
+        # Close the size gate so the iterative propagation loop runs —
+        # both executions must produce the identical labeling.
+        from xova_spark.queries import dedup
+
+        monkeypatch.setattr(dedup, "_CC_COLLECT_EDGES", -1)
     out = (
         dedup_cc_clusters(spark, str(tmp_path))
         .toPandas()

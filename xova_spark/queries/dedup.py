@@ -202,17 +202,25 @@ def _lsh_verified_pairs(docs, band_specs: list[tuple[int, ...]], threshold=0.5):
         ],
         F.count("*").alias("nsh"),
     ).cache()
-    band_frames = [
-        sig.select(
-            "doc_id",
-            F.lit(k).alias("band"),
-            F.concat_ws(",", *[f"m{i}" for i in idxs]).alias("bkey"),
-        )
-        for k, idxs in enumerate(band_specs)
-    ]
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+    # One (band, bkey) row per signature per band via a single explode —
+    # NOT a 16-way union of per-band selects: the union form scans the
+    # signature table once per band (16 scans per join side at 16x1
+    # banding); the explode is one pass regardless of band count, which
+    # is also the right shape at 100 TB.
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.concat_ws(",", *[f"m{i}" for i in idxs]).alias("bkey"),
+                    )
+                    for k, idxs in enumerate(band_specs)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -352,6 +360,39 @@ _DUCK_EDGE_CTES = f"""
 """
 
 
+# Driver-side union-find gate: 100M pairs of two longs ≈ 1.6 GB — stay
+# well under that. Above the gate the distributed label-propagation runs.
+_CC_COLLECT_EDGES = 5_000_000
+
+
+def _union_find_min_label(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Exact min-label connected components over an edge list (path
+    compression + union by attaching larger root to smaller): every node
+    maps to the MINIMUM doc_id of its component — the same labeling the
+    distributed propagation and the DuckDB recursive CTE converge to."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the smaller id as the root → root IS the min label
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {x: find(x) for x in parent}
+
+
 @q(
     "dedup_cc_clusters",
     f"""
@@ -385,12 +426,32 @@ def dedup_cc_clusters(spark, sf_dir):
     pairs share at least one minhash, then verify exactly — so the only
     big shuffles key on shingle hashes and (band, bucket), never the
     quadratic all-pairs join (that form survives only in the DuckDB
-    oracle, which IS the exhaustive referee). The frontier DataFrame is
-    cached per round and unpersisted after, so state is O(|V|); for
-    adversarially deep chains, switch to large-star/small-star
-    contraction (same join primitive, O(log n) rounds)."""
+    oracle, which IS the exhaustive referee).
+
+    SIZE-GATED execution (same philosophy as timechannel's
+    planned_broadcast): the verified-edge set is the near-dup pairs
+    only — typically orders of magnitude smaller than the corpus. When
+    it fits comfortably on the driver (<= ``_CC_COLLECT_EDGES`` pairs,
+    ~100 MB), a driver-side union-find computes exact min-label
+    components in one pass — no per-iteration Spark jobs. Above the
+    gate, the iterative min-label propagation runs distributed: each
+    iteration is ONE shuffle join (edges x current labels) plus a
+    groupBy-min, iterations bounded by the cluster graph's diameter;
+    the frontier is cached per round and unpersisted after, so state is
+    O(|V|); for adversarially deep chains, switch to
+    large-star/small-star contraction (same join primitive, O(log n)
+    rounds). Both paths are deterministic and oracle-EXACT; tests pin
+    them against each other."""
     (docs,) = _docs(spark, sf_dir)
-    pairs = _lsh_verified_pairs(docs, BANDS_16x1).select("doc_a", "doc_b")
+    pairs = _lsh_verified_pairs(docs, BANDS_16x1).select("doc_a", "doc_b").cache()
+    n_edges = pairs.count()  # also materializes the cache for either path
+    if n_edges <= _CC_COLLECT_EDGES:
+        rows = pairs.collect()
+        pairs.unpersist()
+        comp = _union_find_min_label([(r.doc_a, r.doc_b) for r in rows])
+        return spark.createDataFrame(
+            sorted(comp.items()), "doc_id long, component long"
+        )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -419,6 +480,7 @@ def dedup_cc_clusters(spark, sf_dir):
             break
         prev_sum = cur_sum
     edges.unpersist()
+    pairs.unpersist()
     return labels
 
 
