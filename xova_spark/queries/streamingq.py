@@ -103,14 +103,15 @@ def stream_dedup_events(spark, sf_dir):
     load_tables(spark, sf_dir, ("events",))
     dedup = _events_stream(spark, sf_dir).select("user_id", "event_type").dropDuplicates()
     name = f"q_stream_dedup_{next(_uniq)}"
-    q_ = (
-        dedup.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q_.awaitTermination()
+    with SA.stream_state_partitions(spark):
+        q_ = (
+            dedup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
     return spark.table(name)
 
 
@@ -133,14 +134,15 @@ def stream_stateful_user_stats(spark, sf_dir):
     load_tables(spark, sf_dir, ("events",))
     out = stateful_user_stats(_events_stream(spark, sf_dir))
     name = f"q_stream_state_{next(_uniq)}"
-    q_ = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q_.awaitTermination()
+    with SA.stream_state_partitions(spark):
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
     # update mode may emit a row per micro-batch; keep the final state
     # per user (single static file -> one batch, but stay order-proof)
     t = spark.table(name)
@@ -333,12 +335,13 @@ def stream_corpus_audit(spark, sf_dir):
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens")
     )
     name = f"q_stream_corpus_{next(_uniq)}"
-    q_ = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q_.awaitTermination()
+    with SA.stream_state_partitions(spark):
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
     return spark.table(name)

@@ -129,19 +129,43 @@ def streaming_session_bins(
     )
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def stream_state_partitions(spark: SparkSession, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming query
+    start. A stateful streaming op fixes its state-store count to the
+    shuffle-partition setting AT START — each state partition costs a
+    store commit (and, for applyInPandasWithState, a Python worker) per
+    micro-batch, so the right number tracks the STREAM's key volume,
+    not the batch-scan parallelism. The fixture-scale streams here are
+    one small file; 8 partitions cuts the converged-run wall 3-4x. At
+    production volume, size it to keys/executors before first start —
+    the checkpoint pins it for the query's lifetime."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Execute a streaming aggregation to completion over the available
     files (Trigger.AvailableNow) into an in-memory sink; returns the
     result as a DataFrame. Used by tests and the smoke query."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    with stream_state_partitions(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
 
 
 def read_vis_stream(spark: SparkSession, ms_dir: str) -> DataFrame:
