@@ -303,7 +303,10 @@ def bda_rows_greedy(spark, sf_dir):
     t, params = _params(spark)
     binned = B.assign_bins(t["ms_rows"], params).drop("time_bin")
     gmap = B.greedy_bda_map(t["ms_rows"], params)
-    return B.average_rows(binned.join(gmap, "row_id"))
+    # The greedy-joined map's lineage contains the applyInPandas stage;
+    # multi-consumer downstream plans would re-run it per consumer —
+    # persist the row-scale map once (O(rows), spills if large).
+    return B.average_rows(binned.join(gmap, "row_id").persist())
 
 
 _BDA_VIS_SQL = REGISTRY["bda_vis"][1]
@@ -321,5 +324,9 @@ def bda_vis_greedy(spark, sf_dir):
     t, params = _params(spark)
     binned = B.assign_bins(t["ms_rows"], params).drop("time_bin")
     gmap = B.greedy_bda_map(t["ms_rows"], params)
-    binned = binned.join(gmap, "row_id")
+    # Persist the greedy-joined row map: average_vis consumes the bin
+    # map THREE times (size-gate planning count, row->rep join side,
+    # rep->keys dim side) and each pass would otherwise re-run the
+    # applyInPandas greedy stage. Row-scale, spills if large.
+    binned = binned.join(gmap, "row_id").persist()
     return B.average_vis(t["ms_vis"], B.bin_map(binned))
