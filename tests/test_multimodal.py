@@ -208,6 +208,53 @@ def test_decode_stats_runs_real_jpeg_through_spark(spark):
         assert got.loc[i, "max_intensity"] == flat.max()
 
 
+# -- GIF (LZW) and WAV (RIFF PCM) codecs ------------------------------------
+
+def test_gif_roundtrip_and_dispatch():
+    """Encoder referee -> LZW decoder: palette-indexed pixels map back
+    to exact RGB; decode_image_real dispatches on the GIF magic."""
+    import numpy as np
+
+    from xova_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, (16, 3), np.uint8)
+    idx = rng.randint(0, 16, (9, 14), np.uint8)
+    payload = encode_gif(idx, pal)
+    assert np.array_equal(decode_gif(payload), pal[idx])
+    assert np.array_equal(MM.decode_image_real(payload), pal[idx])
+
+
+def test_wav_roundtrip_and_audio_stats_through_spark(spark):
+    """Real WAV payloads through the audio_stats mapInPandas stage:
+    frames/channels/rate/duration/RMS must match numpy on the source
+    samples."""
+    import numpy as np
+
+    from xova_spark.operators.wav import encode_wav
+
+    rng = np.random.RandomState(17)
+    clips = {
+        i: rng.randint(-2000, 2000, (800 + 100 * i, 2), np.int16)
+        for i in range(5)
+    }
+    rows = [(i, encode_wav(s, 8000)) for i, s in clips.items()]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = (
+        MM.audio_stats(media, kernel=MM.decode_audio_auto)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i, s in clips.items():
+        assert got.loc[i, "n_frames"] == s.shape[0]
+        assert got.loc[i, "n_channels"] == 2
+        assert got.loc[i, "sample_rate"] == 8000
+        assert abs(got.loc[i, "duration_s"] - s.shape[0] / 8000) < 1e-12
+        rms = float(np.sqrt(np.mean(s.astype(np.float64) ** 2)))
+        assert abs(got.loc[i, "rms"] - rms) < 1e-9
+
+
 def test_metadata_query_prunes_payload(spark, media, tmp_path):
     """A metadata-only projection over a MATERIALIZED media table must
     not read the payload column — at 100 TB the payload IS the data

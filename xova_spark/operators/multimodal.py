@@ -122,13 +122,17 @@ def decode_png(payload: bytes) -> np.ndarray:
 def decode_image_real(payload: bytes) -> "np.ndarray":
     """Real image decode: PNG handled natively (decode_png, stdlib
     zlib), baseline JPEG natively (operators.jpeg — pure numpy Huffman +
-    IDCT); other formats fall through to PIL when installed."""
+    IDCT), GIF natively (operators.gif — LZW); other formats fall
+    through to PIL when installed."""
     if payload.startswith(PNG_MAGIC):
         return decode_png(payload)
+    from xova_spark.operators.gif import GIF_MAGICS, decode_gif
     from xova_spark.operators.jpeg import JPEG_MAGIC, decode_jpeg
 
     if payload.startswith(JPEG_MAGIC):
         return decode_jpeg(payload)
+    if payload[:6] in GIF_MAGICS:
+        return decode_gif(payload)
     try:
         import io
 
@@ -137,8 +141,9 @@ def decode_image_real(payload: bytes) -> "np.ndarray":
         return np.asarray(Image.open(io.BytesIO(payload)))
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG/JPEG payload and no PIL in this environment; multimodal "
-            "transforms fall back to the deterministic _fake_decode"
+            "non-PNG/JPEG/GIF payload and no PIL in this environment; "
+            "multimodal transforms fall back to the deterministic "
+            "_fake_decode"
         ) from e
 
 
@@ -172,16 +177,66 @@ def media_table(docs: DataFrame) -> DataFrame:
 
 
 def decode_auto(payload: bytes) -> np.ndarray:
-    """Kernel dispatch: real PNG/JPEG decode when the payload IS one,
-    deterministic byte-sample fake otherwise (flattened to 1-D samples
-    either way, so every downstream stat is codec-agnostic)."""
+    """Kernel dispatch: real PNG/JPEG/GIF decode when the payload IS
+    one, deterministic byte-sample fake otherwise (flattened to 1-D
+    samples either way, so every downstream stat is codec-agnostic)."""
     if payload.startswith(PNG_MAGIC):
         return decode_png(payload).reshape(-1)
+    from xova_spark.operators.gif import GIF_MAGICS, decode_gif
     from xova_spark.operators.jpeg import JPEG_MAGIC, decode_jpeg
 
     if payload.startswith(JPEG_MAGIC):
         return decode_jpeg(payload).reshape(-1)
+    if payload[:6] in GIF_MAGICS:
+        return decode_gif(payload).reshape(-1)
     return _fake_decode(payload)
+
+
+def _fake_decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Deterministic audio stand-in: payload bytes as mono uint8 samples
+    at a nominal 16 kHz (the audio twin of _fake_decode)."""
+    return np.frombuffer(payload, dtype=np.uint8)[:, None].astype(np.float64), 16000
+
+
+def decode_audio_auto(payload: bytes) -> tuple[np.ndarray, int]:
+    """Audio kernel dispatch: REAL RIFF/WAVE decode (operators.wav) when
+    the payload is one, byte-sample fake otherwise. Returns
+    ((n_frames, n_channels) float array, sample_rate)."""
+    from xova_spark.operators.wav import WAV_MAGIC, decode_wav
+
+    if payload.startswith(WAV_MAGIC):
+        samples, rate = decode_wav(payload)
+        return samples.astype(np.float64), rate
+    return _fake_decode_audio(payload)
+
+
+def audio_stats(media: DataFrame, kernel=_fake_decode_audio) -> DataFrame:
+    """decode -> per-clip audio statistics (frames, channels, rate,
+    duration, RMS) — the audio twin of decode_stats, same Arrow-batched
+    mapInPandas shape. Pass ``decode_audio_auto`` to run real WAV
+    payloads through the same plumbing."""
+    schema = (
+        "doc_id bigint, n_frames int, n_channels int, sample_rate int, "
+        "duration_s double, rms double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = kernel(b)
+                nf, nc = samples.shape
+                rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+                rows.append((doc_id, nf, nc, rate, nf / rate, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_channels", "sample_rate",
+                    "duration_s", "rms",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, schema)
 
 
 def decode_stats(media: DataFrame, kernel=_fake_decode) -> DataFrame:
