@@ -82,6 +82,41 @@ def mm_decode_stats(spark, sf_dir):
 
 
 @q(
+    "mm_audio_stats",
+    """
+SELECT d.doc_id,
+    CAST(count(*) AS INTEGER) AS n_frames,
+    CAST(1 AS INTEGER) AS n_channels,
+    CAST(16000 AS INTEGER) AS sample_rate,
+    round(count(*) / 16000.0, 9) AS duration_s,
+    round(sqrt(sum(ascii(substring(d.text, g.i, 1))
+                   * ascii(substring(d.text, g.i, 1))) * 1.0 / count(*)), 6)
+        AS rms
+FROM documents d, generate_series(1, 600) g(i)
+WHERE g.i <= length(d.text)
+GROUP BY d.doc_id
+""",
+)
+def mm_audio_stats(spark, sf_dir):
+    """Audio twin of mm_decode_stats: decode -> per-clip frame count /
+    channel count / rate / duration / RMS via the same Arrow-batched
+    mapInPandas stage (operators.multimodal.audio_stats). The fake
+    kernel reads payload bytes as mono 16 kHz samples, so the SQL twin
+    is exact: integer sums of squared byte values are representable in
+    doubles, making both engines' mean and sqrt bit-identical (rounding
+    is belt-and-braces)."""
+    out = MM.audio_stats(_media(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_frames",
+        "n_channels",
+        "sample_rate",
+        F.round("duration_s", 9).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+@q(
     "mm_feature_extract",
     "SELECT d.doc_id, "
     + ", ".join(
