@@ -201,3 +201,20 @@ def test_empty_selection_pipelines_stay_well_formed(spark, ms):
     empty = corpus_funnel(docs)
     assert empty.count() == 0
     assert set(empty.columns) == {"doc_id", "lang", "source", "n_tokens", "split"}
+
+
+def test_bpe_paths_agree_and_merges_are_valid(spark, monkeypatch):
+    """The size-gated BPE trainer: the driver-side union of rounds and
+    the distributed per-round loop must learn the IDENTICAL merge
+    table; ranks are 1..k and each merged token is its pair joined."""
+    from xova_spark.queries import textops as T
+
+    sf = "/root/testdata/sf0.001"
+    local = T.t_bpe_train_merges(spark, sf).toPandas()
+    monkeypatch.setattr(T, "_BPE_COLLECT_TYPES", -1)  # force distributed
+    dist = T.t_bpe_train_merges(spark, sf).toPandas()
+    assert local.equals(dist)
+    assert list(local["merge_rank"]) == list(range(1, len(local) + 1))
+    for _, row in local.iterrows():
+        assert row["merged"] == row["pair"].replace(" ", "")
+        assert row["pair_count"] > 0

@@ -372,3 +372,172 @@ def t_split_deterministic(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (the Sennrich word-frequency formulation)
+# ---------------------------------------------------------------------------
+
+_BPE_VOCAB = 100  # top word types by corpus frequency (ties: word asc)
+_BPE_MERGES = 6
+_BPE_COLLECT_TYPES = 2_000_000  # vocab rows that comfortably fit the driver
+
+
+def _bpe_train_local(
+    wordfreq: list[tuple[str, int]], k: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side BPE rounds over a collected word-frequency table —
+    the below-gate twin of the distributed loop (same counting and
+    left-to-right non-overlapping merge semantics)."""
+    state = [(list(w), f) for w, f in wordfreq]
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for toks, f in state:
+            for i in range(len(toks) - 1):
+                pr = (toks[i], toks[i + 1])
+                counts[pr] = counts.get(pr, 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, f"{a} {b}", a + b, c))
+        for idx, (toks, f) in enumerate(state):
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            state[idx] = (out, f)
+    return merges
+
+
+def _bpe_oracle_sql(vocab: int, k: int) -> str:
+    """DuckDB twin of the iterative trainer: k chained CTE rounds, each
+    (adjacent-pair count -> deterministic top-1 -> boundary-aligned
+    replace). Both engines count EVERY adjacent index (overlaps included)
+    and replace left-to-right non-overlapping — the classic BPE
+    semantics — so the learned merge table is hash-EXACT."""
+    parts = [
+        f"""
+WITH w0 AS (
+  SELECT word, freq,
+         ' ' || array_to_string(regexp_split_to_array(word, ''), ' ') || ' '
+             AS toks
+  FROM (
+    SELECT word, count(*) AS freq FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ) WHERE word != '' GROUP BY word
+    ORDER BY freq DESC, word LIMIT {vocab}
+  )
+)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"""
+, p{r} AS (
+  SELECT l[i] || ' ' || l[i+1] AS pair, sum(freq) AS c
+  FROM (SELECT freq, string_split(trim(toks), ' ') AS l FROM w{r-1}),
+       generate_series(1, 200) g(i)
+  WHERE i <= len(l) - 1
+  GROUP BY pair
+), b{r} AS (SELECT pair, c FROM p{r} ORDER BY c DESC, pair LIMIT 1)
+, w{r} AS (
+  SELECT word, freq,
+         replace(toks, ' ' || (SELECT pair FROM b{r}) || ' ',
+                 ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ')
+             AS toks
+  FROM w{r-1}
+)"""
+        )
+    selects = [
+        f"SELECT {r} AS merge_rank, pair, replace(pair, ' ', '') AS merged,"
+        f" c AS pair_count FROM b{r}"
+        for r in range(1, k + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@q("t_bpe_train_merges", _bpe_oracle_sql(_BPE_VOCAB, _BPE_MERGES))
+def t_bpe_train_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training — learn the top-k merge rules
+    over the corpus vocabulary (Sennrich-style: operate on the
+    word-frequency table, never the raw corpus).
+
+    Iterative like emb_kmeans_assign: per round, ONE small job counts
+    adjacent token pairs over the vocab table (weighted by word
+    frequency) and takes the deterministic top-1 (count desc, pair asc)
+    driver-side; the merge is then applied as a literal boundary-aligned
+    string replace — broadcast in the plan, no shuffle. State is
+    persisted per round and unpersisted after (the CC-loop pattern).
+
+    Scale shape (100 TB): corpus -> word-frequency is the only
+    corpus-sized shuffle; every round after that touches the vocabulary
+    table only (~1M types at web scale, kilobytes here). The merge
+    table output is rank-ordered and hash-EXACT against the chained-CTE
+    DuckDB twin."""
+    (docs,) = _docs(spark, sf_dir)
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(_BPE_VOCAB)
+    )
+    # SIZE-GATED like dedup_cc_clusters: the truncated vocabulary is
+    # small by construction (even ~1M web-scale types x a few tokens is
+    # tens of MB), so below the gate the k rounds run driver-side on the
+    # collected word-frequency table — identical semantics, zero
+    # per-round Spark jobs. Above it, the distributed rounds below.
+    if _BPE_VOCAB <= _BPE_COLLECT_TYPES:
+        rows = wf.collect()
+        merges = _bpe_train_local(
+            [(r.word, int(r.freq)) for r in rows], _BPE_MERGES
+        )
+        return spark.createDataFrame(
+            merges,
+            "merge_rank int, pair string, merged string, pair_count bigint",
+        )
+    cur = wf.select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", F.split("word", "")), F.lit(" ")
+        ).alias("toks"),
+    ).persist()
+    merges = []
+    _l = "split(trim(toks), ' ')"
+    pair_expr = (
+        f"explode(zip_with(slice({_l}, 1, size({_l}) - 1),"
+        f" slice({_l}, 2, size({_l}) - 1),"
+        " (x, y) -> concat(x, ' ', y))) AS pair"
+    )
+    for r in range(1, _BPE_MERGES + 1):
+        top = (
+            cur.selectExpr("freq", pair_expr)
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        bp, c = top[0].pair, int(top[0].c)
+        merged = bp.replace(" ", "")
+        merges.append((r, bp, merged, c))
+        nxt = cur.withColumn(
+            "toks",
+            F.replace(
+                F.col("toks"), F.lit(f" {bp} "), F.lit(f" {merged} ")
+            ),
+        ).persist()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, merged string, pair_count bigint"
+    )
