@@ -478,6 +478,15 @@ def t_bpe_train_merges(spark, sf_dir):
     table only (~1M types at web scale, kilobytes here). The merge
     table output is rank-ordered and hash-EXACT against the chained-CTE
     DuckDB twin."""
+    merges = _bpe_merge_rules(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, merged string, pair_count bigint"
+    )
+
+
+def _bpe_merge_rules(spark, sf_dir) -> list:
+    """Learn the merge rules (shared by the train and encode queries);
+    returns [(rank, pair, merged, count)]."""
     (docs,) = _docs(spark, sf_dir)
     wf = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -494,12 +503,8 @@ def t_bpe_train_merges(spark, sf_dir):
     # per-round Spark jobs. Above it, the distributed rounds below.
     if _BPE_VOCAB <= _BPE_COLLECT_TYPES:
         rows = wf.collect()
-        merges = _bpe_train_local(
+        return _bpe_train_local(
             [(r.word, int(r.freq)) for r in rows], _BPE_MERGES
-        )
-        return spark.createDataFrame(
-            merges,
-            "merge_rank int, pair string, merged string, pair_count bigint",
         )
     cur = wf.select(
         "word",
@@ -538,6 +543,72 @@ def t_bpe_train_merges(spark, sf_dir):
         cur.unpersist()
         cur = nxt
     cur.unpersist()
-    return spark.createDataFrame(
-        merges, "merge_rank int, pair string, merged string, pair_count bigint"
+    return merges
+
+
+def _bpe_encode_oracle_sql(vocab: int, k: int) -> str:
+    """Oracle for the encode side: re-derive b1..bk via the training
+    CTEs, then apply the merges IN RANK ORDER (innermost replace first)
+    to every distinct word type, and roll token counts up per doc."""
+    train = _bpe_oracle_sql(vocab, k)
+    cte_block = train[: train.rindex("\nSELECT 1 AS merge_rank")]
+    enc = "' ' || array_to_string(regexp_split_to_array(word, ''), ' ') || ' '"
+    for r in range(1, k + 1):
+        enc = (
+            f"replace({enc}, ' ' || (SELECT pair FROM b{r}) || ' ', "
+            f"' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ')"
+        )
+    return (
+        cte_block
+        + f"""
+, corpus_words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), cw AS (SELECT doc_id, word FROM corpus_words WHERE word != '')
+, enc AS (
+  SELECT word, len(string_split(trim({enc}), ' ')) AS n_sub
+  FROM (SELECT DISTINCT word FROM cw)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+FROM cw JOIN enc USING (word)
+GROUP BY doc_id
+"""
+    )
+
+
+@q("t_bpe_encode_tokens", _bpe_encode_oracle_sql(_BPE_VOCAB, _BPE_MERGES))
+def t_bpe_encode_tokens(spark, sf_dir):
+    """BPE ENCODE — the inference side of t_bpe_train_merges: apply the
+    learned merge rules (in rank order) to every word and report
+    whitespace vs BPE token counts per document.
+
+    Scale shape: the learned rules are a driver-side list (k literals);
+    encoding is a chain of k boundary-aligned literal replaces over the
+    DISTINCT word-type table (types << corpus tokens), then a broadcast
+    join back onto the exploded corpus and one per-doc aggregation —
+    the corpus is touched by exactly one explode + one keyed shuffle,
+    same as any token-count query. Hash-EXACT against a DuckDB twin
+    that re-derives the same merges via the training CTEs."""
+    merges = _bpe_merge_rules(spark, sf_dir)
+    (docs,) = _docs(spark, sf_dir)
+    cw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    types = cw.select("word").distinct()
+    toks = F.concat(
+        F.lit(" "), F.concat_ws(" ", F.split("word", "")), F.lit(" ")
+    )
+    for _rank, pair, merged, _c in merges:
+        toks = F.replace(toks, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    enc = types.select(
+        "word", F.size(F.split(F.trim(toks), " ")).alias("n_sub")
+    )
+    return (
+        cw.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ws_tokens"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+        )
     )
