@@ -336,3 +336,31 @@ def test_app_profile_dump(spark, ms_dir, tmp_path):
     assert "ms_vis" in prof["tables"]
     plan = open(os.path.join(pdir, "ms_vis.plan.txt")).read()
     assert "Physical Plan" in plan
+
+
+def test_app_tokenize_writes_merges_and_counts(spark, tmp_path):
+    """``xova-spark tokenize``: rank-ordered merge table + per-doc token
+    counts land in the output; merges compose (each merged token is its
+    pair joined) and BPE counts never exceed character counts."""
+    sf = "/root/testdata/sf0.001"
+    out = os.path.join(str(tmp_path), "tok_out")
+    got = Application(
+        ["tokenize", sf, "-o", out, "-k", "5", "--vocab", "40"], spark=spark
+    ).execute()
+    assert got == out
+    merges = (
+        spark.read.parquet(os.path.join(out, "merges"))
+        .orderBy("merge_rank")
+        .collect()
+    )
+    assert [m["merge_rank"] for m in merges] == list(range(1, 6))
+    for m in merges:
+        assert m["merged"] == m["pair"].replace(" ", "")
+        assert m["pair_count"] > 0
+    counts = spark.read.parquet(os.path.join(out, "token_counts"))
+    assert counts.count() == 500
+    bad = counts.filter("n_bpe_tokens > 12000 OR n_bpe_tokens < n_ws_tokens")
+    assert bad.count() == 0
+    # overwrite guard
+    with pytest.raises(SystemExit):
+        Application(["tokenize", sf, "-o", out], spark=spark).execute()

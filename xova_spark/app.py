@@ -186,6 +186,18 @@ def create_parser() -> argparse.ArgumentParser:
     co.add_argument("ms", help="directory containing documents.parquet")
     co.add_argument("-o", "--output", default=None)
     co.add_argument("--force", action="store_true", default=False)
+    tk = sp.add_parser(
+        "tokenize",
+        help="BPE tokenizer: learn merge rules over the corpus "
+             "vocabulary and write merges + per-doc token counts",
+    )
+    tk.add_argument("ms", help="directory containing documents.parquet")
+    tk.add_argument("-o", "--output", default=None)
+    tk.add_argument("--force", action="store_true", default=False)
+    tk.add_argument("-k", "--merges", default=64, type=int,
+                    help="number of merge rules to learn")
+    tk.add_argument("--vocab", default=10000, type=int,
+                    help="word types kept for training (top by frequency)")
     return parser
 
 
@@ -270,6 +282,8 @@ class Application:
 
         if args.command == "corpus":
             return self._execute_corpus()
+        if args.command == "tokenize":
+            return self._execute_tokenize()
 
         # Opens real CASA MS directories too when python-casacore is
         # installed (sources/casa_ms bridge); parquet layout otherwise.
@@ -376,6 +390,35 @@ class Application:
         )
         audit.write.mode("overwrite").parquet(
             os.path.join(args.output, "audit")
+        )
+        return args.output
+
+    def _execute_tokenize(self) -> str:
+        """``xova-spark tokenize``: learn BPE merge rules over the
+        corpus vocabulary (queries/textops, Sennrich word-frequency
+        formulation) and write (a) the rank-ordered merge table and
+        (b) per-document whitespace vs BPE token counts — the artifacts
+        a training-data pipeline needs before packing sequences."""
+        import os
+
+        args = self.args
+        spark = self._session()
+        from xova_spark.queries import textops as T
+
+        if os.path.exists(args.output) and not args.force:
+            print(f"{args.output} exists, use --force to overwrite")
+            raise SystemExit(1)
+        merges_df = T.t_bpe_train_merges(
+            spark, args.ms, vocab=args.vocab, k=args.merges
+        )
+        counts = T.t_bpe_encode_tokens(
+            spark, args.ms, vocab=args.vocab, k=args.merges
+        )
+        merges_df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(args.output, "merges")
+        )
+        counts.write.mode("overwrite").parquet(
+            os.path.join(args.output, "token_counts")
         )
         return args.output
 

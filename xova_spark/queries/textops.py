@@ -461,7 +461,7 @@ WITH w0 AS (
 
 
 @q("t_bpe_train_merges", _bpe_oracle_sql(_BPE_VOCAB, _BPE_MERGES))
-def t_bpe_train_merges(spark, sf_dir):
+def t_bpe_train_merges(spark, sf_dir, vocab=None, k=None):
     """Distributed BPE tokenizer training — learn the top-k merge rules
     over the corpus vocabulary (Sennrich-style: operate on the
     word-frequency table, never the raw corpus).
@@ -478,15 +478,20 @@ def t_bpe_train_merges(spark, sf_dir):
     table only (~1M types at web scale, kilobytes here). The merge
     table output is rank-ordered and hash-EXACT against the chained-CTE
     DuckDB twin."""
-    merges = _bpe_merge_rules(spark, sf_dir)
+    merges = _bpe_merge_rules(spark, sf_dir, vocab, k)
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, merged string, pair_count bigint"
     )
 
 
-def _bpe_merge_rules(spark, sf_dir) -> list:
-    """Learn the merge rules (shared by the train and encode queries);
-    returns [(rank, pair, merged, count)]."""
+def _bpe_merge_rules(
+    spark, sf_dir, vocab: int | None = None, k: int | None = None
+) -> list:
+    """Learn the merge rules (shared by the train and encode queries and
+    the ``xova-spark tokenize`` CLI); returns [(rank, pair, merged,
+    count)]."""
+    vocab = _BPE_VOCAB if vocab is None else vocab
+    k = _BPE_MERGES if k is None else k
     (docs,) = _docs(spark, sf_dir)
     wf = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -494,17 +499,17 @@ def _bpe_merge_rules(spark, sf_dir) -> list:
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .orderBy(F.desc("freq"), "word")
-        .limit(_BPE_VOCAB)
+        .limit(vocab)
     )
     # SIZE-GATED like dedup_cc_clusters: the truncated vocabulary is
     # small by construction (even ~1M web-scale types x a few tokens is
     # tens of MB), so below the gate the k rounds run driver-side on the
     # collected word-frequency table — identical semantics, zero
     # per-round Spark jobs. Above it, the distributed rounds below.
-    if _BPE_VOCAB <= _BPE_COLLECT_TYPES:
+    if vocab <= _BPE_COLLECT_TYPES:
         rows = wf.collect()
         return _bpe_train_local(
-            [(r.word, int(r.freq)) for r in rows], _BPE_MERGES
+            [(r.word, int(r.freq)) for r in rows], k
         )
     cur = wf.select(
         "word",
@@ -520,7 +525,7 @@ def _bpe_merge_rules(spark, sf_dir) -> list:
         f" slice({_l}, 2, size({_l}) - 1),"
         " (x, y) -> concat(x, ' ', y))) AS pair"
     )
-    for r in range(1, _BPE_MERGES + 1):
+    for r in range(1, k + 1):
         top = (
             cur.selectExpr("freq", pair_expr)
             .groupBy("pair")
@@ -578,7 +583,7 @@ GROUP BY doc_id
 
 
 @q("t_bpe_encode_tokens", _bpe_encode_oracle_sql(_BPE_VOCAB, _BPE_MERGES))
-def t_bpe_encode_tokens(spark, sf_dir):
+def t_bpe_encode_tokens(spark, sf_dir, vocab=None, k=None):
     """BPE ENCODE — the inference side of t_bpe_train_merges: apply the
     learned merge rules (in rank order) to every word and report
     whitespace vs BPE token counts per document.
@@ -590,7 +595,7 @@ def t_bpe_encode_tokens(spark, sf_dir):
     the corpus is touched by exactly one explode + one keyed shuffle,
     same as any token-count query. Hash-EXACT against a DuckDB twin
     that re-derives the same merges via the training CTEs."""
-    merges = _bpe_merge_rules(spark, sf_dir)
+    merges = _bpe_merge_rules(spark, sf_dir, vocab, k)
     (docs,) = _docs(spark, sf_dir)
     cw = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
