@@ -155,6 +155,20 @@ def test_range_join_bucket_rewrite_avoids_nested_loop(spark):
     ), plan
 
 
+def test_interval_overlap_bucket_rewrite_avoids_nested_loop(spark):
+    """join_interval_overlap: both-sides-interval overlap join must also
+    plan as an equi-join on the shared covered bucket, never the
+    O(n*m) nested loop."""
+    from xova_spark.queries.relext import REGISTRY as RX
+
+    q = RX["join_interval_overlap"][0](spark, SF_DIR)
+    plan = P.executed_plan(q)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
 def test_tpch_q9_star_broadcasts_dims(spark):
     """tpchx q9: part/supplier/nation broadcast; the part name filter
     is pushed to its scan so the star prunes before the fact join."""

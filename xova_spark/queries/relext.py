@@ -654,3 +654,61 @@ def join_range_binned(spark, sf_dir):
         .groupBy("event_id")
         .agg(F.count("*").alias("n_window"))
     )
+
+
+@q(
+    "join_interval_overlap",
+    """
+    WITH a AS (
+      SELECT event_id AS a_id, ts AS a_start, ts + INTERVAL 1 HOUR AS a_end
+      FROM events WHERE event_id < 100
+    ), b AS (
+      SELECT event_id AS b_id, ts AS b_start, ts + INTERVAL 30 MINUTE AS b_end
+      FROM events WHERE event_id % 7 = 0
+    )
+    SELECT a_id, count(*) AS n_overlaps
+    FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+    GROUP BY a_id
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """INTERVAL-OVERLAP join (both sides carry [start, end] spans) via
+    the bucket rewrite — the third non-equi shape after point-range
+    (join_range_binned) and theta (join_range_theta). Overlapping
+    intervals necessarily share a covered w-bucket (the overlap point's
+    bucket), so each side explodes into its covered buckets, the join
+    becomes a plain equi-join on the bucket, the exact overlap predicate
+    runs as a residual, and pairs matched in several shared buckets
+    dedup through a DISTINCT on the pair key BEFORE aggregation. Same
+    scale contract as join_range_binned: hash-partitionable,
+    AQE-skew-splittable, never a broadcast nested loop."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = 1800  # bucket width: the shorter interval, bounding explosion <= 3
+
+    def spans(df, pred, length_s, prefix):
+        start = F.col("ts")
+        end = F.col("ts") + F.expr(f"INTERVAL {length_s} SECONDS")
+        return df.filter(pred).select(
+            F.col("event_id").alias(f"{prefix}_id"),
+            start.alias(f"{prefix}_start"),
+            end.alias(f"{prefix}_end"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(start) / w).cast("long"),
+                    F.floor(F.unix_timestamp(end) / w).cast("long"),
+                )
+            ).alias("bucket"),
+        )
+
+    a = spans(ev, F.col("event_id") < 100, 3600, "a")
+    b = spans(ev, F.col("event_id") % 7 == 0, 1800, "b")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return pairs.groupBy("a_id").agg(F.count("*").alias("n_overlaps"))
