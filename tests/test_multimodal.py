@@ -181,6 +181,28 @@ def test_jpeg_color_and_quantized():
     assert np.abs(lossy.astype(int) - img.astype(int)).mean() < 16
 
 
+def test_jpeg_420_subsampled_roundtrip():
+    """The decoder's 4:2:0 path (multi-block MCUs + chroma upsampling):
+    flat color is exact (constant chroma pools losslessly); gray-as-RGB
+    noise stays within the DCT envelope because Y rides at full
+    resolution; odd dims crop correctly."""
+    import numpy as np
+
+    from xova_spark.operators import jpeg as J
+
+    flat = np.zeros((16, 16, 3), np.uint8)
+    flat[..., 0], flat[..., 1], flat[..., 2] = 200, 50, 100
+    assert np.array_equal(J.decode_jpeg(J.encode_jpeg(flat, subsample=True)), flat)
+
+    rng = np.random.RandomState(3)
+    n = np.repeat(rng.randint(0, 256, (24, 24, 1)), 3, axis=2).astype(np.uint8)
+    got = J.decode_jpeg(J.encode_jpeg(n, subsample=True))
+    assert np.abs(got.astype(int) - n.astype(int)).max() <= 1
+
+    odd = np.full((19, 21, 3), 77, np.uint8)
+    assert J.decode_jpeg(J.encode_jpeg(odd, subsample=True)).shape == (19, 21, 3)
+
+
 def test_decode_stats_runs_real_jpeg_through_spark(spark):
     """mm_decode_stats on REAL JPEG payloads (VERDICT r2 item 6): media
     table of baseline JPEGs -> decode_stats(kernel=decode_auto) matches

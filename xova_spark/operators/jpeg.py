@@ -361,11 +361,28 @@ def _encode_block(writer, dc_codes, ac_codes, coef, pred):
     return int(coef[0])
 
 
-def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+def _encode_plane_block(writer, dc_codes, ac_codes, quant, plane, y0, x0, pred):
+    block = np.full((8, 8), 128.0)
+    tile = plane[y0 : y0 + 8, x0 : x0 + 8]
+    block[: tile.shape[0], : tile.shape[1]] = tile
+    coef = np.round(_dct2(block - 128.0)).astype(np.int32)
+    zz = coef.reshape(64)[ZIGZAG]
+    if (quant != 1).any():
+        zz = np.round(zz / quant).astype(np.int32)
+    return _encode_block(writer, dc_codes, ac_codes, zz, pred)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsample: bool = False,
+) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as baseline JPEG
-    (4:4:4, standard Huffman tables). Default quant table is all-ones so
-    the only loss is DCT-coefficient rounding — the property the
-    round-trip tests rely on."""
+    (standard Huffman tables; 4:4:4, or 4:2:0 with ``subsample=True`` —
+    chroma 2x2-averaged, MCU = four Y blocks + Cb + Cr). Default quant
+    table is all-ones so the only loss is DCT-coefficient rounding (plus
+    chroma averaging under 4:2:0) — the property the round-trip tests
+    rely on."""
     img = np.asarray(img, dtype=np.float64)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -374,12 +391,23 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     quant = np.asarray(quant, dtype=np.int32).reshape(64)
     if gray:
         planes = [img]
+        subsample = False
     else:
         r, g, b = img[..., 0], img[..., 1], img[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y, cb, cr]
+        if subsample:
+            # 2x2 mean-pool the chroma planes (edge-pad odd dims first).
+            def pool(p):
+                p = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+                return (
+                    p[0::2, 0::2] + p[1::2, 0::2]
+                    + p[0::2, 1::2] + p[1::2, 1::2]
+                ) / 4.0
+
+            planes = [planes[0], pool(planes[1]), pool(planes[2])]
     nc = len(planes)
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
@@ -387,7 +415,8 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     )
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i in range(nc):
-        sof += bytes([i + 1, 0x11, 0])
+        samp = 0x22 if (subsample and i == 0) else 0x11
+        sof += bytes([i + 1, samp, 0])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     for tc, counts, syms in (
         (0, _DC_COUNTS, _DC_SYMBOLS),
@@ -400,19 +429,32 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     dc_codes = _encode_codes(_DC_COUNTS, _DC_SYMBOLS)
     ac_codes = _encode_codes(_AC_COUNTS, _AC_SYMBOLS)
     writer = _BitWriter()
-    by, bx = -(-h // 8), -(-w // 8)
     pred = [0] * nc
-    for my in range(by):
-        for mx in range(bx):
-            for ci, plane in enumerate(planes):
-                block = np.full((8, 8), 128.0)
-                tile = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-                block[: tile.shape[0], : tile.shape[1]] = tile
-                coef = np.round(_dct2(block - 128.0)).astype(np.int32)
-                zz = coef.reshape(64)[ZIGZAG]
-                if (quant != 1).any():
-                    zz = np.round(zz / quant).astype(np.int32)
-                pred[ci] = _encode_block(writer, dc_codes, ac_codes, zz, pred[ci])
+    if not subsample:
+        by, bx = -(-h // 8), -(-w // 8)
+        for my in range(by):
+            for mx in range(bx):
+                for ci, plane in enumerate(planes):
+                    pred[ci] = _encode_plane_block(
+                        writer, dc_codes, ac_codes, quant, plane,
+                        my * 8, mx * 8, pred[ci],
+                    )
+    else:
+        # 4:2:0 MCU order (T.81 §A.2.3): Y00 Y01 Y10 Y11, Cb, Cr.
+        by, bx = -(-h // 16), -(-w // 16)
+        for my in range(by):
+            for mx in range(bx):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        pred[0] = _encode_plane_block(
+                            writer, dc_codes, ac_codes, quant, planes[0],
+                            (my * 2 + dy) * 8, (mx * 2 + dx) * 8, pred[0],
+                        )
+                for ci in (1, 2):
+                    pred[ci] = _encode_plane_block(
+                        writer, dc_codes, ac_codes, quant, planes[ci],
+                        my * 8, mx * 8, pred[ci],
+                    )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
