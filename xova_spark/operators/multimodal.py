@@ -31,7 +31,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MEDIA_TYPES = ("image", "audio", "video")
@@ -328,3 +328,65 @@ def frame_sample(
             )
 
     return media.select("doc_id", "payload").mapInPandas(run, schema)
+
+
+def frame_histograms(
+    media: DataFrame, frame_bytes: int = 64, n_bins: int = 8
+) -> DataFrame:
+    """Per-frame intensity histograms: split each payload into
+    fixed-size frames and emit one row per frame with n_bins residue
+    counts (columns h0..h{n-1}) — the feature stage between frame
+    sampling and content-aware selection. Multi-row mapInPandas like
+    frame_sample; partial trailing frames are dropped."""
+    schema = "doc_id bigint, frame_id int, " + ", ".join(
+        f"h{i} int" for i in range(n_bins)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                px = _fake_decode(b)
+                for k in range(len(px) // frame_bytes):
+                    fr = px[k * frame_bytes : (k + 1) * frame_bytes]
+                    counts = np.bincount(fr % n_bins, minlength=n_bins)
+                    rows.append((doc_id, k, *(int(c) for c in counts)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_id", *[f"h{i}" for i in range(n_bins)]],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, schema)
+
+
+def keyframe_select(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    n_bins: int = 8,
+    threshold: int = 16,
+) -> DataFrame:
+    """Content-aware keyframe selection: a frame is a KEYFRAME when its
+    histogram's L1 distance to the PREVIOUS frame exceeds ``threshold``
+    (frame 0 always kept) — the standard shot-boundary heuristic.
+
+    The decode/feature boundary is the only Python stage
+    (frame_histograms); the distance, lag window, and per-video rollup
+    are pure Catalyst — lag partitions by doc_id and orders by
+    frame_id, so at 100 TB each video's frames sort within their
+    partition group, never globally."""
+    hists = frame_histograms(media, frame_bytes, n_bins)
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    l1 = None
+    for i in range(n_bins):
+        term = F.abs(F.col(f"h{i}") - F.lag(f"h{i}").over(w))
+        l1 = term if l1 is None else l1 + term
+    scored = hists.withColumn("l1_prev", l1)
+    is_key = F.col("l1_prev").isNull() | (F.col("l1_prev") > threshold)
+    return (
+        scored.withColumn("is_key", is_key.cast("int"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum("is_key").alias("n_keyframes"),
+        )
+    )

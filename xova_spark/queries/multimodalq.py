@@ -175,3 +175,48 @@ def mm_frame_sample(spark, sf_dir):
     return out.select(
         "doc_id", "frame_id", F.md5(F.col("frame")).alias("frame_hash")
     )
+
+
+_KF_THRESH = 16
+
+
+@q(
+    "mm_keyframe_select",
+    f"""
+WITH counts AS (
+  SELECT d.doc_id, CAST(f.k AS INTEGER) AS frame_id, b.c AS class,
+         count(*) FILTER (WHERE
+             ascii(substring(d.text, f.k * {_FRAME} + g.i, 1)) % {_BINS} = b.c
+         ) AS n
+  FROM documents d,
+       generate_series(0, 63) f(k),
+       generate_series(1, {_FRAME}) g(i),
+       generate_series(0, {_BINS - 1}) b(c)
+  WHERE f.k < floor(length(d.text) / {_FRAME})
+  GROUP BY d.doc_id, f.k, b.c
+), dist AS (
+  SELECT a.doc_id, a.frame_id, sum(abs(a.n - p.n)) AS l1_prev
+  FROM counts a JOIN counts p
+    ON a.doc_id = p.doc_id AND a.class = p.class
+   AND p.frame_id = a.frame_id - 1
+  GROUP BY a.doc_id, a.frame_id
+), frames AS (
+  SELECT doc_id, frame_id FROM counts GROUP BY doc_id, frame_id
+)
+SELECT f.doc_id,
+       count(*) AS n_frames,
+       CAST(sum(CASE WHEN d.l1_prev IS NULL OR d.l1_prev > {_KF_THRESH}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keyframes
+FROM frames f LEFT JOIN dist d USING (doc_id, frame_id)
+GROUP BY f.doc_id
+""",
+)
+def mm_keyframe_select(spark, sf_dir):
+    """Content-aware keyframe selection (shot-boundary heuristic): a
+    frame is kept when its intensity histogram moves more than the
+    threshold from the previous frame (L1), frame 0 always kept. The
+    per-frame histogram is the only Python stage; distance, lag window
+    and rollup are Catalyst (operators.multimodal.keyframe_select)."""
+    return MM.keyframe_select(
+        _media(spark, sf_dir), _FRAME, _BINS, _KF_THRESH
+    )
