@@ -617,3 +617,68 @@ def t_bpe_encode_tokens(spark, sf_dir, vocab=None, k=None):
             F.sum("n_sub").alias("n_bpe_tokens"),
         )
     )
+
+
+@q(
+    "t_bigram_lm_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), bi AS (
+      SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+      FROM toks, generate_series(1, 400) g(i)
+      WHERE i <= len(l) - 1
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY w1, w2
+    ), c1 AS (
+      SELECT word AS w1, count(*) AS n1 FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) GROUP BY word
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(n2 * 1.0 / n1) / count(*), 6) AS avg_bigram_prob
+    FROM bi b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY b.doc_id
+    """,
+)
+def t_bigram_lm_score(spark, sf_dir):
+    """Language-model quality scoring (the KenLM-filter analogue): train
+    a word-bigram model ON the corpus itself and score each document by
+    its average conditional bigram probability p(w2|w1) = c(w1,w2) /
+    c(w1) — low scores flag incoherent/outlier documents, the classic
+    perplexity-based quality gate of training-data pipelines.
+
+    Probability RATIOS instead of log-probs keep the oracle exact: both
+    engines divide the same integers, so no libm (ln) 1-ulp divergence
+    enters; the order-dependent sum is round(6) on both sides.
+
+    Scale shape (100 TB): the bigram count table is vocabulary-bounded
+    (<< corpus); scoring joins the per-doc bigram stream to it on
+    (w1, w2) — a keyed shuffle with map-side partial counts, then one
+    per-doc aggregation. Nothing quadratic, nothing driver-side."""
+    (docs,) = _docs(spark, sf_dir)
+    l = "split(text, ' ')"
+    bi = docs.selectExpr(
+        "doc_id",
+        f"explode(zip_with(slice({l}, 1, size({l}) - 1),"
+        f" slice({l}, 2, size({l}) - 1),"
+        " (x, y) -> struct(x AS w1, y AS w2))) AS b",
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = (
+        docs.select(F.explode(F.split("text", " ")).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("n1"))
+    )
+    return (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("n2") * 1.0 / F.col("n1")) / F.count("*"), 6
+            ).alias("avg_bigram_prob"),
+        )
+    )
