@@ -245,6 +245,11 @@ def test_gif_roundtrip_and_dispatch():
     payload = encode_gif(idx, pal)
     assert np.array_equal(decode_gif(payload), pal[idx])
     assert np.array_equal(MM.decode_image_real(payload), pal[idx])
+    # interlaced storage order must deinterlace back to the same pixels
+    inter = encode_gif(idx, pal, interlace=True)
+    assert np.array_equal(decode_gif(inter), pal[idx])
+    # decode_auto flattens GIF RGB like the other image codecs
+    assert np.array_equal(MM.decode_auto(payload), pal[idx].reshape(-1))
 
 
 def test_wav_roundtrip_and_audio_stats_through_spark(spark):

@@ -140,14 +140,26 @@ def decode_gif(payload: bytes) -> np.ndarray:
     return decode_gif_frames(payload)[0]
 
 
-def encode_gif(idx: np.ndarray, palette: np.ndarray) -> bytes:
+def encode_gif(
+    idx: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
     """Test referee: single-frame GIF87a from an (h, w) palette-index
     array + (n, 3) palette. Emits a clear code before every pixel code so
     the stream stays at the initial width — legal LZW the decoder must
-    still run through its dictionary machinery."""
+    still run through its dictionary machinery. ``interlace`` stores the
+    rows in the spec's four-pass order (and sets the flag) so the
+    decoder's deinterlacer is exercised."""
     idx = np.asarray(idx, dtype=np.uint8)
     palette = np.asarray(palette, dtype=np.uint8)
     h, w = idx.shape
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        idx = idx[order]
     n = len(palette)
     size_exp = max(1, int(np.ceil(np.log2(max(n, 2)))))
     table = np.zeros((1 << size_exp, 3), dtype=np.uint8)
@@ -155,7 +167,9 @@ def encode_gif(idx: np.ndarray, palette: np.ndarray) -> bytes:
     out = bytearray(b"GIF87a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (size_exp - 1), 0, 0)
     out += table.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
     min_code = max(2, size_exp)
     clear = 1 << min_code
     eoi = clear + 1
