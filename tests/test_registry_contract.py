@@ -1,0 +1,61 @@
+"""Driver-contract integrity: the registry must stay import-cheap,
+name-consistent, and fully oracle-gated (modulo the declared rows-only
+entries) — the properties CORRECTNESS_r{N} sampling depends on."""
+
+from __future__ import annotations
+
+import time
+
+ROWS_ONLY_BY_DESIGN = {"uvw_apply_pandas_synthesis"}
+
+
+def test_registry_enumerates_fast_and_consistently():
+    t0 = time.perf_counter()
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    oracles = m.oracle_sql()
+    assert time.perf_counter() - t0 < 10.0  # import-cheap (driver contract)
+    assert len(qs) >= 160
+    assert set(oracles) <= set(qs)  # no orphan oracles
+    missing = set(qs) - set(oracles)
+    assert missing == ROWS_ONLY_BY_DESIGN, (
+        f"entries without an oracle beyond the declared rows-only set: "
+        f"{sorted(missing - ROWS_ONLY_BY_DESIGN)}"
+    )
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_oracle_sql_mentions_only_registered_tables():
+    """Every oracle must run against the driver's pre-registered views
+    (or explicit read_parquet paths) — a typo'd table name would fail
+    only at gate time otherwise."""
+    import re
+
+    import __spark_entry__ as m
+
+    known = {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
+    for name, sql in m.oracle_sql().items():
+        body = re.sub(r"read_parquet\('[^']*'\)", "_rp_", sql)
+        # strip CTE names defined in this query
+        ctes = set(
+            re.findall(
+                r"(?:WITH(?:\s+RECURSIVE)?|,)\s*([a-zA-Z_][a-zA-Z0-9_]*)\s+AS\s*\(",
+                body,
+                re.IGNORECASE,
+            )
+        )
+        refs = set(
+            t.lower()
+            for t in re.findall(
+                r"(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)", body, re.IGNORECASE
+            )
+        )
+        unknown = refs - known - {c.lower() for c in ctes} - {"_rp_"}
+        # generate_series/range/unnest appear in FROM position in DuckDB
+        unknown -= {"generate_series", "range", "unnest"}
+        assert not unknown, f"{name}: unrecognized FROM targets {sorted(unknown)}"
