@@ -41,6 +41,8 @@ def test_oracle_sql_mentions_only_registered_tables():
     }
     for name, sql in m.oracle_sql().items():
         body = re.sub(r"read_parquet\('[^']*'\)", "_rp_", sql)
+        # `extract(hour FROM ts)` is an expression, not a table ref
+        body = re.sub(r"extract\s*\([^)]*\)", "_extract_", body, flags=re.IGNORECASE)
         # strip CTE names defined in this query
         ctes = set(
             re.findall(
