@@ -38,6 +38,9 @@ HEADLINE = (
     "dedup_simhash",
     "ann_cosine_topk",
     "mm_feature_extract",
+    "mm_keyframe_select",
+    "t_bigram_lm_score",
+    "t_bpe_encode_tokens",
     "pipeline_corpus_e2e",
     "timechannel_avg",
     "bda_avg",
