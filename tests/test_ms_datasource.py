@@ -215,3 +215,34 @@ def test_casa_bridge_subtables_match_fixture(spark, ms_dir, tmp_path):
     ant = _sorted_pdf(got["antenna"], ["ANTENNA_ID"])
     r_ant = _sorted_pdf(ref["antenna"], ["ANTENNA_ID"])
     pd.testing.assert_frame_equal(ant, r_ant, check_dtype=False)
+
+
+def test_write_ms_sorts_within_files_for_zone_maps(spark, ms, tmp_path):
+    """Zone-map layout contract: every data file write_ms produces is
+    sorted by its table's SORT_WITHIN key, so parquet row-group min/max
+    stats form tight disjoint ranges (the precondition for row-group
+    skipping on TIME-window / row_id-range re-reads)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from xova_spark.sources.ms_writer import SORT_WITHIN, write_ms
+
+    out = str(tmp_path / "sorted.ms")
+    write_ms({"ms_rows": ms["ms_rows"], "ms_vis": ms["ms_vis"]}, out)
+    for table in ("ms_rows", "ms_vis"):
+        cols = [c for c in SORT_WITHIN[table]]
+        files = glob.glob(os.path.join(out, table, "**", "*.parquet"),
+                          recursive=True)
+        assert files, table
+        checked = 0
+        for f in files:
+            t = pq.read_table(f)
+            present = [c for c in cols if c in t.column_names]
+            if not present or t.num_rows < 2:
+                continue
+            rows = list(zip(*(t.column(c).to_pylist() for c in present)))
+            assert rows == sorted(rows), (table, f)
+            checked += 1
+        assert checked > 0, table
