@@ -1267,3 +1267,164 @@ def ev_funnel_conversion(spark, sf_dir):
             )
         ).alias("n_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) over the embedding column
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8        # subspaces
+_PQ_SUB = 8      # dims per subspace (M * SUB == _DIM)
+_PQ_K = 16       # codebook size per subspace
+_PQ_ITERS = 1    # Lloyd updates per subspace
+
+
+def _pq_sql() -> str:
+    """Chained-CTE twin: per subspace, the same seeded Lloyd rounds as
+    _kmeans_sql over the 16-dim subvector, then the per-vector code."""
+    parts = [f"e AS (SELECT vec_id, {_DUCK_Q} AS emb FROM embeddings)"]
+    sels = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+        parts.append(
+            f"e{m} AS (SELECT vec_id, emb[{lo}:{hi}] AS sv FROM e)"
+        )
+        parts.append(
+            f"q{m}c0 AS (SELECT vec_id AS cid, sv AS cv FROM e{m} "
+            f"WHERE vec_id < {_PQ_K})"
+        )
+        dist = (
+            f"list_sum(list_transform(generate_series(1, {_PQ_SUB}),"
+            " i -> (x.sv[i] - c.cv[i]) * (x.sv[i] - c.cv[i])))"
+        )
+        for it in range(_PQ_ITERS + 1):
+            parts.append(
+                f"q{m}s{it} AS (SELECT x.vec_id, c.cid, {dist} AS d "
+                f"FROM e{m} x CROSS JOIN q{m}c{it} c)"
+            )
+            parts.append(
+                f"q{m}a{it} AS (SELECT vec_id, cid FROM ("
+                f"SELECT vec_id, cid, row_number() OVER "
+                f"(PARTITION BY vec_id ORDER BY d, cid) AS rn FROM q{m}s{it}"
+                f") WHERE rn = 1)"
+            )
+            if it < _PQ_ITERS:
+                parts.append(
+                    f"q{m}m{it} AS (SELECT a.cid, g.i AS dim, "
+                    f"sum(x.sv[g.i]) / count(*) AS v "
+                    f"FROM q{m}a{it} a JOIN e{m} x USING (vec_id), "
+                    f"generate_series(1, {_PQ_SUB}) g(i) GROUP BY a.cid, g.i)"
+                )
+                parts.append(
+                    f"q{m}c{it + 1} AS (SELECT cid, list(v ORDER BY dim) AS cv "
+                    f"FROM q{m}m{it} GROUP BY cid)"
+                )
+        sels.append(f"q{m}a{_PQ_ITERS}.cid AS code{m}")
+    joins = " ".join(
+        f"JOIN q{m}a{_PQ_ITERS} USING (vec_id)" for m in range(_PQ_M)
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT e.vec_id, {', '.join(sels)} FROM e {joins}"
+    )
+
+
+@q("emb_pq_encode", _pq_sql())
+def emb_pq_encode(spark, sf_dir):
+    """PRODUCT QUANTIZATION encode — the standard billion-vector ANN
+    compression: split each embedding into M=4 subspaces of 16 dims,
+    learn a k=4 codebook per subspace with the same seeded Lloyd rounds
+    as emb_kmeans_assign, and emit each vector's M-byte code word
+    (here: 4 small ints). A 64-dim float vector compresses to 4 codes;
+    asymmetric PQ distance = sum over subspaces of the precomputed
+    query-to-centroid distances — table lookups, no float vector reads.
+
+    Scale shape: each subspace's codebook is k x 16 doubles on the
+    driver (broadcast literal); per iteration the all-data work is one
+    argmin pass + one partial-aggregated (cid, dim) update — exactly the
+    kmeans plan, M times over narrower vectors. Dyadic quantization
+    keeps the oracle hash-EXACT (order-independent centroid sums);
+    tests/test_similarity_recall gates PQ-distance recall vs exact
+    cosine."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1024) / 1024,
+        ).alias("emb"),
+    )
+    # ALL subspaces in one long table (vec_id, m, sv): every Lloyd step
+    # is then ONE job over all M codebooks instead of M sequential jobs
+    # — 4 Spark jobs total regardless of M, and the same single-pass
+    # shape a billion-vector run wants.
+    subs = (
+        emb.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice("emb", m * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                        )
+                        for m in range(_PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", "s.m", "s.sv")
+        .cache()
+    )
+    cents = {
+        (int(r["m"]), int(r["vec_id"])): list(r["sv"])
+        for r in subs.filter(F.col("vec_id") < _PQ_K).collect()
+    }
+
+    def assign(cent_map):
+        cdf = spark.createDataFrame(
+            [
+                (m, int(c), [float(v) for v in cv])
+                for (m, c), cv in sorted(cent_map.items())
+            ],
+            "m int, cid int, cv array<double>",
+        )
+        d = F.aggregate(
+            F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("d", "cid")
+        return (
+            subs.join(F.broadcast(cdf), "m")
+            .select("vec_id", "m", "cid", d.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "cid")
+        )
+
+    for _ in range(_PQ_ITERS):
+        a = assign(cents)
+        upd = (
+            a.join(subs, ["vec_id", "m"])
+            .select("m", "cid", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("m", "cid", "dim")
+            .agg((F.sum("x") / F.count("*")).alias("v"))
+            .collect()
+        )
+        new_cents: dict[tuple[int, int], list[float]] = {}
+        for row in upd:
+            new_cents.setdefault((row["m"], row["cid"]), [0.0] * _PQ_SUB)[
+                row["dim"]
+            ] = row["v"]
+        cents = new_cents
+
+    final = assign(cents)
+    out = (
+        final.groupBy("vec_id")
+        .pivot("m", list(range(_PQ_M)))
+        .agg(F.first("cid"))
+    )
+    for m in range(_PQ_M):
+        out = out.withColumnRenamed(str(m), f"code{m}")
+    subs.unpersist()
+    return out
