@@ -46,7 +46,8 @@ def test_oracle_sql_mentions_only_registered_tables():
         # strip CTE names defined in this query
         ctes = set(
             re.findall(
-                r"(?:WITH(?:\s+RECURSIVE)?|,)\s*([a-zA-Z_][a-zA-Z0-9_]*)\s+AS\s*\(",
+                r"(?:WITH(?:\s+RECURSIVE)?|,)\s*([a-zA-Z_][a-zA-Z0-9_]*)"
+                r"\s+AS\s+(?:MATERIALIZED\s*)?\(",
                 body,
                 re.IGNORECASE,
             )

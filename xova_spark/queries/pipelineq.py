@@ -1279,9 +1279,10 @@ _PQ_K = 16       # codebook size per subspace
 _PQ_ITERS = 1    # Lloyd updates per subspace
 
 
-def _pq_sql() -> str:
-    """Chained-CTE twin: per subspace, the same seeded Lloyd rounds as
-    _kmeans_sql over the 16-dim subvector, then the per-vector code."""
+def _pq_ctes() -> tuple[list, list, str]:
+    """Shared chained-CTE builder for the PQ twins: per subspace, the
+    same seeded Lloyd rounds as _kmeans_sql over the subvector. Returns
+    (cte_parts, code_select_exprs, code_join_clause)."""
     parts = [f"e AS (SELECT vec_id, {_DUCK_Q} AS emb FROM embeddings)"]
     sels = []
     for m in range(_PQ_M):
@@ -1323,9 +1324,66 @@ def _pq_sql() -> str:
     joins = " ".join(
         f"JOIN q{m}a{_PQ_ITERS} USING (vec_id)" for m in range(_PQ_M)
     )
+    return parts, sels, joins
+
+
+def _materialize(parts: list) -> list:
+    """DuckDB inlines CTEs by default; the PQ twins reference the Lloyd
+    CTEs many times (codes join + per-subspace luts), which re-expands
+    the whole chain per reference — exponential plan growth. MATERIALIZED
+    pins each CTE to one evaluation."""
+    return [pp.replace(" AS (", " AS MATERIALIZED (", 1) for pp in parts]
+
+
+def _pq_sql() -> str:
+    parts, sels, joins = _pq_ctes()
     return (
-        "WITH " + ", ".join(parts)
+        "WITH " + ", ".join(_materialize(parts))
         + f" SELECT e.vec_id, {', '.join(sels)} FROM e {joins}"
+    )
+
+
+def _pq_topk_sql(n_queries: int = 10, topk: int = 5) -> str:
+    """PQ SEARCH twin: asymmetric distance — per query, the distance to
+    every centroid of every subspace (the lookup tables), then each
+    database vector scores as the FIXED-ORDER sum of its codes' lut
+    entries (fixed order keeps the float sum bit-identical in both
+    engines)."""
+    parts, sels, joins = _pq_ctes()
+    parts.append(
+        f"codes AS (SELECT e.vec_id, {', '.join(sels)} FROM e {joins})"
+    )
+    parts.append(
+        f"qs AS (SELECT vec_id AS qid, emb FROM e WHERE vec_id < {n_queries})"
+    )
+    for m in range(_PQ_M):
+        lo = m * _PQ_SUB
+        dist = (
+            f"list_sum(list_transform(generate_series(1, {_PQ_SUB}),"
+            f" i -> (q.emb[{lo} + i] - c.cv[i]) * (q.emb[{lo} + i] - c.cv[i])))"
+        )
+        parts.append(
+            f"lut{m} AS (SELECT q.qid, c.cid, {dist} AS d "
+            f"FROM qs q CROSS JOIN q{m}c{_PQ_ITERS} c)"
+        )
+    lut_joins = " ".join(
+        f"JOIN lut{m} l{m} ON l{m}.qid = q.qid AND l{m}.cid = v.code{m}"
+        for m in range(_PQ_M)
+    )
+    score = " + ".join(f"l{m}.d" for m in range(_PQ_M))
+    parts.append(
+        f"scored AS (SELECT q.qid, v.vec_id AS cid, {score} AS score "
+        f"FROM codes v CROSS JOIN (SELECT DISTINCT qid FROM qs) q "
+        f"{lut_joins} WHERE v.vec_id != q.qid)"
+    )
+    parts.append(
+        "ranked AS (SELECT qid, cid, score, row_number() OVER "
+        "(PARTITION BY qid ORDER BY score, cid) AS rank FROM scored)"
+    )
+    return (
+        "WITH " + ", ".join(_materialize(parts))
+        + f" SELECT qid, cid, round(score, 6) AS pq_dist, rank "
+        f"FROM ranked WHERE rank <= {topk}"
     )
 
 
@@ -1346,6 +1404,14 @@ def emb_pq_encode(spark, sf_dir):
     keeps the oracle hash-EXACT (order-independent centroid sums);
     tests/test_similarity_recall gates PQ-distance recall vs exact
     cosine."""
+    codes, _cents = _pq_fit(spark, sf_dir)
+    return codes
+
+
+def _pq_fit(spark, sf_dir):
+    """Fit the PQ codebooks and encode every vector; returns
+    (codes_wide_df, centroids dict[(m, cid)] -> 8-dim list). Shared by
+    emb_pq_encode and ann_pq_topk."""
     emb = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform(
@@ -1427,4 +1493,82 @@ def emb_pq_encode(spark, sf_dir):
     for m in range(_PQ_M):
         out = out.withColumnRenamed(str(m), f"code{m}")
     subs.unpersist()
-    return out
+    return out, cents
+
+
+@q("ann_pq_topk", _pq_topk_sql())
+def ann_pq_topk(spark, sf_dir):
+    """PQ SEARCH — top-k by ASYMMETRIC product-quantization distance:
+    each query precomputes its distance to every subspace centroid (an
+    M x K lookup table, 128 doubles — driver/broadcast scale), and each
+    database vector scores as the fixed-order sum of its 8 codes' lut
+    entries. NO float vectors are read at query time — the scan touches
+    only the M small-int codes per vector, which is what makes PQ the
+    billion-vector first stage (fetch-and-rerank refines the top-k with
+    exact distances afterwards; recall gated in
+    tests/test_similarity_recall).
+
+    Exactness: luts accumulate dims sequentially in both engines and the
+    score sums the 8 terms in fixed textual order, so the doubles are
+    bit-identical; round(6) on output is belt-and-braces."""
+    codes, cents = _pq_fit(spark, sf_dir)
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1024) / 1024,
+        ).alias("emb"),
+    )
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "emb"
+    )
+    qsub = queries.select(
+        "qid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("emb", m * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("qid", "s.m", "s.sv")
+    cdf = spark.createDataFrame(
+        [
+            (m, int(c), [float(v) for v in cv])
+            for (m, c), cv in sorted(cents.items())
+        ],
+        "m int, cid int, cv array<double>",
+    )
+    d = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    luts = qsub.join(F.broadcast(cdf), "m").select("qid", "m", "cid", d.alias("d"))
+    scored = codes.crossJoin(F.broadcast(queries.select("qid")))
+    for m in range(_PQ_M):
+        dm = luts.filter(F.col("m") == m).select(
+            F.col("qid").alias(f"qid_{m}"),
+            F.col("cid").alias(f"cid_{m}"),
+            F.col("d").alias(f"d_{m}"),
+        )
+        scored = scored.join(
+            F.broadcast(dm),
+            (F.col("qid") == F.col(f"qid_{m}"))
+            & (F.col(f"code{m}") == F.col(f"cid_{m}")),
+        ).drop(f"qid_{m}", f"cid_{m}")
+    score = F.col("d_0")
+    for m in range(1, _PQ_M):
+        score = score + F.col(f"d_{m}")
+    w = Window.partitionBy("qid").orderBy("score", "cid")
+    return (
+        scored.filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "cid", F.round("score", 6).alias("pq_dist"), "rank")
+    )
