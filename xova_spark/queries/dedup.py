@@ -487,3 +487,87 @@ def dedup_cc_clusters(spark, sf_dir):
 def _docs(spark, sf_dir):
     tables = load_tables(spark, sf_dir, ("documents",))
     return [tables["documents"]]
+
+
+@q(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_DUCK_EDGE_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach AS (
+      SELECT DISTINCT src AS doc_id, src AS comp FROM edges
+      UNION
+      SELECT e.dst AS doc_id, r.comp
+      FROM reach r JOIN edges e ON e.src = r.doc_id
+    ), comps AS (
+      SELECT doc_id, min(comp) AS component FROM reach GROUP BY doc_id
+    ), scored AS (
+      SELECT d.doc_id,
+             coalesce(c.component, d.doc_id) AS component,
+             len(list_distinct(string_split(d.text, ' '))) AS n_distinct_tokens
+      FROM documents d LEFT JOIN comps c USING (doc_id)
+    ), ranked AS (
+      SELECT doc_id, component, n_distinct_tokens,
+             row_number() OVER (
+               PARTITION BY component
+               ORDER BY n_distinct_tokens DESC, doc_id) AS rn
+      FROM scored
+    ), canon AS (
+      SELECT component, doc_id AS canonical_id FROM ranked WHERE rn = 1
+    )
+    SELECT s.doc_id, s.component, c.canonical_id, s.n_distinct_tokens,
+           CASE WHEN s.doc_id = c.canonical_id THEN 1 ELSE 0 END AS kept
+    FROM scored s JOIN canon c USING (component)
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """CANONICAL SELECTION — the step after clustering that an actual
+    training-data pipeline runs: every document maps to ONE canonical
+    representative of its near-dup cluster, chosen by an integer-exact
+    quality key (distinct-token count, ties to the lowest doc_id);
+    singletons are their own canonical. The output is the doc_id ->
+    canonical_id rewrite table a dedup pass applies to the corpus
+    (``kept`` marks survivors).
+
+    Scale shape: cluster assignment reuses dedup_cc_clusters (LSH-
+    composed edges, size-gated union-find / distributed min-label); the
+    cluster table is near-dup rows ONLY, so the left join back to the
+    corpus broadcasts in practice and the canonical pick is one window
+    per component (shuffle keyed on component — bounded by cluster
+    sizes, no skew since near-dup clusters are shallow). Quality is an
+    integer, so the pick is deterministic with no float-ordering
+    hazards in either engine."""
+    from pyspark.sql import Window
+
+    (docs,) = _docs(spark, sf_dir)
+    comps = dedup_cc_clusters(spark, sf_dir)
+    scored = (
+        docs.join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            F.size(F.array_distinct(F.split("text", " "))).alias(
+                "n_distinct_tokens"
+            ),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_distinct_tokens"), "doc_id"
+    )
+    canon = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("canonical_id"))
+    )
+    return scored.join(canon, "component").select(
+        "doc_id",
+        "component",
+        "canonical_id",
+        "n_distinct_tokens",
+        F.when(F.col("doc_id") == F.col("canonical_id"), 1)
+        .otherwise(0)
+        .alias("kept"),
+    )

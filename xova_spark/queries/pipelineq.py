@@ -1572,3 +1572,276 @@ def ann_pq_topk(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("qid", "cid", F.round("score", 6).alias("pq_dist"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted-file cells + product-quantized search
+# ---------------------------------------------------------------------------
+
+_IVFPQ_CELLS = 8   # coarse-quantizer size
+_IVFPQ_NPROBE = 2  # cells searched per query
+
+
+def _ivfpq_topk_sql(n_queries: int = 10, topk: int = 5) -> str:
+    """IVF-PQ twin: the PQ chained-CTE Lloyd codebooks PLUS a coarse
+    cosine cell assignment (seed-vector quantizer, as ann_ivf_topk);
+    candidates are restricted to each query's NPROBE nearest cells
+    before the asymmetric-distance lookup scoring."""
+    parts, sels, joins = _pq_ctes()
+    dot = (
+        lambda a, b: f"list_sum(list_transform(generate_series(1, {_DIM}),"
+        f" i -> {a}[i] * {b}[i]))"
+    )
+    parts.append(
+        f"nv AS (SELECT vec_id, emb, sqrt({dot('emb', 'emb')}) AS nrm FROM e)"
+    )
+    parts.append(
+        f"cent AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm "
+        f"FROM nv WHERE vec_id < {_IVFPQ_CELLS})"
+    )
+    parts.append(
+        "cellrank AS (SELECT n.vec_id, c.cent_id, row_number() OVER ("
+        "PARTITION BY n.vec_id ORDER BY "
+        f"{dot('n.emb', 'c.cemb')} / (n.nrm * c.cnrm) DESC, c.cent_id) AS rn "
+        "FROM nv n CROSS JOIN cent c)"
+    )
+    parts.append(
+        "assigned AS (SELECT vec_id, cent_id AS cell FROM cellrank WHERE rn = 1)"
+    )
+    parts.append(
+        f"probes AS (SELECT vec_id AS qid, cent_id AS pcell FROM cellrank "
+        f"WHERE vec_id < {n_queries} AND rn <= {_IVFPQ_NPROBE})"
+    )
+    parts.append(
+        f"codes AS (SELECT e.vec_id, {', '.join(sels)} FROM e {joins})"
+    )
+    parts.append(
+        f"qs AS (SELECT vec_id AS qid, emb FROM e WHERE vec_id < {n_queries})"
+    )
+    for m in range(_PQ_M):
+        lo = m * _PQ_SUB
+        dist = (
+            f"list_sum(list_transform(generate_series(1, {_PQ_SUB}),"
+            f" i -> (q.emb[{lo} + i] - c.cv[i]) * (q.emb[{lo} + i] - c.cv[i])))"
+        )
+        parts.append(
+            f"lut{m} AS (SELECT q.qid, c.cid, {dist} AS d "
+            f"FROM qs q CROSS JOIN q{m}c{_PQ_ITERS} c)"
+        )
+    lut_joins = " ".join(
+        f"JOIN lut{m} l{m} ON l{m}.qid = p.qid AND l{m}.cid = v.code{m}"
+        for m in range(_PQ_M)
+    )
+    score = " + ".join(f"l{m}.d" for m in range(_PQ_M))
+    parts.append(
+        f"scored AS (SELECT p.qid, v.vec_id AS cid, {score} AS score "
+        f"FROM codes v JOIN assigned a ON a.vec_id = v.vec_id "
+        f"JOIN probes p ON p.pcell = a.cell "
+        f"{lut_joins} WHERE v.vec_id != p.qid)"
+    )
+    parts.append(
+        "ranked AS (SELECT qid, cid, score, row_number() OVER "
+        "(PARTITION BY qid ORDER BY score, cid) AS rank FROM scored)"
+    )
+    return (
+        "WITH " + ", ".join(_materialize(parts))
+        + f" SELECT qid, cid, round(score, 6) AS pq_dist, rank "
+        f"FROM ranked WHERE rank <= {topk}"
+    )
+
+
+@q("ann_ivfpq_topk", _ivfpq_topk_sql())
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ — the billion-vector composite: a coarse inverted-file
+    cell assignment (cosine against a seed-vector coarse quantizer, as
+    ann_ivf_topk) restricts each query's candidates to its NPROBE
+    nearest cells, and candidates score by ASYMMETRIC product-
+    quantization distance (query-to-codebook lookup tables; scan touches
+    only the M small-int codes per candidate). This is the FAISS
+    IVFADC shape (Jegou et al., PQ for nearest neighbor search) with
+    global (non-residual) codebooks, which keeps the oracle twin exact.
+
+    Scale shape: the PQ fit is the _pq_fit single-pass-per-iteration
+    plan; cell assignment is one broadcast of CELLS centroids over one
+    scan; at search time the probes table (n_queries x NPROBE rows)
+    broadcasts into the code table, so the only full-corpus work is the
+    code scan itself — with the cell id as the storage partition key,
+    partition pruning drops even that to NPROBE/CELLS of the data."""
+    codes, cents = _pq_fit(spark, sf_dir)
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1024) / 1024,
+        ).alias("emb"),
+    )
+    dotq = F.aggregate(
+        F.zip_with("emb", "cemb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with("emb", "emb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nv = e.select("vec_id", "emb", nrm.alias("nrm"))
+    cent = nv.filter(F.col("vec_id") < _IVFPQ_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), "cent_id")
+    cellrank = (
+        nv.crossJoin(F.broadcast(cent))
+        .withColumn("cell_cos", dotq / (F.col("nrm") * F.col("cnrm")))
+        .withColumn("rn", F.row_number().over(wc))
+    )
+    assigned = cellrank.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell")
+    )
+    probes = cellrank.filter(
+        (F.col("vec_id") < 10) & (F.col("rn") <= _IVFPQ_NPROBE)
+    ).select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("pcell"))
+    qsub = (
+        e.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice("emb", m * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                        )
+                        for m in range(_PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("qid", "s.m", "s.sv")
+    )
+    cdf = spark.createDataFrame(
+        [
+            (m, int(c), [float(v) for v in cv])
+            for (m, c), cv in sorted(cents.items())
+        ],
+        "m int, cid int, cv array<double>",
+    )
+    d = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    luts = qsub.join(F.broadcast(cdf), "m").select("qid", "m", "cid", d.alias("d"))
+    scored = codes.join(assigned, "vec_id").join(
+        F.broadcast(probes), F.col("cell") == F.col("pcell")
+    )
+    for m in range(_PQ_M):
+        dm = luts.filter(F.col("m") == m).select(
+            F.col("qid").alias(f"qid_{m}"),
+            F.col("cid").alias(f"cid_{m}"),
+            F.col("d").alias(f"d_{m}"),
+        )
+        scored = scored.join(
+            F.broadcast(dm),
+            (F.col("qid") == F.col(f"qid_{m}"))
+            & (F.col(f"code{m}") == F.col(f"cid_{m}")),
+        ).drop(f"qid_{m}", f"cid_{m}")
+    score = F.col("d_0")
+    for m in range(1, _PQ_M):
+        score = score + F.col(f"d_{m}")
+    w = Window.partitionBy("qid").orderBy("score", "cid")
+    return (
+        scored.filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "cid", F.round("score", 6).alias("pq_dist"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance + power-iteration PCA
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "emb_covariance",
+    f"""
+    WITH e AS (SELECT vec_id, {_DUCK_Q} AS emb FROM embeddings),
+    ex AS (
+      SELECT vec_id, g.i - 1 AS i, emb[g.i] AS x
+      FROM e, generate_series(1, {_DIM}) g(i)
+    ), n_rows AS (SELECT count(*) AS n FROM e),
+    sxy AS (
+      SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY a.i, b.i
+    ), m AS (
+      SELECT i, sum(x) AS m FROM ex GROUP BY i
+    )
+    SELECT sxy.i, sxy.j,
+           round((sxy.s - ma.m * mb.m / n.n) / n.n, 6) AS cov
+    FROM sxy
+    JOIN m ma ON ma.i = sxy.i
+    JOIN m mb ON mb.i = sxy.j
+    CROSS JOIN n_rows n
+    """,
+)
+def emb_covariance(spark, sf_dir):
+    """COVARIANCE MATRIX of the embedding columns (upper triangle as
+    (i, j, cov) rows) — the input to PCA/whitening/decorrelation passes
+    a representation-analysis pipeline runs over its vectors.
+
+    Exactness: inputs are dyadic-quantized (10 fractional bits), so
+    every pairwise product carries 20 fractional bits and the
+    second-moment sums are EXACT doubles in any aggregation order —
+    the one float division and subtraction happen once per output cell
+    in the same textual order in both engines.
+
+    Scale shape: one explode to (row, dim) feeds two partial-aggregated
+    shuffles — per-dim sums (64 keys) and pairwise products (2080 keys);
+    map-side combine collapses each partition to at most 2080 rows
+    before the exchange, so shuffle volume is O(partitions), not
+    O(rows). The 64-row moment table broadcasts into the final join.
+    (At very wide dims the explode-pair form is replaced by per-
+    partition BLAS Gramians — same two-phase agg shape.)"""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1024) / 1024,
+        ).alias("emb"),
+    )
+    n = e.count()
+    ex = e.select("vec_id", F.posexplode("emb").alias("i", "x"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("b.i") >= F.col("a.i")))
+        .select(
+            F.col("a.i").alias("i"),
+            F.col("b.i").alias("j"),
+            (F.col("a.x") * F.col("b.x")).alias("xy"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("xy").alias("s"))
+    )
+    m = ex.groupBy("i").agg(F.sum("x").alias("m"))
+    ma = m.select(F.col("i").alias("mi"), F.col("m").alias("m_i"))
+    mb = m.select(F.col("i").alias("mj"), F.col("m").alias("m_j"))
+    return (
+        pairs.join(F.broadcast(ma), F.col("i") == F.col("mi"))
+        .join(F.broadcast(mb), F.col("j") == F.col("mj"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("s") - F.col("m_i") * F.col("m_j") / F.lit(float(n)))
+                / F.lit(float(n)),
+                6,
+            ).alias("cov"),
+        )
+    )

@@ -712,3 +712,73 @@ def join_interval_overlap(spark, sf_dir):
         .distinct()
     )
     return pairs.groupBy("a_id").agg(F.count("*").alias("n_overlaps"))
+
+
+@q(
+    "ev_retention_cohorts",
+    """
+    WITH weeks AS (
+      SELECT user_id,
+             CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0)
+                  AS INTEGER) AS week
+      FROM events
+    ), cohorts AS (
+      SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, week FROM weeks
+    ), sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY cohort_week
+    )
+    SELECT c.cohort_week,
+           a.week - c.cohort_week AS week_offset,
+           count(DISTINCT a.user_id) AS n_active,
+           s.cohort_size,
+           round(count(DISTINCT a.user_id) * 1.0 / s.cohort_size, 6) AS retention
+    FROM active a
+    JOIN cohorts c USING (user_id)
+    JOIN sizes s ON s.cohort_week = c.cohort_week
+    GROUP BY c.cohort_week, week_offset, s.cohort_size
+    """,
+)
+def ev_retention_cohorts(spark, sf_dir):
+    """COHORT RETENTION matrix — the canonical product-analytics rollup:
+    users are cohorted by the week of their first event (weeks indexed
+    as integer days-since-epoch-origin / 7, identical arithmetic in both
+    engines — no date_trunc('week') locale semantics to disagree on),
+    and each (cohort_week, week_offset) cell counts the distinct cohort
+    members still active that many weeks later, with the rate against
+    cohort size.
+
+    Scale shape: the per-user cohort table is one shuffle keyed on
+    user_id with map-side partial min; the active set is a distinct on
+    (user_id, week) — same key, so AQE reuses the exchange; the
+    cohort-size table is tiny (one row per week) and broadcast into the
+    final agg. No event-grain data crosses more than one shuffle."""
+    (ev,) = _t(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("int")
+    weeks = ev.select("user_id", week.alias("week"))
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = weeks.distinct()
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        active.join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )

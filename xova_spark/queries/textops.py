@@ -682,3 +682,76 @@ def t_bigram_lm_score(spark, sf_dir):
             ).alias("avg_bigram_prob"),
         )
     )
+
+
+@q(
+    "t_tfidf_topterms",
+    """
+    WITH doc_terms AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), n_docs AS (
+      SELECT count(DISTINCT doc_id) AS n FROM doc_terms
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM doc_terms GROUP BY term
+    ), tf AS (
+      SELECT lang, term, count(*) AS tf FROM doc_terms GROUP BY lang, term
+    ), scored AS (
+      SELECT tf.lang, tf.term, tf.tf, df.df,
+             tf.tf * round(ln(n.n * 1.0 / df.df), 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n_docs n
+    )
+    SELECT lang, term, tf, df, round(score, 6) AS tfidf, rank
+    FROM (
+      SELECT lang, term, tf, df, score,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY round(score, 6) DESC, term) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def t_tfidf_topterms(spark, sf_dir):
+    """TF-IDF TOP TERMS per language — the classic corpus-characterization
+    query (what distinguishes each language stream): term frequency per
+    (lang, term) x inverse document frequency over the whole corpus,
+    top 5 per language.
+
+    Cross-engine float discipline: idf = round(ln(N/df), 6) BEFORE the
+    multiply — ln differs by <= 1 ulp between JVM and libm, and rounding
+    to a fixed decimal first makes the product tf x idf bit-identical in
+    both engines (tf is an integer); the rank also orders by the rounded
+    score so ties resolve on the term in both.
+
+    Scale shape: one explode of the corpus feeding TWO aggregations that
+    share the shuffle key prefix (term): df is a distinct-count keyed on
+    term, tf keys on (lang, term); the df table (vocabulary-sized) joins
+    back broadcast-or-shuffle by Catalyst's size estimate, and N is a
+    driver scalar. Top-5 is a per-lang window over the vocabulary-scale
+    scored table — nothing corpus-scale crosses a second shuffle."""
+    (docs,) = _docs(spark, sf_dir)
+    doc_terms = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    n_docs = docs.select("doc_id").distinct().count()
+    df = doc_terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tf = doc_terms.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    scored = tf.join(df, "term").select(
+        "lang",
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf") * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc(F.round("score", 6)), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "term", "tf", "df", F.round("score", 6).alias("tfidf"), "rank")
+    )
