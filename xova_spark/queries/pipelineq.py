@@ -1845,3 +1845,135 @@ def emb_covariance(spark, sf_dir):
             ).alias("cov"),
         )
     )
+
+
+_PCA_ITERS = 8
+_PCA_QBITS = 1048576  # 2^20 — per-iteration dyadic re-quantization
+
+
+def _pca_power_sql() -> str:
+    """PCA twin: the emb_covariance cells (round-6, identical doubles in
+    both engines) power-iterated with per-iteration dyadic
+    re-quantization — every matvec and norm is a SEQUENTIAL list_sum,
+    matching the driver-side Python fold order exactly."""
+    mv = (
+        f"list_sum(list_transform(generate_series(1, {_DIM}),"
+        " j -> c.cs[j] * v.vs[j]))"
+    )
+    parts = [
+        f"e AS (SELECT vec_id, {_DUCK_Q} AS emb FROM embeddings)",
+        f"ex AS (SELECT vec_id, g.i - 1 AS i, emb[g.i] AS x "
+        f"FROM e, generate_series(1, {_DIM}) g(i))",
+        "n_rows AS (SELECT count(*) AS n FROM e)",
+        "sxy AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s "
+        "FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i "
+        "GROUP BY a.i, b.i)",
+        "m AS (SELECT i, sum(x) AS m FROM ex GROUP BY i)",
+        "covu AS (SELECT sxy.i, sxy.j, "
+        "round((sxy.s - ma.m * mb.m / n.n) / n.n, 6) AS cov "
+        "FROM sxy JOIN m ma ON ma.i = sxy.i JOIN m mb ON mb.i = sxy.j "
+        "CROSS JOIN n_rows n)",
+        "covfull AS (SELECT i, j, cov FROM covu "
+        "UNION ALL SELECT j AS i, i AS j, cov FROM covu WHERE covu.i != covu.j)",
+        "crow AS (SELECT i, list(cov ORDER BY j) AS cs FROM covfull GROUP BY i)",
+        f"v0 AS (SELECT list_transform(generate_series(1, {_DIM}),"
+        " i -> 0.125) AS vs)",
+    ]
+    for t in range(_PCA_ITERS):
+        parts.append(
+            f"w{t} AS (SELECT c.i, {mv} AS w FROM crow c CROSS JOIN v{t} v)"
+        )
+        parts.append(
+            f"wl{t} AS (SELECT list(w ORDER BY i) AS ws FROM w{t})"
+        )
+        parts.append(
+            f"nr{t} AS (SELECT sqrt(list_sum(list_transform("
+            f"generate_series(1, {_DIM}), i -> ws[i] * ws[i]))) AS nrm "
+            f"FROM wl{t})"
+        )
+        parts.append(
+            f"v{t + 1} AS (SELECT list_transform(ws, "
+            f"x -> floor(x / nrm * {_PCA_QBITS}) / {_PCA_QBITS}) AS vs "
+            f"FROM wl{t} CROSS JOIN nr{t})"
+        )
+    vf = f"v{_PCA_ITERS}"
+    parts.append(
+        f"wf AS (SELECT c.i, {mv} AS w FROM crow c CROSS JOIN {vf} v)"
+    )
+    parts.append("wfl AS (SELECT list(w ORDER BY i) AS ws FROM wf)")
+    parts.append(
+        f"lam AS (SELECT floor("
+        f"list_sum(list_transform(generate_series(1, {_DIM}), i -> v.vs[i] * w.ws[i]))"
+        f" / list_sum(list_transform(generate_series(1, {_DIM}), i -> v.vs[i] * v.vs[i]))"
+        f" * 1000000 + 0.5) / 1000000 AS eigenvalue FROM {vf} v CROSS JOIN wfl w)"
+    )
+    return (
+        "WITH "
+        + ", ".join(pp.replace(" AS (", " AS MATERIALIZED (", 1) for pp in parts)
+        + f" SELECT g.i - 1 AS dim, v.vs[g.i] AS loading, lam.eigenvalue "
+        f"FROM {vf} v CROSS JOIN lam, generate_series(1, {_DIM}) g(i)"
+    )
+
+
+@q("emb_pca_power", _pca_power_sql())
+def emb_pca_power(spark, sf_dir):
+    """TOP PRINCIPAL COMPONENT by power iteration — the PCA pass a
+    representation pipeline runs over its embedding corpus (whitening,
+    drift detection, anisotropy checks). The DATA-scale work — the
+    covariance matrix — is the distributed exact-dyadic two-phase
+    aggregation of emb_covariance; the MODEL-scale work — power
+    iteration on the 64x64 matrix — runs driver-side (the same
+    size-gated driver/model split as the k-means centroid updates and
+    the CC union-find: the matrix is O(dim^2), independent of corpus
+    size).
+
+    Cross-engine exactness: the covariance cells are round-6 decimals
+    (identical doubles in both engines); every matvec and norm folds
+    SEQUENTIALLY in ascending index order (Python loop here, list_sum
+    over generate_series in the oracle); each iteration re-quantizes the
+    normalized vector to 20 fractional bits with floor — so all 8
+    iterations stay bit-identical and the output loadings hash EXACT.
+    The eigenvalue is the Rayleigh quotient of the final vector."""
+    import math
+
+    cov_rows = (
+        emb_covariance(spark, sf_dir)
+        .collect()
+    )
+    C = [[0.0] * _DIM for _ in range(_DIM)]
+    for r in cov_rows:
+        C[r["i"]][r["j"]] = r["cov"]
+        C[r["j"]][r["i"]] = r["cov"]
+
+    def matvec(v):
+        out = []
+        for i in range(_DIM):
+            acc = 0.0
+            ci = C[i]
+            for j in range(_DIM):
+                acc = acc + ci[j] * v[j]
+            out.append(acc)
+        return out
+
+    def seq_sum(xs):
+        acc = 0.0
+        for x in xs:
+            acc = acc + x
+        return acc
+
+    v = [0.125] * _DIM
+    for _ in range(_PCA_ITERS):
+        w = matvec(v)
+        nrm = math.sqrt(seq_sum([x * x for x in w]))
+        v = [float(math.floor(x / nrm * _PCA_QBITS)) / _PCA_QBITS for x in w]
+    wf = matvec(v)
+    lam = seq_sum([a * b for a, b in zip(v, wf)]) / seq_sum(
+        [a * a for a in v]
+    )
+    # floor(x*1e6 + 0.5)/1e6 — the repo's tie-exact quantizer (Python
+    # round() is banker's, DuckDB round() is half-away; floor agrees).
+    lam = float(math.floor(lam * 1_000_000 + 0.5)) / 1_000_000
+    return spark.createDataFrame(
+        [(i, v[i], lam) for i in range(_DIM)],
+        "dim int, loading double, eigenvalue double",
+    )
