@@ -1,0 +1,140 @@
+"""Property tests for the round-3 additions: retention cohorts,
+keep-best canonical selection, TF-IDF top terms, IVF-PQ search, and
+power-iteration PCA. The DuckDB oracle gate pins exact values; these pin
+the SEMANTIC invariants that make each operator the thing it claims to
+be (recall floors, selection optimality, spectral correctness)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from xova_spark.queries import dedup as D
+from xova_spark.queries import pipelineq as P
+from xova_spark.queries import relext as R
+from xova_spark.queries import textops as T
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MID = "/root/testdata/sf0.01"
+
+
+def test_retention_cohort_invariants(spark):
+    """Week-0 retention is 1.0 by construction (a user's first-event
+    week is an active week), activity never exceeds cohort size, and
+    offsets are non-negative."""
+    df = R.ev_retention_cohorts(spark, SF_MID).toPandas()
+    assert len(df) > 0
+    assert (df["week_offset"] >= 0).all()
+    assert (df["n_active"] <= df["cohort_size"]).all()
+    w0 = df[df["week_offset"] == 0]
+    assert set(w0["cohort_week"]) == set(df["cohort_week"])
+    assert (w0["n_active"] == w0["cohort_size"]).all()
+    assert (w0["retention"] == 1.0).all()
+
+
+def test_keep_best_selection_optimality(spark):
+    """Every component maps to exactly ONE canonical doc; the canonical
+    is the member with the max distinct-token count (ties: lowest
+    doc_id); singletons are their own canonical; the component labeling
+    agrees with dedup_cc_clusters."""
+    df = D.dedup_keep_best(spark, SF_MID).toPandas()
+    comps = D.dedup_cc_clusters(spark, SF_MID).toPandas()
+
+    # exactly one survivor per component, and it is the canonical
+    kept = df[df["kept"] == 1]
+    assert kept.groupby("component").size().eq(1).all()
+    assert (kept["doc_id"] == kept["canonical_id"]).all()
+
+    # canonical maximizes (n_distinct_tokens, -doc_id) within component
+    best = (
+        df.sort_values(["n_distinct_tokens", "doc_id"], ascending=[False, True])
+        .groupby("component")
+        .first()
+    )
+    canon = kept.set_index("component")
+    assert (best["doc_id"].sort_index() == canon["doc_id"].sort_index()).all()
+
+    # clustered docs carry the CC label; singletons label themselves
+    clustered = df.set_index("doc_id")["component"]
+    for r in comps.itertuples():
+        assert clustered[r.doc_id] == r.component
+    singles = df[~df["doc_id"].isin(comps["doc_id"])]
+    assert (singles["component"] == singles["doc_id"]).all()
+
+
+def test_tfidf_topterms_semantics(spark):
+    """Top-5 per language, ranks dense from 1, and the reported scores
+    match an independent pandas recomputation of tf * round(idf, 6)."""
+    import pandas as pd
+
+    df = T.t_tfidf_topterms(spark, SF_SMALL).toPandas()
+    assert df.groupby("lang")["rank"].apply(
+        lambda s: sorted(s) == list(range(1, len(s) + 1)) and len(s) <= 5
+    ).all()
+
+    docs = T._docs(spark, SF_SMALL)[0].select("doc_id", "lang", "text").toPandas()
+    n_docs = len(docs)
+    rows = []
+    for r in docs.itertuples():
+        for term in r.text.split(" "):
+            rows.append((r.doc_id, r.lang, term))
+    all_terms = pd.DataFrame(rows, columns=["doc_id", "lang", "term"])
+    df_count = all_terms.groupby("term")["doc_id"].nunique()
+    tf = all_terms.groupby(["lang", "term"]).size()
+    for r in df.itertuples():
+        assert r.df == df_count[r.term]
+        assert r.tf == tf[(r.lang, r.term)]
+        idf = round(np.log(n_docs / df_count[r.term]), 6)
+        assert abs(r.tfidf - round(r.tf * idf, 6)) < 1e-9
+
+
+def test_ivfpq_consistent_with_full_pq(spark):
+    """IVF-PQ searches a candidate SUBSET (nprobe cells), so wherever its
+    top-5 overlaps the full-corpus PQ top-5 the asymmetric distances
+    must be identical; and the probed subset still recalls a useful
+    fraction of the full-PQ top-5 (the nprobe recall/cost knob)."""
+    full = (
+        P.ann_pq_topk(spark, SF_SMALL)
+        .toPandas()
+        .set_index(["qid", "cid"])["pq_dist"]
+    )
+    ivf = (
+        P.ann_ivfpq_topk(spark, SF_SMALL)
+        .toPandas()
+        .set_index(["qid", "cid"])["pq_dist"]
+    )
+    common = ivf.index.intersection(full.index)
+    assert len(common) > 0
+    assert (ivf.loc[common] == full.loc[common]).all()
+    recall = len(common) / len(full)
+    assert recall >= 0.5, recall
+
+
+def test_pca_power_converges_to_top_of_spectrum(spark):
+    """The power-iterated loading vector is unit-norm (up to the 2^-20
+    re-quantization) and its Rayleigh quotient lands at the TOP of
+    numpy's spectrum of the same round-6 covariance matrix. The test
+    embeddings are near-isotropic (eigengap ratio ~0.99), so exact
+    top-eigenvector alignment after 8 iterations is not a property the
+    algorithm has — the guarantees it DOES have are: Rayleigh quotient
+    monotonically above the start value, within the spectrum's range,
+    close to lambda_max, and a bounded eigen-residual."""
+    pca = P.emb_pca_power(spark, SF_SMALL).toPandas().sort_values("dim")
+    v = pca["loading"].to_numpy()
+    lam = pca["eigenvalue"].iloc[0]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+
+    cov = P.emb_covariance(spark, SF_SMALL).toPandas()
+    dim = P._DIM
+    C = np.zeros((dim, dim))
+    for r in cov.itertuples():
+        C[r.i, r.j] = r.cov
+        C[r.j, r.i] = r.cov
+    evals, _ = np.linalg.eigh(C)
+    top_val = evals[-1]
+    v0 = np.full(dim, 0.125)
+    start_rq = float(v0 @ C @ v0) / float(v0 @ v0)
+    assert lam >= start_rq - 1e-9          # monotone ascent from v0
+    assert lam <= top_val + 1e-6           # bounded by lambda_max
+    assert lam >= 0.85 * top_val           # converged near the top
+    resid = np.linalg.norm(C @ v - lam * v)
+    assert resid < 0.2 * lam               # bounded eigen-residual
