@@ -138,3 +138,25 @@ def test_pca_power_converges_to_top_of_spectrum(spark):
     assert lam >= 0.85 * top_val           # converged near the top
     resid = np.linalg.norm(C @ v - lam * v)
     assert resid < 0.2 * lam               # bounded eigen-residual
+
+
+def test_covariance_plan_shape(spark):
+    """emb_covariance: the corpus-scale pair explode partial-aggregates
+    map-side into at most dim^2/2 groups, and the 64-row moment tables
+    join BROADCAST — no sort-merge join anywhere in the plan."""
+    from xova_spark import plans as PL
+
+    df = P.emb_covariance(spark, SF_SMALL)
+    assert PL.sortmerge_join_count(df) == 0, PL.plan_stats(df)
+    assert PL.broadcast_join_count(df) >= 2, PL.plan_stats(df)
+
+
+def test_ivfpq_probe_join_broadcasts(spark):
+    """ann_ivfpq_topk: the probe table (n_queries x nprobe rows) and the
+    per-subspace lookup tables broadcast into the code scan — the
+    full-corpus side never shuffles for the search joins."""
+    from xova_spark import plans as PL
+
+    df = P.ann_ivfpq_topk(spark, SF_SMALL)
+    # probes + M lut joins + cell-assignment centroid join all broadcast
+    assert PL.broadcast_join_count(df) >= P._PQ_M + 1, PL.plan_stats(df)
