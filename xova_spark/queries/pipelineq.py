@@ -476,7 +476,9 @@ def _duck_dist(evec: str, cvec: str) -> str:
     )
 
 
-def _kmeans_sql() -> str:
+def _kmeans_ctes() -> list[str]:
+    """The seeded-Lloyd CTE chain shared by _kmeans_sql and the
+    cluster-topterms twin; the final assignment CTE is a{_ITERS}."""
     ctes = [
         f"e AS (SELECT vec_id, {_DUCK_Q} AS emb FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id < {_K})",
@@ -504,8 +506,12 @@ def _kmeans_sql() -> str:
                 f"c{it + 1} AS (SELECT cid, list(v ORDER BY dim) AS cv "
                 f"FROM m{it} GROUP BY cid)"
             )
+    return ctes
+
+
+def _kmeans_sql() -> str:
     return (
-        "WITH " + ", ".join(ctes) +
+        "WITH " + ", ".join(_kmeans_ctes()) +
         f" SELECT vec_id, cid AS cluster, round(d, 6) AS dist_sq FROM a{_ITERS}"
     )
 
@@ -1976,4 +1982,82 @@ def emb_pca_power(spark, sf_dir):
     return spark.createDataFrame(
         [(i, v[i], lam) for i in range(_DIM)],
         "dim int, loading double, eigenvalue double",
+    )
+
+
+def _cluster_topterms_sql(topn: int = 3) -> str:
+    """Cluster-topterms twin: the seeded-Lloyd assignment chain joined to
+    a per-cluster TF-IDF over the documents table (doc_id == vec_id in
+    the fixture corpus)."""
+    ctes = _kmeans_ctes()
+    ctes += [
+        f"assign AS (SELECT vec_id, cid AS cluster FROM a{_ITERS})",
+        "doc_terms AS (SELECT d.doc_id, unnest(string_split(d.text, ' ')) "
+        "AS term FROM documents d)",
+        "n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM doc_terms)",
+        "dfreq AS (SELECT term, count(DISTINCT doc_id) AS df "
+        "FROM doc_terms GROUP BY term)",
+        "ctf AS (SELECT a.cluster, t.term, count(*) AS tf "
+        "FROM doc_terms t JOIN assign a ON a.vec_id = t.doc_id "
+        "GROUP BY a.cluster, t.term)",
+        "cscored AS (SELECT ctf.cluster, ctf.term, ctf.tf, "
+        "ctf.tf * round(ln(n.n * 1.0 / d.df), 6) AS score "
+        "FROM ctf JOIN dfreq d USING (term) CROSS JOIN n_docs n)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT cluster, term, tf, round(score, 6) AS tfidf, rank FROM ("
+        "SELECT cluster, term, tf, score, row_number() OVER ("
+        "PARTITION BY cluster ORDER BY round(score, 6) DESC, term) AS rank "
+        f"FROM cscored) WHERE rank <= {topn}"
+    )
+
+
+@q("t_cluster_topterms", _cluster_topterms_sql())
+def t_cluster_topterms(spark, sf_dir):
+    """CLUSTER CHARACTERIZATION — the cross-modal join a curation
+    pipeline runs after clustering its embeddings: each k-means cluster
+    of the embedding space is labeled by the top TF-IDF terms of its
+    member DOCUMENTS (doc_id == vec_id in the corpus), turning opaque
+    cluster ids into human-readable domain descriptions.
+
+    Scale shape: the cluster assignment is emb_kmeans_assign's broadcast-
+    centroid plan; the assignment table (one small int per vector) joins
+    the exploded term stream on the row key — co-partitioned with the
+    term aggregation that follows, so the corpus-scale explode crosses
+    exactly one shuffle; document frequencies reuse the same explode,
+    and the vocabulary-scale scored table takes a per-cluster window for
+    the top-3. Same round-before-multiply float discipline as
+    t_tfidf_topterms."""
+    from xova_spark.queries.textops import _docs as _tdocs
+
+    assign = emb_kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
+    (docs,) = _tdocs(spark, sf_dir)
+    doc_terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    n_docs = docs.select("doc_id").distinct().count()
+    dfreq = doc_terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    ctf = (
+        doc_terms.join(assign, doc_terms["doc_id"] == assign["vec_id"])
+        .groupBy("cluster", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = ctf.join(dfreq, "term").select(
+        "cluster",
+        "term",
+        "tf",
+        (
+            F.col("tf") * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+        ).alias("score"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc(F.round("score", 6)), "term"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("cluster", "term", "tf", F.round("score", 6).alias("tfidf"), "rank")
     )
