@@ -158,5 +158,8 @@ def test_ivfpq_probe_join_broadcasts(spark):
     from xova_spark import plans as PL
 
     df = P.ann_ivfpq_topk(spark, SF_SMALL)
-    # probes + M lut joins + cell-assignment centroid join all broadcast
-    assert PL.broadcast_join_count(df) >= P._PQ_M + 1, PL.plan_stats(df)
+    # probes + the single wide LUT row + the cell-assignment centroid
+    # join all broadcast (the M per-subspace LUT joins are collapsed
+    # into ONE wide-row broadcast — see _lut_wide); nothing sort-merges
+    assert PL.broadcast_join_count(df) >= 3, PL.plan_stats(df)
+    assert PL.sortmerge_join_count(df) == 0, PL.plan_stats(df)
