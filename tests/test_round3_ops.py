@@ -163,3 +163,49 @@ def test_ivfpq_probe_join_broadcasts(spark):
     # into ONE wide-row broadcast — see _lut_wide); nothing sort-merges
     assert PL.broadcast_join_count(df) >= 3, PL.plan_stats(df)
     assert PL.sortmerge_join_count(df) == 0, PL.plan_stats(df)
+
+
+def test_index_cli_roundtrip_matches_in_session_search(spark, tmp_path):
+    """`xova-spark index` + `search` against the persisted index returns
+    BIT-IDENTICAL results to the in-session ann_ivfpq_topk (same qids,
+    k, nprobe) — the train-once/search-many contract — and the probe
+    filter prunes the cell-partitioned code table at the parquet level."""
+    import os
+
+    from xova_spark.app import Application
+    from xova_spark.queries.pipelineq import ivfpq_index_search
+
+    idx = str(tmp_path / "ivfpq_index")
+    Application(["index", SF_SMALL, "-o", idx, "--force"]).execute()
+    assert os.path.isdir(os.path.join(idx, "codes"))
+    # cell-partitioned layout on disk
+    assert any(
+        d.startswith("cell=") for d in os.listdir(os.path.join(idx, "codes"))
+    )
+
+    got = (
+        ivfpq_index_search(spark, idx, SF_SMALL, list(range(10)))
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        P.ann_ivfpq_topk(spark, SF_SMALL)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=True
+    )
+
+    # partition pruning: the executed scan reads only the probed cells
+    from xova_spark import plans as PL
+
+    plan = PL.executed_plan(
+        ivfpq_index_search(spark, idx, SF_SMALL, [0, 1])
+    )
+    assert "PartitionFilters: [" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]

@@ -198,6 +198,28 @@ def create_parser() -> argparse.ArgumentParser:
                     help="number of merge rules to learn")
     tk.add_argument("--vocab", default=10000, type=int,
                     help="word types kept for training (top by frequency)")
+    ix = sp.add_parser(
+        "index",
+        help="build a persistent IVF-PQ ANN index over embeddings: "
+             "cell-partitioned code table + codebooks + coarse centroids",
+    )
+    ix.add_argument("ms", help="directory containing embeddings.parquet")
+    ix.add_argument("-o", "--output", default=None)
+    ix.add_argument("--force", action="store_true", default=False)
+    se = sp.add_parser(
+        "search",
+        help="top-k ANN search against a persisted IVF-PQ index "
+             "(partition-pruned probe-cell scan)",
+    )
+    se.add_argument("ms", metavar="index", help="index directory written by `index`")
+    se.add_argument("--data", required=True,
+                    help="directory containing embeddings.parquet (query vectors)")
+    se.add_argument("--query-ids", required=True,
+                    help="comma-separated vec_ids to search for")
+    se.add_argument("-k", "--topk", default=5, type=int)
+    se.add_argument("--nprobe", default=2, type=int)
+    se.add_argument("-o", "--output", default=None,
+                    help="write results parquet here (default: print)")
     return parser
 
 
@@ -207,7 +229,7 @@ def parse_args(cmdline: list[str]) -> argparse.Namespace:
     if not args.command:
         parser.print_help()
         sys.exit(0)
-    if args.command != "check":
+    if args.command not in ("check", "search"):
         if args.output is None:
             args.output = derive_output_name(args.ms)
         if args.command in ("timechannel", "bda"):
@@ -284,6 +306,10 @@ class Application:
             return self._execute_corpus()
         if args.command == "tokenize":
             return self._execute_tokenize()
+        if args.command == "index":
+            return self._execute_index()
+        if args.command == "search":
+            return self._execute_search()
 
         # Opens real CASA MS directories too when python-casacore is
         # installed (sources/casa_ms bridge); parquet layout otherwise.
@@ -421,6 +447,63 @@ class Application:
             os.path.join(args.output, "token_counts")
         )
         return args.output
+
+    def _execute_index(self) -> str:
+        """``xova-spark index``: build and PERSIST the IVF-PQ ANN index
+        (queries/pipelineq.ivfpq_index_build). Layout:
+
+        - ``codes/``      (vec_id, code0..M-1, cell) partitioned BY CELL
+          — a search's probe set becomes parquet partition pruning
+        - ``codebooks/``  (m, cid, cv) — the M x K PQ centroids
+        - ``centroids/``  (cent_id, cemb) — the coarse quantizer
+
+        Train once, search many: the model-scale artifacts are a few KB;
+        only the code table scales with the corpus (M bytes per vector)."""
+        import os
+
+        args = self.args
+        spark = self._session()
+        from xova_spark.queries.pipelineq import ivfpq_index_build
+
+        if os.path.exists(args.output) and not args.force:
+            print(f"{args.output} exists, use --force to overwrite")
+            raise SystemExit(1)
+        table, codebooks, centroids = ivfpq_index_build(spark, args.ms)
+        (
+            table.write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(args.output, "codes"))
+        )
+        spark.createDataFrame(
+            codebooks, "m int, cid int, cv array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(args.output, "codebooks")
+        )
+        spark.createDataFrame(
+            centroids, "cent_id int, cemb array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(args.output, "centroids")
+        )
+        return args.output
+
+    def _execute_search(self) -> str | None:
+        """``xova-spark search``: top-k ANN against the persisted index
+        (queries/pipelineq.ivfpq_index_search). The probe-cell filter
+        prunes the cell-partitioned code table at the parquet level."""
+        args = self.args
+        spark = self._session()
+        from xova_spark.queries.pipelineq import ivfpq_index_search
+
+        qids = [int(x) for x in args.query_ids.split(",") if x.strip()]
+        out = ivfpq_index_search(
+            spark, args.ms, args.data, qids, k=args.topk, nprobe=args.nprobe
+        )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            return args.output
+        for r in out.collect():
+            print(f"{r['qid']}\t{r['cid']}\t{r['pq_dist']}\t{r['rank']}")
+        return None
 
     def _execute_stream(self, tables: dict) -> str:
         """``xova-spark stream``: continuous time-and-channel averaging.

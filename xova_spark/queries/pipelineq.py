@@ -1693,24 +1693,10 @@ def _ivfpq_topk_sql(n_queries: int = 10, topk: int = 5) -> str:
     )
 
 
-@q("ann_ivfpq_topk", _ivfpq_topk_sql())
-def ann_ivfpq_topk(spark, sf_dir):
-    """IVF-PQ — the billion-vector composite: a coarse inverted-file
-    cell assignment (cosine against a seed-vector coarse quantizer, as
-    ann_ivf_topk) restricts each query's candidates to its NPROBE
-    nearest cells, and candidates score by ASYMMETRIC product-
-    quantization distance (query-to-codebook lookup tables; scan touches
-    only the M small-int codes per candidate). This is the FAISS
-    IVFADC shape (Jegou et al., PQ for nearest neighbor search) with
-    global (non-residual) codebooks, which keeps the oracle twin exact.
-
-    Scale shape: the PQ fit is the _pq_fit single-pass-per-iteration
-    plan; cell assignment is one broadcast of CELLS centroids over one
-    scan; at search time the probes table (n_queries x NPROBE rows)
-    broadcasts into the code table, so the only full-corpus work is the
-    code scan itself — with the cell id as the storage partition key,
-    partition pruning drops even that to NPROBE/CELLS of the data."""
-    codes, cents = _pq_fit(spark, sf_dir)
+def _coarse_cellrank(spark, sf_dir):
+    """Quantized embeddings + the full (vector x coarse-centroid) cosine
+    ranking: rn = 1 is the cell assignment, rn <= nprobe the probe list.
+    Shared by ann_ivfpq_topk and the `xova-spark index` CLI."""
     e = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform(
@@ -1742,6 +1728,28 @@ def ann_ivfpq_topk(spark, sf_dir):
         .withColumn("cell_cos", dotq / (F.col("nrm") * F.col("cnrm")))
         .withColumn("rn", F.row_number().over(wc))
     )
+    return e, cellrank
+
+
+@q("ann_ivfpq_topk", _ivfpq_topk_sql())
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ — the billion-vector composite: a coarse inverted-file
+    cell assignment (cosine against a seed-vector coarse quantizer, as
+    ann_ivf_topk) restricts each query's candidates to its NPROBE
+    nearest cells, and candidates score by ASYMMETRIC product-
+    quantization distance (query-to-codebook lookup tables; scan touches
+    only the M small-int codes per candidate). This is the FAISS
+    IVFADC shape (Jegou et al., PQ for nearest neighbor search) with
+    global (non-residual) codebooks, which keeps the oracle twin exact.
+
+    Scale shape: the PQ fit is the _pq_fit single-pass-per-iteration
+    plan; cell assignment is one broadcast of CELLS centroids over one
+    scan; at search time the probes table (n_queries x NPROBE rows)
+    broadcasts into the code table, so the only full-corpus work is the
+    code scan itself — with the cell id as the storage partition key,
+    partition pruning drops even that to NPROBE/CELLS of the data."""
+    codes, cents = _pq_fit(spark, sf_dir)
+    e, cellrank = _coarse_cellrank(spark, sf_dir)
     assigned = cellrank.filter(F.col("rn") == 1).select(
         "vec_id", F.col("cent_id").alias("cell")
     )
@@ -2087,4 +2095,122 @@ def t_cluster_topterms(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("cluster", "term", "tf", F.round("score", 6).alias("tfidf"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index (the `xova-spark index` / `search` CLI)
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_index_build(spark, sf_dir):
+    """Build the persistable IVF-PQ index over <sf_dir>/embeddings:
+    returns (code_table_df, codebook_rows, centroid_rows). The code
+    table carries (vec_id, code0..M-1, cell) — written partitioned BY
+    CELL so a search's probe set prunes parquet partitions; codebooks
+    and coarse centroids are model-scale row lists."""
+    codes, cents = _pq_fit(spark, sf_dir)
+    e, cellrank = _coarse_cellrank(spark, sf_dir)
+    assigned = cellrank.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell")
+    )
+    table = codes.join(assigned, "vec_id")
+    codebook_rows = [
+        (m, int(c), [float(v) for v in cv])
+        for (m, c), cv in sorted(cents.items())
+    ]
+    centroid_rows = [
+        (int(r["vec_id"]), [float(v) for v in r["emb"]])
+        for r in e.filter(F.col("vec_id") < _IVFPQ_CELLS).collect()
+    ]
+    return table, codebook_rows, centroid_rows
+
+
+def _seq_fold_dist(q, cv):
+    acc = 0.0
+    for x, y in zip(q, cv):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def ivfpq_index_search(spark, index_dir, data_dir, qids, k=5,
+                       nprobe=_IVFPQ_NPROBE):
+    """Search a PERSISTED IVF-PQ index: the model-scale artifacts
+    (codebooks, coarse centroids) load driver-side; each query computes
+    its probe cells and M x K lookup table in the same sequential-fold
+    arithmetic the builder used (dyadic inputs make the folds exact, so
+    results are bit-identical to the in-session ann_ivfpq_topk); the
+    corpus-scale work is ONE scan of the code table filtered to the
+    union of probe cells — which the cell-partitioned layout turns into
+    parquet partition pruning."""
+    import math
+    import os
+
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    cents = {
+        (int(r["m"]), int(r["cid"])): list(r["cv"])
+        for r in spark.read.parquet(
+            os.path.join(index_dir, "codebooks")
+        ).collect()
+    }
+    coarse = {
+        int(r["cent_id"]): list(r["cemb"])
+        for r in spark.read.parquet(
+            os.path.join(index_dir, "centroids")
+        ).collect()
+    }
+    cnrm = {
+        c: math.sqrt(sum(x * x for x in v)) for c, v in coarse.items()
+    }
+    qvecs = {
+        int(r["vec_id"]): list(r["emb"])
+        for r in load_tables(spark, data_dir, ("embeddings",))["embeddings"]
+        .filter(F.col("vec_id").isin([int(q) for q in qids]))
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1024) / 1024,
+            ).alias("emb"),
+        )
+        .collect()
+    }
+    probe_rows, lut_rows = [], []
+    for qid, qv in sorted(qvecs.items()):
+        qn = math.sqrt(sum(x * x for x in qv))
+        ranked = sorted(
+            (
+                (-(sum(a * b for a, b in zip(qv, cv)) / (qn * cnrm[c])), c)
+                for c, cv in coarse.items()
+            ),
+        )[:nprobe]
+        probe_rows += [(qid, c) for _, c in ranked]
+        luts = [
+            [
+                _seq_fold_dist(
+                    qv[m * _PQ_SUB : (m + 1) * _PQ_SUB], cents[(m, c)]
+                )
+                for c in range(_PQ_K)
+            ]
+            for m in range(_PQ_M)
+        ]
+        lut_rows.append((qid, luts))
+    probe_cells = sorted({c for _, c in probe_rows})
+    probes = spark.createDataFrame(probe_rows, "qid long, pcell int")
+    lut_wide = spark.createDataFrame(
+        lut_rows, "lqid long, luts array<array<double>>"
+    )
+    scored = (
+        codes.where(F.col("cell").isin(probe_cells))  # partition pruning
+        .join(F.broadcast(probes), F.col("cell") == F.col("pcell"))
+        .join(F.broadcast(lut_wide), F.col("qid") == F.col("lqid"))
+    )
+    score = _lut_score()
+    w = Window.partitionBy("qid").orderBy("score", "cid")
+    return (
+        scored.filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.round("score", 6).alias("pq_dist"), "rank")
     )
