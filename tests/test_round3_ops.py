@@ -209,3 +209,16 @@ def test_index_cli_roundtrip_matches_in_session_search(spark, tmp_path):
     )
     assert "PartitionFilters: [" in plan
     assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ivfpq_recall_measured_and_floored(spark):
+    """The IVF-PQ recall entry measures recall against the exact-cosine
+    referee. The fixture embeddings are ISOTROPIC random vectors — the
+    hardest case for product quantization (no cluster structure for the
+    codebooks to exploit), so absolute recall is modest by nature; the
+    gate pins that it is measured, bounded, and clears a floor that
+    random top-5 guessing (5/N ~ 0.01) is nowhere near."""
+    df = P.ann_ivfpq_recall_at5(spark, SF_SMALL).toPandas()
+    assert len(df) == 10
+    assert ((df["n_hits"] >= 0) & (df["n_hits"] <= 5)).all()
+    assert df["recall_at_5"].mean() >= 0.15

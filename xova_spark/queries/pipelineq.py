@@ -1625,11 +1625,12 @@ _IVFPQ_CELLS = 8   # coarse-quantizer size
 _IVFPQ_NPROBE = 2  # cells searched per query
 
 
-def _ivfpq_topk_sql(n_queries: int = 10, topk: int = 5) -> str:
-    """IVF-PQ twin: the PQ chained-CTE Lloyd codebooks PLUS a coarse
-    cosine cell assignment (seed-vector quantizer, as ann_ivf_topk);
-    candidates are restricted to each query's NPROBE nearest cells
-    before the asymmetric-distance lookup scoring."""
+def _ivfpq_parts(n_queries: int = 10) -> list:
+    """IVF-PQ CTE chain (through `ranked`): the PQ chained-CTE Lloyd
+    codebooks PLUS a coarse cosine cell assignment (seed-vector
+    quantizer, as ann_ivf_topk); candidates are restricted to each
+    query's NPROBE nearest cells before the asymmetric-distance lookup
+    scoring. Shared by the top-k and recall twins."""
     parts, sels, joins = _pq_ctes()
     dot = (
         lambda a, b: f"list_sum(list_transform(generate_series(1, {_DIM}),"
@@ -1686,10 +1687,42 @@ def _ivfpq_topk_sql(n_queries: int = 10, topk: int = 5) -> str:
         "ranked AS (SELECT qid, cid, score, row_number() OVER "
         "(PARTITION BY qid ORDER BY score, cid) AS rank FROM scored)"
     )
+    return parts
+
+
+def _ivfpq_topk_sql(n_queries: int = 10, topk: int = 5) -> str:
+    parts = _ivfpq_parts(n_queries)
     return (
         "WITH " + ", ".join(_materialize(parts))
         + f" SELECT qid, cid, round(score, 6) AS pq_dist, rank "
         f"FROM ranked WHERE rank <= {topk}"
+    )
+
+
+def _ivfpq_recall_sql(n_queries: int = 10, topk: int = 5) -> str:
+    """Recall twin: the IVF-PQ top-k joined against the EXACT cosine
+    top-k over the same quantized vectors (the brute-force referee)."""
+    parts = _ivfpq_parts(n_queries)
+    dot = (
+        lambda a, b: f"list_sum(list_transform(generate_series(1, {_DIM}),"
+        f" i -> {a}[i] * {b}[i]))"
+    )
+    parts += [
+        f"approx AS (SELECT qid, cid FROM ranked WHERE rank <= {topk})",
+        f"ex_scored AS (SELECT q.vec_id AS qid, n.vec_id AS cid, "
+        f"{dot('q.emb', 'n.emb')} / (q.nrm * n.nrm) AS cos "
+        f"FROM nv q CROSS JOIN nv n "
+        f"WHERE q.vec_id < {n_queries} AND n.vec_id != q.vec_id)",
+        "ex_ranked AS (SELECT qid, cid, row_number() OVER ("
+        "PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM ex_scored)",
+        f"ex_top AS (SELECT qid, cid FROM ex_ranked WHERE rn <= {topk})",
+    ]
+    return (
+        "WITH " + ", ".join(_materialize(parts))
+        + f" SELECT e.qid, CAST(count(a.cid) AS INTEGER) AS n_hits, "
+        f"round(count(a.cid) * 1.0 / {topk}, 6) AS recall_at_{topk} "
+        f"FROM ex_top e LEFT JOIN approx a ON a.qid = e.qid AND a.cid = e.cid "
+        f"GROUP BY e.qid"
     )
 
 
@@ -1728,7 +1761,7 @@ def _coarse_cellrank(spark, sf_dir):
         .withColumn("cell_cos", dotq / (F.col("nrm") * F.col("cnrm")))
         .withColumn("rn", F.row_number().over(wc))
     )
-    return e, cellrank
+    return e, nv, cellrank
 
 
 @q("ann_ivfpq_topk", _ivfpq_topk_sql())
@@ -1749,7 +1782,7 @@ def ann_ivfpq_topk(spark, sf_dir):
     code scan itself — with the cell id as the storage partition key,
     partition pruning drops even that to NPROBE/CELLS of the data."""
     codes, cents = _pq_fit(spark, sf_dir)
-    e, cellrank = _coarse_cellrank(spark, sf_dir)
+    e, _nv, cellrank = _coarse_cellrank(spark, sf_dir)
     assigned = cellrank.filter(F.col("rn") == 1).select(
         "vec_id", F.col("cent_id").alias("cell")
     )
@@ -2110,7 +2143,7 @@ def ivfpq_index_build(spark, sf_dir):
     CELL so a search's probe set prunes parquet partitions; codebooks
     and coarse centroids are model-scale row lists."""
     codes, cents = _pq_fit(spark, sf_dir)
-    e, cellrank = _coarse_cellrank(spark, sf_dir)
+    e, _nv, cellrank = _coarse_cellrank(spark, sf_dir)
     assigned = cellrank.filter(F.col("rn") == 1).select(
         "vec_id", F.col("cent_id").alias("cell")
     )
@@ -2213,4 +2246,49 @@ def ivfpq_index_search(spark, index_dir, data_dir, qids, k=5,
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "cid", F.round("score", 6).alias("pq_dist"), "rank")
+    )
+
+
+@q("ann_ivfpq_recall_at5", _ivfpq_recall_sql())
+def ann_ivfpq_recall_at5(spark, sf_dir):
+    """MEASURED RECALL of the IVF-PQ composite against the exact-cosine
+    brute-force referee — the same discipline as ann_recall_at5 /
+    ann_quantized_recall_at5: every approximate path in this engine
+    ships with its recall measured, not assumed. The exact side is
+    declared brute force (the referee); the approximate side is the
+    production path."""
+    approx = ann_ivfpq_topk(spark, sf_dir).select("qid", "cid")
+    _e, nv, _cellrank = _coarse_cellrank(spark, sf_dir)
+    queries = nv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = nv.select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    ex_top = (
+        queries.crossJoin(F.broadcast(cand))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid")
+    )
+    hit = approx.withColumn("hit", F.lit(1))
+    return (
+        ex_top.join(hit, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").cast("int").alias("n_hits"),
+            F.round(F.count("hit") / 5.0, 6).alias("recall_at_5"),
+        )
     )
