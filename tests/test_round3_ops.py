@@ -222,3 +222,27 @@ def test_ivfpq_recall_measured_and_floored(spark):
     assert len(df) == 10
     assert ((df["n_hits"] >= 0) & (df["n_hits"] <= 5)).all()
     assert df["recall_at_5"].mean() >= 0.15
+
+
+def test_stream_ann_search_converges_to_batch(spark):
+    """The streaming ANN serving path (queries arrive as a stream,
+    each micro-batch searches the static index via foreachBatch)
+    converges availableNow to the batch ann_ivfpq_topk result,
+    bit-identically."""
+    import pandas as pd
+
+    from xova_spark.queries.streamingq import stream_ann_search
+
+    got = (
+        stream_ann_search(spark, SF_SMALL)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        P.ann_ivfpq_topk(spark, SF_SMALL)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)

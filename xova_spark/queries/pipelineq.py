@@ -2176,7 +2176,6 @@ def ivfpq_index_search(spark, index_dir, data_dir, qids, k=5,
     corpus-scale work is ONE scan of the code table filtered to the
     union of probe cells — which the cell-partitioned layout turns into
     parquet partition pruning."""
-    import math
     import os
 
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
@@ -2192,9 +2191,6 @@ def ivfpq_index_search(spark, index_dir, data_dir, qids, k=5,
             os.path.join(index_dir, "centroids")
         ).collect()
     }
-    cnrm = {
-        c: math.sqrt(sum(x * x for x in v)) for c, v in coarse.items()
-    }
     qvecs = {
         int(r["vec_id"]): list(r["emb"])
         for r in load_tables(spark, data_dir, ("embeddings",))["embeddings"]
@@ -2208,6 +2204,21 @@ def ivfpq_index_search(spark, index_dir, data_dir, qids, k=5,
         )
         .collect()
     }
+    return ivfpq_search_frame(spark, codes, cents, coarse, qvecs, k, nprobe)
+
+
+def ivfpq_search_frame(spark, codes, cents, coarse, qvecs, k=5,
+                       nprobe=_IVFPQ_NPROBE):
+    """The IVF-PQ search core over a cell-carrying code table: given
+    driver-side model artifacts (PQ codebooks ``cents``, coarse
+    centroids ``coarse``) and quantized query vectors ``qvecs``,
+    compute probe cells + M x K lookup tables with the sequential-fold
+    arithmetic the builder used, and score only the probed cells.
+    Shared by the persisted-index search and the streaming search
+    (one call per arriving micro-batch of queries)."""
+    import math
+
+    cnrm = {c: math.sqrt(sum(x * x for x in v)) for c, v in coarse.items()}
     probe_rows, lut_rows = [], []
     for qid, qv in sorted(qvecs.items()):
         qn = math.sqrt(sum(x * x for x in qv))

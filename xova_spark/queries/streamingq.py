@@ -345,3 +345,110 @@ def stream_corpus_audit(spark, sf_dir):
         )
         q_.awaitTermination()
     return spark.table(name)
+
+
+def _embeddings_stream(spark, sf_dir: str):
+    """File-source stream over the embeddings table (same symlink-dir
+    staging as _events_stream)."""
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stream_dir = os.path.join("/root/repo/.cache/stream_embeddings", tag)
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "part-0.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    static = spark.read.parquet(src)
+    return (
+        spark.readStream.schema(static.schema).format("parquet").load(stream_dir)
+    )
+
+
+def _ivfpq_topk_stream_sql():
+    from xova_spark.queries.pipelineq import _ivfpq_topk_sql
+
+    return _ivfpq_topk_sql()
+
+
+@q("stream_ann_search", _ivfpq_topk_stream_sql())
+def stream_ann_search(spark, sf_dir):
+    """STREAMING ANN SERVING: query vectors ARRIVE as a stream and each
+    micro-batch searches the STATIC IVF-PQ index (the standard serving
+    split — index trained/persisted once, queries continuous). The
+    stream side is model-scale per batch (probe cells + lookup tables
+    computed driver-side with the builder's fold arithmetic), so each
+    batch costs one pruned scan of the code table; per-query top-k needs
+    a window, which streaming aggregation can't express — foreachBatch
+    is the sanctioned escape hatch, and every batch reuses
+    ivfpq_search_frame, the exact core the batch/CLI paths run.
+
+    Converged availableNow result == ann_ivfpq_topk (same oracle SQL):
+    query ids are disjoint across micro-batches, and a query's top-k is
+    complete within its own batch — so the union over batches is the
+    batch answer, bit-identical."""
+    import pandas as pd
+
+    from xova_spark.queries.pipelineq import (
+        _IVFPQ_CELLS,
+        _coarse_cellrank,
+        _pq_fit,
+        ivfpq_search_frame,
+    )
+    from xova_spark.queries.relational import load_tables
+
+    load_tables(spark, sf_dir, ("embeddings",))
+    codes, cents = _pq_fit(spark, sf_dir)
+    _e, nv, cellrank = _coarse_cellrank(spark, sf_dir)
+    assigned = cellrank.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell")
+    )
+    codes_with_cell = codes.join(assigned, "vec_id").persist()
+    codes_with_cell.count()
+    coarse = {
+        int(r["vec_id"]): list(r["emb"])
+        for r in nv.filter(F.col("vec_id") < _IVFPQ_CELLS)
+        .select("vec_id", "emb")
+        .collect()
+    }
+    results: list = []
+
+    def handle(batch, _bid):
+        qvecs = {
+            int(r["vec_id"]): list(r["emb"])
+            for r in batch.filter(F.col("vec_id") < 10)
+            .select(
+                "vec_id",
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * 1024) / 1024,
+                ).alias("emb"),
+            )
+            .collect()
+        }
+        if not qvecs:
+            return
+        results.append(
+            ivfpq_search_frame(
+                spark, codes_with_cell, cents, coarse, qvecs
+            ).toPandas()
+        )
+
+    import tempfile
+
+    stream = _embeddings_stream(spark, sf_dir)
+    q_ = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="xova_ckpt_ann_search_"),
+        )
+        .start()
+    )
+    q_.awaitTermination()
+    codes_with_cell.unpersist()
+    out = pd.concat(results, ignore_index=True)
+    return spark.createDataFrame(
+        out, "qid long, cid long, pq_dist double, rank int"
+    )
