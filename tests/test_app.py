@@ -336,6 +336,13 @@ def test_app_profile_dump(spark, ms_dir, tmp_path):
     assert "ms_vis" in prof["tables"]
     plan = open(os.path.join(pdir, "ms_vis.plan.txt")).read()
     assert "Physical Plan" in plan
+    # the browsable report: stats table + every plan in a fold, and the
+    # json carries the same plan-shape numbers
+    html = open(os.path.join(pdir, "profile.html")).read()
+    assert "ms_vis" in html and "broadcast joins" in html
+    assert "<details>" in html and "Physical Plan" in html
+    assert "ms_vis" in prof["plan_stats"]
+    assert "exchanges" in prof["plan_stats"]["ms_vis"]
 
 
 def test_app_tokenize_writes_merges_and_counts(spark, tmp_path):
