@@ -246,3 +246,21 @@ def test_stream_ann_search_converges_to_batch(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_covariance_gram_path_equals_explode_path(spark):
+    """The mapInPandas BLAS-Gramian covariance (wide-dim scale path)
+    equals the explode-pair formulation EXACTLY — dyadic inputs make
+    every partial sum order-independent-exact, numpy's blocked
+    accumulation included."""
+    import pandas as pd
+
+    a = (
+        P.emb_covariance(spark, SF_SMALL)
+        .toPandas().sort_values(["i", "j"]).reset_index(drop=True)
+    )
+    b = (
+        P.emb_covariance_gram(spark, SF_SMALL)
+        .toPandas().sort_values(["i", "j"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)

@@ -1842,9 +1842,7 @@ def ann_ivfpq_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@q(
-    "emb_covariance",
-    f"""
+_COV_SQL = f"""
     WITH e AS (SELECT vec_id, {_DUCK_Q} AS emb FROM embeddings),
     ex AS (
       SELECT vec_id, g.i - 1 AS i, emb[g.i] AS x
@@ -1863,8 +1861,10 @@ def ann_ivfpq_topk(spark, sf_dir):
     JOIN m ma ON ma.i = sxy.i
     JOIN m mb ON mb.i = sxy.j
     CROSS JOIN n_rows n
-    """,
-)
+    """
+
+
+@q("emb_covariance", _COV_SQL)
 def emb_covariance(spark, sf_dir):
     """COVARIANCE MATRIX of the embedding columns (upper triangle as
     (i, j, cov) rows) — the input to PCA/whitening/decorrelation passes
@@ -2301,5 +2301,71 @@ def ann_ivfpq_recall_at5(spark, sf_dir):
         .agg(
             F.count("hit").cast("int").alias("n_hits"),
             F.round(F.count("hit") / 5.0, 6).alias("recall_at_5"),
+        )
+    )
+
+
+@q("emb_covariance_gram", _COV_SQL)
+def emb_covariance_gram(spark, sf_dir):
+    """WIDE-DIM covariance scale path: per-Arrow-batch numpy Gramian
+    (X^T X) via mapInPandas — the BLAS variant the emb_covariance
+    docstring promises for very wide vectors. Each batch emits ONE
+    dim x dim partial Gramian plus a per-dim moment row instead of
+    O(rows x dim^2) exploded products, so pre-shuffle volume is
+    O(batches x dim^2), independent of row count; the shuffle then sums
+    partials over at most dim^2/2 + dim keys.
+
+    Exactness: inputs are dyadic (10 fractional bits), so every product
+    in the BLAS dgemm is exact and the partial sums are exact doubles in
+    ANY accumulation order — numpy's blocked summation included — which
+    is why this variant shares emb_covariance's oracle verbatim. The
+    final subtract/divide runs once per cell in the same textual order."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    e = _emb(spark, sf_dir).select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1024) / 1024,
+        ).alias("emb"),
+    )
+    n = _emb(spark, sf_dir).count()
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu0, iu1 = np.triu_indices(_DIM)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["emb"].to_numpy())
+            G = X.T @ X
+            m = X.sum(axis=0)
+            yield pd.DataFrame(
+                {"i": iu0, "j": iu1, "s": G[iu0, iu1]}
+            )
+            yield pd.DataFrame(
+                {"i": np.arange(_DIM), "j": np.full(_DIM, -1), "s": m}
+            )
+
+    parts = e.mapInPandas(gram, "i int, j int, s double")
+    agg = parts.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    moments = agg.filter(F.col("j") == -1).select(
+        F.col("i").alias("mi"), F.col("s").alias("m")
+    )
+    pairs = agg.filter(F.col("j") >= 0)
+    ma = moments.select(F.col("mi"), F.col("m").alias("m_i"))
+    mb = moments.select(F.col("mi").alias("mj"), F.col("m").alias("m_j"))
+    return (
+        pairs.join(F.broadcast(ma), F.col("i") == F.col("mi"))
+        .join(F.broadcast(mb), F.col("j") == F.col("mj"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("s") - F.col("m_i") * F.col("m_j") / F.lit(float(n)))
+                / F.lit(float(n)),
+                6,
+            ).alias("cov"),
         )
     )
