@@ -37,6 +37,7 @@ TS_QUERIES = (
     "w_lag_lead",
     "ev_hourly_rollup_gapfill",
     "ev_funnel_conversion",
+    "ev_retention_cohorts",
 )
 
 VARIANTS = ("ntz_micros", "utc_micros", "int64_nanos")
