@@ -38,6 +38,7 @@ TS_QUERIES = (
     "ev_hourly_rollup_gapfill",
     "ev_funnel_conversion",
     "ev_retention_cohorts",
+    "ev_anomaly_zscore",
 )
 
 VARIANTS = ("ntz_micros", "utc_micros", "int64_nanos")

@@ -2369,3 +2369,59 @@ def emb_covariance_gram(spark, sf_dir):
             ).alias("cov"),
         )
     )
+
+
+@q(
+    "t_ngram_novelty",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), df AS (
+      SELECT s, count(*) AS df FROM ex GROUP BY s
+    ), per AS (
+      SELECT e.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_unique
+      FROM ex e JOIN df d USING (s) GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_grams, n_unique,
+           round(n_unique * 1.0 / n_grams, 6) AS novelty
+    FROM per
+    """,
+)
+def t_ngram_novelty(spark, sf_dir):
+    """N-GRAM NOVELTY — the memorization/boilerplate curation signal:
+    per document, the fraction of its distinct word n-grams that occur
+    in NO other document (corpus document-frequency = 1). Low novelty
+    marks template/boilerplate-heavy documents whose content is mostly
+    shared; high novelty marks unique text. The complement of the
+    chunk-level dedup signal (t_chunk_boilerplate) at n-gram grain.
+
+    Scale shape: one explode of per-doc distinct shingles feeds the
+    gram-keyed df aggregation and the df join back — both key on the
+    gram, so AQE reuses the exchange — then one doc-keyed partial
+    aggregation. Nothing quadratic; the same skeleton as TF-IDF."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    df = ex.groupBy("s").agg(F.count("*").alias("df"))
+    per = (
+        ex.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_unique",
+        F.round(F.col("n_unique") * F.lit(1.0) / F.col("n_grams"), 6).alias(
+            "novelty"
+        ),
+    )

@@ -782,3 +782,76 @@ def ev_retention_cohorts(spark, sf_dir):
             F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
         )
     )
+
+
+@q(
+    "ev_anomaly_zscore",
+    """
+    WITH b AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ), st AS (
+      SELECT event_type, hour, count(*) AS k,
+             sum(n) AS s1, sum(n * n) AS s2
+      FROM b GROUP BY 1, 2
+    )
+    SELECT b.event_type, b.day, b.hour, b.n,
+           round((b.n - s1 * 1.0 / k)
+                 / sqrt(s2 * 1.0 / k - (s1 * 1.0 / k) * (s1 * 1.0 / k)), 6)
+             AS zscore,
+           CASE WHEN abs((b.n - s1 * 1.0 / k)
+                 / sqrt(s2 * 1.0 / k - (s1 * 1.0 / k) * (s1 * 1.0 / k))) >= 2.0
+                THEN 1 ELSE 0 END AS anomaly
+    FROM b JOIN st USING (event_type, hour)
+    WHERE s2 * 1.0 / k - (s1 * 1.0 / k) * (s1 * 1.0 / k) > 0
+    """,
+)
+def ev_anomaly_zscore(spark, sf_dir):
+    """HOURLY ANOMALY DETECTION — each (event_type, day, hour) bucket's
+    count z-scored against that type-and-hour-of-day's distribution
+    across days (the seasonal-baseline pattern: compare 9am to other
+    9ams, not to midnight). |z| >= 2 flags the anomaly.
+
+    Exactness without rounding hazards: the moments use the
+    sum-of-squares identity over INTEGER counts (s1, s2, k are exact
+    integers in both engines), so mean/var/std are bit-identical — the
+    only float rounding is the final round(z, 6) on both sides.
+
+    Scale shape: the bucket table is one partial-aggregated shuffle of
+    the event stream; the per-(type, hour) stats table is tiny (types x
+    24 rows) and broadcasts back into the bucket join."""
+    (ev,) = _t(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .groupBy("event_type", "day", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+    st = b.groupBy("event_type", "hour").agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1") * F.lit(1.0) / F.col("k")
+    var = F.col("s2") * F.lit(1.0) / F.col("k") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        b.join(F.broadcast(st), ["event_type", "hour"])
+        .filter(var > 0)
+        .select(
+            "event_type",
+            "day",
+            "hour",
+            "n",
+            F.round(z, 6).alias("zscore"),
+            F.when(F.abs(z) >= 2.0, 1).otherwise(0).alias("anomaly"),
+        )
+    )
