@@ -39,6 +39,7 @@ TS_QUERIES = (
     "ev_funnel_conversion",
     "ev_retention_cohorts",
     "ev_anomaly_zscore",
+    "ev_user_paths",
 )
 
 VARIANTS = ("ntz_micros", "utc_micros", "int64_nanos")

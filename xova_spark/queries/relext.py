@@ -855,3 +855,41 @@ def ev_anomaly_zscore(spark, sf_dir):
             F.when(F.abs(z) >= 2.0, 1).otherwise(0).alias("anomaly"),
         )
     )
+
+
+@q(
+    "ev_user_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def ev_user_paths(spark, sf_dir):
+    """EVENT-SEQUENCE TRANSITIONS — the Markov-matrix rollup behind
+    user-path/funnel exploration: per user, consecutive event pairs
+    (ordered by ts with event_id as the unique tiebreak) counted into a
+    (prev, next) transition matrix.
+
+    Scale shape: ONE shuffle keyed on user_id feeds the lag window (the
+    sessionize plan), and the transition count partial-aggregates into
+    at most |types|^2 groups map-side — the output is model-scale
+    regardless of event volume."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
