@@ -2425,3 +2425,87 @@ def t_ngram_novelty(spark, sf_dir):
             "novelty"
         ),
     )
+
+
+def _emb_e2e_sql() -> str:
+    """Embedding-funnel twin: quality gate -> exact dedup -> cluster
+    join (seeded-Lloyd CTE chain) -> per-cluster audit."""
+    ctes = _kmeans_ctes()
+    ctes += [
+        "qd AS (SELECT doc_id, lang, md5(text) AS h, "
+        "string_split(text, ' ') AS words FROM documents)",
+        "filt AS (SELECT doc_id, lang, h, "
+        "len(list_distinct(words)) * 1.0 / len(words) AS uniq FROM qd "
+        "WHERE len(words) BETWEEN 20 AND 1000 "
+        "AND len(list_distinct(words)) * 1.0 / len(words) > 0.2)",
+        "dd AS (SELECT doc_id, lang, uniq FROM ("
+        "SELECT doc_id, lang, uniq, row_number() OVER ("
+        "PARTITION BY h ORDER BY doc_id) AS rn FROM filt) WHERE rn = 1)",
+        f"jn AS (SELECT d.doc_id, d.lang, d.uniq, a.cid AS cluster, "
+        f"round(a.d, 6) AS dist FROM dd d "
+        f"JOIN a{_ITERS} a ON a.vec_id = d.doc_id)",
+        "cagg AS (SELECT cluster, count(*) AS n_docs, "
+        "round(avg(uniq), 6) AS avg_uniq, round(avg(dist), 6) AS avg_dist "
+        "FROM jn GROUP BY cluster)",
+        "cl AS (SELECT cluster, lang, count(*) AS c FROM jn GROUP BY 1, 2)",
+        "dom AS (SELECT cluster, lang AS top_lang FROM ("
+        "SELECT cluster, lang, row_number() OVER ("
+        "PARTITION BY cluster ORDER BY c DESC, lang) AS rn FROM cl) "
+        "WHERE rn = 1)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT cagg.cluster, n_docs, avg_uniq, avg_dist, top_lang "
+        "FROM cagg JOIN dom USING (cluster)"
+    )
+
+
+@q("pipeline_embedding_e2e", _emb_e2e_sql())
+def pipeline_embedding_e2e(spark, sf_dir):
+    """THE EMBEDDING CURATION FUNNEL, one declarative chain — the
+    vector-side sibling of pipeline_corpus_e2e: quality-gate the
+    documents (the t_quality_score keep rule), exact-dedup survivors
+    (min doc_id per content hash), join the deduped corpus to its
+    embedding clusters (emb_kmeans_assign), and audit each cluster —
+    size, mean lexical diversity, mean distance-to-centroid, dominant
+    language. This is the health dashboard a curation run reads per
+    cluster before deciding sampling weights.
+
+    Scale shape: corpus-side ops are the corpus_funnel shapes (per-row
+    projections + one hash-keyed dedup window); the cluster join keys
+    on the row id against the kmeans assignment (broadcast-centroid
+    plan); the audits partial-aggregate into K-scale outputs. Order-
+    dependent float means are round(6) on BOTH sides (module
+    discipline)."""
+    docs = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    n = F.size(words)
+    uniq = F.size(F.array_distinct(words)) * F.lit(1.0) / n
+    filt = docs.filter(n.between(20, 1000) & (uniq > 0.2)).select(
+        "doc_id", "lang", F.md5("text").alias("h"), uniq.alias("uniq")
+    )
+    wdup = Window.partitionBy("h").orderBy("doc_id")
+    dd = (
+        filt.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "uniq")
+    )
+    assign = emb_kmeans_assign(spark, sf_dir)
+    jn = dd.join(
+        assign, dd["doc_id"] == assign["vec_id"]
+    ).select("doc_id", "lang", "uniq", "cluster", F.col("dist_sq").alias("dist"))
+    cagg = jn.groupBy("cluster").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("uniq"), 6).alias("avg_uniq"),
+        F.round(F.avg("dist"), 6).alias("avg_dist"),
+    )
+    cl = jn.groupBy("cluster", "lang").agg(F.count("*").alias("c"))
+    wdom = Window.partitionBy("cluster").orderBy(F.desc("c"), "lang")
+    dom = (
+        cl.withColumn("rn", F.row_number().over(wdom))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("lang").alias("top_lang"))
+    )
+    return cagg.join(dom, "cluster").select(
+        "cluster", "n_docs", "avg_uniq", "avg_dist", "top_lang"
+    )
