@@ -169,6 +169,20 @@ def test_interval_overlap_bucket_rewrite_avoids_nested_loop(spark):
     ), plan
 
 
+def test_spatial_grid_rewrite_avoids_nested_loop(spark):
+    """ms_uv_proximity_join: the 2D distance join must plan as an
+    EQUI-join on the grid-cell key (3x3 neighborhood explode), never
+    the O(n*m) broadcast nested loop a raw distance predicate forces."""
+    from xova_spark.queries.msdomain import REGISTRY as MS
+
+    q = MS["ms_uv_proximity_join"][0](spark, SF_DIR)
+    plan = P.executed_plan(q)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
 def test_tpch_q9_star_broadcasts_dims(spark):
     """tpchx q9: part/supplier/nation broadcast; the part name filter
     is pushed to its scan so the star prunes before the fact join."""

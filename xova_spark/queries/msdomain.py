@@ -584,3 +584,90 @@ REGISTRY["ms_tc_vis_renamed"] = (
     .replace("AS vis_re", "AS DATA_re")
     .replace("AS vis_im", "AS DATA_im"),
 )
+
+
+_UV_D = 500.0  # proximity radius (fixture uv spread ~20k)
+
+
+@q(
+    "ms_uv_proximity_join",
+    f"""
+    WITH bl AS (
+      SELECT ANTENNA1, ANTENNA2, avg(u) AS mu, avg(v) AS mv
+      FROM read_parquet('{_DIR}/ms_rows.parquet') GROUP BY 1, 2
+    )
+    SELECT a.ANTENNA1 AS a1_a, a.ANTENNA2 AS a2_a,
+           b.ANTENNA1 AS a1_b, b.ANTENNA2 AS a2_b,
+           round((a.mu - b.mu) * (a.mu - b.mu)
+                 + (a.mv - b.mv) * (a.mv - b.mv), 6) AS dist_sq
+    FROM bl a JOIN bl b
+      ON (a.ANTENNA1 * 256 + a.ANTENNA2) < (b.ANTENNA1 * 256 + b.ANTENNA2)
+     AND (a.mu - b.mu) * (a.mu - b.mu)
+         + (a.mv - b.mv) * (a.mv - b.mv) <= {_UV_D * _UV_D}
+    """,
+)
+def ms_uv_proximity_join(spark, sf_dir):
+    """SPATIAL PROXIMITY JOIN via the 2D GRID-BUCKET rewrite — the
+    spatial sibling of the range-join bucket rewrite: pair baselines
+    whose time-averaged (u, v) lie within distance D. A naive distance
+    join has no equi-key (Spark's only native plan is a broadcast
+    nested loop — O(n^2) and a 100 TB failure); snapping one side to
+    its D-sized home grid cell and exploding the other side's 3x3 cell
+    neighborhood restores a shuffle-partitionable equi-join on the cell
+    key, with the EXACT squared-distance predicate as a residual filter
+    (|floor-cell delta| <= 1 whenever dist <= D, so every true pair
+    survives and appears exactly once — b's probe set contains a's home
+    cell exactly once).
+
+    Exactness: mean u/v are exact dyadic averages; the residual
+    (du^2 + dv^2) is one fixed expression per row — bit-identical in
+    both engines — so the <= D^2 cut agrees; round(6) on the output
+    distance is the usual hash-gate belt-and-braces.
+
+    The oracle IS the naive quadratic join (the referee), as for
+    join_range_binned."""
+    rows = _ms(spark)["ms_rows"]
+    bl = rows.groupBy("ANTENNA1", "ANTENNA2").agg(
+        F.avg("u").alias("mu"), F.avg("v").alias("mv")
+    )
+    key = F.col("ANTENNA1") * 256 + F.col("ANTENNA2")
+    a = bl.select(
+        F.col("ANTENNA1").alias("a1_a"), F.col("ANTENNA2").alias("a2_a"),
+        F.col("mu").alias("mu_a"), F.col("mv").alias("mv_a"),
+        key.alias("key_a"),
+        F.floor(F.col("mu") / _UV_D).alias("cx"),
+        F.floor(F.col("mv") / _UV_D).alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    b = (
+        bl.select(
+            F.col("ANTENNA1").alias("a1_b"), F.col("ANTENNA2").alias("a2_b"),
+            F.col("mu").alias("mu_b"), F.col("mv").alias("mv_b"),
+            key.alias("key_b"),
+            F.floor(F.col("mu") / _UV_D).alias("bx"),
+            F.floor(F.col("mv") / _UV_D).alias("by"),
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "a1_b", "a2_b", "mu_b", "mv_b", "key_b",
+            (F.col("bx") + F.col("o.dx")).alias("px"),
+            (F.col("by") + F.col("o.dy")).alias("py"),
+        )
+    )
+    du = F.col("mu_a") - F.col("mu_b")
+    dv = F.col("mv_a") - F.col("mv_b")
+    dist_sq = du * du + dv * dv
+    return (
+        a.join(b, (F.col("cx") == F.col("px")) & (F.col("cy") == F.col("py")))
+        .filter((F.col("key_a") < F.col("key_b")) & (dist_sq <= _UV_D * _UV_D))
+        .select(
+            "a1_a", "a2_a", "a1_b", "a2_b",
+            F.round(dist_sq, 6).alias("dist_sq"),
+        )
+    )
