@@ -2509,3 +2509,38 @@ def pipeline_embedding_e2e(spark, sf_dir):
     return cagg.join(dom, "cluster").select(
         "cluster", "n_docs", "avg_uniq", "avg_dist", "top_lang"
     )
+
+
+@q(
+    "t_dup_rate_by_source",
+    """
+    WITH g AS (
+      SELECT source, md5(text) AS h, count(*) AS cnt
+      FROM documents GROUP BY source, md5(text)
+    )
+    SELECT source,
+           sum(cnt) AS n_docs,
+           count(*) AS n_unique,
+           round(1 - count(*) * 1.0 / sum(cnt), 6) AS dup_rate
+    FROM g GROUP BY source
+    """,
+)
+def t_dup_rate_by_source(spark, sf_dir):
+    """DUPLICATION RATE per source — the per-provenance health metric a
+    curation run reads before weighting sources (a crawl slice with 40%
+    dup rate gets discounted before mixing). Two-phase formulation
+    ((source, hash) partial counts, then per-source rollup) instead of
+    count(*) + count(DISTINCT ...) in one aggregate — the mixed-distinct
+    form costs an Expand (every row duplicated per aggregate) at any
+    scale; this shape shuffles each row once."""
+    docs = _docs(spark, sf_dir)
+    g = docs.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count("*").alias("cnt")
+    )
+    return g.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count("*").alias("n_unique"),
+        F.round(
+            F.lit(1) - F.count("*") * F.lit(1.0) / F.sum("cnt"), 6
+        ).alias("dup_rate"),
+    )
