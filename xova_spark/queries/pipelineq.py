@@ -1925,11 +1925,12 @@ _PCA_ITERS = 8
 _PCA_QBITS = 1048576  # 2^20 — per-iteration dyadic re-quantization
 
 
-def _pca_power_sql() -> str:
-    """PCA twin: the emb_covariance cells (round-6, identical doubles in
-    both engines) power-iterated with per-iteration dyadic
-    re-quantization — every matvec and norm is a SEQUENTIAL list_sum,
-    matching the driver-side Python fold order exactly."""
+def _pca_parts() -> list:
+    """PCA CTE chain (through the final iterated vector): the
+    emb_covariance cells (round-6, identical doubles in both engines)
+    power-iterated with per-iteration dyadic re-quantization — every
+    matvec and norm is a SEQUENTIAL list_sum, matching the driver-side
+    Python fold order exactly. Shared by the power and projection twins."""
     mv = (
         f"list_sum(list_transform(generate_series(1, {_DIM}),"
         " j -> c.cs[j] * v.vs[j]))"
@@ -1981,6 +1982,12 @@ def _pca_power_sql() -> str:
         f" / list_sum(list_transform(generate_series(1, {_DIM}), i -> v.vs[i] * v.vs[i]))"
         f" * 1000000 + 0.5) / 1000000 AS eigenvalue FROM {vf} v CROSS JOIN wfl w)"
     )
+    return parts
+
+
+def _pca_power_sql() -> str:
+    parts = _pca_parts()
+    vf = f"v{_PCA_ITERS}"
     return (
         "WITH "
         + ", ".join(pp.replace(" AS (", " AS MATERIALIZED (", 1) for pp in parts)
@@ -2544,3 +2551,69 @@ def t_dup_rate_by_source(spark, sf_dir):
             F.lit(1) - F.count("*") * F.lit(1.0) / F.sum("cnt"), 6
         ).alias("dup_rate"),
     )
+
+
+def _pca_project_sql() -> str:
+    """Projection twin: the power-iteration chain's final vector applied
+    to every (mean-centered) embedding — same sequential fold."""
+    parts = _pca_parts()
+    vf = f"v{_PCA_ITERS}"
+    parts.append(
+        f"mulist AS (SELECT list(m.m / n.n ORDER BY m.i) AS mu "
+        f"FROM m CROSS JOIN n_rows n)"
+    )
+    coord = (
+        f"list_sum(list_transform(generate_series(1, {_DIM}),"
+        " i -> v.vs[i] * (e.emb[i] - mm.mu[i])))"
+    )
+    return (
+        "WITH "
+        + ", ".join(pp.replace(" AS (", " AS MATERIALIZED (", 1) for pp in parts)
+        + f" SELECT e.vec_id, round({coord}, 6) AS pc1 "
+        f"FROM e CROSS JOIN {vf} v CROSS JOIN mulist mm"
+    )
+
+
+@q("emb_pca_project", _pca_project_sql())
+def emb_pca_project(spark, sf_dir):
+    """PCA PROJECTION — the dimensionality-reduction op that CONSUMES
+    the learned component: every embedding's coordinate along the top
+    principal direction, mean-centered (the 1-D code used for
+    visualization, binning, or as the first rotation of a whitening
+    pass). The component and the per-dim means are model-scale driver
+    artifacts; the projection itself is one scan with a fixed
+    sequential fold per row — bit-identical to the oracle's list_sum.
+
+    At 100 TB: broadcast-literal vector x one narrow scan, no shuffle
+    at all — the cheapest possible per-row transform."""
+    import math  # noqa: F401
+
+    pca = emb_pca_power(spark, sf_dir).collect()
+    v = [0.0] * _DIM
+    for r in pca:
+        v[r["dim"]] = r["loading"]
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1024) / 1024,
+        ).alias("emb"),
+    )
+    n = e.count()
+    msum = {
+        int(r["i"]): float(r["s"])
+        for r in e.select(F.posexplode("emb").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"))
+        .collect()
+    }
+    mu = [msum[i] / float(n) for i in range(_DIM)]
+    v_arr = F.array(*[F.lit(float(x)) for x in v])
+    mu_arr = F.array(*[F.lit(float(x)) for x in mu])
+    centered = F.zip_with("emb", mu_arr, lambda x, m: x - m)
+    coord = F.aggregate(
+        F.zip_with(v_arr, centered, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select("vec_id", F.round(coord, 6).alias("pc1"))
