@@ -452,3 +452,65 @@ def stream_ann_search(spark, sf_dir):
     return spark.createDataFrame(
         out, "qid long, cid long, pq_dist double, rank int"
     )
+
+
+@q(
+    "stream_hourly_rollup",
+    """
+    SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+           CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_hourly_rollup(spark, sf_dir):
+    """Watermarked TUMBLING-WINDOW rollup over the arriving event
+    stream — the hypertable continuous-aggregate maintained
+    incrementally (the streaming twin of ev_hourly_rollup_gapfill's
+    agg core): 1-hour event-time windows with a 1-hour watermark;
+    append mode emits each window once it is final. The availableNow-
+    converged result equals the batch hourly aggregation; hour windows
+    are epoch-aligned so the window start IS the (day, hour) bucket."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.queries.relational import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    # The file stream reads the raw parquet (INT64 micros, NTZ) — apply
+    # the same tz-independent NTZ->TIMESTAMP normalization load_tables
+    # uses; watermarks require TIMESTAMP event time.
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.to_utc_timestamp(F.col("ts"), "UTC")
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    name = f"q_stream_hourly_{next(_uniq)}"
+    with SA.stream_state_partitions(spark):
+        q_ = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    t = spark.table(name)
+    start = F.col("w.start")
+    return t.select(
+        F.datediff(
+            start.cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+        F.hour(start).alias("hour"),
+        "event_type",
+        "n",
+        "total_value",
+    )
