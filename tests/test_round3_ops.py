@@ -264,3 +264,40 @@ def test_covariance_gram_path_equals_explode_path(spark):
         .toPandas().sort_values(["i", "j"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_ivfadc_residual_variant_measured(spark):
+    """The residual-encoded IVFADC variant: ranks dense per query,
+    distances non-negative, and recall vs exact cosine is measured.
+    MEASURED FINDING (kept as a pin): on the ISOTROPIC fixture, residual
+    encoding does NOT beat global codebooks (~0.22 vs ~0.30 recall@5 at
+    sf0.001) — coarse cells capture no structure, residual energy stays
+    near raw energy, and some residual Lloyd clusters collapse empty.
+    Residual encoding pays off on clustered corpora; asserting
+    ADC >= PQ here would be cargo cult. The floor below is the
+    anti-regression line, not a quality claim."""
+    df = P.ann_ivfadc_topk(spark, SF_SMALL).toPandas()
+    assert (df["pq_dist"] >= 0).all()
+    assert df.groupby("qid")["rank"].apply(
+        lambda s: sorted(s) == list(range(1, len(s) + 1))
+    ).all()
+
+    import numpy as np
+
+    emb = (
+        P._emb(spark, SF_SMALL).toPandas().set_index("vec_id")["embedding"].sort_index()
+    )
+    X = np.stack(
+        [np.floor(np.asarray(v, dtype=np.float64) * 1024) / 1024 for v in emb]
+    )
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    adc = df.set_index(["qid", "cid"])
+    hits = tot = 0
+    for qid in range(10):
+        cos = Xn @ Xn[qid]
+        cos[qid] = -9
+        for c in np.argsort(-cos, kind="stable")[:5]:
+            tot += 1
+            if (qid, int(c)) in adc.index:
+                hits += 1
+    assert hits / tot >= 0.1

@@ -1285,16 +1285,20 @@ _PQ_K = 16       # codebook size per subspace
 _PQ_ITERS = 1    # Lloyd updates per subspace
 
 
-def _pq_ctes() -> tuple[list, list, str]:
+def _pq_ctes(src: str = "e", define_source: bool = True) -> tuple[list, list, str]:
     """Shared chained-CTE builder for the PQ twins: per subspace, the
     same seeded Lloyd rounds as _kmeans_sql over the subvector. Returns
-    (cte_parts, code_select_exprs, code_join_clause)."""
-    parts = [f"e AS (SELECT vec_id, {_DUCK_Q} AS emb FROM embeddings)"]
+    (cte_parts, code_select_exprs, code_join_clause). ``src`` is the
+    (vec_id, emb) CTE the chain quantizes; by default it defines the
+    standard quantized-embeddings source ``e`` itself."""
+    parts = []
+    if define_source:
+        parts.append(f"e AS (SELECT vec_id, {_DUCK_Q} AS emb FROM embeddings)")
     sels = []
     for m in range(_PQ_M):
         lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
         parts.append(
-            f"e{m} AS (SELECT vec_id, emb[{lo}:{hi}] AS sv FROM e)"
+            f"e{m} AS (SELECT vec_id, emb[{lo}:{hi}] AS sv FROM {src})"
         )
         parts.append(
             f"q{m}c0 AS (SELECT vec_id AS cid, sv AS cv FROM e{m} "
@@ -1427,10 +1431,6 @@ def _pq_fit(spark, sf_dir):
     (codes_wide_df, centroids dict[(m, cid)] -> 8-dim list). Shared by
     emb_pq_encode, ann_pq_topk and ann_ivfpq_topk (train-once/search-
     many: see _PQ_FIT_CACHE)."""
-    cache_key = (id(spark), sf_dir)
-    hit = _PQ_FIT_CACHE.get(cache_key)
-    if hit is not None:
-        return hit
     emb = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform(
@@ -1438,6 +1438,16 @@ def _pq_fit(spark, sf_dir):
             lambda x: F.floor(x.cast("double") * 1024) / 1024,
         ).alias("emb"),
     )
+    return _pq_fit_frame(spark, (id(spark), sf_dir), emb)
+
+
+def _pq_fit_frame(spark, cache_key, emb):
+    """The PQ fit core over any (vec_id, emb array<double>) frame —
+    also used on RESIDUAL vectors by the IVFADC variant. Memoized on
+    ``cache_key``."""
+    hit = _PQ_FIT_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
     # ALL subspaces in one long table (vec_id, m, sv): every Lloyd step
     # is then ONE job over all M codebooks instead of M sequential jobs
     # — 4 Spark jobs total regardless of M, and the same single-pass
@@ -2617,3 +2627,176 @@ def emb_pca_project(spark, sf_dir):
         lambda acc, x: acc + x,
     )
     return e.select("vec_id", F.round(coord, 6).alias("pc1"))
+
+
+# ---------------------------------------------------------------------------
+# Residual-encoded IVF-PQ (true IVFADC): PQ codebooks over cell residuals
+# ---------------------------------------------------------------------------
+
+
+def _ivfadc_sql(n_queries: int = 10, topk: int = 5) -> str:
+    """IVFADC twin: the coarse cell machinery, RESIDUAL vectors
+    (x - cell centroid; seed centroids are dyadic, so residuals stay
+    exact), the Lloyd chain over residuals, and per-(query, probe-cell)
+    residual lookup tables."""
+    dot = (
+        lambda a, b: f"list_sum(list_transform(generate_series(1, {_DIM}),"
+        f" i -> {a}[i] * {b}[i]))"
+    )
+    parts = [
+        f"e AS (SELECT vec_id, {_DUCK_Q} AS emb FROM embeddings)",
+        f"nv AS (SELECT vec_id, emb, sqrt({dot('emb', 'emb')}) AS nrm FROM e)",
+        f"cent AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm "
+        f"FROM nv WHERE vec_id < {_IVFPQ_CELLS})",
+        "cellrank AS (SELECT n.vec_id, c.cent_id, row_number() OVER ("
+        "PARTITION BY n.vec_id ORDER BY "
+        f"{dot('n.emb', 'c.cemb')} / (n.nrm * c.cnrm) DESC, c.cent_id) AS rn "
+        "FROM nv n CROSS JOIN cent c)",
+        "assigned AS (SELECT vec_id, cent_id AS cell FROM cellrank WHERE rn = 1)",
+        f"probes AS (SELECT vec_id AS qid, cent_id AS pcell FROM cellrank "
+        f"WHERE vec_id < {n_queries} AND rn <= {_IVFPQ_NPROBE})",
+        f"e_res AS (SELECT e.vec_id, "
+        f"list_transform(generate_series(1, {_DIM}), "
+        f"i -> e.emb[i] - c.cemb[i]) AS emb "
+        f"FROM e JOIN assigned a ON a.vec_id = e.vec_id "
+        f"JOIN cent c ON c.cent_id = a.cell)",
+    ]
+    rparts, sels, joins = _pq_ctes(src="e_res", define_source=False)
+    parts += rparts
+    parts.append(
+        f"codes AS (SELECT e_res.vec_id, {', '.join(sels)} FROM e_res {joins})"
+    )
+    parts.append(
+        f"qr AS (SELECT p.qid, p.pcell, "
+        f"list_transform(generate_series(1, {_DIM}), "
+        f"i -> q.emb[i] - c.cemb[i]) AS emb "
+        f"FROM probes p JOIN e q ON q.vec_id = p.qid "
+        f"JOIN cent c ON c.cent_id = p.pcell)"
+    )
+    for m in range(_PQ_M):
+        lo = m * _PQ_SUB
+        dist = (
+            f"list_sum(list_transform(generate_series(1, {_PQ_SUB}),"
+            f" i -> (q.emb[{lo} + i] - c.cv[i]) * (q.emb[{lo} + i] - c.cv[i])))"
+        )
+        parts.append(
+            f"lut{m} AS (SELECT q.qid, q.pcell, c.cid, {dist} AS d "
+            f"FROM qr q CROSS JOIN q{m}c{_PQ_ITERS} c)"
+        )
+    lut_joins = " ".join(
+        f"JOIN lut{m} l{m} ON l{m}.qid = p.qid AND l{m}.pcell = p.pcell "
+        f"AND l{m}.cid = v.code{m}"
+        for m in range(_PQ_M)
+    )
+    score = " + ".join(f"l{m}.d" for m in range(_PQ_M))
+    parts.append(
+        f"scored AS (SELECT p.qid, v.vec_id AS cid, {score} AS score "
+        f"FROM codes v JOIN assigned a ON a.vec_id = v.vec_id "
+        f"JOIN probes p ON p.pcell = a.cell "
+        f"{lut_joins} WHERE v.vec_id != p.qid)"
+    )
+    parts.append(
+        "ranked AS (SELECT qid, cid, score, row_number() OVER "
+        "(PARTITION BY qid ORDER BY score, cid) AS rank FROM scored)"
+    )
+    return (
+        "WITH " + ", ".join(_materialize(parts))
+        + f" SELECT qid, cid, round(score, 6) AS pq_dist, rank "
+        f"FROM ranked WHERE rank <= {topk}"
+    )
+
+
+@q("ann_ivfadc_topk", _ivfadc_sql())
+def ann_ivfadc_topk(spark, sf_dir):
+    """RESIDUAL-ENCODED IVF-PQ — the true IVFADC of Jegou et al.: PQ
+    codebooks are trained on RESIDUALS (x minus the assigned coarse
+    centroid), which is what production systems quantize — residual
+    energy is far lower than raw-vector energy, so the same codebook
+    budget spends its precision near the cell center. Each query builds
+    one M x K lookup table PER PROBED CELL (its residual against that
+    cell), and candidates score by their residual codes.
+
+    Oracle-exactness is only possible because the coarse quantizer uses
+    SEED vectors (dyadic): residuals are exact dyadic differences, so
+    the Lloyd chain over residuals stays bit-identical cross-engine —
+    a k-means-trained coarse quantizer would break the hash gate (its
+    centroids are averages), which is why that variant stays a
+    roadmap item, not a silent approximation.
+
+    Scale shape: identical to ann_ivfpq_topk (one pruned code scan; the
+    per-(query, cell) LUTs are still model-scale: n_q x nprobe x M x K
+    doubles)."""
+    e, nv, cellrank = _coarse_cellrank(spark, sf_dir)
+    assigned = cellrank.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell")
+    )
+    probes = cellrank.filter(
+        (F.col("vec_id") < 10) & (F.col("rn") <= _IVFPQ_NPROBE)
+    ).select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("pcell"))
+    cent = nv.filter(F.col("vec_id") < _IVFPQ_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    e_res = (
+        e.join(assigned, "vec_id")
+        .join(F.broadcast(cent), F.col("cell") == F.col("cent_id"))
+        .select(
+            "vec_id",
+            F.zip_with("emb", "cemb", lambda x, c: x - c).alias("emb"),
+        )
+    )
+    codes, cents = _pq_fit_frame(
+        spark, (id(spark), sf_dir, "ivfadc_residual"), e_res
+    )
+    coarse = {
+        int(r["cent_id"]): list(r["cemb"]) for r in cent.collect()
+    }
+    qvecs = {
+        int(r["vec_id"]): list(r["emb"])
+        for r in e.filter(F.col("vec_id") < 10).collect()
+    }
+    probe_rows = [
+        (int(r["qid"]), int(r["pcell"])) for r in probes.collect()
+    ]
+    lut_rows = []
+    for qid, pcell in sorted(probe_rows):
+        qres = [x - c for x, c in zip(qvecs[qid], coarse[pcell])]
+        # residual Lloyd clusters can go EMPTY (residual energy bunches
+        # near zero) — a dead (m, cid) slot is never referenced by any
+        # code (argmin only picks surviving centroids, in both engines),
+        # so its LUT slot is an arbitrary placeholder
+        luts = [
+            [
+                _seq_fold_dist(
+                    qres[m * _PQ_SUB : (m + 1) * _PQ_SUB], cents[(m, c)]
+                )
+                if (m, c) in cents
+                else 0.0
+                for c in range(_PQ_K)
+            ]
+            for m in range(_PQ_M)
+        ]
+        lut_rows.append((qid, pcell, luts))
+    lut_wide = spark.createDataFrame(
+        lut_rows, "lqid long, lpcell int, luts array<array<double>>"
+    )
+    probes_df = spark.createDataFrame(
+        sorted(probe_rows), "qid long, pcell int"
+    )
+    scored = (
+        codes.join(assigned, "vec_id")
+        .join(F.broadcast(probes_df), F.col("cell") == F.col("pcell"))
+        .join(
+            F.broadcast(lut_wide),
+            (F.col("qid") == F.col("lqid"))
+            & (F.col("pcell") == F.col("lpcell")),
+        )
+    )
+    score = _lut_score()
+    w = Window.partitionBy("qid").orderBy("score", "cid")
+    return (
+        scored.filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "cid", F.round("score", 6).alias("pq_dist"), "rank")
+    )
