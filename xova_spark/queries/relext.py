@@ -893,3 +893,43 @@ def ev_user_paths(spark, sf_dir):
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+@q(
+    "ev_audience_overlap",
+    """
+    WITH ut AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_both
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+)
+def ev_audience_overlap(spark, sf_dir):
+    """AUDIENCE OVERLAP — |users(A) ∩ users(B)| for every event-type
+    pair: the set-intersection rollup behind funnel/affinity analysis
+    (and the exact referee a theta-sketch deployment would be gated
+    against). The distinct (type, user) table shuffles once on user_id;
+    the self-join explodes each user's type set (bounded by |types|, so
+    at most |types|^2 rows per user) and the count partial-aggregates
+    into |types|^2 groups."""
+    (ev,) = _t(spark, sf_dir, "events")
+    ut = ev.select("event_type", "user_id").distinct()
+    a = ut.select(
+        F.col("event_type").alias("type_a"), F.col("user_id").alias("ua")
+    )
+    b = ut.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("ub")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ua") == F.col("ub"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )

@@ -755,3 +755,67 @@ def t_tfidf_topterms(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("lang", "term", "tf", "df", F.round("score", 6).alias("tfidf"), "rank")
     )
+
+
+@q(
+    "t_sample_weighted",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS w,
+             ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_wsample'),
+                 1, 15))::BIGINT) % 1000000 + 1) / 1000001.0 AS u
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, w,
+             round(-ln(u) / w, 6) AS key
+      FROM keyed
+    )
+    SELECT doc_id, lang, w, key, rank FROM (
+      SELECT doc_id, lang, w, key,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY key, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def t_sample_weighted(spark, sf_dir):
+    """DETERMINISTIC WEIGHTED SAMPLING (A-Res / exponential-races): each
+    doc draws a reproducible pseudo-uniform u from a salted md5 of its
+    id and competes with key = -ln(u)/w (w = token count — longer docs
+    proportionally likelier); the k smallest keys per language are the
+    weighted sample. This is THE distributed one-pass weighted-
+    sampling-without-replacement construction (Efraimidis-Spirakis):
+    no global sort of the corpus is needed at scale — per-partition
+    top-k then merge (Spark's window-over-rank optimizes to partial
+    top-k; at extreme scale swap the window for a groupBy(min_k)
+    two-phase agg, same keys).
+
+    Cross-engine float discipline: u is an exact rational from integer
+    hash arithmetic; -ln(u)/w differs by <= 1 ulp between engines, so
+    the rank orders by round(key, 6) with doc_id tiebreak — same
+    discipline as TF-IDF's rounded scores."""
+    docs = _docs(spark, sf_dir)[0]
+    w = F.size(F.split("text", " "))
+    h31 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_wsample"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    u = ((h31 % 1000000) + 1) / F.lit(1000001.0)
+    key = F.round(-F.log(u) / w, 6)
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("lang").orderBy("key", "doc_id")
+    return (
+        docs.select("doc_id", "lang", w.alias("w"), key.alias("key"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "lang", "w", "key", "rank")
+    )
