@@ -933,3 +933,72 @@ def ev_audience_overlap(spark, sf_dir):
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_both"))
     )
+
+
+@q(
+    "sql_frontend_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-11-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_frontend_q1(spark, sf_dir):
+    """SQL FRONT-END surface: the same pricing-summary aggregation
+    issued as a ``spark.sql`` STRING over the temp views load_tables
+    registers — a user who writes SQL instead of the DataFrame API gets
+    the identical Catalyst plan (both front-ends lower to the same
+    logical plan; Q1's DataFrame twin is tpch_q1). The oracle text runs
+    unchanged in both engines here because it stays in the ANSI
+    intersection of the two dialects."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 4)
+                 AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-11-01'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@q(
+    "sql_frontend_window",
+    """
+    SELECT c_nationkey, c_custkey, round(c_acctbal, 4) AS acctbal, rnk
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer
+    )
+    WHERE rnk <= 3
+    """,
+)
+def sql_frontend_window(spark, sf_dir):
+    """SQL front-end window function: per-nation top-3 customers by
+    balance as a ``spark.sql`` string — the window/ranking surface via
+    SQL text (DataFrame twin shapes live in w_rank_topk_per_group)."""
+    load_tables(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_nationkey, c_custkey, round(c_acctbal, 4) AS acctbal, rnk
+        FROM (
+          SELECT c_nationkey, c_custkey, c_acctbal,
+                 row_number() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey) AS rnk
+          FROM customer
+        )
+        WHERE rnk <= 3
+        """
+    )
