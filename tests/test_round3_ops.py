@@ -301,3 +301,18 @@ def test_ivfadc_residual_variant_measured(spark):
             if (qid, int(c)) in adc.index:
                 hits += 1
     assert hits / tot >= 0.1
+
+
+def test_weighted_sample_overrepresents_heavy_docs(spark):
+    """Efraimidis-Spirakis sanity on the fixed draw: the weighted sample's
+    mean token count exceeds the corpus mean (longer docs proportionally
+    likelier), and per-language ranks are dense from 1. Deterministic:
+    the draw is a salted hash, so this is a regression pin, not a
+    statistical assertion."""
+    samp = T.t_sample_weighted(spark, SF_MID).toPandas()
+    docs = T._docs(spark, SF_MID)[0].toPandas()
+    mean_corpus = docs["text"].str.split(" ").str.len().mean()
+    assert samp["w"].mean() > mean_corpus
+    assert samp.groupby("lang")["rank"].apply(
+        lambda s: sorted(s) == list(range(1, len(s) + 1))
+    ).all()
