@@ -36,6 +36,7 @@ def _registries() -> dict[str, tuple]:
         "relext",
         "pipelineq",
         "tpchx",
+        "graphq",
     ):
         try:
             mod = __import__(f"xova_spark.queries.{modname}", fromlist=["REGISTRY"])

@@ -1,0 +1,120 @@
+"""Property tests for the graph pack: edge-builder semantics, degree
+accounting identities, brute-force triangle cross-check, and an exact
+pure-Python replica of the integer-grid PageRank recurrence (the DuckDB
+gate pins values; these pin that the operators compute the GRAPH
+quantities they claim, independently of either engine)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from itertools import combinations
+
+import pandas as pd
+
+from xova_spark.queries import graphq as G
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pandas_edges() -> pd.DataFrame:
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    pp = li.drop_duplicates()
+    pairs: defaultdict[tuple, int] = defaultdict(int)
+    for _, grp in pp.groupby("l_orderkey"):
+        for a, b in combinations(sorted(grp["l_partkey"]), 2):
+            pairs[(a, b)] += 1
+    rows = [(a, b, s) for (a, b), s in pairs.items() if s >= G.MIN_SUPPORT]
+    return pd.DataFrame(rows, columns=["pa", "pb", "support"])
+
+
+def test_edge_builder_matches_bruteforce(spark):
+    got = (
+        G.graph_copurchase_edges(spark, SF)
+        .toPandas()
+        .sort_values(["pa", "pb"])
+        .reset_index(drop=True)
+    )
+    want = _pandas_edges().sort_values(["pa", "pb"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got["pa"] < got["pb"]).all()
+    assert (got["support"] >= G.MIN_SUPPORT).all()
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_like=True
+    )
+
+
+def test_degree_distribution_identities(spark):
+    """sum(n_nodes) = node count; sum(degree * n_nodes) = 2 * |E|."""
+    dist = G.graph_degree_distribution(spark, SF).toPandas()
+    edges = _pandas_edges()
+    nodes = set(edges["pa"]) | set(edges["pb"])
+    assert dist["n_nodes"].sum() == len(nodes)
+    assert (dist["degree"] * dist["n_nodes"]).sum() == 2 * len(edges)
+    assert (dist["degree"] >= 1).all()
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    got = G.graph_triangle_count(spark, SF).toPandas()["n_triangles"][0]
+    edges = _pandas_edges()
+    eset = set(zip(edges["pa"], edges["pb"]))
+    adj: defaultdict[int, set] = defaultdict(set)
+    for a, b in eset:
+        adj[a].add(b)  # forward star only: a < b
+    want = sum(
+        1
+        for a in adj
+        for b, c in combinations(sorted(adj[a]), 2)
+        if (b, c) in eset
+    )
+    assert got == want > 0
+
+
+def _python_pagerank(edges: pd.DataFrame) -> dict[int, int]:
+    """Exact replica of the integer-grid recurrence: rank in units of
+    2^-30, damping 7/8, integer floor-division at every step."""
+    arcs: list[tuple[int, int]] = []
+    for a, b in zip(edges["pa"], edges["pb"]):
+        arcs.append((int(a), int(b)))
+        arcs.append((int(b), int(a)))
+    deg: defaultdict[int, int] = defaultdict(int)
+    for s, _ in arcs:
+        deg[s] += 1
+    n = len(deg)
+    base = (G.PR_Q // n) // 8
+    rank = {v: G.PR_Q // n for v in deg}
+    for _ in range(G.PR_ITERS):
+        incoming: defaultdict[int, int] = defaultdict(int)
+        for s, d in arcs:
+            incoming[d] += rank[s] // deg[s]
+        rank = {v: base + (7 * inc) // 8 for v, inc in incoming.items()}
+    return rank
+
+
+def test_pagerank_exactly_matches_python_replica(spark):
+    got = {
+        int(r["node"]): int(r["rank_q"])
+        for r in G.graph_pagerank(spark, SF).collect()
+    }
+    want = _python_pagerank(_pandas_edges())
+    assert got == want
+
+
+def test_pagerank_mass_and_ordering(spark):
+    df = G.graph_pagerank(spark, SF).toPandas()
+    assert (df["rank_q"] > 0).all()
+    # total mass conserved up to integer-floor leakage (each floor
+    # drops < 1 unit per arc/node; grid is 2^30 so leakage is tiny)
+    total = df["rank_q"].sum()
+    assert 0.97 * G.PR_Q <= total <= G.PR_Q
+    # the top-ranked node must be a genuinely high-degree node
+    edges = _pandas_edges()
+    deg = pd.concat([edges["pa"], edges["pb"]]).value_counts()
+    top = df.sort_values("rank_q", ascending=False)["node"].iloc[0]
+    assert deg[top] >= deg.median()
+
+
+def test_graph_plans_have_no_nested_loop(spark):
+    for fn in (G.graph_triangle_count, G.graph_pagerank):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan

@@ -1,0 +1,242 @@
+"""Graph analytics pack over the co-purchase graph.
+
+The reference's connected-components need (dedup clustering,
+``dedup.py:373``) generalizes to a graph-operator family a curation
+engine needs: affinity-edge construction, degree profiling, triangle
+(clustering-coefficient numerator) counting, and fixed-iteration
+PageRank for node importance.
+
+Graph source: the **co-purchase graph** — parts appearing in the same
+order, with edge support >= 2 (the group-by prunes the ~1.2M
+support-1 noise pairs at sf0.1 down to ~3.5k affinity edges BEFORE any
+graph algorithm runs; at 100 TB the same support filter is what keeps
+the graph sparse while the pair-generation stays bounded by per-order
+fanout, not table size).
+
+Hash-exactness discipline: PageRank runs entirely on an integer grid
+(rank in units of 2^-30, damping 7/8, integer division at every step)
+so Spark and DuckDB produce bit-identical bigint ranks — the same
+trick as the dyadic k-means (pipelineq.py). Degree/triangle outputs
+are pure integers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import functions as F
+
+from xova_spark.session import load_tables
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+MIN_SUPPORT = 2
+
+# Shared DuckDB CTE chain: distinct (order, part) pairs -> supported
+# undirected edges (pa < pb) -> both-direction arc list + degrees.
+_DUCK_EDGES = f"""
+    pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               count(*) AS support
+        FROM pp a JOIN pp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {MIN_SUPPORT}
+    ),
+    arcs AS (
+        SELECT pa AS src, pb AS dst FROM edges
+        UNION ALL
+        SELECT pb AS src, pa AS dst FROM edges
+    ),
+    deg AS (SELECT src AS node, count(*) AS degree FROM arcs GROUP BY 1)
+"""
+
+
+def _copurchase_edges(spark, sf_dir):
+    """Supported co-purchase edge list (pa < pb, support >= 2).
+
+    Plan: distinct(order, part) — one shuffle keyed on the composite;
+    the self-join co-locates on l_orderkey (per-order fanout is the
+    line count, ~4-7, so pair generation is linear in rows, never
+    quadratic in parts); groupBy(pa, pb) is the single edge shuffle.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a = pp.alias("a")
+    b = pp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+    )
+
+
+def _arcs_and_degrees(edges):
+    arcs = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = arcs.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    return arcs, deg
+
+
+@q(
+    "graph_copurchase_edges",
+    f"WITH {_DUCK_EDGES} SELECT pa, pb, support FROM edges",
+)
+def graph_copurchase_edges(spark, sf_dir):
+    """The affinity-edge builder itself, as a first-class query."""
+    return _copurchase_edges(spark, sf_dir)
+
+
+@q(
+    "graph_degree_distribution",
+    f"""
+    WITH {_DUCK_EDGES}
+    SELECT degree, count(*) AS n_nodes
+    FROM deg GROUP BY 1
+    """,
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Degree histogram of the supported graph — two keyed shuffles
+    (node degree, then degree histogram), both over the pruned edge
+    set."""
+    _, deg = _arcs_and_degrees(_copurchase_edges(spark, sf_dir))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+@q(
+    "graph_triangle_count",
+    f"""
+    WITH {_DUCK_EDGES}
+    SELECT count(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.pa = e1.pb
+    JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count via the ordered-wedge join (each triangle
+    a<b<c counted exactly once: wedge (a-b, b-c) closed by edge
+    (a-c)).
+
+    Scale: wedge generation is sum(deg^2) of the SUPPORTED graph —
+    the support filter is what makes this tractable; both joins are
+    equi-joins on node keys (shuffle-hash / broadcast under AQE, the
+    supported edge list is small by construction).
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration integer-grid PageRank
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3
+PR_Q = 1 << 30  # rank grid: units of 2^-30
+# damping 7/8: r' = base + (7 * incoming) // 8, all integer ops
+
+
+def _pr_sql() -> str:
+    ctes = [
+        _DUCK_EDGES.strip().rstrip(),
+        f"n AS (SELECT count(*) AS n_nodes FROM deg)",
+        f"r0 AS (SELECT node, CAST({PR_Q} // (SELECT n_nodes FROM n) "
+        f"AS BIGINT) AS rank_q FROM deg)",
+    ]
+    for it in range(PR_ITERS):
+        ctes.append(
+            f"c{it} AS (SELECT a.dst AS node, "
+            f"sum(r.rank_q // d.degree) AS incoming "
+            f"FROM arcs a "
+            f"JOIN r{it} r ON r.node = a.src "
+            f"JOIN deg d ON d.node = a.src "
+            f"GROUP BY a.dst)"
+        )
+        ctes.append(
+            f"r{it + 1} AS (SELECT c.node, "
+            f"CAST(({PR_Q} // (SELECT n_nodes FROM n)) // 8 "
+            f"+ (7 * c.incoming) // 8 AS BIGINT) AS rank_q "
+            f"FROM c{it} c)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT node, rank_q FROM r{PR_ITERS}"
+    )
+
+
+@q("graph_pagerank", _pr_sql())
+def graph_pagerank(spark, sf_dir):
+    """PageRank, {PR_ITERS} fixed iterations, damping 7/8, on the
+    supported co-purchase graph.
+
+    Exactness: ranks live on an integer grid (units of 2^-30); every
+    division is integer `div`, so Spark and DuckDB agree bit-for-bit —
+    no float summation-order hazard across 100 TB of partial sums.
+
+    Plan per iteration (the distributed PageRank shape): arcs joined
+    to current ranks on src (arcs cached, reused partitioning), one
+    groupBy(dst) shuffle for the incoming sum. Every node in the
+    supported graph has degree >= 1, so there is no dangling-mass
+    term. Iteration count is fixed (declarative unrolled chain — the
+    whole {PR_ITERS}-step plan is one Catalyst DAG, no driver-side
+    collect between steps)."""
+    arcs, deg = _arcs_and_degrees(_copurchase_edges(spark, sf_dir))
+    # arc list annotated with the sender's degree, cached: reused by
+    # every iteration's join.
+    arcd = arcs.join(deg, arcs.src == deg.node).select(
+        "src", "dst", "degree"
+    ).cache()
+    n_nodes = deg.count()
+    base = (PR_Q // n_nodes) // 8
+    ranks = deg.select(
+        "node", F.lit(PR_Q // n_nodes).cast("long").alias("rank_q")
+    )
+    for _ in range(PR_ITERS):
+        ranks = (
+            arcd.join(ranks, arcd.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr("rank_q div degree").alias("contrib"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(base)
+                    + F.expr("(7 * sum(contrib)) div 8")
+                ).cast("long").alias("rank_q")
+            )
+        )
+    out = ranks.select("node", "rank_q")
+    arcd.unpersist(blocking=False)
+    return out
