@@ -37,6 +37,7 @@ def _registries() -> dict[str, tuple]:
         "pipelineq",
         "tpchx",
         "graphq",
+        "dataqual",
     ):
         try:
             mod = __import__(f"xova_spark.queries.{modname}", fromlist=["REGISTRY"])

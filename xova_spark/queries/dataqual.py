@@ -1,0 +1,289 @@
+"""Data-quality / pipeline-hygiene pack.
+
+The reference ships a shape/consistency validator (``xova check``,
+reference xova/apps/xova/check.py) — this pack generalizes that idea
+to the validations a 100 TB training-data pipeline runs before and
+after every transform: column profiling, candidate-key uniqueness,
+referential-integrity orphan counts, SCD2 effective-dating of
+dimension history, and distribution-drift measurement between data
+slices.
+
+Exactness discipline: counts/mins/maxes are exact; the only
+order-dependent aggregate (the profile mean) is round(x, 4) on both
+engines; drift is computed on the integer cross-multiplied lattice
+(|c_a*T_b - c_b*T_a|) so no float division ever happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from xova_spark.session import load_tables
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _profile_sql() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count({c}) AS BIGINT) AS n_nonnull,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               min({c}) AS min_val,
+               max({c}) AS max_val,
+               round(avg({c}), 4) AS mean_val
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@q("dq_profile_columns", _profile_sql())
+def dq_profile_columns(spark, sf_dir):
+    """Per-column profile (rows/nulls/distinct/min/max/mean) in ONE
+    scan: all 4x6 aggregates run in a single agg node (one pass, one
+    partial-aggregated shuffle), then unpivot to long form with
+    stack() — the profile never re-reads the table per column, which
+    is the difference between 1 and N scans at 100 TB."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).cast("long").alias(f"{c}__n_nonnull"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__n_distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n_nonnull, {c}__n_distinct, {c}__min, {c}__max, {c}__mean"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_nonnull, n_distinct, min_val, max_val, mean_val)"
+        ),
+        "n_rows",
+    ).select(
+        "col_name", "n_rows", "n_nonnull", "n_distinct",
+        "min_val", "max_val", "mean_val",
+    )
+
+
+_KEYS = (
+    ("orders", "o_orderkey", "o_orderkey"),
+    ("customer", "c_custkey", "c_custkey"),
+    ("part", "p_partkey", "p_partkey"),
+    ("lineitem", "l_orderkey,l_linenumber", "l_orderkey, l_linenumber"),
+)
+
+
+def _uniq_sql() -> str:
+    parts = [
+        f"""
+        SELECT '{t}' AS table_name, '{label}' AS key_cols,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT ({expr})) AS BIGINT) AS n_keys,
+               count(*) = count(DISTINCT ({expr})) AS is_unique
+        FROM {t}
+        """
+        for t, label, expr in _KEYS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@q("dq_key_uniqueness", _uniq_sql())
+def dq_key_uniqueness(spark, sf_dir):
+    """Candidate-key uniqueness check across four tables — per table
+    one partial-aggregated count + distinct-count (struct key for the
+    composite), unioned into a 4-row report."""
+    tabs = load_tables(
+        spark, sf_dir, ("orders", "customer", "part", "lineitem")
+    )
+    outs = []
+    for t, label, _expr in _KEYS:
+        cols = [c.strip() for c in label.split(",")]
+        key = F.struct(*cols) if len(cols) > 1 else F.col(cols[0])
+        outs.append(
+            tabs[t].agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.count_distinct(key).cast("long").alias("n_keys"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                F.lit(label).alias("key_cols"),
+                "n_rows",
+                "n_keys",
+                (F.col("n_rows") == F.col("n_keys")).alias("is_unique"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+_FKS = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+)
+
+
+def _orphan_sql() -> str:
+    parts = [
+        f"""
+        SELECT '{rel}' AS relationship,
+               CAST(count(*) AS BIGINT) AS n_orphans
+        FROM {child} WHERE {fk} NOT IN (SELECT {pk} FROM {parent})
+        """
+        for rel, child, fk, parent, pk in _FKS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@q("dq_referential_orphans", _orphan_sql())
+def dq_referential_orphans(spark, sf_dir):
+    """Foreign-key orphan counts via LEFT ANTI joins — the
+    distributed form of `NOT IN`: each check is one shuffled (or
+    AQE-broadcast, for the small parents) anti join, never a
+    per-row subquery. Keys in these tables are never NULL, so anti
+    join and NOT IN agree."""
+    tabs = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "part", "supplier", "customer")
+    )
+    outs = []
+    for rel, child, fk, parent, pk in _FKS:
+        orphans = tabs[child].join(
+            tabs[parent], F.col(fk) == F.col(pk), "left_anti"
+        )
+        outs.append(
+            orphans.agg(F.count("*").cast("long").alias("n_orphans")).select(
+                F.lit(rel).alias("relationship"), "n_orphans"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+@q(
+    "scd2_order_versions",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS version_n,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           lead(o_orderdate) OVER w IS NULL AS is_current,
+           o_totalprice
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_order_versions(spark, sf_dir):
+    """SCD type-2 effective-dating of each customer's order history:
+    contiguous [valid_from, valid_to) intervals with an is_current
+    flag — the merge/upsert primitive behind dimension maintenance.
+    One window shuffle partitioned by the dimension key; ordering tie
+    broken by the surrogate key so versions are deterministic."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    vt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("version_n"),
+        F.col("o_orderdate").alias("valid_from"),
+        vt.alias("valid_to"),
+        vt.isNull().alias("is_current"),
+        "o_totalprice",
+    )
+
+
+_DRIFT_SPLIT = "1998-01-01"
+
+
+@q(
+    "dq_histogram_drift",
+    f"""
+    WITH b AS (
+        SELECT CAST(floor(l_discount * 20) AS BIGINT) AS bin,
+               l_shipdate < TIMESTAMP '{_DRIFT_SPLIT}' AS early
+        FROM lineitem
+    ),
+    h AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS c_early,
+               CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS c_late
+        FROM b GROUP BY bin
+    ),
+    t AS (SELECT sum(c_early) AS t_early, sum(c_late) AS t_late FROM h)
+    SELECT CAST(t.t_early AS BIGINT) AS n_early,
+           CAST(t.t_late AS BIGINT) AS n_late,
+           CAST(sum(abs(h.c_early * t.t_late - h.c_late * t.t_early))
+                AS BIGINT) AS l1_cross
+    FROM h CROSS JOIN t
+    GROUP BY t.t_early, t.t_late
+    """,
+)
+def dq_histogram_drift(spark, sf_dir):
+    """Distribution drift of l_discount between the pre/post-{split}
+    slices: histogram L1 distance on the integer cross-multiplied
+    lattice (|c_e*T_l - c_l*T_e| sums — no float division, exact in
+    both engines; divide by T_e*T_l downstream if a normalized
+    distance is wanted).
+
+    Plan: one conditional-count groupBy(bin) shuffle (~20 groups),
+    then the 1-row totals re-enter via broadcast cross join — the
+    whole drift check is one scan + one tiny shuffle at any scale."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    early = F.col("l_shipdate") < F.lit(_DRIFT_SPLIT).cast("timestamp")
+    h = (
+        li.select(
+            F.floor(F.col("l_discount") * 20).cast("long").alias("bin"),
+            early.alias("early"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("early"), 1).otherwise(0)).cast("long").alias("c_early"),
+            F.sum(F.when(F.col("early"), 0).otherwise(1)).cast("long").alias("c_late"),
+        )
+    )
+    t = h.agg(
+        F.sum("c_early").cast("long").alias("t_early"),
+        F.sum("c_late").cast("long").alias("t_late"),
+    )
+    return (
+        h.crossJoin(F.broadcast(t))
+        .groupBy("t_early", "t_late")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c_early") * F.col("t_late")
+                    - F.col("c_late") * F.col("t_early")
+                )
+            ).cast("long").alias("l1_cross")
+        )
+        .select(
+            F.col("t_early").alias("n_early"),
+            F.col("t_late").alias("n_late"),
+            "l1_cross",
+        )
+    )
