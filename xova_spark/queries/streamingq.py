@@ -514,3 +514,127 @@ def stream_hourly_rollup(spark, sf_dir):
         "n",
         "total_value",
     )
+
+
+_ANOM_SPLIT = "2024-01-22"
+
+
+@q(
+    "stream_anomaly_alerts",
+    f"""
+    WITH base_b AS (
+      SELECT event_type,
+             CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             count(*) AS n
+      FROM events WHERE ts < TIMESTAMP '{_ANOM_SPLIT}'
+      GROUP BY 1, 2, 3
+    ), st AS (
+      SELECT event_type, hour, count(*) AS k,
+             sum(n) AS s1, sum(n * n) AS s2
+      FROM base_b GROUP BY 1, 2
+    ), live AS (
+      SELECT event_type,
+             CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             count(*) AS n
+      FROM events WHERE ts >= TIMESTAMP '{_ANOM_SPLIT}'
+      GROUP BY 1, 2, 3
+    )
+    SELECT l.event_type, l.day, l.hour, l.n,
+           round((l.n - s1 * 1.0 / k)
+                 / sqrt(s2 * 1.0 / k - (s1 * 1.0 / k) * (s1 * 1.0 / k)), 6)
+             AS zscore,
+           CASE WHEN abs((l.n - s1 * 1.0 / k)
+                 / sqrt(s2 * 1.0 / k - (s1 * 1.0 / k) * (s1 * 1.0 / k))) >= 2.0
+                THEN 1 ELSE 0 END AS anomaly
+    FROM live l JOIN st USING (event_type, hour)
+    WHERE s2 * 1.0 / k - (s1 * 1.0 / k) * (s1 * 1.0 / k) > 0
+    """,
+)
+def stream_anomaly_alerts(spark, sf_dir):
+    """STREAMING ANOMALY MAINTENANCE — the serving twin of
+    ev_anomaly_zscore (relext.py): the seasonal baseline (per
+    (event_type, hour-of-day) count moments) is TRAINED on the static
+    history (ts < {split}) exactly as the batch query computes it; the
+    post-split events ARRIVE as a watermarked stream whose hourly
+    tumbling-window counts are scored against the broadcast baseline.
+
+    The baseline stats are integer moments (k, s1, s2 — the
+    sum-of-squares identity over integer hourly counts), so the only
+    float op is the final z = (n - mean)/std, round(6) on both engines.
+
+    Production shape: the scoring join runs per micro-batch in
+    foreachBatch against the broadcast (types x 24)-row baseline; with
+    availableNow the converged union of scored windows equals the batch
+    split query bit-for-bit (window counts are final once the watermark
+    passes; hourly buckets are disjoint across batches by event time).
+    """
+    from xova_spark.queries.relational import load_tables
+
+    (ev_static,) = [load_tables(spark, sf_dir, ("events",))["events"]]
+    split = F.lit(_ANOM_SPLIT).cast("timestamp")
+
+    base_b = (
+        ev_static.filter(F.col("ts") < split)
+        .groupBy(
+            "event_type",
+            F.hour("ts").alias("hour"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    st = base_b.groupBy("event_type", "hour").agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+
+    # Arriving half: watermarked hourly tumbling windows (epoch-aligned,
+    # so the window start IS the (day, hour) bucket).
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.to_utc_timestamp(F.col("ts"), "UTC")
+    )
+    live = (
+        ev.filter(F.col("ts") >= split)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"q_stream_anomaly_{next(_uniq)}"
+    with SA.stream_state_partitions(spark):
+        q_ = (
+            live.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    t = spark.table(name)
+    start = F.col("w.start")
+    buckets = t.select(
+        "event_type",
+        F.datediff(
+            start.cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+        F.hour(start).alias("hour"),
+        "n",
+    )
+    mean = F.col("s1") * F.lit(1.0) / F.col("k")
+    var = F.col("s2") * F.lit(1.0) / F.col("k") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        buckets.join(F.broadcast(st), ["event_type", "hour"])
+        .filter(var > 0)
+        .select(
+            "event_type",
+            "day",
+            "hour",
+            "n",
+            F.round(z, 6).alias("zscore"),
+            F.when(F.abs(z) >= 2.0, 1).otherwise(0).alias("anomaly"),
+        )
+    )
