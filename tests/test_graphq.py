@@ -118,3 +118,28 @@ def test_graph_plans_have_no_nested_loop(spark):
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_jaccard_link_scores_match_bruteforce(spark):
+    got = G.graph_jaccard_link_scores(spark, SF).toPandas()
+    edges = _pandas_edges()
+    eset = set(zip(edges["pa"], edges["pb"]))
+    adj: defaultdict[int, set] = defaultdict(set)
+    for a, b in eset:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {
+        (a, b): len(adj[a] & adj[b])
+        for a, b in eset
+        if adj[a] & adj[b]
+    }
+    got_map = {
+        (int(r.pa), int(r.pb)): int(r.n_common) for r in got.itertuples()
+    }
+    assert got_map == want
+    for r in got.itertuples():
+        assert r.deg_a == len(adj[r.pa])
+        assert r.deg_b == len(adj[r.pb])
+        # Jaccard denominator (excluding the endpoints themselves)
+        # is a nonnegative integer downstream expression
+        assert r.deg_a + r.deg_b - 2 - r.n_common >= r.n_common >= 1

@@ -1,0 +1,62 @@
+"""Property tests for the time-series rollup additions: OHLC
+candlesticks (pandas cross-check) and the distribution-window family
+(rank laws, balanced quartiles)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from xova_spark.queries import relext as R
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ev():
+    return pd.read_parquet(f"{SF}/events.parquet")
+
+
+def test_ohlc_matches_pandas(spark):
+    got = R.ev_hourly_ohlc(spark, SF).toPandas()
+    ev = _ev()
+    ev["day"] = (ev["ts"].dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    ev["hour"] = ev["ts"].dt.hour
+    grp = ev.sort_values(["ts", "event_id"]).groupby(
+        ["event_type", "day", "hour"]
+    )
+    want = grp.agg(
+        n=("value", "size"),
+        open=("value", "first"),
+        high=("value", "max"),
+        low=("value", "min"),
+        close=("value", "last"),
+    ).reset_index()
+    merged = got.merge(
+        want, on=["event_type", "day", "hour"], suffixes=("_g", "_w")
+    )
+    assert len(merged) == len(got) == len(want) > 0
+    for c in ("n", "open", "high", "low", "close"):
+        assert (merged[f"{c}_g"] == merged[f"{c}_w"]).all()
+    assert (got["low"] <= got["open"]).all() and (got["open"] <= got["high"]).all()
+    assert (got["low"] <= got["close"]).all() and (got["close"] <= got["high"]).all()
+
+
+def test_distribution_windows_laws(spark):
+    df = R.w_distribution_functions(spark, SF).toPandas()
+    ev = _ev()
+    assert len(df) == len(ev)
+    assert df["quartile"].between(1, 4).all()
+    assert df["pct_rank"].between(0.0, 1.0).all()
+    assert (df["cume"] > 0.0).all() and (df["cume"] <= 1.0).all()
+    for et, g in df.groupby("event_type"):
+        # ntile quartiles balanced within 1
+        sizes = g["quartile"].value_counts()
+        assert sizes.max() - sizes.min() <= 1
+        # first_in_type is the argmin of (value, event_id)
+        sub = ev[ev["event_type"] == et].sort_values(["value", "event_id"])
+        assert (g["first_in_type"] == sub["event_id"].iloc[0]).all()
+        # pct_rank monotone in (value, event_id) order
+        gg = g.merge(
+            ev[["event_id", "value"]], on="event_id"
+        ).sort_values(["value", "event_id"])
+        assert gg["pct_rank"].is_monotonic_increasing
+        assert gg["cume"].is_monotonic_increasing

@@ -240,3 +240,57 @@ def graph_pagerank(spark, sf_dir):
     out = ranks.select("node", "rank_q")
     arcd.unpersist(blocking=False)
     return out
+
+
+@q(
+    "graph_jaccard_link_scores",
+    f"""
+    WITH {_DUCK_EDGES}
+    SELECT e.pa, e.pb,
+           CAST(count(*) AS BIGINT) AS n_common,
+           da.degree AS deg_a, db.degree AS deg_b
+    FROM edges e
+    JOIN arcs x ON x.src = e.pa
+    JOIN arcs y ON y.src = e.pb AND y.dst = x.dst
+    JOIN deg da ON da.node = e.pa
+    JOIN deg db ON db.node = e.pb
+    GROUP BY e.pa, e.pb, da.degree, db.degree
+    """,
+)
+def graph_jaccard_link_scores(spark, sf_dir):
+    """Common-neighbor counts for every existing edge — the
+    link-prediction / edge-strength score (Jaccard numerator; the
+    denominator deg_a + deg_b - 2 - n_common is a downstream integer
+    expression, so no float ever enters the hash).
+
+    Plan: the wedge join (arcs ⋈ arcs on shared endpoint) restricted
+    to edge pairs — sum(deg^2)-bounded on the SUPPORTED graph, the
+    same tractability argument as the triangle count; degrees re-enter
+    via broadcast-sized joins. Edges with zero common neighbors drop
+    out (inner wedge join) — score-absent means score-zero."""
+    edges = _copurchase_edges(spark, sf_dir)
+    arcs, deg = _arcs_and_degrees(edges)
+    e = edges.alias("e")
+    x = arcs.alias("x")
+    y = arcs.alias("y")
+    da = deg.alias("da")
+    db = deg.alias("db")
+    return (
+        e.join(x, F.col("x.src") == F.col("e.pa"))
+        .join(
+            y,
+            (F.col("y.src") == F.col("e.pb"))
+            & (F.col("y.dst") == F.col("x.dst")),
+        )
+        .groupBy("e.pa", "e.pb")
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .join(da, F.col("da.node") == F.col("pa"))
+        .join(db, F.col("db.node") == F.col("pb"))
+        .select(
+            "pa",
+            "pb",
+            "n_common",
+            F.col("da.degree").alias("deg_a"),
+            F.col("db.degree").alias("deg_b"),
+        )
+    )

@@ -1002,3 +1002,86 @@ def sql_frontend_window(spark, sf_dir):
         WHERE rnk <= 3
         """
     )
+
+
+@q(
+    "ev_hourly_ohlc",
+    """
+    SELECT event_type,
+           datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+           CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           (min({'t': ts, 'e': event_id, 'v': value})).v AS open,
+           max(value) AS high,
+           min(value) AS low,
+           (max({'t': ts, 'e': event_id, 'v': value})).v AS close
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def ev_hourly_ohlc(spark, sf_dir):
+    """OHLC candlestick rollup — the classic time-series downsample:
+    per (event_type, day, hour) the first/last value by event time
+    (lexicographic struct min/max on (ts, event_id, value) — the
+    unique event_id makes first/last deterministic under equal
+    timestamps, in both engines) plus
+    high/low. Single partial-aggregated shuffle; open/high/low/close
+    are picked values (never summed), so they are float-exact."""
+    (ev,) = _t(spark, sf_dir, "events")
+    skey = F.struct(
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("e"),
+        F.col("value").alias("v"),
+    )
+    return (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min(skey).getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(skey).getField("v").alias("close"),
+        )
+    )
+
+
+@q(
+    "w_distribution_functions",
+    """
+    SELECT event_id,
+           event_type,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(nth_value(event_id, 1) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS BIGINT) AS first_in_type
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def w_distribution_functions(spark, sf_dir):
+    """The distribution-window family (SURVEY §2 W-gen remainder):
+    ntile/percent_rank/cume_dist/nth_value in one windowed pass.
+    Ordering is (value, event_id) — a total order, so ntile's
+    positional quartiles are deterministic. One window shuffle keyed
+    on event_type."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("event_id", 1).over(wfull).cast("long").alias("first_in_type"),
+    )
