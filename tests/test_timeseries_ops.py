@@ -60,3 +60,67 @@ def test_distribution_windows_laws(spark):
         ).sort_values(["value", "event_id"])
         assert gg["pct_rank"].is_monotonic_increasing
         assert gg["cume"].is_monotonic_increasing
+
+
+def test_ewma_counts_matches_pandas_grid(spark):
+    from xova_spark.queries import relext as RX
+
+    got = RX.ev_ewma_counts(spark, SF).toPandas()
+    ev = _ev()
+    ev["day"] = (ev["ts"].dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    ev["hour"] = ev["ts"].dt.hour
+    b = (
+        ev.groupby(["event_type", "day", "hour"])
+        .size()
+        .rename("n")
+        .reset_index()
+        .sort_values(["event_type", "day", "hour"])
+    )
+    want = {}
+    for et, g in b.groupby("event_type"):
+        ns = list(g["n"])
+        for i, row in enumerate(g.itertuples()):
+            acc = 0
+            for k in range(8):
+                x = ns[i - k] if i - k >= 0 else 0
+                acc += (1 << (7 - k)) * x
+            want[(et, row.day, row.hour)] = acc
+    got_map = {
+        (r.event_type, r.day, r.hour): r.ewma_q256 for r in got.itertuples()
+    }
+    assert got_map == want
+
+
+def test_sliding_count_1h_matches_pandas(spark):
+    from xova_spark.queries import relext as RX
+
+    got = RX.w_sliding_count_1h(spark, SF).toPandas()
+    ev = _ev().sort_values("ts")
+    want = {}
+    for et, g in ev.groupby("event_type"):
+        ts = g["ts"].to_numpy()
+        ids = g["event_id"].to_numpy()
+        for i in range(len(g)):
+            lo = ts[i] - pd.Timedelta(hours=1)
+            want[int(ids[i])] = int(((ts >= lo) & (ts <= ts[i])).sum())
+    got_map = dict(zip(got["event_id"].astype(int), got["n_last_hour"].astype(int)))
+    assert got_map == want
+
+
+def test_chi2_cells_consistency(spark):
+    from xova_spark.queries import relext as RX
+
+    df = RX.agg_contingency_chi2cells(spark, SF).toPandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    assert df["o"].sum() == len(li)
+    # marginals really are the row/col sums of the cell table
+    for flag, g in df.groupby("flag"):
+        assert (g["row_total"] == g["o"].sum()).all()
+    for status, g in df.groupby("status"):
+        assert (g["col_total"] == g["o"].sum()).all()
+    assert (df["chi2_cell"] >= 0).all()
+    # spot-check one cell against numpy
+    r = df.iloc[0]
+    e = r.row_total * r.col_total / df["o"].sum()
+    assert abs(r.expected - round(e, 6)) < 1e-9
+    assert abs(r.chi2_cell - round((r.o - e) ** 2 / e, 6)) < 1e-9

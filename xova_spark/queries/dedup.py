@@ -140,8 +140,8 @@ def _minhash_sql_exprs(hcol: str) -> list[str]:
     ]
 
 
-_MINHASH_LSH_SQL = f"""
-    WITH sh AS (
+_MINHASH_CTES = f"""
+    sh AS (
       SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents
       WHERE len(string_split(text, ' ')) >= 3
     ), ex AS (
@@ -171,6 +171,10 @@ _MINHASH_LSH_SQL = f"""
       JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
       GROUP BY 1, 2
     )
+    """
+
+_MINHASH_LSH_SQL = f"""
+    WITH {_MINHASH_CTES}
     SELECT cm.doc_a, cm.doc_b,
            round(nc * 1.0 / (sa.nsh + sb.nsh - nc), 6) AS jaccard
     FROM common cm
@@ -179,14 +183,15 @@ _MINHASH_LSH_SQL = f"""
     WHERE nc * 1.0 / (sa.nsh + sb.nsh - nc) >= 0.5
     """
 
-def _lsh_verified_pairs(docs, band_specs: list[tuple[int, ...]], threshold=0.5):
-    """Shared MinHash+LSH candidate generation with exact-Jaccard
-    verification — the scale path for every near-dup consumer.
+def _lsh_pair_stats(docs, band_specs: list[tuple[int, ...]]):
+    """Shared MinHash+LSH candidate generation with exact shingle-set
+    statistics — the scale path for every near-dup consumer.
 
     ``band_specs`` is a list of tuples of minhash indices; docs whose
     signatures agree on ALL indices of any one band become a candidate
     pair. The only big shuffle keys on (band, bucket); verification
-    touches candidate pairs only. Returns (doc_a, doc_b, jaccard)."""
+    touches candidate pairs only. Returns UNFILTERED candidate stats
+    (doc_a, doc_b, nc, nsha, nshb) — nc = |A∩B|, nsh* = |A|,|B|."""
     sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
         "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
     )
@@ -242,12 +247,18 @@ def _lsh_verified_pairs(docs, band_specs: list[tuple[int, ...]], threshold=0.5):
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsha"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nshb"))
+    return common.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", "nc", "nsha", "nshb"
+    )
+
+
+def _lsh_verified_pairs(docs, band_specs: list[tuple[int, ...]], threshold=0.5):
+    """Jaccard-verified near-dup pairs over the LSH candidates (the
+    original consumer surface: (doc_a, doc_b, jaccard >= threshold))."""
+    stats = _lsh_pair_stats(docs, band_specs)
     jac = F.col("nc") * 1.0 / (F.col("nsha") + F.col("nshb") - F.col("nc"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return stats.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -570,4 +581,76 @@ def dedup_keep_best(spark, sf_dir):
         F.when(F.col("doc_id") == F.col("canonical_id"), 1)
         .otherwise(0)
         .alias("kept"),
+    )
+
+
+_PAIR_SCORES_SQL = f"""
+    WITH {_MINHASH_CTES},
+    stats AS (
+      SELECT cm.doc_a, cm.doc_b, cm.nc, sa.nsh AS nsha, sb.nsh AS nshb
+      FROM common cm
+      JOIN sig sa ON sa.doc_id = cm.doc_a
+      JOIN sig sb ON sb.doc_id = cm.doc_b
+      WHERE nc * 1.0 / (sa.nsh + sb.nsh - nc) >= 0.5
+    )
+    SELECT s.doc_a, s.doc_b,
+           round(nc * 1.0 / (nsha + nshb - nc), 6) AS jaccard,
+           CAST(levenshtein(substr(da.text, 1, 120), substr(db.text, 1, 120))
+                * 1000
+                // greatest(len(substr(da.text, 1, 120)),
+                            len(substr(db.text, 1, 120))) AS BIGINT)
+             AS lev_permille,
+           CAST(nc * 1000 // least(nsha, nshb) AS BIGINT)
+             AS containment_permille
+    FROM stats s
+    JOIN documents da ON da.doc_id = s.doc_a
+    JOIN documents db ON db.doc_id = s.doc_b
+    """
+
+
+@q("dedup_pair_scores", _PAIR_SCORES_SQL)
+def dedup_pair_scores(spark, sf_dir):
+    """Multi-signal verification of the LSH near-dup candidates: for
+    every Jaccard-verified pair, also compute (a) the Levenshtein
+    edit-distance ratio on bounded 120-char prefixes (edit distance is
+    O(len^2) per pair — the prefix bound keeps per-pair cost constant
+    at any corpus scale; candidates are already LSH-bounded) and (b)
+    the shingle-set CONTAINMENT |A∩B|/min(|A|,|B|) — the asymmetry
+    detector: near-1 containment with mid Jaccard means one doc
+    embeds the other.
+
+    Exactness: both new scores are integer permille via integer
+    division (lev and set counts are exact integers in both engines);
+    only the already-established round(jaccard, 6) is float.
+
+    Plan: _lsh_pair_stats's banded shuffle produces the pair stats;
+    the two documents-table joins re-attach text by doc id (at scale:
+    shuffle-hash equi-joins on the dimension id, candidate-bounded)."""
+    (docs,) = _docs(spark, sf_dir)
+    stats = _lsh_pair_stats(docs, BANDS_4x4)
+    jac = F.col("nc") * 1.0 / (F.col("nsha") + F.col("nshb") - F.col("nc"))
+    pairs = stats.filter(jac >= 0.5)
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, 120).alias("text_a"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, 120).alias("text_b"),
+    )
+    lev = F.levenshtein("text_a", "text_b")
+    maxlen = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 6).alias("jaccard"),
+            F.expr("(levenshtein(text_a, text_b) * 1000) div "
+                   "greatest(length(text_a), length(text_b))")
+            .cast("long").alias("lev_permille"),
+            F.expr("(nc * 1000) div least(nsha, nshb)")
+            .cast("long").alias("containment_permille"),
+        )
     )

@@ -1085,3 +1085,163 @@ def w_distribution_functions(spark, sf_dir):
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.nth_value("event_id", 1).over(wfull).cast("long").alias("first_in_type"),
     )
+
+
+_EWMA_TERMS = 8  # dyadic weights 128/256 ... 1/256 over the last 8 buckets
+
+
+@q(
+    "ev_ewma_counts",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day, hour, CAST(n AS BIGINT) AS n,
+           CAST({' + '.join(
+               f'{1 << (7 - k)} * coalesce(lag(n, {k}) OVER w, 0)'
+               if k else f'{1 << 7} * n'
+               for k in range(8)
+           )} AS BIGINT) AS ewma_q256
+    FROM b
+    WINDOW w AS (PARTITION BY event_type ORDER BY day, hour)
+    """,
+)
+def ev_ewma_counts(spark, sf_dir):
+    """Exponentially-weighted moving average of hourly event counts on
+    the INTEGER grid: weights are dyadic (1/2, 1/4, ... 1/256 over the
+    last 8 observed buckets), emitted in units of 1/256 — so the
+    smoothing is bit-identical in both engines (the classic recursive
+    EWMA is a float fold whose summation order no engine pins; the
+    finite dyadic form is the hash-safe equivalent).
+
+    Plan: one bucket-count shuffle, then one window shuffle keyed on
+    event_type — lag terms all come from the same sorted frame."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day", "hour")
+    ewma = F.lit(0).cast("long")
+    for k in range(_EWMA_TERMS):
+        term = F.col("n") if k == 0 else F.coalesce(
+            F.lag("n", k).over(w), F.lit(0)
+        )
+        ewma = ewma + F.lit(1 << (7 - k)) * term
+    return b.select(
+        "event_type", "day", "hour",
+        F.col("n").cast("long").alias("n"),
+        ewma.cast("long").alias("ewma_q256"),
+    )
+
+
+@q(
+    "w_sliding_count_1h",
+    """
+    SELECT event_id, event_type,
+           CAST(count(*) OVER (
+               PARTITION BY event_type ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour
+    FROM events
+    """,
+)
+def w_sliding_count_1h(spark, sf_dir):
+    """Trailing-hour event count per event (the rate-limiter /
+    burst-detector window): a RANGE frame over epoch microseconds —
+    every row sees how many same-type events arrived in its trailing
+    hour, with no bucketing artifacts. Counts are exact integers; one
+    window shuffle keyed on event_type."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count("*").over(w).cast("long").alias("n_last_hour"),
+    )
+
+
+@q(
+    "agg_contingency_chi2cells",
+    """
+    WITH o AS (
+      SELECT l_returnflag AS flag, l_linestatus AS status,
+             count(*) AS o FROM lineitem GROUP BY 1, 2
+    ), t AS (
+      SELECT flag, status, o,
+             sum(o) OVER (PARTITION BY flag) AS row_total,
+             sum(o) OVER (PARTITION BY status) AS col_total,
+             sum(o) OVER () AS grand
+      FROM o
+    )
+    SELECT flag, status, CAST(o AS BIGINT) AS o,
+           CAST(row_total AS BIGINT) AS row_total,
+           CAST(col_total AS BIGINT) AS col_total,
+           round(row_total * col_total * 1.0 / grand, 6) AS expected,
+           round((o - row_total * col_total * 1.0 / grand)
+                 * (o - row_total * col_total * 1.0 / grand)
+                 / (row_total * col_total * 1.0 / grand), 6) AS chi2_cell
+    FROM t
+    """,
+)
+def agg_contingency_chi2cells(spark, sf_dir):
+    """Chi-square contingency cells for (returnflag x linestatus) —
+    the categorical-independence screen (label-leak / correlation
+    detection in curation). Per-cell observed/expected/contribution;
+    the grand chi-square is the downstream sum.
+
+    Exactness: observed and marginal totals are exact integers; the
+    expected value and cell contribution are single deterministic
+    float expressions per cell (no float ever aggregates), round(6)
+    on both engines.
+
+    Plan: one partial-aggregated count shuffle to cells (|flags| x
+    |statuses| rows), then marginal window sums over the cell table —
+    model-scale regardless of fact-table size."""
+    from pyspark.sql import Window
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    o = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("status"),
+        )
+        .agg(F.count("*").alias("o"))
+    )
+    row_t = F.sum("o").over(Window.partitionBy("flag"))
+    col_t = F.sum("o").over(Window.partitionBy("status"))
+    grand = F.sum("o").over(Window.partitionBy())
+    t = o.select(
+        "flag", "status", "o",
+        row_t.alias("row_total"), col_t.alias("col_total"),
+        grand.alias("grand"),
+    )
+    e = F.col("row_total") * F.col("col_total") * F.lit(1.0) / F.col("grand")
+    return t.select(
+        "flag",
+        "status",
+        F.col("o").cast("long").alias("o"),
+        F.col("row_total").cast("long").alias("row_total"),
+        F.col("col_total").cast("long").alias("col_total"),
+        F.round(e, 6).alias("expected"),
+        F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).alias("chi2_cell"),
+    )
