@@ -42,6 +42,8 @@ HEADLINE = (
     "t_bigram_lm_score",
     "t_bpe_encode_tokens",
     "pipeline_corpus_e2e",
+    "graph_pagerank",
+    "dq_profile_columns",
     "timechannel_avg",
     "bda_avg",
 )
