@@ -316,3 +316,17 @@ def test_weighted_sample_overrepresents_heavy_docs(spark):
     assert samp.groupby("lang")["rank"].apply(
         lambda s: sorted(s) == list(range(1, len(s) + 1))
     ).all()
+
+
+def test_truncated_recall_is_a_real_measurement(spark):
+    """The truncation gate must produce coherent per-query recalls; the
+    pinned finding: untrained 16-of-64 truncation on the isotropic
+    fixture is BAD (mean recall well under 0.5) — the gate's value is
+    saying 'do not ship this index'."""
+    from xova_spark.queries import similarity as S
+
+    df = S.ann_truncated_recall_at5(spark, SF_MID).toPandas()
+    assert len(df) == 10
+    assert ((df["n_hits"] >= 0) & (df["n_hits"] <= 5)).all()
+    assert (df["recall_at_5"] * 5 - df["n_hits"]).abs().max() < 1e-9
+    assert df["recall_at_5"].mean() < 0.5

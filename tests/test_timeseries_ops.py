@@ -124,3 +124,28 @@ def test_chi2_cells_consistency(spark):
     e = r.row_total * r.col_total / df["o"].sum()
     assert abs(r.expected - round(e, 6)) < 1e-9
     assert abs(r.chi2_cell - round((r.o - e) ** 2 / e, 6)) < 1e-9
+
+
+def test_session_stats_consistent_with_sessionize(spark):
+    from xova_spark.queries import relational as RL
+    from xova_spark.queries import relext as RX
+
+    st = RX.ev_session_stats(spark, SF).toPandas()
+    sz = RL.w_sessionize(spark, SF).toPandas()
+    # same session partition: identical (user, session) -> n_events
+    a = st.set_index(["user_id", "session_id"])["n_events"].sort_index()
+    b = sz.set_index(["user_id", "session_id"])["n_events"].sort_index()
+    assert (a == b).all() and len(a) == len(b)
+    assert (st["duration_us"] >= 0).all()
+    assert (st["session_end"] >= st["session_start"]).all()
+    # singleton sessions have zero duration
+    singles = st[st["n_events"] == 1]
+    assert (singles["duration_us"] == 0).all()
+    # gap law: within a user, the next session starts > 1h after the
+    # previous session's end
+    for _, g in st.sort_values(["user_id", "session_id"]).groupby("user_id"):
+        if len(g) < 2:
+            continue
+        prev_end = g["session_end"].iloc[:-1].to_numpy()
+        next_start = g["session_start"].iloc[1:].to_numpy()
+        assert ((next_start - prev_end) > pd.Timedelta(hours=1).to_timedelta64()).all()

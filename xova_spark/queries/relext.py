@@ -1245,3 +1245,65 @@ def agg_contingency_chi2cells(spark, sf_dir):
         F.round(e, 6).alias("expected"),
         F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).alias("chi2_cell"),
     )
+
+
+@q(
+    "ev_session_stats",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+             AS duration_us,
+           round(sum(value), 4) AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def ev_session_stats(spark, sf_dir):
+    """Session-level statistics on top of the sessionize pattern
+    (w_sessionize's gap>1h segmentation): per session the event count,
+    time bounds, microsecond-exact duration, and value total — the
+    table session-duration distributions, engagement metrics, and
+    funnel denominators read from.
+
+    Plan: ONE window shuffle keyed on user_id does both the gap flags
+    and the running session id (same sorted frame), then the session
+    aggregation partial-aggregates on (user_id, session_id) — the
+    second shuffle is session-scale, not event-scale. Durations are
+    integer micros (exact); the only float is round(total_value, 4)."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 3_600_000_000), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "event_id", "ts", "value", new_sess.alias("new_sess")
+    ).withColumn("session_id", F.sum("new_sess").over(wc).cast("long"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("long").alias("duration_us"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
