@@ -104,3 +104,17 @@ def test_histogram_drift_matches_pandas_lattice(spark):
     assert int(got["n_early"]) == te
     assert int(got["n_late"]) == tl
     assert int(got["l1_cross"]) == l1
+
+
+def test_dq_cli_writes_reports_and_strict_passes(spark, tmp_path):
+    from xova_spark.app import Application
+
+    out = str(tmp_path / "dqrep")
+    got = Application(["dq", SF, "-o", out, "--strict"], spark=spark).execute()
+    assert got == out
+    for name in ("profile", "keys", "orphans", "drift"):
+        df = spark.read.parquet(f"{out}/{name}")
+        assert df.count() > 0
+    # the fixture is referentially intact -> strict returned normally
+    orphans = spark.read.parquet(f"{out}/orphans").toPandas()
+    assert orphans["n_orphans"].sum() == 0

@@ -220,6 +220,18 @@ def create_parser() -> argparse.ArgumentParser:
     se.add_argument("--nprobe", default=2, type=int)
     se.add_argument("-o", "--output", default=None,
                     help="write results parquet here (default: print)")
+    dq = sp.add_parser(
+        "dq",
+        help="data-quality report over the relational tables: column "
+             "profile, candidate-key uniqueness, FK orphan counts, "
+             "distribution drift; --strict exits nonzero on violations",
+    )
+    dq.add_argument("ms", help="directory containing the relational parquet tables")
+    dq.add_argument("-o", "--output", default=None)
+    dq.add_argument("--force", action="store_true", default=False)
+    dq.add_argument("--strict", action="store_true", default=False,
+                    help="exit 1 if any FK orphan exists or a surrogate "
+                         "key is non-unique")
     return parser
 
 
@@ -310,6 +322,8 @@ class Application:
             return self._execute_index()
         if args.command == "search":
             return self._execute_search()
+        if args.command == "dq":
+            return self._execute_dq()
 
         # Opens real CASA MS directories too when python-casacore is
         # installed (sources/casa_ms bridge); parquet layout otherwise.
@@ -417,6 +431,48 @@ class Application:
         audit.write.mode("overwrite").parquet(
             os.path.join(args.output, "audit")
         )
+        return args.output
+
+    def _execute_dq(self) -> str:
+        """``xova-spark dq``: run the data-quality pack
+        (queries/dataqual) over the relational tables and write one
+        report parquet per check. With --strict, referential orphans or
+        a broken surrogate key fail the run — the pre-/post-transform
+        gate a pipeline calls between stages."""
+        import os
+
+        args = self.args
+        spark = self._session()
+        from xova_spark.queries import dataqual as DQ
+
+        if os.path.exists(args.output) and not args.force:
+            print(f"{args.output} exists, use --force to overwrite")
+            raise SystemExit(1)
+        reports = {
+            "profile": DQ.dq_profile_columns(spark, args.ms),
+            "keys": DQ.dq_key_uniqueness(spark, args.ms),
+            "orphans": DQ.dq_referential_orphans(spark, args.ms),
+            "drift": DQ.dq_histogram_drift(spark, args.ms),
+        }
+        for name, df in reports.items():
+            df.write.mode("overwrite").parquet(
+                os.path.join(args.output, name)
+            )
+        if args.strict:
+            orphans = spark.read.parquet(
+                os.path.join(args.output, "orphans")
+            ).agg(F.sum("n_orphans").alias("s")).collect()[0]["s"]
+            keys = spark.read.parquet(os.path.join(args.output, "keys"))
+            broken = keys.filter(
+                (~F.col("is_unique"))
+                & (~F.col("key_cols").contains(","))
+            ).count()
+            if orphans or broken:
+                print(
+                    f"dq violations: {orphans} orphan rows, "
+                    f"{broken} broken surrogate keys"
+                )
+                raise SystemExit(1)
         return args.output
 
     def _execute_tokenize(self) -> str:
