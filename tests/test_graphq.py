@@ -143,3 +143,32 @@ def test_jaccard_link_scores_match_bruteforce(spark):
         # Jaccard denominator (excluding the endpoints themselves)
         # is a nonnegative integer downstream expression
         assert r.deg_a + r.deg_b - 2 - r.n_common >= r.n_common >= 1
+
+
+def test_connected_components_match_union_find(spark):
+    got = {
+        int(r["node"]): int(r["component"])
+        for r in G.graph_connected_components(spark, SF).collect()
+    }
+    edges = _pandas_edges()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["pa"], edges["pb"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for v in parent:
+        # min-label: the root after full compression, then the minimum
+        # member of each set labels the component
+        want.setdefault(find(v), []).append(v)
+    want = {
+        v: min(members) for root, members in want.items() for v in members
+    }
+    assert got == want

@@ -454,14 +454,25 @@ def dedup_cc_clusters(spark, sf_dir):
     rounds). Both paths are deterministic and oracle-EXACT; tests pin
     them against each other."""
     (docs,) = _docs(spark, sf_dir)
-    pairs = _lsh_verified_pairs(docs, BANDS_16x1).select("doc_a", "doc_b").cache()
+    pairs = _lsh_verified_pairs(docs, BANDS_16x1).select("doc_a", "doc_b")
+    return cc_components(spark, pairs, id_col="doc_id")
+
+
+def cc_components(spark, pairs, id_col="doc_id"):
+    """Generic min-label connected components over an undirected edge
+    list (columns doc_a, doc_b) — the shared engine behind the near-dup
+    clusters and the graph pack. Size-gated: driver union-find under
+    ``_CC_COLLECT_EDGES`` edges, iterative min-label propagation above
+    (one shuffle join + groupBy-min per round, cached frontier,
+    monotone label-sum convergence witness)."""
+    pairs = pairs.cache()
     n_edges = pairs.count()  # also materializes the cache for either path
     if n_edges <= _CC_COLLECT_EDGES:
         rows = pairs.collect()
         pairs.unpersist()
         comp = _union_find_min_label([(r.doc_a, r.doc_b) for r in rows])
         return spark.createDataFrame(
-            sorted(comp.items()), "doc_id long, component long"
+            sorted(comp.items()), f"{id_col} long, component long"
         )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -469,18 +480,18 @@ def dedup_cc_clusters(spark, sf_dir):
         .cache()
     )
     labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("component", F.col("doc_id"))
+        edges.select(F.col("src").alias(id_col)).distinct()
+        .withColumn("component", F.col(id_col))
         .cache()
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(50):
         prop = edges.join(
-            labels.withColumnRenamed("doc_id", "src"), "src"
-        ).select(F.col("dst").alias("doc_id"), "component")
+            labels.withColumnRenamed(id_col, "src"), "src"
+        ).select(F.col("dst").alias(id_col), "component")
         new_labels = (
             labels.union(prop)
-            .groupBy("doc_id")
+            .groupBy(id_col)
             .agg(F.min("component").alias("component"))
             .cache()
         )

@@ -307,3 +307,31 @@ def graph_jaccard_link_scores(spark, sf_dir):
             F.col("db.degree").alias("deg_b"),
         )
     )
+
+
+@q(
+    "graph_connected_components",
+    f"""
+    WITH RECURSIVE {_DUCK_EDGES},
+    reach AS (
+      SELECT DISTINCT src AS node, src AS comp FROM arcs
+      UNION
+      SELECT a.dst AS node, r.comp
+      FROM reach r JOIN arcs a ON a.src = r.node
+    )
+    SELECT node, min(comp) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def graph_connected_components(spark, sf_dir):
+    """Connected components of the supported co-purchase graph — the
+    dedup pack's CC engine (dedup.cc_components: size-gated driver
+    union-find / iterative min-label propagation) applied to a second
+    edge domain, proving the operator is generic over any undirected
+    edge list. Oracle is the exhaustive recursive CTE."""
+    from xova_spark.queries.dedup import cc_components
+
+    pairs = _copurchase_edges(spark, sf_dir).select(
+        F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b")
+    )
+    return cc_components(spark, pairs, id_col="node")
