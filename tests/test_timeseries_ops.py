@@ -149,3 +149,23 @@ def test_session_stats_consistent_with_sessionize(spark):
         prev_end = g["session_end"].iloc[:-1].to_numpy()
         next_start = g["session_start"].iloc[1:].to_numpy()
         assert ((next_start - prev_end) > pd.Timedelta(hours=1).to_timedelta64()).all()
+
+
+def test_median_mad_outliers_match_numpy(spark):
+    import numpy as np
+
+    from xova_spark.queries import relext as RX
+
+    df = RX.agg_median_mad_outliers(spark, SF).toPandas().set_index("flag")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    for flag, g in li.groupby("l_returnflag"):
+        x = g["l_extendedprice"].to_numpy()
+        med = np.quantile(x, 0.5)
+        mad = np.quantile(np.abs(x - med), 0.5)
+        r = df.loc[flag]
+        assert r.n == len(x)
+        assert abs(r["median"] - med) < 1e-6
+        assert abs(r["mad"] - mad) < 1e-6
+        assert r.n_outliers == int((np.abs(x - med) > 3.0 * 1.4826 * mad).sum())
+        # robust law: outliers are a small minority
+        assert r.n_outliers < 0.1 * r.n

@@ -1307,3 +1307,78 @@ def ev_session_stats(spark, sf_dir):
         .cast("long").alias("duration_us"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@q(
+    "agg_median_mad_outliers",
+    """
+    WITH med AS (
+      SELECT l_returnflag AS flag,
+             CAST(count(*) AS BIGINT) AS n,
+             quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY 1
+    ), mad AS (
+      SELECT m.flag,
+             quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.flag
+      GROUP BY m.flag
+    )
+    SELECT m.flag, m.n,
+           round(m.med, 6) AS median,
+           round(d.mad, 6) AS mad,
+           CAST(sum(CASE WHEN abs(l.l_extendedprice - m.med)
+                              > 3.0 * 1.4826 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l
+    JOIN med m ON l.l_returnflag = m.flag
+    JOIN mad d ON d.flag = m.flag
+    GROUP BY m.flag, m.n, m.med, d.mad
+    """,
+)
+def agg_median_mad_outliers(spark, sf_dir):
+    """Robust per-group statistics: exact interpolated median, median
+    absolute deviation, and the 3-sigma-equivalent (3 x 1.4826 x MAD)
+    outlier count — the outlier screen that survives the heavy tails
+    that break mean/stddev z-scores.
+
+    Exactness: Spark `percentile` and DuckDB `quantile_cont` both
+    linearly interpolate on the sorted values (verified bit-identical
+    on this data); medians/MADs are sort-picked scalars, not float
+    sums, so only the final round(6) is cosmetic. The outlier
+    threshold compares identical doubles on both engines.
+
+    Plan (the 3-pass robust-stats shape): group median (one sort-based
+    agg shuffle), broadcast the K-row median table back for the MAD
+    pass, broadcast again for the outlier count — fact table scanned
+    three times but shuffled only into K groups each pass; at 100 TB
+    the medians would move to approx_percentile with this exact form
+    as the audit referee."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
+    )
+    j1 = li.join(
+        F.broadcast(med), li.l_returnflag == med.flag
+    )
+    mad = j1.groupBy("flag").agg(
+        F.expr("percentile(abs(l_extendedprice - med), 0.5)").alias("mad")
+    )
+    j2 = li.join(F.broadcast(med), li.l_returnflag == med.flag).join(
+        F.broadcast(mad), "flag"
+    )
+    dev = F.abs(F.col("l_extendedprice") - F.col("med"))
+    return (
+        j2.groupBy("flag", "n", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(dev > 3.0 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers")
+        )
+        .select(
+            "flag", "n",
+            F.round("med", 6).alias("median"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )
