@@ -38,6 +38,7 @@ def _registries() -> dict[str, tuple]:
         "tpchx",
         "graphq",
         "dataqual",
+        "cdcq",
     ):
         try:
             mod = __import__(f"xova_spark.queries.{modname}", fromlist=["REGISTRY"])

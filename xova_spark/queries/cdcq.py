@@ -1,0 +1,214 @@
+"""CDC / incremental-maintenance pack.
+
+The reference maintains its output MS by full rewrite (xova writes a
+fresh averaged MS per run — xova/apps/xova/app.py:107-116); a 100 TB
+pipeline cannot afford that, so this pack adds the change-data-capture
+primitives that make maintenance incremental: snapshot diffing (derive
+the changelog two table versions imply), merge/upsert (apply a
+changelog to a base snapshot), and changelog compaction (collapse a
+multi-version key history to its latest state).
+
+Exactness discipline: the "price" payload is carried as integer cents
+(``floor(x * 100 + 0.5)`` — identical in both engines, see ROADMAP
+invariants); all counts are BIGINT; update deltas are integer adds.
+
+The two snapshots are derived deterministically from ``orders``:
+
+- OLD = orders with o_orderdate < 1997-07-01
+- NEW = orders with o_orderdate < 1998-07-01 (the later year's orders
+  are the INSERTs), minus keys with o_orderkey % 97 == 3 (DELETEs),
+  with price_cents + 500 for o_orderkey % 10 == 0 (UPDATEs).
+
+``cdc_merge_upsert`` is the strong gate: Spark derives the changelog
+and REPLAYS it onto OLD; the DuckDB oracle computes NEW directly.
+Hash equality proves merge-apply ≡ direct recomputation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xova_spark.session import load_tables
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+_OLD_CUT = "1997-07-01"
+_NEW_CUT = "1998-07-01"
+
+# Shared CTE text (DuckDB): the two snapshot definitions.
+_SNAP_CTES = f"""
+    old_snap AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '{_OLD_CUT}'
+    ),
+    new_snap AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   + CASE WHEN o_orderkey % 10 = 0 THEN 500 ELSE 0 END
+                   AS price_cents
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '{_NEW_CUT}'
+          AND o_orderkey % 97 <> 3
+    )
+"""
+
+
+def _snapshots(spark, sf_dir):
+    """The Spark twins of the old/new snapshot derivations."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    old = o.where(
+        F.col("o_orderdate") < F.lit(_OLD_CUT).cast("timestamp")
+    ).select("o_orderkey", cents.alias("price_cents"))
+    new = (
+        o.where(
+            (F.col("o_orderdate") < F.lit(_NEW_CUT).cast("timestamp"))
+            & (F.col("o_orderkey") % 97 != 3)
+        ).select(
+            "o_orderkey",
+            (
+                cents
+                + F.when(F.col("o_orderkey") % 10 == 0, 500).otherwise(0)
+            ).alias("price_cents"),
+        )
+    )
+    return old, new
+
+
+def _diff(old, new):
+    """Changelog from two snapshots: one shuffled full-outer join on
+    the key (both sides are fact-scale — shuffling both is the correct
+    100 TB plan; AQE picks the strategy), then a row classifier."""
+    o = old.select(
+        F.col("o_orderkey").alias("k_old"),
+        F.col("price_cents").alias("old_price_cents"),
+    )
+    n = new.select(
+        F.col("o_orderkey").alias("k_new"),
+        F.col("price_cents").alias("new_price_cents"),
+    )
+    j = o.join(n, o.k_old == n.k_new, "full_outer")
+    op = (
+        F.when(F.col("k_old").isNull(), F.lit("I"))
+        .when(F.col("k_new").isNull(), F.lit("D"))
+        .when(F.col("old_price_cents") != F.col("new_price_cents"), F.lit("U"))
+    )
+    return (
+        j.select(
+            F.coalesce("k_old", "k_new").alias("o_orderkey"),
+            op.alias("op"),
+            "old_price_cents",
+            "new_price_cents",
+        )
+        .where(F.col("op").isNotNull())
+    )
+
+
+@q(
+    "cdc_snapshot_diff",
+    f"""
+    WITH {_SNAP_CTES}
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           o.price_cents AS old_price_cents,
+           n.price_cents AS new_price_cents
+    FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.price_cents <> n.price_cents
+    """,
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """Snapshot diff → changelog: classify every key of two table
+    versions as INSERT / UPDATE / DELETE (unchanged rows drop out).
+    This is the capture side of CDC — the changelog that downstream
+    incremental maintenance replays."""
+    old, new = _snapshots(spark, sf_dir)
+    return _diff(old, new)
+
+
+@q(
+    "cdc_merge_upsert",
+    f"""
+    WITH {_SNAP_CTES}
+    SELECT o_orderkey, price_cents FROM new_snap
+    """,
+)
+def cdc_merge_upsert(spark, sf_dir):
+    """MERGE / upsert: replay the changelog onto the OLD snapshot —
+    deletes drop the base row, updates/inserts take the changelog
+    payload, untouched base rows pass through. The oracle computes the
+    NEW snapshot DIRECTLY, so the hash gate proves
+    apply(old, diff(old, new)) ≡ new — the merge operator's defining
+    law, checked end-to-end on real data.
+
+    Plan: the changelog join keys on the same column as the diff join,
+    so the merge is one more hash-partitioned join on o_orderkey; no
+    broadcast (both sides fact-scale)."""
+    old, new = _snapshots(spark, sf_dir)
+    chg = _diff(old, new).select(
+        F.col("o_orderkey").alias("k_chg"), "op", "new_price_cents"
+    )
+    j = old.join(chg, old.o_orderkey == chg.k_chg, "full_outer")
+    return (
+        j.where((F.col("op").isNull()) | (F.col("op") != "D"))
+        .select(
+            F.coalesce("o_orderkey", "k_chg").alias("o_orderkey"),
+            F.when(F.col("op").isNotNull(), F.col("new_price_cents"))
+            .otherwise(F.col("price_cents"))
+            .alias("price_cents"),
+        )
+    )
+
+
+@q(
+    "cdc_changelog_compact",
+    """
+    WITH v AS (
+        SELECT user_id, event_type, event_id, value, ts,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn,
+               count(*) OVER (
+                   PARTITION BY user_id, event_type
+               ) AS n_versions
+        FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           round(value, 4) AS last_value,
+           CAST(n_versions AS BIGINT) AS n_versions
+    FROM v WHERE rn = 1
+    """,
+)
+def cdc_changelog_compact(spark, sf_dir):
+    """Changelog compaction: collapse each key's multi-version history
+    (events as a changelog keyed on (user_id, event_type)) to its
+    latest state + version count. Spark side uses max_by over the
+    (ts, event_id) struct — a map-side-combinable aggregation, NOT a
+    window sort: at 100 TB the compactor is one partial-aggregated
+    shuffle with no per-partition total ordering. The oracle takes the
+    row_number formulation; hash equality shows the two are the same
+    operator."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by("event_id", ordk).cast("long").alias("last_event_id"),
+            F.round(F.max_by("value", ordk), 4).alias("last_value"),
+            F.count("*").cast("long").alias("n_versions"),
+        )
+    )
