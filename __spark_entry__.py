@@ -39,6 +39,7 @@ def _registries() -> dict[str, tuple]:
         "graphq",
         "dataqual",
         "cdcq",
+        "layoutq",
     ):
         try:
             mod = __import__(f"xova_spark.queries.{modname}", fromlist=["REGISTRY"])

@@ -1,0 +1,68 @@
+"""Z-order (Morton) curve helpers for multi-dimensional data layout.
+
+At 100 TB, a table sorted on ONE key prunes scans on that key only;
+interleaving the bits of two keys (the Morton/Z-order curve) gives
+row-group min/max statistics that are narrow in BOTH dimensions, so
+parquet row-group pruning works for filters on either key or both.
+This is the layout trick behind Delta/Iceberg ``ZORDER BY`` — here as
+plain Column arithmetic (shiftleft/AND/OR, whole-stage codegen; no
+UDF), plus the DuckDB-SQL twin generator used by the oracle gate.
+
+The classic 16-bit spread uses the magic-mask doubling network; both
+engines evaluate it on BIGINT with identical two's-complement
+semantics, so z-values are bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (shift, mask) doubling network spreading 16 bits over 32.
+_SPREAD = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def spread_bits16(col: Column) -> Column:
+    """Spread the low 16 bits of ``col`` so bit k lands at bit 2k."""
+    x = col.bitwiseAND(F.lit(0xFFFF)).cast("long")
+    for sh, mask in _SPREAD:
+        x = (x.bitwiseOR(F.shiftleft(x, sh))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def morton2(x: Column, y: Column) -> Column:
+    """Morton/Z-order interleave of two 16-bit keys (x even bits,
+    y odd bits). Wider keys should be range-bucketed to 16 bits first."""
+    return spread_bits16(x).bitwiseOR(F.shiftleft(spread_bits16(y), 1))
+
+
+def spread_bits16_sql(expr: str) -> str:
+    """DuckDB-SQL twin of :func:`spread_bits16` (unrolled text)."""
+    s = f"(({expr}) & 65535)"
+    for sh, mask in _SPREAD:
+        s = f"(({s} | ({s} << {sh})) & {mask})"
+    return s
+
+
+def morton2_sql(x_expr: str, y_expr: str) -> str:
+    return f"({spread_bits16_sql(x_expr)} | ({spread_bits16_sql(y_expr)} << 1))"
+
+
+def zorder_layout(df: DataFrame, x: str, y: str, n_files: int) -> DataFrame:
+    """Lay a table out along the Z-curve: range-partition on the
+    Morton key (one skew-balanced range shuffle — Spark samples the
+    key distribution), then sort within each partition so every
+    output file covers a compact Z-range. Downstream parquet scans
+    prune row groups on min/max stats of BOTH x and y."""
+    z = morton2(F.col(x), F.col(y)).alias("__z")
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
