@@ -638,3 +638,81 @@ def stream_anomaly_alerts(spark, sf_dir):
             F.when(F.abs(z) >= 2.0, 1).otherwise(0).alias("anomaly"),
         )
     )
+
+
+@q(
+    "stream_click_attribution",
+    """
+    SELECT CAST(v.event_id AS BIGINT) AS view_id,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           v.user_id AS user_id,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 4 HOUR
+    """,
+)
+def stream_click_attribution(spark, sf_dir):
+    """STREAM-STREAM interval join — the one Structured Streaming join
+    shape the rest of the pack doesn't cover: a views stream joined to
+    a clicks stream on user within a 4-hour attribution window.
+    Both sides carry event-time watermarks (5 h — window width plus
+    late-data margin), which is what BOUNDS the join state: Spark
+    evicts a buffered view once no future click can land in its
+    window, so state is O(rows-in-flight), not O(stream length) — the
+    property that lets this run forever at 100 TB/day. Inner-join
+    results are emitted as matches arrive; the availableNow-converged
+    output equals the batch interval join (the oracle)."""
+    from xova_spark.queries.relational import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    norm = F.to_utc_timestamp(F.col("ts"), "UTC")
+    views = (
+        _events_stream(spark, sf_dir)
+        .withColumn("ts", norm)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "5 hours")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .withColumn("ts", norm)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "5 hours")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND c_ts >= v_ts "
+            "AND c_ts < v_ts + interval 4 hours"
+        ),
+    )
+    name = f"q_stream_attrib_{next(_uniq)}"
+    with SA.stream_state_partitions(spark):
+        q_ = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    t = spark.table(name)
+    return t.select(
+        F.col("view_id").cast("long").alias("view_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts"))
+        .cast("long")
+        .alias("lag_us"),
+    )
