@@ -169,3 +169,46 @@ def test_median_mad_outliers_match_numpy(spark):
         assert r.n_outliers == int((np.abs(x - med) > 3.0 * 1.4826 * mad).sum())
         # robust law: outliers are a small minority
         assert r.n_outliers < 0.1 * r.n
+
+
+def test_double_smooth_forecast_laws(spark):
+    """Brown forecast laws on the dyadic grid: s1 is the same EWMA the
+    ewma query computes, and for a steady-state (all 8 lags present and
+    equal) series the one-step forecast equals the level exactly."""
+    got = R.ev_double_smooth_forecast(spark, SF).toPandas()
+    ew = R.ev_ewma_counts(spark, SF).toPandas()
+    m = got.merge(ew, on=["event_type", "day", "hour", "n"], how="inner")
+    assert len(m) == len(got) == len(ew)
+    assert (m["s1_q256"] == m["ewma_q256"]).all()
+
+    # Synthetic steady state: constant n across >= 16 buckets.
+    import pandas as pd
+
+    const = pd.DataFrame(
+        {
+            "event_type": ["x"] * 20,
+            "day": [0] * 20,
+            "hour": list(range(20)),
+            "n": [7] * 20,
+        }
+    )
+    # Replay the same dyadic formulas in pandas.
+    w = [1 << (7 - k) for k in range(8)]
+
+    def ewma8(vals):
+        out = []
+        for i in range(len(vals)):
+            out.append(sum(w[k] * (vals[i - k] if i - k >= 0 else 0) for k in range(8)))
+        return out
+
+    s1 = ewma8(const["n"].tolist())
+    s2 = ewma8(s1)
+    fc = [3 * 256 * a - 2 * b for a, b in zip(s1, s2)]
+    # After 15 warmup buckets both smoothings saturate: s1 = 7 * 255
+    # (the 8 dyadic weights sum to 255/256), s2 = 255 * s1, and the
+    # forecast recovers the constant level to within the truncation
+    # bias (factor (255*258)/65536 ≈ 1.004).
+    assert s1[-1] == 7 * 255
+    assert s2[-1] == 255 * s1[-1]
+    assert fc[-1] == 3 * 256 * s1[-1] - 2 * s2[-1] == 7 * 255 * 258
+    assert abs(fc[-1] - 7 * 65536) <= 0.01 * 7 * 65536

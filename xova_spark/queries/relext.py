@@ -1148,6 +1148,87 @@ def ev_ewma_counts(spark, sf_dir):
 
 
 @q(
+    "ev_double_smooth_forecast",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    s1 AS (
+      SELECT event_type, day, hour, n,
+             {' + '.join(
+                 f'{1 << (7 - k)} * coalesce(lag(n, {k}) OVER w, 0)'
+                 if k else f'{1 << 7} * n'
+                 for k in range(8)
+             )} AS s1_q256
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY day, hour)
+    )
+    SELECT event_type, day, hour, CAST(n AS BIGINT) AS n,
+           CAST(s1_q256 AS BIGINT) AS s1_q256,
+           CAST(3 * 256 * s1_q256 - 2 * ({' + '.join(
+               f'{1 << (7 - k)} * coalesce(lag(s1_q256, {k}) OVER w, 0)'
+               if k else f'{1 << 7} * s1_q256'
+               for k in range(8)
+           )}) AS BIGINT) AS forecast_q65536
+    FROM s1
+    WINDOW w AS (PARTITION BY event_type ORDER BY day, hour)
+    """,
+)
+def ev_double_smooth_forecast(spark, sf_dir):
+    """Brown's double-exponential smoothing (level + trend) one-step
+    forecast of hourly event counts, on the dyadic INTEGER grid: with
+    alpha = 1/2 the forecast is 3·s1 − 2·s2 where s1/s2 are the first
+    and second smoothings — both computed as the truncated 8-lag
+    dyadic EWMA (units 1/256 and 1/65536), so every value is an exact
+    integer, bit-identical cross-engine (see ev_ewma_counts for why
+    the recursive float fold is not hash-safe).
+
+    Plan: one bucket-count shuffle, then BOTH smoothing passes run in
+    the SAME window partitioning (event_type) — Catalyst plans a
+    single window-sort exchange reused by the chained windows; no
+    second shuffle, no UDF, no driver iteration."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day", "hour")
+
+    def ewma8(col_name: str):
+        acc = F.lit(0).cast("long")
+        for k in range(_EWMA_TERMS):
+            term = F.col(col_name) if k == 0 else F.coalesce(
+                F.lag(col_name, k).over(w), F.lit(0)
+            )
+            acc = acc + F.lit(1 << (7 - k)) * term
+        return acc
+
+    s1 = b.withColumn("s1_q256", ewma8("n"))
+    return s1.select(
+        "event_type",
+        "day",
+        "hour",
+        F.col("n").cast("long").alias("n"),
+        F.col("s1_q256").cast("long").alias("s1_q256"),
+        (F.lit(3 * 256) * F.col("s1_q256") - F.lit(2) * ewma8("s1_q256"))
+        .cast("long")
+        .alias("forecast_q65536"),
+    )
+
+
+@q(
     "w_sliding_count_1h",
     """
     SELECT event_id, event_type,
