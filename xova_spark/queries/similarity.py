@@ -680,6 +680,249 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+_IVFKM_K = 8      # trained coarse-quantizer size
+_IVFKM_ITERS = 2  # Lloyd update iterations
+_IVFKM_NQ = 10    # query vectors
+_IVFKM_NPROBE = 2
+
+
+def _ivfkm_ctes() -> list[str]:
+    """Seeded dyadic Lloyd's with K={_IVFKM_K} — same recipe as
+    pipelineq._kmeans_ctes but parametrized for the IVF cell count."""
+    from xova_spark.queries.pipelineq import _DIM, _DUCK_Q, _duck_dist
+
+    ctes = [
+        f"e AS (SELECT vec_id, {_DUCK_Q} AS emb FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, emb AS cv FROM e "
+        f"WHERE vec_id < {_IVFKM_K})",
+    ]
+    for it in range(_IVFKM_ITERS + 1):
+        d = _duck_dist("e.emb", "c.cv")
+        ctes.append(
+            f"s{it} AS (SELECT e.vec_id, c.cid, {d} AS d "
+            f"FROM e CROSS JOIN c{it} c)"
+        )
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, cid, d FROM ("
+            f"SELECT vec_id, cid, d, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY d, cid) AS rn FROM s{it}"
+            f") WHERE rn = 1)"
+        )
+        if it < _IVFKM_ITERS:
+            ctes.append(
+                f"m{it} AS (SELECT a.cid, g.i AS dim, "
+                f"sum(e.emb[g.i]) / count(*) AS v "
+                f"FROM a{it} a JOIN e USING (vec_id), "
+                f"generate_series(1, {_DIM}) g(i) GROUP BY a.cid, g.i)"
+            )
+            ctes.append(
+                f"c{it + 1} AS (SELECT cid, list(v ORDER BY dim) AS cv "
+                f"FROM m{it} GROUP BY cid)"
+            )
+    return ctes
+
+
+def _ivfkm_core_sql() -> str:
+    """CTE chain ending in ``ranked`` (trained cells + IVF search)."""
+    return f"""{', '.join(_ivfkm_ctes())},
+    probes AS (
+      SELECT vec_id AS qid, cid AS pcell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM s{_IVFKM_ITERS} WHERE vec_id < {_IVFKM_NQ}
+      ) WHERE rn <= {_IVFKM_NPROBE}
+    ),
+    normed AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT p.qid, a.vec_id AS cid,
+             {_duck_dot('qn.embedding', 'cn.embedding')} / (qn.nrm * cn.nrm)
+                 AS cos
+      FROM probes p
+      JOIN a{_IVFKM_ITERS} a ON a.cid = p.pcell AND a.vec_id != p.qid
+      JOIN normed qn ON qn.vec_id = p.qid
+      JOIN normed cn ON cn.vec_id = a.vec_id
+    ),
+    ranked AS (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+      FROM scored
+    )"""
+
+
+@q(
+    "ann_ivfkm_topk",
+    f"""
+    WITH {_ivfkm_core_sql()}
+    SELECT qid, cid, round(cos, 6) AS cos, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def ann_ivfkm_topk(spark, sf_dir):
+    """IVF with a TRAINED coarse quantizer — the production composite
+    ann_ivf_topk stands in for with seed centroids: cells come from
+    k-means (K={_IVFKM_K}, {_IVFKM_ITERS} Lloyd iterations on the
+    dyadic-quantized embeddings — exactly emb_kmeans_assign's recipe,
+    which is what keeps a TRAINED quantizer under the value-hash gate:
+    dyadic inputs make centroid sums order-independent-exact, so both
+    engines learn bit-identical centroids), then the standard inverted-
+    file search: every vector assigned to its nearest trained cell,
+    queries probe their {_IVFKM_NPROBE} nearest cells, exact cosine on
+    the original (unquantized) vectors ranks candidates.
+
+    Plan: training is {_IVFKM_ITERS} broadcast-assign + partial-agg
+    update rounds (k·dim sums shuffle — tiny); search is ONE shuffle
+    keyed on the cell id. At billions of vectors the trained cells are
+    also the storage partitioning key (see the index/search CLI)."""
+    from xova_spark.queries.pipelineq import _DIM
+
+    (emb,) = _emb(spark, sf_dir)
+    quant = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1024) / 1024
+        ).alias("emb"),
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    ).cache()
+
+    cents = {
+        r["vec_id"]: list(r["emb"])
+        for r in quant.filter(F.col("vec_id") < _IVFKM_K).collect()
+    }
+
+    def ranked_cells(cent_map):
+        rows = [
+            (int(cid), [float(v) for v in cv])
+            for cid, cv in sorted(cent_map.items())
+        ]
+        cdf = spark.createDataFrame(rows, "cid int, cv array<double>")
+        d = F.aggregate(
+            F.zip_with("emb", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        return (
+            quant.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "embedding", "nrm", "cid", d.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+        )
+
+    for _ in range(_IVFKM_ITERS):
+        a = ranked_cells(cents).filter(F.col("rn") == 1)
+        upd = (
+            a.join(quant.select("vec_id", "emb"), "vec_id")
+            .select("cid", F.posexplode("emb").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg((F.sum("x") / F.count("*")).alias("v"))
+            .collect()
+        )
+        new_cents: dict[int, list[float]] = {}
+        for row in upd:
+            new_cents.setdefault(row["cid"], [0.0] * _DIM)[row["dim"]] = row["v"]
+        cents = new_cents
+
+    final = ranked_cells(cents)
+    assigned = final.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cid_v"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+        F.col("cid").alias("cell"),
+    )
+    probes = final.filter(
+        (F.col("vec_id") < _IVFKM_NQ) & (F.col("rn") <= _IVFKM_NPROBE)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("cid").alias("pcell"),
+    )
+    cos = _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    out = (
+        probes.join(assigned, F.col("cell") == F.col("pcell"))
+        .filter(F.col("cid_v") != F.col("qid"))
+        .withColumn("cos", cos)
+        .select("qid", F.col("cid_v").alias("cid"), "cos")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "cid", F.round("cos", 6).alias("cos"), "rank")
+    )
+    quant.unpersist()
+    return out
+
+
+@q(
+    "ann_ivfkm_recall_at3",
+    f"""
+    WITH {_ivfkm_core_sql()},
+    exact_scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cos
+      FROM normed q CROSS JOIN normed c
+      WHERE q.vec_id < {_IVFKM_NQ} AND c.vec_id != q.vec_id
+    ),
+    exact_top AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM exact_scored) WHERE rnk <= 3
+    ),
+    ivf_top AS (SELECT qid, cid FROM ranked WHERE rank <= 3)
+    SELECT e.qid,
+           CAST(count(b.cid) AS INTEGER) AS n_hits,
+           round(count(b.cid) / 3.0, 6) AS recall_at_3
+    FROM exact_top e
+    LEFT JOIN ivf_top b ON b.qid = e.qid AND b.cid = e.cid
+    GROUP BY e.qid
+    """,
+)
+def ann_ivfkm_recall_at3(spark, sf_dir):
+    """Measured recall@3 of the TRAINED-quantizer IVF against the
+    exact-cosine referee, per query — the honesty gate every
+    approximate path in this pack carries. Composes the two existing
+    Spark plans (brute-force referee is the declared recall oracle,
+    not a scale path)."""
+    got = ann_ivfkm_topk(spark, sf_dir).select("qid", "cid")
+    (emb,) = _emb(spark, sf_dir)
+    normed = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+    queries = normed.filter(F.col("vec_id") < _IVFKM_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = normed.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    exact_top = (
+        queries.crossJoin(F.broadcast(cand))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "cid")
+    )
+    hit = got.withColumn("hit", F.lit(1))
+    return (
+        exact_top.join(hit, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").cast("int").alias("n_hits"),
+            F.round(F.count("hit") / 3.0, 6).alias("recall_at_3"),
+        )
+    )
+
+
 _TRUNC_DIM = 16
 
 
