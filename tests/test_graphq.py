@@ -172,3 +172,39 @@ def test_connected_components_match_union_find(spark):
         v: min(members) for root, members in want.items() for v in members
     }
     assert got == want
+
+
+def test_kcore_peel_laws_and_fixpoint(spark):
+    """Bounded-peel laws on sf0.001: (1) the sf0.001 graph converges in
+    one round, so kcore_converged == kcore_edges(rounds=1) == rounds=2;
+    (2) at a fixpoint every surviving node has degree >= K; (3) a pure
+    pandas replica of the peel agrees with the registry output."""
+    sf = "/root/testdata/sf0.001"
+    edges = G._copurchase_edges(spark, sf).cache()
+    e1 = G.kcore_edges(edges, rounds=1)
+    e2 = G.kcore_edges(edges, rounds=2)
+    assert e1.count() == e2.count()
+    conv = G.kcore_converged(edges)
+    assert conv.count() == e1.count()
+
+    # Fixpoint degree law.
+    got = G.graph_kcore(spark, sf).toPandas()
+    assert (got["core_degree"] >= G.KCORE_K).all()
+
+    # Pandas replica of the fixed-round peel.
+    pdf = edges.toPandas()[["pa", "pb"]]
+    for _ in range(G.KCORE_ROUNDS):
+        deg = pd.concat([pdf["pa"], pdf["pb"]]).value_counts()
+        keep = set(deg[deg >= G.KCORE_K].index)
+        pdf = pdf[pdf["pa"].isin(keep) & pdf["pb"].isin(keep)]
+    ref = (
+        pd.concat([pdf["pa"], pdf["pb"]])
+        .value_counts()
+        .rename_axis("node")
+        .reset_index(name="core_degree")
+    )
+    m = got.sort_values("node").reset_index(drop=True)
+    r = ref.sort_values("node").reset_index(drop=True)
+    assert m["node"].tolist() == r["node"].tolist()
+    assert m["core_degree"].tolist() == r["core_degree"].tolist()
+    edges.unpersist()

@@ -309,6 +309,118 @@ def graph_jaccard_link_scores(spark, sf_dir):
     )
 
 
+KCORE_K = 3
+KCORE_ROUNDS = 6  # bounded peel; fixpoint variant below for production
+
+
+def _kcore_sql() -> str:
+    # Every k{r+1} references k{r} three times; MATERIALIZED stops the
+    # CTE inliner from exponentially re-expanding the chain (3^rounds).
+    ctes = [_DUCK_EDGES.strip(), "k0 AS MATERIALIZED (SELECT pa, pb FROM edges)"]
+    for r in range(KCORE_ROUNDS):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT node, count(*) AS deg FROM ("
+            f"SELECT pa AS node FROM k{r} UNION ALL SELECT pb FROM k{r}"
+            f") GROUP BY node)"
+        )
+        ctes.append(
+            f"keep{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {KCORE_K})"
+        )
+        ctes.append(
+            f"k{r + 1} AS MATERIALIZED (SELECT pa, pb FROM k{r} "
+            f"WHERE pa IN (SELECT node FROM keep{r}) "
+            f"AND pb IN (SELECT node FROM keep{r}))"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f""" SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM (
+            SELECT pa AS node FROM k{KCORE_ROUNDS}
+            UNION ALL SELECT pb FROM k{KCORE_ROUNDS}
+        ) GROUP BY node"""
+    )
+
+
+def kcore_edges(edges, rounds: int = KCORE_ROUNDS, k: int = KCORE_K):
+    """Peel ``rounds`` times: drop nodes of degree < k, keep edges with
+    both endpoints surviving. Fixed rounds keep the operator
+    deterministic at any scale factor (convergence is asserted
+    separately in tests); each round is one degree shuffle + two
+    semi joins on the shrinking edge set.
+
+    Each round's survivor set is eagerly ``localCheckpoint``ed — the
+    next round references it three times, and a cache alone is not
+    enough: caching reuses the PHYSICAL result but leaves the LOGICAL
+    plan nested, so the analyzer re-walks a 3^rounds tree (measured:
+    analysis itself times out at 6 rounds). The checkpoint truncates
+    lineage to the materialized blocks, keeping every round's plan
+    flat — the same reason the dedup CC engine materializes its
+    frontier per iteration."""
+    e = edges.select("pa", "pb")
+    for _ in range(rounds):
+        arcs = e.select(F.col("pa").alias("node")).unionAll(
+            e.select(F.col("pb").alias("node"))
+        )
+        keep = (
+            arcs.groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("node")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("node", "pa"), "pa", "left_semi")
+            .join(keep.withColumnRenamed("node", "pb"), "pb", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return e
+
+
+def kcore_converged(edges, k: int = KCORE_K, max_rounds: int = 64):
+    """Production k-core: the same peel with a CONVERGENCE WITNESS —
+    one count per round (driver-trivial), stop when the edge count is
+    stable. Total rounds are bounded by the peel depth of the graph
+    (degeneracy ordering), not the data size. The registry entry stays
+    the fixed-round variant so both engines run an identical schedule
+    under the hash gate; this variant's fixpoint law is pinned in
+    tests on the sf0.001 graph (where the peel converges in 1 round)."""
+    e = edges.select("pa", "pb")
+    prev = e.count()
+    for _ in range(max_rounds):
+        e = kcore_edges(e, rounds=1, k=k)
+        n = e.count()
+        if n == prev:
+            return e
+        prev = n
+    return e
+
+
+@q("graph_kcore", _kcore_sql())
+def graph_kcore(spark, sf_dir):
+    """Bounded {KCORE_K}-core peel of the supported co-purchase graph:
+    {KCORE_ROUNDS} rounds of dropping nodes with degree < {KCORE_K}
+    (and the edges they carry); output each survivor's within-subgraph
+    degree — the density/robustness primitive behind community seeds
+    and spam-ring detection.
+
+    The round count is FIXED and identical in both engines, so no
+    convergence-detection nondeterminism enters the hash (on the
+    sf0.01 graph the peel tail shrinks for many more rounds — a
+    production run uses ``kcore_converged``, the same loop with a
+    count witness, whose fixpoint law is pinned in tests). Exactness:
+    pure integer degrees. Plan: per round one degree aggregation and
+    two left-semi joins over the shrinking edge set, each round
+    materialized (see kcore_edges) to keep the plan flat."""
+    edges = _copurchase_edges(spark, sf_dir).cache()
+    edges.count()
+    core = kcore_edges(edges)
+    return (
+        core.select(F.col("pa").alias("node"))
+        .unionAll(core.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )
+
+
 @q(
     "graph_connected_components",
     f"""
