@@ -118,3 +118,32 @@ def test_dq_cli_writes_reports_and_strict_passes(spark, tmp_path):
     # the fixture is referentially intact -> strict returned normally
     orphans = spark.read.parquet(f"{out}/orphans").toPandas()
     assert orphans["n_orphans"].sum() == 0
+
+
+def test_corr_matrix_matches_numpy(spark):
+    """The one-scan integer-moment Pearson matrix equals numpy's
+    corrcoef on the same integerized columns."""
+    import numpy as np
+    import pandas as pd
+
+    from xova_spark.queries.dataqual import _CORR_COLS, dq_corr_matrix
+
+    sf = "/root/testdata/sf0.001"
+    got = dq_corr_matrix(spark, sf).toPandas()
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    ints = pd.DataFrame(
+        {
+            "qty": li["l_quantity"].astype("int64"),
+            "disc100": np.floor(li["l_discount"] * 100 + 0.5).astype("int64"),
+            "tax100": np.floor(li["l_tax"] * 100 + 0.5).astype("int64"),
+            "price_usd": np.floor(li["l_extendedprice"]).astype("int64"),
+        }
+    )
+    names = [nm for nm, _e, _s in _CORR_COLS]
+    assert len(got) == 6
+    for _, row in got.iterrows():
+        r_np = np.corrcoef(ints[row["col_a"]], ints[row["col_b"]])[0, 1]
+        assert abs(row["pearson_r"] - r_np) < 1e-5, (row["col_a"], row["col_b"])
+    assert set(zip(got["col_a"], got["col_b"])) == {
+        (a, b) for i, a in enumerate(names) for b in names[i + 1:]
+    }

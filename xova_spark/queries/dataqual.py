@@ -217,6 +217,103 @@ def scd2_order_versions(spark, sf_dir):
     )
 
 
+# Integerized lineitem measures for the exact-moment correlation
+# lattice: quantity is integer-valued, discount/tax live on the 0.01
+# grid, price is floored to whole dollars (coarse enough that the
+# sum-of-squares stays far below int64 at any relevant SF, fine
+# enough that Pearson r is meaningful).
+_CORR_COLS = (
+    ("qty", "CAST(l_quantity AS BIGINT)", "l_quantity"),
+    ("disc100", "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)", "l_discount"),
+    ("tax100", "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)", "l_tax"),
+    ("price_usd", "CAST(floor(l_extendedprice) AS BIGINT)", "l_extendedprice"),
+)
+
+
+def _corr_sql() -> str:
+    proj = ", ".join(f"{expr} AS {nm}" for nm, expr, _src in _CORR_COLS)
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    names = [nm for nm, _e, _s in _CORR_COLS]
+    for nm in names:
+        aggs.append(f"sum({nm}) AS s_{nm}")
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            aggs.append(f"sum({a} * {b}) AS s_{a}_{b}")
+    pair_rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            pair_rows.append(
+                f"""
+                SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+                       round((CAST(n AS DOUBLE) * CAST(s_{a}_{b} AS DOUBLE)
+                              - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+                             / sqrt((CAST(n AS DOUBLE) * CAST(s_{a}_{a} AS DOUBLE)
+                                     - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                                    * (CAST(n AS DOUBLE) * CAST(s_{b}_{b} AS DOUBLE)
+                                       - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))),
+                             6) AS pearson_r
+                FROM m
+                """
+            )
+    return (
+        f"WITH i AS (SELECT {proj} FROM lineitem), "
+        f"m AS (SELECT {', '.join(aggs)} FROM i) "
+        + " UNION ALL ".join(pair_rows)
+    )
+
+
+@q("dq_corr_matrix", _corr_sql())
+def dq_corr_matrix(spark, sf_dir):
+    """Pearson correlation matrix of the four lineitem measures in ONE
+    scan: integerize each column, aggregate ALL first and second
+    moments (4 sums + 10 products) in a single agg node, then expand
+    the 6 upper-triangle pairs from that one moment row. Every moment
+    is an exact BIGINT sum (order-independent); the n·Sab − Sa·Sb
+    products move to DOUBLE first (n·Spp overflows int64 past ~sf0.01
+    — both engines do the identical IEEE sequence from identical
+    integer moments, so round(6) still hashes), the same exactness
+    trick as the drift lattice and the anomaly z-scores.
+
+    At 100 TB: one partial-aggregated shuffle of a 15-number state;
+    compare F.corr, which is pairwise, float-accumulated, and
+    order-dependent across partitions."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    names = [nm for nm, _e, _s in _CORR_COLS]
+    ints = li.select(
+        *[F.expr(expr).alias(nm) for nm, expr, _src in _CORR_COLS]
+    )
+    aggs = [F.count("*").cast("long").alias("n")]
+    for nm in names:
+        aggs.append(F.sum(nm).alias(f"s_{nm}"))
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"s_{a}_{b}"))
+    m = ints.agg(*aggs)
+    outs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            nd = F.col("n").cast("double")
+
+            def dd(c):
+                return F.col(c).cast("double")
+
+            num = nd * dd(f"s_{a}_{b}") - dd(f"s_{a}") * dd(f"s_{b}")
+            va = nd * dd(f"s_{a}_{a}") - dd(f"s_{a}") * dd(f"s_{a}")
+            vb = nd * dd(f"s_{b}_{b}") - dd(f"s_{b}") * dd(f"s_{b}")
+            outs.append(
+                m.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    "n",
+                    F.round(num / F.sqrt(va * vb), 6).alias("pearson_r"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
 _DRIFT_SPLIT = "1998-01-01"
 
 
