@@ -212,3 +212,29 @@ def test_double_smooth_forecast_laws(spark):
     assert s2[-1] == 255 * s1[-1]
     assert fc[-1] == 3 * 256 * s1[-1] - 2 * s2[-1] == 7 * 255 * 258
     assert abs(fc[-1] - 7 * 65536) <= 0.01 * 7 * 65536
+
+
+def test_rfm_and_actives_laws(spark):
+    """RFM: quartiles balanced (ntile law), rfm digits match the three
+    scores. Actives: dau <= wau <= mau, and dau equals the per-day
+    distinct count computed independently."""
+    got = R.ev_rfm_segments(spark, SF).toPandas()
+    for c in ("r_score", "f_score", "m_score"):
+        counts = got[c].value_counts()
+        assert set(counts.index) <= {1, 2, 3, 4}
+        assert counts.max() - counts.min() <= 1  # ntile balance
+    assert (
+        got["rfm"]
+        == got["r_score"] * 100 + got["f_score"] * 10 + got["m_score"]
+    ).all()
+
+    act = R.ev_active_users_rolling(spark, SF).toPandas()
+    assert (act["dau"] <= act["wau"]).all()
+    assert (act["wau"] <= act["mau"]).all()
+    ev = _ev()
+    day = (ev["ts"].dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    dau_ref = (
+        ev.assign(day=day).groupby("day")["user_id"].nunique().rename("dau_ref")
+    )
+    m = act.set_index("day").join(dau_ref)
+    assert (m["dau"] == m["dau_ref"]).all()

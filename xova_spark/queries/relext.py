@@ -785,6 +785,135 @@ def ev_retention_cohorts(spark, sf_dir):
 
 
 @q(
+    "ev_rfm_segments",
+    """
+    WITH m AS (
+      SELECT user_id,
+             max(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+                 AS recency_day,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS monetary_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT user_id, recency_day, frequency, monetary_cents,
+           ntile(4) OVER (ORDER BY recency_day, user_id) AS r_score,
+           ntile(4) OVER (ORDER BY frequency, user_id) AS f_score,
+           ntile(4) OVER (ORDER BY monetary_cents, user_id) AS m_score,
+           CAST(ntile(4) OVER (ORDER BY recency_day, user_id) * 100
+                + ntile(4) OVER (ORDER BY frequency, user_id) * 10
+                + ntile(4) OVER (ORDER BY monetary_cents, user_id)
+                AS INTEGER) AS rfm
+    FROM m
+    """,
+)
+def ev_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation — the classic marketing rollup: per
+    user the purchase recency (latest active day), frequency, and
+    monetary total (integer cents), each quartile-scored with ntile
+    under a TOTAL order (metric, user_id — deterministic positional
+    quartiles, same discipline as w_distribution_functions), composed
+    into the 3-digit RFM segment code.
+
+    Scale shape: one partial-aggregated shuffle to user grain, then
+    three global ntiles over the (users-count) aggregate table — at
+    100 TB the user table is the small output of the first shuffle,
+    and a production variant would swap ntile for percentile
+    thresholds (t_quality_quantile_cut's pattern) to avoid the global
+    sort; kept here because the quartile semantics is the operator."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    m = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+                )
+            ).alias("recency_day"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    r = F.ntile(4).over(Window.orderBy("recency_day", "user_id"))
+    f = F.ntile(4).over(Window.orderBy("frequency", "user_id"))
+    mo = F.ntile(4).over(Window.orderBy("monetary_cents", "user_id"))
+    return m.select(
+        "user_id",
+        "recency_day",
+        "frequency",
+        "monetary_cents",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        mo.alias("m_score"),
+        (r * 100 + f * 10 + mo).cast("int").alias("rfm"),
+    )
+
+
+@q(
+    "ev_active_users_rolling",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+      FROM events
+    ), days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day,
+           CAST(count(DISTINCT CASE WHEN ud.day = d.day
+                                    THEN ud.user_id END) AS BIGINT) AS dau,
+           CAST(count(DISTINCT CASE WHEN ud.day >= d.day - 6
+                                    THEN ud.user_id END) AS BIGINT) AS wau,
+           CAST(count(DISTINCT ud.user_id) AS BIGINT) AS mau
+    FROM days d
+    JOIN ud ON ud.day BETWEEN d.day - 29 AND d.day
+    GROUP BY d.day
+    """,
+)
+def ev_active_users_rolling(spark, sf_dir):
+    """DAU / WAU / MAU — rolling distinct active users per day (the
+    dashboard primitive behind every stickiness ratio). Exact path:
+    dedupe to (user, day) grain FIRST (one shuffle — the event-grain
+    volume never replicates), broadcast the tiny day dimension, and
+    range-join each user-day into the ≤30 report days it supports;
+    the three alignments are conditional COUNT DISTINCTs in ONE
+    aggregation. The ≤30× replication is of the deduped user-day
+    table, not the events. At true 100 TB/day actives, swap the exact
+    distinct for a per-day HLL/theta sketch union (agg_sketch_accuracy
+    measures exactly that substitution's error; ev_audience_overlap is
+    the same referee pattern)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+    ).distinct()
+    days = ud.select(F.col("day").alias("d")).distinct()
+    return (
+        ud.join(
+            F.broadcast(days),
+            (F.col("day") >= F.col("d") - 29) & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("d"), F.col("user_id"))
+            ).cast("long").alias("dau"),
+            F.countDistinct(
+                F.when(F.col("day") >= F.col("d") - 6, F.col("user_id"))
+            ).cast("long").alias("wau"),
+            F.countDistinct("user_id").cast("long").alias("mau"),
+        )
+        .select(F.col("d").alias("day"), "dau", "wau", "mau")
+    )
+
+
+@q(
     "ev_anomaly_zscore",
     """
     WITH b AS (
