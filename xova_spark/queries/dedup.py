@@ -511,10 +511,8 @@ def _docs(spark, sf_dir):
     return [tables["documents"]]
 
 
-@q(
-    "dedup_keep_best",
-    f"""
-    WITH RECURSIVE {_DUCK_EDGE_CTES},
+_KEEP_BEST_CTES = f"""
+    {_DUCK_EDGE_CTES},
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION
@@ -540,6 +538,13 @@ def _docs(spark, sf_dir):
     ), canon AS (
       SELECT component, doc_id AS canonical_id FROM ranked WHERE rn = 1
     )
+"""
+
+
+@q(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_KEEP_BEST_CTES}
     SELECT s.doc_id, s.component, c.canonical_id, s.n_distinct_tokens,
            CASE WHEN s.doc_id = c.canonical_id THEN 1 ELSE 0 END AS kept
     FROM scored s JOIN canon c USING (component)
@@ -592,6 +597,61 @@ def dedup_keep_best(spark, sf_dir):
         F.when(F.col("doc_id") == F.col("canonical_id"), 1)
         .otherwise(0)
         .alias("kept"),
+    )
+
+
+@q(
+    "pipeline_dedup_audit",
+    f"""
+    WITH RECURSIVE {_KEEP_BEST_CTES},
+    kb AS (
+      SELECT s.doc_id,
+             CASE WHEN s.doc_id = c.canonical_id THEN 1 ELSE 0 END AS kept
+      FROM scored s JOIN canon c USING (component)
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kb.kept) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(kb.kept) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN kb.kept = 0
+                         THEN len(string_split(d.text, ' ')) ELSE 0 END)
+                AS BIGINT) AS tokens_removed,
+           CAST(sum(kb.kept) * 10000 // count(*) AS BIGINT) AS keep_rate_bp
+    FROM documents d JOIN kb USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def pipeline_dedup_audit(spark, sf_dir):
+    """DEDUP PIPELINE AUDIT — the end-to-end composite a curation run
+    reports per provenance source: LSH candidates → exact-Jaccard
+    verify → connected components → keep-best canonical selection
+    (all of dedup_keep_best), then the per-source keep/remove counts,
+    tokens removed, and integer-basis-point keep rate. This is the
+    table a data lead reads to see WHICH source the dedup pass is
+    eating — the operational closing step of the dedup family.
+
+    Plan: keep_best's chain (LSH shuffles + component labels + one
+    window per cluster) feeds one final groupBy(source) partial-agg
+    shuffle; the keep rate is integer bp (//) so nothing float enters
+    the hash."""
+    kb = dedup_keep_best(spark, sf_dir).select("doc_id", "kept")
+    (docs,) = _docs(spark, sf_dir)
+    return (
+        docs.join(kb, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            (F.count("*") - F.sum("kept")).cast("long").alias("n_removed"),
+            F.sum(
+                F.when(
+                    F.col("kept") == 0, F.size(F.split("text", " "))
+                ).otherwise(0)
+            ).cast("long").alias("tokens_removed"),
+            F.expr("sum(kept) * 10000 div count(*)")
+            .cast("long")
+            .alias("keep_rate_bp"),
+        )
     )
 
 
