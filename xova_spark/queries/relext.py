@@ -1133,6 +1133,45 @@ def sql_frontend_window(spark, sf_dir):
     )
 
 
+_RECURSIVE_BFS_SQL = """
+WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM pp a JOIN pp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+),
+arcs AS (
+    SELECT pa AS src, pb AS dst FROM edges
+    UNION ALL
+    SELECT pb AS src, pa AS dst FROM edges
+),
+walk(node, hop) AS (
+    SELECT CAST((SELECT min(pa) FROM edges) AS BIGINT) AS node, 0 AS hop
+    UNION ALL
+    SELECT a.dst AS node, w.hop + 1 AS hop
+    FROM walk w JOIN arcs a ON a.src = w.node WHERE w.hop < 3
+)
+SELECT node, CAST(min(hop) AS BIGINT) AS hops FROM walk GROUP BY node
+"""
+
+
+@q("sql_frontend_recursive", _RECURSIVE_BFS_SQL)
+def sql_frontend_recursive(spark, sf_dir):
+    """SQL front-end RECURSIVE CTE (new in Spark 4): bounded BFS from
+    the smallest supported co-purchase node — min hop count to every
+    node within 3 hops. The IDENTICAL SQL text runs on both engines
+    (it stays in the ANSI intersection: recursive UNION ALL with a
+    depth bound, so cycles terminate without recursion-level dedup
+    semantics entering the result; min(hop) collapses the path
+    multiplicity). The DataFrame twins of this traversal family are
+    graph_kcore / graph_connected_components — this entry pins that
+    the SQL surface now reaches iterative graph queries too."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_RECURSIVE_BFS_SQL)
+
+
 @q(
     "ev_hourly_ohlc",
     """
