@@ -44,6 +44,8 @@ HEADLINE = (
     "pipeline_corpus_e2e",
     "graph_pagerank",
     "dq_profile_columns",
+    "cdc_merge_upsert",
+    "layout_zorder_cells",
     "timechannel_avg",
     "bda_avg",
 )

@@ -178,3 +178,44 @@ def test_stream_finalized_ms_write_roundtrip(spark, ms, split_vis, tmp_path):
     assert back["spw_meta"].toPandas().set_index("SPECTRAL_WINDOW_ID")[
         "NUM_CHAN"
     ].equals(out_meta.toPandas().set_index("SPECTRAL_WINDOW_ID")["NUM_CHAN"])
+
+
+def test_cdc_state_converges_regardless_of_chunking(spark, tmp_path):
+    """Replay the events changelog in 3 arbitrary chunks through the
+    foreachBatch CDC merge; the final state must equal the one-shot
+    batch compaction (newer-wins + additive counts are associative)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from xova_spark.queries.cdcq import cdc_changelog_compact
+    from xova_spark.streaming import materialize as M
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.to_utc_timestamp(F.col("ts"), "UTC")
+    )
+    out_dir = str(tmp_path / "state")
+    os.makedirs(out_dir, exist_ok=True)
+    # 3 deterministic interleaved chunks (by id, not by time) — each
+    # batch mixes old and new events, so the newer-wins merge is
+    # exercised in both directions across batch boundaries.
+    chunks = [
+        ev.where(F.col("event_id") % 3 == i) for i in (1, 2, 0)
+    ]
+    for i, c in enumerate(chunks):
+        M._cdc_merge_into(c, i, out_dir)
+    got = (
+        M.read_rollup(spark, out_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("last_event_id").cast("long").alias("last_event_id"),
+            F.round("last_value", 4).alias("last_value"),
+            F.col("n_versions").cast("long").alias("n_versions"),
+        )
+    )
+    ref = cdc_changelog_compact(spark, sf)
+    assert got.count() == ref.count() > 0
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0

@@ -47,7 +47,7 @@ def test_oracle_sql_mentions_only_registered_tables():
         ctes = set(
             re.findall(
                 r"(?:WITH(?:\s+RECURSIVE)?|,)\s*([a-zA-Z_][a-zA-Z0-9_]*)"
-                r"\s+AS\s+(?:MATERIALIZED\s*)?\(",
+                r"\s*(?:\([^)]*\))?\s+AS\s+(?:MATERIALIZED\s*)?\(",
                 body,
                 re.IGNORECASE,
             )

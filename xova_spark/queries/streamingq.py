@@ -716,3 +716,71 @@ def stream_click_attribution(spark, sf_dir):
         .cast("long")
         .alias("lag_us"),
     )
+
+
+@q(
+    "stream_cdc_merge",
+    """
+    WITH v AS (
+        SELECT user_id, event_type, event_id, value, ts,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn,
+               count(*) OVER (
+                   PARTITION BY user_id, event_type
+               ) AS n_versions
+        FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           round(value, 4) AS last_value,
+           CAST(n_versions AS BIGINT) AS n_versions
+    FROM v WHERE rn = 1
+    """,
+)
+def stream_cdc_merge(spark, sf_dir):
+    """STREAMING CDC UPSERT MATERIALIZATION — the changelog stream
+    continuously maintained as its latest-state table via foreachBatch
+    (streaming/materialize.py): per micro-batch compact to one row per
+    (user, type) key, then NEWER-WINS merge into the parquet-backed
+    state with additive version counts. Both steps are associative
+    across batches, so the converged state equals the batch compactor
+    (cdc_changelog_compact — same oracle) no matter how the changelog
+    was chunked; the 3-chunk replay law is pinned in tests.
+
+    At scale this is the upsert-view pattern: the per-batch compact is
+    one partial-agg shuffle of the BATCH (not the history), the merge
+    joins state on the same key, and the stage-then-swap write becomes
+    a transactional MERGE on a table format with commits."""
+    import shutil
+    import tempfile
+
+    from xova_spark.queries.relational import load_tables
+    from xova_spark.streaming import materialize as M
+
+    load_tables(spark, sf_dir, ("events",))
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.to_utc_timestamp(F.col("ts"), "UTC")
+    )
+    out_dir = tempfile.mkdtemp(prefix="xova_cdc_state_")
+    ckpt = tempfile.mkdtemp(prefix="xova_ckpt_cdc_")
+    try:
+        q_ = M.materialized_cdc_state(stream, out_dir, ckpt)
+        q_.awaitTermination()
+        state = M.read_rollup(spark, out_dir)
+        rows = state.select(
+            "user_id",
+            "event_type",
+            F.col("last_event_id").cast("long").alias("last_event_id"),
+            F.round("last_value", 4).alias("last_value"),
+            F.col("n_versions").cast("long").alias("n_versions"),
+        ).collect()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, event_type string, last_event_id long, "
+        "last_value double, n_versions long",
+    )

@@ -289,3 +289,69 @@ def finalize_bda_vis(spark, out_dir: str, bins: DataFrame) -> DataFrame:
         "sigma_sp",
         "n_samples",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC upsert: a changelog stream continuously materialized as
+# its latest-state table (the streaming twin of queries/cdcq.py's
+# cdc_changelog_compact). Each micro-batch compacts to one row per key
+# (max_by over the (ts, id) event-time struct), then merges into the
+# stored state with NEWER-WINS on the same ordering and ADDITIVE
+# version counts — both operations are associative/commutative across
+# batches, which is what makes the converged state equal the batch
+# compaction regardless of how the changelog was chunked.
+
+_CDC_KEYS = ["user_id", "event_type"]
+
+
+def _cdc_compact_batch(batch_df: DataFrame) -> DataFrame:
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return batch_df.groupBy(*_CDC_KEYS).agg(
+        F.max_by("event_id", ordk).alias("last_event_id"),
+        F.max_by("value", ordk).alias("last_value"),
+        F.max_by(F.unix_micros("ts"), ordk).alias("last_ts_us"),
+        F.count("*").alias("n_versions"),
+    )
+
+
+def _cdc_merge_into(batch_df: DataFrame, batch_id: int, out_dir: str):
+    spark = batch_df.sparkSession
+    partial = _cdc_compact_batch(batch_df)
+    cur = os.path.join(out_dir, "current")
+    if os.path.exists(cur):
+        ordk = F.struct(F.col("last_ts_us"), F.col("last_event_id"))
+        merged = (
+            spark.read.parquet(cur)
+            .unionByName(partial)
+            .groupBy(*_CDC_KEYS)
+            .agg(
+                F.max_by("last_event_id", ordk).alias("last_event_id"),
+                F.max_by("last_value", ordk).alias("last_value"),
+                F.max("last_ts_us").alias("last_ts_us"),
+                F.sum("n_versions").alias("n_versions"),
+            )
+        )
+    else:
+        merged = partial
+    tmp = os.path.join(out_dir, "_staged")
+    merged.write.mode("overwrite").parquet(tmp)
+    swap = os.path.join(out_dir, "_old")
+    if os.path.exists(cur):
+        os.rename(cur, swap)
+    os.rename(tmp, cur)
+    if os.path.exists(swap):
+        import shutil
+
+        shutil.rmtree(swap)
+
+
+def materialized_cdc_state(stream_df: DataFrame, out_dir: str, checkpoint: str):
+    """Start the CDC latest-state maintenance query (availableNow)."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: _cdc_merge_into(df, bid, out_dir)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
