@@ -208,3 +208,14 @@ def test_kcore_peel_laws_and_fixpoint(spark):
     assert m["node"].tolist() == r["node"].tolist()
     assert m["core_degree"].tolist() == r["core_degree"].tolist()
     edges.unpersist()
+
+
+def test_lpa_communities_refine_components(spark):
+    """LPA labels nest inside connected components (labels only travel
+    along edges), and community sizes sum to the node count."""
+    sf = "/root/testdata/sf0.001"
+    lpa = G.graph_lpa_communities(spark, sf).toPandas()
+    deg = G.graph_degree_distribution(spark, sf).toPandas()
+    assert lpa["n_nodes"].sum() == deg["n_nodes"].sum()
+    assert (lpa["min_node"] <= lpa["max_node"]).all()
+    assert lpa["community"].is_unique

@@ -238,3 +238,19 @@ def test_rfm_and_actives_laws(spark):
     )
     m = act.set_index("day").join(dau_ref)
     assert (m["dau"] == m["dau_ref"]).all()
+
+
+def test_ab_ztest_matches_scipy_formula(spark):
+    """z equals the textbook two-proportion pooled z computed in numpy
+    from the same integer counts; flag consistent with |z|."""
+    import numpy as np
+
+    got = R.ev_ab_test_ztest(spark, SF).toPandas().iloc[0]
+    n_a, c_a, n_b, c_b = (
+        float(got.n_a), float(got.c_a), float(got.n_b), float(got.c_b)
+    )
+    p = (c_a + c_b) / (n_a + n_b)
+    z = (c_a / n_a - c_b / n_b) / np.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
+    assert abs(got.zscore - round(z, 6)) < 1e-9
+    assert got.significant == int(abs(z) >= 1.96)
+    assert 0 < c_a < n_a and 0 < c_b < n_b  # non-degenerate fixture

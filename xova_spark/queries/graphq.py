@@ -421,6 +421,77 @@ def graph_kcore(spark, sf_dir):
     )
 
 
+LPA_ROUNDS = 3
+
+
+def _lpa_sql() -> str:
+    ctes = [
+        _DUCK_EDGES.strip(),
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM deg)",
+    ]
+    for r in range(LPA_ROUNDS):
+        # per node: most frequent neighbor label, ties to the smallest.
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT a.dst AS node, l.label, count(*) AS c "
+            f"FROM arcs a JOIN l{r} l ON l.node = a.src GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{r + 1} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER ("
+            f"PARTITION BY node ORDER BY c DESC, label) AS rn FROM v{r}"
+            f") WHERE rn = 1)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f""" SELECT label AS community,
+                      CAST(count(*) AS BIGINT) AS n_nodes,
+                      CAST(min(node) AS BIGINT) AS min_node,
+                      CAST(max(node) AS BIGINT) AS max_node
+               FROM l{LPA_ROUNDS} GROUP BY label"""
+    )
+
+
+@q("graph_lpa_communities", _lpa_sql())
+def graph_lpa_communities(spark, sf_dir):
+    """Label-propagation community detection ({LPA_ROUNDS} synchronous
+    rounds): every node adopts its neighbors' most frequent label,
+    ties to the smallest — a deterministic total order, which is what
+    makes LPA (normally random-order-sensitive) hash-safe. Communities
+    are reported as (label, size, node range). Distinct from
+    CC (reachability) and k-core (density): LPA finds dense SUBregions
+    of connected components.
+
+    Plan per round: one (node, label) count shuffle + one per-node
+    argmax window, labels materialized per round (localCheckpoint —
+    same 3^rounds plan-blowup reason as kcore_edges); fixed rounds so
+    both engines run the identical schedule."""
+    edges = _copurchase_edges(spark, sf_dir).cache()
+    edges.count()
+    arcs, deg = _arcs_and_degrees(edges)
+    labels = deg.select("node", F.col("node").alias("label"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            arcs.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )
+
+
 @q(
     "graph_connected_components",
     f"""

@@ -914,6 +914,89 @@ def ev_active_users_rolling(spark, sf_dir):
 
 
 @q(
+    "ev_ab_test_ztest",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INTEGER) AS bucket,
+             max(CASE WHEN event_type = 'purchase' AND value >= 95
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), b AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_conv
+      FROM u GROUP BY bucket
+    ), w AS (
+      SELECT max(CASE WHEN bucket = 0 THEN n_users END) AS n_a,
+             max(CASE WHEN bucket = 0 THEN n_conv END) AS c_a,
+             max(CASE WHEN bucket = 1 THEN n_users END) AS n_b,
+             max(CASE WHEN bucket = 1 THEN n_conv END) AS c_b
+      FROM b
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS zscore,
+           CASE WHEN abs((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b))) >= 1.96
+                THEN 1 ELSE 0 END AS significant
+    FROM w
+    """,
+)
+def ev_ab_test_ztest(spark, sf_dir):
+    """A/B experiment readout — two-proportion z-test on user-level
+    conversion (a high-value purchase, value >= 95 — "any purchase"
+    is degenerate on this fixture: every user converts, variance 0),
+    buckets split by the user-id parity
+    (the deterministic stand-in for an assignment hash). All inputs to
+    the statistic are exact integers (per-bucket user and converter
+    counts — two partial-aggregated shuffles, user grain then bucket
+    grain); z is a single float expression from those integers,
+    round(6) on both engines, with the |z| >= 1.96 significance flag.
+
+    At 100 TB nothing changes: the experiment readout is a 2-row
+    integer table no matter the traffic, and per-variant breakdowns
+    just add grouping keys."""
+    (ev,) = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 95),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("bucket"), "converted"
+    )
+    b = u.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    w = b.agg(
+        F.max(F.when(F.col("bucket") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("bucket") == 0, F.col("n_conv"))).alias("c_a"),
+        F.max(F.when(F.col("bucket") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("bucket") == 1, F.col("n_conv"))).alias("c_b"),
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("c_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("c_b").cast("double")
+    pool = (ca + cb) / (na + nb)
+    z = (ca / na - cb / nb) / F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    return w.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(z, 6).alias("zscore"),
+        F.when(F.abs(z) >= 1.96, 1).otherwise(0).alias("significant"),
+    )
+
+
+@q(
     "ev_anomaly_zscore",
     """
     WITH b AS (

@@ -819,3 +819,69 @@ def t_sample_weighted(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .select("doc_id", "lang", "w", "key", "rank")
     )
+
+
+_VOCAB_K = 256
+
+
+@q(
+    "t_oov_rate",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), freq AS (
+      SELECT word, count(*) AS c FROM tok GROUP BY word
+    ), vocab AS (
+      SELECT word FROM (
+        SELECT word, row_number() OVER (ORDER BY c DESC, word) AS rn FROM freq
+      ) WHERE rn <= {_VOCAB_K}
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS oov_permille
+    FROM tok t LEFT JOIN vocab v ON v.word = t.word
+    GROUP BY t.doc_id
+    """,
+)
+def t_oov_rate(spark, sf_dir):
+    """Vocabulary-coverage diagnostic: build the top-{_VOCAB_K} corpus
+    vocabulary (frequency desc, word asc — total order), then score
+    every document's out-of-vocabulary token rate in integer permille.
+    The tokenizer-health signal a pipeline watches when the corpus mix
+    shifts (rising OOV = vocab no longer fits the data).
+
+    Plan: one token-count shuffle builds the frequency table; the
+    top-K vocab is broadcast (K rows) into a left join on the token
+    stream; per-doc rates are one more keyed shuffle. The global top-K
+    sort runs on the (distinct words) table, not the token stream."""
+    from pyspark.sql import Window
+
+    (docs,) = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    freq = tok.groupBy("word").agg(F.count("*").alias("c"))
+    vocab = (
+        freq.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("c"), "word"))
+        )
+        .filter(F.col("rn") <= _VOCAB_K)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.expr(
+                "sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) * 1000"
+                " div count(*)"
+            ).cast("long").alias("oov_permille"),
+        )
+    )
