@@ -1216,6 +1216,44 @@ def sql_frontend_window(spark, sf_dir):
     )
 
 
+@q(
+    "scalar_variant_rollup",
+    """
+    SELECT event_type,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+               AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def scalar_variant_rollup(spark, sf_dir):
+    """Semi-structured rollup through Spark 4's VARIANT type: props
+    parsed ONCE into the binary variant encoding, then typed
+    `variant_get` extraction feeds an ordinary integer aggregation.
+    Versus the string-JSON path (scalar_json_extract), VARIANT is the
+    100 TB answer for repeatedly-queried semi-structured columns: the
+    parse happens once per row (ideally at ingest, stored as VARIANT),
+    every downstream extraction is a binary field lookup inside
+    whole-stage codegen, not a re-parse. The DuckDB twin uses
+    json_extract — identical values, different storage strategy."""
+    (ev,) = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy(
+            "event_type",
+            F.expr("k div 10").cast("long").alias("k_bucket"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
 _RECURSIVE_BFS_SQL = """
 WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 edges AS (
