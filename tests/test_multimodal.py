@@ -341,3 +341,38 @@ def test_resize_halves_then_quarters(spark, media):
     )
     assert (once["n_samples"] == twice["n_samples"]).all()
     assert (once["payload"] == twice["payload"]).all()
+
+
+def test_image_phash_laws(spark):
+    """aHash laws: constant image -> hash 0 (strict >); a bright/dark
+    half-split image sets exactly the bright half's bits; identical
+    payloads collide; and the operator hashes REAL PNG payloads through
+    decode_auto identically to hashing their raw pixels."""
+    import numpy as np
+
+    const = bytes([7] * 128)
+    half = bytes([1] * 64 + [201] * 64)
+    rows = [(0, const), (1, half), (2, const)]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in MM.image_phash(media).collect()
+    }
+    assert got[0]["hash_hi"] == got[0]["hash_lo"] == 0
+    assert got[0]["hash_hi"] == got[2]["hash_hi"]
+    assert got[0]["hash_lo"] == got[2]["hash_lo"]
+    # 128 samples over 64 blocks -> blocks 0..31 dark, 32..63 bright.
+    assert got[1]["hash_lo"] == 0
+    assert got[1]["hash_hi"] == (1 << 32) - 1
+
+    # Real PNG: hash(decode_auto(png)) == hash(raw pixel bytes).
+    px = np.arange(128, dtype=np.uint8).reshape(8, 16, 1)
+    png = _encode_png(px)
+    m2 = spark.createDataFrame(
+        [(10, png), (11, px.tobytes())], "doc_id long, payload binary"
+    )
+    out = {
+        r["doc_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in MM.image_phash(m2, kernel=MM.decode_auto).collect()
+    }
+    assert out[10] == out[11]

@@ -390,3 +390,41 @@ def keyframe_select(
             F.sum("is_key").alias("n_keyframes"),
         )
     )
+
+
+def image_phash(media: DataFrame, kernel=_fake_decode) -> DataFrame:
+    """decode -> 64-bit block-mean perceptual hash (aHash family): the
+    sample stream is cut into 64 equal index blocks (block of sample i
+    is ``i*64 // n`` — exact integer mapping), and bit k is set iff
+    block k's mean exceeds the global mean, decided on the INTEGER
+    cross-multiplied lattice (block_sum * n > total_sum * block_n — no
+    float division, so the hash is bit-identical everywhere). Emitted
+    as two 32-bit halves (hash_hi, hash_lo) so the value stays inside
+    signed int64.
+
+    Same Arrow-batched mapInPandas shape as decode_stats; downstream
+    near-dup grouping is an ordinary shuffle on the hash columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                px = kernel(bytes(b)).reshape(-1).astype(np.int64)
+                n = len(px)
+                blocks = (np.arange(n) * 64) // n
+                bs = np.bincount(blocks, weights=px, minlength=64).astype(
+                    np.int64
+                )
+                bn = np.bincount(blocks, minlength=64).astype(np.int64)
+                total = int(px.sum())
+                bits = (bs * n) > (total * bn)
+                lo = int(sum(int(bits[k]) << k for k in range(32)))
+                hi = int(sum(int(bits[32 + k]) << k for k in range(32)))
+                out.append((int(doc_id), n, hi, lo))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_samples", "hash_hi", "hash_lo"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, n_samples long, hash_hi long, hash_lo long"
+    )

@@ -220,3 +220,62 @@ def mm_keyframe_select(spark, sf_dir):
     return MM.keyframe_select(
         _media(spark, sf_dir), _FRAME, _BINS, _KF_THRESH
     )
+
+
+@q(
+    "mm_image_phash",
+    """
+WITH s AS (
+  SELECT d.doc_id, g.i - 1 AS i,
+         ascii(substring(d.text, g.i, 1)) AS v,
+         length(d.text) AS n
+  FROM documents d, generate_series(1, 600) g(i)
+  WHERE g.i <= length(d.text)
+), b AS (
+  SELECT doc_id, (i * 64) // n AS blk,
+         sum(v) AS bs, count(*) AS bn, max(n) AS n
+  FROM s GROUP BY doc_id, (i * 64) // n
+), t AS (
+  SELECT doc_id, sum(bs) AS ts, max(n) AS n FROM b GROUP BY doc_id
+), h AS (
+  SELECT b.doc_id,
+         CAST(max(t.n) AS BIGINT) AS n_samples,
+         CAST(sum(CASE WHEN b.blk >= 32 AND b.bs * t.n > t.ts * b.bn
+                       THEN 1 << (b.blk - 32) ELSE 0 END) AS BIGINT) AS hash_hi,
+         CAST(sum(CASE WHEN b.blk < 32 AND b.bs * t.n > t.ts * b.bn
+                       THEN 1 << b.blk ELSE 0 END) AS BIGINT) AS hash_lo
+  FROM b JOIN t USING (doc_id)
+  GROUP BY b.doc_id
+)
+SELECT h.doc_id, h.n_samples, h.hash_hi, h.hash_lo,
+       CAST(count(*) OVER (PARTITION BY h.hash_hi, h.hash_lo) - 1 AS BIGINT)
+           AS n_same_hash
+FROM h
+""",
+)
+def mm_image_phash(spark, sf_dir):
+    """Perceptual image hash (64-bit block-mean aHash) over the media
+    payloads via Arrow-batched mapInPandas, plus the near-dup signal:
+    how many OTHER payloads share the exact hash. Bits are decided on
+    the integer cross-multiplied lattice (no float division), so the
+    hash — and therefore the oracle — is bit-identical cross-engine;
+    with the real PNG/JPEG kernels (decode_auto) the same operator
+    hashes real images.
+
+    Scale: hashing is embarrassingly parallel (one mapInPandas pass);
+    grouping is ONE shuffle on the 64-bit hash — the image twin of
+    dedup_exact, and the first stage of a banded Hamming-distance
+    near-dup search (split halves = 2 bands of 32 bits)."""
+    from pyspark.sql import Window
+
+    from xova_spark.operators.multimodal import image_phash
+
+    h = image_phash(_media(spark, sf_dir))
+    w = Window.partitionBy("hash_hi", "hash_lo")
+    return h.select(
+        "doc_id",
+        "n_samples",
+        "hash_hi",
+        "hash_lo",
+        (F.count("*").over(w) - 1).cast("long").alias("n_same_hash"),
+    )
