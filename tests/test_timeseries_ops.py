@@ -254,3 +254,52 @@ def test_ab_ztest_matches_scipy_formula(spark):
     assert abs(got.zscore - round(z, 6)) < 1e-9
     assert got.significant == int(abs(z) >= 1.96)
     assert 0 < c_a < n_a and 0 < c_b < n_b  # non-degenerate fixture
+
+
+def test_cusum_matches_resetting_recursion(spark):
+    """The window form (prefix - running min) equals the textbook
+    resetting recursion S_t = max(0, S_{t-1} + x_t - k) replayed in
+    pandas; alert iff S >= 20."""
+    got = R.ev_cusum_alerts(spark, SF).toPandas()
+    ev = _ev()
+    ev["day"] = (ev["ts"].dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    ev["hour"] = ev["ts"].dt.hour
+    b = (
+        ev.groupby(["event_type", "day", "hour"])
+        .size()
+        .rename("n")
+        .reset_index()
+        .sort_values(["event_type", "day", "hour"])
+    )
+    want = {}
+    for et, g in b.groupby("event_type"):
+        k = int(g["n"].sum()) // len(g) + 1
+        s = 0
+        for row in g.itertuples():
+            s = max(0, s + int(row.n) - k)
+            want[(et, row.day, row.hour)] = s
+    got_map = {
+        (r.event_type, r.day, r.hour): (r.cusum, r.alert)
+        for r in got.itertuples()
+    }
+    assert len(got_map) == len(want)
+    for key, s in want.items():
+        assert got_map[key] == (s, int(s >= 20)), key
+
+
+def test_forecast_backtest_consistency(spark):
+    """Backtest totals recompute from the forecast query itself: join
+    forecast at t with the actual at the next bucket, post-warmup."""
+    bt = R.ev_forecast_backtest(spark, SF).toPandas().set_index("event_type")
+    fc = R.ev_double_smooth_forecast(spark, SF).toPandas()
+    for et, g in fc.groupby("event_type"):
+        g = g.sort_values(["day", "hour"]).reset_index(drop=True)
+        g["actual_next"] = g["n"].shift(-1)
+        g["rn"] = range(1, len(g) + 1)
+        e = g[(g["rn"] > 15) & g["actual_next"].notna()]
+        want_err = int(
+            (e["forecast_q65536"] - e["actual_next"] * 65536).abs().sum()
+        )
+        r = bt.loc[et]
+        assert r.n_evals == len(e)
+        assert r.total_abs_err_q65536 == want_err

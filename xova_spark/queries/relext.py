@@ -914,6 +914,187 @@ def ev_active_users_rolling(spark, sf_dir):
 
 
 @q(
+    "ev_cusum_alerts",
+    """
+    WITH b AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ), k AS (
+      SELECT event_type, CAST(sum(n) // count(*) AS BIGINT) AS kk
+      FROM b GROUP BY event_type
+    ), p AS (
+      SELECT b.event_type, b.day, b.hour, b.n, k.kk,
+             sum(b.n - k.kk - 1) OVER w AS pref
+      FROM b JOIN k USING (event_type)
+      WINDOW w AS (PARTITION BY b.event_type ORDER BY b.day, b.hour)
+    ), c AS (
+      SELECT event_type, day, hour, n,
+             pref - least(0, min(pref) OVER w2) AS cusum
+      FROM p
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY day, hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, hour, n,
+           CAST(cusum AS BIGINT) AS cusum,
+           CASE WHEN cusum >= 20 THEN 1 ELSE 0 END AS alert
+    FROM c
+    """,
+)
+def ev_cusum_alerts(spark, sf_dir):
+    """CUSUM change-point detection over hourly event counts — the
+    classic sequential drift detector, normally a RESETTING recursion
+    (S_t = max(0, S_{t-1} + x_t - k)) that no window function
+    expresses directly. It IS window-expressible through the identity
+    S_t = P_t − min(0, min_{j<=t} P_j) with P the plain prefix sum of
+    (x − k): one cumulative-sum window plus one running-min window in
+    the SAME partitioning — a single window exchange, no UDF, no
+    driver recursion. Reference slack k = per-type mean + 1 (integer
+    floor), alert threshold 20 excess events; every value stays an
+    exact BIGINT.
+
+    At 100 TB the same two windows run per (type, day-shard) with the
+    carry stitched across shards — the standard prefix-scan split."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    k = b.groupBy("event_type").agg(
+        F.expr("sum(n) div count(*)").cast("long").alias("kk")
+    )
+    w = Window.partitionBy("event_type").orderBy("day", "hour")
+    wcur = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = b.join(F.broadcast(k), "event_type").withColumn(
+        "pref",
+        F.sum(F.col("n") - F.col("kk") - 1).over(w),
+    )
+    cusum = F.col("pref") - F.least(F.lit(0), F.min("pref").over(wcur))
+    return p.select(
+        "event_type",
+        "day",
+        "hour",
+        "n",
+        cusum.cast("long").alias("cusum"),
+        F.when(cusum >= 20, 1).otherwise(0).alias("alert"),
+    )
+
+
+@q(
+    "ev_forecast_backtest",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    s1 AS (
+      SELECT event_type, day, hour, n,
+             {' + '.join(
+                 f'{1 << (7 - k)} * coalesce(lag(n, {k}) OVER w, 0)'
+                 if k else f'{1 << 7} * n'
+                 for k in range(8)
+             )} AS s1_q256
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY day, hour)
+    ),
+    f AS (
+      SELECT event_type, day, hour, n, s1_q256,
+             3 * 256 * s1_q256 - 2 * ({' + '.join(
+                 f'{1 << (7 - k)} * coalesce(lag(s1_q256, {k}) OVER w, 0)'
+                 if k else f'{1 << 7} * s1_q256'
+                 for k in range(8)
+             )}) AS fc_q65536,
+             lead(n) OVER w AS actual_next,
+             row_number() OVER w AS rn
+      FROM s1
+      WINDOW w AS (PARTITION BY event_type ORDER BY day, hour)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_evals,
+           CAST(sum(abs(fc_q65536 - actual_next * 65536)) AS BIGINT)
+               AS total_abs_err_q65536,
+           CAST(sum(abs(256 * s1_q256 - actual_next * 65536)) AS BIGINT)
+               AS naive_abs_err_q65536
+    FROM f
+    WHERE actual_next IS NOT NULL AND rn > 15
+    GROUP BY event_type
+    """,
+)
+def ev_forecast_backtest(spark, sf_dir):
+    """Forecast BACKTEST — the evaluation loop that makes a forecaster
+    an operator rather than a demo: Brown's one-step forecast
+    (ev_double_smooth_forecast) is scored against the NEXT bucket's
+    actual count, per event type, after a 15-bucket warmup (so both
+    smoothings are saturated). Errors accumulate as exact integers on
+    the q65536 grid; the level-only (no-trend) error rides along as
+    the baseline the trend term must beat.
+
+    Plan: the bucket shuffle + ONE window exchange shared by the two
+    smoothing passes, the lead(), and the warmup row_number — all the
+    same partitioning; then a per-type partial agg."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day", "hour")
+
+    def ewma8(col_name: str):
+        acc = F.lit(0).cast("long")
+        for kk in range(_EWMA_TERMS):
+            term = F.col(col_name) if kk == 0 else F.coalesce(
+                F.lag(col_name, kk).over(w), F.lit(0)
+            )
+            acc = acc + F.lit(1 << (7 - kk)) * term
+        return acc
+
+    s1 = b.withColumn("s1_q256", ewma8("n"))
+    f = s1.select(
+        "event_type",
+        "s1_q256",
+        (F.lit(3 * 256) * F.col("s1_q256") - F.lit(2) * ewma8("s1_q256")).alias(
+            "fc_q65536"
+        ),
+        F.lead("n").over(w).alias("actual_next"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        f.where(F.col("actual_next").isNotNull() & (F.col("rn") > 15))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_evals"),
+            F.sum(
+                F.abs(F.col("fc_q65536") - F.col("actual_next") * 65536)
+            ).cast("long").alias("total_abs_err_q65536"),
+            F.sum(
+                F.abs(F.lit(256) * F.col("s1_q256") - F.col("actual_next") * 65536)
+            ).cast("long").alias("naive_abs_err_q65536"),
+        )
+    )
+
+
+@q(
     "ev_ab_test_ztest",
     """
     WITH u AS (
