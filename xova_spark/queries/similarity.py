@@ -1029,3 +1029,49 @@ def ann_truncated_recall_at5(spark, sf_dir):
             F.round(F.count("hit") / 5.0, 6).alias("recall_at_5"),
         )
     )
+
+
+@q(
+    "dedup_embedding_cc",
+    f"""
+    WITH RECURSIVE normed AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+      WHERE {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+            >= {_NEARDUP_T}
+    ), edges AS (
+      SELECT va AS src, vb AS dst FROM pairs
+      UNION
+      SELECT vb AS src, va AS dst FROM pairs
+    ), reach AS (
+      SELECT DISTINCT src AS vec_id, src AS comp FROM edges
+      UNION
+      SELECT e.dst AS vec_id, r.comp
+      FROM reach r JOIN edges e ON e.src = r.vec_id
+    )
+    SELECT vec_id, min(comp) AS component
+    FROM reach GROUP BY vec_id
+    """,
+)
+def dedup_embedding_cc(spark, sf_dir):
+    """SEMANTIC near-dup CLUSTER ASSIGNMENT on the vector side:
+    connected components over the cosine >= {_NEARDUP_T} pair graph —
+    the embedding twin of dedup_cc_clusters (same generic CC engine,
+    dedup.cc_components). Edges here come from the EXHAUSTIVE pairwise
+    verifier (dedup_embedding_cosine) because that referee is exact;
+    the LSH candidate path (dedup_embedding_lsh_pairs) is the 100 TB
+    edge generator, but its measured recall is 0.93 — good enough for
+    curation, deliberately NOT equated with the exhaustive graph under
+    a value-hash (the recall gate quantifies exactly that gap). So
+    this entry pins the clustering semantics; the LSH entries pin the
+    scale path and its measured fidelity."""
+    from xova_spark.queries.dedup import cc_components
+
+    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return cc_components(spark, pairs, id_col="vec_id")

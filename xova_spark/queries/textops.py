@@ -885,3 +885,52 @@ def t_oov_rate(spark, sf_dir):
             ).cast("long").alias("oov_permille"),
         )
     )
+
+
+@q(
+    "udtf_word_bigrams",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             ws[g.i] || ' ' || ws[g.i + 1] AS bigram
+      FROM w, generate_series(1, 600) g(i)
+      WHERE g.i <= len(ws) - 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(count(DISTINCT bigram) AS BIGINT) AS n_distinct_bigrams
+    FROM bg GROUP BY doc_id
+    """,
+)
+def udtf_word_bigrams(spark, sf_dir):
+    """Python UDTF surface (SURVEY §2.9 — the 5th UDF shape Spark 4
+    adds): a table function exploding word bigrams per document,
+    applied via the SQL LATERAL join, then aggregated to per-doc
+    bigram counts. DEMONSTRATION of the arbitrary-fanout UDF surface:
+    the same result is expressible (and faster) with JVM-side
+    transform/explode — see t_repetition_signals — so the UDTF seam
+    is for logic that genuinely needs Python row fanout (custom
+    tokenizers, parsers); the gate verifies the lateral plumbing, not
+    a recommendation to route hot paths through Python."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string")
+    class WordBigrams:
+        def eval(self, text: str):
+            ws = text.split(" ")
+            for i in range(len(ws) - 1):
+                yield (ws[i] + " " + ws[i + 1],)
+
+    spark.udtf.register("word_bigrams_udtf", WordBigrams)
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(count(DISTINCT t.bigram) AS BIGINT) AS n_distinct_bigrams
+        FROM documents d, LATERAL word_bigrams_udtf(d.text) t
+        GROUP BY d.doc_id
+        """
+    )
