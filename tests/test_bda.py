@@ -257,3 +257,21 @@ def test_greedy_bda_adapts_on_irregular_cadence(spark, ms, params):
         suffixes=("_greedy", "_floor"),
     )
     assert (merged["time_bin_greedy"] != merged["time_bin_floor"]).any()
+
+
+def test_compression_report_shows_bda_curve(spark):
+    """The defining BDA property in the report: the shortest baselines
+    compress strictly harder than the longest. On this fixture (3
+    times per scan, capped n_int) the time axis barely folds, so the
+    curve shows in the CHANNEL folding — short baselines carry a
+    larger chan_fac than long ones."""
+    from xova_spark.queries.bda import bda_compression_report
+
+    df = bda_compression_report(spark, None).toPandas()
+    assert (df["rows_in"] >= df["rows_out"]).all()
+    assert (df["row_ratio_permille"] >= 1000).all()
+    assert (df["min_chan_fac"] <= df["max_chan_fac"]).all()
+    s = df.sort_values("bl_uv")
+    short = s.head(20)["min_chan_fac"].mean()
+    long_ = s.tail(20)["min_chan_fac"].mean()
+    assert short > long_, (short, long_)

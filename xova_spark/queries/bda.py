@@ -13,6 +13,8 @@ value-hash matches exactly.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from xova_spark.operators import bda as B
 from xova_spark.sources.ms_fixture import load_ms, ms_fixture_dir
 
@@ -330,3 +332,52 @@ def bda_vis_greedy(spark, sf_dir):
     # applyInPandas greedy stage. Row-scale, spills if large.
     binned = binned.join(gmap, "row_id").persist()
     return B.average_vis(t["ms_vis"], B.bin_map(binned))
+
+
+@q(
+    "bda_compression_report",
+    _PARAMS_CTE
+    + """
+SELECT ANTENNA1, ANTENNA2,
+    CAST(count(*) AS BIGINT) AS rows_in,
+    CAST(count(DISTINCT (FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, time_bin))
+         AS BIGINT) AS rows_out,
+    CAST(count(*) * 1000
+         // count(DISTINCT (FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, time_bin))
+         AS BIGINT) AS row_ratio_permille,
+    CAST(min(chan_fac) AS INTEGER) AS min_chan_fac,
+    CAST(max(chan_fac) AS INTEGER) AS max_chan_fac,
+    round(max(sqrt(u * u + v * v)), 6) AS bl_uv
+FROM binned
+GROUP BY ANTENNA1, ANTENNA2
+""",
+)
+def bda_compression_report(spark, sf_dir):
+    """BDA COMPRESSION REPORT — the operational readout of what the
+    baseline-dependent averaging actually buys, per baseline: input
+    rows vs output bins (integer-permille row compression) and the
+    channel-folding range, alongside the baseline length. The defining
+    BDA curve — short baselines compress hard, long ones barely — is
+    visible directly in this table (pinned in tests), which is what an
+    operator checks before committing a compression config to a
+    100 TB observation.
+
+    Plan: the same broadcast params join as the pipeline itself, then
+    ONE partial-aggregated shuffle keyed on the baseline."""
+    t, params = _params(spark)
+    binned = B.assign_bins(t["ms_rows"], params)
+    out_key = F.struct("FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER", "time_bin")
+    return (
+        binned.groupBy("ANTENNA1", "ANTENNA2")
+        .agg(
+            F.count("*").cast("long").alias("rows_in"),
+            F.count_distinct(out_key).cast("long").alias("rows_out"),
+            F.expr(
+                "count(*) * 1000 div count(DISTINCT "
+                "struct(FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, time_bin))"
+            ).cast("long").alias("row_ratio_permille"),
+            F.min("chan_fac").cast("int").alias("min_chan_fac"),
+            F.max("chan_fac").cast("int").alias("max_chan_fac"),
+            F.round(F.max("bl_uv"), 6).alias("bl_uv"),
+        )
+    )

@@ -671,3 +671,65 @@ def ms_uv_proximity_join(spark, sf_dir):
             F.round(dist_sq, 6).alias("dist_sq"),
         )
     )
+
+
+_GRID_DU = 4096.0  # uv cell size -> a ~16x16 grid over the fixture span
+
+
+@q(
+    "ms_uv_gridding",
+    f"""
+SELECT CAST(floor(r.u / {_GRID_DU}) AS INTEGER) AS cell_u,
+       CAST(floor(r.v / {_GRID_DU}) AS INTEGER) AS cell_v,
+       v.corr,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(count(*) FILTER (WHERE NOT v.flag) AS BIGINT) AS n_unflagged,
+       coalesce(sum(v.weight_sp) FILTER (WHERE NOT v.flag), 0) AS wsum,
+       coalesce(sum(v.weight_sp * v.vis_re) FILTER (WHERE NOT v.flag), 0)
+           AS grid_re,
+       coalesce(sum(v.weight_sp * v.vis_im) FILTER (WHERE NOT v.flag), 0)
+           AS grid_im
+FROM read_parquet('{_DIR}/ms_vis.parquet') v
+JOIN read_parquet('{_DIR}/ms_rows.parquet') r USING (row_id)
+GROUP BY 1, 2, v.corr
+""",
+)
+def ms_uv_gridding(spark, sf_dir):
+    """UV-PLANE GRIDDING — the imaging-side operator downstream of the
+    averaging the reference performs (xova's output MS feeds exactly
+    this step in a radio pipeline): visibilities accumulated onto a
+    regular (u, v) cell grid per correlation — weighted sums of the
+    unflagged samples plus the weight normalizer (the divide happens
+    at read/imaging time, keeping every stored value an exact sum of
+    the fixture's dyadic products).
+
+    Plan: vis ⨝ rows on row_id (the same row-map join the averaging
+    pipelines use — size-gated broadcast territory), then ONE
+    partial-aggregated shuffle keyed on (cell_u, cell_v, corr). At
+    100 TB this is the textbook distributed gridder: cells are the
+    natural output partitioning, and per-cell partial sums combine
+    map-side exactly like any decomposable aggregate."""
+    t = _ms(spark)
+    r = t["ms_rows"].select(
+        "row_id",
+        F.floor(F.col("u") / _GRID_DU).cast("int").alias("cell_u"),
+        F.floor(F.col("v") / _GRID_DU).cast("int").alias("cell_v"),
+    )
+    v = t["ms_vis"]
+    unfl = ~F.col("flag")
+    w = F.col("weight_sp")
+    return (
+        v.join(r, "row_id")
+        .groupBy("cell_u", "cell_v", "corr")
+        .agg(
+            F.count("*").cast("long").alias("n_samples"),
+            F.count(F.when(unfl, 1)).cast("long").alias("n_unflagged"),
+            F.coalesce(F.sum(F.when(unfl, w)), F.lit(0.0)).alias("wsum"),
+            F.coalesce(
+                F.sum(F.when(unfl, w * F.col("vis_re"))), F.lit(0.0)
+            ).alias("grid_re"),
+            F.coalesce(
+                F.sum(F.when(unfl, w * F.col("vis_im"))), F.lit(0.0)
+            ).alias("grid_im"),
+        )
+    )

@@ -209,6 +209,87 @@ def ev_hourly_rollup_gapfill(spark, sf_dir):
 
 
 @q(
+    "ev_gapfill_locf",
+    """
+    WITH grid AS (
+      SELECT d.day, h.hour, t.event_type
+      FROM (SELECT unnest(generate_series(0, 6)) AS day) d
+      CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hour) h
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ), obs AS (
+      SELECT day, hour, event_type, round(value, 4) AS last_reading
+      FROM (
+        SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+               CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+               event_type, value,
+               row_number() OVER (
+                 PARTITION BY datediff('day', DATE '2024-01-01', CAST(ts AS DATE)),
+                              CAST(extract(hour FROM ts) AS INTEGER), event_type
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-08'
+      ) WHERE rn = 1
+    )
+    SELECT g.day, g.hour, g.event_type,
+           last_value(o.last_reading IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.day, g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS reading,
+           CASE WHEN o.last_reading IS NULL THEN 1 ELSE 0 END AS filled
+    FROM grid g LEFT JOIN obs o USING (day, hour, event_type)
+    """,
+)
+def ev_gapfill_locf(spark, sf_dir):
+    """Gap-fill with LAST-OBSERVATION-CARRIED-FORWARD — the other half
+    of the hypertable gap-fill story (ev_hourly_rollup_gapfill zero-
+    fills counts; sensor-style READINGS must carry the last value
+    instead): dense (day × hour × type) grid, each bucket's final
+    reading (max_by over event time), missing buckets filled by
+    last_value(... IGNORE NULLS) over the ordered grid — the LOCF
+    window idiom — with a filled flag.
+
+    Plan: one bucket shuffle (max_by partial-agg), broadcast grid
+    left join, ONE window exchange per type ordering the grid. At
+    100 TB the grid is generated, never stored, and the window runs
+    per series — the carry stitches across day-shards like any
+    prefix scan."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    wk = ev.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    obs = (
+        wk.groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+            F.hour("ts").alias("hour"),
+            "event_type",
+        )
+        .agg(F.round(F.max_by("value", ordk), 4).alias("last_reading"))
+    )
+    days = spark.range(7).select(F.col("id").cast("int").alias("day"))
+    hours = spark.range(24).select(F.col("id").cast("int").alias("hour"))
+    types = ev.select("event_type").distinct()
+    grid = days.crossJoin(hours).crossJoin(F.broadcast(types))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day", "hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["day", "hour", "event_type"], "left")
+        .select(
+            "day",
+            "hour",
+            "event_type",
+            F.last("last_reading", ignorenulls=True).over(w).alias("reading"),
+            F.when(F.col("last_reading").isNull(), 1).otherwise(0).alias("filled"),
+        )
+    )
+
+
+@q(
     "salted_join_skew",
     """
     SELECT c_nationkey, count(*) AS n_orders,
