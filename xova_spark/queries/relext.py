@@ -995,6 +995,147 @@ def ev_active_users_rolling(spark, sf_dir):
 
 
 @q(
+    "ev_seasonal_decompose",
+    """
+    WITH b AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), hm AS (
+      SELECT hour, sum(n) AS hs, count(*) AS hc FROM b GROUP BY hour
+    ), dm AS (
+      SELECT day % 7 AS dow, sum(n) AS ds, count(*) AS dc
+      FROM b GROUP BY day % 7
+    ), g AS (
+      SELECT sum(n) AS gs, count(*) AS gc FROM b
+    )
+    SELECT b.day, b.hour, b.n,
+           round(CAST(hm.hs AS DOUBLE) / hm.hc, 6) AS hour_effect,
+           round(CAST(dm.ds AS DOUBLE) / dm.dc, 6) AS dow_effect,
+           round(b.n - CAST(hm.hs AS DOUBLE) / hm.hc
+                     - CAST(dm.ds AS DOUBLE) / dm.dc
+                     + CAST(g.gs AS DOUBLE) / g.gc, 6) AS residual
+    FROM b
+    JOIN hm USING (hour)
+    JOIN dm ON dm.dow = b.day % 7
+    CROSS JOIN g
+    """,
+)
+def ev_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of the hourly event-count
+    series: hour-of-day effect + day-of-week effect + residual
+    (y − hour_mean − dow_mean + grand_mean) — the STL-lite diagnostic
+    behind the anomaly/forecast entries (their baselines assume the
+    seasonality this query exposes). Every mean derives from exact
+    integer (sum, count) pairs, so the single float expression per
+    row is identical cross-engine, round(6).
+
+    Plan: one bucket shuffle, then the three effect tables (24, 7,
+    and 1 rows) broadcast back onto the buckets — no second pass over
+    event-grain data."""
+    (ev,) = _t(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    hm = b.groupBy("hour").agg(
+        F.sum("n").alias("hs"), F.count("*").alias("hc")
+    )
+    dm = b.groupBy((F.col("day") % 7).alias("dow")).agg(
+        F.sum("n").alias("ds"), F.count("*").alias("dc")
+    )
+    g = b.agg(F.sum("n").alias("gs"), F.count("*").alias("gc"))
+    he = F.col("hs").cast("double") / F.col("hc")
+    de = F.col("ds").cast("double") / F.col("dc")
+    ge = F.col("gs").cast("double") / F.col("gc")
+    return (
+        b.join(F.broadcast(hm), "hour")
+        .join(F.broadcast(dm), (F.col("day") % 7) == F.col("dow"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "day",
+            "hour",
+            "n",
+            F.round(he, 6).alias("hour_effect"),
+            F.round(de, 6).alias("dow_effect"),
+            F.round(F.col("n") - he - de + ge, 6).alias("residual"),
+        )
+    )
+
+
+@q(
+    "ev_funnel_latency_quantiles",
+    """
+    WITH fv AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), fp AS (
+      SELECT user_id, min(ts) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), lat AS (
+      SELECT fv.user_id,
+             epoch_us(fp.first_purchase) - epoch_us(fv.first_view) AS lat_us
+      FROM fv JOIN fp USING (user_id)
+      WHERE fp.first_purchase >= fv.first_view
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(lat_us) AS BIGINT) AS p0,
+           CAST(quantile_disc(lat_us, 0.5) AS BIGINT) AS p50,
+           CAST(quantile_disc(lat_us, 0.9) AS BIGINT) AS p90,
+           CAST(max(lat_us) AS BIGINT) AS p100
+    FROM lat
+    """,
+)
+def ev_funnel_latency_quantiles(spark, sf_dir):
+    """Funnel TIME-TO-CONVERT distribution: per user the latency from
+    first view to first purchase (microsecond integers), summarized as
+    discrete quantiles (p50/p90 — exact order statistics, not
+    interpolated, so integer-identical cross-engine).
+
+    Plan: two filtered min-aggregations share one shuffle key
+    (user_id), one join, then a single global summary row. The
+    latency table is user-grain — tiny relative to events — so the
+    exact quantile sort is cheap at any event volume."""
+    (ev,) = _t(spark, sf_dir, "events")
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = (
+        fv.join(fp, "user_id")
+        .where(F.col("first_purchase") >= F.col("first_view"))
+        .select(
+            (
+                F.unix_micros("first_purchase") - F.unix_micros("first_view")
+            ).alias("lat_us")
+        )
+    )
+    return lat.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.min("lat_us").cast("long").alias("p0"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_us)")
+        .cast("long")
+        .alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_us)")
+        .cast("long")
+        .alias("p90"),
+        F.max("lat_us").cast("long").alias("p100"),
+    )
+
+
+@q(
     "ev_cusum_alerts",
     """
     WITH b AS (
