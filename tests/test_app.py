@@ -371,3 +371,33 @@ def test_app_tokenize_writes_merges_and_counts(spark, tmp_path):
     # overwrite guard
     with pytest.raises(SystemExit):
         Application(["tokenize", sf, "-o", out], spark=spark).execute()
+
+
+def test_app_cdc_apply_matches_direct_new(spark, tmp_path):
+    """``xova-spark cdc``: applying the diff changelog to the old
+    snapshot reproduces the new snapshot exactly (the cdcq merge law,
+    through the CLI path with generic column introspection)."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.queries.cdcq import _diff, _snapshots
+
+    sf = "/root/testdata/sf0.001"
+    old, new = _snapshots(spark, sf)
+    base_p = os.path.join(str(tmp_path), "base")
+    chg_p = os.path.join(str(tmp_path), "chg")
+    out = os.path.join(str(tmp_path), "merged")
+    old.write.parquet(base_p)
+    # CLI contract: changelog carries op + keys + NEW payload columns.
+    _diff(old, new).select(
+        "o_orderkey", "op",
+        F.col("new_price_cents").alias("price_cents"),
+    ).write.parquet(chg_p)
+    got = Application(
+        ["cdc", base_p, "--changes", chg_p, "--keys", "o_orderkey", "-o", out],
+        spark=spark,
+    ).execute()
+    assert got == out
+    merged = spark.read.parquet(out)
+    assert merged.count() == new.count()
+    assert merged.exceptAll(new).count() == 0
+    assert new.exceptAll(merged).count() == 0

@@ -220,6 +220,21 @@ def create_parser() -> argparse.ArgumentParser:
     se.add_argument("--nprobe", default=2, type=int)
     se.add_argument("-o", "--output", default=None,
                     help="write results parquet here (default: print)")
+    cdc = sp.add_parser(
+        "cdc",
+        help="apply an I/U/D changelog parquet to a base snapshot "
+             "parquet and write the merged snapshot (one keyed "
+             "full-outer join; deletes drop, upserts take the "
+             "changelog payload)",
+    )
+    cdc.add_argument("ms", metavar="base", help="base snapshot parquet path")
+    cdc.add_argument("--changes", required=True,
+                     help="changelog parquet with an 'op' column (I/U/D), "
+                          "the key columns, and the new payload columns")
+    cdc.add_argument("--keys", required=True,
+                     help="comma-separated primary-key columns")
+    cdc.add_argument("-o", "--output", default=None)
+    cdc.add_argument("--force", action="store_true", default=False)
     dq = sp.add_parser(
         "dq",
         help="data-quality report over the relational tables: column "
@@ -324,6 +339,8 @@ class Application:
             return self._execute_search()
         if args.command == "dq":
             return self._execute_dq()
+        if args.command == "cdc":
+            return self._execute_cdc()
 
         # Opens real CASA MS directories too when python-casacore is
         # installed (sources/casa_ms bridge); parquet layout otherwise.
@@ -430,6 +447,69 @@ class Application:
         )
         audit.write.mode("overwrite").parquet(
             os.path.join(args.output, "audit")
+        )
+        return args.output
+
+    def _execute_cdc(self) -> str:
+        """``xova-spark cdc``: incremental snapshot maintenance — apply
+        a changelog (op ∈ I/U/D + keys + new payload) to a base
+        snapshot with ONE keyed full-outer join (the cdcq.py merge
+        law, proven apply(old, diff(old,new)) ≡ new under the oracle
+        gate) and write the merged snapshot. The distributed
+        alternative to rewriting the table per batch."""
+        import os
+
+        args = self.args
+        spark = self._session()
+        if os.path.exists(args.output) and not args.force:
+            print(f"{args.output} exists, use --force to overwrite")
+            raise SystemExit(1)
+        keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+        base = spark.read.parquet(args.ms)
+        chg = spark.read.parquet(args.changes)
+        payload = [c for c in base.columns if c not in keys]
+        missing = [c for c in keys + ["op"] if c not in chg.columns]
+        if missing:
+            print(f"changelog missing columns: {', '.join(missing)}")
+            raise SystemExit(1)
+        chg2 = chg.select(
+            *[F.col(k).alias(f"__k_{k}") for k in keys],
+            "op",
+            *[
+                F.col(p).alias(f"__v_{p}")
+                for p in payload
+                if p in chg.columns
+            ],
+        )
+        cond = None
+        for k in keys:
+            c = base[k] == chg2[f"__k_{k}"]
+            cond = c if cond is None else (cond & c)
+        j = base.join(chg2, cond, "full_outer")
+        out_cols = [
+            F.coalesce(base[k], chg2[f"__k_{k}"]).alias(k) for k in keys
+        ]
+        for p in payload:
+            if f"__v_{p}" in chg2.columns:
+                out_cols.append(
+                    F.when(F.col("op").isNotNull(), F.col(f"__v_{p}"))
+                    .otherwise(base[p])
+                    .alias(p)
+                )
+            else:
+                out_cols.append(base[p].alias(p))
+        merged = j.where(
+            F.col("op").isNull() | (F.col("op") != "D")
+        ).select(*out_cols)
+        merged.write.mode("overwrite").parquet(args.output)
+        ops = {
+            r["op"]: r["n"]
+            for r in chg.groupBy("op").agg(F.count("*").alias("n")).collect()
+        }
+        n_out = spark.read.parquet(args.output).count()
+        print(
+            f"cdc: applied {ops.get('I', 0)} inserts, {ops.get('U', 0)} "
+            f"updates, {ops.get('D', 0)} deletes -> {n_out} rows"
         )
         return args.output
 
