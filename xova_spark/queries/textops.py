@@ -934,3 +934,90 @@ def udtf_word_bigrams(spark, sf_dir):
         GROUP BY d.doc_id
         """
     )
+
+
+_ZIPF_K = 200
+
+
+@q(
+    "t_zipf_slope",
+    f"""
+    WITH freq AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ), top AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rank
+      FROM freq ORDER BY rank LIMIT {_ZIPF_K}
+    ), l AS (
+      SELECT list(CAST(c AS DOUBLE) ORDER BY rank) AS fs FROM top
+    ), sums AS (
+      SELECT len(fs) AS k,
+             list_sum(list_transform(generate_series(1, len(fs)),
+                      i -> ln(CAST(i AS DOUBLE)))) AS sx,
+             list_sum(list_transform(generate_series(1, len(fs)),
+                      i -> ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE))))
+                 AS sxx,
+             list_sum(list_transform(fs, f -> ln(f))) AS sy,
+             list_sum(list_transform(generate_series(1, len(fs)),
+                      i -> ln(CAST(i AS DOUBLE)) * ln(fs[i]))) AS sxy
+      FROM l
+    )
+    SELECT CAST(k AS BIGINT) AS n_words,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k,
+                 6) AS intercept
+    FROM sums
+    """,
+)
+def t_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit over the corpus word-frequency curve: least-
+    squares slope of ln(freq) on ln(rank) for the top {_ZIPF_K} words
+    (natural text sits near −1; word-soup or boilerplate corpora
+    deviate — a one-number corpus-health diagnostic).
+
+    Exactness: float sums over the 200 (rank, freq) points are
+    summation-ORDER-dependent, so neither engine may use a parallel
+    aggregate — both fold the rank-ordered array SEQUENTIALLY
+    (F.aggregate over sort_array vs list_sum over an ORDER BY list),
+    making every intermediate bit-identical; round(6) on the two
+    outputs. Plan: one token-count shuffle, a top-K sort of the
+    distinct-word table, then one driver-sized row."""
+    from pyspark.sql import Window
+
+    (docs,) = _docs(spark, sf_dir)
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top = (
+        freq.withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("c"), "word"))
+        )
+        .filter(F.col("rank") <= _ZIPF_K)
+        .select("rank", F.col("c").cast("double").alias("f"))
+    )
+    arr = top.agg(
+        F.sort_array(F.collect_list(F.struct("rank", "f"))).alias("a")
+    )
+    lnr = "ln(cast(x.rank as double))"
+    fold = lambda expr: F.expr(  # noqa: E731 — sequential fold helper
+        f"aggregate(a, cast(0.0 as double), (acc, x) -> acc + ({expr}))"
+    )
+    sums = arr.select(
+        F.size("a").alias("k"),
+        fold(lnr).alias("sx"),
+        fold(f"{lnr} * {lnr}").alias("sxx"),
+        fold("ln(x.f)").alias("sy"),
+        fold(f"{lnr} * ln(x.f)").alias("sxy"),
+    )
+    k = F.col("k").cast("double")
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("k").cast("long").alias("n_words"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / k, 6).alias("intercept"),
+    )
