@@ -784,3 +784,77 @@ def stream_cdc_merge(spark, sf_dir):
         "user_id long, event_type string, last_event_id long, "
         "last_value double, n_versions long",
     )
+
+
+@q(
+    "stream_user_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    )
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(max(ts)) + 3600000000 AS BIGINT) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def stream_user_sessions(spark, sf_dir):
+    """EVENT-side streaming sessionization via ``session_window`` —
+    the native Structured Streaming session operator (1-hour gap):
+    state merges windows as events arrive and closes a session once
+    the watermark passes its gap end. Converged availableNow output
+    equals the batch gaps-and-islands sessionization (w_sessionize's
+    partition — the oracle recomputes it with windows); the emitted
+    session end is start-of-gap + 1 h, exactly session_window's close
+    semantics.
+
+    The MS twin (stream_session_bins) sessionizes baselines; this
+    entry pins the same operator on the product-analytics stream,
+    where sessions per key are unbounded and the watermark is what
+    bounds state."""
+    from xova_spark.queries.relational import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.to_utc_timestamp(F.col("ts"), "UTC")
+    )
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", "1 hour").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    name = f"q_stream_usess_{next(_uniq)}"
+    with SA.stream_state_partitions(spark):
+        q_ = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    t = spark.table(name)
+    return t.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).cast("long").alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).cast("long").alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "total_value",
+    )
