@@ -424,7 +424,7 @@ def graph_kcore(spark, sf_dir):
 LPA_ROUNDS = 3
 
 
-def _lpa_sql() -> str:
+def _lpa_ctes() -> list:
     ctes = [
         _DUCK_EDGES.strip(),
         "l0 AS MATERIALIZED (SELECT node, node AS label FROM deg)",
@@ -441,9 +441,13 @@ def _lpa_sql() -> str:
             f"PARTITION BY node ORDER BY c DESC, label) AS rn FROM v{r}"
             f") WHERE rn = 1)"
         )
+    return ctes
+
+
+def _lpa_sql() -> str:
     return (
         "WITH "
-        + ", ".join(ctes)
+        + ", ".join(_lpa_ctes())
         + f""" SELECT label AS community,
                       CAST(count(*) AS BIGINT) AS n_nodes,
                       CAST(min(node) AS BIGINT) AS min_node,
@@ -452,20 +456,38 @@ def _lpa_sql() -> str:
     )
 
 
-@q("graph_lpa_communities", _lpa_sql())
-def graph_lpa_communities(spark, sf_dir):
-    """Label-propagation community detection ({LPA_ROUNDS} synchronous
-    rounds): every node adopts its neighbors' most frequent label,
-    ties to the smallest — a deterministic total order, which is what
-    makes LPA (normally random-order-sensitive) hash-safe. Communities
-    are reported as (label, size, node range). Distinct from
-    CC (reachability) and k-core (density): LPA finds dense SUBregions
-    of connected components.
+def _modularity_sql() -> str:
+    R = LPA_ROUNDS
+    return (
+        "WITH "
+        + ", ".join(_lpa_ctes())
+        + f""",
+        mm AS (SELECT count(*) AS m FROM edges),
+        intra AS (
+          SELECT la.label AS community, count(*) AS e_c
+          FROM edges e
+          JOIN l{R} la ON la.node = e.pa
+          JOIN l{R} lb ON lb.node = e.pb
+          WHERE la.label = lb.label
+          GROUP BY la.label
+        ),
+        dc AS (
+          SELECT l.label AS community, sum(d.degree) AS d_c
+          FROM l{R} l JOIN deg d ON d.node = l.node
+          GROUP BY l.label
+        )
+        SELECT dc.community,
+               CAST(coalesce(i.e_c, 0) AS BIGINT) AS e_c,
+               CAST(dc.d_c AS BIGINT) AS d_c,
+               CAST(4 * mm.m * coalesce(i.e_c, 0) - dc.d_c * dc.d_c
+                    AS BIGINT) AS q_contrib_4m2
+        FROM dc LEFT JOIN intra i USING (community) CROSS JOIN mm"""
+    )
 
-    Plan per round: one (node, label) count shuffle + one per-node
-    argmax window, labels materialized per round (localCheckpoint —
-    same 3^rounds plan-blowup reason as kcore_edges); fixed rounds so
-    both engines run the identical schedule."""
+
+def _lpa_labels(spark, sf_dir):
+    """Shared LPA engine: returns (labels DF (node, label), edges DF
+    cached). Caller owns unpersisting edges."""
     edges = _copurchase_edges(spark, sf_dir).cache()
     edges.count()
     arcs, deg = _arcs_and_degrees(edges)
@@ -485,6 +507,24 @@ def graph_lpa_communities(spark, sf_dir):
             .select("node", "label")
             .localCheckpoint(eager=True)
         )
+    return labels, edges
+
+
+@q("graph_lpa_communities", _lpa_sql())
+def graph_lpa_communities(spark, sf_dir):
+    """Label-propagation community detection ({LPA_ROUNDS} synchronous
+    rounds): every node adopts its neighbors' most frequent label,
+    ties to the smallest — a deterministic total order, which is what
+    makes LPA (normally random-order-sensitive) hash-safe. Communities
+    are reported as (label, size, node range). Distinct from
+    CC (reachability) and k-core (density): LPA finds dense SUBregions
+    of connected components.
+
+    Plan per round: one (node, label) count shuffle + one per-node
+    argmax window, labels materialized per round (localCheckpoint —
+    same 3^rounds plan-blowup reason as kcore_edges); fixed rounds so
+    both engines run the identical schedule."""
+    labels, _edges = _lpa_labels(spark, sf_dir)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").cast("long").alias("n_nodes"),
         F.min("node").cast("long").alias("min_node"),
@@ -518,3 +558,53 @@ def graph_connected_components(spark, sf_dir):
         F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b")
     )
     return cc_components(spark, pairs, id_col="node")
+
+
+@q("graph_modularity", _modularity_sql())
+def graph_modularity(spark, sf_dir):
+    """MODULARITY of the LPA communities, exactly on integers: the
+    per-community Newman contribution Q_c = e_c/m − (d_c/2m)² is
+    reported on the common 4m² lattice (q_contrib_4m2 =
+    4·m·e_c − d_c² — sum over communities and divide by 4m² downstream
+    for the familiar [−1/2, 1) score). e_c = intra-community edges,
+    d_c = total community degree, m = |edges|; all BIGINT, so the
+    community-quality metric carries no float-ordering hazard.
+
+    Plan: the shared LPA engine (one label table), then two keyed
+    joins over the pruned edge list — labels onto both edge endpoints
+    for e_c, labels onto degrees for d_c."""
+    labels, edges = _lpa_labels(spark, sf_dir)
+    _, deg = _arcs_and_degrees(edges)
+    m = edges.count()
+    la = labels.withColumnRenamed("node", "pa").withColumnRenamed(
+        "label", "label_a"
+    )
+    lb = labels.withColumnRenamed("node", "pb").withColumnRenamed(
+        "label", "label_b"
+    )
+    intra = (
+        edges.join(la, "pa")
+        .join(lb, "pb")
+        .where(F.col("label_a") == F.col("label_b"))
+        .groupBy(F.col("label_a").alias("community"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    dc = (
+        labels.join(deg, "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.sum("degree").alias("d_c"))
+    )
+    out = (
+        dc.join(intra, "community", "left")
+        .select(
+            "community",
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("e_c"),
+            F.col("d_c").cast("long").alias("d_c"),
+            (
+                F.lit(4 * m) * F.coalesce("e_c", F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            ).cast("long").alias("q_contrib_4m2"),
+        )
+    )
+    edges.unpersist()
+    return out

@@ -1021,3 +1021,90 @@ def t_zipf_slope(spark, sf_dir):
         F.round(slope, 6).alias("zipf_slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / k, 6).alias("intercept"),
     )
+
+
+@q(
+    "t_dataset_card",
+    """
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             n_chars, md5(text) AS h
+      FROM documents
+    ), dup AS (
+      SELECT h, count(*) AS n_copies FROM base GROUP BY h
+    ), lc AS (
+      SELECT source, lang, count(*) AS c FROM base GROUP BY source, lang
+    ), toplang AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (
+                 PARTITION BY source ORDER BY c DESC, lang) AS rn
+        FROM lc
+      ) WHERE rn = 1
+    )
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(count(DISTINCT b.lang) AS BIGINT) AS n_langs,
+           any_value(t.top_lang) AS top_lang,
+           CAST(sum(CASE WHEN d.n_copies > 1 THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS dup_permille,
+           CAST(sum(b.n_chars) // count(*) AS BIGINT) AS avg_chars
+    FROM base b
+    JOIN dup d USING (h)
+    JOIN toplang t ON t.source = b.source
+    GROUP BY b.source
+    """,
+)
+def t_dataset_card(spark, sf_dir):
+    """DATASET CARD — the per-source datasheet a corpus release ships:
+    document and token counts, language spread with the dominant
+    language, corpus-wide exact-duplicate participation (integer
+    permille), and mean document length (integer floor). Every number
+    derives from exact integer counts, so the card is hash-identical
+    cross-engine.
+
+    Plan: one doc-grain projection feeds (a) the md5 duplicate count
+    (one hash shuffle), (b) per-(source, lang) counts (tiny), (c) the
+    per-source rollup — the corpus crosses the network once for the
+    dup signal and once for the final groupBy."""
+    from pyspark.sql import Window
+
+    (docs,) = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        "n_chars",
+        F.md5("text").alias("h"),
+    )
+    dup = base.groupBy("h").agg(F.count("*").alias("n_copies"))
+    lc = base.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    toplang = (
+        lc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("c"), "lang")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        base.join(dup, "h")
+        .join(F.broadcast(toplang), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.any_value("top_lang").alias("top_lang"),
+            F.expr(
+                "sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1000"
+                " div count(*)"
+            ).cast("long").alias("dup_permille"),
+            F.expr("sum(n_chars) div count(*)").cast("long").alias("avg_chars"),
+        )
+    )
