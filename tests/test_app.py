@@ -401,3 +401,22 @@ def test_app_cdc_apply_matches_direct_new(spark, tmp_path):
     assert merged.count() == new.count()
     assert merged.exceptAll(new).count() == 0
     assert new.exceptAll(merged).count() == 0
+
+
+def test_app_card_writes_datasheet(spark, tmp_path):
+    """``xova-spark card``: the three datasheet parquets land and the
+    sources card equals the registry query."""
+    from xova_spark.queries.textops import t_dataset_card
+
+    sf = "/root/testdata/sf0.001"
+    out = os.path.join(str(tmp_path), "card_out")
+    got = Application(["card", sf, "-o", out], spark=spark).execute()
+    assert got == out
+    src = spark.read.parquet(os.path.join(out, "sources"))
+    ref = t_dataset_card(spark, sf)
+    assert src.count() == ref.count() > 0
+    assert src.exceptAll(ref).count() == 0
+    zipf = spark.read.parquet(os.path.join(out, "zipf")).collect()[0]
+    assert zipf["n_words"] > 0
+    oov = spark.read.parquet(os.path.join(out, "oov")).collect()[0]
+    assert 0 <= oov["corpus_oov_permille"] <= 1000

@@ -220,6 +220,14 @@ def create_parser() -> argparse.ArgumentParser:
     se.add_argument("--nprobe", default=2, type=int)
     se.add_argument("-o", "--output", default=None,
                     help="write results parquet here (default: print)")
+    card = sp.add_parser(
+        "card",
+        help="corpus datasheet: per-source dataset card, Zipf fit, "
+             "OOV-rate summary — the release artifacts for a corpus",
+    )
+    card.add_argument("ms", help="directory containing documents.parquet")
+    card.add_argument("-o", "--output", default=None)
+    card.add_argument("--force", action="store_true", default=False)
     cdc = sp.add_parser(
         "cdc",
         help="apply an I/U/D changelog parquet to a base snapshot "
@@ -341,6 +349,8 @@ class Application:
             return self._execute_dq()
         if args.command == "cdc":
             return self._execute_cdc()
+        if args.command == "card":
+            return self._execute_card()
 
         # Opens real CASA MS directories too when python-casacore is
         # installed (sources/casa_ms bridge); parquet layout otherwise.
@@ -448,6 +458,37 @@ class Application:
         audit.write.mode("overwrite").parquet(
             os.path.join(args.output, "audit")
         )
+        return args.output
+
+    def _execute_card(self) -> str:
+        """``xova-spark card``: write the corpus release datasheet —
+        the per-source dataset card (docs/tokens/langs/dup rate), the
+        Zipf-law fit, and a per-language OOV-rate summary. The
+        artifacts a data release publishes next to the parquet."""
+        import os
+
+        args = self.args
+        spark = self._session()
+        from xova_spark.queries import textops as T
+
+        if os.path.exists(args.output) and not args.force:
+            print(f"{args.output} exists, use --force to overwrite")
+            raise SystemExit(1)
+        card = T.t_dataset_card(spark, args.ms)
+        zipf = T.t_zipf_slope(spark, args.ms)
+        oov = (
+            T.t_oov_rate(spark, args.ms)
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.expr("sum(n_oov) * 1000 div sum(n_tokens)")
+                .cast("long")
+                .alias("corpus_oov_permille"),
+                F.max("oov_permille").cast("long").alias("max_doc_oov_permille"),
+            )
+        )
+        for name, df in (("sources", card), ("zipf", zipf), ("oov", oov)):
+            df.write.mode("overwrite").parquet(os.path.join(args.output, name))
+        print(f"card: wrote sources/zipf/oov under {args.output}")
         return args.output
 
     def _execute_cdc(self) -> str:

@@ -279,3 +279,113 @@ def mm_image_phash(spark, sf_dir):
         "hash_lo",
         (F.count("*").over(w) - 1).cast("long").alias("n_same_hash"),
     )
+
+
+@q(
+    "pipeline_media_e2e",
+    """
+WITH s AS (
+  SELECT d.doc_id,
+         count(*) AS n_samples,
+         min(ascii(substring(d.text, g.i, 1))) AS mn,
+         max(ascii(substring(d.text, g.i, 1))) AS mx
+  FROM documents d, generate_series(1, 600) g(i)
+  WHERE g.i <= length(d.text)
+  GROUP BY d.doc_id
+), sb AS (
+  SELECT d.doc_id, g.i - 1 AS i,
+         ascii(substring(d.text, g.i, 1)) AS v,
+         length(d.text) AS n
+  FROM documents d, generate_series(1, 600) g(i)
+  WHERE g.i <= length(d.text)
+), bb AS (
+  SELECT doc_id, (i * 64) // n AS blk,
+         sum(v) AS bs, count(*) AS bn
+  FROM sb GROUP BY doc_id, (i * 64) // n
+), tt AS (
+  SELECT doc_id, sum(bs) AS ts, sum(bn) AS n FROM bb GROUP BY doc_id
+), h AS (
+  SELECT bb.doc_id,
+         CAST(sum(CASE WHEN bb.blk >= 32 AND bb.bs * tt.n > tt.ts * bb.bn
+                       THEN 1 << (bb.blk - 32) ELSE 0 END) AS BIGINT)
+             AS hash_hi,
+         CAST(sum(CASE WHEN bb.blk < 32 AND bb.bs * tt.n > tt.ts * bb.bn
+                       THEN 1 << bb.blk ELSE 0 END) AS BIGINT) AS hash_lo
+  FROM bb JOIN tt USING (doc_id)
+  GROUP BY bb.doc_id
+), q AS (
+  SELECT doc_id, n_samples FROM s
+  WHERE n_samples >= 64 AND mx - mn >= 16
+), kept AS (
+  SELECT doc_id, n_samples FROM (
+    SELECT q.doc_id, q.n_samples,
+           row_number() OVER (
+             PARTITION BY h.hash_hi, h.hash_lo ORDER BY q.doc_id) AS rn
+    FROM q JOIN h USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT ['image', 'audio', 'video'][CAST(d.doc_id % 3 AS INTEGER) + 1]
+           AS media_type,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(q.doc_id) AS BIGINT) AS n_quality,
+       CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(k.n_samples), 0) AS BIGINT) AS samples_kept
+FROM documents d
+LEFT JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN kept k ON k.doc_id = d.doc_id
+GROUP BY 1
+""",
+)
+def pipeline_media_e2e(spark, sf_dir):
+    """MEDIA CURATION FUNNEL — the third e2e flagship (corpus and
+    embedding funnels are its siblings): decode-stats quality gate
+    (payload long enough, non-blank dynamic range) → perceptual-hash
+    exact-dedup (one representative per 64-bit aHash, smallest id
+    wins) → per-media-type audit of items / quality survivors / kept
+    after dedup / surviving samples. BOTH Arrow mapInPandas stages
+    (decode_stats, image_phash) run inside the funnel, so the gate
+    hashes the full decode→score→dedup pipeline, not single stages.
+
+    Plan: two embarrassingly-parallel mapInPandas passes over the
+    payload column, one hash shuffle for the dedup representative, a
+    3-row audit aggregate. At 100 TB the payload scans dominate and
+    parallelize linearly; nothing else touches payload bytes."""
+    from pyspark.sql import Window
+
+    from xova_spark.operators.multimodal import decode_stats, image_phash
+
+    media = _media(spark, sf_dir)
+    s = decode_stats(media)
+    h = image_phash(media)
+    q_ = s.where(
+        (F.col("n_samples") >= 64)
+        & (F.col("max_intensity") - F.col("min_intensity") >= 16)
+    ).select("doc_id", "n_samples")
+    w = Window.partitionBy("hash_hi", "hash_lo").orderBy("doc_id")
+    kept = (
+        q_.join(h.select("doc_id", "hash_hi", "hash_lo"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_samples")
+    )
+    return (
+        media.select("doc_id", "media_type")
+        .join(q_.select("doc_id", F.lit(1).alias("is_q")), "doc_id", "left")
+        .join(
+            kept.select(
+                "doc_id", F.lit(1).alias("is_k"),
+                F.col("n_samples").alias("k_samples"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .groupBy("media_type")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.count("is_q").cast("long").alias("n_quality"),
+            F.count("is_k").cast("long").alias("n_kept"),
+            F.coalesce(F.sum("k_samples"), F.lit(0))
+            .cast("long")
+            .alias("samples_kept"),
+        )
+    )
