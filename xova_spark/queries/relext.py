@@ -995,6 +995,71 @@ def ev_active_users_rolling(spark, sf_dir):
 
 
 @q(
+    "ev_user_concentration",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ), r AS (
+      SELECT n, ntile(10) OVER (ORDER BY n DESC, user_id) AS decile
+      FROM u
+    ), d AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(n) AS BIGINT) AS n_events
+      FROM r GROUP BY decile
+    ), t AS (SELECT sum(n_events) AS total FROM d)
+    SELECT d.decile, d.n_users, d.n_events,
+           CAST(sum(d.n_events) OVER (ORDER BY d.decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_events,
+           CAST(sum(d.n_events) OVER (ORDER BY d.decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000
+                // t.total AS BIGINT) AS cum_share_permille
+    FROM d CROSS JOIN t
+    """,
+)
+def ev_user_concentration(spark, sf_dir):
+    """Activity-concentration readout (the Lorenz-curve table): users
+    ranked into deciles by event count (deterministic total order),
+    each decile's user/event counts and the cumulative share of all
+    activity in integer permille — "the top 10% of users produce X‰
+    of events", the power-law diagnostic behind capacity planning and
+    abuse detection. Pure integer arithmetic end to end.
+
+    Plan: one user-grain shuffle, a global ntile over the (small)
+    user table, a 10-row decile aggregate with a window cumsum."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
+    r = u.select(
+        "n",
+        F.ntile(10).over(Window.orderBy(F.desc("n"), "user_id")).alias("decile"),
+    )
+    d = r.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    t = d.agg(F.sum("n_events").alias("total"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_users",
+            "n_events",
+            F.sum("n_events").over(wc).cast("long").alias("cum_events"),
+            F.expr(
+                "sum(n_events) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED"
+                " PRECEDING AND CURRENT ROW) * 1000 div total"
+            ).cast("long").alias("cum_share_permille"),
+        )
+    )
+
+
+@q(
     "ev_seasonal_decompose",
     """
     WITH b AS (
