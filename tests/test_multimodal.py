@@ -376,3 +376,45 @@ def test_image_phash_laws(spark):
         for r in MM.image_phash(m2, kernel=MM.decode_auto).collect()
     }
     assert out[10] == out[11]
+
+
+def test_phash_neardup_banding_mechanics(spark):
+    """The banded Hamming join finds a perturbed near-dup (few flipped
+    blocks -> shared band + small distance) and rejects an unrelated
+    payload — pinned synthetically because the sf0.01 corpus genuinely
+    contains no band collisions (the registry entry's 0 rows)."""
+    base = bytes(([10] * 2 + [200] * 2) * 32)  # alternating blocks
+    near = bytearray(base)
+    near[0:2] = b"\xc8\xc8"  # flip block 0 bright -> 1-2 bit change
+    far = bytes(range(128))
+    media = spark.createDataFrame(
+        [(1, base), (2, bytes(near)), (3, far)], "doc_id long, payload binary"
+    )
+    h = MM.image_phash(media)
+    a = h.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hash_hi").alias("hi_a"),
+        F.col("hash_lo").alias("lo_a"),
+    )
+    b = h.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hash_hi").alias("hi_b"),
+        F.col("hash_lo").alias("lo_b"),
+    )
+    ham = (
+        F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
+    ).cast("int")
+    pairs = (
+        a.join(
+            b,
+            (F.col("doc_a") < F.col("doc_b"))
+            & ((F.col("hi_a") == F.col("hi_b")) | (F.col("lo_a") == F.col("lo_b"))),
+        )
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+        .collect()
+    )
+    found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    assert (1, 2) in found and found[(1, 2)] <= 2
+    assert all(3 not in k for k in found)

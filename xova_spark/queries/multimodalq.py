@@ -389,3 +389,86 @@ def pipeline_media_e2e(spark, sf_dir):
             .alias("samples_kept"),
         )
     )
+
+
+_PHASH_HAM_T = 8
+
+
+@q(
+    "mm_phash_neardup_pairs",
+    f"""
+WITH sb AS (
+  SELECT d.doc_id, g.i - 1 AS i,
+         ascii(substring(d.text, g.i, 1)) AS v,
+         length(d.text) AS n
+  FROM documents d, generate_series(1, 600) g(i)
+  WHERE g.i <= length(d.text)
+), bb AS (
+  SELECT doc_id, (i * 64) // n AS blk,
+         sum(v) AS bs, count(*) AS bn
+  FROM sb GROUP BY doc_id, (i * 64) // n
+), tt AS (
+  SELECT doc_id, sum(bs) AS ts, sum(bn) AS n FROM bb GROUP BY doc_id
+), h AS (
+  SELECT bb.doc_id,
+         CAST(sum(CASE WHEN bb.blk >= 32 AND bb.bs * tt.n > tt.ts * bb.bn
+                       THEN 1 << (bb.blk - 32) ELSE 0 END) AS BIGINT)
+             AS hash_hi,
+         CAST(sum(CASE WHEN bb.blk < 32 AND bb.bs * tt.n > tt.ts * bb.bn
+                       THEN 1 << bb.blk ELSE 0 END) AS BIGINT) AS hash_lo
+  FROM bb JOIN tt USING (doc_id)
+  GROUP BY bb.doc_id
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+              + bit_count(xor(a.hash_lo, b.hash_lo)) AS INTEGER) AS hamming
+  FROM h a JOIN h b
+    ON a.doc_id < b.doc_id
+   AND (a.hash_hi = b.hash_hi OR a.hash_lo = b.hash_lo)
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {_PHASH_HAM_T}
+""",
+)
+def mm_phash_neardup_pairs(spark, sf_dir):
+    """Perceptual-hash NEAR-dup pairs via 2-band Hamming blocking: the
+    64-bit aHash splits into two 32-bit bands; candidates share at
+    least one exact band (two equi-joins — never an all-pairs
+    comparison), then the full Hamming distance (bit_count of the
+    XOR, both engines) verifies <= {_PHASH_HAM_T}. Banded-candidate
+    semantics by declaration, exactly like the minhash-LSH entries:
+    the oracle mirrors the banding, and the pigeonhole guarantee is
+    distance <= 0 per band — wider recall comes from more/narrower
+    bands (the 16-band variant of the same plan). This is the image
+    twin of dedup_minhash_lsh: one shuffle per band keyed on the band
+    value, verification only on candidates."""
+    from xova_spark.operators.multimodal import image_phash
+
+    h = image_phash(_media(spark, sf_dir)).select(
+        "doc_id", "hash_hi", "hash_lo"
+    )
+    a = h.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hash_hi").alias("hi_a"),
+        F.col("hash_lo").alias("lo_a"),
+    )
+    b = h.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hash_hi").alias("hi_b"),
+        F.col("hash_lo").alias("lo_b"),
+    )
+    ham = (
+        F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                (F.col("hi_a") == F.col("hi_b"))
+                | (F.col("lo_a") == F.col("lo_b"))
+            ),
+        )
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= _PHASH_HAM_T)
+        .select("doc_a", "doc_b", "hamming")
+    )

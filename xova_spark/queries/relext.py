@@ -995,6 +995,93 @@ def ev_active_users_rolling(spark, sf_dir):
 
 
 @q(
+    "ev_cohort_ltv",
+    """
+    WITH weeks AS (
+      SELECT user_id,
+             CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0)
+                  AS INTEGER) AS week,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), cohorts AS (
+      SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM cohorts GROUP BY cohort_week
+    ), cells AS (
+      SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+             CAST(sum(w.cents) AS BIGINT) AS revenue_cents
+      FROM weeks w JOIN cohorts c USING (user_id)
+      GROUP BY c.cohort_week, w.week - c.cohort_week
+    )
+    SELECT cells.cohort_week, week_offset, s.cohort_size, revenue_cents,
+           CAST(sum(revenue_cents) OVER (
+                PARTITION BY cells.cohort_week ORDER BY week_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_revenue_cents,
+           CAST(sum(revenue_cents) OVER (
+                PARTITION BY cells.cohort_week ORDER BY week_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                // s.cohort_size AS BIGINT) AS ltv_cents_per_user
+    FROM cells JOIN sizes s ON s.cohort_week = cells.cohort_week
+    """,
+)
+def ev_cohort_ltv(spark, sf_dir):
+    """Cohort LIFETIME VALUE — the revenue twin of the retention
+    matrix: purchase revenue (integer cents) per (cohort_week,
+    week_offset) cell, cumulated along each cohort's life into the
+    running LTV and the per-user LTV (integer floor against cohort
+    size). Pure integer arithmetic end to end.
+
+    Plan: same shape as ev_retention_cohorts — one user-grain shuffle
+    for cohorts, one cell aggregate, sizes broadcast, plus one window
+    cumsum partitioned by cohort."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    weeks = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.floor(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ) / 7
+        ).cast("int").alias("week"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    cells = (
+        weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.sum("cents").cast("long").alias("revenue_cents"))
+    )
+    wc = Window.partitionBy("cohort_week").orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("revenue_cents").over(wc)
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_size",
+            "revenue_cents",
+            cum.cast("long").alias("cum_revenue_cents"),
+            F.expr(
+                "sum(revenue_cents) OVER (PARTITION BY cohort_week ORDER BY"
+                " week_offset ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
+                " ROW) div cohort_size"
+            ).cast("long").alias("ltv_cents_per_user"),
+        )
+    )
+
+
+@q(
     "ev_user_concentration",
     """
     WITH u AS (
