@@ -384,3 +384,71 @@ def dq_histogram_drift(spark, sf_dir):
             "l1_cross",
         )
     )
+
+
+# Declarative expectations: (name, SQL predicate over lineitem rows that
+# marks a VIOLATION). The Spark side builds the same predicates with
+# F.expr — one shared spec, one scan, one report.
+_EXPECTATIONS = (
+    ("quantity_in_1_50", "l_quantity < 1 OR l_quantity > 50"),
+    ("discount_in_0_0.1", "l_discount < 0 OR l_discount > 0.1"),
+    ("tax_nonnegative", "l_tax < 0"),
+    ("price_positive", "l_extendedprice <= 0"),
+    ("returnflag_enum", "l_returnflag NOT IN ('A', 'N', 'R')"),
+    ("linestatus_enum", "l_linestatus NOT IN ('O', 'F')"),
+    ("shipdate_in_range", "l_shipdate < TIMESTAMP '2023-01-01' "
+                          "OR l_shipdate >= TIMESTAMP '2026-01-01'"),
+)
+
+
+def _expect_sql() -> str:
+    cases = ", ".join(
+        f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS v_{i}"
+        for i, (_n, pred) in enumerate(_EXPECTATIONS)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS expectation, n_rows, v_{i} AS n_violations, "
+        f"CASE WHEN v_{i} = 0 THEN 1 ELSE 0 END AS passed FROM m"
+        for i, (name, _p) in enumerate(_EXPECTATIONS)
+    )
+    return (
+        f"WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, {cases}"
+        f" FROM lineitem) {rows}"
+    )
+
+
+@q("dq_expectations", _expect_sql())
+def dq_expectations(spark, sf_dir):
+    """Declarative EXPECTATIONS SUITE (the great-expectations pattern):
+    a table of named row-level predicates — range bounds, enum
+    membership, date windows — evaluated as conditional counts in ONE
+    scan / one agg node, reported as (expectation, n_rows,
+    n_violations, passed). Both engines evaluate the identical SQL
+    predicate text (Spark via F.expr), so the suite definition IS the
+    cross-engine contract. Adding an expectation is one tuple; the
+    scan count stays 1 regardless of suite size — the property that
+    matters when the table is 100 TB."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for i, (_name, pred) in enumerate(_EXPECTATIONS):
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0))
+            .cast("long")
+            .alias(f"v_{i}")
+        )
+    m = li.agg(*aggs)
+    outs = []
+    for i, (name, _pred) in enumerate(_EXPECTATIONS):
+        outs.append(
+            m.select(
+                F.lit(name).alias("expectation"),
+                "n_rows",
+                F.col(f"v_{i}").alias("n_violations"),
+                F.when(F.col(f"v_{i}") == 0, 1).otherwise(0).alias("passed"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
