@@ -2800,3 +2800,222 @@ def ann_ivfadc_topk(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("qid", "cid", F.round("score", 6).alias("pq_dist"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained-cells IVF-PQ: the fully-learned composite (k-means coarse
+# quantizer + PQ codebooks)
+# ---------------------------------------------------------------------------
+
+_IVFKMPQ_CITERS = 2  # Lloyd updates for the coarse quantizer
+
+
+def _ivfkm_pq_parts(n_queries: int = 10) -> list:
+    """IVF-PQ with a TRAINED coarse quantizer: same PQ chain, but the
+    cells come from full-vector Lloyd k-means (squared L2 on the
+    dyadic-quantized embeddings — similarity.ann_ivfkm_topk's recipe),
+    so BOTH quantization levels are learned."""
+    parts, sels, joins = _pq_ctes()
+    cd = (
+        f"list_sum(list_transform(generate_series(1, {_DIM}),"
+        " i -> (x.emb[i] - c.cv[i]) * (x.emb[i] - c.cv[i])))"
+    )
+    parts.append(
+        f"cc0 AS (SELECT vec_id AS cid, emb AS cv FROM e "
+        f"WHERE vec_id < {_IVFPQ_CELLS})"
+    )
+    for it in range(_IVFKMPQ_CITERS + 1):
+        parts.append(
+            f"cs{it} AS (SELECT x.vec_id, c.cid, {cd} AS d "
+            f"FROM e x CROSS JOIN cc{it} c)"
+        )
+        parts.append(
+            f"ca{it} AS (SELECT vec_id, cid FROM ("
+            f"SELECT vec_id, cid, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY d, cid) AS rn FROM cs{it}"
+            f") WHERE rn = 1)"
+        )
+        if it < _IVFKMPQ_CITERS:
+            parts.append(
+                f"cm{it} AS (SELECT a.cid, g.i AS dim, "
+                f"sum(x.emb[g.i]) / count(*) AS v "
+                f"FROM ca{it} a JOIN e x USING (vec_id), "
+                f"generate_series(1, {_DIM}) g(i) GROUP BY a.cid, g.i)"
+            )
+            parts.append(
+                f"cc{it + 1} AS (SELECT cid, list(v ORDER BY dim) AS cv "
+                f"FROM cm{it} GROUP BY cid)"
+            )
+    parts.append(
+        f"assigned AS (SELECT vec_id, cid AS cell FROM ca{_IVFKMPQ_CITERS})"
+    )
+    parts.append(
+        f"probes AS (SELECT vec_id AS qid, cid AS pcell FROM ("
+        f"SELECT vec_id, cid, row_number() OVER "
+        f"(PARTITION BY vec_id ORDER BY d, cid) AS rn "
+        f"FROM cs{_IVFKMPQ_CITERS} WHERE vec_id < {n_queries}"
+        f") WHERE rn <= {_IVFPQ_NPROBE})"
+    )
+    parts.append(
+        f"codes AS (SELECT e.vec_id, {', '.join(sels)} FROM e {joins})"
+    )
+    parts.append(
+        f"qs AS (SELECT vec_id AS qid, emb FROM e WHERE vec_id < {n_queries})"
+    )
+    for m in range(_PQ_M):
+        lo = m * _PQ_SUB
+        dist = (
+            f"list_sum(list_transform(generate_series(1, {_PQ_SUB}),"
+            f" i -> (q.emb[{lo} + i] - c.cv[i]) * (q.emb[{lo} + i] - c.cv[i])))"
+        )
+        parts.append(
+            f"lut{m} AS (SELECT q.qid, c.cid, {dist} AS d "
+            f"FROM qs q CROSS JOIN q{m}c{_PQ_ITERS} c)"
+        )
+    lut_joins = " ".join(
+        f"JOIN lut{m} l{m} ON l{m}.qid = p.qid AND l{m}.cid = v.code{m}"
+        for m in range(_PQ_M)
+    )
+    score = " + ".join(f"l{m}.d" for m in range(_PQ_M))
+    parts.append(
+        f"scored AS (SELECT p.qid, v.vec_id AS cid, {score} AS score "
+        f"FROM codes v JOIN assigned a ON a.vec_id = v.vec_id "
+        f"JOIN probes p ON p.pcell = a.cell "
+        f"{lut_joins} WHERE v.vec_id != p.qid)"
+    )
+    parts.append(
+        "ranked AS (SELECT qid, cid, score, row_number() OVER "
+        "(PARTITION BY qid ORDER BY score, cid) AS rank FROM scored)"
+    )
+    return parts
+
+
+def _ivfkm_pq_topk_sql(n_queries: int = 10, topk: int = 5) -> str:
+    return (
+        "WITH " + ", ".join(_materialize(_ivfkm_pq_parts(n_queries)))
+        + f" SELECT qid, cid, round(score, 6) AS pq_dist, rank "
+        f"FROM ranked WHERE rank <= {topk}"
+    )
+
+
+@q("ann_ivfkm_pq_topk", _ivfkm_pq_topk_sql())
+def ann_ivfkm_pq_topk(spark, sf_dir):
+    """FULLY-TRAINED IVF-PQ — both quantization levels learned: cells
+    from full-vector Lloyd k-means (K={_IVFPQ_CELLS},
+    {_IVFKMPQ_CITERS} iterations, squared L2 on dyadic-quantized
+    vectors — ann_ivfkm_topk's coarse stage) and PQ codebooks from the
+    per-subspace Lloyd chain (_pq_fit). Queries probe their
+    {_IVFPQ_NPROBE} nearest trained cells; candidates score by
+    asymmetric PQ lookup distance. This is the production FAISS
+    IVF{_IVFPQ_CELLS},PQ{_PQ_M} build exactly; the earlier seed-cell
+    composite (ann_ivfpq_topk) remains as the variant whose cells need
+    no training pass.
+
+    Scale: coarse training is {_IVFKMPQ_CITERS} broadcast-assign +
+    k·dim partial-sum rounds; everything after assignment is the
+    ann_ivfpq_topk search plan (probes and LUTs broadcast; the code
+    scan is the only full-corpus work, partition-prunable by cell)."""
+    codes, cents = _pq_fit(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1024) / 1024,
+        ).alias("emb"),
+    ).cache()
+
+    ccents = {
+        r["vec_id"]: list(r["emb"])
+        for r in emb.filter(F.col("vec_id") < _IVFPQ_CELLS).collect()
+    }
+
+    def ranked_cells(cent_map):
+        cdf = spark.createDataFrame(
+            [
+                (int(cid), [float(v) for v in cv])
+                for cid, cv in sorted(cent_map.items())
+            ],
+            "cid int, cv array<double>",
+        )
+        d = F.aggregate(
+            F.zip_with("emb", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        return (
+            emb.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "cid", d.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+        )
+
+    for _ in range(_IVFKMPQ_CITERS):
+        a = ranked_cells(ccents).filter(F.col("rn") == 1)
+        upd = (
+            a.join(emb, "vec_id")
+            .select("cid", F.posexplode("emb").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg((F.sum("x") / F.count("*")).alias("v"))
+            .collect()
+        )
+        new_c: dict[int, list[float]] = {}
+        for row in upd:
+            new_c.setdefault(row["cid"], [0.0] * _DIM)[row["dim"]] = row["v"]
+        ccents = new_c
+
+    final = ranked_cells(ccents)
+    assigned = final.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    probes = final.filter(
+        (F.col("vec_id") < 10) & (F.col("rn") <= _IVFPQ_NPROBE)
+    ).select(F.col("vec_id").alias("qid"), F.col("cid").alias("pcell"))
+
+    qsub = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice("emb", m * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                        )
+                        for m in range(_PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("qid", "s.m", "s.sv")
+    )
+    cdf = spark.createDataFrame(
+        [
+            (m, int(c), [float(v) for v in cv])
+            for (m, c), cv in sorted(cents.items())
+        ],
+        "m int, cid int, cv array<double>",
+    )
+    d = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    luts = qsub.join(F.broadcast(cdf), "m").select("qid", "m", "cid", d.alias("d"))
+    lut_wide = _lut_wide(spark, luts).withColumnRenamed("qid", "lqid")
+    scored = (
+        codes.join(assigned, "vec_id")
+        .join(F.broadcast(probes), F.col("cell") == F.col("pcell"))
+        .join(F.broadcast(lut_wide), F.col("qid") == F.col("lqid"))
+    )
+    score = _lut_score()
+    w = Window.partitionBy("qid").orderBy("score", "cid")
+    out = (
+        scored.filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "cid", F.round("score", 6).alias("pq_dist"), "rank")
+    )
+    emb.unpersist()
+    return out
