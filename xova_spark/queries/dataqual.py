@@ -452,3 +452,70 @@ def dq_expectations(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+@q(
+    "dq_shape_moments",
+    """
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS s2,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS s4
+      FROM lineitem
+    )
+    SELECT n, s1, s2,
+           round((CAST(n AS DOUBLE) * s3 - 3.0 * s1 * s2
+                  + 2.0 * s1 * s1 * s1 / n)
+                 / (n * pow((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                            / n, 1.5)) / n, 6) AS skewness,
+           round((CAST(n AS DOUBLE) * s4 - 4.0 * s1 * s3
+                  + 6.0 * s1 * s1 * s2 / n - 3.0 * s1 * s1 * s1 * s1 / (n * CAST(n AS DOUBLE)))
+                 / (n * pow((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                            / n, 2)) / n - 3.0, 6) AS excess_kurtosis
+    FROM m
+    """,
+)
+def dq_shape_moments(spark, sf_dir):
+    """Distribution SHAPE profile — skewness and excess kurtosis of
+    l_quantity from exact integer power sums S1..S4 (one scan, one agg
+    node; qty <= 50 keeps S4 far inside int64 at any relevant SF). The
+    central-moment formulas evaluate as ONE double expression from the
+    exact sums, round(6) — the same moments discipline as the
+    correlation matrix and the anomaly z-scores; compare F.skewness /
+    F.kurtosis, whose float partials are summation-order-dependent
+    across partitions."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    qv = F.col("l_quantity").cast("long")
+    m = li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(qv).cast("long").alias("s1"),
+        F.sum(qv * qv).cast("long").alias("s2"),
+        F.sum(qv * qv * qv).cast("long").alias("s3"),
+        F.sum(qv * qv * qv * qv).cast("long").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s3, s4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    var = (s2 - s1 * s1 / n) / n
+    skew = (n * s3 - F.lit(3.0) * s1 * s2 + F.lit(2.0) * s1 * s1 * s1 / n) / (
+        n * F.pow(var, 1.5)
+    ) / n
+    kurt = (
+        n * s4
+        - F.lit(4.0) * s1 * s3
+        + F.lit(6.0) * s1 * s1 * s2 / n
+        - F.lit(3.0) * s1 * s1 * s1 * s1 / (n * n)
+    ) / (n * F.pow(var, 2)) / n - F.lit(3.0)
+    return m.select(
+        "n",
+        "s1",
+        "s2",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )
