@@ -994,6 +994,103 @@ def ev_active_users_rolling(spark, sf_dir):
     )
 
 
+_MKV_Q = 1 << 20  # probability grid
+_MKV_ITERS = 4
+
+
+def _markov_sql() -> str:
+    ctes = [
+        """t AS (
+          SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+          FROM (
+            SELECT event_type AS to_state,
+                   lag(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS from_state
+            FROM events
+          ) WHERE from_state IS NOT NULL
+          GROUP BY from_state, to_state
+        )""",
+        f"""p AS (
+          SELECT from_state, to_state,
+                 CAST(n * {_MKV_Q} // sum(n) OVER (PARTITION BY from_state)
+                      AS BIGINT) AS p_q
+          FROM t
+        )""",
+        f"""pi0 AS (
+          SELECT DISTINCT from_state AS state,
+                 CAST({_MKV_Q} // (SELECT count(DISTINCT from_state) FROM t)
+                      AS BIGINT) AS v
+          FROM t
+        )""",
+    ]
+    for k in range(_MKV_ITERS):
+        ctes.append(
+            f"""pi{k + 1} AS (
+              SELECT p.to_state AS state,
+                     CAST(sum(pi.v * p.p_q // {_MKV_Q}) AS BIGINT) AS v
+              FROM pi{k} pi JOIN p ON p.from_state = pi.state
+              GROUP BY p.to_state
+            )"""
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT state, v AS stationary_q FROM pi{_MKV_ITERS}"
+    )
+
+
+@q("ev_markov_stationary", _markov_sql())
+def ev_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the user-behavior Markov chain:
+    transition counts from per-user consecutive event pairs
+    (ev_user_paths' matrix), row-normalized onto the 2^-20 integer
+    probability grid, then {_MKV_ITERS} fixed power-iteration steps
+    from uniform — each step sums per-term integer products
+    (v·p ÷ Q), so the whole chain is bit-identical cross-engine (the
+    PageRank trick on a 5-state behavioral chain). The result ranks
+    where user sessions SPEND time, not just what they do next.
+
+    Plan: one window shuffle builds the transition counts; everything
+    after runs on a 25-row table — the iterations are Catalyst joins
+    over broadcast-trivial data, one DAG, no driver loop."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            F.col("event_type").alias("to_state"),
+            F.lag("event_type").over(w).alias("from_state"),
+        )
+        .where(F.col("from_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wp = Window.partitionBy("from_state")
+    p = t.select(
+        "from_state",
+        "to_state",
+        F.expr(f"n * {_MKV_Q} div sum(n) OVER (PARTITION BY from_state)")
+        .cast("long")
+        .alias("p_q"),
+    )
+    n_states = t.select("from_state").distinct().count()
+    pi = t.select(F.col("from_state").alias("state")).distinct().select(
+        "state", F.lit(_MKV_Q // n_states).cast("long").alias("v")
+    )
+    for _ in range(_MKV_ITERS):
+        pi = (
+            pi.join(p, pi.state == p.from_state)
+            .select(
+                F.col("to_state").alias("state"),
+                F.expr(f"v * p_q div {_MKV_Q}").alias("term"),
+            )
+            .groupBy("state")
+            .agg(F.sum("term").cast("long").alias("v"))
+        )
+    return pi.select("state", F.col("v").alias("stationary_q"))
+
+
 @q(
     "ev_cohort_ltv",
     """

@@ -1108,3 +1108,76 @@ def t_dataset_card(spark, sf_dir):
             F.expr("sum(n_chars) div count(*)").cast("long").alias("avg_chars"),
         )
     )
+
+
+@q(
+    "t_source_similarity",
+    """
+    WITH sw AS (
+      SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_words FROM sw GROUP BY source
+    ), common AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT c.src_a, c.src_b, c.n_common,
+           sa.n_words AS words_a, sb.n_words AS words_b,
+           CAST(c.n_common * 1000
+                // (sa.n_words + sb.n_words - c.n_common) AS BIGINT)
+               AS jaccard_permille
+    FROM common c
+    JOIN sizes sa ON sa.source = c.src_a
+    JOIN sizes sb ON sb.source = c.src_b
+    """,
+)
+def t_source_similarity(spark, sf_dir):
+    """Source-to-source VOCABULARY similarity matrix: pairwise Jaccard
+    (integer permille) of the distinct-word sets of every provenance
+    pair — the corpus-mix diagnostic that shows which sources are
+    near-redundant before a mixture weight is spent on both.
+
+    Plan: the INVERTED-INDEX join — distinct (source, word) pairs
+    self-join on the word (per-word source lists are at most
+    #sources long, so the join fans out by source count, never corpus
+    size), one pair aggregation, broadcast size lookups. The same
+    shape scales to thousands of sources because the word index, not
+    the document volume, drives the join."""
+    (docs,) = _docs(spark, sf_dir)
+    sw = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    sizes = sw.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_words")
+    )
+    a = sw.select(F.col("source").alias("src_a"), "word")
+    b = sw.select(F.col("source").alias("src_b"), "word")
+    common = (
+        a.join(b, "word")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("n_words").alias("words_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("n_words").alias("words_b")
+    )
+    return (
+        common.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "words_a",
+            "words_b",
+            F.expr("n_common * 1000 div (words_a + words_b - n_common)")
+            .cast("long")
+            .alias("jaccard_permille"),
+        )
+    )
