@@ -994,6 +994,61 @@ def ev_active_users_rolling(spark, sf_dir):
     )
 
 
+@q(
+    "w_sequence_pattern_match",
+    """
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+                 AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END
+               AS funnel_vcp,
+           CASE WHEN regexp_matches(seq, 'ss') THEN 1 ELSE 0 END
+               AS double_signup,
+           CASE WHEN regexp_matches(seq, 'e{3}') THEN 1 ELSE 0 END
+               AS error_burst
+    FROM s
+    """,
+)
+def w_sequence_pattern_match(spark, sf_dir):
+    """SEQUENCE PATTERN MATCHING (MATCH_RECOGNIZE-lite): each user's
+    event history collapses to an ordered symbol string (first letter
+    per event, total (ts, id) order), and behavioral patterns become
+    REGULAR EXPRESSIONS over it — the ordered funnel v.*c.*p,
+    adjacent repeat ss, burst e{3}. Arbitrary sequence patterns
+    without self-joins: one shuffle to the user grain, then per-row
+    regex (both engines share the classic regex subset used here —
+    literals, '.', '*', '{n}').
+
+    At 100 TB the symbol string is bounded by a user's event count;
+    for heavy users cap with slice or sessionize first — the operator
+    composes with w_sessionize's partition unchanged."""
+    (ev,) = _t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                )
+            ),
+            lambda x: x["c"],
+        ),
+        "",
+    )
+    s = ev.groupBy("user_id").agg(seq.alias("seq"))
+    return s.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.when(F.col("seq").rlike("v.*c.*p"), 1).otherwise(0).alias("funnel_vcp"),
+        F.when(F.col("seq").rlike("ss"), 1).otherwise(0).alias("double_signup"),
+        F.when(F.col("seq").rlike("e{3}"), 1).otherwise(0).alias("error_burst"),
+    )
+
+
 _MKV_Q = 1 << 20  # probability grid
 _MKV_ITERS = 4
 
