@@ -725,3 +725,138 @@ def dedup_pair_scores(spark, sf_dir):
             .cast("long").alias("containment_permille"),
         )
     )
+
+
+def _band_stats_sql() -> str:
+    """Both band configs' candidate/precision stats in ONE statement:
+    the shared shingle/signature chain, then per-config band → cand →
+    verified-count CTEs (4x4 classic vs 16x1 high-recall)."""
+    def bands_cte(tag: str, specs: list) -> str:
+        rows = " UNION ALL ".join(
+            f"SELECT doc_id, {k} AS band, "
+            f"concat_ws(',', {', '.join(f'm{i}' for i in idxs)}) AS bkey "
+            f"FROM sig"
+            for k, idxs in enumerate(specs)
+        )
+        return f"""b{tag} AS ({rows}),
+        c{tag} AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM b{tag} a JOIN b{tag} b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ),
+        m{tag} AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS nc
+          FROM c{tag} c
+          JOIN ex ea ON ea.doc_id = c.doc_a
+          JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+          GROUP BY 1, 2
+        ),
+        s{tag} AS (
+          SELECT '{tag}' AS config,
+                 CAST((SELECT count(*) FROM c{tag}) AS BIGINT) AS n_candidates,
+                 CAST(count(*) AS BIGINT) AS n_overlapping,
+                 CAST(sum(CASE WHEN m.nc * 1.0
+                               / (sa.nsh + sb.nsh - m.nc) >= 0.5
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+          FROM m{tag} m
+          JOIN sig sa ON sa.doc_id = m.doc_a
+          JOIN sig sb ON sb.doc_id = m.doc_b
+        )"""
+
+    specs_4x4 = [tuple(range(4 * k, 4 * k + 4)) for k in range(N_BANDS)]
+    specs_16x1 = [(i,) for i in range(len(MINHASH_A))]
+    shared = _MINHASH_CTES.split(", bands AS")[0]  # sh/ex/hashed/sig
+    return f"""
+    WITH {shared},
+    {bands_cte('bands_4x4', specs_4x4)},
+    {bands_cte('bands_16x1', specs_16x1)}
+    SELECT config, n_candidates, n_verified,
+           CAST(n_verified * 1000 // greatest(n_candidates, 1) AS BIGINT)
+               AS precision_permille
+    FROM (SELECT * FROM sbands_4x4 UNION ALL SELECT * FROM sbands_16x1)
+    """
+
+
+@q("dedup_band_tuning_report", _band_stats_sql())
+def dedup_band_tuning_report(spark, sf_dir):
+    """LSH BAND-TUNING report — measure, don't guess, applied to the
+    dedup index itself: for the classic 4×4 banding and the
+    high-recall 16×1 banding, the candidate-pair volume, the verified
+    (Jaccard ≥ 0.5) count, and integer-permille precision. This is
+    the table that justifies which banding a 100 TB dedup run deploys
+    (recall rises with 16×1, precision and candidate volume pay for
+    it); both configs share one shingle/signature computation.
+
+    Plan: the shared signature chain, then per config one (band,
+    bucket) self-join + candidate verification — exactly the
+    production path, run twice, summarized to 2 rows."""
+    (docs,) = _docs(spark, sf_dir)
+    out = None
+    for tag, specs in (
+        ("bands_4x4", BANDS_4x4),
+        ("bands_16x1", BANDS_16x1),
+    ):
+        stats = _lsh_pair_stats(docs, specs)
+        jac_ok = (
+            F.col("nc") * 1.0 / (F.col("nsha") + F.col("nshb") - F.col("nc"))
+            >= 0.5
+        )
+        # n_candidates includes zero-overlap pairs: recompute the raw
+        # candidate count (stats only carries overlapping pairs).
+        cand_n = _lsh_candidates_count(docs, specs)
+        row = stats.agg(
+            F.count("*").cast("long").alias("n_overlapping"),
+            F.sum(F.when(jac_ok, 1).otherwise(0)).cast("long").alias("n_verified"),
+        ).select(
+            F.lit(tag).alias("config"),
+            F.lit(cand_n).cast("long").alias("n_candidates"),
+            "n_verified",
+            F.expr(f"n_verified * 1000 div greatest({cand_n}, 1)")
+            .cast("long")
+            .alias("precision_permille"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _lsh_candidates_count(docs, band_specs) -> int:
+    """Raw candidate-pair count for a banding (incl. zero-overlap
+    pairs) — one driver scalar, used by the tuning report."""
+    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
+    )
+    hashed = sh.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select("doc_id", F.expr(SPARK_H31).alias("h"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.expr(e).alias(f"m{i}")
+            for i, e in enumerate(_minhash_sql_exprs("h"))
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.concat_ws(",", *[f"m{i}" for i in idxs]).alias("bkey"),
+                    )
+                    for k, idxs in enumerate(band_specs)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
