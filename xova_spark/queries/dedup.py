@@ -860,3 +860,64 @@ def _lsh_candidates_count(docs, band_specs) -> int:
         .distinct()
         .count()
     )
+
+
+_CONTAIN_QDOC = 0  # the query document (deterministic)
+
+
+@q(
+    "dedup_containment_search",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), qset AS (
+      SELECT DISTINCT s FROM ex WHERE doc_id = {_CONTAIN_QDOC}
+    ), qn AS (SELECT count(*) AS nq FROM qset)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           CAST(qn.nq AS BIGINT) AS n_query_shingles,
+           CAST(count(*) * 1000 // qn.nq AS BIGINT) AS containment_permille
+    FROM ex e JOIN qset q ON q.s = e.s CROSS JOIN qn
+    WHERE e.doc_id != {_CONTAIN_QDOC}
+    GROUP BY e.doc_id, qn.nq
+    HAVING count(*) * 1000 // qn.nq >= 10
+    """,
+)
+def dedup_containment_search(spark, sf_dir):
+    """QUERY-DRIVEN containment search — the plagiarism/copy-detection
+    access pattern the pair-wise dedup entries don't cover: given ONE
+    query document, find every corpus document containing >= 1% of
+    the query's shingle set (asymmetric — a short quote inside a long
+    doc scores high where Jaccard would not). The query's shingles
+    broadcast (one document's worth), so the search is a single
+    broadcast semi-join over the corpus shingle stream plus one keyed
+    aggregation — at 100 TB this is exactly an inverted-index probe.
+    Integer permille containment; dedup_pair_scores carries the
+    pairwise version of the same signal."""
+    (docs,) = _docs(spark, sf_dir)
+    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    qset = (
+        ex.where(F.col("doc_id") == _CONTAIN_QDOC).select("s").distinct()
+    )
+    nq = qset.count()
+    return (
+        ex.where(F.col("doc_id") != _CONTAIN_QDOC)
+        .join(F.broadcast(qset), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_overlap",
+            F.lit(nq).cast("long").alias("n_query_shingles"),
+            F.expr(f"n_overlap * 1000 div {nq}")
+            .cast("long")
+            .alias("containment_permille"),
+        )
+        .where(F.col("containment_permille") >= 10)
+    )
