@@ -608,3 +608,72 @@ def graph_modularity(spark, sf_dir):
     )
     edges.unpersist()
     return out
+
+
+@q(
+    "graph_assortativity",
+    f"""
+    WITH {_DUCK_EDGES},
+    dd AS (
+      SELECT a.src, a.dst, da.degree AS dx, db.degree AS dy
+      FROM arcs a
+      JOIN deg da ON da.node = a.src
+      JOIN deg db ON db.node = a.dst
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy
+      FROM dd
+    )
+    SELECT n, sxy,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark, sf_dir):
+    """DEGREE ASSORTATIVITY of the co-purchase graph — the Pearson
+    correlation of endpoint degrees over every directed arc (Newman's
+    r): positive = hubs link hubs, negative = hub-and-spoke. Exact
+    integer moments over the arc list (the dq_corr_matrix discipline:
+    sums exact, ONE double expression at the end, round 6); arcs run
+    both directions so the measure is symmetric.
+
+    Plan: degrees (one shuffle over the pruned edge list), two keyed
+    joins to annotate arc endpoints, a single moment aggregation."""
+    edges = _copurchase_edges(spark, sf_dir)
+    arcs, deg = _arcs_and_degrees(edges)
+    dd = (
+        arcs.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("degree", "dx")
+        .join(
+            deg.withColumnRenamed("node", "dst").withColumnRenamed(
+                "degree", "dy"
+            ),
+            "dst",
+        )
+    )
+    m = dd.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+
+    def dd_(c):
+        return F.col(c).cast("double")
+
+    r = (nd * dd_("sxy") - dd_("sx") * dd_("sy")) / F.sqrt(
+        (nd * dd_("sxx") - dd_("sx") * dd_("sx"))
+        * (nd * dd_("syy") - dd_("sy") * dd_("sy"))
+    )
+    return m.select("n", "sxy", F.round(r, 6).alias("assortativity"))

@@ -1049,6 +1049,53 @@ def w_sequence_pattern_match(spark, sf_dir):
     )
 
 
+@q(
+    "ev_new_vs_returning",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+      FROM events
+    ), firsts AS (
+      SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id
+    )
+    SELECT ud.day,
+           CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning
+    FROM ud JOIN firsts f USING (user_id)
+    GROUP BY ud.day
+    """,
+)
+def ev_new_vs_returning(spark, sf_dir):
+    """New-vs-returning daily actives — the acquisition/retention
+    split every product dashboard leads with: each active (user, day)
+    classified against the user's first-ever day. Two shuffles on the
+    same user key (distinct user-days, then per-user min), integer
+    counts only."""
+    (ev,) = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+    ).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ud.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_returning"),
+        )
+    )
+
+
 _MKV_Q = 1 << 20  # probability grid
 _MKV_ITERS = 4
 

@@ -1181,3 +1181,57 @@ def t_source_similarity(spark, sf_dir):
             .alias("jaccard_permille"),
         )
     )
+
+
+@q(
+    "t_template_prefix_groups",
+    """
+    WITH p AS (
+      SELECT doc_id, source,
+             md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS pfx
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 8
+    ), g AS (
+      SELECT pfx, count(*) AS n_docs,
+             count(DISTINCT source) AS n_sources,
+             min(doc_id) AS example_doc
+      FROM p GROUP BY pfx HAVING count(*) >= 2
+    )
+    SELECT pfx AS prefix_hash,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(example_doc AS BIGINT) AS example_doc
+    FROM g
+    """,
+)
+def t_template_prefix_groups(spark, sf_dir):
+    """TEMPLATE-INTRO detection: documents sharing their first 8 words
+    (hashed prefix) grouped — the boilerplate signal chunk-level dedup
+    misses when templates only share openings ("Welcome to...",
+    license headers). Cross-source groups (n_sources > 1) are the
+    strongest template evidence. One prefix projection + one hash
+    shuffle; the prefix hash is the dedup key a cleaning pass strips
+    on."""
+    (docs,) = _docs(spark, sf_dir)
+    p = docs.where(F.size(F.split("text", " ")) >= 8).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+        ).alias("pfx"),
+    )
+    return (
+        p.groupBy("pfx")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("example_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            F.col("pfx").alias("prefix_hash"),
+            "n_docs",
+            "n_sources",
+            "example_doc",
+        )
+    )
