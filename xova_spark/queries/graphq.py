@@ -677,3 +677,58 @@ def graph_assortativity(spark, sf_dir):
         * (nd * dd_("syy") - dd_("sy") * dd_("sy"))
     )
     return m.select("n", "sxy", F.round(r, 6).alias("assortativity"))
+
+
+@q(
+    "graph_clustering_coefficient",
+    f"""
+    WITH {_DUCK_EDGES},
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.pa = e1.pb
+      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    wed AS (
+      SELECT CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT n_triangles, n_wedges,
+           round(3.0 * n_triangles / n_wedges, 6) AS global_clustering
+    FROM tri CROSS JOIN wed
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """GLOBAL CLUSTERING COEFFICIENT — 3·triangles / wedges (the
+    transitivity of the co-purchase graph): how often two parts
+    co-bought with a common third are also co-bought together. Exact
+    integer numerator and denominator (ordered-wedge triangle count ×
+    3 = closed wedges; Σ d(d−1)/2 = all wedges), one float ratio,
+    round(6)."""
+    edges = _copurchase_edges(spark, sf_dir).cache()
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    _, deg = _arcs_and_degrees(edges)
+    wed = deg.agg(
+        F.sum(F.expr("degree * (degree - 1) div 2"))
+        .cast("long")
+        .alias("n_wedges")
+    )
+    return (
+        tri.crossJoin(wed)
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("global_clustering"),
+        )
+    )

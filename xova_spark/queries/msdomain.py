@@ -733,3 +733,54 @@ def ms_uv_gridding(spark, sf_dir):
             ).alias("grid_im"),
         )
     )
+
+
+@q(
+    "ms_time_coverage_gaps",
+    f"""
+WITH g AS (
+  SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2,
+         TIME - lag(TIME) OVER (
+           PARTITION BY FIELD_ID, DATA_DESC_ID, SCAN_NUMBER,
+                        ANTENNA1, ANTENNA2
+           ORDER BY TIME) AS dt,
+         "INTERVAL" AS nominal
+  FROM read_parquet('{_DIR}/ms_rows.parquet')
+)
+SELECT FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(dt) AS BIGINT) AS n_steps,
+       CAST(sum(CASE WHEN dt > 1.5 * nominal THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_gaps,
+       max(dt) AS max_dt
+FROM g
+GROUP BY FIELD_ID, DATA_DESC_ID, SCAN_NUMBER, ANTENNA1, ANTENNA2
+""",
+)
+def ms_time_coverage_gaps(spark, sf_dir):
+    """MS TIME-COVERAGE audit — the domain-side data-quality check an
+    observatory pipeline runs before averaging: per (partition,
+    baseline), consecutive-dump spacing vs the nominal INTERVAL;
+    steps exceeding 1.5× nominal are dropped-integration gaps (which
+    silently bias time averages if unnoticed — the reason xova-style
+    tools bin on TIME values, not row counts). Dyadic fixture times
+    make dt exact; one window shuffle on the same key the averaging
+    pipelines already use."""
+    t = _ms(spark)
+    from pyspark.sql import Window
+
+    keys = ["FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER", "ANTENNA1", "ANTENNA2"]
+    w = Window.partitionBy(*keys).orderBy("TIME")
+    g = t["ms_rows"].select(
+        *keys,
+        (F.col("TIME") - F.lag("TIME").over(w)).alias("dt"),
+        F.col("INTERVAL").alias("nominal"),
+    )
+    return g.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("dt").cast("long").alias("n_steps"),
+        F.sum(
+            F.when(F.col("dt") > 1.5 * F.col("nominal"), 1).otherwise(0)
+        ).cast("long").alias("n_gaps"),
+        F.max("dt").alias("max_dt"),
+    )

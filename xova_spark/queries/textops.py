@@ -1235,3 +1235,39 @@ def t_template_prefix_groups(spark, sf_dir):
             "example_doc",
         )
     )
+
+
+@q(
+    "t_length_quantiles_by_lang",
+    """
+    WITH t AS (
+      SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS p0,
+           CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) AS p50,
+           CAST(quantile_disc(n_tokens, 0.9) AS BIGINT) AS p90,
+           CAST(max(n_tokens) AS BIGINT) AS p100
+    FROM t GROUP BY lang
+    """,
+)
+def t_length_quantiles_by_lang(spark, sf_dir):
+    """Per-language document-length distribution (discrete quantiles —
+    exact order statistics, integer-identical cross-engine): the
+    packing/truncation planning table (sequence budgets per language
+    come straight from p90/p100). One shuffle to language grain."""
+    (docs,) = _docs(spark, sf_dir)
+    t = docs.select("lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    return t.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("p0"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)")
+        .cast("long")
+        .alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_tokens)")
+        .cast("long")
+        .alias("p90"),
+        F.max("n_tokens").cast("long").alias("p100"),
+    )
