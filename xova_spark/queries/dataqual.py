@@ -314,6 +314,126 @@ def dq_corr_matrix(spark, sf_dir):
     return out
 
 
+@q(
+    "join_pit_scd2",
+    """
+    WITH v AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER w AS version_n,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER w AS valid_to
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(v.version_n AS BIGINT) AS version_n,
+           v.valid_from,
+           CAST(l.l_shipdate >= v.valid_from AS INTEGER) AS shipped_in_or_after
+    FROM lineitem l
+    JOIN v ON v.o_orderkey = l.l_orderkey
+          AND l.l_shipdate >= v.valid_from
+          AND (v.valid_to IS NULL OR l.l_shipdate < v.valid_to)
+    """,
+)
+def join_pit_scd2(spark, sf_dir):
+    """POINT-IN-TIME join — every lineitem matched to the SCD2 version
+    of its customer's order history (scd2_order_versions' intervals)
+    that was CURRENT at ship time: the temporal-join pattern behind
+    "which dimension attributes were true when this fact happened"
+    (feature-store point-in-time correctness, slowly-changing price
+    lookups). Equi-join on the natural key carries the volume; the
+    [valid_from, valid_to) containment is a residual predicate on the
+    few versions per key — never a range-only join.
+
+    Inner-join semantics: a lineitem matches only if it shipped while
+    its order's version was still current (before the customer's next
+    order) — on this fixture that keeps ~9% of lineitems, i.e. the
+    PIT filter does real work, which is exactly what the gate
+    verifies."""
+    from pyspark.sql import Window
+
+    tabs = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    v = tabs["orders"].select(
+        "o_orderkey",
+        F.row_number().over(w).alias("version_n"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    li = tabs["lineitem"]
+    return (
+        li.join(
+            v,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") >= F.col("valid_from"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("l_shipdate") < F.col("valid_to"))
+            ),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("version_n").cast("long").alias("version_n"),
+            "valid_from",
+            (F.col("l_shipdate") >= F.col("valid_from"))
+            .cast("int")
+            .alias("shipped_in_or_after"),
+        )
+    )
+
+
+@q(
+    "dq_freshness",
+    """
+    WITH m AS (
+      SELECT max(ts) AS max_ts, min(ts) AS min_ts, count(*) AS n
+      FROM events
+    )
+    SELECT CAST(datediff('day', DATE '2024-01-01', CAST(max_ts AS DATE))
+                AS BIGINT) AS latest_day,
+           CAST(datediff('day', CAST(min_ts AS DATE), CAST(max_ts AS DATE))
+                AS BIGINT) AS span_days,
+           CAST((SELECT count(*) FROM events e, m
+                 WHERE e.ts >= max_ts - INTERVAL 24 HOUR) AS BIGINT)
+               AS rows_last_24h,
+           CAST(n AS BIGINT) AS n_rows
+    FROM m
+    """,
+)
+def dq_freshness(spark, sf_dir):
+    """Data FRESHNESS check — the first thing a pipeline monitor asks
+    of an event table: latest event day, covered span, and volume in
+    the trailing 24 h relative to the data's own high-water mark (so
+    the check is reproducible — an absolute now() would drift). Two
+    scans: the 1-row extremes, then one filtered count against the
+    broadcast high-water mark."""
+    (ev,) = [load_tables(spark, sf_dir, ("events",))["events"]]
+    m = ev.agg(
+        F.max("ts").alias("max_ts"),
+        F.min("ts").alias("min_ts"),
+        F.count("*").cast("long").alias("n"),
+    )
+    last24 = (
+        ev.crossJoin(F.broadcast(m.select("max_ts")))
+        .where(F.col("ts") >= F.col("max_ts") - F.expr("interval 24 hours"))
+        .agg(F.count("*").cast("long").alias("rows_last_24h"))
+    )
+    return (
+        m.crossJoin(F.broadcast(last24))
+        .select(
+            F.datediff(
+                F.col("max_ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).cast("long").alias("latest_day"),
+            F.datediff(
+                F.col("max_ts").cast("date"), F.col("min_ts").cast("date")
+            ).cast("long").alias("span_days"),
+            "rows_last_24h",
+            F.col("n").alias("n_rows"),
+        )
+    )
+
+
 _DRIFT_SPLIT = "1998-01-01"
 
 
