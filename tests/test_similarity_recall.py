@@ -145,3 +145,18 @@ def test_trained_ivfpq_consistency(spark):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         assert g["pq_dist"].is_monotonic_increasing
         assert (g["cid"] != qid).all()
+
+
+def test_nprobe_curve_monotone(spark):
+    """Recall must be monotone in nprobe (each probe set is a superset
+    of the previous), and the curve rows cover the declared grid."""
+    from xova_spark.queries.similarity import _NPROBE_GRID, ann_ivf_nprobe_curve
+
+    df = (
+        ann_ivf_nprobe_curve(spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .sort_values("nprobe")
+    )
+    assert list(df["nprobe"]) == list(_NPROBE_GRID)
+    assert df["recall_permille"].is_monotonic_increasing
+    assert (df["n_hits"] <= df["n_possible"]).all()

@@ -1075,3 +1075,161 @@ def dedup_embedding_cc(spark, sf_dir):
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     return cc_components(spark, pairs, id_col="vec_id")
+
+
+_NPROBE_GRID = (1, 2, 4)
+
+
+def _nprobe_curve_sql() -> str:
+    base = f"""
+    normed AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), cent AS MATERIALIZED (
+      SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+      FROM normed WHERE vec_id < {_IVF_K}
+    ), cellrank AS MATERIALIZED (
+      SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+             row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY {_duck_dot('n.embedding', 'c.cemb')} / (n.nrm * c.cnrm)
+                        DESC, c.cent_id) AS rn
+      FROM normed n CROSS JOIN cent c
+    ), assigned AS MATERIALIZED (
+      SELECT vec_id, embedding, nrm, cent_id AS cell
+      FROM cellrank WHERE rn = 1
+    ), ex_top AS MATERIALIZED (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+                 DESC, c.vec_id) AS rnk
+        FROM normed q CROSS JOIN normed c
+        WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+      ) WHERE rnk <= 3
+    )"""
+    rows = []
+    for np_ in _NPROBE_GRID:
+        rows.append(f"""
+        p{np_} AS MATERIALIZED (
+          SELECT vec_id AS qid, embedding AS qe, nrm AS qn, cent_id AS pcell
+          FROM cellrank WHERE vec_id < 10 AND rn <= {np_}
+        ), t{np_} AS MATERIALIZED (
+          SELECT qid, cid FROM (
+            SELECT p.qid, a.vec_id AS cid,
+                   row_number() OVER (PARTITION BY p.qid ORDER BY
+                     {_duck_dot('p.qe', 'a.embedding')} / (p.qn * a.nrm)
+                     DESC, a.vec_id) AS rnk
+            FROM p{np_} p JOIN assigned a
+              ON a.cell = p.pcell AND a.vec_id != p.qid
+          ) WHERE rnk <= 3
+        ), s{np_} AS (
+          SELECT {np_} AS nprobe,
+                 CAST(count(e.cid) AS BIGINT) AS n_possible,
+                 CAST(count(t.cid) AS BIGINT) AS n_hits,
+                 CAST(count(t.cid) * 1000 // count(e.cid) AS BIGINT)
+                     AS recall_permille
+          FROM ex_top e LEFT JOIN t{np_} t
+            ON t.qid = e.qid AND t.cid = e.cid
+        )""")
+    union = " UNION ALL ".join(f"SELECT * FROM s{np_}" for np_ in _NPROBE_GRID)
+    return "WITH " + base + "," + ",".join(rows) + " " + union
+
+
+@q("ann_ivf_nprobe_curve", _nprobe_curve_sql())
+def ann_ivf_nprobe_curve(spark, sf_dir):
+    """IVF NPROBE TUNING CURVE — the ANN twin of the LSH band-tuning
+    report: recall@3 of the seed-cell IVF against the exact referee at
+    nprobe ∈ {_NPROBE_GRID}, in one statement (integer permille). The
+    table an operator reads to pick the latency/recall point before
+    deploying a probe budget; recall must be monotone in nprobe
+    (pinned in tests — each probe set is a superset of the last).
+
+    Plan: cell ranking computed ONCE, each nprobe just filters deeper
+    into it; candidate scoring repeats per config over its (small)
+    probe set."""
+    (emb,) = _emb(spark, sf_dir)
+    normed = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+    cent = normed.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cent_cos = _spark_dot("embedding", "cemb") / (F.col("nrm") * F.col("cnrm"))
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), "cent_id")
+    cellrank = (
+        normed.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", cent_cos)
+        .withColumn("rn", F.row_number().over(wc))
+        .localCheckpoint(eager=True)
+    )
+    assigned = cellrank.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+        F.col("cent_id").alias("cell"),
+    )
+    q_ = normed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = normed.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    w3 = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    ex_top = (
+        q_.crossJoin(F.broadcast(cand))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w3))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "cid")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for np_ in _NPROBE_GRID:
+        probes = cellrank.filter(
+            (F.col("vec_id") < 10) & (F.col("rn") <= np_)
+        ).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+            F.col("cent_id").alias("pcell"),
+        )
+        top = (
+            probes.join(assigned, F.col("cell") == F.col("pcell"))
+            .filter(F.col("cid") != F.col("qid"))
+            .withColumn("cos", cos)
+            .withColumn("rnk", F.row_number().over(w3))
+            .filter(F.col("rnk") <= 3)
+            .select("qid", F.col("cid").alias("tcid"))
+        )
+        row = (
+            ex_top.join(
+                top,
+                (ex_top.qid == top.qid) & (ex_top.cid == top.tcid),
+                "left",
+            )
+            .agg(
+                F.count(ex_top.cid).cast("long").alias("n_possible"),
+                F.count("tcid").cast("long").alias("n_hits"),
+            )
+            .select(
+                F.lit(np_).alias("nprobe"),
+                "n_possible",
+                "n_hits",
+                F.expr("n_hits * 1000 div n_possible")
+                .cast("long")
+                .alias("recall_permille"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
