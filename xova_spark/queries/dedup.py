@@ -921,3 +921,69 @@ def dedup_containment_search(spark, sf_dir):
         )
         .where(F.col("containment_permille") >= 10)
     )
+
+
+@q(
+    "dedup_minhash_calibration",
+    f"""
+    WITH {_MINHASH_CTES}
+    SELECT cm.doc_a, cm.doc_b,
+           CAST(({' + '.join(
+               f'CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END'
+               for i in range(len(MINHASH_A))
+           )}) * 1000 // {len(MINHASH_A)} AS BIGINT) AS est_permille,
+           CAST(cm.nc * 1000 // (sa.nsh + sb.nsh - cm.nc) AS BIGINT)
+               AS exact_permille
+    FROM common cm
+    JOIN sig sa ON sa.doc_id = cm.doc_a
+    JOIN sig sb ON sb.doc_id = cm.doc_b
+    """,
+)
+def dedup_minhash_calibration(spark, sf_dir):
+    """MinHash CALIBRATION — per LSH candidate pair, the sketch's own
+    Jaccard estimate (fraction of agreeing minhashes, integer
+    permille over 16 hashes) next to the exact shingle Jaccard: the
+    table that tells you how much to trust the 16-hash signature
+    before deploying it as the only similarity signal (E[agreement] =
+    J; the spread around it at 16 hashes is what this measures on
+    real pairs). Same candidate generation and verification joins as
+    dedup_minhash_lsh — the calibration is one extra projection."""
+    (docs,) = _docs(spark, sf_dir)
+    stats = _lsh_pair_stats(docs, BANDS_4x4)
+    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
+    )
+    hashed = sh.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select("doc_id", F.expr(SPARK_H31).alias("h"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.expr(e).alias(f"m{i}")
+            for i, e in enumerate(_minhash_sql_exprs("h"))
+        ]
+    )
+    n_h = len(MINHASH_A)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_h)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_h)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_h)
+    )
+    return (
+        stats.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree * 1000 / F.lit(n_h)).cast("long").alias("est_permille"),
+            F.expr("nc * 1000 div (nsha + nshb - nc)")
+            .cast("long")
+            .alias("exact_permille"),
+        )
+    )

@@ -1271,3 +1271,75 @@ def t_length_quantiles_by_lang(spark, sf_dir):
         .alias("p90"),
         F.max("n_tokens").cast("long").alias("p100"),
     )
+
+
+@q(
+    "t_length_outliers_by_lang",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), med AS (
+      SELECT lang, quantile_disc(n_tokens, 0.5) AS med FROM t GROUP BY lang
+    ), mad AS (
+      SELECT t.lang, quantile_disc(abs(t.n_tokens - m.med), 0.5) AS mad,
+             any_value(m.med) AS med
+      FROM t JOIN med m USING (lang) GROUP BY t.lang
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(any_value(d.med) AS BIGINT) AS median_tokens,
+           CAST(any_value(d.mad) AS BIGINT) AS mad_tokens,
+           CAST(sum(CASE WHEN abs(t.n_tokens - d.med) > 3 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM t JOIN mad d USING (lang)
+    GROUP BY t.lang
+    """,
+)
+def t_length_outliers_by_lang(spark, sf_dir):
+    """Robust LENGTH-OUTLIER detection per language: median/MAD of the
+    token count (discrete quantiles — exact integers) and the count of
+    documents beyond 3 MADs — the curation rule that catches truncated
+    fragments and concatenation blobs without a distribution
+    assumption (the documents twin of agg_median_mad_outliers). Two
+    grouped exact-quantile passes over the doc-grain table, then the
+    per-language flag count with the tiny (lang, med, mad) table
+    broadcast back."""
+    from pyspark.sql import functions as FF
+
+    (docs,) = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    med = t.groupBy("lang").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)")
+        .alias("med")
+    )
+    mad = (
+        t.join(FF.broadcast(med), "lang")
+        .groupBy("lang")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP "
+                "(ORDER BY abs(n_tokens - med))"
+            ).alias("mad"),
+            F.any_value("med").alias("med"),
+        )
+    )
+    return (
+        t.join(FF.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.any_value("med").cast("long").alias("median_tokens"),
+            F.any_value("mad").cast("long").alias("mad_tokens"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("n_tokens") - F.col("med")) > 3 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
