@@ -55,7 +55,7 @@ def test_oracle_sql_mentions_only_registered_tables():
         refs = set(
             t.lower()
             for t in re.findall(
-                r"(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)", body, re.IGNORECASE
+                r"\b(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)", body, re.IGNORECASE
             )
         )
         unknown = refs - known - {c.lower() for c in ctes} - {"_rp_"}
