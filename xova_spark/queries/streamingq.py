@@ -858,3 +858,101 @@ def stream_user_sessions(spark, sf_dir):
         F.col("n_events").cast("long").alias("n_events"),
         "total_value",
     )
+
+
+_EV_EXPECTATIONS = (
+    ("value_in_0_400", "value < 0 OR value > 400"),
+    ("type_enum", "event_type NOT IN "
+                  "('view', 'click', 'purchase', 'signup', 'error')"),
+    ("ts_in_window", "ts < TIMESTAMP '2024-01-01' "
+                     "OR ts >= TIMESTAMP '2024-04-01'"),
+    ("user_nonnegative", "user_id < 0"),
+)
+
+
+@q(
+    "stream_expectations_monitor",
+    " UNION ALL ".join(
+        f"""SELECT '{name}' AS expectation,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violations
+        FROM events"""
+        for name, pred in _EV_EXPECTATIONS
+    ),
+)
+def stream_expectations_monitor(spark, sf_dir):
+    """STREAMING DATA-QUALITY MONITOR — the dq_expectations suite run
+    continuously over the arriving event stream: per micro-batch the
+    row-level predicates evaluate as conditional counts (one agg over
+    the BATCH), and the per-expectation violation totals merge
+    ADDITIVELY into the monitor state (foreachBatch, the materialize
+    pattern) — counts are decomposable, so the converged totals equal
+    the batch suite no matter how the stream was chunked. This is the
+    always-on gate a pipeline alerts from, vs the pre-/post-transform
+    batch check (`xova-spark dq --strict`)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    from xova_spark.queries.relational import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.to_utc_timestamp(F.col("ts"), "UTC")
+    )
+    out_dir = tempfile.mkdtemp(prefix="xova_dq_monitor_")
+    cur = os.path.join(out_dir, "current")
+
+    def monitor(batch_df, _bid):
+        sp = batch_df.sparkSession
+        outs = []
+        for name, pred in _EV_EXPECTATIONS:
+            outs.append(
+                batch_df.agg(
+                    FF.count("*").cast("long").alias("n_rows"),
+                    FF.sum(FF.when(FF.expr(pred), 1).otherwise(0))
+                    .cast("long")
+                    .alias("n_violations"),
+                ).select(FF.lit(name).alias("expectation"), "n_rows", "n_violations")
+            )
+        partial = outs[0]
+        for o in outs[1:]:
+            partial = partial.unionAll(o)
+        if os.path.exists(cur):
+            partial = (
+                sp.read.parquet(cur)
+                .unionByName(partial)
+                .groupBy("expectation")
+                .agg(
+                    FF.sum("n_rows").alias("n_rows"),
+                    FF.sum("n_violations").alias("n_violations"),
+                )
+            )
+        tmp = os.path.join(out_dir, "_staged")
+        partial.write.mode("overwrite").parquet(tmp)
+        swap = os.path.join(out_dir, "_old")
+        if os.path.exists(cur):
+            os.rename(cur, swap)
+        os.rename(tmp, cur)
+        if os.path.exists(swap):
+            shutil.rmtree(swap)
+
+    ckpt = tempfile.mkdtemp(prefix="xova_ckpt_dqmon_")
+    try:
+        q_ = (
+            stream.writeStream.foreachBatch(monitor)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+        rows = spark.read.parquet(cur).collect()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "expectation string, n_rows long, n_violations long"
+    )
