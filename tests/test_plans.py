@@ -213,3 +213,17 @@ def test_corpus_pipeline_broadcasts_eval_grams(spark):
 
     q = RP["pipeline_corpus_e2e"][0](spark, SF_DIR)
     assert P.broadcast_join_count(q) >= 2, P.plan_stats(q)
+
+
+def test_dq_profile_has_no_expand(spark):
+    """dq_profile_columns: the per-column profile must NOT plan an
+    Expand (the mixed count_distinct + plain-agg anti-pattern that
+    multiplies every input row per aggregate group through the first
+    shuffle). The unpivot-lattice form keeps the first shuffle bounded
+    by the (col_name, val) distinct lattice."""
+    from xova_spark.queries.dataqual import REGISTRY as RD
+
+    q = RD["dq_profile_columns"][0](spark, SF_DIR)
+    plan = P.executed_plan(q)
+    assert "Expand" not in plan, plan
+    assert P.exchange_count(q) <= 2, P.plan_stats(q)

@@ -55,34 +55,52 @@ def _profile_sql() -> str:
 @q("dq_profile_columns", _profile_sql())
 def dq_profile_columns(spark, sf_dir):
     """Per-column profile (rows/nulls/distinct/min/max/mean) in ONE
-    scan: all 4x6 aggregates run in a single agg node (one pass, one
-    partial-aggregated shuffle), then unpivot to long form with
-    stack() — the profile never re-reads the table per column, which
-    is the difference between 1 and N scans at 100 TB."""
+    scan with NO Expand: unpivot the 4 measures to (col_name, val)
+    long form via stack (a Generate, not an Expand), partial-aggregate
+    onto the (col_name, val) DISTINCT LATTICE with per-value counts,
+    then derive every statistic per column from the lattice — distinct
+    count is the lattice row count, n_rows/n_nonnull are count sums,
+    min/max pass through, and the mean is the count-weighted
+    sum(val*cnt)/sum(cnt).
+
+    Why not 4x count_distinct in one agg: mixed distinct + plain
+    aggregates force an Expand that duplicates every input row per
+    aggregate group (~5x rows through the first shuffle — the exact
+    anti-pattern relext.agg_sketch_accuracy documents). Here the first
+    shuffle carries at most the distinct lattice (bounded by the
+    column cardinalities, heavily map-side combined), never a
+    multiple of the input — the property that matters at 100 TB."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    aggs = [F.count("*").cast("long").alias("n_rows")]
-    for c in _PROFILE_COLS:
-        aggs += [
-            F.count(c).cast("long").alias(f"{c}__n_nonnull"),
-            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__n_distinct"),
-            F.min(c).alias(f"{c}__min"),
-            F.max(c).alias(f"{c}__max"),
-            F.round(F.avg(c), 4).alias(f"{c}__mean"),
-        ]
-    wide = li.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__n_nonnull, {c}__n_distinct, {c}__min, {c}__max, {c}__mean"
-        for c in _PROFILE_COLS
-    )
-    return wide.select(
+    stack_args = ", ".join(f"'{c}', {c}" for c in _PROFILE_COLS)
+    long = li.select(
         F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-            "(col_name, n_nonnull, n_distinct, min_val, max_val, mean_val)"
-        ),
-        "n_rows",
-    ).select(
-        "col_name", "n_rows", "n_nonnull", "n_distinct",
-        "min_val", "max_val", "mean_val",
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, val)"
+        )
+    )
+    lattice = long.groupBy("col_name", "val").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    nn = F.col("val").isNotNull()
+    return (
+        lattice.groupBy("col_name")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum(F.when(nn, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_nonnull"),
+            F.count(F.when(nn, True)).cast("long").alias("n_distinct"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.round(
+                F.sum(F.col("val") * F.col("cnt"))
+                / F.sum(F.when(nn, F.col("cnt"))),
+                4,
+            ).alias("mean_val"),
+        )
+        .select(
+            "col_name", "n_rows", "n_nonnull", "n_distinct",
+            "min_val", "max_val", "mean_val",
+        )
     )
 
 
