@@ -989,7 +989,10 @@ def t_eval_sample_stratified(spark, sf_dir):
 # SimHash precision against exact Jaccard
 # ---------------------------------------------------------------------------
 
-from xova_spark.queries.dedup import _simhash_exprs  # noqa: E402
+from xova_spark.queries.dedup import (  # noqa: E402
+    _simhash_exprs,
+    simhash_fingerprints,
+)
 
 
 @q(
@@ -1040,18 +1043,7 @@ def dedup_simhash_precision(spark, sf_dir):
     dedup. Verification cost is proportional to the candidate set, not
     the corpus (the candidate ids broadcast into the shingle join)."""
     docs = _docs(spark, sf_dir)
-    hashed = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).select(
-        "doc_id",
-        F.lit(1).alias("cnt"),
-        F.expr(
-            f"cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint) % {P31}"
-        ).alias("h"),
-    )
-    fp = hashed.groupBy("doc_id").agg(
-        F.expr(_simhash_exprs("spark")).alias("simhash")
-    )
+    fp = simhash_fingerprints(docs)
     a, b = fp.alias("a"), fp.alias("b")
     cand = a.join(
         b,
