@@ -218,3 +218,29 @@ def test_bpe_paths_agree_and_merges_are_valid(spark, monkeypatch):
     for _, row in local.iterrows():
         assert row["merged"] == row["pair"].replace(" ", "")
         assert row["pair_count"] > 0
+
+
+def test_pq_fit_paths_agree(spark, monkeypatch):
+    """The size-gated PQ trainer: the driver-side numpy Lloyd chain and
+    the distributed one-job-per-iteration plan must produce bit-identical
+    codebooks AND codes (dyadic inputs + sequential-fold distances make
+    both IEEE sequences equal)."""
+    from xova_spark.queries import pipelineq as P
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = P._emb(spark, sf).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1024) / 1024
+        ).alias("emb"),
+    )
+    codes_drv, cents_drv = P._pq_fit_frame(spark, ("test", "drv"), emb)
+    monkeypatch.setattr(P, "_PQ_TRAIN_COLLECT_VECS", -1)  # force distributed
+    codes_dist, cents_dist = P._pq_fit_frame(spark, ("test", "dist"), emb)
+    assert cents_drv.keys() == cents_dist.keys()
+    for k in cents_drv:
+        assert cents_drv[k] == cents_dist[k], k
+    pd_drv = codes_drv.toPandas().sort_values("vec_id").reset_index(drop=True)
+    pd_dist = codes_dist.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert pd_drv.astype("int64").equals(pd_dist.astype("int64"))

@@ -1433,6 +1433,69 @@ def _pq_fit(spark, sf_dir):
     return _pq_fit_frame(spark, (id(spark), sf_dir), emb)
 
 
+# Size gate for DRIVER-SIDE PQ training (the FAISS pattern: codebooks
+# are trained on a bounded sample, never the full corpus — 200k x 64
+# doubles is ~100 MB). Under the gate the whole Lloyd chain runs in
+# numpy with the exact IEEE sequence the distributed plan uses
+# (sequential per-dim fold for distances; dyadic inputs make the mean
+# sums order-independent), so both paths are bit-identical — pinned in
+# tests/test_pipelineq.py. Above the gate: the distributed
+# one-job-per-iteration plan below.
+_PQ_TRAIN_COLLECT_VECS = 200_000
+
+
+def _pq_fit_driver(spark, emb):
+    """numpy twin of the distributed fit: same init (vec_id < K seed
+    subvectors), same sequential-fold distances, same sum/count means,
+    same lowest-cid tie-break (np.argmin picks the first minimum)."""
+    import numpy as np
+
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.array([r["emb"] for r in rows], dtype=np.float64)
+    cents: dict[tuple[int, int], list[float]] = {}
+    seed = {int(i): k for k, i in enumerate(ids) if i < _PQ_K}
+    for m in range(_PQ_M):
+        for c, k in sorted(seed.items()):
+            cents[(m, c)] = [float(v) for v in X[k, m * _PQ_SUB:(m + 1) * _PQ_SUB]]
+
+    def assign_m(S, cid_list, C):
+        # sequential fold over the subspace dims — the exact IEEE
+        # sequence of F.aggregate(zip_with(...)) in the distributed plan
+        D = np.zeros((S.shape[0], C.shape[0]))
+        for d in range(_PQ_SUB):
+            diff = S[:, d:d + 1] - C[None, :, d]
+            D = D + diff * diff
+        return np.argmin(D, axis=1)  # first min == lowest cid
+
+    codes = np.zeros((len(ids), _PQ_M), dtype=np.int64)
+    for it in range(_PQ_ITERS + 1):
+        new_cents: dict[tuple[int, int], list[float]] = {}
+        for m in range(_PQ_M):
+            S = X[:, m * _PQ_SUB:(m + 1) * _PQ_SUB]
+            cid_list = sorted(c for (mm, c) in cents if mm == m)
+            C = np.array([cents[(m, c)] for c in cid_list])
+            a = assign_m(S, np.array(cid_list), C)
+            codes[:, m] = np.array(cid_list, dtype=np.int64)[a]
+            if it < _PQ_ITERS:
+                for j, c in enumerate(cid_list):
+                    mask = a == j
+                    if mask.any():
+                        new_cents[(m, c)] = [
+                            float(v) for v in S[mask].sum(axis=0) / mask.sum()
+                        ]
+        if it < _PQ_ITERS:
+            cents = new_cents
+    data = [
+        (int(ids[i]), *[int(codes[i, m]) for m in range(_PQ_M)])
+        for i in range(len(ids))
+    ]
+    schema = "vec_id long, " + ", ".join(f"code{m} int" for m in range(_PQ_M))
+    out = spark.createDataFrame(data, schema).persist()
+    out.count()
+    return out, cents
+
+
 def _pq_fit_frame(spark, cache_key, emb):
     """The PQ fit core over any (vec_id, emb array<double>) frame —
     also used on RESIDUAL vectors by the IVFADC variant. Memoized on
@@ -1440,6 +1503,10 @@ def _pq_fit_frame(spark, cache_key, emb):
     hit = _PQ_FIT_CACHE.get(cache_key)
     if hit is not None:
         return hit
+    if emb.count() <= _PQ_TRAIN_COLLECT_VECS:
+        out_cents = _pq_fit_driver(spark, emb)
+        _PQ_FIT_CACHE[cache_key] = out_cents
+        return out_cents
     # ALL subspaces in one long table (vec_id, m, sv): every Lloyd step
     # is then ONE job over all M codebooks instead of M sequential jobs
     # — 4 Spark jobs total regardless of M, and the same single-pass
