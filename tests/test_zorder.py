@@ -89,3 +89,36 @@ def test_zorder_layout_shrinks_rowgroup_extents(spark, tmp_path, n_files):
     # Natural order is key-uncorrelated -> each row group spans almost
     # the full key plane; the Z layout should cut the area many-fold.
     assert area_zo < area_nat / 3, (area_zo, area_nat)
+
+
+def test_wide_keys_do_not_wrap(spark, tmp_path):
+    """ADVICE r3: keys past 65535 used to wrap in spread_bits16's mask
+    (0 and 65536 interleaved identically). The conditional 16-bit range
+    bucket must separate them, and the layout writer must keep every
+    row through the bucketed shuffle."""
+    from xova_spark.functions.zorder import _bucket16_sql
+
+    df = spark.createDataFrame(
+        [(0, 0), (65536, 0), (131072, 0)], "x long, y long"
+    ).crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(131072,)], "xmx long")
+        )
+    )
+    got = [
+        r["z"]
+        for r in df.select(
+            morton2(
+                F.expr(_bucket16_sql("x", "xmx", "div")), F.col("y")
+            ).alias("z")
+        ).collect()
+    ]
+    # raw morton would give z == 0 for ALL three (mask wrap); bucketed
+    # morton keeps them strictly ordered and distinct
+    assert got == sorted(got) and len(set(got)) == 3, got
+
+    n = 4096
+    wide = spark.range(n).select(
+        (F.col("id") * 1000).alias("x"), (F.col("id") * 7 % 50000).alias("y")
+    )
+    assert zorder_layout(wide, "x", "y", 4).count() == n

@@ -27,11 +27,25 @@ def load(path: str) -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # Accept both '--band=0.2' and '--band 0.2' (the documented form):
+    # consume the value following a bare '--band' from the arg stream.
+    argv = sys.argv[1:]
+    args: list[str] = []
     band = 0.2
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--band"):
-            band = float(a.split("=", 1)[1]) if "=" in a else band
+            if "=" in a:
+                band = float(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                i += 1
+                band = float(argv[i])
+            else:
+                raise SystemExit("--band needs a value")
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         raise SystemExit(__doc__)
     old, new = load(args[0]), load(args[1])

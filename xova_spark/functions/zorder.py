@@ -53,16 +53,45 @@ def morton2_sql(x_expr: str, y_expr: str) -> str:
     return f"({spread_bits16_sql(x_expr)} | ({spread_bits16_sql(y_expr)} << 1))"
 
 
+def _bucket16_sql(key: str, mx: str, intdiv: str) -> str:
+    """16-bit range bucket, conditional: keys already inside the grid
+    pass through raw (best curve resolution); wider keys scale by
+    floor(key·65536/(max+1)) ∈ [0, 65535]. ``intdiv`` is the engine's
+    integer-division operator ('div' Spark, '//' DuckDB) — exact
+    integer arithmetic, identical cross-engine."""
+    k = f"CAST({key} AS BIGINT)"
+    m = f"CAST({mx} AS BIGINT)"
+    return (
+        f"(CASE WHEN {m} <= 65535 THEN {k} "
+        f"ELSE ({k} * 65536) {intdiv} ({m} + 1) END)"
+    )
+
+
 def zorder_layout(df: DataFrame, x: str, y: str, n_files: int) -> DataFrame:
     """Lay a table out along the Z-curve: range-partition on the
     Morton key (one skew-balanced range shuffle — Spark samples the
     key distribution), then sort within each partition so every
     output file covers a compact Z-range. Downstream parquet scans
-    prune row groups on min/max stats of BOTH x and y."""
-    z = morton2(F.col(x), F.col(y)).alias("__z")
+    prune row groups on min/max stats of BOTH x and y.
+
+    Keys that fit 16 bits interleave RAW; wider keys are range-bucketed
+    onto the 16-bit grid first (floor(key·65536/(max+1))) via a
+    lazily-computed broadcast 1-row max — never the silent wrap past
+    65535 that spread_bits16's mask would otherwise apply (keys 0 and
+    65536 in one cell). The bucketing is order-preserving, so locality
+    in bucketed space is locality in key space."""
+    mx = F.broadcast(
+        df.agg(
+            F.max(x).cast("long").alias("__xmx"),
+            F.max(y).cast("long").alias("__ymx"),
+        )
+    )
+    bx = F.expr(_bucket16_sql(x, "__xmx", "div"))
+    by = F.expr(_bucket16_sql(y, "__ymx", "div"))
     return (
-        df.withColumn("__z", z)
+        df.crossJoin(mx)
+        .withColumn("__z", morton2(bx, by))
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", "__xmx", "__ymx")
     )

@@ -183,7 +183,7 @@ _MINHASH_LSH_SQL = f"""
     WHERE nc * 1.0 / (sa.nsh + sb.nsh - nc) >= 0.5
     """
 
-def _lsh_pair_stats(docs, band_specs: list[tuple[int, ...]]):
+def _lsh_pair_stats(docs, band_specs: list[tuple[int, ...]], with_candidates=False):
     """Shared MinHash+LSH candidate generation with exact shingle-set
     statistics — the scale path for every near-dup consumer.
 
@@ -191,7 +191,11 @@ def _lsh_pair_stats(docs, band_specs: list[tuple[int, ...]]):
     signatures agree on ALL indices of any one band become a candidate
     pair. The only big shuffle keys on (band, bucket); verification
     touches candidate pairs only. Returns UNFILTERED candidate stats
-    (doc_a, doc_b, nc, nsha, nshb) — nc = |A∩B|, nsh* = |A|,|B|."""
+    (doc_a, doc_b, nc, nsha, nshb) — nc = |A∩B|, nsh* = |A|,|B|;
+    stats only carries pairs with nc >= 1, so consumers that need the
+    zero-overlap candidates too (the band-tuning report) pass
+    ``with_candidates=True`` for the (cand, stats) pair built from the
+    SAME cached shingle/signature chain."""
     sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
         "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
     )
@@ -247,9 +251,12 @@ def _lsh_pair_stats(docs, band_specs: list[tuple[int, ...]]):
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsha"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nshb"))
-    return common.join(sa, "doc_a").join(sb, "doc_b").select(
+    stats = common.join(sa, "doc_a").join(sb, "doc_b").select(
         "doc_a", "doc_b", "nc", "nsha", "nshb"
     )
+    if with_candidates:
+        return cand, stats
+    return stats
 
 
 def _lsh_verified_pairs(docs, band_specs: list[tuple[int, ...]], threshold=0.5):
@@ -809,77 +816,37 @@ def dedup_band_tuning_report(spark, sf_dir):
 
     Plan: the shared signature chain, then per config one (band,
     bucket) self-join + candidate verification — exactly the
-    production path, run twice, summarized to 2 rows."""
+    production path, run twice, summarized to 2 rows. Everything is
+    LAZY: n_candidates comes from left-joining the candidate pairs to
+    the overlap stats (zero-overlap candidates have null nc), so the
+    whole report is one plan per config with no collected scalars and
+    no re-run of the LSH chain (ADVICE r3)."""
     (docs,) = _docs(spark, sf_dir)
     out = None
     for tag, specs in (
         ("bands_4x4", BANDS_4x4),
         ("bands_16x1", BANDS_16x1),
     ):
-        stats = _lsh_pair_stats(docs, specs)
+        cand, stats = _lsh_pair_stats(docs, specs, with_candidates=True)
+        joined = cand.join(stats, ["doc_a", "doc_b"], "left")
         jac_ok = (
             F.col("nc") * 1.0 / (F.col("nsha") + F.col("nshb") - F.col("nc"))
             >= 0.5
         )
-        # n_candidates includes zero-overlap pairs: recompute the raw
-        # candidate count (stats only carries overlapping pairs).
-        cand_n = _lsh_candidates_count(docs, specs)
-        row = stats.agg(
-            F.count("*").cast("long").alias("n_overlapping"),
+        row = joined.agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.count("nc").cast("long").alias("n_overlapping"),
             F.sum(F.when(jac_ok, 1).otherwise(0)).cast("long").alias("n_verified"),
         ).select(
             F.lit(tag).alias("config"),
-            F.lit(cand_n).cast("long").alias("n_candidates"),
+            "n_candidates",
             "n_verified",
-            F.expr(f"n_verified * 1000 div greatest({cand_n}, 1)")
+            F.expr("n_verified * 1000 div greatest(n_candidates, 1)")
             .cast("long")
             .alias("precision_permille"),
         )
         out = row if out is None else out.unionAll(row)
     return out
-
-
-def _lsh_candidates_count(docs, band_specs) -> int:
-    """Raw candidate-pair count for a banding (incl. zero-overlap
-    pairs) — one driver scalar, used by the tuning report."""
-    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
-    )
-    hashed = sh.select(
-        "doc_id", F.explode("shingles").alias("s")
-    ).select("doc_id", F.expr(SPARK_H31).alias("h"))
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.expr(e).alias(f"m{i}")
-            for i, e in enumerate(_minhash_sql_exprs("h"))
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.concat_ws(",", *[f"m{i}" for i in idxs]).alias("bkey"),
-                    )
-                    for k, idxs in enumerate(band_specs)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkey")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select("a.doc_id", "b.doc_id")
-        .distinct()
-        .count()
-    )
 
 
 _CONTAIN_QDOC = 0  # the query document (deterministic)

@@ -594,7 +594,11 @@ def graph_modularity(spark, sf_dir):
         .groupBy(F.col("label").alias("community"))
         .agg(F.sum("degree").alias("d_c"))
     )
-    out = (
+    # NOTE: edges stays cached (like graph_kcore) — an eager unpersist
+    # here would evict it BEFORE the caller's action runs the two joins
+    # above, forcing a full edge-derivation recompute (ADVICE r3). The
+    # cache is |E|-scale and shared by every same-session graph query.
+    return (
         dc.join(intra, "community", "left")
         .select(
             "community",
@@ -606,8 +610,6 @@ def graph_modularity(spark, sf_dir):
             ).cast("long").alias("q_contrib_4m2"),
         )
     )
-    edges.unpersist()
-    return out
 
 
 @q(

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from xova_spark.functions.zorder import morton2, morton2_sql
+from xova_spark.functions.zorder import _bucket16_sql, morton2, morton2_sql
 from xova_spark.session import load_tables
 
 REGISTRY: dict[str, tuple] = {}
@@ -32,11 +32,16 @@ _ZBUCKET_SHIFT = 10  # 32x32 key blocks per bucket
 @q(
     "layout_zorder_cells",
     f"""
-    WITH z AS (
-        SELECT l_partkey, l_suppkey,
-               {morton2_sql('l_partkey', 'l_suppkey')} >> {_ZBUCKET_SHIFT}
-                   AS zbucket
+    WITH mx AS (
+        SELECT CAST(max(l_partkey) AS BIGINT) AS pk_mx,
+               CAST(max(l_suppkey) AS BIGINT) AS sk_mx
         FROM lineitem
+    ), z AS (
+        SELECT l_partkey, l_suppkey,
+               {morton2_sql(_bucket16_sql('l_partkey', 'pk_mx', '//'),
+                            _bucket16_sql('l_suppkey', 'sk_mx', '//'))}
+                   >> {_ZBUCKET_SHIFT} AS zbucket
+        FROM lineitem CROSS JOIN mx
     )
     SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(min(l_partkey) AS BIGINT) AS pk_min,
@@ -48,20 +53,30 @@ _ZBUCKET_SHIFT = 10  # 32x32 key blocks per bucket
 )
 def layout_zorder_cells(spark, sf_dir):
     """Morton-cell summary of lineitem on (l_partkey, l_suppkey):
-    bucket rows by the top bits of their Z-value and report each
-    cell's key ranges. The per-cell (pk_max-pk_min) × (sk_max-sk_min)
-    extents are bounded by the 32×32 block geometry — the measurable
-    locality property Z-layout buys: every written file covers a
-    narrow range in BOTH keys, so min/max pruning works for filters
-    on either. Pure shiftleft/AND/OR column arithmetic (whole-stage
-    codegen, bit-identical to the SQL twin), one partial-aggregated
-    shuffle on the cell id."""
+    keys already inside the 16-bit grid interleave raw; wider keys
+    range-bucket via floor(key·65536/(max+1)) — no silent wrap past
+    65535 at any SF. Rows bucket by the
+    top bits of their Z-value, and report each cell's key ranges. The
+    per-cell extents are bounded by the 32×32 block geometry IN BUCKETED
+    SPACE, i.e. ≤ 32·(max+1)/65536 in raw keys — the measurable locality
+    property Z-layout buys: every written file covers a narrow range in
+    BOTH keys, so min/max pruning works for filters on either. Pure
+    integer column arithmetic (whole-stage codegen, bit-identical to the
+    SQL twin); the maxes are one broadcast 1-row aggregate; one
+    partial-aggregated shuffle on the cell id."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    z = F.shiftright(
-        morton2(F.col("l_partkey"), F.col("l_suppkey")), _ZBUCKET_SHIFT
-    ).alias("zbucket")
+    mx = F.broadcast(
+        li.agg(
+            F.max("l_partkey").cast("long").alias("pk_mx"),
+            F.max("l_suppkey").cast("long").alias("sk_mx"),
+        )
+    )
+    bp = F.expr(_bucket16_sql("l_partkey", "pk_mx", "div"))
+    bs = F.expr(_bucket16_sql("l_suppkey", "sk_mx", "div"))
+    z = F.shiftright(morton2(bp, bs), _ZBUCKET_SHIFT).alias("zbucket")
     return (
-        li.select(z, "l_partkey", "l_suppkey")
+        li.crossJoin(mx)
+        .select(z, "l_partkey", "l_suppkey")
         .groupBy("zbucket")
         .agg(
             F.count("*").cast("long").alias("n_rows"),
