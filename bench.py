@@ -48,6 +48,11 @@ HEADLINE = (
     "layout_zorder_cells",
     "timechannel_avg",
     "bda_avg",
+    # round-4 additions: the remaining heavy packs (VERDICT r3 item 8)
+    "graph_modularity",
+    "dedup_band_tuning_report",
+    "stream_cdc_merge",
+    "ann_ivfpq_topk",
 )
 
 

@@ -814,39 +814,93 @@ def dedup_band_tuning_report(spark, sf_dir):
     (recall rises with 16×1, precision and candidate volume pay for
     it); both configs share one shingle/signature computation.
 
-    Plan: the shared signature chain, then per config one (band,
-    bucket) self-join + candidate verification — exactly the
-    production path, run twice, summarized to 2 rows. Everything is
-    LAZY: n_candidates comes from left-joining the candidate pairs to
-    the overlap stats (zero-overlap candidates have null nc), so the
-    whole report is one plan per config with no collected scalars and
-    no re-run of the LSH chain (ADVICE r3)."""
+    Plan (one pass for ALL configs): every config's band keys come out
+    of a single tagged explode of one shared signature table, so the
+    candidate self-join keys on (config, band, bucket) in ONE shuffle;
+    the union of candidate pairs across configs is verified ONCE (the
+    4x4 candidates are mostly a subset of 16x1 — verifying per config
+    would redo the expensive overlap join on the shared pairs); each
+    config then left-joins its candidates to the shared stats lazily
+    (zero-overlap candidates have null nc — no collected scalars, no
+    re-run of the LSH chain; ADVICE r3)."""
     (docs,) = _docs(spark, sf_dir)
-    out = None
-    for tag, specs in (
-        ("bands_4x4", BANDS_4x4),
-        ("bands_16x1", BANDS_16x1),
-    ):
-        cand, stats = _lsh_pair_stats(docs, specs, with_candidates=True)
-        joined = cand.join(stats, ["doc_a", "doc_b"], "left")
-        jac_ok = (
-            F.col("nc") * 1.0 / (F.col("nsha") + F.col("nshb") - F.col("nc"))
-            >= 0.5
+    configs = (("bands_4x4", BANDS_4x4), ("bands_16x1", BANDS_16x1))
+    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s")).cache()
+    hashed = ex.select("doc_id", F.expr(SPARK_H31).alias("h"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.expr(e).alias(f"m{i}")
+            for i, e in enumerate(_minhash_sql_exprs("h"))
+        ],
+        F.count("*").alias("nsh"),
+    ).cache()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tag).alias("cfg"),
+                        F.lit(k).alias("band"),
+                        F.concat_ws(",", *[f"m{i}" for i in idxs]).alias("bkey"),
+                    )
+                    for tag, specs in configs
+                    for k, idxs in enumerate(specs)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.cfg", "bb.band", "bb.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand_cfg = (
+        a.join(
+            b,
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        row = joined.agg(
+        .select(
+            F.col("a.cfg").alias("cfg"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .cache()
+    )
+    pairs = cand_cfg.select("doc_a", "doc_b").distinct()
+    ea = ex.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    eb = ex.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("sb"))
+    common = (
+        pairs.join(ea, "doc_a")
+        .join(eb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sa") == F.col("sb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("nc"))
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nshb"))
+    stats = common.join(sa, "doc_a").join(sb, "doc_b")
+    jac_ok = (
+        F.col("nc") * 1.0 / (F.col("nsha") + F.col("nshb") - F.col("nc")) >= 0.5
+    )
+    return (
+        cand_cfg.join(stats, ["doc_a", "doc_b"], "left")
+        .groupBy(F.col("cfg").alias("config"))
+        .agg(
             F.count("*").cast("long").alias("n_candidates"),
-            F.count("nc").cast("long").alias("n_overlapping"),
             F.sum(F.when(jac_ok, 1).otherwise(0)).cast("long").alias("n_verified"),
-        ).select(
-            F.lit(tag).alias("config"),
+        )
+        .select(
+            "config",
             "n_candidates",
             "n_verified",
             F.expr("n_verified * 1000 div greatest(n_candidates, 1)")
             .cast("long")
             .alias("precision_permille"),
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+    )
 
 
 _CONTAIN_QDOC = 0  # the query document (deterministic)
