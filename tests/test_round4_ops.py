@@ -1,0 +1,80 @@
+"""Law tests for the round-4 operator additions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_repeated_substring_windows_laws(spark):
+    from xova_spark.queries.textops import (
+        _WIN_LEN,
+        _WIN_STRIDE,
+        t_repeated_substring_windows,
+    )
+
+    out = t_repeated_substring_windows(spark, SF).toPandas()
+    assert len(out) > 0
+    assert (out["n_docs"] >= 2).all()
+    assert (out["n_occurrences"] >= out["n_docs"]).all()
+    # stride guarantee: 50% overlap — windows tile every STRIDE chars
+    assert _WIN_LEN == 2 * _WIN_STRIDE
+
+
+def test_repeated_substring_windows_finds_planted_dup(spark):
+    """A >= 1.5x-window-length span shared by two docs MUST produce at
+    least one aligned shared window at 50% overlap."""
+    from xova_spark.queries import textops as T
+
+    span = "x" * 48 + "unique-marker-payload-of-the-span"
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa " + span + " tail one", "en", "s1", len("aaaa " + span + " tail one")),
+            (2, "bbbbbbbbb " + span + " other", "en", "s2", len("bbbbbbbbb " + span + " other")),
+            (3, "completely unrelated text of enough length to window over", "en", "s3", 58),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import xova_spark.session as S
+
+    orig = S.load_tables
+    try:
+        S.load_tables = lambda spark, sf, names: {"documents": docs}
+        T.load_tables = S.load_tables
+        out = T.t_repeated_substring_windows(spark, "ignored").toPandas()
+    finally:
+        S.load_tables = orig
+        T.load_tables = orig
+    assert len(out) >= 1
+    assert set(out["first_doc"]) <= {1, 2}
+
+
+def test_shard_assignment_partitions_corpus(spark):
+    from xova_spark.queries.textops import _N_SHARDS, t_shard_assignment
+    from xova_spark.session import load_tables
+
+    out = t_shard_assignment(spark, SF).toPandas()
+    n_docs = load_tables(spark, SF, ("documents",))["documents"].count()
+    assert out["n_docs"].sum() == n_docs
+    assert out["shard"].between(0, _N_SHARDS - 1).all()
+    # determinism: identical on re-run
+    again = t_shard_assignment(spark, SF).toPandas()
+    k = ["lang", "shard"]
+    assert out.sort_values(k).reset_index(drop=True).equals(
+        again.sort_values(k).reset_index(drop=True)
+    )
+
+
+def test_cross_split_contamination_is_subset_of_lsh_pairs(spark):
+    from xova_spark.queries.dedup import (
+        dedup_cross_split_contamination,
+        dedup_minhash_lsh,
+    )
+
+    cont = dedup_cross_split_contamination(spark, SF).toPandas()
+    pairs = dedup_minhash_lsh(spark, SF).toPandas()
+    allp = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert len(cont) > 0
+    assert set(zip(cont["doc_a"], cont["doc_b"])) <= allp
+    assert (cont["split_a"] != cont["split_b"]).all()

@@ -1028,3 +1028,69 @@ def dedup_minhash_calibration(spark, sf_dir):
             .alias("exact_permille"),
         )
     )
+
+
+@q(
+    "dedup_cross_split_contamination",
+    f"""
+    WITH {_MINHASH_CTES},
+    pairs AS (
+      SELECT cm.doc_a, cm.doc_b,
+             round(nc * 1.0 / (sa.nsh + sb.nsh - nc), 6) AS jaccard
+      FROM common cm
+      JOIN sig sa ON sa.doc_id = cm.doc_a
+      JOIN sig sb ON sb.doc_id = cm.doc_b
+      WHERE nc * 1.0 / (sa.nsh + sb.nsh - nc) >= 0.5
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)
+                       % 100 < 80 THEN 'train'
+                  WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)
+                       % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b, p.jaccard
+    FROM pairs p
+    JOIN sp a ON a.doc_id = p.doc_a
+    JOIN sp b ON b.doc_id = p.doc_b
+    WHERE a.split != b.split
+    """,
+)
+def dedup_cross_split_contamination(spark, sf_dir):
+    """TRAIN/TEST LEAKAGE by NEAR-duplication — the contamination mode
+    8-gram exact decontam (t_decontam_overlap) misses: every verified
+    MinHash-LSH near-dup pair (Jaccard >= 0.5) whose two documents fall
+    in DIFFERENT splits of the deterministic 80/10/10 hash split
+    (t_split_deterministic's assignment). A train–test row here means
+    the eval set leaks paraphrased training data even though no 8-gram
+    matches exactly.
+
+    Scale shape: the pair side is the LSH scale path (banded
+    candidates, verification on candidates only); the split is a
+    per-row projection joined onto the pair endpoints by doc_id — two
+    keyed equi-joins on a pair table that is orders of magnitude
+    smaller than the corpus."""
+    (docs,) = _docs(spark, sf_dir)
+    pairs = _lsh_verified_pairs(docs, BANDS_4x4)
+    h = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+        " as bigint) % 100"
+    )
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    sp = docs.select("doc_id", split.alias("split"))
+    return (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )

@@ -1343,3 +1343,131 @@ def t_length_outliers_by_lang(spark, sf_dir):
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: exact-substring dup windows, stratified sharding
+# ---------------------------------------------------------------------------
+
+_WIN_LEN = 32   # window length in chars
+_WIN_STRIDE = 16  # stride — 50% overlap so a duplicated span is never missed
+
+
+@q(
+    "t_repeated_substring_windows",
+    f"""
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0,
+                 CAST((n_chars - {_WIN_LEN}) AS BIGINT) // {_WIN_STRIDE})) AS i
+      FROM documents
+      WHERE n_chars >= {_WIN_LEN}
+    ), w AS (
+      SELECT doc_id,
+             substr(text, 1 + {_WIN_STRIDE} * CAST(i AS BIGINT), {_WIN_LEN}) AS win
+      FROM idx
+    ), per_doc AS (
+      SELECT md5(win) AS win_hash, doc_id, count(*) AS cnt
+      FROM w GROUP BY 1, 2
+    )
+    SELECT win_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM per_doc
+    GROUP BY win_hash
+    HAVING count(*) >= 2
+    """,
+)
+def t_repeated_substring_windows(spark, sf_dir):
+    """EXACT-SUBSTRING duplication detector — the windowed form of the
+    Lee et al. "Deduplicating Training Data" exact-substring method:
+    slide a {_WIN_LEN}-char window at 50% overlap over every document,
+    group windows by content hash, and report every window text that
+    appears in >= 2 DISTINCT documents (with its total occurrence
+    count and an example doc). A duplicated span of >= 1.5x the window
+    length is guaranteed to produce at least one aligned shared window
+    at this stride.
+
+    Scale shape: the window explode multiplies rows by ~n_chars/stride
+    (the method's inherent cost; production runs raise the stride),
+    then TWO partial-aggregated shuffles — (win_hash, doc_id) then
+    win_hash — both map-side combined; no pair expansion ever happens
+    (the blowup of a popular substring is capped at its doc count, not
+    doc-count-squared). Pure Catalyst: sequence/explode/substr/md5."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = (
+        docs.filter(F.col("n_chars") >= _WIN_LEN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.col("n_chars") - _WIN_LEN) / _WIN_STRIDE).cast("long"),
+                )
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.expr(f"substr(text, 1 + {_WIN_STRIDE} * i, {_WIN_LEN})").alias("win"),
+        )
+    )
+    per_doc = w.groupBy(F.md5("win").alias("win_hash"), "doc_id").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        per_doc.groupBy("win_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("cnt").cast("long").alias("n_occurrences"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+_N_SHARDS = 8
+
+
+@q(
+    "t_shard_assignment",
+    f"""
+    WITH s AS (
+      SELECT lang,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)
+                 % {_N_SHARDS} AS shard,
+             n_chars
+      FROM documents
+    )
+    SELECT lang, CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY lang, shard
+    """,
+)
+def t_shard_assignment(spark, sf_dir):
+    """STRATIFIED SHARD assignment — the writer layout for training
+    shards: within each language stratum, documents spread over
+    {_N_SHARDS} shards by content-independent key hash (reproducible,
+    engine-independent — never sample()/round-robin, whose assignment
+    depends on partitioning). The report is the per-(lang, shard) doc
+    and byte balance a dataloader needs to plan epochs.
+
+    Scale shape: the shard id is a per-row projection (no shuffle);
+    the audit is one partial-aggregated groupBy. At 100 TB the real
+    writer is write.partitionBy(lang, shard) — the assignment column
+    IS the directory layout, and this report is its manifest."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    shard = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+        f" as bigint) % {_N_SHARDS}"
+    )
+    return (
+        docs.select("lang", shard.cast("long").alias("shard"), "n_chars")
+        .groupBy("lang", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
