@@ -160,3 +160,31 @@ def test_nprobe_curve_monotone(spark):
     assert list(df["nprobe"]) == list(_NPROBE_GRID)
     assert df["recall_permille"].is_monotonic_increasing
     assert (df["n_hits"] <= df["n_possible"]).all()
+
+
+def test_rerank_dominates_pq_only(spark):
+    """Fetch-and-rerank law: with the exact top-5 as ground truth, the
+    reranked top-5 (exact cosine over the PQ shortlist) must achieve
+    recall >= the raw PQ top-5 per query — reranking a superset
+    shortlist with the TRUE metric can only keep or promote true
+    neighbors that PQ distance misordered."""
+    from xova_spark.queries.pipelineq import REGISTRY as RP
+
+    truth = (
+        S.REGISTRY["ann_cosine_topk"][0](spark, SF_DIR).toPandas()
+        .groupby("qid")["cid"].apply(set)
+    )
+    pq = (
+        RP["ann_pq_topk"][0](spark, SF_DIR).toPandas()
+        .groupby("qid")["cid"].apply(set)
+    )
+    rr = (
+        RP["ann_pq_rerank_topk"][0](spark, SF_DIR).toPandas()
+        .groupby("qid")["cid"].apply(set)
+    )
+    pq_rec, rr_rec = [], []
+    for qid, want in truth.items():
+        pq_rec.append(len(pq.get(qid, set()) & want) / len(want))
+        rr_rec.append(len(rr.get(qid, set()) & want) / len(want))
+    assert sum(rr_rec) >= sum(pq_rec), (rr_rec, pq_rec)
+    assert sum(rr_rec) / len(rr_rec) > 0.5  # rerank recovers real quality

@@ -1656,6 +1656,136 @@ def ann_pq_topk(spark, sf_dir):
     )
 
 
+_RERANK_SHORTLIST = 20
+
+
+def _pq_rerank_sql(n_queries: int = 10, topk: int = 5) -> str:
+    """Fetch-and-rerank twin: the PQ ranked list down to the SHORTLIST,
+    then exact raw-embedding cosine over shortlist pairs only."""
+    from xova_spark.queries.similarity import _duck_dot
+
+    base = _pq_topk_sql(n_queries, topk)
+    # reuse everything through `ranked`, swap the final select
+    head = base[: base.rindex(" SELECT qid, cid, round(score, 6)")]
+    return (
+        head
+        + f""", short AS MATERIALIZED (
+      SELECT qid, cid FROM ranked WHERE rank <= {_RERANK_SHORTLIST}
+    ), normed AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), rr AS (
+      SELECT s.qid, s.cid,
+             {_duck_dot('qv.embedding', 'cv.embedding')} / (qv.nrm * cv.nrm)
+                 AS cos
+      FROM short s
+      JOIN normed qv ON qv.vec_id = s.qid
+      JOIN normed cv ON cv.vec_id = s.cid
+    ), rranked AS (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+                 AS rank
+      FROM rr
+    )
+    SELECT qid, cid, round(cos, 6) AS cos, rank
+    FROM rranked WHERE rank <= {topk}"""
+    )
+
+
+@q("ann_pq_rerank_topk", _pq_rerank_sql())
+def ann_pq_rerank_topk(spark, sf_dir):
+    """FETCH-AND-RERANK — the standard two-stage production retrieval:
+    stage 1 shortlists {_RERANK_SHORTLIST} candidates per query by
+    asymmetric PQ distance (code scan only, no float vectors); stage 2
+    fetches ONLY the shortlist's raw embeddings and reranks by exact
+    cosine. This is how billion-vector serving recovers brute-force
+    quality at PQ cost: exact distance work is O(queries x shortlist),
+    never O(queries x corpus).
+
+    Scale shape: stage 1 is ann_pq_topk's plan (broadcast LUT row over
+    the code scan, one window); the shortlist (n_q x {_RERANK_SHORTLIST}
+    rows) broadcasts into two keyed fetch joins against the vector
+    table — at 100 TB the fetch is a point-lookup pattern (bucketed or
+    indexed by vec_id), and the rerank itself is model-scale."""
+    codes, cents = _pq_fit(spark, sf_dir)
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1024) / 1024,
+        ).alias("emb"),
+    )
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "emb"
+    )
+    qsub = queries.select(
+        "qid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("emb", m * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("qid", "s.m", "s.sv")
+    cdf = spark.createDataFrame(
+        [
+            (m, int(c), [float(v) for v in cv])
+            for (m, c), cv in sorted(cents.items())
+        ],
+        "m int, cid int, cv array<double>",
+    )
+    d = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    luts = qsub.join(F.broadcast(cdf), "m").select("qid", "m", "cid", d.alias("d"))
+    lut_wide = _lut_wide(spark, luts)
+    scored = codes.crossJoin(F.broadcast(lut_wide))
+    score = _lut_score()
+    w = Window.partitionBy("qid").orderBy("score", "cid")
+    short = (
+        scored.filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RERANK_SHORTLIST)
+        .select("qid", "cid")
+    )
+    from xova_spark.queries.similarity import _spark_dot
+
+    normed = _emb(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+    qv = normed.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = normed.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    return (
+        qv.join(F.broadcast(short), "qid")
+        .join(cv, "cid")
+        .select("qid", "cid", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "cid", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def _lut_wide(spark, luts):
     """Repack the (qid, m, cid, d) lookup-table rows into ONE wide row
     per query — array[m][cid] of distances. The distances are computed
