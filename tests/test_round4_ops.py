@@ -78,3 +78,31 @@ def test_cross_split_contamination_is_subset_of_lsh_pairs(spark):
     assert len(cont) > 0
     assert set(zip(cont["doc_a"], cont["doc_b"])) <= allp
     assert (cont["split_a"] != cont["split_b"]).all()
+
+
+def test_phash_topk_laws(spark):
+    """Top-k integer-Hamming retrieval: ranks are 1..5 per query,
+    distances are non-decreasing in rank, and any neardup-pair partner
+    of a query (threshold search) must appear among its top-k whenever
+    the query has < k partners at or below the pair threshold."""
+    from xova_spark.queries.multimodalq import (
+        mm_phash_hamming_topk,
+        mm_phash_neardup_pairs,
+    )
+
+    topk = mm_phash_hamming_topk(spark, SF).toPandas()
+    for qid, g in topk.groupby("qid"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert g["hamming"].is_monotonic_increasing
+    pairs = mm_phash_neardup_pairs(spark, SF).toPandas()
+    qids = set(topk["qid"])
+    got = {(r.qid, r.cid) for r in topk.itertuples()}
+    for r in pairs.itertuples():
+        for q, c in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if q in qids:
+                n_better = (
+                    (topk[topk["qid"] == q]["hamming"] <= r.hamming).sum()
+                )
+                if n_better < 5:
+                    assert (q, c) in got, (q, c, r.hamming)

@@ -472,3 +472,88 @@ def mm_phash_neardup_pairs(spark, sf_dir):
         .where(F.col("hamming") <= _PHASH_HAM_T)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+_PHASH_TOPK_QUERIES = 5
+
+
+@q(
+    "mm_phash_hamming_topk",
+    f"""
+WITH sb AS (
+  SELECT d.doc_id, g.i - 1 AS i,
+         ascii(substring(d.text, g.i, 1)) AS v,
+         length(d.text) AS n
+  FROM documents d, generate_series(1, 600) g(i)
+  WHERE g.i <= length(d.text)
+), bb AS (
+  SELECT doc_id, (i * 64) // n AS blk,
+         sum(v) AS bs, count(*) AS bn
+  FROM sb GROUP BY doc_id, (i * 64) // n
+), tt AS (
+  SELECT doc_id, sum(bs) AS ts, sum(bn) AS n FROM bb GROUP BY doc_id
+), h AS (
+  SELECT bb.doc_id,
+         CAST(sum(CASE WHEN bb.blk >= 32 AND bb.bs * tt.n > tt.ts * bb.bn
+                       THEN 1 << (bb.blk - 32) ELSE 0 END) AS BIGINT)
+             AS hash_hi,
+         CAST(sum(CASE WHEN bb.blk < 32 AND bb.bs * tt.n > tt.ts * bb.bn
+                       THEN 1 << bb.blk ELSE 0 END) AS BIGINT) AS hash_lo
+  FROM bb JOIN tt USING (doc_id)
+  GROUP BY bb.doc_id
+), scored AS (
+  SELECT q.doc_id AS qid, c.doc_id AS cid,
+         CAST(bit_count(xor(q.hash_hi, c.hash_hi))
+              + bit_count(xor(q.hash_lo, c.hash_lo)) AS INTEGER) AS hamming
+  FROM h q JOIN h c ON c.doc_id != q.doc_id
+  WHERE q.doc_id < {_PHASH_TOPK_QUERIES}
+), ranked AS (
+  SELECT qid, cid, hamming,
+         row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rank
+  FROM scored
+)
+SELECT qid, cid, hamming, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def mm_phash_hamming_topk(spark, sf_dir):
+    """IMAGE SIMILARITY SEARCH — top-5 nearest payloads per query image
+    by perceptual-hash Hamming distance: the retrieval twin of the
+    threshold search (mm_phash_neardup_pairs). This brute-force form is
+    the declared RECALL ORACLE for phash retrieval, exactly like
+    ann_cosine_topk for embeddings: at 100 TB the serving path is the
+    2-band blocked join (candidates share a 32-bit band) with this
+    ranking applied to candidates only — the integer-Hamming analogue
+    of PQ fetch-and-rerank.
+
+    Plan: one mapInPandas hash pass, then the {_PHASH_TOPK_QUERIES}
+    query hashes broadcast over the hash table (scored rows =
+    queries x corpus, never corpus²) into one top-k window."""
+    from pyspark.sql import Window
+
+    from xova_spark.operators.multimodal import image_phash
+
+    h = image_phash(_media(spark, sf_dir)).select(
+        "doc_id", "hash_hi", "hash_lo"
+    )
+    q_side = h.filter(F.col("doc_id") < _PHASH_TOPK_QUERIES).select(
+        F.col("doc_id").alias("qid"),
+        F.col("hash_hi").alias("q_hi"),
+        F.col("hash_lo").alias("q_lo"),
+    )
+    ham = (
+        F.bit_count(F.expr("q_hi ^ hash_hi"))
+        + F.bit_count(F.expr("q_lo ^ hash_lo"))
+    ).cast("int")
+    w = Window.partitionBy("qid").orderBy("hamming", "cid")
+    return (
+        h.crossJoin(F.broadcast(q_side))
+        .filter(F.col("doc_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("doc_id").alias("cid"),
+            ham.alias("hamming"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )
