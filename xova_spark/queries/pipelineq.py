@@ -410,15 +410,21 @@ def corpus_funnel(docs):
     # Spark-side shingles are xxhash64 of the 8-word slice (8-byte longs,
     # no string construction; the oracle joins the equivalent strings —
     # equal results modulo 64-bit collisions, i.e. never at these scales).
-    # The per-doc gram count rides through the explode so the shingle
-    # array is computed exactly once.
+    # PERSIST the per-doc distinct-hash arrays: the decontam stage scans
+    # them twice (eval-set build + train-side probe), and recomputing the
+    # split/transform/xxhash chain per consumer dominated the funnel
+    # (measured at sf0.1: decontam 3.1 s uncached -> 0.6 s with the
+    # arrays cached; caching the EXPLODED rows instead only reached
+    # 2.0 s). The cache is one compact long-array row per doc
+    # (~8 B x grams, MEMORY_AND_DISK — spills at 100 TB, where the
+    # alternative is 2x the corpus-wide hash CPU).
     sh = base.filter(n >= 8).select(
         "doc_id",
         F.expr(
             "array_distinct(transform(sequence(1, size(ws) - 7),"
             " i -> xxhash64(slice(ws, i, 8))))"
         ).alias("shingles"),
-    )
+    ).persist()
     ex = sh.select(
         "doc_id", F.size("shingles").alias("ng"), F.explode("shingles").alias("s")
     )
