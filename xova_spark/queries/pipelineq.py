@@ -185,9 +185,12 @@ def t_decontam_overlap(spark, sf_dir):
     plan skeleton.
     """
     docs = _docs(spark, sf_dir)
+    # Three consumers scan the shingle arrays (eval-set build, probe
+    # side, final per-doc join) — persist the compact one-row-per-doc
+    # arrays, same measured pattern as corpus_funnel's decontam.
     sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
         "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
-    )
+    ).persist()
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     eval_g = ex.filter(F.col("doc_id") % 20 == 0).select("s").distinct()
     hits = (
@@ -2616,9 +2619,13 @@ def t_ngram_novelty(spark, sf_dir):
     gram, so AQE reuses the exchange — then one doc-keyed partial
     aggregation. Nothing quadratic; the same skeleton as TF-IDF."""
     docs = _docs(spark, sf_dir)
+    # Both the df aggregation and the df join-back scan the shingle
+    # arrays — persist the compact per-doc rows (the corpus_funnel
+    # decontam measurement: recomputing the shingle chain per consumer
+    # is the dominant cost, not the joins).
     sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
         "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
-    )
+    ).persist()
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     df = ex.groupBy("s").agg(F.count("*").alias("df"))
     per = (
