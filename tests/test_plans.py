@@ -227,3 +227,39 @@ def test_dq_profile_has_no_expand(spark):
     plan = P.executed_plan(q)
     assert "Expand" not in plan, plan
     assert P.exchange_count(q) <= 2, P.plan_stats(q)
+
+
+def test_corpus_funnel_persists_shingles(spark):
+    """The decontam stage's shingle arrays must come from an
+    InMemoryRelation (measured: recomputing the hash chain per consumer
+    dominated the funnel) while the eval-gram and contaminated-id joins
+    stay broadcast."""
+    from xova_spark.queries.pipelineq import REGISTRY as RP
+
+    q = RP["pipeline_corpus_e2e"][0](spark, SF_DIR)
+    plan = P.executed_plan(q)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+    assert P.broadcast_join_count(q) >= 2, P.plan_stats(q)
+
+
+def test_substring_windows_plan(spark):
+    """t_repeated_substring_windows: two partial-aggregated shuffles
+    (the (win_hash, doc) lattice then win_hash), no Expand, no joins."""
+    from xova_spark.queries.textops import REGISTRY as RT
+
+    q = RT["t_repeated_substring_windows"][0](spark, SF_DIR)
+    plan = P.executed_plan(q)
+    assert "Expand" not in plan, plan
+    assert P.exchange_count(q) <= 2, P.plan_stats(q)
+    assert P.sortmerge_join_count(q) == 0
+
+
+def test_pq_rerank_broadcasts_shortlist(spark):
+    """ann_pq_rerank_topk: the LUT row and the shortlist both broadcast
+    — the only corpus-scale work is the code scan and the two keyed
+    fetch joins."""
+    from xova_spark.queries.pipelineq import REGISTRY as RP
+
+    q = RP["ann_pq_rerank_topk"][0](spark, SF_DIR)
+    assert P.broadcast_join_count(q) >= 2, P.plan_stats(q)
+    assert P.sortmerge_join_count(q) == 0, P.plan_stats(q)
