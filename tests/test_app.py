@@ -449,3 +449,43 @@ def test_app_timechannel_on_fake_casa_table(spark, ms_dir, tmp_path):
     assert check_spw(back).count() == 0
     # the check CLI accepts the written layout
     Application(["check", got], spark=spark).execute()
+
+
+def test_app_average_uvw_coordinates_flag(spark, ms_dir, tmp_path):
+    """Reference -auvw semantics (arguments.py --average-uvw-coordinates):
+    by default the written UVW is RESYNTHESIZED at the averaged times
+    (fixms, V4); with the flag the averaged UVW passes through
+    untouched. Both layouts pass `check`; the two differ on real rows,
+    and the flag path equals the averaging operator's own output."""
+    import pandas as pd
+
+    from xova_spark.operators.timechannel import timechannel
+    from xova_spark.sources.ms_fixture import load_ms
+
+    out_fix = os.path.join(str(tmp_path), "fixed.ms")
+    out_avg = os.path.join(str(tmp_path), "avg.ms")
+    Application(
+        ["timechannel", ms_dir, "-t", "4", "-o", out_fix, "--force"], spark=spark
+    ).execute()
+    Application(
+        ["timechannel", ms_dir, "-t", "4", "-o", out_avg, "--force",
+         "--average-uvw-coordinates"],
+        spark=spark,
+    ).execute()
+    Application(["check", out_fix], spark=spark).execute()
+    Application(["check", out_avg], spark=spark).execute()
+    key = ["FIELD_ID", "DATA_DESC_ID", "SCAN_NUMBER", "ANTENNA1", "ANTENNA2", "TIME"]
+    fx = load_ms(spark, out_fix)["ms_rows"].select(*key, "u", "v", "w").toPandas()
+    av = load_ms(spark, out_avg)["ms_rows"].select(*key, "u", "v", "w").toPandas()
+    fx = fx.sort_values(key).reset_index(drop=True)
+    av = av.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fx[key], av[key], check_dtype=False)
+    assert (abs(fx["u"] - av["u"]) > 1e-9).any()  # resynthesis did real work
+    # the flag path IS the averaging operator's uvw
+    want = (
+        timechannel(load_ms(spark, ms_dir), time_bin_secs=4.0, chan_bin_size=16)
+        ["ms_rows"].select(*key, "u", "v", "w").toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    want = want[want.ANTENNA1 != want.ANTENNA2].reset_index(drop=True)
+    pd.testing.assert_frame_equal(av, want, check_dtype=False)
