@@ -166,3 +166,59 @@ def test_greedy_assign_partition_and_conservation(spark, pdf):
         re_out,
         check_dtype=False,
     )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    key=st.integers(min_value=0, max_value=2**40),
+    mx=st.integers(min_value=0, max_value=2**40),
+)
+def test_bucket16_properties(key, mx):
+    """The conditional 16-bit range bucket (zorder._bucket16_sql
+    semantics, evaluated in pure python): result always in [0, 65535]
+    when key <= mx; identity for narrow domains; order-preserving."""
+    key = min(key, mx)
+
+    def bucket(k, m):
+        return k if m <= 65535 else (k * 65536) // (m + 1)
+
+    b = bucket(key, mx)
+    assert 0 <= b <= 65535
+    if mx <= 65535:
+        assert b == key
+    # order preservation on the clamped domain
+    k2 = min(key + 1, mx)
+    assert bucket(k2, mx) >= b
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=120), min_size=1, max_size=6
+    )
+)
+def test_substring_window_tiling(texts):
+    """Pure-python twin of the t_repeated_substring_windows window
+    enumeration: every window starts at a stride multiple, has exactly
+    WIN chars unless it is the tail window, and a 1.5x-WIN span shared
+    verbatim between two docs yields at least one aligned shared
+    window."""
+    WIN, STRIDE = 32, 16
+
+    def windows(t):
+        if len(t) < WIN:
+            return []
+        return [t[STRIDE * i: STRIDE * i + WIN]
+                for i in range((len(t) - WIN) // STRIDE + 1)]
+
+    for t in texts:
+        ws = windows(t)
+        assert len(ws) == (0 if len(t) < WIN else (len(t) - WIN) // STRIDE + 1)
+        for w in ws[:-1]:
+            assert len(w) == WIN
+    # planted-span guarantee
+    span = "z" * (WIN + STRIDE)  # 1.5x window length
+    a = "a" * 7 + span
+    b = "b" * 13 + span + "bb"
+    shared = set(windows(a)) & set(windows(b))
+    assert any(set(w) == {"z"} for w in shared)
