@@ -86,10 +86,13 @@ def main() -> None:
         # zeroed the entire bench output).
         try:
             # Warmup run first: codegen compilation, file listing, and scan
-            # setup are one-time session costs, not query throughput. The
-            # timed run measures steady state.
+            # setup are one-time session costs, not query throughput. Then
+            # MEDIAN of 3 timed runs — single-run timings at these
+            # durations flap +-30% with machine noise (measured round 4:
+            # layout_zorder_cells 0.44 s vs 0.89 s across trials), which
+            # reads as a regression when it is jitter.
             run(name)
-            dt = round(run(name), 3)
+            dt = round(sorted(run(name) for _ in range(3))[1], 3)
         except Exception as exc:  # noqa: BLE001 — isolate, record, continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             continue
