@@ -106,3 +106,30 @@ def test_phash_topk_laws(spark):
                 )
                 if n_better < 5:
                     assert (q, c) in got, (q, c, r.hamming)
+
+
+def test_empty_selection_flows_through(spark, ms, tmp_path):
+    """100 TB robustness: a selection matching nothing (field id that
+    does not exist) must flow through averaging, greedy binning, write,
+    and re-read as a 0-row result with the correct schema — never a
+    crash (empty partitions are routine at scale)."""
+    import os
+
+    from xova_spark.operators import bda as B
+    from xova_spark.operators.timechannel import timechannel
+    from xova_spark.sources.ms_fixture import load_ms
+    from xova_spark.sources.ms_writer import write_ms
+
+    out = timechannel(ms, time_bin_secs=4.0, chan_bin_size=8, fields=[99])
+    assert out["ms_rows"].count() == 0
+    assert out["ms_vis"].count() == 0
+    assert "TIME" in out["ms_rows"].columns
+
+    bout = B.bda(ms, decorrelation=0.99, max_fov=15.0, time_bin_secs=1e9,
+                 fields=[99])
+    assert bout["ms_rows"].count() == 0
+
+    path = os.path.join(str(tmp_path), "empty.ms")
+    write_ms(out, path, force=True)
+    back = load_ms(spark, path)
+    assert back["ms_rows"].count() == 0

@@ -305,6 +305,12 @@ def load_ms(spark, ms_dir: str) -> dict:
         stem = entry[:-8] if entry.endswith(".parquet") else entry
         if stem not in names and not stem.startswith("_"):
             names.append(stem)
+    from xova_spark.sources.ms_writer import (
+        empty_from_manifest,
+        load_manifest_schemas,
+    )
+
+    schemas = load_manifest_schemas(ms_dir)
     for name in names:
         for candidate in (os.path.join(ms_dir, f"{name}.parquet"),
                           os.path.join(ms_dir, name)):
@@ -312,11 +318,15 @@ def load_ms(spark, ms_dir: str) -> dict:
                 try:
                     df = spark.read.parquet(candidate)
                 except Exception:  # noqa: BLE001 — non-table entry
-                    # Best-effort discovery: a directory that is not a
-                    # parquet dataset (scratch dirs, checkpoints) is not
-                    # a subtable; known tables were never optional here
-                    # either (a missing one simply isn't in the dict).
-                    continue
+                    # An EMPTY table (0-row partitioned write leaves no
+                    # parquet footer) comes back as a 0-row frame via
+                    # write_ms's schema manifest. Otherwise best-effort
+                    # discovery: a directory that is not a parquet
+                    # dataset (scratch dirs, checkpoints) is not a
+                    # subtable and is simply skipped.
+                    df = empty_from_manifest(spark, schemas, name)
+                    if df is None:
+                        continue
                 df.createOrReplaceTempView(name)
                 out[name] = df
                 break

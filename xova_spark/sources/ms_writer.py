@@ -58,9 +58,17 @@ def write_ms(tables: dict, path: str, force: bool = False) -> None:
                 f"{path} exists. Use force=True to overwrite (ref --force)."
             )
     mode = "overwrite" if force else "errorifexists"
+    schemas: dict[str, str] = {}
     for name, df in tables.items():
         if not isinstance(df, DataFrame):
             continue
+        # Schema manifest: df.schema.json() costs no job, and it is what
+        # lets load_ms/read_ms re-open an EMPTY table — a partitioned
+        # write of 0 rows leaves only _SUCCESS (no footer to infer
+        # from), which must come back as a 0-row frame with the right
+        # schema, not a silently missing table (empty selections are
+        # routine at scale).
+        schemas[name] = df.schema.json()
         sort_cols = [c for c in SORT_WITHIN.get(name, ()) if c in df.columns]
         if sort_cols:
             df = df.sortWithinPartitions(*sort_cols)
@@ -70,6 +78,12 @@ def write_ms(tables: dict, path: str, force: bool = False) -> None:
             if part:
                 writer = writer.partitionBy(*part)
         writer.parquet(os.path.join(path, name))
+    if schemas:
+        import json
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "_schemas.json"), "w") as fh:
+            json.dump(schemas, fh, indent=1, sort_keys=True)
     keywords = tables.get("_keywords")
     if isinstance(keywords, dict):
         import json
@@ -79,11 +93,44 @@ def write_ms(tables: dict, path: str, force: bool = False) -> None:
             json.dump(keywords, fh, indent=1, sort_keys=True)
 
 
+def load_manifest_schemas(path: str) -> dict:
+    """The `_schemas.json` manifest write_ms leaves beside the tables
+    (empty dict if absent / unreadable)."""
+    import json
+
+    try:
+        with open(os.path.join(path, "_schemas.json")) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def empty_from_manifest(spark: SparkSession, schemas: dict, name: str):
+    """Reconstruct a 0-row DataFrame from the manifest schema, or None."""
+    sch = schemas.get(name)
+    if not sch:
+        return None
+    import json
+
+    from pyspark.sql.types import StructType
+
+    return spark.createDataFrame([], StructType.fromJson(json.loads(sch)))
+
+
 def read_ms(spark: SparkSession, path: str) -> dict:
-    """Load a written MS back into a table dict (inverse of write_ms)."""
+    """Load a written MS back into a table dict (inverse of write_ms).
+    An empty table (0-row partitioned write leaves no parquet footer)
+    comes back as a 0-row frame via the schema manifest."""
     out = {}
+    schemas = load_manifest_schemas(path)
     for name in sorted(os.listdir(path)):
         sub = os.path.join(path, name)
         if os.path.isdir(sub):
-            out[name] = spark.read.parquet(sub)
+            try:
+                out[name] = spark.read.parquet(sub)
+            except Exception:  # noqa: BLE001 — empty dataset, no footer
+                empty = empty_from_manifest(spark, schemas, name)
+                if empty is None:
+                    raise
+                out[name] = empty
     return out
