@@ -489,3 +489,29 @@ def test_app_average_uvw_coordinates_flag(spark, ms_dir, tmp_path):
     )
     want = want[want.ANTENNA1 != want.ANTENNA2].reset_index(drop=True)
     pd.testing.assert_frame_equal(av, want, check_dtype=False)
+
+
+def test_app_bda_on_fake_casa_table(spark, ms_dir, tmp_path):
+    """BDA CLI end-to-end against the casa-table API shape (the twin of
+    the timechannel fake-bridge test): decorrelation-driven averaging
+    over a bridge-ingested table must write an MS that passes `check`
+    and regenerates its SPW grid."""
+    from xova_spark.operators.check import check_ms, check_spw
+    from xova_spark.sources import casa_ms
+    from xova_spark.sources.casa_fake import fake_ms_from_fixture
+    from xova_spark.sources.ms_fixture import load_ms
+
+    twin = fake_ms_from_fixture(ms_dir, str(tmp_path / "bda_twin.ms"))
+    out = os.path.join(str(tmp_path), "bda_out.ms")
+    got = Application(
+        ["bda", twin, "-d", "0.95", "-fov", "0.315", "-t", "16", "-o", out,
+         "--force"],
+        spark=spark,
+    ).execute()
+    back = load_ms(spark, got)
+    assert 0 < back["ms_rows"].count() < casa_ms.load_ms_auto(spark, twin)[
+        "ms_rows"
+    ].count()
+    assert "spw_chans" in back  # V3: SPW grid regenerated
+    assert check_ms(back).count() == 0
+    assert check_spw(back).count() == 0
