@@ -263,3 +263,16 @@ def test_pq_rerank_broadcasts_shortlist(spark):
     q = RP["ann_pq_rerank_topk"][0](spark, SF_DIR)
     assert P.broadcast_join_count(q) >= 2, P.plan_stats(q)
     assert P.sortmerge_join_count(q) == 0, P.plan_stats(q)
+
+
+def test_phash_neardup_bands_are_hash_joins(spark):
+    """mm_phash_neardup_pairs: each 32-bit band must plan as a HASH
+    join (union of per-band equi-joins) — an OR-band predicate would
+    silently become an all-pairs BroadcastNestedLoopJoin, quadratic at
+    scale (caught by the round-4 full-registry plan audit)."""
+    from xova_spark.queries.multimodalq import REGISTRY as RM
+
+    q = RM["mm_phash_neardup_pairs"][0](spark, SF_DIR)
+    plan = P.executed_plan(q)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan, plan

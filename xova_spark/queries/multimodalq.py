@@ -459,16 +459,26 @@ def mm_phash_neardup_pairs(spark, sf_dir):
     ham = (
         F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
     ).cast("int")
-    return (
+    # ONE equi-join PER BAND, unioned and deduped — never an OR-band
+    # predicate: Catalyst cannot plan `hi_a = hi_b OR lo_a = lo_b` as a
+    # hash join, so the OR form silently becomes a BroadcastNestedLoop
+    # (all-pairs) scan — quadratic at scale. The union form is two
+    # shuffled hash joins keyed on the band value, i.e. the actual
+    # banded-LSH plan the docstring promises (found by the round-4
+    # full-registry plan audit).
+    by_band = [
         a.join(
             b,
             (F.col("doc_a") < F.col("doc_b"))
-            & (
-                (F.col("hi_a") == F.col("hi_b"))
-                | (F.col("lo_a") == F.col("lo_b"))
-            ),
+            & (F.col(f"{side}_a") == F.col(f"{side}_b")),
         )
-        .withColumn("hamming", ham)
+        for side in ("hi", "lo")
+    ]
+    cand = by_band[0].unionByName(by_band[1]).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
+    return (
+        cand.withColumn("hamming", ham)
         .where(F.col("hamming") <= _PHASH_HAM_T)
         .select("doc_a", "doc_b", "hamming")
     )
