@@ -276,3 +276,14 @@ def test_phash_neardup_bands_are_hash_joins(spark):
     plan = P.executed_plan(q)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_active_users_rolling_has_no_expand(spark):
+    """ev_active_users_rolling: the DAU/WAU/MAU alignments must come
+    from the two-phase (day, user) flag aggregation, not three mixed
+    countDistincts (which triplicate the 30x-replicated user-day rows
+    through the first shuffle)."""
+    from xova_spark.queries.relext import REGISTRY as RE
+
+    q = RE["ev_active_users_rolling"][0](spark, SF_DIR)
+    assert "Expand" not in P.executed_plan(q)

@@ -961,12 +961,17 @@ def ev_active_users_rolling(spark, sf_dir):
     dedupe to (user, day) grain FIRST (one shuffle — the event-grain
     volume never replicates), broadcast the tiny day dimension, and
     range-join each user-day into the ≤30 report days it supports;
-    the three alignments are conditional COUNT DISTINCTs in ONE
-    aggregation. The ≤30× replication is of the deduped user-day
-    table, not the events. At true 100 TB/day actives, swap the exact
-    distinct for a per-day HLL/theta sketch union (agg_sketch_accuracy
-    measures exactly that substitution's error; ev_audience_overlap is
-    the same referee pattern)."""
+    the three alignments collapse WITHOUT an Expand: a first
+    (report-day, user) aggregation turns membership into two max'd
+    flags (each user appears once per report day afterwards), then
+    plain sums/counts give DAU/WAU/MAU — the two-phase form of three
+    mixed countDistincts, which would otherwise triplicate every
+    replicated row through the first shuffle (round-4 plan audit).
+    The ≤30× replication is of the deduped user-day table, not the
+    events. At true 100 TB/day actives, swap the exact distinct for a
+    per-day HLL/theta sketch union (agg_sketch_accuracy measures
+    exactly that substitution's error; ev_audience_overlap is the same
+    referee pattern)."""
     (ev,) = _t(spark, sf_dir, "events")
     ud = ev.select(
         "user_id",
@@ -975,20 +980,27 @@ def ev_active_users_rolling(spark, sf_dir):
         ).alias("day"),
     ).distinct()
     days = ud.select(F.col("day").alias("d")).distinct()
-    return (
+    per_user = (
         ud.join(
             F.broadcast(days),
             (F.col("day") >= F.col("d") - 29) & (F.col("day") <= F.col("d")),
         )
-        .groupBy("d")
+        .groupBy("d", "user_id")
         .agg(
-            F.countDistinct(
-                F.when(F.col("day") == F.col("d"), F.col("user_id"))
-            ).cast("long").alias("dau"),
-            F.countDistinct(
-                F.when(F.col("day") >= F.col("d") - 6, F.col("user_id"))
-            ).cast("long").alias("wau"),
-            F.countDistinct("user_id").cast("long").alias("mau"),
+            F.max(
+                F.when(F.col("day") == F.col("d"), 1).otherwise(0)
+            ).alias("a_day"),
+            F.max(
+                F.when(F.col("day") >= F.col("d") - 6, 1).otherwise(0)
+            ).alias("a_week"),
+        )
+    )
+    return (
+        per_user.groupBy("d")
+        .agg(
+            F.sum("a_day").cast("long").alias("dau"),
+            F.sum("a_week").cast("long").alias("wau"),
+            F.count("*").cast("long").alias("mau"),
         )
         .select(F.col("d").alias("day"), "dau", "wau", "mau")
     )
