@@ -38,6 +38,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs evaluate via Arrow batches too (verified working
+        # in this container) — with this, NO query path row-at-a-time
+        # serializes through Python (plan_audit.py's BatchEvalPython
+        # sweep comes back empty).
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
