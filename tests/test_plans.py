@@ -287,3 +287,39 @@ def test_active_users_rolling_has_no_expand(spark):
 
     q = RE["ev_active_users_rolling"][0](spark, SF_DIR)
     assert "Expand" not in P.executed_plan(q)
+
+
+def test_runtime_bloom_filter_join_reduction(spark):
+    """Runtime bloom-filter injection (enabled in get_spark; inert
+    below the 10 GB application-side threshold locally): with the
+    thresholds forced, a selective dim filter must inject a
+    might_contain() pre-filter on the fact side, and the result must
+    equal the un-bloomed join — the semi-join reduction a 100 TB
+    fact-dim join relies on."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    li = load_tables(spark, SF_DIR, ("lineitem", "orders"))
+    fact, dim = li["lineitem"], li["orders"]
+    sel = dim.filter(F.col("o_orderpriority") == "1-URGENT")
+
+    def run():
+        return (
+            fact.join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+
+    baseline = {tuple(r) for r in run().collect()}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        q = run()
+        plan = P.executed_plan(q)
+        assert "might_contain" in plan.lower(), plan
+        assert {tuple(r) for r in q.collect()} == baseline
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -44,6 +44,13 @@ def get_spark(
         # sweep comes back empty).
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Runtime bloom-filter join reduction: a selective dim-side
+        # filter injects a might_contain() pre-filter on the fact scan
+        # before the shuffle. Inert at local test sizes (the 10 GB
+        # application-side scan threshold keeps it off) and exactly the
+        # semi-join reduction a 100 TB fact-dim join wants; injection +
+        # result-identity pinned in tests/test_plans.py.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
