@@ -6,7 +6,12 @@ then compares row count, column names, and values (columns sorted by name,
 rows sorted by all columns). Reports both an exact match (what a value-hash
 needs) and a tolerance match (float aggregation order).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` runs the queries on a BARE SparkSession pinned to a
+hostile non-UTC timezone instead of ``get_spark`` — the driver's
+environment: no engine confs, no Arrow flags, America/New_York. Every
+entry must stay EXACT there too (load_tables owns tz/NTZ hygiene).
 """
 
 from __future__ import annotations
@@ -80,9 +85,21 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, bool
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
