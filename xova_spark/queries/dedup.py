@@ -183,7 +183,7 @@ _MINHASH_LSH_SQL = f"""
     WHERE nc * 1.0 / (sa.nsh + sb.nsh - nc) >= 0.5
     """
 
-def _lsh_pair_stats(docs, band_specs: list[tuple[int, ...]], with_candidates=False):
+def _lsh_pair_stats(docs, band_specs: list[tuple[int, ...]]):
     """Shared MinHash+LSH candidate generation with exact shingle-set
     statistics — the scale path for every near-dup consumer.
 
@@ -192,10 +192,9 @@ def _lsh_pair_stats(docs, band_specs: list[tuple[int, ...]], with_candidates=Fal
     pair. The only big shuffle keys on (band, bucket); verification
     touches candidate pairs only. Returns UNFILTERED candidate stats
     (doc_a, doc_b, nc, nsha, nshb) — nc = |A∩B|, nsh* = |A|,|B|;
-    stats only carries pairs with nc >= 1, so consumers that need the
-    zero-overlap candidates too (the band-tuning report) pass
-    ``with_candidates=True`` for the (cand, stats) pair built from the
-    SAME cached shingle/signature chain."""
+    stats only carries pairs with nc >= 1 (the band-tuning report,
+    which also needs the zero-overlap candidates, builds its own
+    single-pass tagged-band chain)."""
     sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
         "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
     )
@@ -251,12 +250,9 @@ def _lsh_pair_stats(docs, band_specs: list[tuple[int, ...]], with_candidates=Fal
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsha"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nshb"))
-    stats = common.join(sa, "doc_a").join(sb, "doc_b").select(
+    return common.join(sa, "doc_a").join(sb, "doc_b").select(
         "doc_a", "doc_b", "nc", "nsha", "nshb"
     )
-    if with_candidates:
-        return cand, stats
-    return stats
 
 
 def _lsh_verified_pairs(docs, band_specs: list[tuple[int, ...]], threshold=0.5):
