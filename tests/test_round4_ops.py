@@ -133,3 +133,12 @@ def test_empty_selection_flows_through(spark, ms, tmp_path):
     write_ms(out, path, force=True)
     back = load_ms(spark, path)
     assert back["ms_rows"].count() == 0
+
+
+def test_bpe_roundtrip_all_ok(spark):
+    from xova_spark.queries.textops import t_bpe_roundtrip
+
+    row = t_bpe_roundtrip(spark, SF).collect()[0]
+    assert row["all_ok"] is True
+    assert row["n_roundtrip_ok"] == row["n_word_types"] > 0
+    assert 0 < row["n_multi_token"] <= row["n_word_types"]

@@ -1471,3 +1471,82 @@ def t_shard_assignment(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+def _bpe_roundtrip_oracle_sql(vocab: int, k: int) -> str:
+    """Round-trip twin: the encode chain's spaced-token string, with
+    separators stripped, must reproduce every word type exactly."""
+    train = _bpe_oracle_sql(vocab, k)
+    cte_block = train[: train.rindex("\nSELECT 1 AS merge_rank")]
+    enc = "' ' || array_to_string(regexp_split_to_array(word, ''), ' ') || ' '"
+    for r in range(1, k + 1):
+        enc = (
+            f"replace({enc}, ' ' || (SELECT pair FROM b{r}) || ' ', "
+            f"' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ')"
+        )
+    return (
+        cte_block
+        + f"""
+, types AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents
+), t2 AS (SELECT word FROM types WHERE word != '')
+, rt AS (
+  SELECT word,
+         replace(trim({enc}), ' ', '') = word AS ok,
+         len(string_split(trim({enc}), ' ')) AS n_sub
+  FROM t2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_word_types,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok,
+       CAST(sum(CASE WHEN n_sub > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_multi_token,
+       count(*) = sum(CASE WHEN ok THEN 1 ELSE 0 END) AS all_ok
+FROM rt
+"""
+    )
+
+
+@q("t_bpe_roundtrip", _bpe_roundtrip_oracle_sql(_BPE_VOCAB, _BPE_MERGES))
+def t_bpe_roundtrip(spark, sf_dir, vocab=None, k=None):
+    """TOKENIZER INTEGRITY — decode(encode(word)) == word for EVERY
+    word type in the corpus: apply the learned merge chain, strip the
+    subword separators, and demand the original word back. A merge
+    rule that ever crossed the word-boundary guards (the ' ' sentinels
+    in the replace chain) or corrupted a subword would fail here — the
+    audit every tokenizer deployment runs before a training job is
+    allowed to consume its output. Also reports how many types encode
+    to >1 subword (the compression the merges actually bought).
+
+    Scale shape: runs on the DISTINCT word-type table only (types <<
+    corpus tokens); the corpus is never re-scanned past the type
+    dedup. One shuffle, one 1-row aggregate."""
+    merges = _bpe_merge_rules(spark, sf_dir, vocab, k)
+    (docs,) = _docs(spark, sf_dir)
+    types = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    toks = F.concat(
+        F.lit(" "), F.concat_ws(" ", F.split("word", "")), F.lit(" ")
+    )
+    for _rank, pair, merged, _c in merges:
+        toks = F.replace(toks, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    rt = types.select(
+        "word",
+        (F.replace(F.trim(toks), F.lit(" "), F.lit("")) == F.col("word")).alias("ok"),
+        F.size(F.split(F.trim(toks), " ")).alias("n_sub"),
+    )
+    return rt.agg(
+        F.count("*").cast("long").alias("n_word_types"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_roundtrip_ok"),
+        F.sum(F.when(F.col("n_sub") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_token"),
+        (
+            F.count("*")
+            == F.sum(F.when(F.col("ok"), 1).otherwise(0))
+        ).alias("all_ok"),
+    )
