@@ -142,3 +142,12 @@ def test_bpe_roundtrip_all_ok(spark):
     assert row["all_ok"] is True
     assert row["n_roundtrip_ok"] == row["n_word_types"] > 0
     assert 0 < row["n_multi_token"] <= row["n_word_types"]
+
+
+def test_tokenizer_fertility_laws(spark):
+    from xova_spark.queries.textops import t_tokenizer_fertility_by_lang
+
+    out = t_tokenizer_fertility_by_lang(spark, SF).toPandas()
+    assert len(out) == 5  # one row per fixture language
+    assert (out["n_subwords"] >= out["n_tokens"]).all()  # >= 1 subword/word
+    assert (out["fertility_permille"] >= 1000).all()

@@ -1550,3 +1550,72 @@ def t_bpe_roundtrip(spark, sf_dir, vocab=None, k=None):
             == F.sum(F.when(F.col("ok"), 1).otherwise(0))
         ).alias("all_ok"),
     )
+
+
+def _bpe_fertility_oracle_sql(vocab: int, k: int) -> str:
+    train = _bpe_oracle_sql(vocab, k)
+    cte_block = train[: train.rindex("\nSELECT 1 AS merge_rank")]
+    enc = "' ' || array_to_string(regexp_split_to_array(word, ''), ' ') || ' '"
+    for r in range(1, k + 1):
+        enc = (
+            f"replace({enc}, ' ' || (SELECT pair FROM b{r}) || ' ', "
+            f"' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ')"
+        )
+    return (
+        cte_block
+        + f"""
+, cw AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), cw2 AS (SELECT doc_id, lang, word FROM cw WHERE word != '')
+, enc AS (
+  SELECT word, len(string_split(trim({enc}), ' ')) AS n_sub
+  FROM (SELECT DISTINCT word FROM cw2)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       CAST(sum(n_sub) * 1000 // count(*) AS BIGINT) AS fertility_permille
+FROM cw2 JOIN enc USING (word)
+GROUP BY lang
+"""
+    )
+
+
+@q("t_tokenizer_fertility_by_lang", _bpe_fertility_oracle_sql(_BPE_VOCAB, _BPE_MERGES))
+def t_tokenizer_fertility_by_lang(spark, sf_dir, vocab=None, k=None):
+    """TOKENIZER FERTILITY per language — subwords emitted per
+    whitespace word, the standard multilingual-bias report: a tokenizer
+    trained on a skewed mix over-fragments under-represented languages,
+    inflating their compute cost and truncation rate. Integer permille
+    (exact // arithmetic) keeps the ratio hash-safe.
+
+    Scale shape: the merge chain applies to the DISTINCT type table
+    (types << corpus tokens), broadcast back onto the exploded corpus;
+    one keyed shuffle + one per-language aggregate — identical skeleton
+    to t_bpe_encode_tokens with lang carried through."""
+    merges = _bpe_merge_rules(spark, sf_dir, vocab, k)
+    (docs,) = _docs(spark, sf_dir)
+    cw = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    types = cw.select("word").distinct()
+    toks = F.concat(
+        F.lit(" "), F.concat_ws(" ", F.split("word", "")), F.lit(" ")
+    )
+    for _rank, pair, merged, _c in merges:
+        toks = F.replace(toks, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    enc = types.select(
+        "word", F.size(F.split(F.trim(toks), " ")).alias("n_sub")
+    )
+    return (
+        cw.join(F.broadcast(enc), "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+            F.expr("sum(n_sub) * 1000 div count(*)")
+            .cast("long")
+            .alias("fertility_permille"),
+        )
+    )
