@@ -151,3 +151,25 @@ def test_tokenizer_fertility_laws(spark):
     assert len(out) == 5  # one row per fixture language
     assert (out["n_subwords"] >= out["n_tokens"]).all()  # >= 1 subword/word
     assert (out["fertility_permille"] >= 1000).all()
+
+
+def test_scene_segments_laws(spark):
+    """Scenes tile each video's frames exactly: scene ids are 1..K,
+    lengths sum to n_frames, starts are strictly increasing, and the
+    number of scenes equals mm_keyframe_select's keyframe count (every
+    boundary opens a scene)."""
+    from xova_spark.queries.multimodalq import (
+        mm_keyframe_select,
+        mm_scene_segments,
+    )
+
+    seg = mm_scene_segments(spark, SF).toPandas()
+    kf = (
+        mm_keyframe_select(spark, SF).toPandas().set_index("doc_id")
+    )
+    for doc_id, g in seg.groupby("doc_id"):
+        g = g.sort_values("scene_id")
+        assert list(g["scene_id"]) == list(range(1, len(g) + 1))
+        assert g["start_frame"].is_monotonic_increasing
+        assert g["n_frames"].sum() == kf.loc[doc_id, "n_frames"]
+        assert len(g) == kf.loc[doc_id, "n_keyframes"]

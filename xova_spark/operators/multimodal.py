@@ -428,3 +428,42 @@ def image_phash(media: DataFrame, kernel=_fake_decode) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         run, "doc_id long, n_samples long, hash_hi long, hash_lo long"
     )
+
+
+def scene_segments(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    n_bins: int = 8,
+    threshold: int = 16,
+) -> DataFrame:
+    """SCENE SEGMENTATION — group consecutive frames into shots: a new
+    scene opens at every shot boundary (the keyframe_select criterion:
+    histogram L1 to the previous frame > threshold, frame 0 always a
+    boundary), and scene ids are the running count of boundaries.
+    Emits one row per (video, scene) with its start frame and length.
+
+    Same single Python stage as keyframe_select (frame_histograms);
+    the lag, running-sum window, and per-scene rollup are Catalyst,
+    partitioned by doc_id — each video's frames order within their
+    group, never globally."""
+    hists = frame_histograms(media, frame_bytes, n_bins)
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    l1 = None
+    for i in range(n_bins):
+        term = F.abs(F.col(f"h{i}") - F.lag(f"h{i}").over(w))
+        l1 = term if l1 is None else l1 + term
+    marks = hists.withColumn(
+        "is_b",
+        (l1.isNull() | (l1 > threshold)).cast("int"),
+    )
+    scene = F.sum("is_b").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marks.withColumn("scene_id", scene.cast("int"))
+        .groupBy("doc_id", "scene_id")
+        .agg(
+            F.min("frame_id").cast("int").alias("start_frame"),
+            F.count("*").cast("long").alias("n_frames"),
+        )
+    )

@@ -567,3 +567,53 @@ def mm_phash_hamming_topk(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 5)
     )
+
+
+@q(
+    "mm_scene_segments",
+    f"""
+WITH counts AS (
+  SELECT d.doc_id, CAST(f.k AS INTEGER) AS frame_id, b.c AS class,
+         count(*) FILTER (WHERE
+             ascii(substring(d.text, f.k * {_FRAME} + g.i, 1)) % {_BINS} = b.c
+         ) AS n
+  FROM documents d,
+       generate_series(0, 63) f(k),
+       generate_series(1, {_FRAME}) g(i),
+       generate_series(0, {_BINS - 1}) b(c)
+  WHERE f.k < floor(length(d.text) / {_FRAME})
+  GROUP BY d.doc_id, f.k, b.c
+), dist AS (
+  SELECT a.doc_id, a.frame_id, sum(abs(a.n - p.n)) AS l1_prev
+  FROM counts a JOIN counts p
+    ON a.doc_id = p.doc_id AND a.class = p.class
+   AND p.frame_id = a.frame_id - 1
+  GROUP BY a.doc_id, a.frame_id
+), frames AS (
+  SELECT doc_id, frame_id FROM counts GROUP BY doc_id, frame_id
+), marks AS (
+  SELECT f.doc_id, f.frame_id,
+         CASE WHEN d.l1_prev IS NULL OR d.l1_prev > {_KF_THRESH}
+              THEN 1 ELSE 0 END AS is_b
+  FROM frames f LEFT JOIN dist d USING (doc_id, frame_id)
+), scenes AS (
+  SELECT doc_id, frame_id,
+         sum(is_b) OVER (PARTITION BY doc_id ORDER BY frame_id) AS scene_id
+  FROM marks
+)
+SELECT doc_id, CAST(scene_id AS INTEGER) AS scene_id,
+       CAST(min(frame_id) AS INTEGER) AS start_frame,
+       CAST(count(*) AS BIGINT) AS n_frames
+FROM scenes GROUP BY doc_id, scene_id
+""",
+)
+def mm_scene_segments(spark, sf_dir):
+    """VIDEO SCENE SEGMENTATION — consecutive frames grouped into shots
+    at the keyframe boundaries (histogram-L1 > threshold opens a new
+    scene; frame 0 always does): one row per (video, scene) with start
+    frame and length — the structure a frame-sampling curriculum or a
+    clip-level dedup keys on. Shares the single Python feature stage
+    with mm_keyframe_select (operators.multimodal.scene_segments);
+    boundary lag, running scene counter, and rollup are Catalyst
+    windows partitioned per video."""
+    return MM.scene_segments(_media(spark, sf_dir), _FRAME, _BINS, _KF_THRESH)
