@@ -190,3 +190,34 @@ def test_scene_dedup_matches_exact_doc_dups(spark):
     multi = dups[dups["n_copies"] >= 2] if "n_copies" in dups else None
     if multi is not None and len(multi):
         assert len(scenes) >= 1  # dup docs guarantee shared scene content
+
+
+def test_audio_fingerprint_offset_robust(spark):
+    """Shazam-property law: a clip embedded at a frame-aligned offset
+    inside another recording must still match (the shingle join keys on
+    landmark VALUES, not positions)."""
+    import random
+
+    from xova_spark.queries import multimodalq as MQ
+
+    rng = random.Random(7)
+    clip = "".join(chr(rng.randrange(32, 127)) for _ in range(64 * 8))
+    pad = "".join(chr(rng.randrange(32, 127)) for _ in range(64 * 2))
+    other = "".join(chr(rng.randrange(32, 127)) for _ in range(64 * 8))
+    docs = spark.createDataFrame(
+        [
+            (1, clip, "en", "s", len(clip)),
+            (2, pad + clip, "en", "s", len(pad + clip)),  # 2-frame offset
+            (3, other, "en", "s", len(other)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = MQ.load_tables
+    try:
+        MQ.load_tables = lambda spark, sf, names: {"documents": docs}
+        out = MQ.mm_audio_fingerprint_matches(spark, "ignored").toPandas()
+    finally:
+        MQ.load_tables = orig
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (1, 2) in pairs, pairs  # offset copy matches
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # unrelated doesn't

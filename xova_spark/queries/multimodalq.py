@@ -722,3 +722,124 @@ def mm_scene_dedup(spark, sf_dir):
         )
         .filter(F.col("n_videos") >= 2)
     )
+
+
+_AB_BANDS = 4     # sub-bands per frame (16 samples each at _FRAME=64)
+_AB_SHINGLE = 3   # consecutive delta-codes per shingle
+_AB_MIN_SHARED = 2  # distinct shared shingles to call a match
+
+
+@q(
+    "mm_audio_fingerprint_matches",
+    f"""
+WITH e AS (
+  SELECT d.doc_id, CAST(f.k AS INTEGER) AS k, b.j AS j,
+         sum(CASE WHEN (g.i - 1) // 16 = b.j
+                  THEN ascii(substring(d.text, f.k * {_FRAME} + g.i, 1))
+                       * ascii(substring(d.text, f.k * {_FRAME} + g.i, 1))
+                  ELSE 0 END) AS energy
+  FROM documents d,
+       generate_series(0, 63) f(k),
+       generate_series(1, {_FRAME}) g(i),
+       generate_series(0, {_AB_BANDS - 1}) b(j)
+  WHERE f.k < floor(length(d.text) / {_FRAME})
+  GROUP BY d.doc_id, f.k, b.j
+), code AS (
+  SELECT a.doc_id, a.k,
+         CAST(sum(CASE WHEN a.energy > p.energy THEN 1 << a.j ELSE 0 END)
+              AS INTEGER) AS c
+  FROM e a JOIN e p ON p.doc_id = a.doc_id AND p.j = a.j AND p.k = a.k - 1
+  GROUP BY a.doc_id, a.k
+), sh AS (
+  SELECT c0.doc_id,
+         c0.c * 256 + c1.c * 16 + c2.c AS shingle
+  FROM code c0
+  JOIN code c1 ON c1.doc_id = c0.doc_id AND c1.k = c0.k + 1
+  JOIN code c2 ON c2.doc_id = c0.doc_id AND c2.k = c0.k + 2
+), ds AS (SELECT DISTINCT doc_id, shingle FROM sh)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_shingles
+FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {_AB_MIN_SHARED}
+""",
+)
+def mm_audio_fingerprint_matches(spark, sf_dir):
+    """AUDIO MATCHING — the Shazam-architecture skeleton over the fake
+    codec: per frame, {_AB_BANDS} sub-band energies; per consecutive
+    frame pair, a {_AB_BANDS}-bit ENERGY-DELTA SIGN code (robust to
+    level changes); consecutive codes roll into {_AB_SHINGLE}-gram
+    shingles; clips sharing >= {_AB_MIN_SHARED} distinct shingles are
+    matches. Offset-robust by construction: the join keys on shingle
+    VALUES, not positions, so a clip embedded later in another still
+    collides on its landmark sequence — the inverted-index probe
+    pattern of production audio search.
+
+    Plan: one Python decode stage (the shared frame-histogram shape),
+    then band energies / delta codes / shingles as per-clip Catalyst
+    windows — the only corpus-wide shuffle keys on the shingle value
+    (bounded symbol space, heavy map-side combine), candidates only
+    ever join through the inverted index — never clip x clip."""
+    from pyspark.sql import Window
+
+    media = _media(spark, sf_dir)
+    frames = MM.frame_sample(media, _FRAME, 1)
+    # band energies: one row per (doc, frame, band) — JVM-side from the
+    # frame bytes (no extra Python pass beyond the shared frame split)
+    band_width = _FRAME // _AB_BANDS
+    b = frames.select(
+        "doc_id",
+        F.col("frame_id").alias("k"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.expr(
+                        f"aggregate(transform(sequence({j * band_width + 1},"
+                        f" {(j + 1) * band_width}),"
+                        " i -> cast(ascii(substr(frame, i, 1)) as bigint)),"
+                        " 0L, (acc, v) -> acc + v * v)"
+                    ).alias("energy"),
+                )
+                for j in range(_AB_BANDS)
+            ])
+        ).alias("be"),
+    ).select("doc_id", "k", "be.j", "be.energy")
+    w = Window.partitionBy("doc_id", "j").orderBy("k")
+    delta = b.withColumn("prev", F.lag("energy").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    code = (
+        delta.groupBy("doc_id", "k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("energy") > F.col("prev"), F.expr("shiftleft(1, j)")
+                ).otherwise(0)
+            ).cast("int").alias("c")
+        )
+    )
+    wc = Window.partitionBy("doc_id").orderBy("k")
+    sh = (
+        code.withColumn("c1", F.lead("c", 1).over(wc))
+        .withColumn("c2", F.lead("c", 2).over(wc))
+        .filter(F.col("c2").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("c") * 256 + F.col("c1") * 16 + F.col("c2")).alias("shingle"),
+        )
+        .distinct()
+    )
+    a, bb = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= _AB_MIN_SHARED)
+    )
