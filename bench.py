@@ -53,6 +53,9 @@ HEADLINE = (
     "dedup_band_tuning_report",
     "stream_cdc_merge",
     "ann_ivfpq_topk",
+    # late round-4: the new multimodal chains
+    "mm_scene_dedup",
+    "mm_audio_fingerprint_matches",
 )
 
 
