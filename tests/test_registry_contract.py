@@ -62,3 +62,19 @@ def test_oracle_sql_mentions_only_registered_tables():
         # generate_series/range/unnest appear in FROM position in DuckDB
         unknown -= {"generate_series", "range", "unnest"}
         assert not unknown, f"{name}: unrecognized FROM targets {sorted(unknown)}"
+
+
+def test_priority_block_leads_the_registry():
+    """The correctness gate samples the FIRST 50 names — the MS-domain
+    parity core must stay in front (VERDICT r3 item 1). A pack
+    reordering that pushed ms_*/bda_*/uvw_* out of the sample would
+    silently remove the engine's reason-for-being from driver
+    visibility."""
+    import __spark_entry__ as m
+
+    names = list(m.queries())
+    assert names[: len(m._PRIORITY)] == list(m._PRIORITY)
+    first50 = set(names[:50])
+    for prefix, minimum in (("ms_", 15), ("bda_", 8), ("uvw_", 3), ("stream_", 4)):
+        got = sum(1 for n in first50 if n.startswith(prefix))
+        assert got >= minimum, (prefix, got)
