@@ -515,3 +515,17 @@ def test_app_bda_on_fake_casa_table(spark, ms_dir, tmp_path):
     assert "spw_chans" in back  # V3: SPW grid regenerated
     assert check_ms(back).count() == 0
     assert check_spw(back).count() == 0
+
+
+def test_app_media_report(spark, tmp_path):
+    """`media` CLI: the media curation artifacts land as parquet and
+    agree with the registry queries."""
+    sf = "/root/testdata/sf0.001"
+    out = os.path.join(str(tmp_path), "media_report")
+    got = Application(["media", sf, "-o", out, "--force"], spark=spark).execute()
+    from xova_spark.queries.multimodalq import mm_scene_segments
+
+    scenes = spark.read.parquet(os.path.join(got, "scenes"))
+    assert scenes.count() == mm_scene_segments(spark, sf).count()
+    for name in ("decode_stats", "phash", "scene_dups", "audio_matches"):
+        assert spark.read.parquet(os.path.join(got, name)).columns

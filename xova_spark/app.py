@@ -220,6 +220,15 @@ def create_parser() -> argparse.ArgumentParser:
     se.add_argument("--nprobe", default=2, type=int)
     se.add_argument("-o", "--output", default=None,
                     help="write results parquet here (default: print)")
+    med = sp.add_parser(
+        "media",
+        help="media curation report: per-item decode stats, perceptual "
+             "hashes, video scene segments, cross-item scene dedup, "
+             "audio fingerprint matches",
+    )
+    med.add_argument("ms", help="directory containing documents.parquet")
+    med.add_argument("-o", "--output", default=None)
+    med.add_argument("--force", action="store_true", default=False)
     card = sp.add_parser(
         "card",
         help="corpus datasheet: per-source dataset card, Zipf fit, "
@@ -351,6 +360,8 @@ class Application:
             return self._execute_cdc()
         if args.command == "card":
             return self._execute_card()
+        if args.command == "media":
+            return self._execute_media()
 
         # Opens real CASA MS directories too when python-casacore is
         # installed (sources/casa_ms bridge); parquet layout otherwise.
@@ -457,6 +468,36 @@ class Application:
         )
         audit.write.mode("overwrite").parquet(
             os.path.join(args.output, "audit")
+        )
+        return args.output
+
+    def _execute_media(self) -> str:
+        """``xova-spark media``: write the media curation artifacts —
+        per-item decode stats + perceptual hashes, per-video scene
+        segments, cross-video duplicated scenes, and offset-robust
+        audio fingerprint matches. The media-side release report next
+        to the corpus card."""
+        import os
+
+        args = self.args
+        spark = self._session()
+        from xova_spark.queries import multimodalq as MQ
+
+        if os.path.exists(args.output) and not args.force:
+            print(f"{args.output} exists, use --force to overwrite")
+            raise SystemExit(1)
+        outputs = (
+            ("decode_stats", MQ.mm_decode_stats(spark, args.ms)),
+            ("phash", MQ.mm_image_phash(spark, args.ms)),
+            ("scenes", MQ.mm_scene_segments(spark, args.ms)),
+            ("scene_dups", MQ.mm_scene_dedup(spark, args.ms)),
+            ("audio_matches", MQ.mm_audio_fingerprint_matches(spark, args.ms)),
+        )
+        for name, df in outputs:
+            df.write.mode("overwrite").parquet(os.path.join(args.output, name))
+        print(
+            "media: wrote decode_stats/phash/scenes/scene_dups/"
+            f"audio_matches under {args.output}"
         )
         return args.output
 
