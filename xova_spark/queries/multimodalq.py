@@ -727,6 +727,7 @@ def mm_scene_dedup(spark, sf_dir):
 _AB_BANDS = 4     # sub-bands per frame (16 samples each at _FRAME=64)
 _AB_SHINGLE = 3   # consecutive delta-codes per shingle
 _AB_MIN_SHARED = 2  # distinct shared shingles to call a match
+_AB_MAX_DF = 32   # stop-landmark cap: shingles in more clips are dropped
 
 
 @q(
@@ -757,9 +758,12 @@ WITH e AS (
   JOIN code c1 ON c1.doc_id = c0.doc_id AND c1.k = c0.k + 1
   JOIN code c2 ON c2.doc_id = c0.doc_id AND c2.k = c0.k + 2
 ), ds AS (SELECT DISTINCT doc_id, shingle FROM sh)
+, keep AS (
+  SELECT shingle FROM ds GROUP BY shingle HAVING count(*) <= {_AB_MAX_DF}
+), dk AS (SELECT ds.doc_id, ds.shingle FROM ds JOIN keep USING (shingle))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared_shingles
-FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+FROM dk a JOIN dk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= {_AB_MIN_SHARED}
 """,
@@ -770,8 +774,9 @@ def mm_audio_fingerprint_matches(spark, sf_dir):
     frame pair, a {_AB_BANDS}-bit ENERGY-DELTA SIGN code (robust to
     level changes); consecutive codes roll into {_AB_SHINGLE}-gram
     shingles; clips sharing >= {_AB_MIN_SHARED} distinct shingles are
-    matches. Offset-robust by construction: the join keys on shingle
-    VALUES, not positions, so a clip embedded later in another still
+    matches (shingles in more than {_AB_MAX_DF} clips are dropped —
+    stop-landmark removal). Offset-robust by construction: the join
+    keys on shingle VALUES, not positions, so a clip embedded later in another still
     collides on its landmark sequence — the inverted-index probe
     pattern of production audio search.
 
@@ -830,7 +835,16 @@ def mm_audio_fingerprint_matches(spark, sf_dir):
         )
         .distinct()
     )
-    a, bb = sh.alias("a"), sh.alias("b")
+    # STOP-LANDMARK removal: a shingle appearing in many clips would
+    # fan out quadratically inside its bucket (the classic inverted-
+    # index hot term); production audio search drops over-common
+    # landmarks, and so do both engines here — the pair join is then
+    # bounded by _AB_MAX_DF^2/2 per shingle.
+    keep = sh.groupBy("shingle").count().filter(
+        F.col("count") <= _AB_MAX_DF
+    ).select("shingle")
+    dk = sh.join(keep, "shingle")
+    a, bb = dk.alias("a"), dk.alias("b")
     return (
         a.join(
             bb,
