@@ -221,3 +221,42 @@ def test_audio_fingerprint_offset_robust(spark):
     pairs = set(zip(out["doc_a"], out["doc_b"]))
     assert (1, 2) in pairs, pairs  # offset copy matches
     assert (1, 3) not in pairs and (2, 3) not in pairs  # unrelated doesn't
+
+
+def test_containment_pairs_finds_planted_excerpt(spark):
+    """The word-soup corpus has no excerpt relations (the gate rows are
+    legitimately zero) — plant one: a short document fully contained in
+    a much larger one must surface with containment >= 0.8 while its
+    Jaccard stays < 0.5 (union-dominated), and a symmetric near-dup
+    pair must NOT appear (its Jaccard is high)."""
+    import random
+
+    from xova_spark.queries import dedup as D
+
+    rng = random.Random(11)
+    words = [f"w{rng.randrange(400)}" for _ in range(40)]
+    small = " ".join(words)
+    big = " ".join(
+        [f"x{rng.randrange(4000)}" for _ in range(140)] + words
+    )
+    twin = small + " zzz"  # symmetric near-dup of `small`
+    docs = spark.createDataFrame(
+        [
+            (1, small, "en", "s", len(small)),
+            (2, big, "en", "s", len(big)),
+            (3, twin, "en", "s", len(twin)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = D._docs
+    try:
+        D._docs = lambda spark, sf: (docs,)
+        out = D.dedup_containment_pairs(spark, "ignored").toPandas()
+    finally:
+        D._docs = orig
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (1, 2) in pairs, out
+    row = out[(out["doc_a"] == 1) & (out["doc_b"] == 2)].iloc[0]
+    assert row["containment_permille"] >= 800
+    assert row["jaccard"] < 0.5
+    assert (1, 3) not in pairs  # symmetric near-dup excluded by design
