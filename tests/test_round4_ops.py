@@ -260,3 +260,17 @@ def test_containment_pairs_finds_planted_excerpt(spark):
     assert row["containment_permille"] >= 800
     assert row["jaccard"] < 0.5
     assert (1, 3) not in pairs  # symmetric near-dup excluded by design
+
+
+def test_langid_confusion_laws(spark):
+    """Confusion rows per true language sum to that language's doc
+    count and to 1000 permille (up to integer-division truncation)."""
+    from xova_spark.queries.textops import t_langid_confusion
+    from xova_spark.session import load_tables
+
+    out = t_langid_confusion(spark, SF).toPandas()
+    docs = load_tables(spark, SF, ("documents",))["documents"].toPandas()
+    by_lang = docs.groupby("lang").size()
+    for lang, g in out.groupby("true_lang"):
+        assert g["n_docs"].sum() == by_lang[lang]
+        assert 1000 - len(g) < g["rate_permille"].sum() <= 1000

@@ -1619,3 +1619,67 @@ def t_tokenizer_fertility_by_lang(spark, sf_dir, vocab=None, k=None):
             .alias("fertility_permille"),
         )
     )
+
+
+@q(
+    "t_langid_confusion",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+    ), feat AS (
+      SELECT doc_id, lang,
+             len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it')))
+               * 1.0 / len(words) AS stop_r,
+             len(list_filter(words, x -> x IN ('join','merge','filter','window','table','query')))
+               * 1.0 / len(words) AS data_r
+      FROM w
+    ), pred AS (
+      SELECT lang AS true_lang,
+             CASE WHEN stop_r >= 0.08 THEN 'en'
+                  WHEN data_r >= 0.15 THEN 'tech'
+                  ELSE 'other' END AS pred_lang
+      FROM feat
+    ), tot AS (SELECT true_lang, count(*) AS n_lang FROM pred GROUP BY true_lang)
+    SELECT p.true_lang, p.pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * 1000 // max(t.n_lang) AS BIGINT) AS rate_permille
+    FROM pred p JOIN tot t USING (true_lang)
+    GROUP BY p.true_lang, p.pred_lang
+    """,
+)
+def t_langid_confusion(spark, sf_dir):
+    """CLASSIFIER AUDIT for the language-ID heuristic: the confusion
+    matrix of predicted vs stored language, with integer-permille
+    per-true-language rates — the evaluation every classification
+    filter in a curation pipeline ships next to its predictions
+    (deploying a lang filter without its confusion matrix is how a
+    corpus silently loses a language).
+
+    Plan: the same per-row feature projection as t_lang_id, one
+    (true, pred) groupBy, and the per-language totals re-entering via
+    a broadcast-sized join — two small shuffles, nothing corpus-scale
+    beyond the single scan."""
+    (docs,) = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    n = F.size(words)
+    stop_r = F.size(F.filter(words, lambda x: x.isin(*EN_STOP))) * F.lit(1.0) / n
+    data_r = F.size(F.filter(words, lambda x: x.isin(*DATA_WORDS))) * F.lit(1.0) / n
+    pred = docs.select(
+        F.col("lang").alias("true_lang"),
+        F.when(stop_r >= 0.08, "en")
+        .when(data_r >= 0.15, "tech")
+        .otherwise("other")
+        .alias("pred_lang"),
+    )
+    tot = pred.groupBy("true_lang").agg(F.count("*").alias("n_lang"))
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .join(F.broadcast(tot), "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n_docs",
+            F.expr("n_docs * 1000 div n_lang").cast("long").alias("rate_permille"),
+        )
+    )
