@@ -274,3 +274,21 @@ def test_langid_confusion_laws(spark):
     for lang, g in out.groupby("true_lang"):
         assert g["n_docs"].sum() == by_lang[lang]
         assert 1000 - len(g) < g["rate_permille"].sum() <= 1000
+
+
+def test_equidepth_histogram_laws(spark):
+    """Equi-depth law: within each group, bucket counts differ by at
+    most 1, ranges are non-overlapping and ordered, and counts sum to
+    the group size."""
+    from xova_spark.queries.relext import REGISTRY as RE
+    from xova_spark.session import load_tables
+
+    out = RE["agg_equidepth_histogram"][0](spark, SF).toPandas()
+    li = load_tables(spark, SF, ("lineitem",))["lineitem"].toPandas()
+    sizes = li.groupby("l_returnflag").size()
+    for flag, g in out.groupby("l_returnflag"):
+        g = g.sort_values("bucket")
+        assert g["n_rows"].max() - g["n_rows"].min() <= 1
+        assert g["n_rows"].sum() == sizes[flag]
+        assert (g["lo"] <= g["hi"]).all()
+        assert (g["hi"].values[:-1] <= g["lo"].values[1:]).all()

@@ -2518,3 +2518,53 @@ def agg_median_mad_outliers(spark, sf_dir):
             "n_outliers",
         )
     )
+
+
+@q(
+    "agg_equidepth_histogram",
+    """
+    WITH t AS (
+      SELECT l_returnflag, l_extendedprice,
+             ntile(8) OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey,
+                                     l_linenumber) AS bucket
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_extendedprice) AS lo,
+           max(l_extendedprice) AS hi
+    FROM t GROUP BY l_returnflag, bucket
+    """,
+)
+def agg_equidepth_histogram(spark, sf_dir):
+    """EQUI-DEPTH HISTOGRAM per group — the ANALYZE-statistics
+    primitive behind optimizer cardinality estimates and data-skipping
+    boundaries: 8 buckets of (near-)equal row count over
+    l_extendedprice within each returnflag, with each bucket's exact
+    [lo, hi] range. Deterministic ntile order (price, then the
+    composite key) keeps the bucket assignment — and therefore the
+    hash — identical cross-engine.
+
+    Scale shape: the window partitions BY GROUP, so each group sorts
+    within its own shuffle partition — parallel across groups, never a
+    global sort. For a single giant group at 100 TB the exact form
+    gives way to approx_percentile boundaries (agg_sketch_accuracy is
+    the standing error gate for exactly that substitution)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.ntile(8).over(w).cast("int").alias("bucket"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
