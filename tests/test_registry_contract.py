@@ -64,6 +64,43 @@ def test_oracle_sql_mentions_only_registered_tables():
         assert not unknown, f"{name}: unrecognized FROM targets {sorted(unknown)}"
 
 
+def test_oracle_schemas_have_no_hugeint_columns():
+    """Every oracle's DuckDB result schema must be HUGEINT-free (plan-only
+    DESCRIBE sweep — nothing executes). DuckDB types sum(BIGINT) as
+    HUGEINT and fetches it as float64 (`405.0` vs Spark's int64 `405`) —
+    numerically equal, so a value-comparing gate says EXACT while the
+    driver's value-hash FAILs (round-4 verdict: pipeline_corpus_e2e, plus
+    eight latent siblings). The fix idiom is CAST(sum(...) AS BIGINT) at
+    the oracle's final projection (graph_assortativity set the pattern)."""
+    import duckdb
+
+    import __spark_entry__ as m
+    from tools.check_oracle import TABLES, oracle_schema_hazards
+    from xova_spark.sources.ms_fixture import ms_fixture_dir
+
+    # Materialize the MS fixtures some oracles read via absolute
+    # read_parquet paths (no-op when already cached).
+    ms_fixture_dir()
+    ms_fixture_dir(na=64, ntime=36)
+
+    con = duckdb.connect()
+    sf_dir = "/root/testdata/sf0.001"
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = m.oracle_sql()
+    undescribable = []
+    for name, sql in oracles.items():
+        try:
+            con.execute(f"DESCRIBE {sql}")
+        except Exception as e:  # noqa: BLE001
+            undescribable.append((name, f"{type(e).__name__}: {e}"))
+    assert not undescribable, undescribable[:5]
+    hazards = oracle_schema_hazards(con, oracles)
+    assert not hazards, (
+        f"HUGEINT result columns (driver hash-unsafe; CAST to BIGINT): {hazards}"
+    )
+
+
 def test_priority_block_leads_the_registry():
     """The correctness gate samples the FIRST 50 names — the MS-domain
     parity core must stay in front (VERDICT r3 item 1). A pack

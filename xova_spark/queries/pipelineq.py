@@ -79,7 +79,7 @@ def _emb(spark, sf_dir):
       FROM w
     )
     SELECT pd.doc_id,
-           n_words,
+           CAST(n_words AS BIGINT) AS n_words,
            round(topc * 1.0 / n_words, 6) AS top_word_frac,
            round(1 - nd * 1.0 / n_words, 6) AS dup_word_frac,
            round(dup2, 6) AS dup_2gram_frac,
@@ -234,7 +234,8 @@ _DUCK_MIX_H = "(('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT)
     )
     SELECT source,
            count(*) AS n_total,
-           sum(CASE WHEN h < rate_bp THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN h < rate_bp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
            round(sum(CASE WHEN h < rate_bp THEN 1 ELSE 0 END) * 1.0
                  / count(*), 6) AS kept_frac,
            round(max(rate_bp) / 10000.0, 4) AS target_rate
@@ -332,7 +333,8 @@ def t_domain_mix_sample(spark, sf_dir):
     SELECT CASE WHEN hs < 80 THEN 'train'
                 WHEN hs < 90 THEN 'val'
                 ELSE 'test' END AS split,
-           lang, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+           lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
     FROM final GROUP BY 1, 2
     """,
 )
@@ -1176,7 +1178,7 @@ def t_chunk_documents(spark, sf_dir):
       HAVING count(DISTINCT doc_id) > 1
     )
     SELECT count(*) AS n_boilerplate_chunks,
-           sum(n_occurrences) AS total_occurrences,
+           CAST(sum(n_occurrences) AS BIGINT) AS total_occurrences,
            max(n_docs) AS max_docs_sharing
     FROM rep
     """,
@@ -2601,7 +2603,7 @@ def emb_covariance_gram(spark, sf_dir):
              sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_unique
       FROM ex e JOIN df d USING (s) GROUP BY e.doc_id
     )
-    SELECT doc_id, n_grams, n_unique,
+    SELECT doc_id, n_grams, CAST(n_unique AS BIGINT) AS n_unique,
            round(n_unique * 1.0 / n_grams, 6) AS novelty
     FROM per
     """,
@@ -2738,7 +2740,7 @@ def pipeline_embedding_e2e(spark, sf_dir):
       FROM documents GROUP BY source, md5(text)
     )
     SELECT source,
-           sum(cnt) AS n_docs,
+           CAST(sum(cnt) AS BIGINT) AS n_docs,
            count(*) AS n_unique,
            round(1 - count(*) * 1.0 / sum(cnt), 6) AS dup_rate
     FROM g GROUP BY source

@@ -307,7 +307,8 @@ def _documents_stream(spark, sf_dir: str):
       WHERE len(string_split(text, ' ')) >= 20
       GROUP BY lang, md5(text)
     )
-    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
     FROM u GROUP BY lang
     """,
 )

@@ -302,9 +302,9 @@ def t_rolling_fingerprint(spark, sf_dir):
                 ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS pack_id
       FROM toks
     )
-    SELECT lang, pack_id,
+    SELECT lang, CAST(pack_id AS BIGINT) AS pack_id,
            count(*) AS n_docs,
-           sum(n_tokens) AS sum_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
     FROM packed GROUP BY lang, pack_id
     """,
 )
@@ -454,7 +454,7 @@ WITH w0 AS (
         )
     selects = [
         f"SELECT {r} AS merge_rank, pair, replace(pair, ' ', '') AS merged,"
-        f" c AS pair_count FROM b{r}"
+        f" CAST(c AS BIGINT) AS pair_count FROM b{r}"
         for r in range(1, k + 1)
     ]
     return "".join(parts) + "\n" + "\nUNION ALL ".join(selects)
