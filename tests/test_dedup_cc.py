@@ -57,11 +57,7 @@ def test_cc_edges_use_banded_lsh_not_quadratic(spark, tmp_path, ms_dir):
     (band, bucket) join, not the quadratic all-shingle self-join (which
     survives only inside the DuckDB oracle)."""
     from xova_spark.queries.dedup import BANDS_16x1, _lsh_verified_pairs
-    from xova_spark.session import load_tables
 
-    docs = load_tables(spark, "/root/testdata/sf0.001", ("documents",))[
-        "documents"
-    ]
-    pairs = _lsh_verified_pairs(docs, BANDS_16x1)
+    pairs = _lsh_verified_pairs(spark, "/root/testdata/sf0.001", BANDS_16x1)
     plan = pairs._jdf.queryExecution().analyzed().toString()
     assert "bkey" in plan and "band" in plan, plan[:2000]

@@ -197,6 +197,9 @@ def main():
         f"\n== exact={n_exact} close={n_close} fail={n_fail} rows_only={n_noor} "
         f"total={n_exact + n_close + n_fail + n_noor}"
     )
+    from xova_spark.sharedframes import clear_shared
+
+    clear_shared()
     return 1 if n_fail else 0
 
 

@@ -1,8 +1,12 @@
 """Full-registry executed-plan audit — the anti-pattern sweep.
 
 Builds every ``__spark_entry__.queries()`` entry's physical plan at
-sf0.001 (plan-build only, nothing executes) and reports queries whose
-plans contain scale anti-patterns:
+sf0.001 and reports queries whose plans contain scale anti-patterns.
+Mostly plan-build only, but NOT side-effect free: entries whose query
+function trains driver-side models (the PQ/IVF family runs counts and a
+size-gated training collect while constructing the plan) and the
+streaming entries (which run their availableNow trigger to a memory
+sink) do execute real Spark jobs during the sweep.
 
 - ``Expand``             multi-distinct / grouping-set row multiplication
 - ``CartesianProduct``   unkeyed all-pairs join
@@ -65,6 +69,9 @@ def main() -> int:
         print(f"plan errors: {len(errors)}")
         for n, e in errors[:20]:
             print(f"  {n}: {e}")
+    from xova_spark.sharedframes import clear_shared
+
+    clear_shared()
     return 1 if errors else 0
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from xova_spark.session import load_tables
+from xova_spark.sharedframes import shared
 
 REGISTRY: dict[str, tuple] = {}
 
@@ -183,7 +184,44 @@ _MINHASH_LSH_SQL = f"""
     WHERE nc * 1.0 / (sa.nsh + sb.nsh - nc) >= 0.5
     """
 
-def _lsh_pair_stats(docs, band_specs: list[tuple[int, ...]]):
+def _shingle_ex(spark, sf_dir):
+    """Exploded distinct shingles (doc_id, s) — persisted once per session
+    per sf_dir via the shared-frame registry: the split/shingle chain is
+    the dominant cost of every LSH consumer (pair stats at both bandings,
+    calibration, band-tuning, containment), so one gate run materializes
+    it exactly once."""
+
+    def build():
+        (docs,) = _docs(spark, sf_dir)
+        sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+            "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
+        )
+        return sh.select("doc_id", F.explode("shingles").alias("s"))
+
+    return shared(spark, ("dedup_shingle_ex", sf_dir), build)
+
+
+def _minhash_sig(spark, sf_dir):
+    """16-hash MinHash signature table (doc_id, m0..m15, nsh), shared per
+    session per sf_dir — band-spec independent, so both the 4x4 and 16x1
+    consumers reuse one materialization."""
+
+    def build():
+        hashed = _shingle_ex(spark, sf_dir).select(
+            "doc_id", F.expr(SPARK_H31).alias("h")
+        )
+        return hashed.groupBy("doc_id").agg(
+            *[
+                F.expr(e).alias(f"m{i}")
+                for i, e in enumerate(_minhash_sql_exprs("h"))
+            ],
+            F.count("*").alias("nsh"),
+        )
+
+    return shared(spark, ("dedup_minhash_sig", sf_dir), build)
+
+
+def _lsh_pair_stats(spark, sf_dir, band_specs: list[tuple[int, ...]]):
     """Shared MinHash+LSH candidate generation with exact shingle-set
     statistics — the scale path for every near-dup consumer.
 
@@ -195,21 +233,8 @@ def _lsh_pair_stats(docs, band_specs: list[tuple[int, ...]]):
     stats only carries pairs with nc >= 1 (the band-tuning report,
     which also needs the zero-overlap candidates, builds its own
     single-pass tagged-band chain)."""
-    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
-    )
-    # The exploded shingle set feeds three consumers (signatures, and both
-    # sides of candidate verification) — persist it once instead of
-    # recomputing the split/shingle/md5 chain per consumer.
-    ex = sh.select("doc_id", F.explode("shingles").alias("s")).cache()
-    hashed = ex.select("doc_id", F.expr(SPARK_H31).alias("h"))
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.expr(e).alias(f"m{i}")
-            for i, e in enumerate(_minhash_sql_exprs("h"))
-        ],
-        F.count("*").alias("nsh"),
-    ).cache()
+    ex = _shingle_ex(spark, sf_dir)
+    sig = _minhash_sig(spark, sf_dir)
     # One (band, bkey) row per signature per band via a single explode —
     # NOT a 16-way union of per-band selects: the union form scans the
     # signature table once per band (16 scans per join side at 16x1
@@ -255,10 +280,10 @@ def _lsh_pair_stats(docs, band_specs: list[tuple[int, ...]]):
     )
 
 
-def _lsh_verified_pairs(docs, band_specs: list[tuple[int, ...]], threshold=0.5):
+def _lsh_verified_pairs(spark, sf_dir, band_specs, threshold=0.5):
     """Jaccard-verified near-dup pairs over the LSH candidates (the
     original consumer surface: (doc_a, doc_b, jaccard >= threshold))."""
-    stats = _lsh_pair_stats(docs, band_specs)
+    stats = _lsh_pair_stats(spark, sf_dir, band_specs)
     jac = F.col("nc") * 1.0 / (F.col("nsha") + F.col("nshb") - F.col("nc"))
     return stats.filter(jac >= threshold).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
@@ -283,7 +308,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     candidate join keys on (band, bucket) — tiny buckets, no quadratic
     blow-up; verification touches candidate pairs only."""
     (docs,) = _docs(spark, sf_dir)
-    return _lsh_verified_pairs(docs, BANDS_4x4)
+    return _lsh_verified_pairs(spark, sf_dir, BANDS_4x4)
 
 
 def _simhash_exprs(dialect: str) -> str:
@@ -477,7 +502,7 @@ def dedup_cc_clusters(spark, sf_dir):
     rounds). Both paths are deterministic and oracle-EXACT; tests pin
     them against each other."""
     (docs,) = _docs(spark, sf_dir)
-    pairs = _lsh_verified_pairs(docs, BANDS_16x1).select("doc_a", "doc_b")
+    pairs = _lsh_verified_pairs(spark, sf_dir, BANDS_16x1).select("doc_a", "doc_b")
     return cc_components(spark, pairs, id_col="doc_id")
 
 
@@ -721,7 +746,7 @@ def dedup_pair_scores(spark, sf_dir):
     the two documents-table joins re-attach text by doc id (at scale:
     shuffle-hash equi-joins on the dimension id, candidate-bounded)."""
     (docs,) = _docs(spark, sf_dir)
-    stats = _lsh_pair_stats(docs, BANDS_4x4)
+    stats = _lsh_pair_stats(spark, sf_dir, BANDS_4x4)
     jac = F.col("nc") * 1.0 / (F.col("nsha") + F.col("nshb") - F.col("nc"))
     pairs = stats.filter(jac >= 0.5)
     da = docs.select(
@@ -819,20 +844,9 @@ def dedup_band_tuning_report(spark, sf_dir):
     config then left-joins its candidates to the shared stats lazily
     (zero-overlap candidates have null nc — no collected scalars, no
     re-run of the LSH chain; ADVICE r3)."""
-    (docs,) = _docs(spark, sf_dir)
     configs = (("bands_4x4", BANDS_4x4), ("bands_16x1", BANDS_16x1))
-    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
-    )
-    ex = sh.select("doc_id", F.explode("shingles").alias("s")).cache()
-    hashed = ex.select("doc_id", F.expr(SPARK_H31).alias("h"))
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.expr(e).alias(f"m{i}")
-            for i, e in enumerate(_minhash_sql_exprs("h"))
-        ],
-        F.count("*").alias("nsh"),
-    ).cache()
+    ex = _shingle_ex(spark, sf_dir)
+    sig = _minhash_sig(spark, sf_dir)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -985,20 +999,8 @@ def dedup_minhash_calibration(spark, sf_dir):
     J; the spread around it at 16 hashes is what this measures on
     real pairs). Same candidate generation and verification joins as
     dedup_minhash_lsh — the calibration is one extra projection."""
-    (docs,) = _docs(spark, sf_dir)
-    stats = _lsh_pair_stats(docs, BANDS_4x4)
-    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
-    )
-    hashed = sh.select(
-        "doc_id", F.explode("shingles").alias("s")
-    ).select("doc_id", F.expr(SPARK_H31).alias("h"))
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.expr(e).alias(f"m{i}")
-            for i, e in enumerate(_minhash_sql_exprs("h"))
-        ]
-    )
+    stats = _lsh_pair_stats(spark, sf_dir, BANDS_4x4)
+    sig = _minhash_sig(spark, sf_dir)
     n_h = len(MINHASH_A)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -1069,7 +1071,7 @@ def dedup_cross_split_contamination(spark, sf_dir):
     keyed equi-joins on a pair table that is orders of magnitude
     smaller than the corpus."""
     (docs,) = _docs(spark, sf_dir)
-    pairs = _lsh_verified_pairs(docs, BANDS_4x4)
+    pairs = _lsh_verified_pairs(spark, sf_dir, BANDS_4x4)
     h = F.expr(
         "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)"
         " as bigint) % 100"
@@ -1153,17 +1155,20 @@ def dedup_containment_pairs(spark, sf_dir):
     (dedup_containment_search) or bottom-k sketches of the SMALL side
     — both present in this pack."""
     (docs,) = _docs(spark, sf_dir)
-    stats = _lsh_pair_stats(docs, BANDS_16x1)
+    stats = _lsh_pair_stats(spark, sf_dir, BANDS_16x1)
     contain = F.expr("nc * 1000 div least(nsha, nshb)")
     jac = F.col("nc") * 1.0 / (F.col("nsha") + F.col("nshb") - F.col("nc"))
+    # Filter on the UNROUNDED jaccard (the oracle filters the unrounded
+    # value too); round only in the projected output column — otherwise a
+    # true Jaccard in [0.4999995, 0.5) would round to 0.5 and diverge.
     return (
         stats.select(
             "doc_a",
             "doc_b",
             contain.cast("long").alias("containment_permille"),
             F.round(jac, 6).alias("jaccard"),
+            jac.alias("_jac_raw"),
         )
-        .where(
-            (F.col("containment_permille") >= 800) & (F.col("jaccard") < 0.5)
-        )
+        .where((F.col("containment_permille") >= 800) & (F.col("_jac_raw") < 0.5))
+        .drop("_jac_raw")
     )

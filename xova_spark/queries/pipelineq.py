@@ -33,6 +33,23 @@ from pyspark.sql import functions as F
 
 from xova_spark.queries.dedup import DUCK_SHINGLES, SPARK_SHINGLES
 from xova_spark.session import load_tables
+from xova_spark.sharedframes import shared
+
+
+def _doc_shingle_arrays(spark, sf_dir):
+    """Per-doc distinct 3-gram shingle ARRAYS (doc_id, shingles) —
+    session-memoized: t_decontam_overlap and t_ngram_novelty both scan
+    these arrays from multiple consumers, and the split/shingle chain
+    dominates (measured 5x at sf0.1 when corpus_funnel learned the same
+    lesson)."""
+
+    def build():
+        docs = _docs(spark, sf_dir)
+        return docs.filter(F.size(F.split("text", " ")) >= 3).select(
+            "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
+        )
+
+    return shared(spark, ("doc_shingle_arrays", sf_dir), build)
 
 REGISTRY: dict[str, tuple] = {}
 
@@ -184,13 +201,10 @@ def t_decontam_overlap(spark, sf_dir):
     eval sets the broadcast becomes a bloom-filter pre-pass with the same
     plan skeleton.
     """
-    docs = _docs(spark, sf_dir)
     # Three consumers scan the shingle arrays (eval-set build, probe
-    # side, final per-doc join) — persist the compact one-row-per-doc
-    # arrays, same measured pattern as corpus_funnel's decontam.
-    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
-    ).persist()
+    # side, final per-doc join) — the shared one-row-per-doc array frame,
+    # same measured pattern as corpus_funnel's decontam.
+    sh = _doc_shingle_arrays(spark, sf_dir)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     eval_g = ex.filter(F.col("doc_id") % 20 == 0).select("s").distinct()
     hits = (
@@ -423,13 +437,17 @@ def corpus_funnel(docs):
     # 2.0 s). The cache is one compact long-array row per doc
     # (~8 B x grams, MEMORY_AND_DISK — spills at 100 TB, where the
     # alternative is 2x the corpus-wide hash CPU).
-    sh = base.filter(n >= 8).select(
-        "doc_id",
-        F.expr(
-            "array_distinct(transform(sequence(1, size(ws) - 7),"
-            " i -> xxhash64(slice(ws, i, 8))))"
-        ).alias("shingles"),
-    ).persist()
+    sh = shared(
+        docs.sparkSession,
+        ("funnel_8gram_hashes", tuple(sorted(docs.inputFiles()))),
+        lambda: base.filter(n >= 8).select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(1, size(ws) - 7),"
+                " i -> xxhash64(slice(ws, i, 8))))"
+            ).alias("shingles"),
+        ),
+    )
     ex = sh.select(
         "doc_id", F.size("shingles").alias("ng"), F.explode("shingles").alias("s")
     )
@@ -2620,14 +2638,11 @@ def t_ngram_novelty(spark, sf_dir):
     gram-keyed df aggregation and the df join back — both key on the
     gram, so AQE reuses the exchange — then one doc-keyed partial
     aggregation. Nothing quadratic; the same skeleton as TF-IDF."""
-    docs = _docs(spark, sf_dir)
     # Both the df aggregation and the df join-back scan the shingle
-    # arrays — persist the compact per-doc rows (the corpus_funnel
+    # arrays — the shared per-doc array frame (the corpus_funnel
     # decontam measurement: recomputing the shingle chain per consumer
     # is the dominant cost, not the joins).
-    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
-    ).persist()
+    sh = _doc_shingle_arrays(spark, sf_dir)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     df = ex.groupBy("s").agg(F.count("*").alias("df"))
     per = (

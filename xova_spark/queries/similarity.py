@@ -207,6 +207,41 @@ def emb_centroid_per_label(spark, sf_dir):
     )
 
 
+def _cosine_pairs_045(spark, sf_dir):
+    """All-pairs cosine >= 0.45 pair table (vec_a, vec_b, unrounded cos),
+    session-memoized: the quadratic verifier is the most expensive gate
+    entry (8.3 s at sf0.01) and THREE entries consume it
+    (dedup_embedding_cosine, dedup_embedding_lsh_recall's exact side,
+    dedup_embedding_cc's edge list) — one gate run now pays for it
+    once."""
+
+    def build():
+        (emb,) = _emb(spark, sf_dir)
+        normed = emb.select(
+            "vec_id", "embedding",
+            F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+        )
+        a = normed.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        b = normed.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        cos = _spark_dot("ea", "eb") / (F.col("na") * F.col("nb"))
+        return (
+            a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cos", cos)
+            .filter(F.col("cos") >= 0.45)
+            .select("vec_a", "vec_b", "cos")
+        )
+
+    from xova_spark.sharedframes import shared
+
+    return shared(spark, ("emb_cosine_pairs_045", sf_dir), build)
+
+
 @q(
     "dedup_embedding_cosine",
     f"""
@@ -226,25 +261,8 @@ def emb_centroid_per_label(spark, sf_dir):
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (threshold 0.45). Full pairwise
     here (the verifier); the bucketed ANN above is the scale path."""
-    (emb,) = _emb(spark, sf_dir)
-    normed = emb.select(
-        "vec_id", "embedding",
-        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
-    )
-    a = normed.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = normed.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = _spark_dot("ea", "eb") / (F.col("na") * F.col("nb"))
-    return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= 0.45)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    return _cosine_pairs_045(spark, sf_dir).select(
+        "vec_a", "vec_b", F.round("cos", 6).alias("cos")
     )
 
 
@@ -364,20 +382,9 @@ def dedup_embedding_lsh_recall(spark, sf_dir):
         "vec_id", "embedding",
         F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
     )
-    a = normed.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("nra"),
-    )
-    b = normed.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nrb"),
-    )
-    cos = _spark_dot("ea", "eb") / (F.col("nra") * F.col("nrb"))
-    exact_pairs = (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= _NEARDUP_T)
-        .select("vec_a", "vec_b")
-    )
+    # The exact side is the shared all-pairs >= 0.45 verifier frame
+    # (same threshold: _NEARDUP_T == 0.45) — reused, not recomputed.
+    exact_pairs = _cosine_pairs_045(spark, sf_dir).select("vec_a", "vec_b")
     base = _spark_bucket("embedding")
     probes = F.array(base, *[base.bitwiseXOR(F.lit(1 << i)) for i in range(4)])
     probed = normed.select("vec_id", F.explode(probes).alias("bucket"))
