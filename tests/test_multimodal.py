@@ -418,3 +418,30 @@ def test_phash_neardup_banding_mechanics(spark):
     found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
     assert (1, 2) in found and found[(1, 2)] <= 2
     assert all(3 not in k for k in found)
+
+
+def test_oracle_text_cap_covers_every_fixture_tier():
+    """Every mm_* oracle walks characters with
+    generate_series(1, ORACLE_TEXT_CAP); parity silently depends on no
+    document exceeding the cap. Pin the invariant against max(n_chars)
+    of every sf tier so a longer-text fixture fails loudly here instead
+    of hash-diverging in the gate."""
+    import glob
+
+    import duckdb
+
+    from xova_spark.queries.multimodalq import ORACLE_TEXT_CAP, REGISTRY
+
+    capped = [
+        name
+        for name, (_fn, sql) in REGISTRY.items()
+        if sql and f"generate_series(1, {ORACLE_TEXT_CAP})" in sql
+    ]
+    assert len(capped) >= 8, capped  # the character-walk oracle family
+    tiers = sorted(glob.glob("/root/testdata/sf*/documents.parquet"))
+    assert tiers
+    for path in tiers:
+        (mx,) = duckdb.sql(
+            f"SELECT max(length(text)) FROM '{path}'"
+        ).fetchone()
+        assert mx <= ORACLE_TEXT_CAP, (path, mx, ORACLE_TEXT_CAP)

@@ -22,6 +22,13 @@ _FRAME = 64
 _EVERY = 4
 _BINS = 8
 
+# Upper bound on document text length assumed by every mm_* oracle's
+# generate_series character walk. Parity silently depends on the fixture
+# invariant that no document exceeds this many chars — pinned against
+# max(n_chars) of every sf tier in tests/test_multimodal.py, so a
+# longer-text fixture fails loudly instead of diverging.
+ORACLE_TEXT_CAP = 600
+
 
 def q(name: str, sql: str | None):
     def deco(fn):
@@ -65,13 +72,13 @@ def mm_media_schema(spark, sf_dir):
 
 @q(
     "mm_decode_stats",
-    """
+    f"""
 SELECT d.doc_id,
     CAST(count(*) AS INTEGER) AS n_samples,
     sum(ascii(substring(d.text, g.i, 1))) / count(*) AS mean_intensity,
     CAST(min(ascii(substring(d.text, g.i, 1))) AS INTEGER) AS min_intensity,
     CAST(max(ascii(substring(d.text, g.i, 1))) AS INTEGER) AS max_intensity
-FROM documents d, generate_series(1, 600) g(i)
+FROM documents d, generate_series(1, {ORACLE_TEXT_CAP}) g(i)
 WHERE g.i <= length(d.text)
 GROUP BY d.doc_id
 """,
@@ -83,7 +90,7 @@ def mm_decode_stats(spark, sf_dir):
 
 @q(
     "mm_audio_stats",
-    """
+    f"""
 SELECT d.doc_id,
     CAST(count(*) AS INTEGER) AS n_frames,
     CAST(1 AS INTEGER) AS n_channels,
@@ -92,7 +99,7 @@ SELECT d.doc_id,
     round(sqrt(sum(ascii(substring(d.text, g.i, 1))
                    * ascii(substring(d.text, g.i, 1))) * 1.0 / count(*)), 6)
         AS rms
-FROM documents d, generate_series(1, 600) g(i)
+FROM documents d, generate_series(1, {ORACLE_TEXT_CAP}) g(i)
 WHERE g.i <= length(d.text)
 GROUP BY d.doc_id
 """,
@@ -124,8 +131,8 @@ def mm_audio_stats(spark, sf_dir):
         f" = {i}) AS INTEGER) AS f{i}"
         for i in range(_BINS)
     )
-    + """
-FROM documents d, generate_series(1, 600) g(i)
+    + f"""
+FROM documents d, generate_series(1, {ORACLE_TEXT_CAP}) g(i)
 WHERE g.i <= length(d.text)
 GROUP BY d.doc_id
 """,
@@ -143,7 +150,7 @@ SELECT d.doc_id,
     md5(string_agg(substring(d.text, g.i, 1), '' ORDER BY g.i))
         AS payload_hash,
     CAST(count(*) AS INTEGER) AS n_samples
-FROM documents d, generate_series(1, 600) g(i)
+FROM documents d, generate_series(1, {ORACLE_TEXT_CAP}) g(i)
 WHERE g.i <= length(d.text) AND (g.i - 1) % {_STRIDE} = 0
 GROUP BY d.doc_id
 """,
@@ -224,12 +231,12 @@ def mm_keyframe_select(spark, sf_dir):
 
 @q(
     "mm_image_phash",
-    """
+    f"""
 WITH s AS (
   SELECT d.doc_id, g.i - 1 AS i,
          ascii(substring(d.text, g.i, 1)) AS v,
          length(d.text) AS n
-  FROM documents d, generate_series(1, 600) g(i)
+  FROM documents d, generate_series(1, {ORACLE_TEXT_CAP}) g(i)
   WHERE g.i <= length(d.text)
 ), b AS (
   SELECT doc_id, (i * 64) // n AS blk,
@@ -283,20 +290,20 @@ def mm_image_phash(spark, sf_dir):
 
 @q(
     "pipeline_media_e2e",
-    """
+    f"""
 WITH s AS (
   SELECT d.doc_id,
          count(*) AS n_samples,
          min(ascii(substring(d.text, g.i, 1))) AS mn,
          max(ascii(substring(d.text, g.i, 1))) AS mx
-  FROM documents d, generate_series(1, 600) g(i)
+  FROM documents d, generate_series(1, {ORACLE_TEXT_CAP}) g(i)
   WHERE g.i <= length(d.text)
   GROUP BY d.doc_id
 ), sb AS (
   SELECT d.doc_id, g.i - 1 AS i,
          ascii(substring(d.text, g.i, 1)) AS v,
          length(d.text) AS n
-  FROM documents d, generate_series(1, 600) g(i)
+  FROM documents d, generate_series(1, {ORACLE_TEXT_CAP}) g(i)
   WHERE g.i <= length(d.text)
 ), bb AS (
   SELECT doc_id, (i * 64) // n AS blk,
@@ -401,7 +408,7 @@ WITH sb AS (
   SELECT d.doc_id, g.i - 1 AS i,
          ascii(substring(d.text, g.i, 1)) AS v,
          length(d.text) AS n
-  FROM documents d, generate_series(1, 600) g(i)
+  FROM documents d, generate_series(1, {ORACLE_TEXT_CAP}) g(i)
   WHERE g.i <= length(d.text)
 ), bb AS (
   SELECT doc_id, (i * 64) // n AS blk,
@@ -494,7 +501,7 @@ WITH sb AS (
   SELECT d.doc_id, g.i - 1 AS i,
          ascii(substring(d.text, g.i, 1)) AS v,
          length(d.text) AS n
-  FROM documents d, generate_series(1, 600) g(i)
+  FROM documents d, generate_series(1, {ORACLE_TEXT_CAP}) g(i)
   WHERE g.i <= length(d.text)
 ), bb AS (
   SELECT doc_id, (i * 64) // n AS blk,
