@@ -131,3 +131,124 @@ def test_tc_rows_chunking_invariance_under_real_triggers(spark, ms, ms_dir, spli
 
     oneshot = stream_tc_rows(spark, ms_dir).toPandas()
     assert_frames_match(got, oneshot, rtol=0, atol=0)
+
+
+@pytest.fixture(scope="module")
+def split_vis_dir(spark, ms, tmp_path_factory):
+    """ms_vis split into 4 arrival files by the TIME of each sample's
+    row (time-ordered arrival, as a live correlator would deliver) —
+    session-window state for early baselines must close across later
+    micro-batches."""
+    out = str(tmp_path_factory.mktemp("stream_vis_in"))
+    rows = ms["ms_rows"]
+    vis = ms["ms_vis"].join(
+        rows.select("row_id", "TIME"), "row_id"
+    )
+    tmin, tmax = rows.agg(F.min("TIME"), F.max("TIME")).first()
+    span = (tmax - tmin) / 4
+    flat = os.path.join(out, "flat")
+    os.makedirs(flat)
+    for i in range(4):
+        lo = tmin + i * span
+        hi = tmin + (i + 1) * span if i < 3 else tmax + 1
+        chunk = vis.filter(
+            (F.col("TIME") >= lo) & (F.col("TIME") < hi)
+        ).drop("TIME")
+        d = os.path.join(out, f"chunk_{i}")
+        chunk.coalesce(1).write.parquet(d)
+        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        os.rename(os.path.join(d, part), os.path.join(flat, f"{i:02d}.parquet"))
+        os.utime(os.path.join(flat, f"{i:02d}.parquet"), (1_000_000_000 + i,) * 2)
+    return flat
+
+
+def test_bda_vis_session_invariance_under_real_triggers(
+    spark, ms, ms_dir, split_vis_dir
+):
+    """VERDICT r4 item 4 — stream_bda_vis's ragged session-window state
+    is more trigger-sensitive than tc's tumbling windows (a session
+    stays OPEN across micro-batches until the gap closes it): consumed
+    one file per trigger across >= 3 real micro-batches, the converged
+    result must equal the one-shot single-trigger run."""
+    from xova_spark.operators import bda as B
+    from xova_spark.queries import bda as bq
+
+    params = B.bin_params(
+        ms["ms_rows"], B.ddid_dims(ms), bq.DECORR, bq.MAX_FOV, bq.TIME_CAP,
+        bq.MIN_NCHAN,
+    )
+    stream = _one_file_per_trigger(spark, split_vis_dir, ms["ms_vis"].schema)
+    with SA.stream_state_partitions(spark):
+        q = (
+            SA.streaming_bda_vis(stream, ms["ms_rows"], params, 4.0)
+            .writeStream.format("memory")
+            .queryName("mb_bda_invariance")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert n_batches >= 3, [p["numInputRows"] for p in q.recentProgress]
+    got = spark.table("mb_bda_invariance").toPandas()
+
+    oneshot = SA.run_to_memory(
+        SA.streaming_bda_vis(
+            SA.read_vis_stream(spark, ms_dir), ms["ms_rows"], params, 4.0
+        ),
+        "mb_bda_oneshot",
+    ).toPandas()
+    assert_frames_match(got, oneshot, rtol=0, atol=0)
+
+
+def test_cdc_merge_invariance_under_real_triggers(spark, tmp_path):
+    """VERDICT r4 item 4 — stream_cdc_merge's upsert keys are
+    trigger-sensitive (newer-wins must hold across batch boundaries in
+    both directions): the changelog arrives as 4 interleaved files, one
+    per REAL trigger, through the foreachBatch merge; the converged
+    state must equal the batch compactor."""
+    import shutil
+    import tempfile
+
+    from xova_spark.queries.cdcq import cdc_changelog_compact
+    from xova_spark.streaming import materialize as M
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.to_utc_timestamp(F.col("ts"), "UTC")
+    )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, m in enumerate((1, 3, 2, 0)):  # interleaved, not time-ordered
+        d = str(tmp_path / f"c{i}")
+        ev.filter(F.col("event_id") % 4 == m).coalesce(1).write.parquet(d)
+        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        os.rename(os.path.join(d, part), os.path.join(flat, f"{i:02d}.parquet"))
+        os.utime(os.path.join(flat, f"{i:02d}.parquet"), (1_000_000_000 + i,) * 2)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(flat)
+    )
+    out_dir = tempfile.mkdtemp(prefix="xova_mb_cdc_state_")
+    ckpt = tempfile.mkdtemp(prefix="xova_mb_ckpt_")
+    try:
+        q = M.materialized_cdc_state(stream, out_dir, ckpt)
+        q.awaitTermination()
+        n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+        assert n_batches >= 3, [p["numInputRows"] for p in q.recentProgress]
+        got = M.read_rollup(spark, out_dir).select(
+            "user_id",
+            "event_type",
+            F.col("last_event_id").cast("long").alias("last_event_id"),
+            F.round("last_value", 4).alias("last_value"),
+            F.col("n_versions").cast("long").alias("n_versions"),
+        )
+        ref = cdc_changelog_compact(spark, sf)
+        assert got.count() == ref.count() > 0
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
