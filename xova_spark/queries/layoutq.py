@@ -12,7 +12,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from xova_spark.functions.zorder import _bucket16_sql, morton2, morton2_sql
+from xova_spark.functions.zorder import (
+    _bucket16_sql,
+    morton2_sql,
+    with_morton2,
+)
 from xova_spark.session import load_tables
 
 REGISTRY: dict[str, tuple] = {}
@@ -73,10 +77,13 @@ def layout_zorder_cells(spark, sf_dir):
     )
     bp = F.expr(_bucket16_sql("l_partkey", "pk_mx", "div"))
     bs = F.expr(_bucket16_sql("l_suppkey", "sk_mx", "div"))
-    z = F.shiftright(morton2(bp, bs), _ZBUCKET_SHIFT).alias("zbucket")
     return (
-        li.crossJoin(mx)
-        .select(z, "l_partkey", "l_suppkey")
+        with_morton2(li.crossJoin(mx), bp, bs, "__z")
+        .select(
+            F.shiftright(F.col("__z"), _ZBUCKET_SHIFT).alias("zbucket"),
+            "l_partkey",
+            "l_suppkey",
+        )
         .groupBy("zbucket")
         .agg(
             F.count("*").cast("long").alias("n_rows"),
