@@ -115,3 +115,12 @@ def test_priority_block_leads_the_registry():
     for prefix, minimum in (("ms_", 15), ("bda_", 8), ("uvw_", 3), ("stream_", 4)):
         got = sum(1 for n in first50 if n.startswith(prefix))
         assert got >= minimum, (prefix, got)
+    # Rotation policy (VERDICT r4 item 8): rotating slots must exist, and
+    # pipeline_corpus_e2e stays sampled until its round-4 driver FAIL
+    # (HUGEINT oracle dtype — fixed round 5) is re-checked green.
+    assert "pipeline_corpus_e2e" in first50
+    rotated_in_r5 = {
+        "t_pack_sequences", "graph_modularity", "dedup_band_tuning_report",
+        "mm_scene_dedup", "dq_profile_columns", "cdc_merge_upsert",
+    }
+    assert rotated_in_r5 <= first50, rotated_in_r5 - first50
