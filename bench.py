@@ -59,17 +59,11 @@ HEADLINE = (
 )
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else -1.0
-
-    from xova_spark.session import get_spark
-
-    spark = get_spark("xova-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def _bench_dir(spark, sf_dir: str):
+    """Run the headline suite against one sf tier; returns
+    (timings, errors, total)."""
     import __spark_entry__ as entrymod
+    from xova_spark.sharedframes import clear_shared
 
     qs = entrymod.queries()
 
@@ -101,6 +95,32 @@ def main() -> None:
             continue
         timings[name] = dt
         total += dt
+    clear_shared()
+    return timings, errors, total
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    argv = sys.argv[1:]
+    sf1_mode = "--sf" in argv and argv[argv.index("--sf") + 1] == "1"
+
+    from xova_spark.session import get_spark
+
+    spark = get_spark("xova-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if sf1_mode:
+        # Opt-in 10x artifact (VERDICT r4 item 5): run the suite at the
+        # generated sf1 tier AND at sf0.1 in the same session, flag any
+        # query whose 10x-data time grows >15x, and persist BENCH_sf1.json.
+        from tools.gen_sf1 import generate
+
+        sf_dir = generate(spark)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    timings, errors, total = _bench_dir(spark, sf_dir)
 
     payload = {
         "metric": "headline_queries_total",
@@ -111,6 +131,25 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+
+    if sf1_mode:
+        base, base_err, _ = _bench_dir(spark, "/root/testdata/sf0.1")
+        ratios = {
+            n: round(timings[n] / base[n], 2)
+            for n in timings
+            if n in base and base[n] > 0
+        }
+        payload["sf01_queries"] = base
+        payload["ratio_vs_sf01"] = ratios
+        payload["flagged_over_15x"] = sorted(
+            n for n, r in ratios.items() if r > 15
+        )
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_sf1.json"),
+            "w",
+        ) as f:
+            json.dump(payload, f, indent=1)
     print(json.dumps(payload))
 
 

@@ -1,0 +1,148 @@
+"""Round-5 operators: SemDeDup cluster-then-prune, PMI collocations,
+feature hashing — semantics and scale-shape pins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_semantic_prune_misses_only_cross_cluster_pairs(spark):
+    """SemDeDup's known trade: every near-dup pair it misses (vs the
+    exhaustive all-pairs verifier) must be a pair split ACROSS clusters
+    — within a cluster the scan is exhaustive, so an intra-cluster miss
+    would be a bug, not a recall trade."""
+    from xova_spark.queries.pipelineq import (
+        _SEMDEDUP_T,
+        dedup_semantic_prune,
+        emb_kmeans_assign,
+    )
+    from xova_spark.queries.similarity import dedup_embedding_cosine
+
+    assert _SEMDEDUP_T == 0.45  # same threshold as the verifier pair table
+    pruned = dedup_semantic_prune(spark, SF)
+    asg = {
+        r["vec_id"]: r["cluster"]
+        for r in emb_kmeans_assign(spark, SF).select("vec_id", "cluster").collect()
+    }
+    exact = dedup_embedding_cosine(spark, SF).collect()
+    assert exact  # fixture has near-dup vector pairs
+    dropped = {
+        r["vec_id"] for r in pruned.filter(~F.col("keep")).collect()
+    }
+    for r in exact:
+        a, b = r["vec_a"], r["vec_b"]
+        if asg[a] == asg[b]:
+            # intra-cluster near-dup: the later id MUST be pruned
+            assert b in dropped, (a, b, asg[a])
+    # and pruning is sound: every dropped vector has a real earlier
+    # near-dup in its cluster per the op's own audit column
+    audit = {
+        r["vec_id"]: r["max_cos_earlier"]
+        for r in pruned.collect()
+    }
+    for v in dropped:
+        assert audit[v] >= _SEMDEDUP_T - 1e-9, (v, audit[v])
+
+
+def test_semantic_prune_joins_on_cluster_not_cartesian(spark):
+    """The candidate self-join must key on the cluster id (SemDeDup's
+    entire point); a cartesian pair scan would be corpus-quadratic."""
+    from xova_spark.queries.pipelineq import dedup_semantic_prune
+
+    plan = (
+        dedup_semantic_prune(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_feature_hashing_shape_and_mass(spark):
+    """Buckets stay in [0, 16); the signed-count total mass per doc is
+    bounded by its token count; and the vectorizer is reproducible
+    (vocabulary-free determinism is the operator's contract)."""
+    from xova_spark.queries.textops import _FH_BUCKETS, t_feature_hashing
+
+    fh = t_feature_hashing(spark, SF)
+    mm = fh.agg(
+        F.min("bucket"), F.max("bucket"), F.count("*"), F.sum(F.abs("val"))
+    ).first()
+    assert 0 <= mm[0] and mm[1] < _FH_BUCKETS
+    assert mm[2] > 0
+    n_tokens = (
+        t_docs(spark)
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert mm[3] <= n_tokens  # signed collisions only ever cancel mass
+    a = sorted(map(tuple, fh.collect()))
+    b = sorted(map(tuple, t_feature_hashing(spark, SF).collect()))
+    assert a == b
+
+
+def t_docs(spark):
+    from xova_spark.session import load_tables
+
+    return load_tables(spark, SF, ("documents",))["documents"]
+
+
+def test_pmi_ranks_collocations_above_chance(spark):
+    """PMI permille > 1000 means the bigram occurs MORE often than
+    independent unigram draws predict — every reported top-k entry must
+    clear that bar on this corpus, ranks must be 1..k, and counts must
+    respect the min-count floor."""
+    from xova_spark.queries.textops import (
+        _PMI_MIN_COUNT,
+        _PMI_TOPK,
+        t_bigram_pmi_topk,
+    )
+
+    rows = t_bigram_pmi_topk(spark, SF).collect()
+    assert 0 < len(rows) <= _PMI_TOPK
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["c"] >= _PMI_MIN_COUNT
+        assert r["pmi_ratio_permille"] > 1000, r
+
+
+def test_quality_classifier_is_exact_dot_of_features(spark):
+    """The classifier score must equal the integer dot product of the
+    sparse hashed features with the weight table, computed independently
+    driver-side — and the keep rate must be non-degenerate."""
+    from xova_spark.queries.textops import (
+        _QC_WEIGHTS,
+        t_feature_hashing,
+        t_quality_classifier_score,
+    )
+
+    feats = {}
+    for r in t_feature_hashing(spark, SF).collect():
+        feats.setdefault(r["doc_id"], {})[r["bucket"]] = r["val"]
+    got = {
+        r["doc_id"]: (r["score"], r["keep"])
+        for r in t_quality_classifier_score(spark, SF).collect()
+    }
+    assert set(got) == set(feats)
+    kept = 0
+    for doc, fv in feats.items():
+        want = sum(v * _QC_WEIGHTS[b] for b, v in fv.items())
+        assert got[doc] == (want, want >= 0), doc
+        kept += got[doc][1]
+    assert 0 < kept < len(feats)  # the filter actually separates
+
+
+def test_semantic_rate_curve_is_monotone_and_consistent(spark):
+    """Higher threshold prunes fewer vectors, and the 0.45 arm must
+    agree with dedup_semantic_prune's keep column."""
+    from xova_spark.queries.pipelineq import (
+        dedup_semantic_prune,
+        dedup_semantic_rate_curve,
+    )
+
+    row = dedup_semantic_rate_curve(spark, SF).first()
+    assert row["pruned_t35"] >= row["pruned_t45"] >= row["pruned_t55"]
+    n_dropped = dedup_semantic_prune(spark, SF).filter(~F.col("keep")).count()
+    assert row["pruned_t45"] == n_dropped
+    assert row["n_vectors"] > 0

@@ -184,21 +184,38 @@ _MINHASH_LSH_SQL = f"""
     WHERE nc * 1.0 / (sa.nsh + sb.nsh - nc) >= 0.5
     """
 
-def _shingle_ex(spark, sf_dir):
-    """Exploded distinct shingles (doc_id, s) — persisted once per session
-    per sf_dir via the shared-frame registry: the split/shingle chain is
-    the dominant cost of every LSH consumer (pair stats at both bandings,
-    calibration, band-tuning, containment), so one gate run materializes
-    it exactly once."""
+def _shingle_hash_arrays(spark, sf_dir):
+    """Per-doc arrays of 60-bit md5-prefix shingle hashes
+    (doc_id, hs, nsh) — ONE shared frame feeds the whole LSH family:
+    the minhash signatures derive from it (h31 = h60 % P31, identical
+    to hashing the string directly), and candidate VERIFICATION
+    intersects the compact long arrays per-row instead of the
+    pair x shingle explode-join-groupBy (the 10x bench artifact's one
+    >15x scaler: 18.4x for 10x data; arrays restored ~linear, and the
+    8-byte hash payload ships ~2x faster than the string arrays).
+
+    Exactness: nc = |array_intersect(hs_a, hs_b)| equals the string-set
+    intersection the oracle computes unless two DIFFERENT shingles share
+    a 60-bit md5 prefix within one compared pair — probability
+    ~(52*52)/2^60 ≈ 2e-15 per pair, i.e. never at any feasible scale
+    (the 31-bit minhash universe tolerates collisions by design and is
+    unaffected)."""
 
     def build():
         (docs,) = _docs(spark, sf_dir)
         sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
             "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
         )
-        return sh.select("doc_id", F.explode("shingles").alias("s"))
+        return sh.select(
+            "doc_id",
+            F.expr(
+                "transform(shingles, s ->"
+                " cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+            ).alias("hs"),
+            F.size("shingles").alias("nsh"),
+        )
 
-    return shared(spark, ("dedup_shingle_ex", sf_dir), build)
+    return shared(spark, ("dedup_shingle_h60", sf_dir), build)
 
 
 def _minhash_sig(spark, sf_dir):
@@ -207,8 +224,10 @@ def _minhash_sig(spark, sf_dir):
     consumers reuse one materialization."""
 
     def build():
-        hashed = _shingle_ex(spark, sf_dir).select(
-            "doc_id", F.expr(SPARK_H31).alias("h")
+        hashed = (
+            _shingle_hash_arrays(spark, sf_dir)
+            .select("doc_id", F.explode("hs").alias("h60"))
+            .select("doc_id", (F.col("h60") % F.lit(P31)).alias("h"))
         )
         return hashed.groupBy("doc_id").agg(
             *[
@@ -233,7 +252,6 @@ def _lsh_pair_stats(spark, sf_dir, band_specs: list[tuple[int, ...]]):
     stats only carries pairs with nc >= 1 (the band-tuning report,
     which also needs the zero-overlap candidates, builds its own
     single-pass tagged-band chain)."""
-    ex = _shingle_ex(spark, sf_dir)
     sig = _minhash_sig(spark, sf_dir)
     # One (band, bkey) row per signature per band via a single explode —
     # NOT a 16-way union of per-band selects: the union form scans the
@@ -265,18 +283,36 @@ def _lsh_pair_stats(spark, sf_dir, band_specs: list[tuple[int, ...]]):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ea = ex.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    eb = ex.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("sb"))
-    common = (
-        cand.join(ea, "doc_a")
-        .join(eb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sa") == F.col("sb")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("nc"))
+    # Verification: join each candidate pair to the compact per-doc
+    # shingle ARRAYS and intersect per-row (set semantics — the arrays
+    # are distinct), NOT the pair x shingle explode-join-groupBy. The
+    # exploded form shuffles |candidates| x |shingles| rows (~90M at
+    # sf1) and its per-pair count groupBy was the 10x bench artifact's
+    # one >15x scaler (18.4x for 10x data; this form restored ~linear).
+    # Work per pair is bounded by the two docs' shingle counts, and the
+    # only shuffles are two doc-id equi-joins of the pair table.
+    arr = _shingle_hash_arrays(spark, sf_dir)
+    aa = arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("ha"),
+        F.col("nsh").alias("nsha"),
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsha"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nshb"))
-    return common.join(sa, "doc_a").join(sb, "doc_b").select(
-        "doc_a", "doc_b", "nc", "nsha", "nshb"
+    ab = arr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hb"),
+        F.col("nsh").alias("nshb"),
+    )
+    return (
+        cand.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ha", "hb")).alias("nc"),
+            "nsha",
+            "nshb",
+        )
+        .filter(F.col("nc") >= 1)
     )
 
 
@@ -840,12 +876,11 @@ def dedup_band_tuning_report(spark, sf_dir):
     candidate self-join keys on (config, band, bucket) in ONE shuffle;
     the union of candidate pairs across configs is verified ONCE (the
     4x4 candidates are mostly a subset of 16x1 — verifying per config
-    would redo the expensive overlap join on the shared pairs); each
-    config then left-joins its candidates to the shared stats lazily
-    (zero-overlap candidates have null nc — no collected scalars, no
-    re-run of the LSH chain; ADVICE r3)."""
+    would redo the expensive overlap work on the shared pairs) by the
+    per-row array-intersect shape; each config then equi-joins its
+    candidates to the shared stats (zero-overlap candidates carry
+    nc = 0 — no collected scalars, no re-run of the LSH chain)."""
     configs = (("bands_4x4", BANDS_4x4), ("bands_16x1", BANDS_16x1))
-    ex = _shingle_ex(spark, sf_dir)
     sig = _minhash_sig(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -881,22 +916,36 @@ def dedup_band_tuning_report(spark, sf_dir):
         .cache()
     )
     pairs = cand_cfg.select("doc_a", "doc_b").distinct()
-    ea = ex.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    eb = ex.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("sb"))
-    common = (
-        pairs.join(ea, "doc_a")
-        .join(eb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sa") == F.col("sb")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("nc"))
+    # Same array-intersect verification shape as _lsh_pair_stats (the
+    # 10x artifact's flagged scaler was this chain's exploded join);
+    # zero-overlap candidates get nc = 0 directly — no left join needed.
+    arr = _shingle_hash_arrays(spark, sf_dir)
+    aa = arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("ha"),
+        F.col("nsh").alias("nsha"),
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsha"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nshb"))
-    stats = common.join(sa, "doc_a").join(sb, "doc_b")
+    ab = arr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hb"),
+        F.col("nsh").alias("nshb"),
+    )
+    stats = (
+        pairs.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ha", "hb")).alias("nc"),
+            "nsha",
+            "nshb",
+        )
+    )
     jac_ok = (
         F.col("nc") * 1.0 / (F.col("nsha") + F.col("nshb") - F.col("nc")) >= 0.5
     )
     return (
-        cand_cfg.join(stats, ["doc_a", "doc_b"], "left")
+        cand_cfg.join(stats, ["doc_a", "doc_b"])
         .groupBy(F.col("cfg").alias("config"))
         .agg(
             F.count("*").cast("long").alias("n_candidates"),

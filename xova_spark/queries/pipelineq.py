@@ -563,7 +563,17 @@ def emb_kmeans_assign(spark, sf_dir):
     Oracle-EXACT by construction: dyadic-quantized inputs make centroid
     sums order-independent-exact; distances are sequential same-order
     accumulation in both engines (see module docstring).
+
+    Session-memoized (sharedframes): the driver-side Lloyd training
+    collects run once per gate run; cluster-topterms, the dq cluster
+    audit, and dedup_semantic_prune all reuse one assignment frame.
     """
+    return shared(
+        spark, ("kmeans_assign", sf_dir), lambda: _kmeans_assign_build(spark, sf_dir)
+    )
+
+
+def _kmeans_assign_build(spark, sf_dir):
     spark_ = spark
     emb = _emb(spark_, sf_dir).select(
         "vec_id",
@@ -3238,3 +3248,176 @@ def ann_ivfkm_pq_topk(spark, sf_dir):
     )
     emb.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic deduplication
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_T = 0.45
+
+
+def _semdedup_sql() -> str:
+    ctes = _kmeans_ctes()
+    d = _duck_dot("a.embedding", "b.embedding")
+    return (
+        "WITH " + ", ".join(ctes) + f""",
+    asg AS (SELECT vec_id, cid FROM a{_ITERS}),
+    nr AS (
+      SELECT em.vec_id, asg.cid, em.embedding,
+             sqrt({_duck_dot('em.embedding', 'em.embedding')}) AS nrm
+      FROM embeddings em JOIN asg USING (vec_id)
+    ), p AS (
+      SELECT b.vec_id, max({d} / (a.nrm * b.nrm)) AS mc
+      FROM nr a JOIN nr b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id
+    )
+    SELECT nr.vec_id, nr.cid AS cluster,
+           round(coalesce(p.mc, -1.0), 6) AS max_cos_earlier,
+           coalesce(p.mc, -1.0) < {_SEMDEDUP_T} AS keep
+    FROM nr LEFT JOIN p USING (vec_id)
+    """
+    )
+
+
+@q("dedup_semantic_prune", _semdedup_sql())
+def dedup_semantic_prune(spark, sf_dir):
+    """SEMDEDUP (Abbas et al. 2023) — the published scale path for
+    embedding-level semantic dedup: k-means-cluster the corpus, then
+    search for near-duplicates only WITHIN each cluster. A vector is
+    pruned when some lower-id member of its own cluster has cosine >=
+    {_SEMDEDUP_T} (deterministic keep-lowest-id rule; the paper keeps a
+    random/centroid-extremal member — any fixed rule gives the same
+    dedup rate). Output: per-vector cluster, max cosine to any earlier
+    cluster-mate (-1 when none), and the keep decision.
+
+    Scale shape: assignment is the memoized broadcast-centroid argmin
+    (emb_kmeans_assign); the candidate self-join is an EQUI-join on the
+    cluster id — quadratic only within cells (k chosen so cells fit,
+    exactly the paper's trick), never corpus-quadratic like the
+    dedup_embedding_cosine verifier. One (cluster)-keyed shuffle + one
+    per-vector max. Recall vs the exhaustive verifier is measured in
+    tests (pairs split across clusters are the misses — the paper's
+    known trade)."""
+    asg = emb_kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
+    emb = _emb(spark, sf_dir)
+    nr = emb.join(asg, "vec_id").select(
+        "vec_id",
+        "cluster",
+        "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+    a = nr.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = nr.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _spark_dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    p = (
+        a.join(b, "cl")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy(F.col("vb").alias("vec_id"))
+        .agg(F.max(cos).alias("mc"))
+    )
+    mc = F.coalesce(F.col("mc"), F.lit(-1.0))
+    return nr.join(p, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.round(mc, 6).alias("max_cos_earlier"),
+        (mc < F.lit(_SEMDEDUP_T)).alias("keep"),
+    )
+
+
+_SEM_CURVE_TS = (0.35, 0.45, 0.55)
+
+
+def _sem_curve_sql() -> str:
+    ctes = _kmeans_ctes()
+    d = _duck_dot("a.embedding", "b.embedding")
+    arms = ", ".join(
+        f"sum(CASE WHEN mc >= {t} THEN 1 ELSE 0 END)" f" AS n_{int(t * 100)}"
+        for t in _SEM_CURVE_TS
+    )
+    sel = ", ".join(
+        f"CAST(n_{int(t * 100)} AS BIGINT) AS pruned_t{int(t * 100)},"
+        f" CAST(n_{int(t * 100)} * 1000 // nv AS BIGINT)"
+        f" AS rate_permille_t{int(t * 100)}"
+        for t in _SEM_CURVE_TS
+    )
+    return (
+        "WITH " + ", ".join(ctes) + f""",
+    asg AS (SELECT vec_id, cid FROM a{_ITERS}),
+    nr AS (
+      SELECT em.vec_id, asg.cid, em.embedding,
+             sqrt({_duck_dot('em.embedding', 'em.embedding')}) AS nrm
+      FROM embeddings em JOIN asg USING (vec_id)
+    ), p AS (
+      SELECT b.vec_id, max({d} / (a.nrm * b.nrm)) AS mc
+      FROM nr a JOIN nr b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id
+    ), tot AS (SELECT count(*) AS nv FROM nr)
+    SELECT CAST(nv AS BIGINT) AS n_vectors, {sel}
+    FROM (SELECT {arms} FROM p) CROSS JOIN tot
+    """
+    )
+
+
+@q("dedup_semantic_rate_curve", _sem_curve_sql())
+def dedup_semantic_rate_curve(spark, sf_dir):
+    """SEMDEDUP THRESHOLD CURVE — prune counts and integer-permille
+    rates at cosine thresholds {_SEM_CURVE_TS}, all from ONE
+    intra-cluster max-cosine pass (the same measure-before-deploy
+    discipline as dedup_band_tuning_report: pick the dedup aggressiveness
+    from the measured curve, not a guess; the paper sweeps exactly this
+    knob to trade data volume vs performance). Adding a threshold arm
+    costs one more CASE sum, never another pair scan."""
+    asg = emb_kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
+    emb = _emb(spark, sf_dir)
+    nr = emb.join(asg, "vec_id").select(
+        "vec_id",
+        "cluster",
+        "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+    a = nr.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = nr.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _spark_dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    p = (
+        a.join(b, "cl")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy(F.col("vb").alias("vec_id"))
+        .agg(F.max(cos).alias("mc"))
+    )
+    arms = p.agg(
+        *[
+            F.sum(F.when(F.col("mc") >= t, 1).otherwise(0))
+            .alias(f"n_{int(t * 100)}")
+            for t in _SEM_CURVE_TS
+        ]
+    )
+    tot = nr.agg(F.count("*").alias("nv"))
+    out_cols = [F.col("nv").cast("long").alias("n_vectors")]
+    for t in _SEM_CURVE_TS:
+        k = int(t * 100)
+        out_cols.append(F.col(f"n_{k}").cast("long").alias(f"pruned_t{k}"))
+        out_cols.append(
+            F.expr(f"n_{k} * 1000 div nv").cast("long").alias(f"rate_permille_t{k}")
+        )
+    return arms.crossJoin(F.broadcast(tot)).select(*out_cols)

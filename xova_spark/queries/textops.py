@@ -11,6 +11,7 @@ Each entry has a DuckDB oracle twin (same registry shape as
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from xova_spark.session import load_tables
@@ -1681,5 +1682,235 @@ def t_langid_confusion(spark, sf_dir):
             "pred_lang",
             "n_docs",
             F.expr("n_docs * 1000 div n_lang").cast("long").alias("rate_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: top-k bigrams by pointwise mutual information
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+@q(
+    "t_bigram_pmi_topk",
+    f"""
+    WITH w AS (
+      SELECT string_split(text, ' ') AS ws FROM documents
+    ), bi AS (
+      -- series bound inherits the fixture text cap (ORACLE_TEXT_CAP,
+      -- multimodalq): words <= chars <= 600, pinned in test_multimodal
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM w, generate_series(1, 600) g(i)
+      WHERE i <= len(ws) - 1
+    ), cxy AS (
+      SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2
+    ), cx AS (
+      SELECT w1 AS word, count(*) AS n1 FROM bi GROUP BY w1
+    ), cy AS (
+      SELECT w2 AS word, count(*) AS n2 FROM bi GROUP BY w2
+    ), n AS (
+      SELECT count(*) AS nb FROM bi
+    ), scored AS (
+      SELECT cxy.w1, cxy.w2, cxy.c,
+             cxy.c * (SELECT nb FROM n) * 1000
+                 // (cx.n1 * cy.n2) AS pmi_ratio_permille
+      FROM cxy
+      JOIN cx ON cx.word = cxy.w1
+      JOIN cy ON cy.word = cxy.w2
+      WHERE cxy.c >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(c AS BIGINT) AS c,
+           CAST(pmi_ratio_permille AS BIGINT) AS pmi_ratio_permille,
+           CAST(row_number() OVER (
+             ORDER BY pmi_ratio_permille DESC, w1, w2) AS BIGINT) AS rank
+    FROM scored
+    ORDER BY pmi_ratio_permille DESC, w1, w2
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def t_bigram_pmi_topk(spark, sf_dir):
+    """COLLOCATION MINING — top-{_PMI_TOPK} adjacent word bigrams by
+    pointwise mutual information (count >= {_PMI_MIN_COUNT}): the phrase
+    detector a tokenizer/curation pipeline runs to promote multi-word
+    units ("new york") before vocabulary training. PMI is reported on
+    an exact integer lattice — p(xy)/(p(x)p(y)) = c_xy·N/(c_x·c_y), in
+    permille via integer division — so ranking carries no float/log
+    summation-order hazard cross-engine (the log is monotone; rank by
+    the ratio).
+
+    Scale shape: one per-row zip_with bigram projection (no token
+    explode until the count), (w1,w2)- and word-keyed count shuffles
+    with map-side combine, two keyed equi-joins of the bigram counts to
+    the marginals, one 1-row bigram-total broadcast, global top-k. At
+    100 TB identical — the join keys are words (bounded vocabulary),
+    and top-k is Spark's TakeOrdered."""
+    (docs,) = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    n = F.size("ws")
+    grams = F.zip_with(
+        F.slice("ws", 1, n - 1),
+        F.slice("ws", 2, n - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bi = (
+        docs.select(ws.alias("ws"))
+        .select(F.explode(grams).alias("g"))
+        .select("g.w1", "g.w2")
+    )
+    cxy = bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    cx = bi.groupBy(F.col("w1").alias("word")).agg(F.count("*").alias("n1"))
+    cy = bi.groupBy(F.col("w2").alias("word")).agg(F.count("*").alias("n2"))
+    nb = bi.agg(F.count("*").alias("nb"))
+    scored = (
+        cxy.filter(F.col("c") >= _PMI_MIN_COUNT)
+        .join(cx, cxy.w1 == cx.word)
+        .drop("word")
+        .join(cy, cxy.w2 == cy.word)
+        .drop("word")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.expr("c * nb * 1000 div (n1 * n2)").alias("pmi_ratio_permille"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_ratio_permille"), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PMI_TOPK)
+        .select(
+            "w1", "w2", "c",
+            F.col("pmi_ratio_permille").cast("long").alias("pmi_ratio_permille"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick): per-document sparse signed vectors
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 16
+# 31-bit deterministic word hash from md5 (identical in both engines;
+# same construction as the dedup/CMS hashes).
+_FH_DUCK_H = "(('0x' || substr(md5(word), 1, 15))::BIGINT) % 2147483647"
+_FH_SPARK_H = (
+    "cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint) % 2147483647"
+)
+
+
+@q(
+    "t_feature_hashing",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), h AS (
+      SELECT doc_id,
+             ({_FH_DUCK_H}) % {_FH_BUCKETS} AS bucket,
+             CASE WHEN (({_FH_DUCK_H}) // {_FH_BUCKETS}) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok WHERE word != ''
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(sum(sgn) AS BIGINT) AS val
+    FROM h GROUP BY doc_id, bucket
+    HAVING sum(sgn) != 0
+    """,
+)
+def t_feature_hashing(spark, sf_dir):
+    """FEATURE HASHING (Weinberger et al. 2009) — the hashing-trick
+    vectorizer: each word maps to one of {_FH_BUCKETS} buckets by a
+    deterministic hash, with a second hash bit supplying a +/-1 sign so
+    collisions cancel in expectation (the unbiased variant). Output is
+    the SPARSE representation (doc_id, bucket, signed count; zero
+    entries dropped) — the fixed-width featurizer that feeds linear
+    quality classifiers without a vocabulary pass, which is the whole
+    point at 100 TB: no dictionary to build, broadcast, or keep
+    consistent across epochs.
+
+    Scale shape: a per-row explode + one (doc_id, bucket)-keyed count
+    shuffle with map-side combine; integer-exact everywhere (the md5
+    hash construction is the same engine-portable one the dedup/CMS
+    pack uses)."""
+    (docs,) = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    h = F.expr(_FH_SPARK_H)
+    bucketed = tok.select(
+        "doc_id",
+        (h % _FH_BUCKETS).cast("long").alias("bucket"),
+        F.when((F.expr(f"({_FH_SPARK_H}) div {_FH_BUCKETS}") % 2) == 0, 1)
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return (
+        bucketed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+_QC_WEIGHTS = tuple(((7 * b + 3) % 11) - 5 for b in range(_FH_BUCKETS))
+_QC_THRESH = 0
+
+
+@q(
+    "t_quality_classifier_score",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), h AS (
+      SELECT doc_id,
+             ({_FH_DUCK_H}) % {_FH_BUCKETS} AS bucket,
+             CASE WHEN (({_FH_DUCK_H}) // {_FH_BUCKETS}) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok WHERE word != ''
+    ), fv AS (
+      -- sparse like t_feature_hashing (val != 0): a doc whose buckets
+      -- ALL cancel is absent from both engines, not score-0 in one
+      SELECT doc_id, bucket, sum(sgn) AS val
+      FROM h GROUP BY doc_id, bucket
+      HAVING sum(sgn) != 0
+    ), wt(bucket, w) AS (
+      VALUES {', '.join(f'({b}, {w})' for b, w in enumerate(_QC_WEIGHTS))}
+    )
+    SELECT fv.doc_id,
+           CAST(sum(fv.val * wt.w) AS BIGINT) AS score,
+           sum(fv.val * wt.w) >= {_QC_THRESH} AS keep
+    FROM fv JOIN wt USING (bucket)
+    GROUP BY fv.doc_id
+    """,
+)
+def t_quality_classifier_score(spark, sf_dir):
+    """LINEAR QUALITY CLASSIFIER over the hashing-trick features — the
+    fastText-style keep/drop filter every curation pipeline runs, as a
+    pure Catalyst plan: the trained weight vector (here a fixed
+    deterministic stand-in; in production the broadcast artifact of an
+    offline fit) dots the sparse hashed features per document. Integer
+    weights x integer counts → the score is exact, so the keep decision
+    carries no float-threshold hazard.
+
+    Scale shape: composes t_feature_hashing's explode + (doc, bucket)
+    count with a broadcast join to the {_FH_BUCKETS}-row weight table
+    and a per-doc sum — at 100 TB the weights stay a broadcast literal
+    and the only data-sized shuffles are the two doc-keyed partial
+    aggregations."""
+    fh = t_feature_hashing(spark, sf_dir)
+    wt = F.broadcast(
+        spark.createDataFrame(
+            list(enumerate(_QC_WEIGHTS)), "bucket long, w long"
+        )
+    )
+    return (
+        fh.join(wt, "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("val") * F.col("w")).cast("long").alias("score"))
+        .select(
+            "doc_id", "score", (F.col("score") >= _QC_THRESH).alias("keep")
         )
     )
