@@ -323,3 +323,29 @@ def test_runtime_bloom_filter_join_reduction(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_lsh_verification_is_array_intersect_not_exploded_join(spark):
+    """Round-5 10x artifact lesson: candidate verification must compute
+    nc via per-row array_intersect on the shared hashed-shingle arrays,
+    never the pair x shingle exploded join whose shuffle is
+    |candidates| x |shingles| (the one >15x scaler in BENCH_sf1's first
+    run). Pin both the intersect expression and the absence of a
+    post-candidate Generate (the only explodes allowed are the per-doc
+    shingle/band expansions feeding the signature/bucket tables)."""
+    from xova_spark.queries.dedup import BANDS_4x4, _lsh_pair_stats
+
+    q = _lsh_pair_stats(spark, SF_DIR, BANDS_4x4)
+    plan = P.executed_plan(q)
+    assert "array_intersect" in plan, plan[:3000]
+    # The old exploded form's signature: a count(1) aggregate keyed on
+    # the candidate pair, fed by the pair x shingle join. (A raw
+    # Generate count is session-state-dependent — shared frames cached
+    # by earlier tests swap lineage for InMemoryTableScans.)
+    import re
+
+    assert not re.search(
+        r"HashAggregate\(keys=\[doc_a#\d+L?, doc_b#\d+L?\],"
+        r" functions=\[count\(1\)",
+        plan,
+    ), plan[:3000]

@@ -1872,7 +1872,7 @@ _QC_THRESH = 0
       FROM tok WHERE word != ''
     ), fv AS (
       -- sparse like t_feature_hashing (val != 0): a doc whose buckets
-      -- ALL cancel is absent from both engines, not score-0 in one
+      -- ALL cancel is absent in BOTH engines, not score-0 in one
       SELECT doc_id, bucket, sum(sgn) AS val
       FROM h GROUP BY doc_id, bucket
       HAVING sum(sgn) != 0
