@@ -146,3 +146,55 @@ def test_semantic_rate_curve_is_monotone_and_consistent(spark):
     n_dropped = dedup_semantic_prune(spark, SF).filter(~F.col("keep")).count()
     assert row["pruned_t45"] == n_dropped
     assert row["n_vectors"] > 0
+
+
+def test_outlier_flags_rule_is_exact_integer(spark):
+    """is_outlier must equal dist_q > 2 * (cluster-sum // cluster-count)
+    recomputed driver-side from the emitted integers — and dist_q must
+    be the exact 2^20 lattice value of the assignment distance."""
+    from xova_spark.queries.pipelineq import emb_outlier_flags
+
+    rows = emb_outlier_flags(spark, SF).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cl, rs in by_cluster.items():
+        mean_q = sum(r["dist_q"] for r in rs) // len(rs)
+        for r in rs:
+            assert r["mean_q"] == mean_q, (cl, r)
+            assert r["is_outlier"] == (r["dist_q"] > 2 * mean_q), r
+
+
+def test_lsh_recall_vs_exact_is_high_and_consistent(spark):
+    """The measured 4x4-banding recall on the real corpus: found <=
+    both sides, and recall at the 0.5 threshold should be near the
+    1-(1-s^4)^4 theory curve (>= 900 permille — at s >= 0.5 theory
+    gives >= 0.97; 0.9 leaves slack for tiny-n noise)."""
+    from xova_spark.queries.dedup import dedup_lsh_recall_vs_exact
+
+    r = dedup_lsh_recall_vs_exact(spark, SF).first()
+    assert r["n_exact"] > 0
+    assert r["n_found"] <= min(r["n_exact"], r["n_lsh"])
+    assert r["recall_permille"] >= 900, dict(r.asDict())
+
+
+def test_streaming_quality_filter_matches_batch_classifier(spark):
+    """The streaming per-row fold score must reproduce the batch
+    classifier's keep decisions exactly (same integers), modulo the
+    all-cancel-docs edge the batch entry drops."""
+    from xova_spark.queries.streamingq import stream_quality_filter_audit
+    from xova_spark.queries.textops import t_quality_classifier_score
+
+    audit = {
+        r["keep"]: r["n_docs"]
+        for r in stream_quality_filter_audit(spark, SF).collect()
+    }
+    batch = t_quality_classifier_score(spark, SF)
+    n_docs = 500
+    n_keep_batch = batch.filter(F.col("keep")).count()
+    n_scored_batch = batch.count()
+    # batch drops all-cancel docs (score would be 0 -> keep); the stream
+    # scores every doc, so stream-keep = batch-keep + dropped docs
+    assert audit.get(True, 0) == n_keep_batch + (n_docs - n_scored_batch)
+    assert sum(audit.values()) == n_docs

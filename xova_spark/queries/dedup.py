@@ -1221,3 +1221,66 @@ def dedup_containment_pairs(spark, sf_dir):
         .where((F.col("containment_permille") >= 800) & (F.col("_jac_raw") < 0.5))
         .drop("_jac_raw")
     )
+
+
+@q(
+    "dedup_lsh_recall_vs_exact",
+    f"""
+    WITH {_MINHASH_CTES},
+    lsh AS (
+      SELECT cm.doc_a, cm.doc_b
+      FROM common cm
+      JOIN sig sa ON sa.doc_id = cm.doc_a
+      JOIN sig sb ON sb.doc_id = cm.doc_b
+      WHERE nc * 1.0 / (sa.nsh + sb.nsh - nc) >= 0.5
+    ), exact_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), exact_th AS (
+      SELECT e.doc_a, e.doc_b
+      FROM exact_pairs e
+      JOIN sig sa ON sa.doc_id = e.doc_a
+      JOIN sig sb ON sb.doc_id = e.doc_b
+      WHERE c * 1.0 / (sa.nsh + sb.nsh - c) >= 0.5
+    ), found AS (
+      SELECT l.doc_a FROM lsh l
+      JOIN exact_th e ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+    )
+    SELECT CAST((SELECT count(*) FROM exact_th) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+           CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+           CAST((SELECT count(*) FROM found) * 1000
+                // greatest((SELECT count(*) FROM exact_th), 1) AS BIGINT)
+               AS recall_permille
+    """,
+)
+def dedup_lsh_recall_vs_exact(spark, sf_dir):
+    """RECALL GATE for the text-LSH path — the same measured-fidelity
+    discipline the embedding side already has (dedup_embedding_lsh_recall):
+    how many of the exhaustive shingle-join verifier's Jaccard >= 0.5
+    pairs does the 4x4-banded MinHash index recover? Theory says
+    1 - (1 - s^4)^4 (~0.97 at s = 0.5, ->1 above); this measures it on
+    the real corpus so a banding regression (or an unlucky hash family)
+    shows up as a number, not an assumption.
+
+    Scale shape: the LSH side is the standard banded path; the exact
+    side is the DECLARED quadratic verifier (shingle equi-join — bounded
+    by shingle collisions, run only at audit scale, exactly like the
+    brute-force ANN recall oracles)."""
+    lsh = _lsh_verified_pairs(spark, sf_dir, BANDS_4x4).select("doc_a", "doc_b")
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    found = lsh.join(exact, ["doc_a", "doc_b"])
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(lsh.agg(F.count("*").alias("n_lsh")))
+        .crossJoin(found.agg(F.count("*").alias("n_found")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_found",
+            F.expr("n_found * 1000 div greatest(n_exact, 1)")
+            .cast("long")
+            .alias("recall_permille"),
+        )
+    )

@@ -568,6 +568,15 @@ def emb_kmeans_assign(spark, sf_dir):
     collects run once per gate run; cluster-topterms, the dq cluster
     audit, and dedup_semantic_prune all reuse one assignment frame.
     """
+    return _kmeans_assign_raw(spark, sf_dir).select(
+        "vec_id", "cluster", F.round("d", 6).alias("dist_sq")
+    )
+
+
+def _kmeans_assign_raw(spark, sf_dir):
+    """The memoized assignment with the UNROUNDED exact-dyadic distance
+    (emb_outlier_flags needs d * 2^20 as an exact integer; the public
+    entry rounds for its hash)."""
     return shared(
         spark, ("kmeans_assign", sf_dir), lambda: _kmeans_assign_build(spark, sf_dir)
     )
@@ -625,7 +634,7 @@ def _kmeans_assign_build(spark, sf_dir):
     return final.select(
         "vec_id",
         F.col("cid").alias("cluster"),
-        F.round("d", 6).alias("dist_sq"),
+        "d",
     )
 
 
@@ -3421,3 +3430,60 @@ def dedup_semantic_rate_curve(spark, sf_dir):
             F.expr(f"n_{k} * 1000 div nv").cast("long").alias(f"rate_permille_t{k}")
         )
     return arms.crossJoin(F.broadcast(tot)).select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# Embedding QA: integer-exact per-cluster outlier flags
+# ---------------------------------------------------------------------------
+
+
+def _outlier_sql() -> str:
+    ctes = _kmeans_ctes()
+    return (
+        "WITH " + ", ".join(ctes) + f""",
+    dq AS (
+      SELECT vec_id, cid,
+             CAST(floor(d * 1048576) AS BIGINT) AS dist_q
+      FROM a{_ITERS}
+    ), st AS (
+      SELECT cid, CAST(sum(dist_q) AS BIGINT) // count(*) AS mean_q
+      FROM dq GROUP BY cid
+    )
+    SELECT dq.vec_id, dq.cid AS cluster, dq.dist_q, st.mean_q,
+           dq.dist_q > 2 * st.mean_q AS is_outlier
+    FROM dq JOIN st USING (cid)
+    """
+    )
+
+
+@q("emb_outlier_flags", _outlier_sql())
+def emb_outlier_flags(spark, sf_dir):
+    """EMBEDDING QA — per-cluster distance outliers: vectors more than
+    2x their cluster's mean squared distance from the centroid (the
+    mislabeled/garbage-embedding screen a curation run applies before
+    trusting vectors for semantic dedup or ANN training).
+
+    Exactness: the assignment distances are exact dyadic rationals
+    (multiples of 2^-20 — quantized inputs), so dist_q = d * 2^20 is an
+    exact BIGINT in both engines and the mean is integer division; the
+    2x-mean rule carries no float-threshold hazard anywhere.
+
+    Scale shape: the memoized broadcast-centroid assignment plus one
+    cluster-keyed partial aggregation and one broadcast join of K
+    cluster means back onto the vectors."""
+    asg = _kmeans_assign_raw(spark, sf_dir)
+    dq = asg.select(
+        "vec_id",
+        "cluster",
+        F.floor(F.col("d") * F.lit(1048576)).cast("long").alias("dist_q"),
+    )
+    st = dq.groupBy("cluster").agg(
+        F.expr("sum(dist_q) div count(*)").cast("long").alias("mean_q")
+    )
+    return dq.join(F.broadcast(st), "cluster").select(
+        "vec_id",
+        "cluster",
+        "dist_q",
+        "mean_q",
+        (F.col("dist_q") > 2 * F.col("mean_q")).alias("is_outlier"),
+    )

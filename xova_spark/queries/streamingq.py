@@ -957,3 +957,70 @@ def stream_expectations_monitor(spark, sf_dir):
     return spark.createDataFrame(
         rows, "expectation string, n_rows long, n_violations long"
     )
+
+
+def _qc_fold_exprs():
+    """Per-row fold classifier score (engine twin pair): sum over words
+    of weight[bucket(h(w))] * sign(h(w)) — the SAME score the grouped
+    t_quality_classifier_score computes, as a single projection so the
+    streaming side needs only ONE stateful aggregation (chained stateful
+    aggs are unsupported in Structured Streaming)."""
+    from xova_spark.queries.textops import _FH_BUCKETS, _QC_WEIGHTS
+
+    w_lit = ", ".join(str(w) for w in _QC_WEIGHTS)
+    s_h = "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % 2147483647"
+    spark_expr = (
+        "aggregate(filter(split(text, ' '), w -> w != ''), 0L, (acc, w) -> "
+        f"acc + element_at(array({w_lit}), cast(({s_h}) % {_FH_BUCKETS} as int) + 1)"
+        f" * (1 - 2 * (({s_h}) div {_FH_BUCKETS} % 2)))"
+    )
+    d_h = "(('0x' || substr(md5(w), 1, 15))::BIGINT) % 2147483647"
+    duck_expr = (
+        "list_sum(list_transform("
+        "list_filter(string_split(text, ' '), w -> w != ''), w -> "
+        f"([{w_lit}])[(({d_h}) % {_FH_BUCKETS})::INT + 1]"
+        f" * (1 - 2 * ((({d_h}) // {_FH_BUCKETS}) % 2))))"
+    )
+    return spark_expr, duck_expr
+
+
+_QC_SPARK_SCORE, _QC_DUCK_SCORE = _qc_fold_exprs()
+
+
+@q(
+    "stream_quality_filter_audit",
+    f"""
+    WITH scored AS (
+      SELECT coalesce({_QC_DUCK_SCORE}, 0) >= 0 AS keep FROM documents
+    )
+    SELECT keep, count(*) AS n_docs
+    FROM scored GROUP BY keep
+    """,
+)
+def stream_quality_filter_audit(spark, sf_dir):
+    """The quality classifier as a STREAMING ingest filter: arriving
+    documents are scored by a pure per-row fold (hashed features dotted
+    with the broadcast weights — identical integers to the batch
+    t_quality_classifier_score) and the keep/drop audit is maintained in
+    complete mode. Per-row scoring is the load-bearing design move: it
+    keeps the stream at ONE stateful aggregation (chained stateful aggs
+    are unsupported), and at 100 TB it means the filter adds zero
+    shuffles to ingest — score, tag, route."""
+    from xova_spark.queries.relational import load_tables
+
+    load_tables(spark, sf_dir, ("documents",))
+    scored = _documents_stream(spark, sf_dir).select(
+        (F.coalesce(F.expr(_QC_SPARK_SCORE), F.lit(0)) >= 0).alias("keep")
+    )
+    out = scored.groupBy("keep").agg(F.count("*").alias("n_docs"))
+    name = f"q_stream_qc_{next(_uniq)}"
+    with SA.stream_state_partitions(spark):
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return spark.table(name)
