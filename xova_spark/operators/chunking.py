@@ -48,32 +48,49 @@ def greedy_bins(
     """Greedy closure over ordered unique times (chunking.py:107-214):
     accumulate avg_interval until the bin reaches time_bin_secs, then
     close; optionally re-split when a bin exceeds max_rows_per_bin
-    rows. Returns (PART_KEYS, TIME, time_bin)."""
+    rows. Returns (PART_KEYS, TIME, time_bin).
+
+    Physical shape: ONE mapInPandas pass over the stats table hash-
+    repartitioned on PART_KEYS (each partition's unique times co-located
+    by construction), group boundaries detected vectorized — not
+    groupBy().applyInPandas, whose per-group pandas construction cost
+    dominates on small groups (see operators/bda.greedy_bda_map, same
+    measured trade). The accumulate-reset walk is unchanged."""
     schema = (
         ", ".join(f"{k} int" for k in PART_KEYS)
         + ", TIME double, time_bin int"
     )
 
-    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("TIME", kind="mergesort").reset_index(drop=True)
-        bins = np.empty(len(pdf), dtype=np.int32)
+    def assign_part(batches):
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pdf = pdf.sort_values([*PART_KEYS, "TIME"], kind="mergesort")
+        kmat = pdf[PART_KEYS].to_numpy()
+        n = len(pdf)
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = (kmat[1:] != kmat[:-1]).any(axis=1)
+        nr = pdf["n_rows"].to_numpy(dtype=np.int64)
+        ai = pdf["avg_interval"].to_numpy(dtype=np.float64)
+        bins = np.empty(n, dtype=np.int32)
         bin_id, acc, rows_acc = 0, 0.0, 0
-        for i in range(len(pdf)):
-            n = int(pdf["n_rows"].iloc[i])
-            if i > 0 and (
-                acc >= time_bin_secs
-                or (max_rows_per_bin and rows_acc + n > max_rows_per_bin)
+        for i in range(n):
+            if new_grp[i]:
+                bin_id, acc, rows_acc = 0, 0.0, 0
+            elif acc >= time_bin_secs or (
+                max_rows_per_bin and rows_acc + nr[i] > max_rows_per_bin
             ):
                 bin_id += 1
                 acc, rows_acc = 0.0, 0
             bins[i] = bin_id
-            acc += float(pdf["avg_interval"].iloc[i])
-            rows_acc += n
+            acc += ai[i]
+            rows_acc += nr[i]
         out = pdf[[*PART_KEYS, "TIME"]].copy()
         out["time_bin"] = bins
-        return out
+        yield out
 
-    return stats.groupBy(*PART_KEYS).applyInPandas(assign, schema)
+    return stats.repartition(*PART_KEYS).mapInPandas(assign_part, schema)
 
 
 def assign_greedy_bins(

@@ -293,6 +293,26 @@ def bda_ddid_map(spark, sf_dir):
     return B.ddid_map(params, t)
 
 
+def _greedy_binned(spark):
+    """The greedy-binned row map shared by bda_rows_greedy and
+    bda_vis_greedy: assign_bins' params columns joined with the
+    bit-greedy (row_id -> time_bin) map. Its lineage contains the
+    applyInPandas greedy stage, and downstream consumers scan it up to
+    three times (size-gate planning count + both hinted join sides) —
+    routed through the session-scoped ``shared`` registry so the stage
+    runs ONCE per session by construction (not by cache plan-equality)
+    and the gate driver unpersists it at exit. O(rows) storage, spills."""
+    from xova_spark.sharedframes import shared
+
+    def build():
+        t, params = _params(spark)
+        binned = B.assign_bins(t["ms_rows"], params).drop("time_bin")
+        gmap = B.greedy_bda_map(t["ms_rows"], params)
+        return binned.join(gmap, "row_id")
+
+    return shared(spark, ("bda_greedy_binned", _DIR), build)
+
+
 @q("bda_rows_greedy", _PARAMS_CTE + _BDA_ROWS_SELECT)
 def bda_rows_greedy(spark, sf_dir):
     """A2 with BIT-GREEDY bin boundaries (the africanus accumulate-and-
@@ -302,13 +322,7 @@ def bda_rows_greedy(spark, sf_dir):
     two disciplines provably coincide, which IS the parity statement."""
     from pyspark.sql import functions as F
 
-    t, params = _params(spark)
-    binned = B.assign_bins(t["ms_rows"], params).drop("time_bin")
-    gmap = B.greedy_bda_map(t["ms_rows"], params)
-    # The greedy-joined map's lineage contains the applyInPandas stage;
-    # multi-consumer downstream plans would re-run it per consumer —
-    # persist the row-scale map once (O(rows), spills if large).
-    return B.average_rows(binned.join(gmap, "row_id").persist())
+    return B.average_rows(_greedy_binned(spark))
 
 
 _BDA_VIS_SQL = REGISTRY["bda_vis"][1]
@@ -323,15 +337,8 @@ def bda_vis_greedy(spark, sf_dir):
     floor grid)."""
     from pyspark.sql import functions as F
 
-    t, params = _params(spark)
-    binned = B.assign_bins(t["ms_rows"], params).drop("time_bin")
-    gmap = B.greedy_bda_map(t["ms_rows"], params)
-    # Persist the greedy-joined row map: average_vis consumes the bin
-    # map THREE times (size-gate planning count, row->rep join side,
-    # rep->keys dim side) and each pass would otherwise re-run the
-    # applyInPandas greedy stage. Row-scale, spills if large.
-    binned = binned.join(gmap, "row_id").persist()
-    return B.average_vis(t["ms_vis"], B.bin_map(binned))
+    t, _ = _params(spark)
+    return B.average_vis(t["ms_vis"], B.bin_map(_greedy_binned(spark)))
 
 
 @q(
