@@ -198,3 +198,30 @@ def test_streaming_quality_filter_matches_batch_classifier(spark):
     # scores every doc, so stream-keep = batch-keep + dropped docs
     assert audit.get(True, 0) == n_keep_batch + (n_docs - n_scored_batch)
     assert sum(audit.values()) == n_docs
+
+
+def test_dup_span_coverage_laws(spark):
+    """Span laws: every span covers >= one window length, coverage never
+    exceeds the document, and the total dup-window count equals the
+    total occurrence count t_repeated_substring_windows reports for the
+    same hashes (each occurrence of a duplicated hash IS one window)."""
+    from xova_spark.queries.textops import (
+        _WIN_LEN,
+        t_dup_span_coverage,
+        t_repeated_substring_windows,
+    )
+
+    rows = t_dup_span_coverage(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_spans"] <= r["n_dup_windows"], r
+        assert r["dup_chars"] >= r["n_spans"] * _WIN_LEN, r
+        assert r["dup_chars"] <= r["n_chars"] + _WIN_LEN, r
+        assert 0 <= r["coverage_permille"], r
+    total_windows = sum(r["n_dup_windows"] for r in rows)
+    total_occurrences = (
+        t_repeated_substring_windows(spark, SF)
+        .agg(F.sum("n_occurrences"))
+        .first()[0]
+    )
+    assert total_windows == total_occurrences

@@ -1914,3 +1914,146 @@ def t_quality_classifier_score(spark, sf_dir):
             "doc_id", "score", (F.col("score") >= _QC_THRESH).alias("keep")
         )
     )
+
+
+@q(
+    "t_dup_span_coverage",
+    f"""
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0,
+                 CAST((n_chars - {_WIN_LEN}) AS BIGINT) // {_WIN_STRIDE})) AS i
+      FROM documents
+      WHERE n_chars >= {_WIN_LEN}
+    ), w AS (
+      SELECT doc_id, CAST({_WIN_STRIDE} * CAST(i AS BIGINT) AS BIGINT) AS s,
+             md5(substr(text, 1 + {_WIN_STRIDE} * CAST(i AS BIGINT), {_WIN_LEN}))
+                 AS win_hash
+      FROM idx
+    ), dup AS (
+      SELECT win_hash
+      FROM (SELECT win_hash, doc_id FROM w GROUP BY 1, 2)
+      GROUP BY win_hash HAVING count(*) >= 2
+    ), dw AS (
+      SELECT w.doc_id, w.s, w.s + {_WIN_LEN} AS e
+      FROM w JOIN dup USING (win_hash)
+    ), marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                 PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS ni
+      FROM dw
+    ), isl AS (
+      SELECT doc_id, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ), spans AS (
+      SELECT doc_id, island, min(s) AS s0, max(e) AS e1, count(*) AS nw
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT d.doc_id,
+           CAST(d.n_chars AS BIGINT) AS n_chars,
+           CAST(sum(sp.nw) AS BIGINT) AS n_dup_windows,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(sp.e1 - sp.s0) AS BIGINT) AS dup_chars,
+           CAST(sum(sp.e1 - sp.s0) * 1000 // d.n_chars AS BIGINT)
+               AS coverage_permille
+    FROM spans sp JOIN documents d USING (doc_id)
+    GROUP BY d.doc_id, d.n_chars
+    """,
+)
+def t_dup_span_coverage(spark, sf_dir):
+    """PER-DOCUMENT duplicated-span coverage — the actionable readout of
+    the Lee et al. exact-substring method that t_repeated_substring_windows
+    detects globally: for each document, merge its cross-doc-duplicated
+    {_WIN_LEN}-char windows (stride {_WIN_STRIDE}) into maximal spans
+    (classic interval islands) and report how many characters — and what
+    permille of the document — duplicated text covers. This is the number
+    a curation run thresholds to decide drop-the-doc vs cut-the-spans.
+
+    Exactness: starts/ends are integers on the stride lattice and the
+    island merge is pure integer window arithmetic — identical in both
+    engines; coverage is integer permille (1000*chars div n_chars).
+
+    Scale shape: the window explode is the method's inherent cost
+    (~n_chars/stride rows, production raises the stride); dup-hash
+    filtering is one partial-aggregated shuffle on win_hash plus a keyed
+    hash join; the island merge is a doc_id-partitioned window (the
+    natural partitioning of per-doc audits — no skew beyond doc length,
+    which the explode already bounded). No pair expansion anywhere."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = (
+        docs.filter(F.col("n_chars") >= _WIN_LEN)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.col("n_chars") - _WIN_LEN) / _WIN_STRIDE).cast("long"),
+                )
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            (F.col("i") * _WIN_STRIDE).cast("long").alias("s"),
+            F.md5(
+                F.expr(f"substr(text, 1 + {_WIN_STRIDE} * i, {_WIN_LEN})")
+            ).alias("win_hash"),
+        )
+    )
+    dup = (
+        w.select("win_hash", "doc_id")
+        .distinct()
+        .groupBy("win_hash")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("win_hash")
+    )
+    dw = w.join(dup, "win_hash").select(
+        "doc_id", "s", (F.col("s") + _WIN_LEN).alias("e")
+    )
+    by_start = Window.partitionBy("doc_id").orderBy("s")
+    prev_end = F.max("e").over(
+        by_start.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dw.select(
+        "doc_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.coalesce(prev_end, F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("ni"),
+    )
+    isl = marked.select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum("ni")
+        .over(by_start.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e1"), F.count("*").alias("nw")
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.sum("nw").cast("long").alias("n_dup_windows"),
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.col("e1") - F.col("s0")).cast("long").alias("dup_chars"),
+        )
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "n_dup_windows",
+            "n_spans",
+            "dup_chars",
+            F.expr("dup_chars * 1000 div n_chars").cast("long")
+            .alias("coverage_permille"),
+        )
+    )
