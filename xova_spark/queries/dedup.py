@@ -898,23 +898,28 @@ def dedup_band_tuning_report(spark, sf_dir):
             )
         ).alias("bb"),
     ).select("doc_id", "bb.cfg", "bb.band", "bb.bkey")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand_cfg = (
-        a.join(
-            b,
-            (F.col("a.cfg") == F.col("b.cfg"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    def _build_cand():
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.cfg") == F.col("b.cfg"))
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.cfg").alias("cfg"),
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
         )
-        .select(
-            F.col("a.cfg").alias("cfg"),
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-        .cache()
-    )
+
+    # Session-shared (not a bare .cache()): the candidate table is the
+    # entry's multi-consumer midpoint, and shared() both dedupes repeat
+    # invocations in one session and lets the gate driver reclaim it.
+    cand_cfg = shared(spark, ("band_tuning_cand", sf_dir), _build_cand)
     pairs = cand_cfg.select("doc_a", "doc_b").distinct()
     # Same array-intersect verification shape as _lsh_pair_stats (the
     # 10x artifact's flagged scaler was this chain's exploded join);

@@ -582,15 +582,28 @@ def _kmeans_assign_raw(spark, sf_dir):
     )
 
 
+def _emb_dyadic(spark, sf_dir):
+    """Dyadic-quantized (10 fractional bits) embedding table,
+    session-shared: the k-means assignment build and the IVF-kmeans PQ
+    chain consume the IDENTICAL projection — one persisted copy serves
+    both, and the gate driver's ``clear_shared()`` reclaims it at exit
+    (previously two independent never-unpersisted .cache() sites)."""
+    return shared(
+        spark,
+        ("emb_dyadic", sf_dir),
+        lambda: _emb(spark, sf_dir).select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1024) / 1024,
+            ).alias("emb"),
+        ),
+    )
+
+
 def _kmeans_assign_build(spark, sf_dir):
     spark_ = spark
-    emb = _emb(spark_, sf_dir).select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * 1024) / 1024,
-        ).alias("emb"),
-    ).cache()
+    emb = _emb_dyadic(spark_, sf_dir)
 
     cents = {
         r["vec_id"]: list(r["emb"])
@@ -3154,13 +3167,7 @@ def ann_ivfkm_pq_topk(spark, sf_dir):
     ann_ivfpq_topk search plan (probes and LUTs broadcast; the code
     scan is the only full-corpus work, partition-prunable by cell)."""
     codes, cents = _pq_fit(spark, sf_dir)
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * 1024) / 1024,
-        ).alias("emb"),
-    ).cache()
+    emb = _emb_dyadic(spark, sf_dir)
 
     ccents = {
         r["vec_id"]: list(r["emb"])
