@@ -1,0 +1,84 @@
+"""Distributed exact ranking (operators/ranking.py): bit-parity with
+the unpartitioned window it replaces, across partition counts, skew,
+and NTILE remainder cases — plus the no-single-partition plan claim."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from xova_spark.operators.ranking import (
+    global_ntile,
+    global_rank,
+    ntile_from_rank,
+)
+
+
+def _events(spark, n=4000, seed=7):
+    # Deterministic skewed integer data: value collisions force the
+    # tiebreak column to matter; one heavy key exercises range skew.
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.pmod(F.col("id") * 2654435761 + seed, F.lit(97)))
+        .cast("long")
+        .alias("v"),
+        F.when(F.col("id") % 5 == 0, F.lit(42))
+        .otherwise(F.pmod(F.col("id") * 40503 + 11, F.lit(1000)))
+        .cast("long")
+        .alias("skewed"),
+    )
+
+
+@pytest.mark.parametrize("parts", [1, 3, 32])
+def test_global_rank_matches_window(spark, parts):
+    df = _events(spark)
+    order = [F.desc("v"), F.col("k")]
+    got = global_rank(df, order, rank_col="r", num_partitions=parts)
+    want = df.withColumn("r", F.row_number().over(Window.orderBy(*order)))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_global_rank_skewed_order_key(spark):
+    df = _events(spark)
+    order = [F.col("skewed"), F.col("k")]
+    got = global_rank(df, order, rank_col="r", num_partitions=8)
+    want = df.withColumn("r", F.row_number().over(Window.orderBy(*order)))
+    assert got.exceptAll(want).count() == 0
+
+
+@pytest.mark.parametrize("n,k", [(10, 4), (12, 4), (4000, 10), (3, 7)])
+def test_ntile_formula_matches_sql(spark, n, k):
+    df = spark.range(n).select(F.col("id").alias("k"))
+    rank = F.row_number().over(Window.orderBy("k"))
+    want = df.select(
+        "k",
+        F.ntile(k).over(Window.orderBy("k")).alias("t"),
+    )
+    got = df.select(
+        "k", ntile_from_rank(rank, n, k).alias("t")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_global_ntile_matches_window(spark):
+    df = _events(spark, n=1003)
+    order = [F.desc("v"), F.col("k")]
+    got = global_ntile(df, order, 10, "decile", num_partitions=6)
+    want = df.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy(*order))
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_no_unpartitioned_window_in_plan(spark):
+    """The whole point: the executed plan has zero Window operators
+    (rank comes from range shuffle + Arrow pass, not WindowExec)."""
+    df = _events(spark)
+    got = global_rank(df, [F.col("k")], rank_col="r", num_partitions=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan, plan

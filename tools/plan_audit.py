@@ -12,6 +12,13 @@ sink) do execute real Spark jobs during the sweep.
 - ``CartesianProduct``   unkeyed all-pairs join
 - ``BroadcastNestedLoopJoin``  non-equi or OR-keyed join fallback
 - ``BatchEvalPython``    row-at-a-time (non-Arrow) Python evaluation
+- unpartitioned ``Window``  global-sort single-partition window (the
+  WindowExec "No Partition Defined" hazard) — detected structurally: a
+  Window operator line whose spec has no partition bracket group.
+  Survivors must operate on BOUNDED-row inputs (top-K-limited frames,
+  decile/SPW-grain aggregates), never a data-grain table; the
+  user/vocab-grain sites were rewritten round 5 onto orderBy+limit
+  (TakeOrderedAndProject) or operators/ranking.global_ntile.
 
 Round-4 findings (both fixed): mm_phash_neardup_pairs' OR-band join
 planned as an all-pairs BNLJ; ev_active_users_rolling's three mixed
@@ -25,6 +32,18 @@ DECLARED survivors (legitimate, do not "fix"):
   (ann_cosine_topk et al.).
 - BatchEvalPython in udtf_word_bigrams (the declared Python-UDTF
   surface).
+- UnpartitionedWindow survivors, every one over a BOUNDED-row frame
+  (round-5 sweep; anything new here is a regression):
+  bda_rows_remapped / bda_spw_grid / bda_ddid_map (dense_rank over the
+  DISTINCT (DDID|SPW, out_nchan) dimension table — K = #spectral
+  windows x #binnings); t_zipf_slope / t_bigram_pmi_topk (rank over an
+  already-limit(K)ed frame — the top-k itself is TakeOrderedAndProject);
+  ev_user_concentration (cumsum over the 10-row decile aggregate);
+  agg_contingency_chi2cells (grand-total window over the flag x status
+  contingency cells). The user/vocab-grain sites (t_word_freq_topk,
+  t_oov_rate, t_countmin_heavy_hitters probes, ev_rfm_segments,
+  ev_user_concentration's decile ASSIGNMENT) were rewritten round 5
+  onto orderBy+limit or operators/ranking.global_ntile.
 
 Usage: python tools/plan_audit.py [sf_dir]
 """
@@ -41,6 +60,43 @@ PATTERNS = (
     "BroadcastNestedLoopJoin",
     "BatchEvalPython",
 )
+
+UNPARTITIONED_WINDOW = "UnpartitionedWindow"
+
+
+def _has_unpartitioned_window(plan: str) -> bool:
+    """True if any Window operator line lacks a partition-spec group.
+
+    Plan text is ``Window [exprs], [partition], [order]``; either of
+    the last two groups may be absent. Two-group lines are ambiguous —
+    ``[exprs], [partition]`` (per-group total, fine) vs ``[exprs],
+    [order]`` (global sort, the hazard) — disambiguated by the sort
+    markers (``ASC``/``DESC``) only an order spec carries. One-group
+    lines are global unordered windows (grand totals)."""
+    for line in plan.splitlines():
+        idx = line.find("Window [")
+        if idx < 0:
+            continue
+        depth = 0
+        groups: list[str] = []
+        start = None
+        for i, ch in enumerate(line[idx + len("Window ") :]):
+            if ch == "[":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(line[idx + len("Window ") :][start : i + 1])
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 1:
+            return True
+        last = groups[-1]
+        if " ASC" in last or " DESC" in last:
+            return True
+    return False
 
 
 def main() -> int:
@@ -61,9 +117,11 @@ def main() -> int:
         for pat in PATTERNS:
             if pat in plan:
                 hits[pat].append(name)
-    for pat in PATTERNS:
-        print(f"{pat}: {len(hits[pat])}")
-        for n in hits[pat]:
+        if _has_unpartitioned_window(plan):
+            hits.setdefault(UNPARTITIONED_WINDOW, []).append(name)
+    for pat in (*PATTERNS, UNPARTITIONED_WINDOW):
+        print(f"{pat}: {len(hits.get(pat, []))}")
+        for n in hits.get(pat, []):
             print(f"  {n}")
     if errors:
         print(f"plan errors: {len(errors)}")

@@ -1,0 +1,157 @@
+"""Distributed exact global ranking — the scale-safe replacement for
+unpartitioned ranking windows.
+
+``row_number()/ntile() OVER (ORDER BY ...)`` with no PARTITION BY is
+correct but moves the ENTIRE input through one partition (Spark's
+WindowExec warns exactly this). Fine on a 10-row decile table; a
+cluster-killer on a user- or vocabulary-grain table at 100 TB.
+
+This module computes the identical rank with no single-partition
+stage, using the classic two-pass range-partitioned scheme every
+distributed sort implements:
+
+1. ``repartitionByRange`` on the order keys (Spark range-partitions by
+   sampling split points; ascending partition ids hold ascending key
+   ranges, under the SAME sort expressions the rank is defined by),
+   then ``sortWithinPartitions`` — a normal distributed sort, persisted
+   so both passes see one physical ordering.
+2. A K-row aggregate (K = number of range partitions) of per-partition
+   row counts, collected on the driver and prefix-summed into offsets.
+3. One ``mapInPandas`` pass that adds ``offset[pid] + position`` —
+   Arrow batches arrive in partition order, so a running counter per
+   partition is exact.
+
+The result is bit-identical to the global window (the order keys must
+be a TOTAL order — same requirement the oracle-parity rule already
+imposes) while every stage stays at shuffle-partition granularity.
+
+``ntile_from_rank`` reproduces SQL NTILE(k) semantics from the exact
+rank: n = total rows, q = n div k, r = n mod k; the first r buckets get
+q+1 rows. Pure integer column arithmetic — no second window.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Frames pinned by global_rank: the persist is load-bearing (both the
+# offset pass and the output pass must see ONE physical range
+# partitioning — recomputation could resample boundaries), so release
+# happens via release_pins(), wired into sharedframes.clear_shared()
+# (the hook gate/tool drivers already call at exit).
+_PINNED: list[DataFrame] = []
+
+
+def release_pins() -> None:
+    """Unpersist every frame global_rank pinned (gate-exit hygiene)."""
+    for df in _PINNED:
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
+    _PINNED.clear()
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+    _out: dict | None = None,
+) -> DataFrame:
+    """Append an exact 1-based ``row_number() OVER (ORDER BY
+    *order_by)`` column without a single-partition window.
+
+    ``order_by`` must define a total order (unique tiebreak) for the
+    rank to be deterministic — the same contract the unpartitioned
+    window it replaces already had.
+
+    Cost: one range shuffle + sort (same as the global window's sort),
+    a K-row count aggregate, and a streaming Arrow pass. The ranged
+    frame is persisted between the two passes so the sampled range
+    boundaries cannot drift; pins are released by release_pins()
+    (called from sharedframes.clear_shared(), the gate-exit hook).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    _PINNED.append(ranged)
+    counts = dict(
+        (r["_pid"], r["n"])
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if _out is not None:
+        _out["n_total"] = acc
+
+    out_schema = ranged.drop("_pid").schema.add(rank_col, "long")
+    out_cols = [f.name for f in out_schema.fields]
+
+    def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf[rank_col] = range(base + seen + 1, base + seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf[out_cols]
+
+    return ranged.mapInPandas(add_rank, out_schema)
+
+
+def ntile_from_rank(rank: Column, n_total: int, k: int) -> Column:
+    """SQL NTILE(k) bucket from an exact 1-based global rank.
+
+    NTILE semantics: q = n div k, r = n mod k; buckets 1..r have q+1
+    rows, buckets r+1..k have q. ``n_total`` is the (driver-known)
+    row count — a literal, so this is pure JVM column arithmetic.
+    """
+    q, r = divmod(int(n_total), int(k))
+    pivot = r * (q + 1)
+    big = F.ceil(rank / F.lit(q + 1))
+    small = F.lit(r) + F.ceil((rank - F.lit(pivot)) / F.lit(q)) if q else F.lit(r)
+    return (
+        F.when(F.lit(r > 0) & (rank <= F.lit(pivot)), big)
+        .otherwise(small)
+        .cast("int")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    k: int,
+    ntile_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``NTILE(k) OVER (ORDER BY *order_by)`` with no single-partition
+    stage: distributed exact rank, then the NTILE bucket formula. The
+    total count comes from the rank pass's own per-partition counts —
+    no extra job. The helper rank column is dropped from the output."""
+    meta: dict = {}
+    ranked = global_rank(
+        df, order_by, rank_col="_gnt_rank", num_partitions=num_partitions,
+        _out=meta,
+    )
+    return ranked.withColumn(
+        ntile_col, ntile_from_rank(F.col("_gnt_rank"), meta["n_total"], k)
+    ).drop("_gnt_rank")

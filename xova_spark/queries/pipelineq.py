@@ -728,15 +728,13 @@ def t_countmin_heavy_hitters(spark, sf_dir):
     ).select("c.r", "c.bucket")
     sketch = cells.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
 
-    from pyspark.sql import Window as W
-
+    # Top-k probes via orderBy+limit (TakeOrderedAndProject — distributed
+    # partial top-k over the vocab table, no single-partition window).
     exact = (
         tok.groupBy("word")
         .agg(F.count("*").alias("exact_n"))
-        .withColumn(
-            "rn", F.row_number().over(W.orderBy(F.desc("exact_n"), "word"))
-        )
-        .filter(F.col("rn") <= _CMS_TOPK)
+        .orderBy(F.desc("exact_n"), "word")
+        .limit(_CMS_TOPK)
         .select("word", "exact_n", F.expr(_SPARK_WORD_H).alias("hv"))
     )
     probes = exact.select(

@@ -898,13 +898,12 @@ def ev_rfm_segments(spark, sf_dir):
     into the 3-digit RFM segment code.
 
     Scale shape: one partial-aggregated shuffle to user grain, then
-    three global ntiles over the (users-count) aggregate table — at
-    100 TB the user table is the small output of the first shuffle,
-    and a production variant would swap ntile for percentile
-    thresholds (t_quality_quantile_cut's pattern) to avoid the global
-    sort; kept here because the quartile semantics is the operator."""
-    from pyspark.sql import Window
-
+    three DISTRIBUTED exact ntiles (operators/ranking.global_ntile:
+    range shuffle + two-pass rank offsets + the NTILE bucket formula —
+    bit-identical to the window, zero single-partition stages) over
+    the user-grain aggregate. The old global `ntile() OVER (ORDER BY)`
+    form funneled every user through one partition; at 100 TB user
+    grain that is the scan-killer WindowExec warns about."""
     (ev,) = _t(spark, sf_dir, "events")
     m = (
         ev.where(F.col("event_type") == "purchase")
@@ -921,18 +920,28 @@ def ev_rfm_segments(spark, sf_dir):
             .alias("monetary_cents"),
         )
     )
-    r = F.ntile(4).over(Window.orderBy("recency_day", "user_id"))
-    f = F.ntile(4).over(Window.orderBy("frequency", "user_id"))
-    mo = F.ntile(4).over(Window.orderBy("monetary_cents", "user_id"))
-    return m.select(
+    from xova_spark.operators.ranking import global_ntile
+
+    scored = global_ntile(
+        m, [F.col("recency_day"), F.col("user_id")], 4, "r_score"
+    )
+    scored = global_ntile(
+        scored, [F.col("frequency"), F.col("user_id")], 4, "f_score"
+    )
+    scored = global_ntile(
+        scored, [F.col("monetary_cents"), F.col("user_id")], 4, "m_score"
+    )
+    return scored.select(
         "user_id",
         "recency_day",
         "frequency",
         "monetary_cents",
-        r.alias("r_score"),
-        f.alias("f_score"),
-        mo.alias("m_score"),
-        (r * 100 + f * 10 + mo).cast("int").alias("rfm"),
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int").alias("rfm"),
     )
 
 
@@ -1324,16 +1333,20 @@ def ev_user_concentration(spark, sf_dir):
     of events", the power-law diagnostic behind capacity planning and
     abuse detection. Pure integer arithmetic end to end.
 
-    Plan: one user-grain shuffle, a global ntile over the (small)
-    user table, a 10-row decile aggregate with a window cumsum."""
+    Plan: one user-grain shuffle, a DISTRIBUTED exact ntile over the
+    user table (operators/ranking.global_ntile — range shuffle +
+    two-pass rank, no single-partition WindowExec), a 10-row decile
+    aggregate with a window cumsum (bounded at 10 rows — the one
+    place an unpartitioned window is the right tool)."""
     from pyspark.sql import Window
 
     (ev,) = _t(spark, sf_dir, "events")
+    from xova_spark.operators.ranking import global_ntile
+
     u = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
-    r = u.select(
-        "n",
-        F.ntile(10).over(Window.orderBy(F.desc("n"), "user_id")).alias("decile"),
-    )
+    r = global_ntile(
+        u, [F.desc("n"), F.col("user_id")], 10, "decile"
+    ).select("n", "decile")
     d = r.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_users"),
         F.sum("n").cast("long").alias("n_events"),

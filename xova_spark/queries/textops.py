@@ -173,17 +173,17 @@ def t_fingerprint(spark, sf_dir):
 def t_word_freq_topk(spark, sf_dir):
     """Corpus vocabulary: explode → count → top-k. The explode shuffles by
     word; at 100 TB this is the map-side-combine-friendly shape (partial
-    counts per partition before the shuffle — Spark does this for free)."""
-    from pyspark.sql import Window
-
+    counts per partition before the shuffle — Spark does this for free).
+    Top-k is orderBy+limit (TakeOrderedAndProject: per-partition partial
+    top-k merged on the driver), NOT a global row_number window — the
+    vocabulary table never funnels through one partition."""
     (docs,) = _docs(spark, sf_dir)
-    w = Window.orderBy(F.desc("n"), "word")
     return (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
         .select("word", "n")
     )
 
@@ -856,20 +856,18 @@ def t_oov_rate(spark, sf_dir):
 
     Plan: one token-count shuffle builds the frequency table; the
     top-K vocab is broadcast (K rows) into a left join on the token
-    stream; per-doc rates are one more keyed shuffle. The global top-K
-    sort runs on the (distinct words) table, not the token stream."""
-    from pyspark.sql import Window
-
+    stream; per-doc rates are one more keyed shuffle. The top-K vocab
+    select is orderBy+limit (TakeOrderedAndProject — per-partition
+    partial top-k, no single-partition window) on the (distinct words)
+    table, not the token stream."""
     (docs,) = _docs(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     freq = tok.groupBy("word").agg(F.count("*").alias("c"))
     vocab = (
-        freq.withColumn(
-            "rn", F.row_number().over(Window.orderBy(F.desc("c"), "word"))
-        )
-        .filter(F.col("rn") <= _VOCAB_K)
+        freq.orderBy(F.desc("c"), "word")
+        .limit(_VOCAB_K)
         .select("word", F.lit(1).alias("in_vocab"))
     )
     return (
@@ -982,8 +980,11 @@ def t_zipf_slope(spark, sf_dir):
     aggregate — both fold the rank-ordered array SEQUENTIALLY
     (F.aggregate over sort_array vs list_sum over an ORDER BY list),
     making every intermediate bit-identical; round(6) on the two
-    outputs. Plan: one token-count shuffle, a top-K sort of the
-    distinct-word table, then one driver-sized row."""
+    outputs. Plan: one token-count shuffle, a top-K orderBy+limit of the
+    distinct-word table (TakeOrderedAndProject — distributed partial
+    top-k, no global window), a rank window over only the K surviving
+    rows (bounded at _ZIPF_K regardless of corpus size), then one
+    driver-sized row."""
     from pyspark.sql import Window
 
     (docs,) = _docs(spark, sf_dir)
@@ -993,10 +994,11 @@ def t_zipf_slope(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("c"))
     )
     top = (
-        freq.withColumn(
+        freq.orderBy(F.desc("c"), "word")
+        .limit(_ZIPF_K)
+        .withColumn(
             "rank", F.row_number().over(Window.orderBy(F.desc("c"), "word"))
         )
-        .filter(F.col("rank") <= _ZIPF_K)
         .select("rank", F.col("c").cast("double").alias("f"))
     )
     arr = top.agg(
@@ -1778,10 +1780,14 @@ def t_bigram_pmi_topk(spark, sf_dir):
             F.expr("c * nb * 1000 div (n1 * n2)").alias("pmi_ratio_permille"),
         )
     )
+    # Top-k via orderBy+limit (TakeOrderedAndProject — distributed
+    # partial top-k over the bigram table), then rank over only the
+    # _PMI_TOPK survivors; the bigram-pair table never single-partitions.
     w = Window.orderBy(F.desc("pmi_ratio_permille"), "w1", "w2")
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _PMI_TOPK)
+        scored.orderBy(F.desc("pmi_ratio_permille"), "w1", "w2")
+        .limit(_PMI_TOPK)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .select(
             "w1", "w2", "c",
             F.col("pmi_ratio_permille").cast("long").alias("pmi_ratio_permille"),

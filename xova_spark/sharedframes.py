@@ -40,10 +40,14 @@ def shared(spark, key: tuple, builder: Callable):
 
 
 def clear_shared() -> None:
-    """Unpersist and forget every shared frame (all sessions)."""
+    """Unpersist and forget every shared frame (all sessions), plus the
+    range-partitioned frames global_rank pinned (same lifecycle)."""
     for df in _REG.values():
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001 — session may already be stopped
             pass
     _REG.clear()
+    from xova_spark.operators.ranking import release_pins
+
+    release_pins()
