@@ -1371,6 +1371,37 @@ def ev_user_concentration(spark, sf_dir):
 
 
 @q(
+    "w_global_rank",
+    """
+    SELECT user_id, n,
+           CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT)
+               AS rank
+    FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY user_id)
+    """,
+)
+def w_global_rank(spark, sf_dir):
+    """Distributed exact global ranking — the direct driver row for
+    operators/ranking.global_rank. Semantically `row_number() OVER
+    (ORDER BY n DESC, user_id)` on the user-grain aggregate, but the
+    plan has NO WindowExec: range shuffle + sort (the same distributed
+    sort the window would need anyway), a K-row per-partition count
+    collected into prefix offsets, and one Arrow pass adding
+    offset+position. Bit-identical to the window under a total order
+    (tests/test_ranking.py pins parity across partition counts, skew,
+    and NTILE remainders); at 100 TB the user table never funnels
+    through one partition. ev_rfm_segments and ev_user_concentration
+    build their ntiles on the same primitive."""
+    from xova_spark.operators.ranking import global_rank
+
+    (ev,) = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
+    return global_rank(
+        u, [F.desc("n"), F.col("user_id")], rank_col="rank"
+    ).select("user_id", "n", F.col("rank").cast("long"))
+
+
+@q(
     "ev_seasonal_decompose",
     """
     WITH b AS (
