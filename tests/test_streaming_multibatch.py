@@ -252,3 +252,129 @@ def test_cdc_merge_invariance_under_real_triggers(spark, tmp_path):
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stateful_user_stats_invariance_under_real_triggers(spark, tmp_path):
+    """applyInPandasWithState running accumulator: per-user (count, sum)
+    state folds across 4 REAL micro-batches (events interleaved by
+    event_id, NOT time-ordered, one file per trigger); the final
+    emission per user — selected by max_by on the monotone n_events —
+    must equal the batch aggregation."""
+    from xova_spark.streaming.stateful import stateful_user_stats
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.to_utc_timestamp(F.col("ts"), "UTC")
+    )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, m in enumerate((2, 0, 3, 1)):  # interleaved arrival order
+        d = str(tmp_path / f"c{i}")
+        ev.filter(F.col("event_id") % 4 == m).coalesce(1).write.parquet(d)
+        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        os.rename(os.path.join(d, part), os.path.join(flat, f"{i:02d}.parquet"))
+        os.utime(os.path.join(flat, f"{i:02d}.parquet"), (1_000_000_000 + i,) * 2)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(flat)
+    )
+    with SA.stream_state_partitions(spark):
+        q = (
+            stateful_user_stats(stream)
+            .writeStream.format("memory")
+            .queryName("mb_stateful_user")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert n_batches >= 3, [p["numInputRows"] for p in q.recentProgress]
+    got = (
+        spark.table("mb_stateful_user")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
+    )
+    ref = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    assert got.count() == ref.count() > 0
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_session_window_merge_invariance_under_real_triggers(spark, tmp_path):
+    """Native session_window state must MERGE sessions across real
+    micro-batches: events arrive in TIME order split over 4 triggers
+    (watermark semantics require near-ordered delivery — an
+    id-interleaved split drops whole quartiles as late, verified while
+    writing this test), so sessions spanning a chunk boundary must be
+    extended/merged by later batches; the converged complete-mode
+    table must equal the one-shot batch session_window aggregation."""
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.to_utc_timestamp(F.col("ts"), "UTC")
+    )
+    tmin, tmax = ev.agg(F.min("ts").cast("long"), F.max("ts").cast("long")).first()
+    span = (tmax - tmin) / 4
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i in range(4):
+        lo, hi = tmin + i * span, tmin + (i + 1) * span
+        cond = (F.col("ts").cast("long") >= lo) & (
+            (F.col("ts").cast("long") < hi) if i < 3 else F.lit(True)
+        )
+        d = str(tmp_path / f"c{i}")
+        ev.filter(cond).coalesce(1).write.parquet(d)
+        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        os.rename(os.path.join(d, part), os.path.join(flat, f"{i:02d}.parquet"))
+        os.utime(os.path.join(flat, f"{i:02d}.parquet"), (1_000_000_000 + i,) * 2)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(flat)
+    )
+
+    def sessions(df):
+        return df.groupBy(
+            F.session_window("ts", "1 hour").alias("w"), "user_id"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+
+    with SA.stream_state_partitions(spark):
+        q = (
+            sessions(stream.withWatermark("ts", "2 hours"))
+            .writeStream.format("memory")
+            .queryName("mb_sessions")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert n_batches >= 3, [p["numInputRows"] for p in q.recentProgress]
+    proj = lambda df: df.select(  # noqa: E731
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("s"),
+        F.unix_micros(F.col("w.end")).alias("e"),
+        "n_events",
+        "total_value",
+    )
+    got = proj(spark.table("mb_sessions"))
+    ref = proj(sessions(ev))
+    assert got.count() == ref.count() > 0
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0

@@ -143,14 +143,16 @@ def stream_stateful_user_stats(spark, sf_dir):
             .start()
         )
         q_.awaitTermination()
-    # update mode may emit a row per micro-batch; keep the final state
-    # per user (single static file -> one batch, but stay order-proof)
+    # update mode emits a row per (user, micro-batch); keep the FINAL
+    # state per user. n_events is the monotone progress key, so
+    # max_by(total_value, n_events) picks the last emission even if
+    # values were negative (independent max(total_value) would not).
     t = spark.table(name)
     return (
         t.groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.max("total_value").alias("total_value"),
+            F.max_by("total_value", "n_events").alias("total_value"),
         )
         .select(
             "user_id", "n_events", F.round("total_value", 4).alias("total_value")
