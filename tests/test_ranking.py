@@ -66,12 +66,30 @@ def test_ntile_formula_matches_sql(spark, n, k):
 def test_global_ntile_matches_window(spark):
     df = _events(spark, n=1003)
     order = [F.desc("v"), F.col("k")]
-    got = global_ntile(df, order, 10, "decile", num_partitions=6)
+    got = global_ntile(
+        df, order, 10, "decile", num_partitions=6, window_max_rows=0
+    )
     want = df.withColumn(
         "decile", F.ntile(10).over(Window.orderBy(*order))
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_global_ntile_paths_agree(spark):
+    """The size gate's two paths (window below, distributed above) must
+    be bit-identical — and pick the expected physical shape."""
+    df = _events(spark, n=997)
+    order = [F.col("skewed"), F.col("k")]
+    small = global_ntile(df, order, 7, "t")  # under the gate → window
+    large = global_ntile(df, order, 7, "t", window_max_rows=0)
+    assert small.exceptAll(large).count() == 0
+    assert large.exceptAll(small).count() == 0
+    assert "Window" in small._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "Window"
+        not in large._jdf.queryExecution().executedPlan().toString()
+    )
 
 
 def test_no_unpartitioned_window_in_plan(spark):

@@ -40,10 +40,13 @@ DECLARED survivors (legitimate, do not "fix"):
   already-limit(K)ed frame — the top-k itself is TakeOrderedAndProject);
   ev_user_concentration (cumsum over the 10-row decile aggregate);
   agg_contingency_chi2cells (grand-total window over the flag x status
-  contingency cells). The user/vocab-grain sites (t_word_freq_topk,
-  t_oov_rate, t_countmin_heavy_hitters probes, ev_rfm_segments,
-  ev_user_concentration's decile ASSIGNMENT) were rewritten round 5
-  onto orderBy+limit or operators/ranking.global_ntile.
+  contingency cells); ev_rfm_segments / ev_user_concentration at audit
+  SF (global_ntile's size gate: the window path only ever sees
+  <= NTILE_WINDOW_MAX_ROWS rows — above the gate the plan switches to
+  the distributed rank, both paths parity-pinned in test_ranking).
+  The vocab-grain top-k sites (t_word_freq_topk, t_oov_rate,
+  t_countmin_heavy_hitters probes) were rewritten round 5 onto
+  orderBy+limit (TakeOrderedAndProject).
 
 Usage: python tools/plan_audit.py [sf_dir]
 """

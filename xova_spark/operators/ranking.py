@@ -136,17 +136,35 @@ def ntile_from_rank(rank: Column, n_total: int, k: int) -> Column:
     )
 
 
+# Below this input size the plain unpartitioned-window NTILE is used:
+# one partition of <=100k rows is bounded work, and the distributed
+# path's extra job barriers (persist + offset collect + Arrow pass,
+# per call) dominate at that scale. Both paths are bit-identical
+# (tests/test_ranking.py::test_global_ntile_paths_agree).
+NTILE_WINDOW_MAX_ROWS = 100_000
+
+
 def global_ntile(
     df: DataFrame,
     order_by: Sequence[Column],
     k: int,
     ntile_col: str,
     num_partitions: int | None = None,
+    window_max_rows: int = NTILE_WINDOW_MAX_ROWS,
 ) -> DataFrame:
-    """``NTILE(k) OVER (ORDER BY *order_by)`` with no single-partition
-    stage: distributed exact rank, then the NTILE bucket formula. The
-    total count comes from the rank pass's own per-partition counts —
-    no extra job. The helper rank column is dropped from the output."""
+    """``NTILE(k) OVER (ORDER BY *order_by)`` that never single-
+    partitions an unbounded input: a count gate picks the plain window
+    for small frames (bounded single-partition work) and the
+    distributed exact rank + NTILE bucket formula otherwise. The
+    distributed path's total count comes from the rank pass's own
+    per-partition counts — no extra job beyond the gate count."""
+    if df.count() <= window_max_rows:
+        from pyspark.sql import Window
+
+        return df.withColumn(
+            ntile_col,
+            F.ntile(k).over(Window.orderBy(*order_by)).cast("int"),
+        )
     meta: dict = {}
     ranked = global_rank(
         df, order_by, rank_col="_gnt_rank", num_partitions=num_partitions,

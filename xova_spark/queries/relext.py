@@ -898,12 +898,14 @@ def ev_rfm_segments(spark, sf_dir):
     into the 3-digit RFM segment code.
 
     Scale shape: one partial-aggregated shuffle to user grain, then
-    three DISTRIBUTED exact ntiles (operators/ranking.global_ntile:
-    range shuffle + two-pass rank offsets + the NTILE bucket formula —
-    bit-identical to the window, zero single-partition stages) over
-    the user-grain aggregate. The old global `ntile() OVER (ORDER BY)`
-    form funneled every user through one partition; at 100 TB user
-    grain that is the scan-killer WindowExec warns about."""
+    three exact ntiles via operators/ranking.global_ntile — size-gated:
+    a plain window while the user table is under the 100k-row gate
+    (bounded single-partition work), the distributed two-pass
+    range-partitioned rank + NTILE bucket formula above it
+    (bit-identical, parity-pinned in test_ranking). The old ungated
+    `ntile() OVER (ORDER BY)` funneled every user through one
+    partition unconditionally — the scan-killer WindowExec warns
+    about at 100 TB user grain."""
     (ev,) = _t(spark, sf_dir, "events")
     m = (
         ev.where(F.col("event_type") == "purchase")
@@ -1333,11 +1335,12 @@ def ev_user_concentration(spark, sf_dir):
     of events", the power-law diagnostic behind capacity planning and
     abuse detection. Pure integer arithmetic end to end.
 
-    Plan: one user-grain shuffle, a DISTRIBUTED exact ntile over the
-    user table (operators/ranking.global_ntile — range shuffle +
-    two-pass rank, no single-partition WindowExec), a 10-row decile
-    aggregate with a window cumsum (bounded at 10 rows — the one
-    place an unpartitioned window is the right tool)."""
+    Plan: one user-grain shuffle, an exact ntile over the user table
+    via operators/ranking.global_ntile (size-gated: window under 100k
+    rows, distributed two-pass rank above — never an unbounded
+    single-partition sort), a 10-row decile aggregate with a window
+    cumsum (bounded at 10 rows — where an unpartitioned window IS the
+    right tool)."""
     from pyspark.sql import Window
 
     (ev,) = _t(spark, sf_dir, "events")
@@ -2611,4 +2614,41 @@ def agg_equidepth_histogram(spark, sf_dir):
             F.min("l_extendedprice").alias("lo"),
             F.max("l_extendedprice").alias("hi"),
         )
+    )
+
+
+@q(
+    "agg_exact_median_rank",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(median(l_extendedprice), 6) AS median_price
+    FROM lineitem
+    """,
+)
+def agg_exact_median_rank(spark, sf_dir):
+    """EXACT median over the full column via distributed ranking —
+    the memory-safe alternative to Spark's exact `percentile()`, which
+    buffers EVERY group value in one aggregation state (the hidden
+    single-node hazard: a 100 TB column is a 100 TB array). Here the
+    column is range-partition ranked (operators/ranking.global_rank —
+    no WindowExec, no driver materialization beyond K partition
+    counts) and only the one or two central ranks are selected; the
+    median is their mean, DuckDB `median`'s even-count interpolation.
+    round(6) absorbs the lower+0.5*(upper-lower) vs (lower+upper)/2
+    last-bit difference between the two engines' midpoint forms."""
+    from xova_spark.operators.ranking import global_rank
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    meta: dict = {}
+    ranked = global_rank(
+        li.select(F.col("l_extendedprice").alias("v")),
+        [F.col("v")],
+        rank_col="r",
+        _out=meta,
+    )
+    n = meta["n_total"]
+    mid = [(n + 1) // 2] if n % 2 else [n // 2, n // 2 + 1]
+    return ranked.filter(F.col("r").isin(mid)).agg(
+        F.lit(n).cast("long").alias("n"),
+        F.round(F.avg("v"), 6).alias("median_price"),
     )
