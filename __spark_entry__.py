@@ -35,8 +35,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   r4 sample (green): dedup_exact, ann_cosine_topk, t_fingerprint,
 #       mm_feature_extract, dedup_simhash, dedup_cc_clusters
 #   r5 in:  t_pack_sequences, graph_modularity, dedup_band_tuning_report,
-#           mm_scene_dedup, dq_profile_columns, cdc_merge_upsert
-#   r5 out: the six r4-green names above
+#           mm_scene_dedup, dq_profile_columns, cdc_merge_upsert,
+#           w_global_rank (late-r5: the new distributed-ranking
+#           primitive — eager offsets collect is the kind of
+#           env-divergence candidate the rotation exists to surface)
+#   r5 out: the six r4-green names above + w_sessionize (driver-green
+#           r3; stays oracle-gated in GATE_LOG)
 _PRIORITY: tuple[str, ...] = (
     # time_and_channel averaging core (reference averaging.py:184-260)
     "ms_tc_rows",
@@ -92,7 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "cdc_merge_upsert",
     # relational staples (regression canaries for the classical surface)
     "tpch_q1",
-    "w_sessionize",
+    "w_global_rank",
 )
 
 
