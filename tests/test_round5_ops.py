@@ -225,3 +225,41 @@ def test_dup_span_coverage_laws(spark):
         .first()[0]
     )
     assert total_windows == total_occurrences
+
+
+def test_importance_weights_laws(spark):
+    """DSIR law: the average importance of TARGET-domain docs
+    (src0/src1) must exceed the non-target average (the weights exist
+    to up-sample the target lookalikes), every weight is positive, and
+    n_tokens matches the whitespace token count."""
+    from xova_spark.queries.textops import t_importance_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("nt")
+    )
+    w = t_importance_weights(spark, SF)
+    j = w.join(docs, "doc_id").collect()
+    assert len(j) == 500
+    tgt = [r for r in j if r["source"] in ("src0", "src1")]
+    rest = [r for r in j if r["source"] not in ("src0", "src1")]
+    assert all(r["importance"] > 0 for r in j)
+    assert all(r["n_tokens"] == r["nt"] for r in j)
+    avg = lambda xs: sum(x["importance"] for x in xs) / len(xs)  # noqa: E731
+    assert avg(tgt) > avg(rest), (avg(tgt), avg(rest))
+
+
+def test_incremental_rollup_equals_recompute(spark):
+    """IVM law, checked Spark-side too (the oracle already proves it
+    cross-engine): delta-apply onto the OLD rollup == direct NEW
+    rollup, group for group."""
+    from xova_spark.queries.cdcq import _snapshots, cdc_incremental_rollup
+
+    got = cdc_incremental_rollup(spark, SF)
+    _, new = _snapshots(spark, SF)
+    want = new.groupBy((F.col("o_orderkey") % 64).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("price_cents").cast("long").alias("total_cents"),
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

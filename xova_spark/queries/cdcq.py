@@ -212,3 +212,68 @@ def cdc_changelog_compact(spark, sf_dir):
             F.count("*").cast("long").alias("n_versions"),
         )
     )
+
+
+@q(
+    "cdc_incremental_rollup",
+    f"""
+    WITH {_SNAP_CTES}
+    SELECT o_orderkey % 64 AS grp,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(price_cents) AS BIGINT) AS total_cents
+    FROM new_snap GROUP BY o_orderkey % 64
+    """,
+)
+def cdc_incremental_rollup(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance (the warehouse
+    IVM pattern): a per-group rollup of the OLD snapshot is brought to
+    the NEW state by applying only the changelog's DELTAS — INSERT adds
+    (+1, +new), DELETE adds (-1, -old), UPDATE adds (0, new-old) —
+    never rescanning the base. The DuckDB oracle computes the NEW
+    rollup directly; hash equality proves delta-apply ≡ recompute
+    (integer cents, so the adds are exact).
+
+    Scale shape: base rollup = one keyed shuffle over OLD; the delta
+    table = one keyed shuffle over the (changelog-sized, i.e. small)
+    diff; the final patch join runs at GROUP grain — at 100 TB the
+    whole maintenance cost is O(changelog + groups), which is the
+    point. Groups whose count reaches zero drop out, matching the
+    direct recompute."""
+    old, new = _snapshots(spark, sf_dir)
+    grp = (F.col("o_orderkey") % 64).alias("grp")
+    base = old.groupBy(grp).agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum("price_cents").cast("long").alias("s0"),
+    )
+    delta = (
+        _diff(old, new)
+        .select(
+            grp,
+            F.when(F.col("op") == "I", F.lit(1))
+            .when(F.col("op") == "D", F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dn"),
+            (
+                F.coalesce("new_price_cents", F.lit(0))
+                - F.coalesce("old_price_cents", F.lit(0))
+            )
+            .cast("long")
+            .alias("ds"),
+        )
+        .groupBy("grp")
+        .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+    )
+    return (
+        base.join(delta, "grp", "full_outer")
+        .select(
+            "grp",
+            (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("long")
+            .alias("n_orders"),
+            (F.coalesce("s0", F.lit(0)) + F.coalesce("ds", F.lit(0)))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .where(F.col("n_orders") > 0)
+    )

@@ -686,6 +686,87 @@ def t_bigram_lm_score(spark, sf_dir):
 
 
 @q(
+    "t_importance_weights",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tgt AS (
+      SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')
+    ), ct AS (
+      SELECT w, count(*) AS ctn FROM tok JOIN tgt USING (doc_id) GROUP BY w
+    ), cg AS (
+      SELECT w, count(*) AS cgn FROM tok GROUP BY w
+    ), tot AS (
+      SELECT (SELECT count(*) FROM tok JOIN tgt USING (doc_id)) AS nt,
+             (SELECT count(*) FROM tok) AS ng,
+             (SELECT count(DISTINCT w) FROM tok) AS v
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum((coalesce(ctn, 0) + 1) * (ng + v) * 1.0
+                     / ((cgn + 1) * (nt + v))) / count(*), 6) AS importance
+    FROM tok t
+    JOIN cg USING (w)
+    LEFT JOIN ct USING (w)
+    CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def t_importance_weights(spark, sf_dir):
+    """DSIR-style importance weights for data selection (Xie et al.'s
+    Data Selection with Importance Resampling, unigram form): weight
+    each document by its average target-vs-general likelihood ratio —
+    train a TARGET language model on the in-domain slice (sources
+    src0/src1 here) and a GENERAL one on the whole corpus, then score
+    every document by avg over tokens of p_t(w)/p_g(w) (add-one
+    smoothed). Documents that look like the target domain get weight
+    > 1 and are up-sampled when building the training mix.
+
+    Ratio form instead of the paper's log-likelihood difference keeps
+    the oracle exact: every term is a division of identical exact
+    integers in both engines ((ct+1)(Ng+V) / (cg+1)(Nt+V), all products
+    << 2^53), no libm; the order-dependent sum is round(6) both sides
+    (same discipline as t_bigram_lm_score).
+
+    Scale shape (100 TB): both count tables are vocabulary-bounded;
+    scoring is the token stream keyed-joined to them on the word, then
+    one per-doc aggregation — map-side-combined shuffles only, the
+    totals a broadcast 1-row cross join. Nothing quadratic, nothing
+    driver-side."""
+    (docs,) = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tgt_tok = tok.join(
+        docs.where(F.col("source").isin("src0", "src1")).select("doc_id"),
+        "doc_id",
+    )
+    ct = tgt_tok.groupBy("w").agg(F.count("*").alias("ctn"))
+    cg = tok.groupBy("w").agg(F.count("*").alias("cgn"))
+    tot = (
+        tok.agg(
+            F.count("*").alias("ng"),
+            F.count_distinct("w").alias("v"),
+        )
+        .crossJoin(F.broadcast(tgt_tok.agg(F.count("*").alias("nt"))))
+    )
+    ratio = (
+        (F.coalesce("ctn", F.lit(0)) + 1)
+        * (F.col("ng") + F.col("v"))
+        * F.lit(1.0)
+        / ((F.col("cgn") + 1) * (F.col("nt") + F.col("v")))
+    )
+    return (
+        tok.join(cg, "w")
+        .join(ct, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(ratio) / F.count("*"), 6).alias("importance"),
+        )
+    )
+
+
+@q(
     "t_tfidf_topterms",
     """
     WITH doc_terms AS (
