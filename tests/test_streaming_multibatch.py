@@ -378,3 +378,46 @@ def test_session_window_merge_invariance_under_real_triggers(spark, tmp_path):
     assert got.count() == ref.count() > 0
     assert got.exceptAll(ref).count() == 0
     assert ref.exceptAll(got).count() == 0
+
+
+def test_neardup_ingest_invariance_under_real_triggers(spark, tmp_path, monkeypatch):
+    """stream_neardup_ingest is stateless until the final pair dedup —
+    so arriving docs split over 3 real triggers must flag exactly the
+    same (new_doc, old_doc) pairs as the one-shot run."""
+    import xova_spark.queries.streamingq as SQ
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i in range(3):
+        d = str(tmp_path / f"c{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(d)
+        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        os.rename(os.path.join(d, part), os.path.join(flat, f"{i:02d}.parquet"))
+        os.utime(os.path.join(flat, f"{i:02d}.parquet"), (1_000_000_000 + i,) * 2)
+
+    def split_stream(spark_, sf_dir):
+        return (
+            spark_.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(flat)
+        )
+
+    monkeypatch.setattr(SQ, "_documents_stream", split_stream)
+    got = SQ.stream_neardup_ingest(spark, sf)
+    ref = SQ.REGISTRY["stream_neardup_ingest"][1]
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute(ref).fetchdf()
+    gotp = got.toPandas().sort_values(["new_doc", "old_doc"]).reset_index(drop=True)
+    want = want.sort_values(["new_doc", "old_doc"]).reset_index(drop=True)
+    assert len(gotp) == len(want) > 0
+    assert list(gotp["new_doc"]) == list(want["new_doc"])
+    assert list(gotp["old_doc"]) == list(want["old_doc"])
+    assert (gotp["jaccard"] - want["jaccard"]).abs().max() < 1e-9

@@ -1026,3 +1026,167 @@ def stream_quality_filter_audit(spark, sf_dir):
         )
         q_.awaitTermination()
     return spark.table(name)
+
+
+def _neardup_oracle_sql() -> str:
+    from xova_spark.queries.dedup import (
+        DUCK_H31,
+        DUCK_SHINGLES,
+        N_BANDS,
+        _minhash_sql_exprs,
+    )
+
+    sig_cols = ", ".join(
+        f"{e} AS m{i}" for i, e in enumerate(_minhash_sql_exprs("h"))
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band, "
+        f"concat_ws(',', m{4 * k}, m{4 * k + 1}, m{4 * k + 2}, m{4 * k + 3})"
+        f" AS bkey FROM sig"
+        for k in range(N_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), hashed AS (
+      SELECT doc_id, {DUCK_H31} AS h FROM ex
+    ), sig AS (
+      SELECT doc_id, {sig_cols}, count(*) AS nsh
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      {bands}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey
+       AND a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+    ), common AS (
+      SELECT c.new_doc, c.old_doc, count(*) AS nc
+      FROM cand c
+      JOIN ex ea ON ea.doc_id = c.new_doc
+      JOIN ex eb ON eb.doc_id = c.old_doc AND eb.s = ea.s
+      GROUP BY 1, 2
+    )
+    SELECT cm.new_doc, cm.old_doc,
+           round(nc * 1.0 / (sa.nsh + sb.nsh - nc), 6) AS jaccard
+    FROM common cm
+    JOIN sig sa ON sa.doc_id = cm.new_doc
+    JOIN sig sb ON sb.doc_id = cm.old_doc
+    WHERE nc * 1.0 / (sa.nsh + sb.nsh - nc) >= 0.5
+    """
+
+
+def _per_row_minhash(df):
+    """Stateless per-row MinHash from the shingle-hash ARRAY — no
+    groupBy, so it runs identically on a static frame and inside a
+    streaming micro-batch (the ingest-side requirement)."""
+    from xova_spark.queries.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        P31,
+        SPARK_SHINGLES,
+    )
+
+    out = df.filter(F.size(F.split("text", " ")) >= 3).selectExpr(
+        "doc_id",
+        f"transform({SPARK_SHINGLES}, s ->"
+        " cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)) AS hs",
+    )
+    for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)):
+        out = out.withColumn(
+            f"m{i}",
+            F.expr(
+                f"array_min(transform(hs, h -> ({a} * (h % {P31}) + {b})"
+                f" % {P31}))"
+            ),
+        )
+    return out.withColumn("nsh", F.size("hs"))
+
+
+def _band_rows(df, side: str):
+    from xova_spark.queries.dedup import N_BANDS
+
+    structs = ", ".join(
+        f"struct({k} AS band, concat_ws(',', m{4 * k}, m{4 * k + 1},"
+        f" m{4 * k + 2}, m{4 * k + 3}) AS bkey)"
+        for k in range(N_BANDS)
+    )
+    return df.selectExpr(
+        f"doc_id AS {side}_doc", f"explode(array({structs})) AS b"
+    ).select(f"{side}_doc", "b.band", "b.bkey")
+
+
+@q("stream_neardup_ingest", _neardup_oracle_sql())
+def stream_neardup_ingest(spark, sf_dir):
+    """NEAR-dup detection AT INGEST — the streaming composition of the
+    LSH dedup stack: arriving documents (doc_id % 4 == 0) are minhashed
+    PER ROW (array fold over the shingle-hash array — zero groupBy, so
+    the stream stays stateless until the final dedup), band-joined
+    against the STATIC band index of the historical corpus, verified by
+    exact shingle-array intersection against the historical arrays, and
+    emitted as (new_doc, old_doc, jaccard >= 0.5) flags. This is the
+    dedup-against-history gate every corpus ingest pipeline runs before
+    admitting a document.
+
+    The oracle recomputes the cross-split LSH pairs in batch SQL —
+    converged availableNow output == batch, the same banding and the
+    same exact verification as dedup_minhash_lsh.
+
+    Scale shape (100 TB): the historical index is (band, bkey) keyed —
+    the stream joins it per batch on the band key (broadcast when it
+    fits, shuffled otherwise; here AQE decides); verification joins
+    only candidates and intersects compact 60-bit arrays per row. The
+    one stateful operator is the final pair dropDuplicates (multi-band
+    collisions), bounded by emitted pairs, not corpus size."""
+    from pyspark.sql import functions as F  # noqa: F811 — local alias
+
+    from xova_spark.queries.relational import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    hist = _per_row_minhash(docs.filter(F.col("doc_id") % 4 != 0))
+    hist_bands = _band_rows(hist, "old")
+    hist_arrays = hist.select(
+        F.col("doc_id").alias("old_doc"),
+        F.col("hs").alias("hs_old"),
+        F.col("nsh").alias("nsh_old"),
+    )
+
+    arriving = _documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 4 == 0
+    )
+    new_sig = _per_row_minhash(arriving)
+    new_bands = _band_rows(new_sig, "new").join(
+        new_sig.select(
+            F.col("doc_id").alias("new_doc"),
+            F.col("hs").alias("hs_new"),
+            F.col("nsh").alias("nsh_new"),
+        ),
+        "new_doc",
+    )
+    nc = F.size(F.array_intersect("hs_new", "hs_old"))
+    jac = nc * F.lit(1.0) / (F.col("nsh_new") + F.col("nsh_old") - nc)
+    flagged = (
+        new_bands.join(hist_bands, ["band", "bkey"])
+        .join(hist_arrays, "old_doc")
+        .where(jac >= 0.5)
+        .select(
+            "new_doc",
+            "old_doc",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .dropDuplicates(["new_doc", "old_doc"])
+    )
+    name = f"q_stream_neardup_{next(_uniq)}"
+    with SA.stream_state_partitions(spark):
+        q_ = (
+            flagged.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return spark.table(name)
