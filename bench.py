@@ -56,6 +56,9 @@ HEADLINE = (
     # late round-4: the new multimodal chains
     "mm_scene_dedup",
     "mm_audio_fingerprint_matches",
+    # round-5: distributed exact ranking + ingest-side LSH composition
+    "agg_exact_median_rank",
+    "stream_neardup_ingest",
 )
 
 
