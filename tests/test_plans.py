@@ -349,3 +349,22 @@ def test_lsh_verification_is_array_intersect_not_exploded_join(spark):
         r" functions=\[count\(1\)",
         plan,
     ), plan[:3000]
+
+
+def test_topk_entries_take_ordered_not_global_window(spark):
+    """Round-5 window sweep regression pin: the vocab-grain top-k
+    entries must plan as TakeOrderedAndProject (distributed partial
+    top-k), never a global-sort Window over the data-grain table."""
+    import __spark_entry__ as m
+    from tools.plan_audit import _has_unpartitioned_window
+
+    qs = m.queries()
+    for name in ("t_word_freq_topk", "t_oov_rate", "t_countmin_heavy_hitters"):
+        plan = (
+            qs[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan, name
+        assert not _has_unpartitioned_window(plan), (name, plan)
