@@ -210,6 +210,17 @@ def test_kcore_peel_laws_and_fixpoint(spark):
     edges.unpersist()
 
 
+def test_kcore_gated_and_distributed_paths_agree(spark, monkeypatch):
+    """The driver-side peel (edge count under _KCORE_COLLECT_EDGES) and
+    the distributed fixed-round loop produce bit-identical (node,
+    core_degree) rows — the size gate must never change the answer."""
+    local = G.graph_kcore(spark, SF).toPandas().sort_values("node")
+    monkeypatch.setattr(G, "_KCORE_COLLECT_EDGES", 0)
+    dist = G.graph_kcore(spark, SF).toPandas().sort_values("node")
+    assert local["node"].tolist() == dist["node"].tolist()
+    assert local["core_degree"].tolist() == dist["core_degree"].tolist()
+
+
 def test_lpa_communities_refine_components(spark):
     """LPA labels nest inside connected components (labels only travel
     along edges), and community sizes sum to the node count."""
