@@ -263,3 +263,186 @@ def test_incremental_rollup_equals_recompute(spark):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation: UniMax budget, Heaps fit, Gopher rules, clip stats
+# ---------------------------------------------------------------------------
+
+
+def test_unimax_budget_waterfill_laws(spark):
+    """UniMax allocation invariants: allocations sum exactly to the
+    budget (floor remainder included), no language exceeds its E-epoch
+    capacity, capped languages get exactly their capacity (2000
+    epoch-permille), and uncapped languages share evenly (the largest
+    may carry the +remainder)."""
+    from xova_spark.queries.pipelineq import (
+        _UNIMAX_EPOCHS,
+        t_unimax_language_budget,
+    )
+
+    out = t_unimax_language_budget(spark, SF).toPandas()
+    total_toks = int(out["toks"].sum())
+    budget = total_toks // 2
+    assert int(out["alloc_tokens"].sum()) == budget
+    assert (out["alloc_tokens"] <= out["cap"]).all()
+    assert (out["cap"] == out["toks"] * _UNIMAX_EPOCHS).all()
+    capped = out[out["capped"] == 1]
+    uncapped = out[out["capped"] == 0]
+    assert (capped["alloc_tokens"] == capped["cap"]).all()
+    assert (capped["epochs_permille"] == 1000 * _UNIMAX_EPOCHS).all()
+    if len(uncapped) > 1:
+        allocs = sorted(uncapped["alloc_tokens"])
+        rem = budget - int(capped["cap"].sum())
+        # uniform floor share for every uncapped language, the mod
+        # remainder on exactly the largest one
+        assert allocs[:-1] == [rem // len(uncapped)] * (len(uncapped) - 1)
+        assert allocs[-1] == rem // len(uncapped) + rem % len(uncapped)
+    # a sequential pure-Python waterfill replica (exact rational test,
+    # uniform tail share) must agree exactly with the closed form
+    rows = sorted(out.itertuples(), key=lambda r: (int(r.cap), r.lang))
+    remaining, want, tail_at = budget, {}, len(rows)
+    for idx, r in enumerate(rows):
+        if int(r.cap) * (len(rows) - idx) <= remaining:
+            want[r.lang] = int(r.cap)
+            remaining -= int(r.cap)
+        else:
+            tail_at = idx
+            break
+    tail = rows[tail_at:]
+    if tail:
+        share = remaining // len(tail)
+        for r in tail:
+            want[r.lang] = share
+        want[tail[-1].lang] += remaining - share * len(tail)
+    got = dict(zip(out["lang"], out["alloc_tokens"]))
+    assert {k: int(v) for k, v in got.items()} == want
+
+
+def test_heaps_law_fit_matches_numpy_replica(spark):
+    """The dyadic-anchor Heaps fit must equal a pandas/numpy replica of
+    the same anchors to 6 decimals, and the fitted exponent must be in
+    (0, 1] (vocabulary grows, sublinearly or at worst linearly)."""
+    import numpy as np
+    import pandas as pd
+
+    from xova_spark.queries.textops import _HEAPS_ANCHORS, t_heaps_law_fit
+
+    got = t_heaps_law_fit(spark, SF).toPandas().iloc[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = docs["text"].str.split(" ")
+    tok_n = toks.str.len()
+    first = {}
+    for did, ws in zip(docs["doc_id"], toks):
+        for w in ws:
+            if w not in first or first[w] > did:
+                first[w] = did
+    maxd = int(docs["doc_id"].max())
+    fds = np.array(sorted(first.values()))
+    pts = []
+    for a in _HEAPS_ANCHORS:
+        if a >= maxd:
+            continue
+        t = int(tok_n[docs["doc_id"] <= a].sum())
+        v = int((fds <= a).sum())
+        if t > 0 and v > 0:
+            pts.append((t, v))
+    pts.append((int(tok_n.sum()), len(first)))
+    assert int(got["n_points"]) == len(pts)
+    assert int(got["total_tokens"]) == pts[-1][0]
+    assert int(got["vocab_size"]) == pts[-1][1]
+    x = np.log([p[0] for p in pts])
+    y = np.log([p[1] for p in pts])
+    k = len(pts)
+    beta = (k * (x * y).sum() - x.sum() * y.sum()) / (
+        k * (x * x).sum() - x.sum() ** 2
+    )
+    assert abs(got["heaps_beta"] - beta) < 1e-5
+    # the fixture's closed word-soup vocabulary saturates at the first
+    # anchor, so the slope is exactly 0 there; natural corpora sit ~0.5
+    assert 0 <= got["heaps_beta"] <= 1
+
+
+def test_gopher_rules_match_pandas_replica(spark):
+    """Every per-language rule-failure count must equal a pandas replica
+    of the published thresholds, and counts must be internally
+    consistent (pass_all <= n_docs - max(fail_*))."""
+    import pandas as pd
+
+    from xova_spark.queries import textops as T
+
+    got = (
+        T.t_gopher_quality_rules(spark, SF)
+        .toPandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ws = docs["text"].str.split(" ")
+    n = ws.str.len()
+    nd = ws.map(lambda w: len(set(w)))
+    nc = docs["text"].str.replace(" ", "", regex=False).str.len()
+    nstop = ws.map(lambda w: len(set(w) & set(T.EN_STOP)))
+    nalpha = ws.map(lambda w: sum(1 for x in w if x.isalpha() and x.isascii()))
+    ok = pd.DataFrame(
+        {
+            "lang": docs["lang"],
+            "wc": (n >= T._GOPHER_MIN_WORDS) & (n <= T._GOPHER_MAX_WORDS),
+            "mwl": (T._GOPHER_MIN_MWL * n <= nc)
+            & (nc <= T._GOPHER_MAX_MWL * n),
+            "stop": nstop >= T._GOPHER_MIN_STOPWORDS,
+            "alpha": nalpha * 100 >= n * T._GOPHER_ALPHA_PCT,
+            "rep": nd * 100 >= n * T._GOPHER_DISTINCT_PCT,
+        }
+    )
+    by = ok.groupby("lang")
+    assert got["n_docs"].tolist() == by.size().sort_index().tolist()
+    assert (
+        got["fail_word_count"].tolist()
+        == (~ok["wc"]).groupby(ok["lang"]).sum().sort_index().tolist()
+    )
+    assert (
+        got["fail_stopword"].tolist()
+        == (~ok["stop"]).groupby(ok["lang"]).sum().sort_index().tolist()
+    )
+    assert (
+        got["pass_all"].tolist()
+        == ok.assign(
+            all=ok[["wc", "mwl", "stop", "alpha", "rep"]].all(axis=1)
+        )
+        .groupby("lang")["all"]
+        .sum()
+        .sort_index()
+        .tolist()
+    )
+    # discriminative on the fixture: at least one rule fails somewhere
+    assert (got["n_docs"] - got["pass_all"]).sum() > 0
+
+
+def test_emb_dim_clip_stats_matches_numpy(spark):
+    """Clip bounds are exact order statistics (ANSI percentile_disc) and
+    the winsorized quantized sum matches numpy bit-exactly; the fixture
+    embedding width pins _DIM."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from xova_spark.queries.pipelineq import _DIM, emb_dim_clip_stats
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.array([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    assert mat.shape[1] == _DIM
+    got = emb_dim_clip_stats(spark, SF).toPandas().set_index("dim").sort_index()
+    n = mat.shape[0]
+    k_lo = math.ceil(0.05 * n) - 1  # ANSI: smallest k with k/n >= f
+    k_hi = math.ceil(0.95 * n) - 1
+    for d in range(_DIM):
+        col = np.sort(mat[:, d])
+        lo, hi = col[k_lo], col[k_hi]
+        row = got.loc[d]
+        assert row["lo_cut"] == lo and row["hi_cut"] == hi
+        assert row["n_below_lo"] == int((mat[:, d] < lo).sum())
+        assert row["n_above_hi"] == int((mat[:, d] > hi).sum())
+        wq = np.floor(np.clip(mat[:, d], lo, hi) * 1048576).astype(np.int64)
+        assert row["winsor_sum_q"] == int(wq.sum())

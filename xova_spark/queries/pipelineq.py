@@ -284,6 +284,269 @@ def t_domain_mix_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# UniMax language-budget allocation (Chung et al. 2023)
+# ---------------------------------------------------------------------------
+
+_UNIMAX_EPOCHS = 2  # per-language epoch cap E; capacity = toks * E
+
+
+@q(
+    "t_unimax_language_budget",
+    f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+      FROM documents GROUP BY lang
+    ), c AS (
+      SELECT lang, n_docs, toks, toks * {_UNIMAX_EPOCHS} AS cap FROM per
+    ), g AS (
+      SELECT CAST(sum(toks) // 2 AS BIGINT) AS budget,
+             CAST(count(*) AS BIGINT) AS n
+      FROM c
+    ), r AS (
+      SELECT c.lang, c.n_docs, c.toks, c.cap, g.budget, g.n,
+             CAST(row_number() OVER (ORDER BY c.cap, c.lang) AS BIGINT) AS i,
+             CAST(COALESCE(sum(c.cap) OVER (ORDER BY c.cap, c.lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS s_prev
+      FROM c, g
+    ), f AS (
+      SELECT r.*, (s_prev + cap * (n - i + 1) <= budget) AS is_capped FROM r
+    ), m AS (
+      SELECT CAST(count(*) FILTER (WHERE is_capped) AS BIGINT) AS n_capped,
+             CAST(COALESCE(sum(cap) FILTER (WHERE is_capped), 0) AS BIGINT)
+                 AS s_capped
+      FROM f
+    ), u AS (
+      SELECT m.n_capped, m.s_capped,
+             CASE WHEN f.n > m.n_capped
+                  THEN (f.budget - m.s_capped) // (f.n - m.n_capped)
+                  ELSE 0 END AS share
+      FROM m, (SELECT DISTINCT budget, n FROM f) f
+    ), a AS (
+      SELECT f.lang, f.n_docs, f.toks, f.cap,
+             CASE WHEN f.is_capped THEN 1 ELSE 0 END AS capped,
+             CASE WHEN f.is_capped THEN f.cap
+                  ELSE u.share + CASE WHEN f.i = f.n
+                       THEN (f.budget - u.s_capped)
+                            - u.share * (f.n - u.n_capped)
+                       ELSE 0 END
+                  END AS alloc_tokens
+      FROM f, u
+    )
+    SELECT lang, n_docs, toks, cap, capped,
+           CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           CAST(alloc_tokens * 1000 // toks AS BIGINT) AS epochs_permille
+    FROM a
+    """,
+)
+def t_unimax_language_budget(spark, sf_dir):
+    """UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): given a total token budget (half the
+    corpus here) and a per-language epoch cap E={_UNIMAX_EPOCHS},
+    waterfill the budget uniformly across languages, capping each
+    language at E epochs of its data — low-resource languages get their
+    full capacity, the remainder is split evenly among high-resource
+    ones. The published algorithm is a sequential ascending-capacity
+    scan; the closed form used here is the standard waterfill prefix
+    test (lang i, capacities ascending, is capped iff
+    S_{{i-1}} + cap_i * (n-i+1) <= B — once false it stays false, so the
+    naive prefix sum is exact), making it one aggregation rather than a
+    loop.
+
+    Exactness: all-integer arithmetic (token counts, integer floor
+    division for the uniform share; the flooring remainder goes to the
+    largest uncapped language). Plan/scale shape: one groupBy(lang)
+    token-count shuffle (map-side combinable), then the waterfill runs
+    inside ONE collected-to-a-row sorted array of language aggregates —
+    language grain is intrinsically bounded (~hundreds at web scale), so
+    no unpartitioned window and no driver collect; higher-order
+    functions (transform/aggregate/zip_with) do the prefix tests
+    JVM-side."""
+    docs = _docs(spark, sf_dir)
+    per = (
+        docs.select("lang", F.size(F.split("text", " ")).alias("t"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("t").cast("long").alias("toks"),
+        )
+    )
+    arr = per.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (F.col("toks") * _UNIMAX_EPOCHS).alias("cap"),
+                    "lang",
+                    "toks",
+                    "n_docs",
+                )
+            )
+        ).alias("a")
+    )
+    one = (
+        arr.withColumn("n", F.size("a"))
+        .withColumn(
+            "budget",
+            F.expr("aggregate(a, 0L, (acc, x) -> acc + x.toks) div 2"),
+        )
+        .withColumn(
+            "flags",
+            F.expr(
+                "transform(a, (x, i) -> aggregate(slice(a, 1, i), 0L,"
+                " (acc, y) -> acc + y.cap) + x.cap * (n - i) <= budget)"
+            ),
+        )
+        .withColumn(
+            "n_capped",
+            F.expr("aggregate(flags, 0, (acc, f) -> acc + if(f, 1, 0))"),
+        )
+        .withColumn(
+            "s_capped",
+            F.expr(
+                "aggregate(zip_with(a, flags, (x, f) -> if(f, x.cap, 0L)),"
+                " 0L, (acc, v) -> acc + v)"
+            ),
+        )
+        .withColumn(
+            "share",
+            F.expr("if(n > n_capped, (budget - s_capped) div (n - n_capped), 0L)"),
+        )
+    )
+    return (
+        one.select(
+            F.expr(
+                """
+                explode(transform(a, (x, i) -> named_struct(
+                  'lang', x.lang, 'n_docs', x.n_docs, 'toks', x.toks,
+                  'cap', x.cap,
+                  'capped', if(flags[i], 1, 0),
+                  'alloc_tokens', if(flags[i], x.cap,
+                      share + if(i = n - 1,
+                          (budget - s_capped) - share * (n - n_capped),
+                          0L))
+                )))
+                """
+            ).alias("s")
+        )
+        .select(
+            "s.lang",
+            "s.n_docs",
+            "s.toks",
+            "s.cap",
+            "s.capped",
+            "s.alloc_tokens",
+            F.expr("s.alloc_tokens * 1000 div s.toks")
+            .cast("long")
+            .alias("epochs_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension winsorization stats over the embedding table
+# ---------------------------------------------------------------------------
+
+# Embedding width of the fixture table (shared by the kmeans/PQ sections
+# below; pinned against the parquet in tests).
+_DIM = 64
+
+
+@q(
+    "emb_dim_clip_stats",
+    f"""
+    WITH v AS (
+      SELECT e.vec_id, g.i - 1 AS dim,
+             CAST(e.embedding[g.i] AS DOUBLE) AS val
+      FROM embeddings e, generate_series(1, {_DIM}) g(i)
+    ), st AS (
+      SELECT dim,
+             CAST(count(*) AS BIGINT) AS n_vals,
+             quantile_disc(val, 0.05) AS lo_cut,
+             quantile_disc(val, 0.95) AS hi_cut
+      FROM v GROUP BY dim
+    )
+    SELECT v.dim, st.n_vals, st.lo_cut, st.hi_cut,
+           CAST(sum(CASE WHEN v.val < st.lo_cut THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below_lo,
+           CAST(sum(CASE WHEN v.val > st.hi_cut THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_hi,
+           CAST(sum(CAST(floor(least(greatest(v.val, st.lo_cut), st.hi_cut)
+                * 1048576) AS BIGINT)) AS BIGINT) AS winsor_sum_q
+    FROM v JOIN st USING (dim)
+    GROUP BY v.dim, st.n_vals, st.lo_cut, st.hi_cut
+    """,
+)
+def emb_dim_clip_stats(spark, sf_dir):
+    """Per-dimension winsorization statistics for embedding-feature
+    QA: the 5th/95th DISCRETE percentile clip bounds per dimension,
+    how many values each bound would clip, and the integer-quantized
+    sum of the winsorized column — the pre-normalization profile a
+    feature store computes before clamping outliers.
+
+    Exactness: percentile_disc picks an ACTUAL element (no float
+    interpolation — the Spark/DuckDB pair is the repo's proven
+    quantile_disc convention, see t_length_quantiles_by_lang), so the
+    clip bounds are bit-exact parquet floats widened to double; clip
+    counts are integer comparisons against them; the winsorized sum
+    quantizes each clamped value to the 2^20 lattice BEFORE summing
+    (order-independent integer addition — no float-sum drift, the
+    emb_outlier_flags discipline).
+
+    Plan/scale shape: posexplode is a per-row projection; both
+    aggregations key on dim (bounded, 64 here) with map-side partial
+    aggregation — percentile_disc is an aggregate buffer, NOT a
+    window, so there is no single-partition global sort; the K-row
+    bounds table broadcasts back onto the value stream. At 100 TB the
+    exact per-dim percentile buffer is the one memory-heavy piece —
+    production swaps approx_percentile into the same plan skeleton."""
+    emb = _emb(spark, sf_dir)
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "dim", F.col("v").cast("double").alias("val"))
+    st = vals.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n_vals"),
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY val)").alias(
+            "lo_cut"
+        ),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY val)").alias(
+            "hi_cut"
+        ),
+    )
+    return (
+        vals.join(F.broadcast(st), "dim")
+        .groupBy("dim", "n_vals", "lo_cut", "hi_cut")
+        .agg(
+            F.sum(F.when(F.col("val") < F.col("lo_cut"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_below_lo"),
+            F.sum(F.when(F.col("val") > F.col("hi_cut"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above_hi"),
+            F.sum(
+                F.floor(
+                    F.greatest(F.least("val", F.col("hi_cut")), F.col("lo_cut"))
+                    * F.lit(1048576)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("winsor_sum_q"),
+        )
+        .select(
+            "dim",
+            "n_vals",
+            "lo_cut",
+            "hi_cut",
+            "n_below_lo",
+            "n_above_hi",
+            "winsor_sum_q",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # End-to-end corpus pipeline (the flagship composite)
 # ---------------------------------------------------------------------------
 
@@ -488,7 +751,6 @@ def corpus_funnel(docs):
 # ---------------------------------------------------------------------------
 
 _K = 4
-_DIM = 64
 _ITERS = 2  # centroid updates; final assignment afterwards
 
 # Dyadic quantization: floor(x*1024)/1024 is exactly representable, so

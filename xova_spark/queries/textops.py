@@ -1107,6 +1107,277 @@ def t_zipf_slope(spark, sf_dir):
     )
 
 
+# Heaps'-law anchors: vocabulary size is sampled where the document-id
+# prefix crosses 2^k - 1 — a FIXED dyadic ladder, so the number of fit
+# points is O(log corpus) at any scale and both engines pick identical
+# prefixes. Anchors beyond max(doc_id) collapse to the full-corpus sums
+# and are filtered out; the true full-corpus point is appended last.
+_HEAPS_ANCHORS = tuple(2**k - 1 for k in range(4, 41))
+
+
+def _heaps_sql() -> str:
+    t_cases = ", ".join(
+        f"CAST(sum(CASE WHEN doc_id <= {a} THEN t ELSE 0 END) AS BIGINT)"
+        f" AS t{k}"
+        for k, a in enumerate(_HEAPS_ANCHORS)
+    )
+    v_cases = ", ".join(
+        f"CAST(sum(CASE WHEN fd <= {a} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS v{k}"
+        for k, a in enumerate(_HEAPS_ANCHORS)
+    )
+    structs = ", ".join(
+        f"{{'a': CAST({a} AS BIGINT), 't': t{k}, 'v': v{k}}}"
+        for k, a in enumerate(_HEAPS_ANCHORS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS t FROM documents
+    ), ts AS (
+      SELECT {t_cases},
+             CAST(sum(t) AS BIGINT) AS t_all,
+             CAST(max(doc_id) AS BIGINT) AS maxd
+      FROM tok
+    ), fo AS (
+      SELECT word, min(doc_id) AS fd
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      GROUP BY word
+    ), vs AS (
+      SELECT {v_cases}, CAST(count(*) AS BIGINT) AS v_all FROM fo
+    ), pt AS (
+      SELECT list_concat(
+               list_filter([{structs}],
+                           p -> p.a < maxd AND p.t > 0 AND p.v > 0),
+               [{{'a': maxd, 't': t_all, 'v': v_all}}]) AS pts,
+             t_all, v_all
+      FROM ts, vs
+    ), sums AS (
+      SELECT len(pts) AS k,
+             list_sum(list_transform(pts,
+                 p -> ln(CAST(p.t AS DOUBLE)))) AS sx,
+             list_sum(list_transform(pts,
+                 p -> ln(CAST(p.t AS DOUBLE)) * ln(CAST(p.t AS DOUBLE))))
+                 AS sxx,
+             list_sum(list_transform(pts,
+                 p -> ln(CAST(p.v AS DOUBLE)))) AS sy,
+             list_sum(list_transform(pts,
+                 p -> ln(CAST(p.t AS DOUBLE)) * ln(CAST(p.v AS DOUBLE))))
+                 AS sxy,
+             t_all, v_all
+      FROM pt
+    )
+    SELECT CAST(k AS BIGINT) AS n_points,
+           t_all AS total_tokens,
+           v_all AS vocab_size,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS heaps_beta,
+           round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k,
+                 6) AS heaps_lnk
+    FROM sums
+    """
+
+
+@q("t_heaps_law_fit", _heaps_sql())
+def t_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law fit of vocabulary growth: V(T) ~ K * T^beta, the
+    least-squares slope of ln(vocab size) on ln(cumulative tokens)
+    sampled at dyadic document-prefix anchors (natural text sits near
+    beta ~ 0.5; heavily-duplicated or templated corpora flatten early —
+    a corpus-health companion to t_zipf_slope).
+
+    Exactness: the anchor sums are pure integers (conditional sums —
+    NO global-order window and no per-doc cumulative state); all float
+    work happens on the bounded O(log n) anchor array, folded
+    SEQUENTIALLY on both engines (the t_zipf_slope discipline), then
+    round(6). Plan/scale shape: one pass over per-doc token counts
+    (map-side combinable conditional sums), one token-explode shuffle
+    for word first-occurrence, a broadcast cross join of two 1-row
+    aggregates, and a single-row array fold — at 100 TB the anchor
+    ladder grows only logarithmically."""
+    (docs,) = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.size(F.split("text", " ")).alias("t"))
+    tsum = tok.agg(
+        *[
+            F.sum(F.when(F.col("doc_id") <= a, F.col("t")).otherwise(0))
+            .cast("long")
+            .alias(f"t{k}")
+            for k, a in enumerate(_HEAPS_ANCHORS)
+        ],
+        F.sum("t").cast("long").alias("t_all"),
+        F.max("doc_id").cast("long").alias("maxd"),
+    )
+    first = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    vsum = first.agg(
+        *[
+            F.sum(F.when(F.col("fd") <= a, 1).otherwise(0))
+            .cast("long")
+            .alias(f"v{k}")
+            for k, a in enumerate(_HEAPS_ANCHORS)
+        ],
+        F.count("*").cast("long").alias("v_all"),
+    )
+    structs = ", ".join(
+        f"named_struct('a', {a}L, 't', t{k}, 'v', v{k})"
+        for k, a in enumerate(_HEAPS_ANCHORS)
+    )
+    one = tsum.crossJoin(F.broadcast(vsum)).withColumn(
+        "pts",
+        F.expr(
+            f"concat(filter(array({structs}),"
+            " p -> p.a < maxd and p.t > 0 and p.v > 0),"
+            " array(named_struct('a', maxd, 't', t_all, 'v', v_all)))"
+        ),
+    )
+    fold = lambda expr: F.expr(  # noqa: E731 — sequential fold helper
+        f"aggregate(pts, cast(0.0 as double), (acc, p) -> acc + ({expr}))"
+    )
+    lnt = "ln(cast(p.t as double))"
+    lnv = "ln(cast(p.v as double))"
+    sums = one.select(
+        F.size("pts").alias("k"),
+        fold(lnt).alias("sx"),
+        fold(f"{lnt} * {lnt}").alias("sxx"),
+        fold(lnv).alias("sy"),
+        fold(f"{lnt} * {lnv}").alias("sxy"),
+        "t_all",
+        "v_all",
+    )
+    k = F.col("k").cast("double")
+    beta = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("k").cast("long").alias("n_points"),
+        F.col("t_all").alias("total_tokens"),
+        F.col("v_all").alias("vocab_size"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round((F.col("sy") - beta * F.col("sx")) / k, 6).alias("heaps_lnk"),
+    )
+
+
+# Gopher document-level filter thresholds (Rae et al. 2021, table A1 —
+# the non-repetition rules; the repetition family lives in
+# t_repetition_signals). Ratios are enforced by integer
+# cross-multiplication so both engines compare exact integers.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MWL = 3   # mean word length lower bound (chars)
+_GOPHER_MAX_MWL = 10  # upper bound
+_GOPHER_MIN_STOPWORDS = 2     # distinct stopwords required
+_GOPHER_ALPHA_PCT = 80        # >= 80% of words purely alphabetic
+_GOPHER_DISTINCT_PCT = 30     # >= 30% distinct tokens
+
+
+def _gopher_sql() -> str:
+    stoplist = ", ".join(f"'{s}'" for s in EN_STOP)
+    return f"""
+    WITH d AS (
+      SELECT lang,
+             string_split(text, ' ') AS ws,
+             length(replace(text, ' ', '')) AS nc
+      FROM documents
+    ), r AS (
+      SELECT lang,
+             len(ws) AS n,
+             len(list_distinct(ws)) AS nd,
+             nc,
+             len(list_intersect(list_distinct(ws), [{stoplist}])) AS nstop,
+             len(list_filter(ws,
+                 x -> regexp_full_match(x, '[A-Za-z]+'))) AS nalpha
+      FROM d
+    ), f AS (
+      SELECT lang,
+             (n BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+                 AS ok_wc,
+             ({_GOPHER_MIN_MWL} * n <= nc AND nc <= {_GOPHER_MAX_MWL} * n)
+                 AS ok_mwl,
+             (nstop >= {_GOPHER_MIN_STOPWORDS}) AS ok_stop,
+             (nalpha * 100 >= n * {_GOPHER_ALPHA_PCT}) AS ok_alpha,
+             (nd * 100 >= n * {_GOPHER_DISTINCT_PCT}) AS ok_rep
+      FROM r
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ok_wc AND ok_mwl AND ok_stop AND ok_alpha
+                         AND ok_rep THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_all,
+           CAST(sum(CASE WHEN ok_wc THEN 0 ELSE 1 END) AS BIGINT)
+               AS fail_word_count,
+           CAST(sum(CASE WHEN ok_mwl THEN 0 ELSE 1 END) AS BIGINT)
+               AS fail_mean_word_len,
+           CAST(sum(CASE WHEN ok_stop THEN 0 ELSE 1 END) AS BIGINT)
+               AS fail_stopword,
+           CAST(sum(CASE WHEN ok_alpha THEN 0 ELSE 1 END) AS BIGINT)
+               AS fail_alpha_frac,
+           CAST(sum(CASE WHEN ok_rep THEN 0 ELSE 1 END) AS BIGINT)
+               AS fail_repetition
+    FROM f GROUP BY lang
+    """
+
+
+@q("t_gopher_quality_rules", _gopher_sql())
+def t_gopher_quality_rules(spark, sf_dir):
+    """Gopher-style document-filter rule report (Rae et al. 2021, the
+    published pretraining filter repertoire): word-count bounds, mean
+    word length bounds, minimum distinct stopwords, alphabetic-word
+    fraction, and distinct-token fraction — aggregated per language
+    into pass/fail counts per rule (the dashboard a pipeline watches to
+    see WHICH rule is rejecting a new crawl; the repetition-family
+    rules live in t_repetition_signals).
+
+    Exactness: every ratio threshold is an integer cross-multiplication
+    (3*n <= chars, nalpha*100 >= n*80, ...) — no float division
+    anywhere. Plan/scale shape: pure per-row array projections (split /
+    array_distinct / array_intersect / filter — all JVM higher-order
+    functions, zero Python), then one groupBy(lang) with map-side
+    combine. The EN-centric stopword rule failing on non-EN languages
+    is the published behavior, not a bug."""
+    (docs,) = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    stoparr = F.array(*[F.lit(s) for s in EN_STOP])
+    r = docs.select(
+        "lang",
+        F.size(ws).alias("n"),
+        F.size(F.array_distinct(ws)).alias("nd"),
+        F.length(F.regexp_replace("text", " ", "")).alias("nc"),
+        F.size(F.array_intersect(F.array_distinct(ws), stoparr)).alias(
+            "nstop"
+        ),
+        F.size(F.filter(ws, lambda x: x.rlike("^[A-Za-z]+$"))).alias(
+            "nalpha"
+        ),
+    )
+    ok_wc = (F.col("n") >= _GOPHER_MIN_WORDS) & (
+        F.col("n") <= _GOPHER_MAX_WORDS
+    )
+    ok_mwl = (_GOPHER_MIN_MWL * F.col("n") <= F.col("nc")) & (
+        F.col("nc") <= _GOPHER_MAX_MWL * F.col("n")
+    )
+    ok_stop = F.col("nstop") >= _GOPHER_MIN_STOPWORDS
+    ok_alpha = F.col("nalpha") * 100 >= F.col("n") * _GOPHER_ALPHA_PCT
+    ok_rep = F.col("nd") * 100 >= F.col("n") * _GOPHER_DISTINCT_PCT
+    fail = lambda c: F.sum(F.when(c, 0).otherwise(1)).cast("long")  # noqa: E731
+    return r.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(ok_wc & ok_mwl & ok_stop & ok_alpha & ok_rep, 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("pass_all"),
+        fail(ok_wc).alias("fail_word_count"),
+        fail(ok_mwl).alias("fail_mean_word_len"),
+        fail(ok_stop).alias("fail_stopword"),
+        fail(ok_alpha).alias("fail_alpha_frac"),
+        fail(ok_rep).alias("fail_repetition"),
+    )
+
+
 @q(
     "t_dataset_card",
     """
