@@ -38,9 +38,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #           mm_scene_dedup, dq_profile_columns, cdc_merge_upsert,
 #           w_global_rank (late-r5: the new distributed-ranking
 #           primitive — eager offsets collect is the kind of
-#           env-divergence candidate the rotation exists to surface)
+#           env-divergence candidate the rotation exists to surface),
+#           t_unimax_language_budget (late-r5: the waterfill runs on
+#           array HOFs vs DuckDB window+FILTER — a cross-dialect
+#           divergence candidate; takes slot 50 from
+#           s2_column_pruned_scan, driver-green r4)
 #   r5 out: the six r4-green names above + w_sessionize (driver-green
-#           r3; stays oracle-gated in GATE_LOG)
+#           r3; stays oracle-gated in GATE_LOG) + s2_column_pruned_scan
 _PRIORITY: tuple[str, ...] = (
     # time_and_channel averaging core (reference averaging.py:184-260)
     "ms_tc_rows",
@@ -97,6 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     # relational staples (regression canaries for the classical surface)
     "tpch_q1",
     "w_global_rank",
+    "t_unimax_language_budget",
 )
 
 

@@ -59,6 +59,9 @@ HEADLINE = (
     # round-5: distributed exact ranking + ingest-side LSH composition
     "agg_exact_median_rank",
     "stream_neardup_ingest",
+    # late round-5: embedding-wide percentile scan + dyadic-anchor fit
+    "emb_dim_clip_stats",
+    "t_heaps_law_fit",
 )
 
 

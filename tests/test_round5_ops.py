@@ -446,3 +446,71 @@ def test_emb_dim_clip_stats_matches_numpy(spark):
         assert row["n_above_hi"] == int((mat[:, d] > hi).sum())
         wq = np.floor(np.clip(mat[:, d], lo, hi) * 1048576).astype(np.int64)
         assert row["winsor_sum_q"] == int(wq.sum())
+
+
+def test_ccnet_buckets_match_replica_cuts(spark):
+    """The per-lang tercile cuts must equal the ANSI discrete-percentile
+    order statistic of the (gate-proven) bigram scores, and bucket
+    counts must replicate a pandas classification against them."""
+    import math
+
+    from xova_spark.queries.textops import (
+        t_bigram_lm_score,
+        t_ccnet_perplexity_buckets,
+    )
+
+    got = t_ccnet_perplexity_buckets(spark, SF).toPandas()
+    scored = (
+        t_bigram_lm_score(spark, SF)
+        .select("doc_id", "avg_bigram_prob")
+        .toPandas()
+    )
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    sl = scored.merge(docs, on="doc_id")
+    for lang, grp in sl.groupby("lang"):
+        s = sorted(grp["avg_bigram_prob"])
+        n = len(s)
+        q_tail = s[math.ceil(n / 3) - 1]
+        q_head = s[math.ceil(2 * n / 3) - 1]
+        rows = got[got["lang"] == lang].set_index("bucket")
+        assert float(rows["q_tail"].iloc[0]) == q_tail
+        assert float(rows["q_head"].iloc[0]) == q_head
+        want = {
+            "tail": sum(1 for x in s if x <= q_tail),
+            "middle": sum(1 for x in s if q_tail < x <= q_head),
+            "head": sum(1 for x in s if x > q_head),
+        }
+        want = {k: v for k, v in want.items() if v}
+        assert dict(zip(rows.index, rows["n_docs"])) == want
+        assert int(rows["n_docs"].sum()) == n
+
+
+def test_boundary_overlap_matches_pandas(spark):
+    """Directed seam pairs equal a brute-force pandas replica, and every
+    reported seam really is A's tail == B's head."""
+    import pandas as pd
+
+    from xova_spark.queries.dedup import _BOUNDARY_K, dedup_boundary_overlap
+
+    got = dedup_boundary_overlap(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ws = docs["text"].str.split(" ")
+    k = _BOUNDARY_K
+    ok = ws.str.len() >= 2 * k
+    firstk = ws[ok].map(lambda w: " ".join(w[:k]))
+    lastk = ws[ok].map(lambda w: " ".join(w[-k:]))
+    ids = docs["doc_id"][ok].tolist()
+    heads = {}
+    for did, f in zip(ids, firstk):
+        heads.setdefault(f, []).append(did)
+    want = set()
+    for did, l in zip(ids, lastk):
+        for other in heads.get(l, []):
+            if other != did:
+                want.add((did, other, l))
+    assert (
+        set(zip(got["doc_a"], got["doc_b"], got["boundary_ngram"])) == want
+    )
+    assert len(got) == len(want) > 0

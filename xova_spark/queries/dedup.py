@@ -1289,3 +1289,63 @@ def dedup_lsh_recall_vs_exact(spark, sf_dir):
             .alias("recall_permille"),
         )
     )
+
+
+# Boundary-stitch width: the tail/head n-gram that detects documents
+# produced by splitting one upstream page into overlapping crawl chunks.
+_BOUNDARY_K = 3
+
+
+@q(
+    "dedup_boundary_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), b AS (
+      SELECT doc_id,
+             array_to_string(ws[1:{_BOUNDARY_K}], ' ') AS firstk,
+             array_to_string(ws[len(ws)-{_BOUNDARY_K}+1:len(ws)], ' ')
+                 AS lastk
+      FROM t WHERE len(ws) >= {2 * _BOUNDARY_K}
+    )
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           a.lastk AS boundary_ngram
+    FROM b a JOIN b c ON a.lastk = c.firstk AND a.doc_id <> c.doc_id
+    """,
+)
+def dedup_boundary_overlap(spark, sf_dir):
+    """Crawl-chunk boundary stitching: find ordered document pairs where
+    A's trailing {_BOUNDARY_K}-gram equals B's leading {_BOUNDARY_K}-gram
+    — the signature of one upstream page split into overlapping chunks
+    by the extractor (a duplication mode MinHash misses, because the
+    chunks' OVERALL Jaccard is low while the seam match is exact).
+    Output is the directed pair plus the seam n-gram itself.
+
+    Exactness: pure string equality. Plan/scale shape: the boundary
+    projection is per-row (slice/array_join — no explode); the pair
+    discovery is an equi-join keyed on the seam string — candidates
+    are only docs sharing an exact boundary hash, never an all-pairs
+    form; at 100 TB the seam key distributes like any token-hash key
+    (salt if one boilerplate seam dominates)."""
+    (docs,) = _docs(spark, sf_dir)
+    k = _BOUNDARY_K
+    ws = F.split("text", " ")
+    b = docs.select(
+        "doc_id",
+        F.array_join(F.slice(ws, 1, k), " ").alias("firstk"),
+        F.array_join(F.slice(ws, -k, k), " ").alias("lastk"),
+    ).filter(F.size(ws) >= 2 * k)
+    a = b.alias("a")
+    c = b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.lastk") == F.col("c.firstk"))
+            & (F.col("a.doc_id") != F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.col("a.lastk").alias("boundary_ngram"),
+        )
+    )

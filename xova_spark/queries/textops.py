@@ -685,6 +685,95 @@ def t_bigram_lm_score(spark, sf_dir):
     )
 
 
+# CCNet bucket cut fractions — identical decimal literals in both
+# engines so the doubles parse bit-equal; discrete percentiles so the
+# cuts are actual score values (the proven percentile_disc pairing).
+_CCNET_Q_TAIL = "0.3333333333333333"
+_CCNET_Q_HEAD = "0.6666666666666666"
+
+
+@q(
+    "t_ccnet_perplexity_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), bi AS (
+      SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+      FROM toks, generate_series(1, 400) g(i)
+      WHERE i <= len(l) - 1
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY w1, w2
+    ), c1 AS (
+      SELECT word AS w1, count(*) AS n1 FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) GROUP BY word
+    ), scored AS (
+      SELECT b.doc_id,
+             round(sum(n2 * 1.0 / n1) / count(*), 6) AS score
+      FROM bi b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY b.doc_id
+    ), sl AS (
+      SELECT s.doc_id, s.score, d.lang
+      FROM scored s JOIN documents d USING (doc_id)
+    ), cuts AS (
+      SELECT lang,
+             quantile_disc(score, {_CCNET_Q_TAIL}) AS q_tail,
+             quantile_disc(score, {_CCNET_Q_HEAD}) AS q_head
+      FROM sl GROUP BY lang
+    )
+    SELECT sl.lang,
+           CASE WHEN sl.score <= c.q_tail THEN 'tail'
+                WHEN sl.score <= c.q_head THEN 'middle'
+                ELSE 'head' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           c.q_tail, c.q_head
+    FROM sl JOIN cuts c USING (lang)
+    GROUP BY sl.lang, bucket, c.q_tail, c.q_head
+    """,
+)
+def t_ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail corpus partitioning (Wenzek et al.
+    2020): per-language TERCILE cuts of the self-trained bigram-LM
+    document score (t_bigram_lm_score — the KenLM-perplexity analogue;
+    here HIGHER score = better, so 'head' is the top third), with
+    per-bucket document counts and the cut values — the bucketing CCNet
+    uses to keep head+middle and drop tail for pretraining.
+
+    Exactness: the score is the established round(6) integer-ratio sum;
+    the cuts are DISCRETE per-lang percentiles of those rounded doubles
+    (actual elements, no interpolation — the percentile_disc/
+    quantile_disc proven pairing with bit-identical fraction literals);
+    classification is plain comparisons against them. Plan/scale shape:
+    the scoring joins are vocabulary-bounded keyed shuffles (see
+    t_bigram_lm_score); the cuts aggregate on the bounded lang key
+    (percentile_disc is an aggregate buffer, not a window) and
+    broadcast back; final count groups on (lang, bucket)."""
+    (docs,) = _docs(spark, sf_dir)
+    scored = t_bigram_lm_score(spark, sf_dir).select(
+        "doc_id", F.col("avg_bigram_prob").alias("score")
+    )
+    sl = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    cuts = sl.groupBy("lang").agg(
+        F.expr(
+            f"percentile_disc({_CCNET_Q_TAIL}) WITHIN GROUP (ORDER BY score)"
+        ).alias("q_tail"),
+        F.expr(
+            f"percentile_disc({_CCNET_Q_HEAD}) WITHIN GROUP (ORDER BY score)"
+        ).alias("q_head"),
+    )
+    bucket = (
+        F.when(F.col("score") <= F.col("q_tail"), "tail")
+        .when(F.col("score") <= F.col("q_head"), "middle")
+        .otherwise("head")
+    )
+    return (
+        sl.join(F.broadcast(cuts), "lang")
+        .groupBy("lang", bucket.alias("bucket"), "q_tail", "q_head")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select("lang", "bucket", "n_docs", "q_tail", "q_head")
+    )
+
+
 @q(
     "t_importance_weights",
     """
