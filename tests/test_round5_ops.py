@@ -514,3 +514,73 @@ def test_boundary_overlap_matches_pandas(spark):
         set(zip(got["doc_a"], got["doc_b"], got["boundary_ngram"])) == want
     )
     assert len(got) == len(want) > 0
+
+
+def test_asof_forward_matches_bruteforce(spark):
+    """Every click's (next_purchase_value, wait_s) must equal a brute
+    -force pandas scan: the earliest same-user purchase at-or-after the
+    click (ties by value), sentineled when beyond the whole-second
+    tolerance."""
+    import pandas as pd
+
+    from xova_spark.queries.relext import _ASOF_FWD_TOL_S, join_asof_forward
+
+    got = (
+        join_asof_forward(spark, SF)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    p = ev[ev["event_type"] == "purchase"]
+    want_v, want_w = {}, {}
+    by_user = {u: g.sort_values(["ts", "value"]) for u, g in p.groupby("user_id")}
+    for r in ev[ev["event_type"] == "click"].itertuples():
+        g = by_user.get(r.user_id)
+        cand = g[g["ts"] >= r.ts] if g is not None else None
+        if cand is None or not len(cand):
+            want_v[r.event_id], want_w[r.event_id] = -1.0, -1
+            continue
+        nxt = cand.iloc[0]
+        wait = int(
+            nxt["ts"].value // 10**9 - pd.Timestamp(r.ts).value // 10**9
+        )
+        if wait <= _ASOF_FWD_TOL_S:
+            want_v[r.event_id] = round(float(nxt["value"]), 6)
+            want_w[r.event_id] = wait
+        else:
+            want_v[r.event_id], want_w[r.event_id] = -1.0, -1
+    assert got["wait_s"].to_dict() == want_w
+    assert got["next_purchase_value"].to_dict() == {
+        k: v for k, v in want_v.items()
+    }
+    # the tolerance actually bites on the fixture (some -1 and some hits)
+    assert (got["wait_s"] == -1).any() and (got["wait_s"] >= 0).any()
+
+
+def test_weighted_median_matches_numpy(spark):
+    """The weighted lower median must equal the first value whose
+    cumulative integer weight reaches half the total, recomputed in
+    pandas per group."""
+    import pandas as pd
+
+    from xova_spark.queries.relext import agg_weighted_median
+
+    got = (
+        agg_weighted_median(spark, SF)
+        .toPandas()
+        .set_index("l_returnflag")
+        .sort_index()
+    )
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    li["w"] = li["l_quantity"].astype("int64")
+    for flag, g in li.groupby("l_returnflag"):
+        s = g.groupby("l_extendedprice")["w"].sum().sort_index()
+        total = int(s.sum())
+        cum = s.cumsum()
+        median = cum[cum * 2 >= total].index[0]
+        assert int(got.loc[flag, "total_w"]) == total
+        assert float(got.loc[flag, "weighted_median"]) == float(median)

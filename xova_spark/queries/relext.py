@@ -2652,3 +2652,170 @@ def agg_exact_median_rank(spark, sf_dir):
         F.lit(n).cast("long").alias("n"),
         F.round(F.avg("v"), 6).alias("median_price"),
     )
+
+
+# Forward as-of tolerance (seconds): a click matches the NEXT purchase
+# no later than this far ahead — the pandas merge_asof(direction=
+# 'forward', tolerance=...) surface the backward join_asof lacks.
+_ASOF_FWD_TOL_S = 3600
+
+
+@q(
+    "join_asof_forward",
+    f"""
+    WITH merged AS (
+      SELECT user_id, ts, event_id, 0 AS kind,
+             CAST(NULL AS DOUBLE) AS p_value
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id, 1 AS kind,
+             value AS p_value
+      FROM events WHERE event_type = 'purchase'
+    ), scan AS (
+      SELECT user_id, ts, event_id, kind,
+             first_value(p_value IGNORE NULLS) OVER w AS next_v,
+             first_value(CASE WHEN kind = 1 THEN ts END IGNORE NULLS)
+                 OVER w AS next_ts
+      FROM merged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, p_value
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id,
+           CASE WHEN next_ts IS NOT NULL
+                     AND floor(epoch(next_ts)) - floor(epoch(ts))
+                         <= {_ASOF_FWD_TOL_S}
+                THEN round(next_v, 6) ELSE -1.0 END AS next_purchase_value,
+           CAST(CASE WHEN next_ts IS NOT NULL
+                     AND floor(epoch(next_ts)) - floor(epoch(ts))
+                         <= {_ASOF_FWD_TOL_S}
+                THEN floor(epoch(next_ts)) - floor(epoch(ts))
+                ELSE -1 END AS BIGINT) AS wait_s
+    FROM scan WHERE kind = 0
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join with tolerance (the pandas
+    merge_asof(direction='forward', tolerance=1h) surface): for each
+    click, the next purchase of the same user at or after the click,
+    but only within the tolerance — the conversion-attribution shape,
+    complementing the backward join_asof.
+
+    Same engine as join_asof: union both event kinds, ONE shuffle by
+    user_id, a forward-looking first(ignoreNulls) ordered scan
+    (clicks sort before purchases at identical ts so '>=' matches are
+    included) — no cross product, skew-safe for bounded per-user rows;
+    two window expressions share one frame, so one sort. The -1
+    sentinels keep the output null-free for the hash gate; wait
+    seconds are whole-second integers (unix_timestamp truncates
+    sub-second parts — the oracle replicates with floor(epoch))."""
+    (ev,) = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(1).alias("kind"),
+        F.col("value").alias("p_value"),
+    )
+    # p_value as the third key makes purchase ties at identical ts
+    # value-deterministic (nulls only ever occur on kind=0 rows, which
+    # the kind key already separates — so null-ordering dialects can't
+    # diverge).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "p_value")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    scan = clicks.unionByName(purchases).select(
+        "event_id",
+        "kind",
+        "ts",
+        F.first("p_value", ignorenulls=True).over(w).alias("next_v"),
+        F.first(
+            F.when(F.col("kind") == 1, F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("next_ts"),
+    )
+    wait = F.unix_timestamp("next_ts") - F.unix_timestamp("ts")
+    match = F.col("next_ts").isNotNull() & (wait <= _ASOF_FWD_TOL_S)
+    return scan.filter(F.col("kind") == 0).select(
+        "event_id",
+        F.when(match, F.round("next_v", 6)).otherwise(-1.0).alias(
+            "next_purchase_value"
+        ),
+        F.when(match, wait).otherwise(-1).cast("long").alias("wait_s"),
+    )
+
+
+@q(
+    "agg_weighted_median",
+    """
+    WITH wp AS (
+      SELECT l_returnflag,
+             l_extendedprice AS price,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY l_returnflag, l_extendedprice
+    ), tot AS (
+      SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS total_w
+      FROM wp GROUP BY l_returnflag
+    ), cum AS (
+      SELECT wp.l_returnflag, wp.price, tot.total_w,
+             CAST(sum(wp.w) OVER (PARTITION BY wp.l_returnflag
+                  ORDER BY wp.price
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw
+      FROM wp JOIN tot USING (l_returnflag)
+    )
+    SELECT l_returnflag, total_w,
+           min(price) AS weighted_median
+    FROM cum WHERE cw * 2 >= total_w
+    GROUP BY l_returnflag, total_w
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Weighted (lower) median: per return flag, the smallest extended
+    price whose cumulative l_quantity weight reaches half the group's
+    total — the weighted-percentile aggregate Spark has no builtin for,
+    composed from exact relational pieces.
+
+    Exactness: weights are integer-valued decimals cast to BIGINT; the
+    crossing test is integer (cw*2 >= W); the median itself is an
+    actual data value (exact decimal) — nothing float anywhere.
+    Plan/scale shape: one groupBy (flag, price) collapses the data
+    grain to the DISTINCT-price table (vocab-bounded); the cumulative
+    window runs per flag over THAT table, not the corpus — the same
+    bounded-frame rationale as the decile survivors; the totals join
+    broadcasts K rows. At 100 TB with pathological distinct-price
+    cardinality the window becomes the two-pass range-partitioned rank
+    (operators/ranking) with identical semantics."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    wp = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    tot = wp.groupBy("l_returnflag").agg(
+        F.sum("w").cast("long").alias("total_w")
+    )
+    cw = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = wp.join(F.broadcast(tot), "l_returnflag").select(
+        "l_returnflag",
+        "price",
+        "total_w",
+        F.sum("w").over(cw).cast("long").alias("cw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("total_w"))
+        .groupBy("l_returnflag", "total_w")
+        .agg(F.min("price").alias("weighted_median"))
+        .select("l_returnflag", "total_w", "weighted_median")
+    )
