@@ -153,9 +153,12 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
+    from xova_spark.sharedframes import clear_shared
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_exact = n_close = n_fail = n_noor = 0
+    n_run = 0
     hazards = oracle_schema_hazards(
         con, {k: v for k, v in oracles.items() if not only or k in only}
     )
@@ -165,6 +168,16 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # Bound the cache footprint over a ~300-entry run on one session:
+        # a few entries persist frames they never unpersist (bounded-size,
+        # but they accumulate). Every 60 entries drop ALL cached data and
+        # reset the shared-frame registry so shared() re-persists cleanly
+        # on next use (clearCache alone would leave _REG holding silently
+        # unpersisted frames that recompute per consumer).
+        n_run += 1
+        if n_run % 60 == 0:
+            spark.catalog.clearCache()
+            clear_shared()
         t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -197,8 +210,7 @@ def main():
         f"\n== exact={n_exact} close={n_close} fail={n_fail} rows_only={n_noor} "
         f"total={n_exact + n_close + n_fail + n_noor}"
     )
-    from xova_spark.sharedframes import clear_shared
-
+    spark.catalog.clearCache()
     clear_shared()
     return 1 if n_fail else 0
 

@@ -802,3 +802,81 @@ def graph_clustering_coefficient(spark, sf_dir):
             ).alias("global_clustering"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance — the Pregel-style frontier-relaxation
+# primitive the rest of the pack implies but never exposes directly
+# (CC propagates min labels, LPA propagates mode labels; BFS propagates
+# min distance). Seeds are the max-degree hub set, so the entry doubles
+# as a "distance from the core" diagnostic for the affinity graph.
+# ---------------------------------------------------------------------------
+
+BFS_ROUNDS = 8
+
+
+def _bfs_sql() -> str:
+    # Same MATERIALIZED discipline as the k-core chain: every b{r+1}
+    # references b{r} twice, and the CTE inliner would otherwise expand
+    # the chain 2^rounds before planning.
+    ctes = [
+        _DUCK_EDGES.strip(),
+        "hubs AS (SELECT node FROM deg "
+        "WHERE degree = (SELECT max(degree) FROM deg))",
+        "b0 AS MATERIALIZED (SELECT node, 0 AS hops FROM hubs)",
+    ]
+    for r in range(BFS_ROUNDS):
+        ctes.append(
+            f"b{r + 1} AS MATERIALIZED (SELECT node, min(hops) AS hops FROM ("
+            f"SELECT node, hops FROM b{r} "
+            f"UNION ALL SELECT a.dst AS node, d.hops + 1 AS hops FROM b{r} d "
+            f"JOIN arcs a ON a.src = d.node) GROUP BY node)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT node, CAST(hops AS BIGINT) AS hops FROM b{BFS_ROUNDS}"
+    )
+
+
+def bfs_hops(labels, arcs, rounds: int = BFS_ROUNDS):
+    """Fixed-round frontier relaxation: each round extends every known
+    distance across every arc and keeps the per-node minimum. Fixed
+    rounds keep both engines on an identical schedule under the hash
+    gate (extra rounds past convergence are no-ops under min);
+    convergence itself is pinned in tests. Each round is one join +
+    one keyed min — the survivor table is ``localCheckpoint``ed because
+    the next round references it twice and the plan must stay flat
+    (the k-core lesson, ``kcore_edges`` above). Unreachable nodes never
+    enter the table, so the output is reachable-set-sized, not
+    graph-sized."""
+    for _ in range(rounds):
+        relax = labels.join(arcs, labels["node"] == arcs["src"]).select(
+            F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
+        )
+        labels = (
+            labels.unionAll(relax)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+@q("graph_bfs_hops", _bfs_sql())
+def graph_bfs_hops(spark, sf_dir):
+    """Hop distance from the max-degree hub set over the co-purchase
+    graph (multi-source unweighted BFS, ``BFS_ROUNDS`` fixed rounds).
+
+    Scale shape: seeds come from one degree aggregation + a left-semi
+    against the broadcast 1-row max; each BFS round shuffles only the
+    frontier-extended label table (reachable nodes, not edges); at
+    100 TB the round count is bounded by graph diameter, and each round
+    is the same keyed-min shuffle CC already runs."""
+    edges = _edges_cached(spark, sf_dir)
+    arcs, deg = _arcs_and_degrees(edges)
+    maxdeg = deg.agg(F.max("degree").alias("degree"))
+    hubs = deg.join(F.broadcast(maxdeg), "degree", "left_semi").select("node")
+    labels = hubs.select("node", F.lit(0).alias("hops"))
+    out = bfs_hops(labels, arcs)
+    return out.select("node", F.col("hops").cast("long").alias("hops"))

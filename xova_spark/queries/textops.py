@@ -2504,3 +2504,138 @@ def t_dup_span_coverage(spark, sf_dir):
             .alias("coverage_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Taboo-word (blocklist) filtering — the CCNet/Dolma-style lexical safety
+# pass: per-document blocklist hit counting, a rate threshold that flags
+# documents for removal, and first-hit context extraction for audit review.
+# The blocklist is a tiny constant array, so every operator below is a pure
+# per-row Catalyst expression (split + higher-order filter) — no join, no
+# shuffle until the final per-source rollup; at 100 TB the pass is
+# embarrassingly parallel over the document scan.
+# ---------------------------------------------------------------------------
+
+# Deliberately includes one word absent from every fixture tier ("crash")
+# so the zero-hit path stays exercised.
+BLOCKLIST = ("slow", "dup", "crash")
+BLOCKLIST_MAX_PERMILLE = 60
+
+_DUCK_BL = "['" + "', '".join(BLOCKLIST) + "']"
+
+
+@q(
+    "t_blocklist_rate",
+    f"""
+    WITH d AS (
+      SELECT source, string_split(text, ' ') AS ws FROM documents
+    ), h AS (
+      SELECT source,
+             len(list_filter(ws, w -> list_contains({_DUCK_BL}, w))) AS hits,
+             len(ws) AS n
+      FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_with_hits,
+           CAST(sum(CASE WHEN hits * 1000 >= {BLOCKLIST_MAX_PERMILLE} * n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(hits) AS BIGINT) AS total_hits,
+           CAST(sum(hits) * 1000 // sum(n) AS BIGINT) AS hit_permille
+    FROM h GROUP BY source
+    """,
+)
+def t_blocklist_rate(spark, sf_dir):
+    """Per-source taboo-word audit: documents whose blocklist-token rate
+    exceeds ``BLOCKLIST_MAX_PERMILLE`` are flagged for removal, and the
+    per-source hit volume localizes which ingest feeds carry the
+    problem (the curation action is per-source, not per-doc).
+
+    Scale shape: hits/n are per-row array expressions over the document
+    scan (whole-stage codegen — the constant blocklist never joins);
+    the only shuffle is the per-source rollup. Flag semantics follow the
+    CCNet/Dolma lexical filters: rate-based, not absolute count, so long
+    documents are not over-penalized."""
+    (docs,) = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    hits = F.size(F.filter(ws, lambda w: w.isin(*BLOCKLIST)))
+    n = F.size(ws)
+    h = docs.select(
+        "source", hits.alias("hits"), n.alias("n")
+    )
+    return h.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("hits") > 0).cast("long")).alias("n_docs_with_hits"),
+        F.sum(
+            (F.col("hits") * 1000 >= BLOCKLIST_MAX_PERMILLE * F.col("n"))
+            .cast("long")
+        ).alias("n_flagged"),
+        F.sum("hits").cast("long").alias("total_hits"),
+        F.expr("sum(hits) * 1000 div sum(n)").alias("hit_permille"),
+    )
+
+
+@q(
+    "t_blocklist_spans",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), pos AS (
+      SELECT doc_id, ws, len(ws) AS n,
+             least(
+               {', '.join(
+                   f"coalesce(nullif(list_position(ws, '{w}'), 0), 2147483647)"
+                   for w in BLOCKLIST
+               )}
+             ) AS p
+      FROM d
+    )
+    SELECT doc_id,
+           ws[p] AS first_hit_word,
+           CAST(p AS BIGINT) AS first_pos,
+           array_to_string(
+             list_slice(ws, greatest(1, p - 2), least(n, p + 2)), ' '
+           ) AS context
+    FROM pos
+    WHERE p != 2147483647
+    """,
+)
+def t_blocklist_spans(spark, sf_dir):
+    """First-hit audit spans: for every document containing a blocklist
+    word, the earliest hit position and its +/-2-word context window —
+    the reviewer-facing artifact a lexical filter emits alongside the
+    drop decision.
+
+    Scale shape: pure per-row expressions (indexed transform to find
+    the first matching position, slice + concat_ws for the window);
+    zero shuffles — the output is a row-filtered projection of the
+    scan."""
+    (docs,) = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    # Earliest blocklist position, 1-based: min over per-word first
+    # positions (array_position is 0 when absent -> replaced by "inf").
+    inf = F.lit(2147483647)
+    pos = F.least(
+        *[
+            F.coalesce(
+                F.nullif(F.array_position(ws, F.lit(w)), F.lit(0)), inf
+            )
+            for w in BLOCKLIST
+        ]
+    )
+    p = F.col("p")
+    start = F.greatest(F.lit(1), p - 2)
+    end = F.least(F.col("n"), p + 2)
+    return (
+        docs.select("doc_id", ws.alias("ws"), F.size(ws).alias("n"), pos.alias("p"))
+        .where(p != inf)
+        .select(
+            "doc_id",
+            F.element_at("ws", p.cast("int")).alias("first_hit_word"),
+            p.cast("long").alias("first_pos"),
+            F.concat_ws(
+                " ", F.slice("ws", start.cast("int"), (end - start + 1).cast("int"))
+            ).alias("context"),
+        )
+    )
