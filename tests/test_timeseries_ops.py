@@ -303,3 +303,36 @@ def test_forecast_backtest_consistency(spark):
         r = bt.loc[et]
         assert r.n_evals == len(e)
         assert r.total_abs_err_q65536 == want_err
+
+
+def test_autocorr_matches_numpy_pairwise_pearson(spark):
+    """ev_autocorr equals a numpy pairwise-complete Pearson replica on
+    the hourly count series, and every coefficient is in [-1, 1]."""
+    import numpy as np
+
+    got = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["acf"])
+        for r in R.ev_autocorr(spark, SF).collect()
+    }
+    assert got, "fixture yields at least one (type, lag) row"
+    ev = _ev()
+    anchor = pd.Timestamp("2024-01-01")
+    ev = ev.assign(
+        h=(ev["ts"].dt.normalize() - anchor).dt.days * 24 + ev["ts"].dt.hour
+    )
+    series = ev.groupby(["event_type", "h"]).size()
+    for (etype, lag), (n_pairs, acf) in got.items():
+        s = series[etype]
+        idx = s.index.to_numpy()
+        have = set(idx)
+        xs = np.array([s[h] for h in idx if h + lag in have], dtype=float)
+        ys = np.array([s[h + lag] for h in idx if h + lag in have], dtype=float)
+        assert n_pairs == len(xs)
+        k = len(xs)
+        num = k * (xs * ys).sum() - xs.sum() * ys.sum()
+        den = (k * (xs * xs).sum() - xs.sum() ** 2) * (
+            k * (ys * ys).sum() - ys.sum() ** 2
+        )
+        assert den > 0  # filtered rows never reach the output
+        assert abs(acf - round(num / np.sqrt(den), 6)) < 1e-9, (etype, lag)
+        assert -1.0 <= acf <= 1.0

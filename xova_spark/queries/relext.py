@@ -2819,3 +2819,110 @@ def agg_weighted_median(spark, sf_dir):
         .agg(F.min("price").alias("weighted_median"))
         .select("l_returnflag", "total_w", "weighted_median")
     )
+
+
+AUTOCORR_MAX_LAG = 5
+
+
+@q(
+    "ev_autocorr",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) * 24
+               + CAST(extract(hour FROM ts) AS INTEGER) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT x.event_type, t.lag, x.n AS xv, y.n AS yv
+      FROM b x
+      JOIN generate_series(1, {AUTOCORR_MAX_LAG}) AS t(lag) ON true
+      JOIN b y ON y.event_type = x.event_type AND y.h = x.h + t.lag
+    ), s AS (
+      SELECT event_type, CAST(lag AS BIGINT) AS lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+             CAST(sum(xv * yv) AS BIGINT) AS sxy,
+             CAST(sum(xv * xv) AS BIGINT) AS sxx,
+             CAST(sum(yv * yv) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, lag, n_pairs,
+           round((n_pairs * sxy - sx * sy)
+                 / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+               AS acf
+    FROM s
+    WHERE (n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy) > 0
+    """,
+)
+def ev_autocorr(spark, sf_dir):
+    """Autocorrelation function of the hourly event-count series, lags
+    1..AUTOCORR_MAX_LAG per event type — the diagnostic that justifies
+    (or refutes) the AR-flavored baselines the forecast/anomaly entries
+    assume. Gap semantics: a (t, t+lag) pair exists only when BOTH hours
+    have events (pairwise-complete Pearson, the standard irregular-series
+    treatment) — no gap-filling pass is required first.
+
+    Hash-exactness: all six sufficient statistics are exact integer
+    sums; the single float expression (Pearson from co-moments) is
+    evaluated on identical integers in both engines, then round(6).
+
+    Plan: one bucket shuffle builds the (type, hour) series (tiny —
+    series-grain, not event-grain), a 5-row lag explode and one
+    self-equi-join on (type, h+lag), then a series-grain rollup. At
+    100 TB the event-grain work is exactly one groupBy; everything
+    after runs on the compacted series."""
+    (ev,) = _t(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type",
+            (
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+                )
+                * 24
+                + F.hour("ts")
+            ).alias("h"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    lagged = b.select(
+        "event_type",
+        "h",
+        F.col("n").alias("xv"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, AUTOCORR_MAX_LAG + 1)])
+        ).alias("lag"),
+    ).withColumn("h2", F.col("h") + F.col("lag"))
+    y = b.select(
+        F.col("event_type").alias("event_type_y"),
+        F.col("h").alias("h2"),
+        F.col("n").alias("yv"),
+    )
+    pairs = lagged.join(
+        y,
+        (F.col("event_type") == F.col("event_type_y"))
+        & (lagged["h2"] == y["h2"]),
+    )
+    s = pairs.groupBy("event_type", F.col("lag").cast("long").alias("lag")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("xv").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).cast("long").alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
+    )
+    np_, sx, sy = F.col("n_pairs"), F.col("sx"), F.col("sy")
+    d1 = np_ * F.col("sxx") - sx * sx
+    d2 = np_ * F.col("syy") - sy * sy
+    return s.where(d1 * d2 > 0).select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.round(
+            (np_ * F.col("sxy") - sx * sy)
+            / F.sqrt(d1.cast("double") * d2.cast("double")),
+            6,
+        ).alias("acf"),
+    )
