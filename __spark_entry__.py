@@ -127,6 +127,7 @@ def _registries() -> dict[str, tuple]:
         "dataqual",
         "cdcq",
         "layoutq",
+        "erq",
     ):
         try:
             mod = __import__(f"xova_spark.queries.{modname}", fromlist=["REGISTRY"])

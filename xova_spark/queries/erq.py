@@ -1,0 +1,162 @@
+"""Entity resolution (record linkage) over the customer dimension —
+blocking-key candidate generation, string-similarity scoring
+(Levenshtein), and transitive merge-group assignment.
+
+The classic ER pipeline shape: an all-pairs name comparison is
+O(n^2) and impossible at scale, so candidates come from an equi-join
+on a BLOCKING KEY whose bucket size is bounded by construction (here:
+the name minus its last two digits — at most 100 names per bucket, so
+per-bucket pair fanout is a constant <= C(100,2) regardless of table
+size). Scoring is Spark's built-in ``levenshtein`` (JVM codegen, same
+semantics as DuckDB's) — the one string-similarity join family the
+rest of the registry lacks. Merge groups reuse the shared
+connected-components engine (``dedup.cc_components``: driver union-find
+under the size gate, iterative min-label propagation above it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xova_spark.queries.dedup import cc_components
+from xova_spark.session import load_tables
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# Last two name digits vary within a block: bucket size <= 100 always.
+BLOCK_PREFIX_LEN = 16
+MAX_NAME_DIST = 1
+
+_DUCK_PAIRS = f"""
+    c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             substr(c_name, 1, {BLOCK_PREFIX_LEN}) AS bkey
+      FROM customer
+    ), cand AS (
+      SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+             levenshtein(a.c_name, b.c_name) AS name_dist,
+             CAST(a.c_nationkey = b.c_nationkey AS INTEGER) AS same_nation,
+             abs(a.bal_cents - b.bal_cents) AS bal_diff_cents
+      FROM c a JOIN c b
+        ON a.bkey = b.bkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= {MAX_NAME_DIST}
+    )
+"""
+
+
+@q(
+    "er_blocked_candidates",
+    f"""
+    WITH {_DUCK_PAIRS}
+    SELECT cust_a, cust_b, CAST(name_dist AS BIGINT) AS name_dist,
+           CAST(same_nation AS BIGINT) AS same_nation,
+           CAST(bal_diff_cents AS BIGINT) AS bal_diff_cents
+    FROM cand
+    """,
+)
+def er_blocked_candidates(spark, sf_dir):
+    """Candidate duplicate-customer pairs: same blocking key (name
+    prefix) and market segment, Levenshtein name distance <=
+    ``MAX_NAME_DIST``, scored with nation agreement and the exact
+    account-balance delta in cents (integer — no float in the output).
+
+    Scale shape: ONE equi-join on (bkey, mktsegment) — the shuffle is
+    keyed, never all-pairs; within-bucket fanout is capped at C(100,2)
+    by the key design, so candidate volume grows linearly with
+    customers. The Levenshtein filter runs inside the join's codegen
+    stage."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"].select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        F.substring("c_name", 1, BLOCK_PREFIX_LEN).alias("bkey"),
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(dist <= MAX_NAME_DIST)
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            dist.cast("long").alias("name_dist"),
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            .cast("long")
+            .alias("same_nation"),
+            F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")).alias(
+                "bal_diff_cents"
+            ),
+        )
+    )
+
+
+@q(
+    "er_entity_clusters",
+    f"""
+    WITH RECURSIVE {_DUCK_PAIRS},
+    edges AS (
+      SELECT cust_a AS src, cust_b AS dst FROM cand
+      UNION
+      SELECT cust_b AS src, cust_a AS dst FROM cand
+    ), reach AS (
+      SELECT DISTINCT src AS c_custkey, src AS comp FROM edges
+      UNION
+      SELECT e.dst AS c_custkey, r.comp
+      FROM reach r JOIN edges e ON e.src = r.c_custkey
+    ), asg AS (
+      SELECT c_custkey, min(comp) AS entity_id
+      FROM reach GROUP BY c_custkey
+    )
+    SELECT a.c_custkey, a.entity_id,
+           CAST(count(*) OVER (PARTITION BY a.entity_id) AS BIGINT)
+               AS entity_size
+    FROM asg a
+    """,
+)
+def er_entity_clusters(spark, sf_dir):
+    """Transitive merge groups over the candidate pairs: every matched
+    customer mapped to its entity (min custkey of the connected
+    component) plus the component size — the survivorship input (keep
+    one golden record per entity).
+
+    Scale shape: candidate generation as in er_blocked_candidates;
+    components via the shared size-gated CC engine (driver union-find
+    here, min-label propagation at scale); the size column is a window
+    count PARTITIONED on entity_id — one keyed shuffle, no broadcast of
+    the unbounded entity table."""
+    from pyspark.sql import Window
+
+    pairs = er_blocked_candidates(spark, sf_dir).select(
+        F.col("cust_a").alias("doc_a"), F.col("cust_b").alias("doc_b")
+    )
+    asg = cc_components(spark, pairs, id_col="c_custkey").withColumnRenamed(
+        "component", "entity_id"
+    )
+    return asg.select(
+        "c_custkey",
+        "entity_id",
+        F.count("*")
+        .over(Window.partitionBy("entity_id"))
+        .cast("long")
+        .alias("entity_size"),
+    )
