@@ -114,3 +114,33 @@ def test_bfs_hops_matches_python_bfs_and_converges(spark):
     extra = bfs_hops(labels, arcs, rounds=BFS_ROUNDS + 1)
     got2 = {r["node"]: r["hops"] for r in extra.collect()}
     assert got2 == dist
+
+
+def test_sssp_cost_matches_python_bellman_ford(spark):
+    """graph_sssp_cost equals an R-round Bellman-Ford replica (min cost
+    over paths of <= BFS_ROUNDS hops from the hub set), and weighted
+    dist dominates hops (cost >= 1 per edge => dist >= hops)."""
+    from xova_spark.queries.graphq import graph_sssp_cost
+
+    edges = _edges_cached(spark, SF)
+    arcs: list[tuple[int, int, int]] = []
+    adj: dict[int, set[int]] = {}
+    for r in edges.collect():
+        c = 1000 // r["support"]
+        arcs.append((r["pa"], r["pb"], c))
+        arcs.append((r["pb"], r["pa"], c))
+        adj.setdefault(r["pa"], set()).add(r["pb"])
+        adj.setdefault(r["pb"], set()).add(r["pa"])
+    maxdeg = max(len(v) for v in adj.values())
+    dist = {n: 0 for n, v in adj.items() if len(v) == maxdeg}
+    for _ in range(BFS_ROUNDS):
+        nxt = dict(dist)
+        for u, v, c in arcs:
+            if u in dist and dist[u] + c < nxt.get(v, 1 << 60):
+                nxt[v] = dist[u] + c
+        dist = nxt
+    got = {r["node"]: r["dist"] for r in graph_sssp_cost(spark, SF).collect()}
+    assert got == dist
+    hops = {r["node"]: r["hops"] for r in graph_bfs_hops(spark, SF).collect()}
+    assert set(got) == set(hops)
+    assert all(got[n] >= hops[n] for n in got)

@@ -336,3 +336,20 @@ def test_autocorr_matches_numpy_pairwise_pearson(spark):
         assert den > 0  # filtered rows never reach the output
         assert abs(acf - round(num / np.sqrt(den), 6)) < 1e-9, (etype, lag)
         assert -1.0 <= acf <= 1.0
+
+
+def test_hll_mergeable_rollup_laws(spark):
+    """Register-union losslessness and the 5% accuracy gate hold on the
+    small fixture too, and the exact columns re-derive from pandas."""
+    row = R.ev_hll_mergeable_rollup(spark, SF).collect()[0]
+    assert row["merge_equals_direct"] is True
+    assert row["merged_within_5pct"] is True
+    ev = _ev()
+    anchor = pd.Timestamp("2024-01-01")
+    day = (ev["ts"].dt.normalize() - anchor).dt.days
+    b = pd.DataFrame({"day": day, "user_id": ev["user_id"]}).drop_duplicates()
+    assert row["n_days"] == b["day"].nunique()
+    assert row["exact_total_distinct"] == b["user_id"].nunique()
+    assert row["sum_daily_distinct"] == len(b)
+    # the cautionary column: naive per-day-distinct sums genuinely inflate
+    assert row["sum_daily_distinct"] > row["exact_total_distinct"]

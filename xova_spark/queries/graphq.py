@@ -880,3 +880,67 @@ def graph_bfs_hops(spark, sf_dir):
     labels = hubs.select("node", F.lit(0).alias("hops"))
     out = bfs_hops(labels, arcs)
     return out.select("node", F.col("hops").cast("long").alias("hops"))
+
+
+def _sssp_sql() -> str:
+    ctes = [
+        _DUCK_EDGES.strip(),
+        "arcsw AS (SELECT pa AS src, pb AS dst, 1000 // support AS cost "
+        "FROM edges UNION ALL "
+        "SELECT pb AS src, pa AS dst, 1000 // support AS cost FROM edges)",
+        "hubs AS (SELECT node FROM deg "
+        "WHERE degree = (SELECT max(degree) FROM deg))",
+        "s0 AS MATERIALIZED (SELECT node, 0 AS dist FROM hubs)",
+    ]
+    for r in range(BFS_ROUNDS):
+        ctes.append(
+            f"s{r + 1} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM s{r} "
+            f"UNION ALL SELECT a.dst AS node, d.dist + a.cost AS dist "
+            f"FROM s{r} d JOIN arcsw a ON a.src = d.node) GROUP BY node)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT node, CAST(dist AS BIGINT) AS dist FROM s{BFS_ROUNDS}"
+    )
+
+
+@q("graph_sssp_cost", _sssp_sql())
+def graph_sssp_cost(spark, sf_dir):
+    """Weighted shortest-path cost from the hub set — the min-plus
+    (Bellman-Ford) sibling of graph_bfs_hops. Edge cost is inverse
+    affinity (1000 div support: strongly co-purchased parts are
+    "closer"), so dist ranks every reachable part by how tightly it
+    couples to the graph core. Fixed rounds = cheapest path using at
+    most BFS_ROUNDS hops — deterministic on both engines; negative
+    weights are impossible by construction so min-relaxation is exact.
+
+    Scale shape: identical to BFS (per-round frontier join + keyed min,
+    localCheckpoint keeps plans flat); the weight column rides the arc
+    list, adding nothing to the shuffle count."""
+    edges = _edges_cached(spark, sf_dir)
+    cost = F.expr("1000 div support")
+    arcsw = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), cost.alias("cost")
+    ).unionAll(
+        edges.select(
+            F.col("pb").alias("src"), F.col("pa").alias("dst"), cost.alias("cost")
+        )
+    )
+    _, deg = _arcs_and_degrees(edges)
+    maxdeg = deg.agg(F.max("degree").alias("degree"))
+    hubs = deg.join(F.broadcast(maxdeg), "degree", "left_semi").select("node")
+    labels = hubs.select("node", F.lit(0).cast("long").alias("dist"))
+    for _ in range(BFS_ROUNDS):
+        relax = labels.join(arcsw, labels["node"] == arcsw["src"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("cost")).alias("dist"),
+        )
+        labels = (
+            labels.unionAll(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("dist").cast("long").alias("dist"))

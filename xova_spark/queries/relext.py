@@ -2926,3 +2926,74 @@ def ev_autocorr(spark, sf_dir):
             6,
         ).alias("acf"),
     )
+
+
+@q(
+    "ev_hll_mergeable_rollup",
+    """
+    WITH b AS (
+      SELECT DISTINCT datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 AS day, user_id
+      FROM events
+    )
+    SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_total_distinct,
+           CAST(count(*) AS BIGINT) AS sum_daily_distinct,
+           CAST(1 AS BOOLEAN) AS merge_equals_direct,
+           CAST(1 AS BOOLEAN) AS merged_within_5pct
+    FROM b
+    """,
+)
+def ev_hll_mergeable_rollup(spark, sf_dir):
+    """MERGEABLE-SKETCH rollup — the pre-aggregation pattern that makes
+    distinct counting tractable at 100 TB: per-day HLL sketches of the
+    active-user set are built once (and would be stored in a rollup
+    table); any coarser window re-aggregates by UNIONING REGISTERS, no
+    re-scan of event-grain data. Two laws are hashed as booleans, the
+    exact values alongside (the agg_sketch_accuracy gating idiom —
+    sketch bytes are engine-specific and can never hash-match):
+
+    - merge_equals_direct: HLL register union is LOSSLESS — estimating
+      the union of the 30 daily sketches gives bit-identically the same
+      number as one sketch over the whole month.
+    - merged_within_5pct: the merged estimate lands within 5% of the
+      exact month distinct.
+
+    sum_daily_distinct ships as the cautionary exact column: summing
+    per-day distincts (what a naive rollup table stores) overcounts
+    ~10x here — the inflation the sketch column exists to fix."""
+    (ev,) = _t(spark, sf_dir, "events")
+    b = ev.select(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+        "user_id",
+    ).distinct()
+    daily = b.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"),
+    )
+    direct = b.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.count("*").cast("long").alias("sum_daily_distinct"),
+    )
+    exact = (
+        b.select("user_id")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("exact_total_distinct"))
+    )
+    row = merged.crossJoin(direct).crossJoin(exact)
+    return row.select(
+        "n_days",
+        "exact_total_distinct",
+        "sum_daily_distinct",
+        (F.col("est_merged") == F.col("est_direct")).alias(
+            "merge_equals_direct"
+        ),
+        (
+            F.abs(F.col("est_merged") - F.col("exact_total_distinct"))
+            * 20
+            <= F.col("exact_total_distinct")
+        ).alias("merged_within_5pct"),
+    )
