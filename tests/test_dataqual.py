@@ -147,3 +147,27 @@ def test_corr_matrix_matches_numpy(spark):
     assert set(zip(got["col_a"], got["col_b"])) == {
         (a, b) for i, a in enumerate(names) for b in names[i + 1:]
     }
+
+
+def test_benford_digits_and_chi2_replica(spark):
+    """dq_benford equals a pandas replica: first digit of exact cents,
+    chi-square contributions from the shared literal constants."""
+    import pandas as pd
+
+    from xova_spark.queries.dataqual import _BENFORD, dq_benford
+
+    got = {r["digit"]: r for r in dq_benford(spark, SF).collect()}
+    assert set(got) == set(range(1, 10))
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (o["o_totalprice"] * 100).round().astype("int64")
+    digits = cents.astype(str).str[0].astype(int)
+    n = len(digits)
+    counts = digits.value_counts().to_dict()
+    assert sum(r["n_obs"] for r in got.values()) == n
+    for d, r in got.items():
+        nd = counts.get(d, 0)
+        frac = float(_BENFORD[d])
+        assert r["n_obs"] == nd
+        assert r["obs_permille"] == nd * 1000 // n
+        assert r["benford_permille"] == round(frac * 1000)
+        assert abs(r["chi2_contrib"] - round((nd - frac * n) ** 2 / (frac * n), 6)) < 1e-9

@@ -93,3 +93,31 @@ def test_entity_clusters_match_union_find(spark):
     for r in got:
         assert r["entity_size"] == sizes[r["entity_id"]]
         assert r["entity_id"] <= r["c_custkey"]
+
+
+def test_survivorship_golden_record_rule(spark):
+    """Survivor = highest balance, tie -> lowest key; rollups exact."""
+    from xova_spark.queries.erq import er_survivorship
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    bal = dict(
+        zip(cust["c_custkey"], (cust["c_acctbal"] * 100).round().astype(int))
+    )
+    asg = {
+        r["c_custkey"]: r["entity_id"]
+        for r in __import__(
+            "xova_spark.queries.erq", fromlist=["er_entity_clusters"]
+        ).er_entity_clusters(spark, SF).collect()
+    }
+    groups: dict[int, list[int]] = {}
+    for k, e in asg.items():
+        groups.setdefault(e, []).append(k)
+    got = {r["entity_id"]: r for r in er_survivorship(spark, SF).collect()}
+    assert set(got) == set(groups)
+    for e, members in groups.items():
+        r = got[e]
+        mx = max(bal[m] for m in members)
+        assert r["max_bal_cents"] == mx
+        assert r["survivor_key"] == min(m for m in members if bal[m] == mx)
+        assert r["n_members"] == len(members)
+        assert r["total_bal_cents"] == sum(bal[m] for m in members)

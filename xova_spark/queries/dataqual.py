@@ -657,3 +657,97 @@ def dq_shape_moments(spark, sf_dir):
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
     )
+
+
+# Benford expected first-digit fractions, inlined as IDENTICAL literal
+# doubles on both engines (computing log10 in each engine risks ULP
+# divergence; a shared literal cannot drift).
+_BENFORD = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+
+@q(
+    "dq_benford",
+    f"""
+    WITH v AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders
+    ), obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM v GROUP BY digit
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    exp AS (
+      {' UNION ALL '.join(
+          f"SELECT {d} AS digit, CAST({frac} AS DOUBLE) AS frac"
+          for d, frac in _BENFORD.items()
+      )}
+    )
+    SELECT e.digit, coalesce(o.n_obs, 0) AS n_obs,
+           CAST(coalesce(o.n_obs, 0) * 1000 // t.n AS BIGINT)
+               AS obs_permille,
+           CAST(round(e.frac * 1000) AS BIGINT) AS benford_permille,
+           round(power(coalesce(o.n_obs, 0) - e.frac * t.n, 2)
+                 / (e.frac * t.n), 6) AS chi2_contrib
+    FROM exp e
+    LEFT JOIN obs o ON o.digit = e.digit
+    CROSS JOIN tot t
+    """,
+)
+def dq_benford(spark, sf_dir):
+    """Benford first-significant-digit screening of order totals — the
+    classic fabricated-data / broken-generator tripwire: natural
+    multi-magnitude amounts follow log10(1+1/d); a synthetic or
+    truncated column shows up as a large chi-square. One row per digit
+    1-9 with observed count, observed vs Benford permille, and the
+    chi-square contribution.
+
+    Exactness: the digit comes from the DECIMAL-CENTS string (never the
+    float's repr — both engines stringify the same bigint); counts are
+    exact; the two float expressions evaluate identical literal
+    constants against identical integers, then round(6).
+
+    Plan: one map-side digit projection + a 9-group aggregate; the
+    9-row expected table and 1-row total broadcast back. Event-grain
+    work is a single scan at any scale."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    v = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = v.groupBy("digit").agg(F.count("*").cast("long").alias("n_obs"))
+    tot = v.agg(F.count("*").cast("long").alias("n"))
+    spark_exp = spark.createDataFrame(
+        [(d, float(frac)) for d, frac in _BENFORD.items()],
+        "digit int, frac double",
+    )
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0)).cast("long")
+    expn = F.col("frac") * F.col("n")
+    return (
+        spark_exp.join(F.broadcast(obs), "digit", "left_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            n_obs.alias("n_obs"),
+            F.expr("coalesce(n_obs, 0) * 1000 div n").alias("obs_permille"),
+            F.round(F.col("frac") * 1000).cast("long").alias(
+                "benford_permille"
+            ),
+            F.round(F.pow(n_obs - expn, F.lit(2)) / expn, 6).alias(
+                "chi2_contrib"
+            ),
+        )
+    )

@@ -160,3 +160,79 @@ def er_entity_clusters(spark, sf_dir):
         .cast("long")
         .alias("entity_size"),
     )
+
+
+@q(
+    "er_survivorship",
+    f"""
+    WITH RECURSIVE {_DUCK_PAIRS},
+    edges AS (
+      SELECT cust_a AS src, cust_b AS dst FROM cand
+      UNION
+      SELECT cust_b AS src, cust_a AS dst FROM cand
+    ), reach AS (
+      SELECT DISTINCT src AS c_custkey, src AS comp FROM edges
+      UNION
+      SELECT e.dst AS c_custkey, r.comp
+      FROM reach r JOIN edges e ON e.src = r.c_custkey
+    ), asg AS (
+      SELECT c_custkey, min(comp) AS entity_id
+      FROM reach GROUP BY c_custkey
+    ), members AS (
+      SELECT a.entity_id, c.c_custkey, c.bal_cents
+      FROM asg a JOIN c ON c.c_custkey = a.c_custkey
+    ), best AS (
+      SELECT entity_id, max(bal_cents) AS max_bal_cents,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+      FROM members GROUP BY entity_id
+    )
+    SELECT b.entity_id, min(m.c_custkey) AS survivor_key,
+           b.n_members, b.max_bal_cents, b.total_bal_cents
+    FROM best b
+    JOIN members m
+      ON m.entity_id = b.entity_id AND m.bal_cents = b.max_bal_cents
+    GROUP BY b.entity_id, b.n_members, b.max_bal_cents, b.total_bal_cents
+    """,
+)
+def er_survivorship(spark, sf_dir):
+    """Golden-record selection per merged entity: the survivor is the
+    member with the highest account balance (ties broken by lowest
+    custkey — a fully deterministic rule expressed as max-then-min so
+    both engines agree without relying on engine-specific arg_max tie
+    semantics), alongside member count and the exact balance rollup in
+    cents.
+
+    Scale shape: everything after candidate generation is entity-grain;
+    the survivor pick is one keyed max + one keyed min — no windows, no
+    sorts over the full dimension."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"].select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    asg = er_entity_clusters(spark, sf_dir).select("c_custkey", "entity_id")
+    members = asg.join(c, "c_custkey")
+    best = members.groupBy("entity_id").agg(
+        F.max("bal_cents").alias("max_bal_cents"),
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+    )
+    return (
+        best.join(
+            members.select(
+                "entity_id", "c_custkey", F.col("bal_cents").alias("mb")
+            ),
+            (F.col("mb") == F.col("max_bal_cents"))
+            & (members["entity_id"] == best["entity_id"]),
+        )
+        .drop(members["entity_id"])
+        .groupBy("entity_id", "n_members", "max_bal_cents", "total_bal_cents")
+        .agg(F.min("c_custkey").alias("survivor_key"))
+        .select(
+            "entity_id",
+            "survivor_key",
+            "n_members",
+            "max_bal_cents",
+            "total_bal_cents",
+        )
+    )
