@@ -144,3 +144,18 @@ def test_sssp_cost_matches_python_bellman_ford(spark):
     hops = {r["node"]: r["hops"] for r in graph_bfs_hops(spark, SF).collect()}
     assert set(got) == set(hops)
     assert all(got[n] >= hops[n] for n in got)
+
+
+def test_relax_gated_and_distributed_paths_agree(spark, monkeypatch):
+    """Both _hub_relax execution paths (driver fixed-round relaxation
+    vs distributed frontier join + keyed min) produce bit-identical
+    tables for BFS and SSSP."""
+    from xova_spark.queries import graphq as G
+
+    gated_bfs = {r["node"]: r["hops"] for r in G.graph_bfs_hops(spark, SF).collect()}
+    gated_sssp = {r["node"]: r["dist"] for r in G.graph_sssp_cost(spark, SF).collect()}
+    monkeypatch.setattr(G, "_BFS_COLLECT_EDGES", 0)
+    dist_bfs = {r["node"]: r["hops"] for r in G.graph_bfs_hops(spark, SF).collect()}
+    dist_sssp = {r["node"]: r["dist"] for r in G.graph_sssp_cost(spark, SF).collect()}
+    assert gated_bfs == dist_bfs
+    assert gated_sssp == dist_sssp

@@ -863,23 +863,93 @@ def bfs_hops(labels, arcs, rounds: int = BFS_ROUNDS):
     return labels
 
 
+# Driver gate for the relaxation family (BFS / SSSP), same budget as the
+# k-core and CC gates: a 5M-edge arc list of three longs is ~120 MB.
+_BFS_COLLECT_EDGES = 5_000_000
+
+
+def _relax_local(
+    arcs: list[tuple[int, int, int]], seeds, rounds: int
+) -> dict[int, int]:
+    """Fixed-round Jacobi min-plus relaxation on the driver — reads the
+    PREVIOUS round's table and writes the next (never in-place), so the
+    result is exactly "min cost over paths of <= rounds hops", the same
+    quantity the distributed loop and the DuckDB CTE chain compute."""
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, v, c in arcs:
+            if u in dist:
+                nd = dist[u] + c
+                if nd < nxt.get(v, nd + 1):
+                    nxt[v] = nd
+        dist = nxt
+    return dist
+
+
+def _hub_relax(spark, sf_dir, weighted: bool):
+    """Shared gated execution for graph_bfs_hops / graph_sssp_cost:
+    under ``_BFS_COLLECT_EDGES`` the whole fixed-round relaxation runs
+    on the driver in one pass over the collected supported edge list
+    (the k-core lesson: per-round Spark jobs dominate at gate scale —
+    measured 14.3 s -> <1 s warm at sf0.1); above it the distributed
+    per-round frontier join + keyed min runs (see bfs_hops)."""
+    edges = _edges_cached(spark, sf_dir)
+    n_edges = edges.count()
+    cost = F.expr("1000 div support") if weighted else F.lit(1)
+    if n_edges <= _BFS_COLLECT_EDGES:
+        arcs = []
+        deg: dict[int, int] = {}
+        for r in edges.select("pa", "pb", "support").collect():
+            c = 1000 // r.support if weighted else 1
+            arcs.append((r.pa, r.pb, c))
+            arcs.append((r.pb, r.pa, c))
+            deg[r.pa] = deg.get(r.pa, 0) + 1
+            deg[r.pb] = deg.get(r.pb, 0) + 1
+        maxdeg = max(deg.values(), default=0)
+        seeds = [node for node, d in deg.items() if d == maxdeg]
+        dist = _relax_local(arcs, seeds, BFS_ROUNDS)
+        return spark.createDataFrame(sorted(dist.items()), "node long, d long")
+    arcsw = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), cost.alias("cost")
+    ).unionAll(
+        edges.select(
+            F.col("pb").alias("src"), F.col("pa").alias("dst"), cost.alias("cost")
+        )
+    )
+    _, deg_df = _arcs_and_degrees(edges)
+    maxdeg_df = deg_df.agg(F.max("degree").alias("degree"))
+    hubs = deg_df.join(F.broadcast(maxdeg_df), "degree", "left_semi").select(
+        "node"
+    )
+    labels = hubs.select("node", F.lit(0).cast("long").alias("d"))
+    for _ in range(BFS_ROUNDS):
+        relax = labels.join(arcsw, labels["node"] == arcsw["src"]).select(
+            F.col("dst").alias("node"), (F.col("d") + F.col("cost")).alias("d")
+        )
+        labels = (
+            labels.unionAll(relax)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 @q("graph_bfs_hops", _bfs_sql())
 def graph_bfs_hops(spark, sf_dir):
     """Hop distance from the max-degree hub set over the co-purchase
     graph (multi-source unweighted BFS, ``BFS_ROUNDS`` fixed rounds).
 
-    Scale shape: seeds come from one degree aggregation + a left-semi
-    against the broadcast 1-row max; each BFS round shuffles only the
-    frontier-extended label table (reachable nodes, not edges); at
-    100 TB the round count is bounded by graph diameter, and each round
-    is the same keyed-min shuffle CC already runs."""
-    edges = _edges_cached(spark, sf_dir)
-    arcs, deg = _arcs_and_degrees(edges)
-    maxdeg = deg.agg(F.max("degree").alias("degree"))
-    hubs = deg.join(F.broadcast(maxdeg), "degree", "left_semi").select("node")
-    labels = hubs.select("node", F.lit(0).alias("hops"))
-    out = bfs_hops(labels, arcs)
-    return out.select("node", F.col("hops").cast("long").alias("hops"))
+    Scale shape (distributed path; size-gated onto the driver below
+    ``_BFS_COLLECT_EDGES`` — see _hub_relax): seeds come from one degree
+    aggregation + a left-semi against the broadcast 1-row max; each BFS
+    round shuffles only the frontier-extended label table (reachable
+    nodes, not edges); at 100 TB the round count is bounded by graph
+    diameter, and each round is the same keyed-min shuffle CC already
+    runs."""
+    out = _hub_relax(spark, sf_dir, weighted=False)
+    return out.select("node", F.col("d").cast("long").alias("hops"))
 
 
 def _sssp_sql() -> str:
@@ -917,30 +987,8 @@ def graph_sssp_cost(spark, sf_dir):
     weights are impossible by construction so min-relaxation is exact.
 
     Scale shape: identical to BFS (per-round frontier join + keyed min,
-    localCheckpoint keeps plans flat); the weight column rides the arc
-    list, adding nothing to the shuffle count."""
-    edges = _edges_cached(spark, sf_dir)
-    cost = F.expr("1000 div support")
-    arcsw = edges.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst"), cost.alias("cost")
-    ).unionAll(
-        edges.select(
-            F.col("pb").alias("src"), F.col("pa").alias("dst"), cost.alias("cost")
-        )
-    )
-    _, deg = _arcs_and_degrees(edges)
-    maxdeg = deg.agg(F.max("degree").alias("degree"))
-    hubs = deg.join(F.broadcast(maxdeg), "degree", "left_semi").select("node")
-    labels = hubs.select("node", F.lit(0).cast("long").alias("dist"))
-    for _ in range(BFS_ROUNDS):
-        relax = labels.join(arcsw, labels["node"] == arcsw["src"]).select(
-            F.col("dst").alias("node"),
-            (F.col("dist") + F.col("cost")).alias("dist"),
-        )
-        labels = (
-            labels.unionAll(relax)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
-    return labels.select("node", F.col("dist").cast("long").alias("dist"))
+    localCheckpoint keeps plans flat; size-gated onto the driver below
+    ``_BFS_COLLECT_EDGES`` — see _hub_relax); the weight column rides
+    the arc list, adding nothing to the shuffle count."""
+    out = _hub_relax(spark, sf_dir, weighted=True)
+    return out.select("node", F.col("d").cast("long").alias("dist"))
