@@ -121,3 +121,32 @@ def test_survivorship_golden_record_rule(spark):
         assert r["survivor_key"] == min(m for m in members if bal[m] == mx)
         assert r["n_members"] == len(members)
         assert r["total_bal_cents"] == sum(bal[m] for m in members)
+
+
+def test_blocking_recall_pigeonhole_completeness(spark):
+    """The pigeonhole truth set equals the brute-force distance<=1
+    same-segment pair set (fixed-length names: one edit is one
+    substitution, so agreeing on one suffix half is guaranteed), and
+    the blocked candidates are a subset of it."""
+    from xova_spark.queries.erq import er_blocking_recall
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    rows = cust.to_dict("records")
+    brute = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            if a["c_mktsegment"] == b["c_mktsegment"] and _lev(
+                a["c_name"], b["c_name"]
+            ) <= MAX_NAME_DIST:
+                brute.add(
+                    tuple(sorted((a["c_custkey"], b["c_custkey"])))
+                )
+    r = er_blocking_recall(spark, SF).collect()[0]
+    assert r["n_true_pairs"] == len(brute)
+    blocked = {
+        (p["cust_a"], p["cust_b"])
+        for p in er_blocked_candidates(spark, SF).collect()
+    }
+    assert blocked <= brute
+    assert r["n_blocked_pairs"] == len(blocked)
+    assert r["recall_permille"] == len(blocked) * 1000 // max(len(brute), 1)
