@@ -62,6 +62,10 @@ HEADLINE = (
     # late round-5: embedding-wide percentile scan + dyadic-anchor fit
     "emb_dim_clip_stats",
     "t_heaps_law_fit",
+    # round-5 closing: ER blocking join, gated relaxation, sketch rollup
+    "er_blocked_candidates",
+    "graph_bfs_hops",
+    "ev_hll_mergeable_rollup",
 )
 
 

@@ -353,3 +353,44 @@ def test_hll_mergeable_rollup_laws(spark):
     assert row["sum_daily_distinct"] == len(b)
     # the cautionary column: naive per-day-distinct sums genuinely inflate
     assert row["sum_daily_distinct"] > row["exact_total_distinct"]
+
+
+def test_series_similarity_matches_numpy_replica(spark):
+    """ev_series_similarity equals a pandas/numpy replica: the SAX word
+    per user, block-complete candidate set, and exact sparse squared
+    distance (absent days are zeros)."""
+    import numpy as np
+
+    ev = _ev()
+    anchor = pd.Timestamp("2024-01-01")
+    day = (ev["ts"].dt.normalize() - anchor).dt.days
+    daily = (
+        pd.DataFrame({"u": ev["user_id"], "d": day})
+        .groupby(["u", "d"])
+        .size()
+    )
+    users = sorted(daily.index.get_level_values(0).unique())
+    vec = {}
+    words = {}
+    for u in users:
+        s = daily[u]
+        v = np.zeros(64, dtype=np.int64)
+        for d, c in s.items():
+            v[d] = c
+        vec[u] = v
+        segs = [v[i * 8 : (i + 1) * 8].sum() for i in range(4)]
+        total = v.sum()
+        words[u] = "".join("1" if 4 * sg > total else "0" for sg in segs)
+    expect = {}
+    for i, ua in enumerate(users):
+        for ub in users[i + 1 :]:
+            if words[ua] == words[ub]:
+                dv = vec[ua] - vec[ub]
+                shared = int(((vec[ua] > 0) & (vec[ub] > 0)).sum())
+                expect[(ua, ub)] = (words[ua], shared, int((dv * dv).sum()))
+    got = {
+        (r["user_a"], r["user_b"]): (r["word"], r["n_shared_days"], r["dist2"])
+        for r in R.ev_series_similarity(spark, SF).collect()
+    }
+    assert got == expect
+    assert expect, "fixture yields same-word candidate pairs"
