@@ -45,6 +45,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #           s2_column_pruned_scan, driver-green r4)
 #   r5 out: the six r4-green names above + w_sessionize (driver-green
 #           r3; stays oracle-gated in GATE_LOG) + s2_column_pruned_scan
+#   r6 candidates (never driver-sampled, added late r5): the ER pack
+#           (er_blocked_candidates / er_entity_clusters /
+#           er_survivorship / er_blocking_recall — Levenshtein is a
+#           cross-dialect divergence candidate), graph_bfs_hops /
+#           graph_sssp_cost (size-gated relaxation), ev_autocorr /
+#           ev_series_similarity (timestamp bucketing under hostile tz),
+#           ev_hll_mergeable_rollup (sketch-boolean idiom), dq_benford,
+#           t_blocklist_rate / t_blocklist_spans, plus the r5-list
+#           leftovers: t_importance_weights, cdc_incremental_rollup,
+#           stream_neardup_ingest, agg_exact_median_rank
 _PRIORITY: tuple[str, ...] = (
     # time_and_channel averaging core (reference averaging.py:184-260)
     "ms_tc_rows",

@@ -150,3 +150,16 @@ def test_blocking_recall_pigeonhole_completeness(spark):
     assert blocked <= brute
     assert r["n_blocked_pairs"] == len(blocked)
     assert r["recall_permille"] == len(blocked) * 1000 // max(len(brute), 1)
+
+
+def test_er_and_series_plans_are_keyed_joins(spark):
+    """The candidate-generation joins plan as keyed hash/merge joins —
+    never CartesianProduct, and only er_blocking_recall's final 1-row x
+    1-row stitch may nest-loop."""
+    from xova_spark.queries.erq import er_entity_clusters  # noqa: F401
+    from xova_spark.queries.relext import ev_series_similarity
+
+    for fn in (er_blocked_candidates, ev_series_similarity):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
