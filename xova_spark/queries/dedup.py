@@ -1349,3 +1349,73 @@ def dedup_boundary_overlap(spark, sf_dir):
             F.col("a.lastk").alias("boundary_ngram"),
         )
     )
+
+
+@q(
+    "dedup_prefix_filter_join",
+    # Same truth as dedup_ngram_jaccard by the AllPairs completeness
+    # theorem (see docstring), so the oracle is the exhaustive form.
+    REGISTRY["dedup_ngram_jaccard"][1],
+)
+def dedup_prefix_filter_join(spark, sf_dir):
+    """EXACT set-similarity join via PREFIX FILTERING (the AllPairs /
+    PPJoin family): zero recall loss, unlike LSH/banding. Tokens get a
+    GLOBAL rarest-first total order (ascending corpus frequency, ties by
+    token); each document's candidate-generating prefix is its first
+    floor(n/2)+1 shingles in that order — for Jaccard >= 0.5 the overlap
+    bound c >= ceil(n/2) plus a pigeonhole on the order guarantees the
+    smallest shared shingle lies in BOTH prefixes, so the prefix
+    equi-join enumerates every qualifying pair (completeness ==
+    dedup_ngram_jaccard pinned in test, and the oracle IS the exhaustive
+    form's SQL). Verification computes exact Jaccard on candidates only.
+
+    Scale shape: frequency is one keyed aggregate; ranking is a window
+    PARTITIONED by doc (never global); candidates key on the prefix
+    token — volume is driven by rare-token collisions instead of
+    all-pairs, the same reason AllPairs beats naive joins on real
+    corpora. Rarest-first ordering minimizes prefix-token bucket sizes,
+    the knob that keeps candidate volume near-linear at 100 TB."""
+    (docs,) = _docs(spark, sf_dir)
+    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
+    )
+    from pyspark.sql import Window as W
+
+    ex = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s"),
+    )
+    freq = ex.groupBy("s").agg(F.count("*").alias("freq"))
+    w = W.partitionBy("doc_id").orderBy("freq", "s")
+    prefix = (
+        ex.join(freq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.expr("n div 2 + 1"))
+        .select("doc_id", "s")
+    )
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "s")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "s")
+    cand = (
+        pa.join(pb, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ea = ex.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    eb = ex.select(
+        F.col("doc_id").alias("db"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    common = (
+        cand.join(ea, "doc_a")
+        .join(eb, (F.col("doc_b") == F.col("db")) & (F.col("s") == F.col("sb")))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
