@@ -421,3 +421,51 @@ def test_neardup_ingest_invariance_under_real_triggers(spark, tmp_path, monkeypa
     assert list(gotp["new_doc"]) == list(want["new_doc"])
     assert list(gotp["old_doc"]) == list(want["old_doc"])
     assert (gotp["jaccard"] - want["jaccard"]).abs().max() < 1e-9
+
+
+def test_er_ingest_invariance_under_real_triggers(spark, tmp_path, monkeypatch):
+    """stream_er_ingest is fully stateless — arriving customers split
+    over 3 real triggers must match exactly the one-shot/batch result."""
+    import duckdb
+
+    import xova_spark.queries.streamingq as SQ
+
+    sf = "/root/testdata/sf0.01"
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i in range(3):
+        d = str(tmp_path / f"c{i}")
+        cust.filter(F.col("c_custkey") % 3 == i).coalesce(1).write.parquet(d)
+        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        os.rename(os.path.join(d, part), os.path.join(flat, f"{i:02d}.parquet"))
+        os.utime(os.path.join(flat, f"{i:02d}.parquet"), (1_000_000_000 + i,) * 2)
+
+    def split_stream(spark_, sf_dir):
+        return (
+            spark_.readStream.schema(cust.schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(flat)
+        )
+
+    monkeypatch.setattr(SQ, "_customers_stream", split_stream)
+    got = (
+        SQ.stream_er_ingest(spark, sf)
+        .toPandas()
+        .sort_values(["new_key", "master_key"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{sf}/customer.parquet'"
+    )
+    want = (
+        con.execute(SQ.REGISTRY["stream_er_ingest"][1])
+        .fetchdf()
+        .sort_values(["new_key", "master_key"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for col in ("new_key", "master_key", "name_dist", "same_nation"):
+        assert list(got[col]) == list(want[col]), col

@@ -1190,3 +1190,110 @@ def stream_neardup_ingest(spark, sf_dir):
         )
         q_.awaitTermination()
     return spark.table(name)
+
+
+def _customers_stream(spark, sf_dir: str):
+    """File-source stream over the harness customer table (symlink into
+    a one-table dir, same shape as _events_stream)."""
+    import os
+
+    src = os.path.join(sf_dir, "customer.parquet")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stream_dir = os.path.join("/root/repo/.cache/stream_customer", tag)
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "part-0.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    static = spark.read.parquet(src)
+    return (
+        spark.readStream.schema(static.schema).format("parquet").load(stream_dir)
+    )
+
+
+def _er_stream_oracle_sql() -> str:
+    from xova_spark.queries.erq import BLOCK_PREFIX_LEN, MAX_NAME_DIST
+
+    return f"""
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             substr(c_name, 1, {BLOCK_PREFIX_LEN}) AS bkey
+      FROM customer
+    )
+    SELECT n.c_custkey AS new_key, m.c_custkey AS master_key,
+           CAST(levenshtein(n.c_name, m.c_name) AS BIGINT) AS name_dist,
+           CAST(n.c_nationkey = m.c_nationkey AS BIGINT) AS same_nation
+    FROM c n JOIN c m
+      ON n.bkey = m.bkey AND n.c_mktsegment = m.c_mktsegment
+    WHERE n.c_custkey % 4 = 0 AND m.c_custkey % 4 != 0
+      AND levenshtein(n.c_name, m.c_name) <= {MAX_NAME_DIST}
+    """
+
+
+@q("stream_er_ingest", _er_stream_oracle_sql())
+def stream_er_ingest(spark, sf_dir):
+    """ENTITY MATCHING AT INGEST — the streaming composition of the ER
+    pack: arriving customer records (c_custkey % 4 == 0) are blocked on
+    (name prefix, segment) per row, equi-joined against the STATIC
+    master index (the % 4 != 0 historical customers), Levenshtein-
+    verified inside the join, and emitted as (new_key, master_key)
+    match candidates — the merge-or-create decision every MDM ingest
+    pipeline makes before admitting a record.
+
+    Fully STATELESS: blocking keys are per-row projections and each
+    (new, master) pair arises from exactly one block, so no dedup state
+    accumulates — converged availableNow output == the batch oracle by
+    construction; trigger invariance is pinned in the multibatch test.
+
+    Scale shape: the master index is (bkey, segment) keyed; the stream
+    joins it per micro-batch (broadcast when it fits, else shuffled —
+    AQE decides); bucket width is capped at 100 names by the key
+    design, so per-batch match work is linear in batch size."""
+    from xova_spark.queries.erq import BLOCK_PREFIX_LEN, MAX_NAME_DIST
+    from xova_spark.queries.relational import load_tables
+
+    master = (
+        load_tables(spark, sf_dir, ("customer",))["customer"]
+        .filter(F.col("c_custkey") % 4 != 0)
+        .select(
+            F.col("c_custkey").alias("master_key"),
+            F.col("c_name").alias("m_name"),
+            F.col("c_nationkey").alias("m_nation"),
+            F.col("c_mktsegment").alias("m_seg"),
+            F.substring("c_name", 1, BLOCK_PREFIX_LEN).alias("bkey"),
+        )
+    )
+    arriving = (
+        _customers_stream(spark, sf_dir)
+        .filter(F.col("c_custkey") % 4 == 0)
+        .select(
+            F.col("c_custkey").alias("new_key"),
+            F.col("c_name").alias("n_name"),
+            F.col("c_nationkey").alias("n_nation"),
+            F.col("c_mktsegment").alias("m_seg"),
+            F.substring("c_name", 1, BLOCK_PREFIX_LEN).alias("bkey"),
+        )
+    )
+    dist = F.levenshtein(F.col("n_name"), F.col("m_name"))
+    matches = (
+        arriving.join(master, ["bkey", "m_seg"])
+        .where(dist <= MAX_NAME_DIST)
+        .select(
+            "new_key",
+            "master_key",
+            dist.cast("long").alias("name_dist"),
+            (F.col("n_nation") == F.col("m_nation"))
+            .cast("long")
+            .alias("same_nation"),
+        )
+    )
+    name = f"q_stream_er_{next(_uniq)}"
+    with SA.stream_state_partitions(spark):
+        q_ = (
+            matches.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return spark.table(name)
