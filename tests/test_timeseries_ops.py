@@ -394,3 +394,57 @@ def test_series_similarity_matches_numpy_replica(spark):
     }
     assert got == expect
     assert expect, "fixture yields same-word candidate pairs"
+
+
+def test_dtw_pairs_replica_and_elasticity_laws(spark):
+    """ev_dtw_pairs equals an independent python DP replica; DTW never
+    exceeds the lockstep L1 distance (the diagonal is one admissible
+    warping path); and a 1-day shift is DTW-cheap but L1-expensive
+    (the elasticity DTW exists for)."""
+    import numpy as np
+
+    from xova_spark.queries.relext import DTW_BAND, DTW_T, ev_dtw_pairs
+
+    T, R, BIG = DTW_T, DTW_BAND, 1 << 50
+
+    def dtw(a, b):
+        D = {}
+        for i in range(T):
+            for j in range(max(0, i - R), min(T, i + R + 1)):
+                cost = abs(int(a[i]) - int(b[j]))
+                cands = [
+                    D.get((i - 1, j), BIG),
+                    D.get((i, j - 1), BIG),
+                    D.get((i - 1, j - 1), BIG),
+                ]
+                D[(i, j)] = cost + (0 if i == j == 0 else min(cands))
+        return D[(T - 1, T - 1)]
+
+    ev = _ev()
+    anchor = pd.Timestamp("2024-01-01")
+    day = (ev["ts"].dt.normalize() - anchor).dt.days
+    g = pd.DataFrame({"t": ev["event_type"], "d": day}).groupby(["t", "d"]).size()
+    types = sorted(g.index.get_level_values(0).unique())
+    vecs = {}
+    for t in types:
+        v = np.zeros(T, dtype=np.int64)
+        for d, c in g[t].items():
+            if 0 <= d < T:
+                v[d] = c
+        vecs[t] = v
+    got = {
+        (r["type_a"], r["type_b"]): r["dtw_dist"]
+        for r in ev_dtw_pairs(spark, SF).collect()
+    }
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            a, b = vecs[ta], vecs[tb]
+            assert got[(ta, tb)] == dtw(a, b)
+            assert got[(ta, tb)] <= int(np.abs(a - b).sum())  # diagonal bound
+    # elasticity: a 1-day shift stays strictly cheaper under DTW than
+    # under lockstep L1 (the warping path absorbs the shift)
+    a = vecs[types[0]]
+    shifted = np.roll(a, 1)
+    shifted[0] = 0
+    l1 = int(np.abs(a - shifted).sum())
+    assert l1 > 0 and dtw(a, shifted) < l1

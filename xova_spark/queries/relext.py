@@ -3141,3 +3141,136 @@ def ev_series_similarity(spark, sf_dir):
             .alias("dist2"),
         )
     )
+
+
+DTW_T = 30  # series length (days)
+DTW_BAND = 3  # Sakoe-Chiba radius
+_DTW_BIG = 1 << 50
+
+
+def _dtw_oracle_sql() -> str:
+    """EXACT DuckDB twin of banded DTW, unrolled by ANTI-DIAGONALS:
+    cells on diagonal d = i+j depend only on diagonals d-1 / d-2, so
+    each diagonal is one chained CTE (59 CTEs x <= 2*band+1 cells) with
+    no within-SELECT dependency — the same generated-SQL discipline as
+    the k-core / BPE oracles. Warping-path DP is the one operator class
+    a declarative engine can't express directly; the unroll exists so
+    the hash gate still covers it end-to-end."""
+    T, R = DTW_T, DTW_BAND
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN day = {d} THEN c ELSE 0 END) AS BIGINT) AS s{d}"
+        for d in range(T)
+    )
+    base = f"""daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), vec AS (
+  SELECT event_type, {sums} FROM daily GROUP BY event_type
+), d0 AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         {", ".join(f"a.s{d} AS a{d}, b.s{d} AS b{d}" for d in range(T))},
+         CAST(abs(a.s0 - b.s0) AS BIGINT) AS v0_0
+  FROM vec a JOIN vec b ON a.event_type < b.event_type
+)"""
+    ctes = [base]
+    for d in range(1, 2 * T - 1):
+        cols = []
+        for i in range(max(0, d - T + 1), min(d, T - 1) + 1):
+            j = d - i
+            if abs(i - j) > R:
+                continue
+            opts = []
+            if i > 0 and abs(i - 1 - j) <= R:
+                opts.append(f"v{i - 1}_{j}")
+            if j > 0 and abs(i - (j - 1)) <= R:
+                opts.append(f"v{i}_{j - 1}")
+            if i > 0 and j > 0:
+                opts.append(f"v{i - 1}_{j - 1}")
+            best = f"least({', '.join(opts)})" if opts else str(_DTW_BIG)
+            cols.append(f"(abs(a{i} - b{j}) + {best}) AS v{i}_{j}")
+        ctes.append(f"d{d} AS (SELECT *, {', '.join(cols)} FROM d{d - 1})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f" SELECT type_a, type_b, v{T - 1}_{T - 1} AS dtw_dist"
+        f" FROM d{2 * T - 2}"
+    )
+
+
+@q("ev_dtw_pairs", _dtw_oracle_sql())
+def ev_dtw_pairs(spark, sf_dir):
+    """Banded DYNAMIC TIME WARPING distance between every pair of
+    event-type daily-count series (Sakoe-Chiba radius ``DTW_BAND``) —
+    elastic alignment catches shape similarity that the lockstep
+    Euclidean of ev_series_similarity misses (a series shifted by a day
+    is DTW-near but Euclidean-far).
+
+    Implementation ladder per the engine's custom-operator policy: the
+    warping DP is genuinely inexpressible as DataFrame ops, so it runs
+    as an Arrow-batched ``mapInPandas`` over the PAIR-GRAIN frame (10
+    rows here; #series^2/2 in general) — the event-grain work is still
+    one declarative groupBy to dense integer vectors, so at 100 TB the
+    UDF touches megabytes while the scan stays JVM-side. Integer
+    costs end-to-end; the oracle is the anti-diagonal CTE unroll
+    (see _dtw_oracle_sql), bit-equal to this numpy DP."""
+    import numpy as np
+    import pandas as pd
+
+    (ev,) = _t(spark, sf_dir, "events")
+    T, R = DTW_T, DTW_BAND
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+    ).agg(F.count("*").alias("c"))
+    vec = daily.groupBy("event_type").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("day") == d, F.col("c")).otherwise(0))
+                .cast("long")
+                for d in range(T)
+            ]
+        ).alias("v")
+    )
+    a, b = vec.alias("a"), vec.alias("b")
+    pairs = a.join(
+        b, F.col("a.event_type") < F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.v").alias("va"),
+        F.col("b.v").alias("vb"),
+    )
+
+    def dtw_batches(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                va = np.asarray(r.va, dtype=np.int64)
+                vb = np.asarray(r.vb, dtype=np.int64)
+                D = np.full((T, T), _DTW_BIG, dtype=np.int64)
+                for i in range(T):
+                    for j in range(max(0, i - R), min(T, i + R + 1)):
+                        cost = abs(int(va[i]) - int(vb[j]))
+                        if i == 0 and j == 0:
+                            D[i, j] = cost
+                            continue
+                        best = _DTW_BIG
+                        if i > 0:
+                            best = min(best, D[i - 1, j])
+                        if j > 0:
+                            best = min(best, D[i, j - 1])
+                        if i > 0 and j > 0:
+                            best = min(best, D[i - 1, j - 1])
+                        D[i, j] = cost + best
+                out.append((r.type_a, r.type_b, int(D[T - 1, T - 1])))
+            yield pd.DataFrame(
+                out, columns=["type_a", "type_b", "dtw_dist"]
+            )
+
+    return pairs.mapInPandas(
+        dtw_batches, "type_a string, type_b string, dtw_dist long"
+    )
