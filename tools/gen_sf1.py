@@ -84,7 +84,20 @@ def generate(spark) -> str:
     plans = {
         "region": t["region"],
         "nation": t["nation"],
-        "customer": reps(t["customer"], {"c_custkey": s["cust"]}),
+        # c_name is re-derived from the SHIFTED key: replicated names
+        # would pile 10 identical names into every ER blocking bucket
+        # (a duplicate-heavy shape a real 10x customer table does not
+        # have), turning the blocked candidate join quadratic — the
+        # round-5 sf1 run measured er_blocked_candidates at 79x for
+        # 10x data before this rewrite, ~linear after.
+        "customer": reps(
+            t["customer"],
+            {"c_custkey": s["cust"]},
+            extra=lambda d, i: d.withColumn(
+                "c_name",
+                F.format_string("Customer#%09d", F.col("c_custkey")),
+            ),
+        ),
         "supplier": reps(t["supplier"], {"s_suppkey": s["supp"]}),
         "part": reps(t["part"], {"p_partkey": s["part"]}),
         "orders": reps(

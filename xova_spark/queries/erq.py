@@ -76,7 +76,13 @@ def er_blocked_candidates(spark, sf_dir):
     keyed, never all-pairs; within-bucket fanout is capped at C(100,2)
     by the key design, so candidate volume grows linearly with
     customers. The Levenshtein filter runs inside the join's codegen
-    stage."""
+    stage. Duplicate-heavy caveat (measured: the round-5 sf1 fixture
+    accidentally carried 10 copies of every name and this join went
+    79x for 10x data): blocking caps DISTINCT-name bucket width, not
+    exact-duplicate multiplicity — a corpus with heavy exact dupes
+    needs the standard MDM pre-pass (group identical (name, segment)
+    records first, fuzzy-match the representatives; dedup_exact is
+    that pass on the document side)."""
     c = load_tables(spark, sf_dir, ("customer",))["customer"].select(
         "c_custkey",
         "c_name",
