@@ -10,6 +10,7 @@ Morton-key arithmetic and its locality property under the oracle gate.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from xova_spark.functions.zorder import (
@@ -92,4 +93,151 @@ def layout_zorder_cells(spark, sf_dir):
             F.min("l_suppkey").cast("long").alias("sk_min"),
             F.max("l_suppkey").cast("long").alias("sk_max"),
         )
+    )
+
+
+_US_PER_DAY = 86_400_000_000
+_COMPACT_TARGET = 4_000  # bytes per output file (100-byte/row proxy)
+_COMPACT_PART_DAYS = 90  # layout partition = 90-day block
+
+
+@q(
+    "layout_compaction_plan",
+    f"""
+    WITH files AS (
+      SELECT epoch_us(o_orderdate) // {_US_PER_DAY} AS day,
+             CAST(count(*) * 100 AS BIGINT) AS bytes
+      FROM orders GROUP BY 1
+    ), placed AS (
+      SELECT day // {_COMPACT_PART_DAYS} AS part, day, bytes,
+             (sum(bytes) OVER (PARTITION BY day // {_COMPACT_PART_DAYS}
+                               ORDER BY day ROWS UNBOUNDED PRECEDING)
+              - bytes) // {_COMPACT_TARGET} AS bin
+      FROM files
+    )
+    SELECT CAST(part AS BIGINT) AS part, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           CAST(min(day) AS BIGINT) AS day_min,
+           CAST(max(day) AS BIGINT) AS day_max
+    FROM placed GROUP BY part, bin
+    """,
+)
+def layout_compaction_plan(spark, sf_dir):
+    """Small-file COMPACTION planning — the lakehouse maintenance op
+    that decides which files merge into which output before a rewrite
+    (the reference re-groups output chunks for exactly this write-batch
+    reason, xova/apps/xova/averaging.py:39-77; at 100 TB the planner
+    itself must be a distributed query). Daily order batches stand in
+    for data files (bytes = 100·rows); within each 90-day layout
+    partition, files pack in day order into target-sized bins by the
+    streaming rule bin = floor(preceding_bytes / target) — each bin
+    overflows by at most one file, bins cover contiguous day ranges by
+    construction, and no file moves across partitions (so the plan
+    parallelizes per partition and a 1000-executor rewrite touches each
+    partition independently). Everything is integer column arithmetic:
+    one partial-aggregated shuffle to day grain, one window partitioned
+    by the layout partition (never a global sort), one final keyed agg.
+    Day ids derive from epoch microseconds (`unix_micros` / `epoch_us`)
+    so the plan is timezone-proof on both engines."""
+    (orders,) = (
+        load_tables(spark, sf_dir, ("orders",))[n] for n in ("orders",)
+    )
+    files = orders.groupBy(
+        F.expr(f"unix_micros(o_orderdate) div {_US_PER_DAY}").alias("day")
+    ).agg((F.count("*") * 100).cast("long").alias("bytes"))
+    part = F.expr(f"day div {_COMPACT_PART_DAYS}")
+    w = (
+        Window.partitionBy("part")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = files.withColumn("part", part).withColumn(
+        "bin",
+        (F.sum("bytes").over(w) - F.col("bytes")),
+    ).withColumn("bin", F.expr(f"bin div {_COMPACT_TARGET}"))
+    return placed.groupBy("part", "bin").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.min("day").cast("long").alias("day_min"),
+        F.max("day").cast("long").alias("day_max"),
+    )
+
+
+_ZM_ROWGROUP_ORDERS = 256  # orderkeys per natural-layout row group
+_ZM_SHIP_CUTOFF_DAY = 11_200  # ~2000-09: day >= cutoff is the hot scan
+
+
+@q(
+    "layout_zonemap_skip",
+    f"""
+    WITH li AS (
+      SELECT l_orderkey,
+             epoch_us(l_shipdate) // {_US_PER_DAY} AS ship_day
+      FROM lineitem
+    ), layouts AS (
+      SELECT 'natural' AS layout, l_orderkey // {_ZM_ROWGROUP_ORDERS} AS rg,
+             ship_day FROM li
+      UNION ALL
+      SELECT 'ship_week' AS layout, ship_day // 7 AS rg, ship_day FROM li
+    ), zones AS (
+      SELECT layout, rg, CAST(count(*) AS BIGINT) AS n_rows,
+             max(ship_day) AS day_max
+      FROM layouts GROUP BY layout, rg
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN day_max < {_ZM_SHIP_CUTOFF_DAY}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+           CAST(sum(n_rows) AS BIGINT) AS rows_total,
+           CAST(sum(CASE WHEN day_max < {_ZM_SHIP_CUTOFF_DAY}
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped
+    FROM zones GROUP BY layout
+    """,
+)
+def layout_zonemap_skip(spark, sf_dir):
+    """ZONE-MAP pruning audit — measures what data layout buys the
+    scanner: for the predicate ship_day >= cutoff, a row group skips
+    iff its max(ship_day) zone-map bound falls below the cutoff. Two
+    layouts of the same lineitem rows are audited side by side:
+    'natural' (row groups of {_ZM_ROWGROUP_ORDERS} consecutive
+    orderkeys — insertion order, shipdate uncorrelated, so zone maps
+    are wide and nothing skips) and 'ship_week' (rows clustered by
+    shipdate week — every group outside the hot window skips). The gap
+    between the two rows_skipped columns IS the case for the
+    z-order/cluster-by write path at 100 TB: identical bytes, orders of
+    magnitude less IO. One scan, a 2-way tagged union, two keyed
+    partial aggregations; day ids from epoch microseconds so both
+    engines bucket identically in any timezone."""
+    (li,) = (load_tables(spark, sf_dir, ("lineitem",))[n] for n in ("lineitem",))
+    base = li.select(
+        "l_orderkey",
+        F.expr(f"unix_micros(l_shipdate) div {_US_PER_DAY}").alias("ship_day"),
+    )
+    natural = base.select(
+        F.lit("natural").alias("layout"),
+        F.expr(f"l_orderkey div {_ZM_ROWGROUP_ORDERS}").alias("rg"),
+        "ship_day",
+    )
+    by_week = base.select(
+        F.lit("ship_week").alias("layout"),
+        F.expr("ship_day div 7").alias("rg"),
+        "ship_day",
+    )
+    zones = (
+        natural.unionByName(by_week)
+        .groupBy("layout", "rg")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.max("ship_day").alias("day_max"),
+        )
+    )
+    skipped = F.col("day_max") < _ZM_SHIP_CUTOFF_DAY
+    return zones.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(skipped, 1).otherwise(0)).cast("long").alias("n_skipped"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum(F.when(skipped, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_skipped"),
     )

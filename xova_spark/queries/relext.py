@@ -3274,3 +3274,212 @@ def ev_dtw_pairs(spark, sf_dir):
     return pairs.mapInPandas(
         dtw_batches, "type_a string, type_b string, dtw_dist long"
     )
+
+
+_US_PER_DAY = 86_400_000_000
+_SESSION_GAP_US = 1_800_000_000  # 30-minute inactivity gap
+
+
+@q(
+    "ev_peak_concurrency",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ), marked AS (
+      SELECT user_id, us,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                       > {_SESSION_GAP_US}
+                    OR lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ), grouped AS (
+      SELECT user_id, us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), sess AS (
+      SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+      FROM grouped GROUP BY user_id, sid
+    ), days AS (
+      SELECT s_us, e_us,
+             unnest(generate_series(s_us // {_US_PER_DAY},
+                                    e_us // {_US_PER_DAY})) AS d
+      FROM sess
+    ), pts AS (
+      SELECT d, greatest(s_us, d * {_US_PER_DAY}) AS t_us, 1 AS delta
+      FROM days
+      UNION ALL
+      SELECT d, least(e_us, (d + 1) * {_US_PER_DAY} - 1) AS t_us, -1 AS delta
+      FROM days
+    ), run AS (
+      SELECT d, delta,
+             sum(delta) OVER (PARTITION BY d ORDER BY t_us, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts
+    )
+    SELECT CAST(d AS BIGINT) AS day,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions
+    FROM run GROUP BY d
+    """,
+)
+def ev_peak_concurrency(spark, sf_dir):
+    """PEAK-CONCURRENCY sweep line — max simultaneous user sessions per
+    day, the capacity-planning readout every event platform runs. A
+    naive sweep is a single globally-ordered running sum (a scale
+    killer: one task owns the whole timeline at 100 TB); here sessions
+    are first CLIPPED to the days they overlap (explode of a ≤span-day
+    sequence), so the +1/-1 running sum is a window PARTITIONED BY DAY
+    — thousands of independent timelines, each small. Boundary
+    exactness: a clipped session ends at the day's last microsecond and
+    re-enters the next day at its first, so within-day deltas always
+    net to zero and the peak is exact, not approximated. Ties order
+    (t_us, delta DESC) — starts before ends — so touching sessions
+    count as concurrent; the per-day MAX is invariant to residual
+    equal-key ordering because equal (t_us, delta) rows are
+    interchangeable. Sessionization is the same 30-min-gap rule as
+    w_sessionize (lag + running break-sum, both user-partitioned). All
+    epoch-microsecond integer arithmetic — timezone-proof on both
+    engines."""
+    (ev,) = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", F.unix_micros("ts").alias("us"))
+    wu = Window.partitionBy("user_id").orderBy("us")
+    marked = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("us").over(wu).isNull()
+            | ((F.col("us") - F.lag("us").over(wu)) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    grouped = marked.withColumn(
+        "sid",
+        F.sum("brk").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = grouped.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    days = sess.select(
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {_US_PER_DAY}"),
+                F.expr(f"e_us div {_US_PER_DAY}"),
+            )
+        ).alias("d"),
+    )
+    starts = days.select(
+        "d",
+        F.greatest(F.col("s_us"), F.col("d") * _US_PER_DAY).alias("t_us"),
+        F.lit(1).alias("delta"),
+    )
+    ends = days.select(
+        "d",
+        F.least(
+            F.col("e_us"), (F.col("d") + 1) * _US_PER_DAY - 1
+        ).alias("t_us"),
+        F.lit(-1).alias("delta"),
+    )
+    wd = (
+        Window.partitionBy("d")
+        .orderBy(F.col("t_us"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = starts.unionByName(ends).withColumn(
+        "conc", F.sum("delta").over(wd)
+    )
+    return run.groupBy(F.col("d").cast("long").alias("day")).agg(
+        F.max("conc").cast("long").alias("peak_concurrency"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sessions"),
+    )
+
+
+_CM_DEPTH = 4  # independent hash rows
+_CM_WIDTH = 128  # counters per row
+_CM_P31 = 2_147_483_647
+
+
+@q(
+    "agg_countmin_heavy_hitters",
+    f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY w
+    ), hashed AS (
+      SELECT w, cnt, j,
+             ((('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || w), 1, 15))
+               ::BIGINT) % {_CM_P31}) % {_CM_WIDTH} AS bkt
+      FROM wc CROSS JOIN (VALUES (0), (1), (2), (3)) AS hj(j)
+    ), counters AS (
+      SELECT j, bkt, CAST(sum(cnt) AS BIGINT) AS c
+      FROM hashed GROUP BY j, bkt
+    ), est AS (
+      SELECT h.w, min(c.c) AS cm_est
+      FROM hashed h JOIN counters c ON c.j = h.j AND c.bkt = h.bkt
+      GROUP BY h.w
+    ), top AS (
+      SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 10
+    )
+    SELECT t.w AS word, t.cnt AS exact_cnt,
+           CAST(e.cm_est AS BIGINT) AS cm_est,
+           e.cm_est >= t.cnt AS never_underestimates
+    FROM top t JOIN est e ON e.w = t.w
+    """,
+)
+def agg_countmin_heavy_hitters(spark, sf_dir):
+    """COUNT-MIN SKETCH heavy hitters — the mergeable frequency sketch
+    that answers "how often does this token appear?" from a fixed
+    {_CM_DEPTH}x{_CM_WIDTH} counter grid instead of a full word table.
+    The counter build is a keyed partial aggregation (every executor
+    sums its own (row, bucket) cells; merging rollup tiers is the same
+    sum — the CM linearity property), so the sketch costs one shuffle
+    of at most d*w rows regardless of corpus size. Estimates take the
+    MIN over the {_CM_DEPTH} independent md5-derived rows; the entry
+    ships the sketch's defining one-sided-error law as a hashed boolean
+    (cm_est >= exact for every top-10 word — collisions only ever
+    inflate) next to the exact counts, the same gate idiom as
+    agg_sketch_accuracy / ev_hll_mergeable_rollup. Spark side: words
+    explode once, word partials feed both the counters and the exact
+    top-10 (TakeOrderedAndProject); the {_CM_DEPTH * _CM_WIDTH}-row
+    counter table broadcasts back onto the candidates."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    js = spark.range(_CM_DEPTH).select(F.col("id").cast("int").alias("j"))
+    hashed = wc.crossJoin(F.broadcast(js)).withColumn(
+        "bkt",
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(j as string), '|', w)),"
+            f" 1, 15), 16, 10) as bigint) % {_CM_P31} % {_CM_WIDTH}"
+        ),
+    )
+    counters = hashed.groupBy("j", "bkt").agg(
+        F.sum("cnt").cast("long").alias("c")
+    )
+    est = (
+        hashed.join(F.broadcast(counters), ["j", "bkt"])
+        .groupBy("w")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    top = wc.orderBy(F.col("cnt").desc(), "w").limit(10)
+    return (
+        F.broadcast(top)
+        .join(est, "w")
+        .select(
+            F.col("w").alias("word"),
+            F.col("cnt").alias("exact_cnt"),
+            F.col("cm_est").cast("long").alias("cm_est"),
+            (F.col("cm_est") >= F.col("cnt")).alias("never_underestimates"),
+        )
+    )
