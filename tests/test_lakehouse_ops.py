@@ -1,10 +1,8 @@
 """Lakehouse/ops additions: compaction planning, zone-map pruning
-audit, sweep-line peak concurrency, Count-Min heavy hitters —
-semantics replicas and the laws each operator exists to guarantee."""
+audit, sweep-line peak concurrency — semantics replicas and the laws
+each operator exists to guarantee."""
 
 from __future__ import annotations
-
-import hashlib
 
 import pandas as pd
 
@@ -145,64 +143,3 @@ def test_peak_concurrency_matches_bruteforce(spark):
             peak = max(peak, cur)
         assert got[d] == (peak, len(touching)), d
     assert set(got) == set(days)
-
-
-def test_countmin_one_sided_error_and_exact_hash_parity(spark):
-    """The sketch law (estimates never undercount) must hold for EVERY
-    word, not just the reported top-10; and the Spark md5 bucket must
-    equal the oracle's DuckDB bucket for a sample of words."""
-    import duckdb
-    from pyspark.sql import functions as F
-
-    from xova_spark.queries.relext import (
-        _CM_P31,
-        _CM_WIDTH,
-        agg_countmin_heavy_hitters,
-    )
-
-    top = agg_countmin_heavy_hitters(spark, SF).toPandas()
-    assert len(top) == 10
-    assert bool(top["never_underestimates"].all())
-    assert (top["cm_est"] >= top["exact_cnt"]).all()
-
-    # full-vocabulary one-sidedness via the same building blocks
-    from xova_spark.session import load_tables
-
-    docs = load_tables(spark, SF, ("documents",))["documents"]
-    wc = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-    )
-    js = spark.range(4).select(F.col("id").cast("int").alias("j"))
-    hashed = wc.crossJoin(F.broadcast(js)).withColumn(
-        "bkt",
-        F.expr(
-            "cast(conv(substring(md5(concat(cast(j as string), '|', w)),"
-            f" 1, 15), 16, 10) as bigint) % {_CM_P31} % {_CM_WIDTH}"
-        ),
-    )
-    counters = hashed.groupBy("j", "bkt").agg(F.sum("cnt").alias("c"))
-    bad = (
-        hashed.join(F.broadcast(counters), ["j", "bkt"])
-        .groupBy("w", "cnt")
-        .agg(F.min("c").alias("est"))
-        .filter(F.col("est") < F.col("cnt"))
-        .count()
-    )
-    assert bad == 0
-
-    # cross-engine hash parity on the reported words
-    for w in top["word"]:
-        for j in range(4):
-            duck = duckdb.execute(
-                "SELECT (('0x' || substr(md5(?), 1, 15))::BIGINT"
-                f" % {_CM_P31}) % {_CM_WIDTH}",
-                [f"{j}|{w}"],
-            ).fetchone()[0]
-            py = (
-                int(hashlib.md5(f"{j}|{w}".encode()).hexdigest()[:15], 16)
-                % _CM_P31
-                % _CM_WIDTH
-            )
-            assert duck == py, (w, j)

@@ -3399,87 +3399,3 @@ def ev_peak_concurrency(spark, sf_dir):
         .cast("long")
         .alias("n_sessions"),
     )
-
-
-_CM_DEPTH = 4  # independent hash rows
-_CM_WIDTH = 128  # counters per row
-_CM_P31 = 2_147_483_647
-
-
-@q(
-    "agg_countmin_heavy_hitters",
-    f"""
-    WITH words AS (
-      SELECT unnest(string_split(text, ' ')) AS w FROM documents
-    ), wc AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY w
-    ), hashed AS (
-      SELECT w, cnt, j,
-             ((('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || w), 1, 15))
-               ::BIGINT) % {_CM_P31}) % {_CM_WIDTH} AS bkt
-      FROM wc CROSS JOIN (VALUES (0), (1), (2), (3)) AS hj(j)
-    ), counters AS (
-      SELECT j, bkt, CAST(sum(cnt) AS BIGINT) AS c
-      FROM hashed GROUP BY j, bkt
-    ), est AS (
-      SELECT h.w, min(c.c) AS cm_est
-      FROM hashed h JOIN counters c ON c.j = h.j AND c.bkt = h.bkt
-      GROUP BY h.w
-    ), top AS (
-      SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 10
-    )
-    SELECT t.w AS word, t.cnt AS exact_cnt,
-           CAST(e.cm_est AS BIGINT) AS cm_est,
-           e.cm_est >= t.cnt AS never_underestimates
-    FROM top t JOIN est e ON e.w = t.w
-    """,
-)
-def agg_countmin_heavy_hitters(spark, sf_dir):
-    """COUNT-MIN SKETCH heavy hitters — the mergeable frequency sketch
-    that answers "how often does this token appear?" from a fixed
-    {_CM_DEPTH}x{_CM_WIDTH} counter grid instead of a full word table.
-    The counter build is a keyed partial aggregation (every executor
-    sums its own (row, bucket) cells; merging rollup tiers is the same
-    sum — the CM linearity property), so the sketch costs one shuffle
-    of at most d*w rows regardless of corpus size. Estimates take the
-    MIN over the {_CM_DEPTH} independent md5-derived rows; the entry
-    ships the sketch's defining one-sided-error law as a hashed boolean
-    (cm_est >= exact for every top-10 word — collisions only ever
-    inflate) next to the exact counts, the same gate idiom as
-    agg_sketch_accuracy / ev_hll_mergeable_rollup. Spark side: words
-    explode once, word partials feed both the counters and the exact
-    top-10 (TakeOrderedAndProject); the {_CM_DEPTH * _CM_WIDTH}-row
-    counter table broadcasts back onto the candidates."""
-    (docs,) = _t(spark, sf_dir, "documents")
-    wc = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    js = spark.range(_CM_DEPTH).select(F.col("id").cast("int").alias("j"))
-    hashed = wc.crossJoin(F.broadcast(js)).withColumn(
-        "bkt",
-        F.expr(
-            "cast(conv(substring(md5(concat(cast(j as string), '|', w)),"
-            f" 1, 15), 16, 10) as bigint) % {_CM_P31} % {_CM_WIDTH}"
-        ),
-    )
-    counters = hashed.groupBy("j", "bkt").agg(
-        F.sum("cnt").cast("long").alias("c")
-    )
-    est = (
-        hashed.join(F.broadcast(counters), ["j", "bkt"])
-        .groupBy("w")
-        .agg(F.min("c").alias("cm_est"))
-    )
-    top = wc.orderBy(F.col("cnt").desc(), "w").limit(10)
-    return (
-        F.broadcast(top)
-        .join(est, "w")
-        .select(
-            F.col("w").alias("word"),
-            F.col("cnt").alias("exact_cnt"),
-            F.col("cm_est").cast("long").alias("cm_est"),
-            (F.col("cm_est") >= F.col("cnt")).alias("never_underestimates"),
-        )
-    )
