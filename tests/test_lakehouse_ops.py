@@ -143,3 +143,43 @@ def test_peak_concurrency_matches_bruteforce(spark):
             peak = max(peak, cur)
         assert got[d] == (peak, len(touching)), d
     assert set(got) == set(days)
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    """The block-decomposed skyline must equal the quadratic NOT EXISTS
+    dominance definition (a later-or-equal-day order with >= price,
+    strict somewhere) on the small tier — the definition the distributed
+    form exists to avoid computing."""
+    import duckdb
+
+    from xova_spark.queries.relext import _US_PER_DAY, agg_skyline_pareto
+
+    got = sorted(
+        (r["day"], r["price_cents"], r["n_orders"])
+        for r in agg_skyline_pareto(spark, SF_SMALL).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+            WITH pts AS (
+              SELECT epoch_us(o_orderdate) // {_US_PER_DAY} AS day,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+              FROM '{SF_SMALL}/orders.parquet'
+            ), sky AS (
+              SELECT day, pc FROM pts a
+              WHERE NOT EXISTS (
+                SELECT 1 FROM pts b
+                WHERE b.day >= a.day AND b.pc >= a.pc
+                  AND (b.day > a.day OR b.pc > a.pc)
+              )
+            )
+            SELECT day, pc, count(*) FROM sky GROUP BY day, pc
+            """
+        ).fetchall()
+    )
+    assert got == want and got
+    # Pareto law: along increasing day, surviving prices strictly fall
+    prices = [p for _, p, _ in got]
+    assert prices == sorted(prices, reverse=True)
+    assert len(set(prices)) == len(prices)

@@ -46,7 +46,9 @@ DECLARED survivors (legitimate, do not "fix"):
   the distributed rank, both paths parity-pinned in test_ranking).
   The vocab-grain top-k sites (t_word_freq_topk, t_oov_rate,
   t_countmin_heavy_hitters probes) were rewritten round 5 onto
-  orderBy+limit (TakeOrderedAndProject).
+  orderBy+limit (TakeOrderedAndProject); agg_skyline_pareto (suffix max
+  over the K 90-day block maxima — K grows with calendar span, not data
+  volume; the data-grain suffix max is partitioned by block).
 
 Usage: python tools/plan_audit.py [sf_dir]
 """

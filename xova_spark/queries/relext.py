@@ -3399,3 +3399,95 @@ def ev_peak_concurrency(spark, sf_dir):
         .cast("long")
         .alias("n_sessions"),
     )
+
+
+_SKY_PART_DAYS = 90  # skyline carry blocks (a calendar-quarter of days)
+
+
+@q(
+    "agg_skyline_pareto",
+    f"""
+    WITH pts AS (
+      SELECT epoch_us(o_orderdate) // {_US_PER_DAY} AS day,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+      FROM orders
+    ), pd AS (
+      SELECT day, max(pc) AS pmax FROM pts GROUP BY day
+    ), marked AS (
+      SELECT day, pmax,
+             coalesce(max(pmax) OVER (ORDER BY day DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), -1) AS smax
+      FROM pd
+    ), sky AS (
+      SELECT day, pmax FROM marked WHERE pmax > smax
+    )
+    SELECT CAST(s.day AS BIGINT) AS day,
+           CAST(s.pmax AS BIGINT) AS price_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM sky s JOIN pts p ON p.day = s.day AND p.pc = s.pmax
+    GROUP BY s.day, s.pmax
+    """,
+)
+def agg_skyline_pareto(spark, sf_dir):
+    """Distributed SKYLINE (Pareto front) — the multi-criteria "best
+    trade-offs" query: orders maximizing BOTH recency (day) and value
+    (price); a point survives iff no strictly-later day reaches an
+    equal-or-higher price. The naive form is an all-pairs dominance
+    test (corpus-quadratic) or one globally-sorted suffix-max window
+    (single task owns the sort at 100 TB). Here the suffix max
+    decomposes exactly: (1) per-day max price — a keyed partial-agg
+    shuffle to rollup grain; (2) suffix max WITHIN {_SKY_PART_DAYS}-day
+    blocks — a window partitioned by block; (3) the cross-block carry —
+    a suffix max over the K block maxima (K = span/{_SKY_PART_DAYS},
+    grows with calendar time, not data volume; the K-row window is a
+    declared bounded-frame survivor in tools/plan_audit.py), broadcast
+    back. max(later) = max(within-block later, later blocks' max), so
+    the decomposition is bit-exact vs the oracle's single global
+    window. Survivor days broadcast-join back to order grain for the
+    tie counts. Prices integerize as floor(x*100+0.5) — identical IEEE
+    double arithmetic on both engines, no round() half-mode hazard."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.expr(f"unix_micros(o_orderdate) div {_US_PER_DAY}").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("pc"),
+    )
+    pd_ = (
+        pts.groupBy("day")
+        .agg(F.max("pc").alias("pmax"))
+        .withColumn("part", F.expr(f"day div {_SKY_PART_DAYS}"))
+    )
+    w_in = (
+        Window.partitionBy("part")
+        .orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = pd_.withColumn(
+        "smax_in", F.coalesce(F.max("pmax").over(w_in), F.lit(-1))
+    )
+    w_blk = (
+        Window.orderBy(F.col("part").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blocks = (
+        pd_.groupBy("part")
+        .agg(F.max("pmax").alias("blk_max"))
+        .withColumn(
+            "smax_blk", F.coalesce(F.max("blk_max").over(w_blk), F.lit(-1))
+        )
+        .select("part", "smax_blk")
+    )
+    sky = (
+        within.join(F.broadcast(blocks), "part")
+        .filter(F.col("pmax") > F.greatest("smax_in", "smax_blk"))
+        .select("day", "pmax")
+    )
+    return (
+        pts.join(F.broadcast(sky), "day")
+        .filter(F.col("pc") == F.col("pmax"))
+        .groupBy(
+            F.col("day").cast("long").alias("day"),
+            F.col("pmax").cast("long").alias("price_cents"),
+        )
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
