@@ -138,6 +138,7 @@ def _registries() -> dict[str, tuple]:
         "cdcq",
         "layoutq",
         "erq",
+        "geoq",
     ):
         try:
             mod = __import__(f"xova_spark.queries.{modname}", fromlist=["REGISTRY"])

@@ -1,0 +1,66 @@
+"""Spatial pack laws: the 3x3 cell probe must be COMPLETE for the
+radius join (cell edge == radius), and the cell-bounded kNN must agree
+with brute force wherever the neighborhood holds enough candidates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.01"
+
+
+def _brute_points(sf=SF):
+    from xova_spark.queries.geoq import _GRID
+
+    cust = pd.read_parquet(sf + "/customer.parquet", columns=["c_custkey"])
+    k = cust["c_custkey"].to_numpy(dtype=np.int64)
+    return k, (k * 2654435761) % _GRID, (k * 40503 + 7919) % _GRID
+
+
+def test_radius_pairs_complete_vs_bruteforce(spark):
+    from xova_spark.queries.geoq import _RADIUS, geo_radius_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["d2"]
+        for r in geo_radius_pairs(spark, SF).collect()
+    }
+    ids, x, y = _brute_points()
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    d2 = dx * dx + dy * dy
+    ia, ib = np.where(d2 <= _RADIUS * _RADIUS)
+    want = {
+        (int(ids[a]), int(ids[b])): int(d2[a, b])
+        for a, b in zip(ia, ib)
+        if ids[a] < ids[b]
+    }
+    assert got == want and got  # complete AND exact, no extras
+
+
+def test_knn_matches_bruteforce_within_ring(spark):
+    """Wherever brute-force kNN's k-th neighbor lies within one cell
+    ring (distance <= R guarantees ring membership), the cell-bounded
+    answer must be identical — the approximation only ever truncates
+    beyond the ring."""
+    from xova_spark.queries.geoq import _KNN_K, _RADIUS, geo_knn_cell
+
+    rows = geo_knn_cell(spark, SF).collect()
+    got: dict[int, list[tuple[int, int]]] = {}
+    for r in sorted(rows, key=lambda r: (r["id_a"], r["rnk"])):
+        got.setdefault(r["id_a"], []).append((r["id_b"], r["d2"]))
+    ids, x, y = _brute_points()
+    order = np.argsort(ids)
+    ids, x, y = ids[order], x[order], y[order]
+    for i in range(len(ids)):
+        d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
+        d2[i] = np.iinfo(np.int64).max
+        near = sorted(zip(d2.tolist(), ids.tolist()))[:_KNN_K]
+        if near[-1][0] <= _RADIUS * _RADIUS:
+            # true top-k fully inside the guaranteed-complete zone
+            want = [(int(b), int(d)) for d, b in near]
+            assert got.get(int(ids[i])) == want, ids[i]
+    # ranks are dense 1..k and distances non-decreasing per point
+    for pid, lst in got.items():
+        ds = [d for _, d in lst]
+        assert ds == sorted(ds) and len(lst) <= _KNN_K
