@@ -66,6 +66,9 @@ HEADLINE = (
     "er_blocked_candidates",
     "graph_bfs_hops",
     "ev_hll_mergeable_rollup",
+    # round-5 final: spatial cell join + day-partitioned sweep line
+    "geo_radius_pairs",
+    "ev_peak_concurrency",
 )
 
 
