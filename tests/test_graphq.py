@@ -230,3 +230,49 @@ def test_lpa_communities_refine_components(spark):
     assert lpa["n_nodes"].sum() == deg["n_nodes"].sum()
     assert (lpa["min_node"] <= lpa["max_node"]).all()
     assert lpa["community"].is_unique
+
+
+def test_basket_rules_match_pandas_bruteforce(spark):
+    """Rules recomputed from raw lineitem in pandas (distinct baskets,
+    all supported pairs, integer-lattice lift) must match the top-20
+    exactly; structural laws: pair support never exceeds either item
+    support, confidences are permille."""
+    import itertools
+
+    import pandas as pd
+
+    from xova_spark.queries.graphq import MIN_SUPPORT, basket_rules_lift
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in basket_rules_lift(spark, sf).collect()]
+    li = pd.read_parquet(
+        sf + "/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).drop_duplicates()
+    n_orders = li["l_orderkey"].nunique()
+    n_item = li.groupby("l_partkey").size().to_dict()
+    pair_sup: dict[tuple[int, int], int] = {}
+    for _, g in li.groupby("l_orderkey"):
+        for pa, pb in itertools.combinations(sorted(set(g["l_partkey"])), 2):
+            pair_sup[(pa, pb)] = pair_sup.get((pa, pb), 0) + 1
+    rules = []
+    for (pa, pb), n_ab in pair_sup.items():
+        if n_ab < MIN_SUPPORT:
+            continue
+        na, nb = n_item[pa], n_item[pb]
+        rules.append(
+            (
+                pa,
+                pb,
+                n_ab,
+                na,
+                nb,
+                (n_orders * n_ab * 1_000_000) // (na * nb),
+                (n_ab * 1000) // na,
+                (n_ab * 1000) // nb,
+            )
+        )
+    rules.sort(key=lambda r: (-r[5], r[0], r[1]))
+    assert got == rules[:20] and got
+    for pa, pb, n_ab, na, nb, lift, cab, cba in got:
+        assert n_ab <= min(na, nb)
+        assert 0 <= cab <= 1000 and 0 <= cba <= 1000

@@ -992,3 +992,69 @@ def graph_sssp_cost(spark, sf_dir):
     the arc list, adding nothing to the shuffle count."""
     out = _hub_relax(spark, sf_dir, weighted=True)
     return out.select("node", F.col("d").cast("long").alias("dist"))
+
+
+@q(
+    "basket_rules_lift",
+    f"""
+    WITH {_DUCK_EDGES},
+    items AS (SELECT l_partkey AS p, count(*) AS n_item FROM pp GROUP BY 1),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM pp)
+    SELECT CAST(e.pa AS BIGINT) AS pa, CAST(e.pb AS BIGINT) AS pb,
+           CAST(e.support AS BIGINT) AS n_ab,
+           CAST(ia.n_item AS BIGINT) AS n_a,
+           CAST(ib.n_item AS BIGINT) AS n_b,
+           CAST((t.n_orders * e.support * 1000000)
+                // (ia.n_item * ib.n_item) AS BIGINT) AS lift_ppm,
+           CAST((e.support * 1000) // ia.n_item AS BIGINT) AS conf_ab_pm,
+           CAST((e.support * 1000) // ib.n_item AS BIGINT) AS conf_ba_pm
+    FROM edges e
+    JOIN items ia ON ia.p = e.pa
+    JOIN items ib ON ib.p = e.pb
+    CROSS JOIN tot t
+    ORDER BY lift_ppm DESC, pa, pb LIMIT 20
+    """,
+)
+def basket_rules_lift(spark, sf_dir):
+    """ASSOCIATION RULES over the co-purchase graph — the classic
+    market-basket readout (support / confidence / lift) the affinity
+    edges exist to feed. Lift stays on an integer lattice:
+    lift_ppm = floor(N * n_ab * 10^6 / (n_a * n_b)) — the >10^6 test IS
+    "lift > 1" with no float division to drift the hash; confidences
+    are integer permille. Supports reuse the shared supported-edge
+    frame (one derivation per gate session, sharedframes.py); item
+    supports are one distinct + keyed agg at part grain. The joins key
+    on part id — part-grain dimensions are NOT K-row at 100 TB, so no
+    broadcast hint: AQE promotes them when small. Top-20 by lift ships
+    via orderBy+limit (TakeOrderedAndProject — distributed partial
+    top-k, no single-partition window)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    items = pp.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").alias("n_item")
+    )
+    tot = pp.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    e = _edges_cached(spark, sf_dir)
+    ia = items.select(F.col("p").alias("pa"), F.col("n_item").alias("na"))
+    ib = items.select(F.col("p").alias("pb"), F.col("n_item").alias("nb"))
+    joined = (
+        e.join(ia, "pa").join(ib, "pb").crossJoin(F.broadcast(tot))
+    )
+    return (
+        joined.select(
+            F.col("pa").cast("long").alias("pa"),
+            F.col("pb").cast("long").alias("pb"),
+            F.col("support").cast("long").alias("n_ab"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.expr(
+                "(n_orders * support * 1000000) div (na * nb)"
+            ).alias("lift_ppm"),
+            F.expr("(support * 1000) div na").alias("conf_ab_pm"),
+            F.expr("(support * 1000) div nb").alias("conf_ba_pm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "pa", "pb")
+        .limit(20)
+    )
