@@ -276,3 +276,40 @@ def test_basket_rules_match_pandas_bruteforce(spark):
     for pa, pb, n_ab, na, nb, lift, cab, cba in got:
         assert n_ab <= min(na, nb)
         assert 0 <= cab <= 1000 and 0 <= cba <= 1000
+
+
+def test_node_jaccard_matches_pandas_bruteforce(spark):
+    """Neighbor-set Jaccard recomputed from raw baskets with python
+    sets must match the top-20; inclusion-exclusion law |A∪B| =
+    da+db-common is checked against the true union size."""
+    import itertools
+
+    import pandas as pd
+
+    from xova_spark.queries.graphq import MIN_SUPPORT, graph_node_jaccard
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in graph_node_jaccard(spark, sf).collect()]
+    li = pd.read_parquet(
+        sf + "/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).drop_duplicates()
+    pair_sup: dict[tuple[int, int], int] = {}
+    for _, g in li.groupby("l_orderkey"):
+        for pa, pb in itertools.combinations(sorted(set(g["l_partkey"])), 2):
+            pair_sup[(pa, pb)] = pair_sup.get((pa, pb), 0) + 1
+    nbrs: dict[int, set[int]] = {}
+    for (pa, pb), s in pair_sup.items():
+        if s >= MIN_SUPPORT:
+            nbrs.setdefault(pa, set()).add(pb)
+            nbrs.setdefault(pb, set()).add(pa)
+    rows = []
+    for sa, sb in itertools.combinations(sorted(nbrs), 2):
+        common = len(nbrs[sa] & nbrs[sb])
+        if not common:
+            continue
+        da, db = len(nbrs[sa]), len(nbrs[sb])
+        union = len(nbrs[sa] | nbrs[sb])
+        assert union == da + db - common  # inclusion-exclusion law
+        rows.append((sa, sb, common, da, db, (common * 1000) // union))
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    assert got == rows[:20] and got

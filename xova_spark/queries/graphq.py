@@ -1058,3 +1058,69 @@ def basket_rules_lift(spark, sf_dir):
         .orderBy(F.desc("lift_ppm"), "pa", "pb")
         .limit(20)
     )
+
+
+@q(
+    "graph_node_jaccard",
+    f"""
+    WITH {_DUCK_EDGES},
+    wedges AS (
+      SELECT a.src AS sa, b.src AS sb, count(*) AS common
+      FROM arcs a JOIN arcs b
+        ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT CAST(w.sa AS BIGINT) AS sa, CAST(w.sb AS BIGINT) AS sb,
+           CAST(w.common AS BIGINT) AS common,
+           CAST(da.degree AS BIGINT) AS deg_a,
+           CAST(db.degree AS BIGINT) AS deg_b,
+           CAST((w.common * 1000)
+                // (da.degree + db.degree - w.common) AS BIGINT) AS jac_pm
+    FROM wedges w
+    JOIN deg da ON da.node = w.sa
+    JOIN deg db ON db.node = w.sb
+    ORDER BY jac_pm DESC, sa, sb LIMIT 20
+    """,
+)
+def graph_node_jaccard(spark, sf_dir):
+    """NODE SIMILARITY by neighbor-set Jaccard — the link-prediction /
+    "customers also bought" primitive: two parts are similar when their
+    co-purchase neighborhoods overlap. Candidates come from the WEDGE
+    join (arcs self-joined on the shared neighbor, sa < sb) — only
+    pairs with >= 1 common neighbor ever materialize, so the cost is
+    sum of per-node degree^2 over the support-pruned graph, never
+    all-pairs. |A ∪ B| = deg_a + deg_b - common needs no second pass
+    (inclusion-exclusion on the already-aggregated counts), and the
+    Jaccard ships as integer permille — no float division in the hash.
+    Top-20 via orderBy+limit (TakeOrderedAndProject). Reuses the shared
+    supported-edge frame; the wedge join keys on the neighbor id, a
+    plain shuffled equi-join AQE can skew-split when a hub node fans
+    out."""
+    edges = _edges_cached(spark, sf_dir)
+    arcs, deg = _arcs_and_degrees(edges)
+    a = arcs.select(F.col("src").alias("sa"), F.col("dst").alias("n"))
+    b = arcs.select(F.col("src").alias("sb"), F.col("dst").alias("n"))
+    wedges = (
+        a.join(b, "n")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("common"))
+    )
+    da = deg.select(F.col("node").alias("sa"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("sb"), F.col("degree").alias("deg_b"))
+    return (
+        wedges.join(da, "sa")
+        .join(db, "sb")
+        .select(
+            F.col("sa").cast("long").alias("sa"),
+            F.col("sb").cast("long").alias("sb"),
+            F.col("common").cast("long").alias("common"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            F.expr(
+                "(common * 1000) div (deg_a + deg_b - common)"
+            ).alias("jac_pm"),
+        )
+        .orderBy(F.desc("jac_pm"), "sa", "sb")
+        .limit(20)
+    )
