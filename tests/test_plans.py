@@ -368,3 +368,40 @@ def test_topk_entries_take_ordered_not_global_window(spark):
         )
         assert "TakeOrderedAndProject" in plan, name
         assert not _has_unpartitioned_window(plan), (name, plan)
+
+
+def test_round5_late_entries_plan_shapes(spark):
+    """Plan pins for the round-5 late pack: top-k entries stay
+    TakeOrderedAndProject; the spatial cell join is a keyed equi-join
+    (never a cartesian/pure-BNLJ pair scan — the only BNLJ allowed is
+    the broadcast 9-row offset fan-out); the sweep line and the kNN
+    rank keep their windows PARTITIONED; skyline's only unpartitioned
+    window runs at block grain, after the day-grain aggregate."""
+    import __spark_entry__ as m
+    from tools.plan_audit import _has_unpartitioned_window
+
+    qs = m.queries()
+
+    def plan_of(name):
+        return (
+            qs[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        )
+
+    for name in ("basket_rules_lift", "graph_node_jaccard"):
+        p = plan_of(name)
+        assert "TakeOrderedAndProject" in p, name
+        assert not _has_unpartitioned_window(p), name
+        assert "CartesianProduct" not in p, name
+
+    for name in ("geo_radius_pairs", "geo_knn_cell"):
+        p = plan_of(name)
+        assert "CartesianProduct" not in p, name
+        # the candidate join must key on the cell id (hash-partitioned
+        # equi-join), not compare raw coordinates pair-wise
+        assert "cx" in p and "cy" in p, name
+        assert not _has_unpartitioned_window(p), name
+
+    for name in ("ev_peak_concurrency", "layout_compaction_plan"):
+        p = plan_of(name)
+        assert not _has_unpartitioned_window(p), name
+        assert "CartesianProduct" not in p, name
