@@ -171,3 +171,32 @@ def test_benford_digits_and_chi2_replica(spark):
         assert r["obs_permille"] == nd * 1000 // n
         assert r["benford_permille"] == round(frac * 1000)
         assert abs(r["chi2_contrib"] - round((nd - frac * n) ** 2 / (frac * n), 6)) < 1e-9
+
+
+def test_fd_profile_matches_duckdb_and_discriminates(spark):
+    """Every candidate FD's verdict must match an independent DuckDB
+    recompute, and the candidate set must actually discriminate (at
+    least one holds, at least one fails) — a profiler that can't tell
+    keys from correlations is useless."""
+    import duckdb
+
+    from xova_spark.queries.dataqual import _FD_CANDIDATES, dq_fd_profile
+
+    sf = "/root/testdata/sf0.01"
+    got = {r["fd"]: r for r in dq_fd_profile(spark, sf).collect()}
+    holds = []
+    for name, table, det, dep in _FD_CANDIDATES:
+        ng, nv, mx = duckdb.sql(
+            f"""
+            SELECT count(*), sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END),
+                   max(nd)
+            FROM (SELECT {det}, count(DISTINCT {dep}) AS nd
+                  FROM '{sf}/{table}.parquet' GROUP BY {det})
+            """
+        ).fetchone()
+        r = got[name]
+        assert (r["n_groups"], r["n_violating_groups"], r["max_branching"]) \
+            == (ng, nv, mx), name
+        assert r["holds"] == (nv == 0)
+        holds.append(r["holds"])
+    assert any(holds) and not all(holds)

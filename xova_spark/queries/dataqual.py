@@ -751,3 +751,65 @@ def dq_benford(spark, sf_dir):
             ),
         )
     )
+
+
+_FD_CANDIDATES = (
+    # (name, table, determinant, dependent) — mix of FDs that must HOLD
+    # (keys, derived columns) and ones that must FAIL (correlations a
+    # profiler should refuse to promote to constraints)
+    ("customer: c_custkey -> c_name", "customer", "c_custkey", "c_name"),
+    ("customer: c_nationkey -> c_mktsegment", "customer", "c_nationkey",
+     "c_mktsegment"),
+    ("orders: o_orderkey -> o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("orders: o_custkey -> o_orderpriority", "orders", "o_custkey",
+     "o_orderpriority"),
+    ("lineitem: l_orderkey -> l_shipdate", "lineitem", "l_orderkey",
+     "l_shipdate"),
+    ("lineitem: l_partkey -> l_suppkey", "lineitem", "l_partkey",
+     "l_suppkey"),
+)
+
+
+def _fd_oracle_sql() -> str:
+    parts = []
+    for name, table, det, dep in _FD_CANDIDATES:
+        parts.append(f"""
+          SELECT '{name}' AS fd,
+                 CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_violating_groups,
+                 CAST(max(nd) AS BIGINT) AS max_branching,
+                 sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+          FROM (SELECT {det}, count(DISTINCT {dep}) AS nd
+                FROM {table} GROUP BY {det})""")
+        # noqa: the determinant/dependent names are compile-time constants
+    return " UNION ALL ".join(parts)
+
+
+@q("dq_fd_profile", _fd_oracle_sql())
+def dq_fd_profile(spark, sf_dir):
+    """FUNCTIONAL-DEPENDENCY discovery (the Metanome/profiling op that
+    decides which constraints a dataset actually obeys): for each
+    candidate A -> B, group by the determinant and count distinct
+    dependents — the FD holds iff no group branches. The candidate set
+    mixes true keys/derivations (must hold) with plausible-looking
+    correlations (must fail — a profiler that promotes those to
+    constraints corrupts downstream dedup/merge logic). Each check is
+    one partial-agged shuffle on the determinant + a 1-row summary;
+    checks union into one report. At 100 TB the groupBy-distinct is the
+    exact path; the HLL variant (approx_count_distinct per group) is
+    the screening pass — agg_sketch_accuracy is the standing proof of
+    its error bound."""
+    out = None
+    for name, table, det, dep in _FD_CANDIDATES:
+        t = load_tables(spark, sf_dir, (table,))[table]
+        grp = t.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        rep = grp.agg(
+            F.count("*").cast("long").alias("n_groups"),
+            viol.cast("long").alias("n_violating_groups"),
+            F.max("nd").cast("long").alias("max_branching"),
+            (viol == 0).alias("holds"),
+        ).select(F.lit(name).alias("fd"), "*")
+        out = rep if out is None else out.unionByName(rep)
+    return out
