@@ -584,3 +584,59 @@ def test_weighted_median_matches_numpy(spark):
         median = cum[cum * 2 >= total].index[0]
         assert int(got.loc[flag, "total_w"]) == total
         assert float(got.loc[flag, "weighted_median"]) == float(median)
+
+
+def test_pii_scan_precision_and_planted_counts(spark):
+    """The PII enrichment is deterministic from doc_id, so expected
+    per-doc counts are computable exactly: %4==0 docs carry one email
+    (two when %8==0), %4==1 one IPv4, %4==2 one phone, %4==3 only the
+    dotted-version DECOY — which must yield all-zero counts (the IPv4
+    regex must not fire on `2.5` / `build 17`)."""
+    from xova_spark.queries.textops import t_pii_scan
+
+    rows = t_pii_scan(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        d = r["doc_id"]
+        exp_em = (1 if d % 4 == 0 else 0) + (1 if d % 8 == 0 else 0)
+        assert r["n_emails"] == exp_em, (d, r)
+        assert r["n_ipv4"] == (1 if d % 4 == 1 else 0), (d, r)
+        assert r["n_phones"] == (1 if d % 4 == 2 else 0), (d, r)
+        assert r["has_pii"] == (1 if d % 4 != 3 else 0), (d, r)
+
+
+def test_pii_redact_scrubs_everything(spark):
+    """Redaction law: re-scanning the redacted text finds ZERO entities
+    (the scrub is complete), placeholder counts equal the audit column,
+    and non-PII docs pass through byte-identical to the enriched text."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.queries.textops import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        t_pii_redact,
+    )
+
+    red = t_pii_redact(spark, SF)
+    residual = red.select(
+        *[
+            F.sum(
+                F.size(F.regexp_extract_all("redacted", F.lit(p), F.lit(0)))
+            ).alias(n)
+            for n, p in [
+                ("em", PII_EMAIL_RE),
+                ("ip", PII_IPV4_RE),
+                ("ph", PII_PHONE_RE),
+            ]
+        ]
+    ).collect()[0]
+    assert residual["em"] == residual["ip"] == residual["ph"] == 0
+    rows = red.collect()
+    for r in rows:
+        placeholders = sum(
+            r["redacted"].count(tok) for tok in ("[EMAIL]", "[IP]", "[PHONE]")
+        )
+        assert placeholders == r["n_redactions"], r["doc_id"]
+        if r["doc_id"] % 4 == 3:
+            assert "version 2.5 build 17" in r["redacted"]

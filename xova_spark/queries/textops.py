@@ -2639,3 +2639,193 @@ def t_blocklist_spans(spark, sf_dir):
             ).alias("context"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (the pre-training privacy-scrub pass).
+#
+# The harness corpus is synthetic word soup with no PII, so each entry
+# first ENRICHES the text deterministically from doc_id (both the Spark
+# plan and the DuckDB oracle build the byte-identical enriched string):
+# doc_id%4==0 gains an email, ==1 an IPv4, ==2 a phone number, ==3 a
+# dotted-version DECOY that the IPv4 regex must NOT match; doc_id%8==0
+# additionally gains a second email so multi-match counting and global
+# replacement are exercised. The regexes stay in the Java/RE2 common
+# subset (character classes, bounded repetition, \b) so one pattern
+# string drives both engines.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+_PII_ENRICH_SQL = """
+    text
+    || CASE doc_id % 4
+         WHEN 0 THEN ' contact user' || doc_id::VARCHAR || '@mail.example.com for details'
+         WHEN 1 THEN ' origin host 10.' || (doc_id % 256)::VARCHAR || '.0.'
+                     || (doc_id % 100)::VARCHAR || ' logged'
+         WHEN 2 THEN ' call +1-555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+                     || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') || ' now'
+         ELSE ' version 2.5 build 17'
+       END
+    || CASE WHEN doc_id % 8 = 0
+            THEN ' cc admin' || doc_id::VARCHAR || '@example.org'
+            ELSE '' END
+"""
+
+
+def _pii_enrich_col():
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0, F.concat(F.lit(" contact user"), d.cast("string"),
+                                    F.lit("@mail.example.com for details")))
+        .when(d % 4 == 1, F.concat(F.lit(" origin host 10."),
+                                   (d % 256).cast("string"), F.lit(".0."),
+                                   (d % 100).cast("string"), F.lit(" logged")))
+        .when(d % 4 == 2, F.concat(F.lit(" call +1-555-"),
+                                   F.lpad((d % 1000).cast("string"), 3, "0"),
+                                   F.lit("-"),
+                                   F.lpad(((d * 7) % 10000).cast("string"), 4, "0"),
+                                   F.lit(" now")))
+        .otherwise(F.lit(" version 2.5 build 17")),
+        F.when(d % 8 == 0, F.concat(F.lit(" cc admin"), d.cast("string"),
+                                    F.lit("@example.org"))).otherwise(F.lit("")),
+    )
+
+
+def _pii_count(col, pat):
+    return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast("long")
+
+
+@q(
+    "t_pii_scan",
+    f"""
+    WITH e AS (
+      SELECT doc_id, source, {_PII_ENRICH_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(CASE WHEN len(regexp_extract_all(t, '{PII_EMAIL_RE}'))
+                        + len(regexp_extract_all(t, '{PII_IPV4_RE}'))
+                        + len(regexp_extract_all(t, '{PII_PHONE_RE}')) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS has_pii
+    FROM e
+    """,
+)
+def t_pii_scan(spark, sf_dir):
+    """Per-document PII entity scan — emails / IPv4 / phone numbers via
+    regex extraction, the detection half of the pre-training privacy
+    scrub (the Dolma/CCNet PII pass). The dotted-version decoy docs
+    (doc_id%4==3) pin precision: `2.5` must not count as an address.
+
+    Scale shape: pure per-row ``regexp_extract_all`` projections over
+    the document scan — whole-stage codegen, zero shuffles, zero UDFs;
+    at 100 TB this is scan-bound and embarrassingly parallel."""
+    (docs,) = _docs(spark, sf_dir)
+    t = _pii_enrich_col()
+    n = (_pii_count(t, PII_EMAIL_RE) + _pii_count(t, PII_IPV4_RE)
+         + _pii_count(t, PII_PHONE_RE))
+    return docs.select(
+        "doc_id",
+        _pii_count(t, PII_EMAIL_RE).alias("n_emails"),
+        _pii_count(t, PII_IPV4_RE).alias("n_ipv4"),
+        _pii_count(t, PII_PHONE_RE).alias("n_phones"),
+        F.when(n > 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("has_pii"),
+    )
+
+
+@q(
+    "t_pii_redact",
+    f"""
+    WITH e AS (
+      SELECT doc_id, {_PII_ENRICH_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+               t, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                  '{PII_PHONE_RE}', '[PHONE]', 'g'),
+                  '{PII_IPV4_RE}', '[IP]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}'))
+                + len(regexp_extract_all(t, '{PII_IPV4_RE}'))
+                + len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT)
+               AS n_redactions
+    FROM e
+    """,
+)
+def t_pii_redact(spark, sf_dir):
+    """PII redaction — replace every detected entity with a typed
+    placeholder token, emitting the full scrubbed text plus an audit
+    count. The value-hash covers the entire redacted string, so the
+    parity evidence is byte-level (replacement order email→phone→IP is
+    fixed on both engines; the patterns are disjoint by construction,
+    order is pinned anyway).
+
+    Scale shape: chained ``regexp_replace`` in one projection — the
+    100 TB scrub is a map-only rewrite of the corpus, no shuffle."""
+    (docs,) = _docs(spark, sf_dir)
+    t = _pii_enrich_col()
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE, "[PHONE]"),
+        PII_IPV4_RE, "[IP]")
+    n = (_pii_count(t, PII_EMAIL_RE) + _pii_count(t, PII_IPV4_RE)
+         + _pii_count(t, PII_PHONE_RE))
+    return docs.select("doc_id", red.alias("redacted"), n.alias("n_redactions"))
+
+
+@q(
+    "t_pii_rate_by_source",
+    f"""
+    WITH e AS (
+      SELECT doc_id, source, {_PII_ENRICH_SQL} AS t FROM documents
+    ), c AS (
+      SELECT source,
+             len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS ne,
+             len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS ni,
+             len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS np
+      FROM e
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_with_pii,
+           CAST(sum(ne) AS BIGINT) AS total_emails,
+           CAST(sum(ni) AS BIGINT) AS total_ipv4,
+           CAST(sum(np) AS BIGINT) AS total_phones,
+           CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS pii_doc_permille
+    FROM c GROUP BY source
+    """,
+)
+def t_pii_rate_by_source(spark, sf_dir):
+    """Per-ingest-source PII audit rollup — which feeds carry PII and at
+    what document rate (the curation action is per-source policy, same
+    rationale as ``t_blocklist_rate``). Integer permille keeps the
+    rollup on the exact lattice.
+
+    Scale shape: per-row regex counts under a single per-source
+    partial-aggregated rollup — one small shuffle keyed on source."""
+    (docs,) = _docs(spark, sf_dir)
+    t = _pii_enrich_col()
+    ne = _pii_count(t, PII_EMAIL_RE)
+    ni = _pii_count(t, PII_IPV4_RE)
+    np_ = _pii_count(t, PII_PHONE_RE)
+    anyp = F.when(ne + ni + np_ > 0, F.lit(1)).otherwise(F.lit(0))
+    return (
+        docs.select("source", ne.alias("ne"), ni.alias("ni"), np_.alias("np"),
+                    anyp.alias("anyp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("anyp").cast("long").alias("n_docs_with_pii"),
+            F.sum("ne").alias("total_emails"),
+            F.sum("ni").alias("total_ipv4"),
+            F.sum("np").alias("total_phones"),
+            F.expr("sum(anyp) * 1000 div count(*)").cast("long")
+            .alias("pii_doc_permille"),
+        )
+    )
