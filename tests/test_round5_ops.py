@@ -640,3 +640,53 @@ def test_pii_redact_scrubs_everything(spark):
         assert placeholders == r["n_redactions"], r["doc_id"]
         if r["doc_id"] % 4 == 3:
             assert "version 2.5 build 17" in r["redacted"]
+
+
+def test_bm25_matches_python_replica(spark):
+    """BM25 law pin: the distributed integer-lattice scoring equals an
+    independent driver-side replica (pure Python over the raw texts,
+    same k1/b/lattice), including the tie-broken top-k order."""
+    import math
+
+    from xova_spark.queries.textops import (
+        BM25_QUERY_TERMS,
+        BM25_TOPK,
+        t_bm25_topk,
+    )
+    from xova_spark.session import load_tables
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_tables(spark, SF, ("documents",))["documents"].collect()
+    }
+    n_docs = len(docs)
+    sum_dl = sum(len(ws) for ws in docs.values())
+    tf = {
+        (d, t): ws.count(t)
+        for d, ws in docs.items()
+        for t in BM25_QUERY_TERMS
+        if t in ws
+    }
+    df = {t: sum(1 for (_, t2) in tf if t2 == t) for t in BM25_QUERY_TERMS}
+    idf_micro = {
+        t: round(math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1) * 1000000)
+        for t in df
+        if df[t] > 0
+    }
+    scores: dict[int, int] = {}
+    hits: dict[int, int] = {}
+    for (d, t), f in tf.items():
+        dl = len(docs[d])
+        c = round(
+            idf_micro[t]
+            * ((f * 2.2) / (f + 1.2 * (0.25 + 0.75 * ((dl * n_docs) / sum_dl))))
+        )
+        scores[d] = scores.get(d, 0) + c
+        hits[d] = hits.get(d, 0) + 1
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOPK]
+    got = t_bm25_topk(spark, SF).orderBy("rank").collect()
+    assert len(got) == len(want) == BM25_TOPK
+    for rank, (r, (d, s)) in enumerate(zip(got, want), start=1):
+        assert (r["rank"], r["doc_id"], r["score_micro"], r["n_terms_hit"]) == (
+            rank, d, s, hits[d]
+        )

@@ -2829,3 +2829,126 @@ def t_pii_rate_by_source(spark, sf_dir):
             .alias("pii_doc_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring — the inverted-index ranking pattern.
+
+BM25_QUERY_TERMS = ("spark", "window", "merge", "vector", "customer")
+BM25_TOPK = 20
+# k1=1.2, b=0.75 (the classic Robertson defaults); expressions below use
+# the folded literals 2.2 (=k1+1) and 0.25/0.75 (=1-b / b) so the Spark
+# and DuckDB float expressions are token-identical.
+
+
+@q(
+    "t_bm25_topk",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), dl AS (
+      SELECT doc_id, len(ws) AS dl FROM d
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM dl
+    ), tok AS (
+      SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM d
+    ), tf AS (
+      SELECT doc_id, term, min(dl) AS dl, CAST(count(*) AS BIGINT) AS tf
+      FROM tok
+      WHERE term IN {BM25_QUERY_TERMS!r}
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), idf AS (
+      SELECT term,
+             CAST(round(ln((s.n_docs - df + 0.5) / (df + 0.5) + 1) * 1000000)
+                  AS BIGINT) AS idf_micro
+      FROM df CROSS JOIN stats s
+    ), contrib AS (
+      SELECT t.doc_id,
+             CAST(round(i.idf_micro
+                        * ((t.tf * 2.2)
+                           / (t.tf + 1.2 * (0.25 + 0.75 * ((t.dl * s.n_docs) / s.sum_dl)))))
+                  AS BIGINT) AS c_micro
+      FROM tf t JOIN idf i USING (term) CROSS JOIN stats s
+    ), scored AS (
+      SELECT doc_id,
+             CAST(sum(c_micro) AS BIGINT) AS score_micro,
+             CAST(count(*) AS BIGINT) AS n_terms_hit
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT)
+               AS rank,
+           doc_id, score_micro, n_terms_hit
+    FROM scored
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """,
+)
+def t_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval over the corpus for a fixed query — the
+    inverted-index scoring pattern (Robertson k1=1.2, b=0.75): posting
+    lists (doc, term, tf) from a token explode FILTERED to the query
+    terms (a constant-list filter, never a join), document frequencies
+    and corpus stats as K-row broadcast sides, and the classic
+    saturating tf * idf contribution.
+
+    Determinism: each (doc, term) contribution is rounded onto the
+    integer MICRO lattice before the per-doc sum, so 100 TB partial-sum
+    order cannot drift the hash; `ln` (the only transcendental) is
+    evaluated once per TERM and immediately latticed. Norm term is
+    written (dl * n_docs) / sum_dl so both engines round the same
+    single division.
+
+    Scale shape: explode+filter is map-side; tf is one keyed shuffle at
+    (doc, term) grain; df/stats are tiny broadcast joins; top-k is
+    TakeOrderedAndProject (no global sort materialized); the final
+    row_number window runs on the BOUNDED 20-row frame only."""
+    (docs,) = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    dld = docs.select("doc_id", F.size(ws).alias("dl"))
+    stats = dld.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tok = docs.select(
+        "doc_id", F.size(ws).alias("dl"), F.explode(ws).alias("term")
+    ).where(F.col("term").isin(*BM25_QUERY_TERMS))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.min("dl").alias("dl"), F.count("*").cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    x = (F.col("dl") * F.col("n_docs")) / F.col("sum_dl")
+    tfpart = (F.col("tf") * 2.2) / (F.col("tf") + 1.2 * (0.25 + 0.75 * x))
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(F.col("idf_micro") * tfpart).cast("long").alias("c_micro"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.sum("c_micro").cast("long").alias("score_micro"),
+        F.count("*").cast("long").alias("n_terms_hit"),
+    )
+    topk = scored.orderBy(F.desc("score_micro"), "doc_id").limit(BM25_TOPK)
+    w = Window.orderBy(F.desc("score_micro"), "doc_id")
+    return topk.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "score_micro",
+        "n_terms_hit",
+    )
