@@ -69,6 +69,9 @@ HEADLINE = (
     # round-5 final: spatial cell join + day-partitioned sweep line
     "geo_radius_pairs",
     "ev_peak_concurrency",
+    # round-5 close: PII corpus scrub + BM25 retrieval scoring
+    "t_pii_redact",
+    "t_bm25_topk",
 )
 
 
