@@ -54,7 +54,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #           ev_hll_mergeable_rollup (sketch-boolean idiom), dq_benford,
 #           t_blocklist_rate / t_blocklist_spans, plus the r5-list
 #           leftovers: t_importance_weights, cdc_incremental_rollup,
-#           stream_neardup_ingest, agg_exact_median_rank
+#           stream_neardup_ingest, agg_exact_median_rank, and the
+#           round-5-close additions t_pii_redact (global regexp_replace
+#           parity — Java vs RE2 — hashed over full strings) and
+#           t_bm25_topk (ln-lattice rounding is the divergence
+#           candidate)
 _PRIORITY: tuple[str, ...] = (
     # time_and_channel averaging core (reference averaging.py:184-260)
     "ms_tc_rows",
