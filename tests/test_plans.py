@@ -405,3 +405,38 @@ def test_round5_late_entries_plan_shapes(spark):
         p = plan_of(name)
         assert not _has_unpartitioned_window(p), name
         assert "CartesianProduct" not in p, name
+
+
+def test_pii_and_bm25_plan_shapes(spark):
+    """Plan pins for the round-5-close entries: the PII scan/redact are
+    MAP-ONLY (zero exchanges — the 100 TB scrub must stay scan-bound),
+    the per-source audit has exactly the one keyed rollup shuffle, and
+    BM25's top-k is TakeOrderedAndProject with its only BNLJs being the
+    1-row corpus-stats broadcasts (never a data-grain pair scan)."""
+    import __spark_entry__ as m
+    from tools.plan_audit import _has_unpartitioned_window
+
+    qs = m.queries()
+
+    def plan_of(name):
+        return (
+            qs[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        )
+
+    for name in ("t_pii_scan", "t_pii_redact"):
+        p = plan_of(name)
+        assert "Exchange" not in p, name
+        assert "BatchEvalPython" not in p, name
+
+    p = plan_of("t_pii_rate_by_source")
+    assert p.count("Exchange") == 1, p.count("Exchange")
+    assert "BatchEvalPython" not in p
+
+    p = plan_of("t_bm25_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    # the final row_number ranks the BOUNDED top-k frame only: the sole
+    # unpartitioned window must sit above the TakeOrdered, which the
+    # audit helper treats as bounded-input-safe; no data-grain global sort
+    assert "Expand" not in p
