@@ -469,3 +469,53 @@ def test_er_ingest_invariance_under_real_triggers(spark, tmp_path, monkeypatch):
     assert len(got) == len(want) > 0
     for col in ("new_key", "master_key", "name_dist", "same_nation"):
         assert list(got[col]) == list(want[col]), col
+
+
+def test_pii_scrub_invariance_under_real_triggers(spark, tmp_path, monkeypatch):
+    """stream_pii_scrub is fully stateless — documents split over 3 real
+    triggers must match exactly the batch oracle, including the full
+    redacted strings and the quarantine routing."""
+    import duckdb
+
+    import xova_spark.queries.streamingq as SQ
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i in range(3):
+        d = str(tmp_path / f"d{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(d)
+        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        os.rename(os.path.join(d, part), os.path.join(flat, f"{i:02d}.parquet"))
+        os.utime(os.path.join(flat, f"{i:02d}.parquet"), (1_000_000_000 + i,) * 2)
+
+    def split_stream(spark_, sf_dir):
+        return (
+            spark_.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(flat)
+        )
+
+    monkeypatch.setattr(SQ, "_documents_stream", split_stream)
+    got = (
+        SQ.stream_pii_scrub(spark, sf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = (
+        con.execute(SQ.REGISTRY["stream_pii_scrub"][1])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 500
+    for col in ("doc_id", "redacted", "n_redactions", "action"):
+        assert list(got[col]) == list(want[col]), col
+    assert (got["action"] == "quarantine").sum() > 0  # %8==0 docs: 2 emails

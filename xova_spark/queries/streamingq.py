@@ -1297,3 +1297,87 @@ def stream_er_ingest(spark, sf_dir):
         )
         q_.awaitTermination()
     return spark.table(name)
+
+
+def _pii_stream_oracle_sql() -> str:
+    from xova_spark.queries.textops import (
+        _PII_ENRICH_SQL,
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    return f"""
+    WITH e AS (
+      SELECT doc_id, {_PII_ENRICH_SQL} AS t FROM documents
+    ), c AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(
+                 t, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                    '{PII_PHONE_RE}', '[PHONE]', 'g'),
+                    '{PII_IPV4_RE}', '[IP]', 'g') AS redacted,
+             CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}'))
+                  + len(regexp_extract_all(t, '{PII_IPV4_RE}'))
+                  + len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT)
+                 AS n_redactions
+      FROM e
+    )
+    SELECT doc_id, redacted, n_redactions,
+           CASE WHEN n_redactions >= 2 THEN 'quarantine' ELSE 'release' END
+               AS action
+    FROM c
+    """
+
+
+@q("stream_pii_scrub", _pii_stream_oracle_sql())
+def stream_pii_scrub(spark, sf_dir):
+    """PII SCRUBBING AT INGEST — the streaming composition of the PII
+    pack: arriving documents are entity-scanned and redacted per
+    micro-batch, and each is ROUTED at admission time — `release` for
+    the scrubbed common case, `quarantine` when the entity density
+    (>= 2 redactions) warrants human review before the document may
+    enter the corpus. This is the admission-control gate a compliant
+    training-data pipeline runs ahead of any persistence of raw text.
+
+    Fully STATELESS: scan, redact, and the routing decision are per-row
+    projections, so converged availableNow output == the batch oracle by
+    construction regardless of trigger chunking (same argument as
+    stream_er_ingest).
+
+    Scale shape: map-only per micro-batch — zero exchanges, zero state
+    store; at ingest rate the scrub is bounded by the regex throughput
+    of the scan itself."""
+    from xova_spark.queries.textops import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        _pii_count,
+        _pii_enrich_col,
+    )
+
+    t = _pii_enrich_col()
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE, "[PHONE]"),
+        PII_IPV4_RE, "[IP]")
+    n = (_pii_count(t, PII_EMAIL_RE) + _pii_count(t, PII_IPV4_RE)
+         + _pii_count(t, PII_PHONE_RE))
+    out = _documents_stream(spark, sf_dir).select(
+        "doc_id",
+        red.alias("redacted"),
+        n.alias("n_redactions"),
+        F.when(n >= 2, F.lit("quarantine")).otherwise(F.lit("release"))
+        .alias("action"),
+    )
+    name = f"q_stream_pii_{next(_uniq)}"
+    with SA.stream_state_partitions(spark):
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return spark.table(name)
