@@ -36,6 +36,18 @@ def q(name: str, sql: str | None):
 BLOCK_PREFIX_LEN = 16
 MAX_NAME_DIST = 1
 
+# Cents integerization idiom (ADVICE r5): this pack uses round(x*100) on
+# both engines, while agg_skyline_pareto uses floor(x*100+0.5). round()
+# is safe HERE because both engines round DOUBLES half-away-from-zero
+# (Spark F.round = HALF_UP on the double path; DuckDB round(double)
+# likewise), including negative c_acctbal — and the ER entries only
+# DIFFERENCE the cents values pairwise, so even a shared representation
+# error cancels. The skyline entry avoids round() because it feeds the
+# integerized value into a cross-row dominance comparison where a single
+# half-mode disagreement flips a Pareto verdict; floor(x*100+0.5) there
+# is a belt-and-braces choice for positive-only values, not evidence
+# that round() diverges. One idiom per risk profile, both documented.
+
 _DUCK_PAIRS = f"""
     c AS (
       SELECT c_custkey, c_name, c_nationkey, c_mktsegment,

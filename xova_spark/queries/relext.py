@@ -2959,6 +2959,20 @@ def ev_hll_mergeable_rollup(spark, sf_dir):
     - merged_within_5pct: the merged estimate lands within 5% of the
       exact month distinct.
 
+    Validated regime for the lossless-union law (ADVICE r5): the
+    oracle hardcodes merge_equals_direct=TRUE, which is a DataSketches
+    HLL_4/lgK=12 implementation observation, not a mathematical
+    guarantee — union-of-parts and direct sketches can in principle
+    land in different internal modes (coupon list / set / dense) near
+    mode-transition cardinalities. The law is validated here for
+    per-day distincts ~1e2..1e4 and month unions ~1e3..1e5 (sf0.001,
+    sf0.01, sf0.1, and the sf1 bench tier — all EXACT). If a future
+    tier pushes a daily sketch across the sparse→dense boundary
+    (~tens of thousands of distincts per day at lgK=12) and this gate
+    goes red on merge_equals_direct ONLY, the asserted law is what
+    broke, not the engine: downgrade that column to the
+    merged_within_5pct bounded-error witness, which IS guaranteed.
+
     sum_daily_distinct ships as the cautionary exact column: summing
     per-day distincts (what a naive rollup table stores) overcounts
     ~10x here — the inflation the sketch column exists to fix."""

@@ -1436,7 +1436,11 @@ def t_gopher_quality_rules(spark, sf_dir):
         F.size(F.array_intersect(F.array_distinct(ws), stoparr)).alias(
             "nstop"
         ),
-        F.size(F.filter(ws, lambda x: x.rlike("^[A-Za-z]+$"))).alias(
+        # \z (absolute end-of-input), not $: Java's $ also matches before
+        # a trailing newline, DuckDB's regexp_full_match does not — \z
+        # pins both engines to identical full-token semantics even if a
+        # fixture ever carries a token with a trailing newline.
+        F.size(F.filter(ws, lambda x: x.rlike("^[A-Za-z]+\\z"))).alias(
             "nalpha"
         ),
     )
