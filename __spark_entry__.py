@@ -45,20 +45,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #           s2_column_pruned_scan, driver-green r4)
 #   r5 out: the six r4-green names above + w_sessionize (driver-green
 #           r3; stays oracle-gated in GATE_LOG) + s2_column_pruned_scan
-#   r6 candidates (never driver-sampled, added late r5): the ER pack
-#           (er_blocked_candidates / er_entity_clusters /
-#           er_survivorship / er_blocking_recall — Levenshtein is a
-#           cross-dialect divergence candidate), graph_bfs_hops /
-#           graph_sssp_cost (size-gated relaxation), ev_autocorr /
-#           ev_series_similarity (timestamp bucketing under hostile tz),
-#           ev_hll_mergeable_rollup (sketch-boolean idiom), dq_benford,
-#           t_blocklist_rate / t_blocklist_spans, plus the r5-list
-#           leftovers: t_importance_weights, cdc_incremental_rollup,
-#           stream_neardup_ingest, agg_exact_median_rank, and the
-#           round-5-close additions t_pii_redact (global regexp_replace
-#           parity — Java vs RE2 — hashed over full strings) and
-#           t_bm25_topk (ln-lattice rounding is the divergence
-#           candidate)
+#   r6 in:  the full 12-name divergence-candidate list VERDICT r5
+#           prescribed — er_blocked_candidates, er_entity_clusters,
+#           er_survivorship, er_blocking_recall (Levenshtein
+#           cross-dialect), graph_bfs_hops, graph_sssp_cost (size-gated
+#           relaxation), ev_autocorr, ev_series_similarity (timestamp
+#           bucketing under hostile tz), ev_hll_mergeable_rollup
+#           (sketch-boolean idiom), dq_benford, t_pii_redact (Java vs
+#           RE2 regexp_replace parity), t_bm25_topk (ln-lattice
+#           rounding)
+#   r6 out: the 12 r5-green tail names — dedup_minhash_lsh,
+#           ann_ivf_topk, pipeline_corpus_e2e (its r4 FAIL re-checked
+#           green in r5 per policy), t_pack_sequences, graph_modularity,
+#           dedup_band_tuning_report, mm_scene_dedup,
+#           dq_profile_columns, cdc_merge_upsert, tpch_q1,
+#           w_global_rank, t_unimax_language_budget — all stay
+#           oracle-gated in GATE_LOG
+#   r7 candidates (never driver-sampled): t_blocklist_rate /
+#           t_blocklist_spans, t_importance_weights,
+#           cdc_incremental_rollup, stream_neardup_ingest,
+#           agg_exact_median_rank, agg_skyline_pareto,
+#           dedup_prefix_filter_join, geo_knn_cell, plus the round-6
+#           additions (hub-capped wedge join, ER exact-match
+#           pre-grouping, geo density guard)
 _PRIORITY: tuple[str, ...] = (
     # time_and_channel averaging core (reference averaging.py:184-260)
     "ms_tc_rows",
@@ -102,20 +111,22 @@ _PRIORITY: tuple[str, ...] = (
     "stream_bda_vis",
     "stream_session_bins",
     "stream_cdc_merge",
-    # LLM-data-pipeline headliners (kept) + round-5 rotation slots
-    "dedup_minhash_lsh",
-    "ann_ivf_topk",
-    "pipeline_corpus_e2e",
-    "t_pack_sequences",
-    "graph_modularity",
-    "dedup_band_tuning_report",
-    "mm_scene_dedup",
-    "dq_profile_columns",
-    "cdc_merge_upsert",
-    # relational staples (regression canaries for the classical surface)
-    "tpch_q1",
-    "w_global_rank",
-    "t_unimax_language_budget",
+    # round-6 rotation slots: the 12 never-driver-sampled divergence
+    # candidates VERDICT r5 named (ER/Levenshtein cross-dialect, size-
+    # gated graph relaxation, hostile-tz timestamp bucketing, sketch
+    # booleans, digit-distribution, Java-vs-RE2 regex, BM25 ln-lattice)
+    "er_blocked_candidates",
+    "er_entity_clusters",
+    "er_survivorship",
+    "er_blocking_recall",
+    "graph_bfs_hops",
+    "graph_sssp_cost",
+    "ev_autocorr",
+    "ev_series_similarity",
+    "ev_hll_mergeable_rollup",
+    "dq_benford",
+    "t_pii_redact",
+    "t_bm25_topk",
 )
 
 
