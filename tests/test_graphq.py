@@ -313,3 +313,77 @@ def test_node_jaccard_matches_pandas_bruteforce(spark):
         rows.append((sa, sb, common, da, db, (common * 1000) // union))
     rows.sort(key=lambda r: (-r[5], r[0], r[1]))
     assert got == rows[:20] and got
+
+
+def test_capped_jaccard_hub_laws(spark):
+    """Hub-cap laws for graph_node_jaccard_capped (VERDICT r5 item 3),
+    at sf0.01 where the cap measurably bites (max degree 13 > cap 8):
+
+    1. replica: the capped top-20 matches a pure-python replica that
+       drops wedges through neighbors with degree > WEDGE_DEGREE_CAP.
+    2. lower bound: for every pair, common_capped <= true common and
+       jac_lb_pm <= true Jaccard permille (degrees stay exact).
+    3. volume: capped wedge candidate volume = sum of deg^2 over kept
+       neighbors <= WEDGE_DEGREE_CAP * |arcs| (the linear hub-proof
+       bound) and < exact volume sum deg^2 (the cap actually pruned).
+    4. recall: measured capped-vs-exact top-20 pair overlap (recorded
+       in SCALE.md; asserted as a floor so regressions surface).
+    """
+    import itertools
+
+    import pandas as pd
+
+    from xova_spark.queries.graphq import (
+        MIN_SUPPORT,
+        WEDGE_DEGREE_CAP,
+        graph_node_jaccard,
+        graph_node_jaccard_capped,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = [tuple(r) for r in graph_node_jaccard_capped(spark, sf).collect()]
+    exact_top = [tuple(r) for r in graph_node_jaccard(spark, sf).collect()]
+
+    li = pd.read_parquet(
+        sf + "/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).drop_duplicates()
+    pair_sup: dict[tuple[int, int], int] = {}
+    for _, g in li.groupby("l_orderkey"):
+        for pa, pb in itertools.combinations(sorted(set(g["l_partkey"])), 2):
+            pair_sup[(pa, pb)] = pair_sup.get((pa, pb), 0) + 1
+    nbrs: dict[int, set[int]] = {}
+    for (pa, pb), s in pair_sup.items():
+        if s >= MIN_SUPPORT:
+            nbrs.setdefault(pa, set()).add(pb)
+            nbrs.setdefault(pb, set()).add(pa)
+    deg = {n: len(v) for n, v in nbrs.items()}
+    assert max(deg.values()) > WEDGE_DEGREE_CAP  # the cap bites here
+
+    rows = []
+    for sa, sb in itertools.combinations(sorted(nbrs), 2):
+        inter = nbrs[sa] & nbrs[sb]
+        cc = sum(1 for n in inter if deg[n] <= WEDGE_DEGREE_CAP)
+        if not cc:
+            continue
+        da, db = deg[sa], deg[sb]
+        rows.append((sa, sb, cc, da, db, (cc * 1000) // (da + db - cc)))
+        # law 2: lower bound vs the true values
+        true_common = len(inter)
+        true_jac = (true_common * 1000) // (da + db - true_common)
+        assert cc <= true_common
+        assert (cc * 1000) // (da + db - cc) <= true_jac
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    assert got == rows[:20] and got  # law 1
+
+    # law 3: linear volume bound, and the cap actually pruned work
+    n_arcs = 2 * sum(1 for s in pair_sup.values() if s >= MIN_SUPPORT)
+    vol_capped = sum(d * d for d in deg.values() if d <= WEDGE_DEGREE_CAP)
+    vol_exact = sum(d * d for d in deg.values())
+    assert vol_capped <= WEDGE_DEGREE_CAP * n_arcs
+    assert vol_capped < vol_exact
+
+    # law 4: measured top-20 pair recall floor (deterministic data)
+    overlap = len(
+        {(r[0], r[1]) for r in got} & {(r[0], r[1]) for r in exact_top}
+    )
+    assert overlap >= 15, f"capped top-20 recall dropped: {overlap}/20"

@@ -32,23 +32,15 @@ DECLARED survivors (legitimate, do not "fix"):
   (ann_cosine_topk et al.).
 - BatchEvalPython in udtf_word_bigrams (the declared Python-UDTF
   surface).
-- UnpartitionedWindow survivors, every one over a BOUNDED-row frame
-  (round-5 sweep; anything new here is a regression):
-  bda_rows_remapped / bda_spw_grid / bda_ddid_map (dense_rank over the
-  DISTINCT (DDID|SPW, out_nchan) dimension table — K = #spectral
-  windows x #binnings); t_zipf_slope / t_bigram_pmi_topk (rank over an
-  already-limit(K)ed frame — the top-k itself is TakeOrderedAndProject);
-  ev_user_concentration (cumsum over the 10-row decile aggregate);
-  agg_contingency_chi2cells (grand-total window over the flag x status
-  contingency cells); ev_rfm_segments / ev_user_concentration at audit
-  SF (global_ntile's size gate: the window path only ever sees
-  <= NTILE_WINDOW_MAX_ROWS rows — above the gate the plan switches to
-  the distributed rank, both paths parity-pinned in test_ranking).
-  The vocab-grain top-k sites (t_word_freq_topk, t_oov_rate,
-  t_countmin_heavy_hitters probes) were rewritten round 5 onto
-  orderBy+limit (TakeOrderedAndProject); agg_skyline_pareto (suffix max
-  over the K 90-day block maxima — K grows with calendar span, not data
-  volume; the data-grain suffix max is partitioned by block).
+- UnpartitionedWindow survivors: the FROZEN allowlist now lives in
+  ``xova_spark/plancontract.py`` (round-6, VERDICT r5 item 2) with a
+  per-name bound marker that must appear below each window — limit
+  (TakeOrderedAndProject), dimension-grain aggregate, or the
+  global_ntile size-gate route. This audit enforces the contract:
+  any unpartitioned window outside the list, or a listed entry whose
+  bound marker vanished, prints SURVIVOR CONTRACT VIOLATIONS and
+  exits 2. The list and each bound are also pinned directly by
+  tests/test_plan_contract.py (including a red-path injection test).
 
 Usage: python tools/plan_audit.py [sf_dir]
 """
@@ -68,40 +60,12 @@ PATTERNS = (
 
 UNPARTITIONED_WINDOW = "UnpartitionedWindow"
 
-
-def _has_unpartitioned_window(plan: str) -> bool:
-    """True if any Window operator line lacks a partition-spec group.
-
-    Plan text is ``Window [exprs], [partition], [order]``; either of
-    the last two groups may be absent. Two-group lines are ambiguous —
-    ``[exprs], [partition]`` (per-group total, fine) vs ``[exprs],
-    [order]`` (global sort, the hazard) — disambiguated by the sort
-    markers (``ASC``/``DESC``) only an order spec carries. One-group
-    lines are global unordered windows (grand totals)."""
-    for line in plan.splitlines():
-        idx = line.find("Window [")
-        if idx < 0:
-            continue
-        depth = 0
-        groups: list[str] = []
-        start = None
-        for i, ch in enumerate(line[idx + len("Window ") :]):
-            if ch == "[":
-                if depth == 0:
-                    start = i
-                depth += 1
-            elif ch == "]":
-                depth -= 1
-                if depth == 0:
-                    groups.append(line[idx + len("Window ") :][start : i + 1])
-        if len(groups) >= 3:
-            continue
-        if len(groups) == 1:
-            return True
-        last = groups[-1]
-        if " ASC" in last or " DESC" in last:
-            return True
-    return False
+# Parser + frozen survivor contract live in the package so tests and
+# the audit share one implementation (re-exported here for back-compat).
+from xova_spark.plancontract import (  # noqa: E402
+    has_unpartitioned_window as _has_unpartitioned_window,
+)
+from xova_spark.plancontract import survivor_violations  # noqa: E402
 
 
 def main() -> int:
@@ -109,10 +73,13 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
+    import inspect
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plan-audit")
     hits: dict[str, list[str]] = {p: [] for p in PATTERNS}
     errors: list[tuple[str, str]] = []
+    violations: list[str] = []
     for name, fn in entrymod.queries().items():
         try:
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
@@ -124,10 +91,19 @@ def main() -> int:
                 hits[pat].append(name)
         if _has_unpartitioned_window(plan):
             hits.setdefault(UNPARTITIONED_WINDOW, []).append(name)
+            try:
+                src = inspect.getsource(fn)
+            except (OSError, TypeError):
+                src = ""
+            violations.extend(survivor_violations(name, plan, src))
     for pat in (*PATTERNS, UNPARTITIONED_WINDOW):
         print(f"{pat}: {len(hits.get(pat, []))}")
         for n in hits.get(pat, []):
             print(f"  {n}")
+    if violations:
+        print(f"SURVIVOR CONTRACT VIOLATIONS: {len(violations)}")
+        for v in violations:
+            print(f"  {v}")
     if errors:
         print(f"plan errors: {len(errors)}")
         for n, e in errors[:20]:
@@ -135,6 +111,8 @@ def main() -> int:
     from xova_spark.sharedframes import clear_shared
 
     clear_shared()
+    if violations:
+        return 2
     return 1 if errors else 0
 
 

@@ -1,0 +1,187 @@
+"""Frozen contract for unpartitioned-window survivors (VERDICT r5 #2).
+
+``tools/plan_audit.py`` detects Window operators with no PARTITION BY —
+the WindowExec single-partition global sort that is a scale-killer when
+its input is data-grain. Ten registry entries legitimately keep such a
+window because their input is BOUNDED; this module freezes that list
+and, for each survivor, a structural BOUND MARKER that must appear in
+the plan subtree BELOW the window (its input): a TakeOrderedAndProject/
+limit, a dimension-grain aggregate keyed by physical metadata, or — for
+the size-gated ntile entries — the ``operators/ranking.global_ntile``
+route in the entry's source (the plan shows a plain window only because
+the audit SF sits under ``NTILE_WINDOW_MAX_ROWS``; above the gate the
+plan switches to the distributed two-pass rank, both paths pinned in
+tests/test_ranking.py).
+
+The contract makes the survivor list FAIL-CLOSED in two directions
+(tests/test_plan_contract.py; enforced by tools/plan_audit.py exit 2):
+
+- a NEW entry whose plan carries an unpartitioned data-grain window is
+  a violation (not in the frozen list) — it can no longer land as
+  "survivor #11" silently;
+- a LISTED entry whose bound disappears (someone removes the limit or
+  the gate) is a violation — membership alone is not a waiver.
+
+Reference analogue: xova/apps/xova/chunking.py:287-289 asserts row
+monotonicity instead of assuming it; same discipline, applied to plan
+shape.
+"""
+
+from __future__ import annotations
+
+import re
+
+# name -> bound spec. "marker" is matched against the plan text below
+# each unpartitioned Window line; "source" against the entry function's
+# source (inspect.getsource).
+WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
+    # dense_rank over the DISTINCT (DDID|SPW, out_nchan) dimension —
+    # K = #spectral windows x #binnings, physical metadata, not data.
+    "bda_rows_remapped": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[DATA_DESC_ID#\d+",
+    },
+    "bda_spw_grid": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[SPECTRAL_WINDOW_ID#\d+",
+    },
+    "bda_ddid_map": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[DATA_DESC_ID#\d+",
+    },
+    # rank over an already-top-k'd frame: the top-k itself is the
+    # distributed TakeOrderedAndProject, the window sees <= limit rows.
+    "t_bm25_topk": {
+        "kind": "limit",
+        "marker": r"TakeOrderedAndProject\(limit=\d+",
+    },
+    "t_zipf_slope": {
+        "kind": "limit",
+        "marker": r"TakeOrderedAndProject\(limit=\d+",
+    },
+    "t_bigram_pmi_topk": {
+        "kind": "limit",
+        "marker": r"TakeOrderedAndProject\(limit=\d+",
+    },
+    # ntile over user-grain aggregates, size-gated through
+    # operators/ranking.global_ntile (window path only under the gate).
+    "ev_rfm_segments": {
+        "kind": "size_gate",
+        "marker": r"HashAggregate\(keys=\[user_id#\d+",
+        "source": r"global_ntile",
+    },
+    "ev_user_concentration": {
+        "kind": "size_gate",
+        "marker": r"HashAggregate\(keys=\[user_id#\d+",
+        "source": r"global_ntile",
+    },
+    # grand-total window over the flag x status contingency cells.
+    "agg_contingency_chi2cells": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[l_returnflag#\d+, l_linestatus#\d+",
+    },
+    # suffix max over the K 90-day block maxima (K ~ calendar span).
+    "agg_skyline_pareto": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[part#\d+",
+    },
+}
+
+
+def has_unpartitioned_window(plan: str) -> bool:
+    """True if any Window operator line lacks a partition-spec group.
+
+    Plan text is ``Window [exprs], [partition], [order]``; either of
+    the last two groups may be absent. Two-group lines are ambiguous —
+    ``[exprs], [partition]`` (per-group total, fine) vs ``[exprs],
+    [order]`` (global sort, the hazard) — disambiguated by the sort
+    markers (``ASC``/``DESC``) only an order spec carries. One-group
+    lines are global unordered windows (grand totals)."""
+    return any(
+        _line_is_unpartitioned_window(line) for line in plan.splitlines()
+    )
+
+
+def _line_is_unpartitioned_window(line: str) -> bool:
+    idx = line.find("Window [")
+    if idx < 0:
+        return False
+    depth = 0
+    groups: list[str] = []
+    start = None
+    for i, ch in enumerate(line[idx + len("Window ") :]):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(line[idx + len("Window ") :][start : i + 1])
+    if len(groups) >= 3:
+        return False
+    if len(groups) == 1:
+        return True
+    last = groups[-1]
+    return " ASC" in last or " DESC" in last
+
+
+def _art_pos(line: str) -> int:
+    """Tree-art depth of a plan line: offset of its '+- '/':- ' marker
+    (-1 for the root line, which has none)."""
+    positions = [p for p in (line.find("+- "), line.find(":- ")) if p >= 0]
+    return min(positions) if positions else -1
+
+
+def unpartitioned_window_segments(plan: str) -> list[str]:
+    """For each unpartitioned Window line, the plan text below it — its
+    input subtree in the linearized tree (lines until tree-art depth
+    returns to the window's level)."""
+    lines = plan.splitlines()
+    out: list[str] = []
+    for i, line in enumerate(lines):
+        if not _line_is_unpartitioned_window(line):
+            continue
+        base = _art_pos(line)
+        seg: list[str] = []
+        for nxt in lines[i + 1 :]:
+            pos = _art_pos(nxt)
+            if 0 <= pos <= base:
+                break
+            seg.append(nxt)
+        out.append("\n".join(seg))
+    return out
+
+
+def survivor_violations(name: str, plan: str, source: str = "") -> list[str]:
+    """Contract check for one entry's executed plan. Empty list = OK.
+
+    Violations: an unpartitioned window in a non-listed entry, or a
+    listed entry whose declared bound marker is missing below any of
+    its unpartitioned windows (or whose size-gate route left its
+    source)."""
+    segs = unpartitioned_window_segments(plan)
+    if not segs:
+        return []
+    spec = WINDOW_SURVIVORS.get(name)
+    if spec is None:
+        return [
+            f"{name}: unpartitioned window but not in the frozen survivor"
+            " list — bound its input (limit / dimension agg / size gate)"
+            " or, if genuinely bounded, extend WINDOW_SURVIVORS with the"
+            " marker proving it"
+        ]
+    problems = []
+    for j, seg in enumerate(segs):
+        if not re.search(spec["marker"], seg):
+            problems.append(
+                f"{name}: window #{j} input lost its declared bound"
+                f" ({spec['kind']}: /{spec['marker']}/ not found below"
+                " the window)"
+            )
+    if "source" in spec and not re.search(spec["source"], source):
+        problems.append(
+            f"{name}: declared size-gate route /{spec['source']}/ no"
+            " longer referenced in the entry source"
+        )
+    return problems

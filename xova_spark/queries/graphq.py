@@ -1093,9 +1093,16 @@ def graph_node_jaccard(spark, sf_dir):
     (inclusion-exclusion on the already-aggregated counts), and the
     Jaccard ships as integer permille — no float division in the hash.
     Top-20 via orderBy+limit (TakeOrderedAndProject). Reuses the shared
-    supported-edge frame; the wedge join keys on the neighbor id, a
-    plain shuffled equi-join AQE can skew-split when a hub node fans
-    out."""
+    supported-edge frame; the wedge join keys on the neighbor id.
+
+    SCALE BOUND: cost is sum over shared neighbors of deg^2 — a hub
+    neighbor with a million arcs contributes 10^12 wedge rows, which no
+    amount of AQE skew-splitting makes affordable. This entry is the
+    EXACT form; ``graph_node_jaccard_capped`` is the production form at
+    hub-heavy scale — it drops wedges routed through neighbors above
+    ``WEDGE_DEGREE_CAP``, which bounds candidate volume by
+    cap * |arcs| (linear in edges), with the recall/volume law measured
+    in tests/test_graphq.py."""
     edges = _edges_cached(spark, sf_dir)
     arcs, deg = _arcs_and_degrees(edges)
     a = arcs.select(F.col("src").alias("sa"), F.col("dst").alias("n"))
@@ -1122,5 +1129,103 @@ def graph_node_jaccard(spark, sf_dir):
             ).alias("jac_pm"),
         )
         .orderBy(F.desc("jac_pm"), "sa", "sb")
+        .limit(20)
+    )
+
+
+# Hub cap for the capped wedge join: wedges routed through a shared
+# neighbor of degree > cap are dropped. Candidate volume is then
+# sum over kept neighbors of deg^2 <= cap * |light arcs| <= cap * |arcs|
+# — LINEAR in edges regardless of hub structure (the exact wedge join
+# is sum deg^2, quadratic in hub degree). 8 sits above the sf0.1 max
+# degree (6: no-op there) and below the sf0.01 max (13: the cap
+# measurably bites, so the recall law in tests/test_graphq.py exercises
+# the lossy path, not a vacuous identity).
+WEDGE_DEGREE_CAP = 8
+
+
+@q(
+    "graph_node_jaccard_capped",
+    f"""
+    WITH {_DUCK_EDGES},
+    light AS (
+      SELECT a.src, a.dst FROM arcs a
+      JOIN deg d ON d.node = a.dst
+      WHERE d.degree <= {WEDGE_DEGREE_CAP}
+    ),
+    wedges AS (
+      SELECT a.src AS sa, b.src AS sb, count(*) AS common_capped
+      FROM light a JOIN light b
+        ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT CAST(w.sa AS BIGINT) AS sa, CAST(w.sb AS BIGINT) AS sb,
+           CAST(w.common_capped AS BIGINT) AS common_capped,
+           CAST(da.degree AS BIGINT) AS deg_a,
+           CAST(db.degree AS BIGINT) AS deg_b,
+           CAST((w.common_capped * 1000)
+                // (da.degree + db.degree - w.common_capped) AS BIGINT)
+               AS jac_lb_pm
+    FROM wedges w
+    JOIN deg da ON da.node = w.sa
+    JOIN deg db ON db.node = w.sb
+    ORDER BY jac_lb_pm DESC, sa, sb LIMIT 20
+    """,
+)
+def graph_node_jaccard_capped(spark, sf_dir):
+    """HUB-CAPPED node Jaccard — the production form of
+    ``graph_node_jaccard`` at hub-heavy scale (VERDICT r5 item 3).
+
+    The exact wedge join costs sum over shared neighbors of deg^2; one
+    celebrity node in a 100 TB co-purchase graph makes that ruinous.
+    Standard mitigation (same discipline as the LSH band gates): drop
+    wedges routed THROUGH neighbors with degree > ``WEDGE_DEGREE_CAP``.
+    Candidate volume is then bounded by cap * |arcs| — linear in edges,
+    hub-proof by construction — at the price of UNDER-counting common
+    neighbors for pairs that share only hub neighbors.
+
+    Semantics are deterministic, not sampled, so the DuckDB twin is
+    EXACT: common_capped is a certified LOWER BOUND on |A ∩ B| (every
+    kept wedge is a real common neighbor), degrees stay exact, and
+    jac_lb_pm = common_capped*1000 div (deg_a+deg_b-common_capped) is a
+    lower bound on true Jaccard permille (numerator shrinks, union-size
+    denominator grows as common shrinks). The measured recall law —
+    capped-vs-exact top-20 overlap and the cap*|arcs| volume bound —
+    lives in tests/test_graphq.py and SCALE.md; hub pairs lose recall
+    by design, tail pairs (the link-prediction targets) are untouched
+    because their wedges never route through hubs."""
+    edges = _edges_cached(spark, sf_dir)
+    arcs, deg = _arcs_and_degrees(edges)
+    light = arcs.join(
+        deg.where(F.col("degree") <= WEDGE_DEGREE_CAP).select(
+            F.col("node").alias("dst")
+        ),
+        "dst",
+    )
+    a = light.select(F.col("src").alias("sa"), F.col("dst").alias("n"))
+    b = light.select(F.col("src").alias("sb"), F.col("dst").alias("n"))
+    wedges = (
+        a.join(b, "n")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("common_capped"))
+    )
+    da = deg.select(F.col("node").alias("sa"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("sb"), F.col("degree").alias("deg_b"))
+    return (
+        wedges.join(da, "sa")
+        .join(db, "sb")
+        .select(
+            F.col("sa").cast("long").alias("sa"),
+            F.col("sb").cast("long").alias("sb"),
+            F.col("common_capped").cast("long").alias("common_capped"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            F.expr(
+                "(common_capped * 1000)"
+                " div (deg_a + deg_b - common_capped)"
+            ).alias("jac_lb_pm"),
+        )
+        .orderBy(F.desc("jac_lb_pm"), "sa", "sb")
         .limit(20)
     )
