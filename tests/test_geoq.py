@@ -64,3 +64,57 @@ def test_knn_matches_bruteforce_within_ring(spark):
     for pid, lst in got.items():
         ds = [d for _, d in lst]
         assert ds == sorted(ds) and len(lst) <= _KNN_K
+
+
+def test_density_guard_volume_identity_and_red_path(spark):
+    """Laws for geo_cell_density_guard (VERDICT r5 item 8):
+
+    1. exact pricing: candidate_rows equals the ACTUAL pre-filter row
+       count of the radius join's (probe x cell) equi-join, measured by
+       running that join without the distance/order filters;
+    2. fixture envelope: sf0.01 sits within the envelope (recorded in
+       SCALE.md alongside the sf1 tier);
+    3. red path: injecting a hot cluster (CELL_MAX_POINTS+1 co-located
+       points) through the production logic flips within_envelope and
+       counts the overdense cell.
+    """
+    from pyspark.sql import functions as F
+
+    from xova_spark.queries.geoq import (
+        CELL_MAX_POINTS,
+        _RADIUS,
+        _pts,
+        cell_density_guard,
+    )
+
+    guard = cell_density_guard(_pts(spark, SF)).collect()[0]
+    assert guard.within_envelope and guard.n_overdense == 0
+
+    # law 1: rebuild the radius join WITHOUT filters and count its rows
+    pts = _pts(spark, SF)
+    cells = pts.select(
+        "id",
+        F.expr(f"x div {_RADIUS}").alias("cx"),
+        F.expr(f"y div {_RADIUS}").alias("cy"),
+    )
+    offsets = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("long").alias("dx"),
+        (F.expr("id div 3") - 1).cast("long").alias("dy"),
+    )
+    probes = cells.crossJoin(F.broadcast(offsets)).select(
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+    )
+    actual = probes.join(cells.drop("id"), ["cx", "cy"]).count()
+    assert guard.candidate_rows == actual
+
+    # law 3: hot-cell injection through the production logic
+    hot = spark.range(CELL_MAX_POINTS + 1).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.lit(5).cast("long").alias("x"),
+        F.lit(5).cast("long").alias("y"),
+    )
+    flagged = cell_density_guard(pts.unionAll(hot)).collect()[0]
+    assert not flagged.within_envelope
+    assert flagged.n_overdense >= 1
+    assert flagged.max_cell_n >= CELL_MAX_POINTS + 1

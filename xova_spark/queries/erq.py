@@ -347,3 +347,91 @@ def er_blocking_recall(spark, sf_dir):
             ).alias("recall_permille"),
         )
     )
+
+
+def grouped_candidate_pairs(cust):
+    """Exact-match pre-grouping pass (the MDM mitigation measured in
+    SCALE.md): collapse records sharing (c_name, c_mktsegment) to ONE
+    representative (min custkey) carrying the group size, then run the
+    same blocked fuzzy join at REPRESENTATIVE grain. Candidate volume
+    is now a function of DISTINCT names only — exact-duplicate
+    multiplicity k contributes a k-free rep-pair count (the ungrouped
+    join contributes k^2 record pairs per matching name pair; the sf1
+    generator artifact that went 79x in round 5 was exactly this).
+    pair_multiplicity = n_rec_a * n_rec_b preserves the record-pair
+    accounting without materializing it.
+
+    Takes the raw customer frame so the duplicate-heavy law test
+    (tests/test_erq.py) can feed a synthetic k-copies blow-up through
+    the PRODUCTION logic, not a replica."""
+    g = (
+        cust.groupBy("c_name", "c_mktsegment")
+        .agg(
+            F.min("c_custkey").alias("rep_key"),
+            F.count("*").alias("n_records"),
+        )
+        .withColumn("bkey", F.substring("c_name", 1, BLOCK_PREFIX_LEN))
+    )
+    a, b = g.alias("a"), g.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.rep_key") < F.col("b.rep_key")),
+        )
+        .where(dist <= MAX_NAME_DIST)
+        .select(
+            F.col("a.rep_key").alias("rep_a"),
+            F.col("b.rep_key").alias("rep_b"),
+            dist.cast("long").alias("name_dist"),
+            F.col("a.n_records").cast("long").alias("n_rec_a"),
+            F.col("b.n_records").cast("long").alias("n_rec_b"),
+            (F.col("a.n_records") * F.col("b.n_records"))
+            .cast("long")
+            .alias("pair_multiplicity"),
+        )
+    )
+
+
+@q(
+    "er_blocked_candidates_grouped",
+    f"""
+    WITH g AS (
+      SELECT c_name, c_mktsegment,
+             min(c_custkey) AS rep_key,
+             count(*) AS n_records,
+             substr(c_name, 1, {BLOCK_PREFIX_LEN}) AS bkey
+      FROM customer
+      GROUP BY c_name, c_mktsegment
+    )
+    SELECT a.rep_key AS rep_a, b.rep_key AS rep_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist,
+           CAST(a.n_records AS BIGINT) AS n_rec_a,
+           CAST(b.n_records AS BIGINT) AS n_rec_b,
+           CAST(a.n_records * b.n_records AS BIGINT) AS pair_multiplicity
+    FROM g a JOIN g b
+      ON a.bkey = b.bkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.rep_key < b.rep_key
+    WHERE levenshtein(a.c_name, b.c_name) <= {MAX_NAME_DIST}
+    """,
+)
+def er_blocked_candidates_grouped(spark, sf_dir):
+    """er_blocked_candidates with the EXACT-MATCH PRE-GROUPING pass
+    (VERDICT r5 item 4) — the standard MDM mitigation for the
+    duplicate-heavy-block hazard the round-5 sf1 run proved: blocking
+    caps DISTINCT-name bucket width, but k exact copies of every name
+    still multiply record-pair volume by k^2 inside each block. Here
+    records sharing (c_name, c_mktsegment) collapse to one
+    representative first, so the fuzzy Levenshtein join runs at
+    DISTINCT-name grain — candidate count is invariant under copy
+    multiplicity (measured law in tests/test_erq.py: k=3 copies leave
+    the rep-pair count bit-identical while the ungrouped join grows
+    >= k^2) — and pair_multiplicity carries the exact record-pair
+    accounting. One extra keyed shuffle (the pre-group) buys a
+    hub-proof candidate stage; at 100 TB the pre-group is the same
+    groupBy the dedup_exact pass already runs."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return grouped_candidate_pairs(cust)

@@ -197,3 +197,109 @@ def geo_knn_cell(spark, sf_dir):
             F.col("d2").cast("long").alias("d2"),
         )
     )
+
+
+# Operating envelope for the fixed-cell scheme (VERDICT r5 item 8):
+# the radius join's candidate volume is sum over points of their 3x3
+# neighborhood population — ~9 * density * N when mass is spread, but
+# QUADRATIC in the densest cell (sum |cell|^2 over its self-pairs). The
+# guard flags any cell above this population before the join is run;
+# above it, the mitigation is a finer cell grid (R/2 cells + 5x5 probe
+# rings preserve completeness) or density-aware splitting — outside
+# this pack's fixture envelope (sf0.1: ~9 pts/cell; sf1 bench tier:
+# ~94), both measured in tests/test_geoq.py and SCALE.md.
+CELL_MAX_POINTS = 128
+
+
+def cell_density_guard(pts):
+    """Per-cell density audit + exact candidate-volume accounting for
+    the radius join, as a 1-row frame. Takes the points frame directly
+    so tests can feed synthetic dense clusters through the production
+    logic (red path: an injected hot cell must flip within_envelope).
+
+    candidate_rows is the EXACT number of (probe, point) rows the
+    geo_radius_pairs join will evaluate before the distance filter —
+    computed from the per-cell histogram alone (sum over cell pairs at
+    Chebyshev distance <= 1 of n_a * n_b), so the guard costs one
+    cell-grain aggregate, never the join itself."""
+    cells = pts.select(
+        F.expr(f"x div {_RADIUS}").alias("cx"),
+        F.expr(f"y div {_RADIUS}").alias("cy"),
+    )
+    h = cells.groupBy("cx", "cy").agg(F.count("*").alias("n"))
+    stats = h.agg(
+        F.sum("n").cast("long").alias("n_points"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.max("n").cast("long").alias("max_cell_n"),
+        F.sum((F.col("n") > CELL_MAX_POINTS).cast("long"))
+        .cast("long")
+        .alias("n_overdense"),
+    )
+    # Chebyshev-<=1 cell pairs via the same 9-offset EQUI-join the
+    # radius join itself uses (keyed shuffle; an abs-diff theta join
+    # would plan as a nested loop, wrong once the grid is large).
+    spark = pts.sparkSession
+    offsets = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("long").alias("dx"),
+        (F.expr("id div 3") - 1).cast("long").alias("dy"),
+    )
+    probes = h.crossJoin(F.broadcast(offsets)).select(
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+        F.col("n").alias("na"),
+    )
+    vol = probes.join(h, ["cx", "cy"]).agg(
+        F.sum(F.col("na") * F.col("n")).cast("long").alias("candidate_rows")
+    )
+    return stats.crossJoin(F.broadcast(vol)).select(
+        "n_points",
+        "n_cells",
+        "max_cell_n",
+        "n_overdense",
+        "candidate_rows",
+        (F.col("max_cell_n") <= CELL_MAX_POINTS).alias("within_envelope"),
+        F.lit(CELL_MAX_POINTS).cast("long").alias("envelope_max_cell"),
+    )
+
+
+@q(
+    "geo_cell_density_guard",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    h AS (
+      SELECT x // {_RADIUS} AS cx, y // {_RADIUS} AS cy, count(*) AS n
+      FROM pts GROUP BY 1, 2
+    ), stats AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_points,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(max(n) AS BIGINT) AS max_cell_n,
+             CAST(sum(CASE WHEN n > {CELL_MAX_POINTS} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_overdense
+      FROM h
+    ), vol AS (
+      SELECT CAST(sum(a.n * b.n) AS BIGINT) AS candidate_rows
+      FROM h a JOIN h b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+    )
+    SELECT s.n_points, s.n_cells, s.max_cell_n, s.n_overdense,
+           v.candidate_rows,
+           s.max_cell_n <= {CELL_MAX_POINTS} AS within_envelope,
+           CAST({CELL_MAX_POINTS} AS BIGINT) AS envelope_max_cell
+    FROM stats s CROSS JOIN vol v
+    """,
+)
+def geo_cell_density_guard(spark, sf_dir):
+    """DENSITY GATE for the cell-bucketed spatial joins (VERDICT r5
+    item 8): a cell-grain pre-flight that prices the radius join
+    exactly — candidate_rows is the precise pre-filter row count the
+    (probe x cell) join will produce, derived from the histogram alone
+    — and flags cells whose population exceeds ``CELL_MAX_POINTS``
+    (where per-cell self-candidates, |cell|^2, dominate and the fixed
+    grid needs splitting). Runs before geo_radius_pairs at scale the
+    way a cost-based optimizer consults statistics: one keyed
+    aggregate over N points plus a cell-grain self-join (cells are
+    ~N/density rows, vastly smaller than the data). The identity
+    candidate_rows == actual join volume and the red path (injected
+    hot cell flips within_envelope) are pinned in tests/test_geoq.py;
+    the fixture envelope is recorded in SCALE.md."""
+    return cell_density_guard(_pts(spark, sf_dir))
