@@ -72,6 +72,10 @@ HEADLINE = (
     # round-5 close: PII corpus scrub + BM25 retrieval scoring
     "t_pii_redact",
     "t_bm25_topk",
+    # round-6: hub-capped wedge join, ER pre-grouping, geo density gate
+    "graph_node_jaccard_capped",
+    "er_blocked_candidates_grouped",
+    "geo_cell_density_guard",
 )
 
 

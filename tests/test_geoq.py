@@ -118,3 +118,92 @@ def test_density_guard_volume_identity_and_red_path(spark):
     assert not flagged.within_envelope
     assert flagged.n_overdense >= 1
     assert flagged.max_cell_n >= CELL_MAX_POINTS + 1
+
+
+def test_adaptive_split_identity_and_dispatch(spark):
+    """Auto-split laws (VERDICT r5 item 8, full form):
+
+    1. grid-identity: the R/2+5x5 join returns EXACTLY the pair set of
+       the R+3x3 join on real data (completeness at any edge dividing
+       R — the shared-oracle premise);
+    2. dispatch rule: coarse inside the envelope, split above it;
+    3. dense path: on an injected hot cluster the adaptive join (which
+       dispatches to the split grid) still returns exactly the
+       brute-force pair set — correctness is resolution-independent;
+    4. the split pays off where it should: on the hot cluster the
+       fine grid's candidate volume is below the coarse grid's.
+    """
+    from pyspark.sql import functions as F
+
+    from xova_spark.queries.geoq import (
+        CELL_MAX_POINTS,
+        _RADIUS,
+        _pts,
+        choose_edge,
+        radius_pairs_adaptive,
+        radius_pairs_at,
+    )
+
+    pts = _pts(spark, SF)
+    coarse = {tuple(r) for r in radius_pairs_at(spark, pts, _RADIUS, 1).collect()}
+    fine = {tuple(r) for r in radius_pairs_at(spark, pts, _RADIUS // 2, 2).collect()}
+    assert coarse == fine and coarse  # law 1
+
+    assert choose_edge(CELL_MAX_POINTS) == (_RADIUS, 1)  # law 2
+    assert choose_edge(CELL_MAX_POINTS + 1) == (_RADIUS // 2, 2)
+
+    # law 3: dense cluster spread over ~3x3 coarse cells so (a) at least
+    # one coarse cell crosses the envelope (the dispatcher must split)
+    # and (b) the cluster is wider than the fine ring, so ring exclusion
+    # actually prunes candidates (a cluster inside ONE cell has volume
+    # n^2 at every resolution).
+    n_hot = 1200
+    hot = spark.range(n_hot).select(
+        (F.col("id") + 2_000_000).alias("id"),
+        (F.col("id") * 97 % 700).cast("long").alias("x"),
+        (F.col("id") * 131 % 700).cast("long").alias("y"),
+    )
+    maxn = (
+        hot.groupBy(
+            F.expr(f"x div {_RADIUS}"), F.expr(f"y div {_RADIUS}")
+        )
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert maxn > CELL_MAX_POINTS  # the split path is what runs below
+    got = {tuple(r) for r in radius_pairs_adaptive(spark, hot).collect()}
+    rows = hot.collect()
+    want = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            d2 = (a.x - b.x) ** 2 + (a.y - b.y) ** 2
+            if d2 <= _RADIUS * _RADIUS:
+                pa, pb = sorted((a.id, b.id))
+                want.add((pa, pb, d2))
+    assert got == want and got
+
+    # law 4: candidate volume (pre-filter join rows) fine < coarse here
+    def volume(edge, ring):
+        cells = hot.select(
+            F.expr(f"x div {edge}").alias("cx"),
+            F.expr(f"y div {edge}").alias("cy"),
+        )
+        h = cells.groupBy("cx", "cy").agg(F.count("*").alias("n"))
+        width = 2 * ring + 1
+        offs = spark.range(width * width).select(
+            (F.col("id") % width - ring).cast("long").alias("dx"),
+            (F.expr(f"id div {width}") - ring).cast("long").alias("dy"),
+        )
+        probes = h.crossJoin(F.broadcast(offs)).select(
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+            F.col("n").alias("na"),
+        )
+        return (
+            probes.join(h, ["cx", "cy"])
+            .agg(F.sum(F.col("na") * F.col("n")))
+            .collect()[0][0]
+        )
+
+    assert volume(_RADIUS // 2, 2) < volume(_RADIUS, 1)

@@ -124,3 +124,41 @@ def test_priority_block_leads_the_registry():
         "mm_scene_dedup", "dq_profile_columns", "cdc_merge_upsert",
     }
     assert rotated_in_r5 <= first50, rotated_in_r5 - first50
+
+
+def test_coverage_header_counts_are_in_sync():
+    """COVERAGE.md's stamped Registry line, GATE_LOG.md's gate summary,
+    and the live registry must agree (VERDICT r5 item 6: the round-5
+    header said 290 while the registry was 327). gate_summary.py stamps
+    the header from each full gate run; this test makes any drift —
+    hand edits, forgotten regeneration, registry growth without a gate
+    run — a red test instead of a doc nit."""
+    import re
+
+    import __spark_entry__ as m
+
+    n_live = len(m.queries())
+
+    cov = open("/root/repo/COVERAGE.md").read()
+    mh = re.search(
+        r"Registry: \*\*(\d+) entries; (\d+) oracle-EXACT, (\d+) rows-only",
+        cov,
+    )
+    assert mh, "COVERAGE.md lost its stamped Registry line — rerun gate_summary"
+    n_cov, n_exact_cov, n_ro_cov = map(int, mh.groups())
+
+    gate = open("/root/repo/GATE_LOG.md").read()
+    mg = re.search(r"exact=(\d+) close=(\d+) fail=(\d+) rows_only=(\d+) total=(\d+)", gate)
+    assert mg, "GATE_LOG.md has no summary line — rerun gate_summary"
+    n_exact_g, n_close_g, n_fail_g, n_ro_g, n_total_g = map(int, mg.groups())
+
+    assert n_cov == n_live, (
+        f"COVERAGE.md header says {n_cov} entries, registry has {n_live}"
+        " — rerun tools/gate_summary.py"
+    )
+    assert n_total_g == n_live, (
+        f"GATE_LOG.md total {n_total_g} != registry {n_live}"
+        " — rerun tools/gate_summary.py"
+    )
+    assert (n_exact_cov, n_ro_cov) == (n_exact_g, n_ro_g)
+    assert n_close_g == 0 and n_fail_g == 0

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from xova_spark.session import load_tables
-from xova_spark.sharedframes import shared
+from xova_spark.sharedframes import pin, shared
 
 REGISTRY: dict[str, tuple] = {}
 
@@ -587,7 +587,10 @@ def cc_components(spark, pairs, id_col="doc_id"):
         prev_sum = cur_sum
     edges.unpersist()
     pairs.unpersist()
-    return labels
+    # labels stays persisted (downstream consumers read it); pin it so
+    # clear_shared() releases it at gate exit rather than leaking one
+    # cached label table per distributed-path CC call.
+    return pin(labels)
 
 
 def _docs(spark, sf_dir):

@@ -303,3 +303,126 @@ def geo_cell_density_guard(spark, sf_dir):
     hot cell flips within_envelope) are pinned in tests/test_geoq.py;
     the fixture envelope is recorded in SCALE.md."""
     return cell_density_guard(_pts(spark, sf_dir))
+
+
+def radius_pairs_at(spark, pts, edge, ring):
+    """Radius join at an arbitrary cell edge: all pairs within
+    ``_RADIUS``, generated from cells of size ``edge`` probed over a
+    (2*ring+1)^2 neighborhood. Completeness: with _RADIUS == ring*edge
+    exactly, |x1-x2| <= _RADIUS implies the cell indices differ by at
+    most ``ring`` per axis (floor(x1/e) <= floor(x2/e) + ring), so the
+    ring covers every qualifying pair at ANY edge that divides the
+    radius — the identity geo_radius_pairs_fine's law test pins.
+
+    Finer cells trade probe fan-out ((2r+1)^2 per point) against
+    per-cell candidate mass (sum n_a*n_b over adjacent cells): at high
+    density the quadratic term dominates and halving the edge wins —
+    the split the density guard's envelope triggers."""
+    assert edge * ring == _RADIUS, "edge must divide the radius exactly"
+    cells = pts.withColumn("cx", F.expr(f"x div {edge}")).withColumn(
+        "cy", F.expr(f"y div {edge}")
+    )
+    width = 2 * ring + 1
+    offsets = spark.range(width * width).select(
+        (F.col("id") % width - ring).cast("long").alias("dx"),
+        (F.expr(f"id div {width}") - ring).cast("long").alias("dy"),
+    )
+    probes = cells.crossJoin(F.broadcast(offsets)).select(
+        "id",
+        "x",
+        "y",
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+    )
+    a, b = probes.alias("a"), cells.alias("b")
+    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("a.id") < F.col("b.id")) & (d2 <= _RADIUS * _RADIUS))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            d2.cast("long").alias("d2"),
+        )
+    )
+
+
+# geo_radius_pairs_fine / _adaptive return the SAME pair set as
+# geo_radius_pairs, so all three share one oracle.
+_RADIUS_PAIRS_SQL = f"""
+    WITH pts AS ({_PTS_SQL}),
+    cells AS (
+      SELECT id, x, y, x // {_RADIUS} AS cx, y // {_RADIUS} AS cy FROM pts
+    ), probes AS (
+      SELECT id, x, y, cx + dx AS cx, cy + dy AS cy
+      FROM cells
+      CROSS JOIN (VALUES (-1), (0), (1)) AS ox(dx)
+      CROSS JOIN (VALUES (-1), (0), (1)) AS oy(dy)
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+    FROM probes a JOIN cells b ON b.cx = a.cx AND b.cy = a.cy
+    WHERE a.id < b.id
+      AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {_RADIUS * _RADIUS}
+"""
+
+
+@q("geo_radius_pairs_fine", _RADIUS_PAIRS_SQL)
+def geo_radius_pairs_fine(spark, sf_dir):
+    """The SPLIT grid: the same radius join at half the cell edge with
+    a 5x5 probe ring — the mitigation the density guard's envelope
+    prescribes, as a first-class entry. Output is IDENTICAL to
+    geo_radius_pairs (completeness holds at any edge dividing R; the
+    oracle is literally the coarse SQL), but candidate volume scales
+    with sum n_a*n_b over QUARTER-size cells — on dense data the
+    quadratic per-cell term drops ~4x against a fixed 25/9 probe
+    overhead, the trade measured in tests/test_geoq.py."""
+    return radius_pairs_at(spark, _pts(spark, sf_dir), _RADIUS // 2, 2)
+
+
+def choose_edge(max_cell_n):
+    """The density dispatch rule: stay on the coarse R-edge grid while
+    the densest cell is inside the envelope; split to R/2 (5x5 ring)
+    above it. Pure function so the law test can pin the rule without
+    running a join."""
+    if max_cell_n <= CELL_MAX_POINTS:
+        return _RADIUS, 1
+    return _RADIUS // 2, 2
+
+
+def radius_pairs_adaptive(spark, pts):
+    """Density-dispatched radius join over an arbitrary points frame:
+    consult the cell histogram (ONE cell-grain aggregate collapsing to
+    a single driver scalar — the optimizer-statistics pattern, same
+    class as AQE consulting runtime stats), then run the join at the
+    edge ``choose_edge`` picks."""
+    maxn = (
+        pts.select(
+            F.expr(f"x div {_RADIUS}").alias("cx"),
+            F.expr(f"y div {_RADIUS}").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    edge, ring = choose_edge(maxn or 0)
+    return radius_pairs_at(spark, pts, edge, ring)
+
+
+@q("geo_radius_pairs_adaptive", _RADIUS_PAIRS_SQL)
+def geo_radius_pairs_adaptive(spark, sf_dir):
+    """AUTO-SPLIT radius join (VERDICT r5 item 8, the full form): the
+    density guard's verdict now DRIVES the plan instead of only
+    flagging it — under the envelope the coarse R-grid runs (3x3
+    probes, minimal fan-out); above it the R/2 split grid runs (5x5
+    ring, quartered per-cell quadratic mass). Either way the output is
+    the exact pair set (shared oracle with geo_radius_pairs); the
+    dispatch rule is the pure ``choose_edge`` and the dense path is
+    exercised by the law test's injected hot cluster, where the fixture
+    tier itself stays under the envelope."""
+    return radius_pairs_adaptive(spark, _pts(spark, sf_dir))

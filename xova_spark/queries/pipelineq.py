@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from xova_spark.queries.dedup import DUCK_SHINGLES, SPARK_SHINGLES
 from xova_spark.session import load_tables
-from xova_spark.sharedframes import shared
+from xova_spark.sharedframes import pin, shared
 
 
 def _doc_shingle_arrays(spark, sf_dir):
@@ -1812,7 +1812,7 @@ def _pq_fit_driver(spark, emb):
         for i in range(len(ids))
     ]
     schema = "vec_id long, " + ", ".join(f"code{m} int" for m in range(_PQ_M))
-    out = spark.createDataFrame(data, schema).persist()
+    out = pin(spark.createDataFrame(data, schema).persist())
     out.count()
     return out, cents
 
@@ -1905,7 +1905,7 @@ def _pq_fit_frame(spark, cache_key, emb):
     # The code table IS the index — persist it so every search reads the
     # materialized codes instead of re-running the assignment lineage
     # (at scale this is the parquet the `index` CLI writes).
-    out = out.persist()
+    out = pin(out.persist())
     out.count()
     _PQ_FIT_CACHE[cache_key] = (out, cents)
     return out, cents

@@ -39,15 +39,29 @@ def shared(spark, key: tuple, builder: Callable):
     return df
 
 
+_PINS: list = []
+
+
+def pin(df):
+    """Track a persisted DataFrame that must outlive its builder (e.g.
+    cc_components' returned label table, whose lineage feeds downstream
+    consumers) so ``clear_shared()`` unpersists it at gate exit instead
+    of it accumulating across a 327-entry run (VERDICT r5 item 7)."""
+    _PINS.append(df)
+    return df
+
+
 def clear_shared() -> None:
-    """Unpersist and forget every shared frame (all sessions), plus the
-    range-partitioned frames global_rank pinned (same lifecycle)."""
-    for df in _REG.values():
+    """Unpersist and forget every shared frame (all sessions), the
+    per-call pins, plus the range-partitioned frames global_rank pinned
+    (same lifecycle)."""
+    for df in (*_REG.values(), *_PINS):
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001 — session may already be stopped
             pass
     _REG.clear()
+    _PINS.clear()
     from xova_spark.operators.ranking import release_pins
 
     release_pins()
