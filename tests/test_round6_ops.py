@@ -1,0 +1,98 @@
+"""Law tests for the round-6 additions beyond their DuckDB gates:
+chunk-coverage geometry for t_chunk_overlap and a pure-python
+canonicalizer replica for dedup_url_canonical."""
+
+from __future__ import annotations
+
+import re
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chunk_overlap_covers_every_token_with_stride_geometry(spark):
+    """Per doc: chunk 0 starts at token 1; consecutive chunks advance
+    exactly the stride; the last chunk ends at the doc's token count;
+    every chunk except the last is full-length — so the windows tile
+    the document with the declared overlap and no token is skipped."""
+    import pandas as pd
+
+    from xova_spark.queries.textops import (
+        _CHUNK_LEN,
+        _CHUNK_STRIDE,
+        t_chunk_overlap,
+    )
+
+    got = t_chunk_overlap(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    n_words = {r.doc_id: len(r.text.split(" ")) for r in docs.itertuples()}
+
+    assert set(got["doc_id"]) == set(n_words)  # every doc chunked
+    for doc_id, grp in got.groupby("doc_id"):
+        grp = grp.sort_values("chunk_idx").reset_index(drop=True)
+        n = n_words[doc_id]
+        assert list(grp["chunk_idx"]) == list(range(len(grp)))
+        for i, row in grp.iterrows():
+            start = i * _CHUNK_STRIDE
+            want_len = min(_CHUNK_LEN, n - start)
+            assert row["n_tokens"] == want_len
+        # last chunk reaches the end of the doc; no extra chunk exists
+        last_start = (len(grp) - 1) * _CHUNK_STRIDE
+        assert last_start + grp.iloc[-1]["n_tokens"] == n
+        if len(grp) > 1:
+            assert last_start < n <= last_start + _CHUNK_LEN
+
+
+def test_url_canonical_matches_python_replica(spark):
+    """Rebuild the raw URLs and canonicalize them with python's re —
+    group counts and keepers must match the Spark/DuckDB twins, and
+    every group must collapse at least its own raw form (n_raw_forms
+    in [1, n_docs])."""
+    import pandas as pd
+
+    from xova_spark.queries.dedup import dedup_url_canonical
+
+    got = (
+        dedup_url_canonical(spark, SF)
+        .toPandas()
+        .sort_values("curl")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+
+    def raw(d):
+        scheme = ["http", "https", "HTTPS"][d % 3]
+        www = "WWW." if d % 2 == 0 else ""
+        port = ":443" if d % 7 == 0 else ""
+        slash = "/" if d % 5 == 0 else ""
+        q = "?utm_campaign=feed" if d % 4 == 0 else ""
+        frag = "#section-2" if d % 6 == 0 else ""
+        return (
+            f"{scheme}://{www}Site{d % 4}.Example.COM{port}"
+            f"/Docs/{d % 10}{slash}{q}{frag}"
+        )
+
+    def canon(u):
+        u = u.lower()
+        u = re.sub(r"#.*$", "", u)
+        u = re.sub(r"\?utm_[^#]*$", "", u)
+        u = re.sub(r"^(https?)://www\.", r"\1://", u)
+        u = u.replace(":443/", "/")
+        u = re.sub(r"/$", "", u)
+        return u
+
+    groups: dict[str, list] = {}
+    raws: dict[str, set] = {}
+    for d in docs["doc_id"]:
+        c = canon(raw(int(d)))
+        groups.setdefault(c, []).append(int(d))
+        raws.setdefault(c, set()).add(raw(int(d)))
+    want = pd.DataFrame(
+        sorted(
+            (c, len(ds), len(raws[c]), min(ds)) for c, ds in groups.items()
+        ),
+        columns=["curl", "n_docs", "n_raw_forms", "keeper_doc"],
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_raw_forms"] >= 1).all()
+    assert (got["n_raw_forms"] <= got["n_docs"]).all()
+    assert (got["n_raw_forms"] > 1).any()  # the mess actually collapsed

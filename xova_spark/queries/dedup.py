@@ -1422,3 +1422,120 @@ def dedup_prefix_filter_join(spark, sf_dir):
         common.filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup — the web-pipeline pre-pass (CCNet/Dolma
+# style): the same page arrives under many raw URL spellings (scheme
+# case, www., default ports, utm_* tracking params, fragments, trailing
+# slashes); canonicalize FIRST, then exact-dedup on the canonical form.
+# The harness ships no URL column, so raw URLs derive deterministically
+# from doc_id (the established key-derived-column idiom, see erq/geoq)
+# with the messiness injected by doc_id residues — both engines build
+# bit-identical raw strings, then must agree on the CANONICALIZATION
+# string pipeline itself (the thing under test; regexes stay in the
+# Java/RE2 common subset).
+_URL_RAW_SQL = """
+      concat(
+        CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'https'
+                        ELSE 'HTTPS' END,
+        '://',
+        CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END,
+        'Site', CAST(doc_id % 4 AS VARCHAR), '.Example.COM',
+        CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END,
+        '/Docs/', CAST(doc_id % 10 AS VARCHAR),
+        CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+        CASE WHEN doc_id % 4 = 0 THEN '?utm_campaign=feed' ELSE '' END,
+        CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)
+"""
+
+
+@q(
+    "dedup_url_canonical",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       lower(url), '#.*$', ''),
+                     '\\?utm_[^#]*$', ''),
+                   '^(https?)://www\\.', '\\1://'),
+                 ':443/', '/'),
+               '/$', '') AS curl,
+             url
+      FROM raw
+    )
+    SELECT curl,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc
+    FROM canon
+    GROUP BY curl
+    """,
+)
+def dedup_url_canonical(spark, sf_dir):
+    """URL-CANONICAL exact dedup: lowercase, strip fragments, utm_*
+    tracking queries, leading www., the https default port, and
+    trailing slashes, then group on the canonical URL — keeper is the
+    lowest doc_id (the dedup_exact keep-rule). Output is canonical-URL
+    grain: group size, how many distinct RAW spellings collapsed, and
+    the keeper.
+
+    Scale shape: canonicalization is a map-only chain of five
+    regexp_replace projections (0 exchanges, scan-bound — the same
+    class as the PII scrub); the dedup itself is ONE keyed groupBy
+    shuffle on the canonical string. At 100 TB the canonical URL is
+    also the natural bucketing key for the downstream content join.
+    Regex notes for cross-engine parity: backreference-free patterns,
+    anchored with $ (safe here: URLs are single-line by construction),
+    and the port strip runs after lowercasing but before the
+    trailing-slash strip so 'HTTPS://host:443/' collapses like its
+    clean twin."""
+    (docs,) = _docs(spark, sf_dir)
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("http"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("https"))
+            .otherwise(F.lit("HTTPS")),
+            F.lit("://"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(
+                F.lit("")
+            ),
+            F.lit("Site"),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(":443")).otherwise(
+                F.lit("")
+            ),
+            F.lit("/Docs/"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("?utm_campaign=feed")
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 0, F.lit("#section-2")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+    curl = F.lower(F.col("url"))
+    curl = F.regexp_replace(curl, "#.*$", "")
+    curl = F.regexp_replace(curl, r"\?utm_[^#]*$", "")
+    curl = F.regexp_replace(curl, r"^(https?)://www\.", "$1://")
+    curl = F.regexp_replace(curl, ":443/", "/")
+    curl = F.regexp_replace(curl, "/$", "")
+    return (
+        raw.select("doc_id", "url", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("url").cast("long").alias("n_raw_forms"),
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+        )
+    )

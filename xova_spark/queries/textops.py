@@ -2956,3 +2956,112 @@ def t_bm25_topk(spark, sf_dir):
         "score_micro",
         "n_terms_hit",
     )
+
+
+# RAG-prep chunking: fixed-size token windows with stride overlap —
+# distinct from t_pack_sequences (which CONCATENATES docs to fill
+# training sequences; chunking SPLITS each doc into overlapping
+# retrieval units). 32-token chunks, stride 24 (8-token overlap).
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 24
+
+
+@q(
+    "t_chunk_overlap",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, n, c.chunk_idx,
+             c.chunk_idx * {_CHUNK_STRIDE} AS start0
+      FROM d, LATERAL (
+        SELECT unnest(generate_series(0,
+          CASE WHEN n <= {_CHUNK_LEN} THEN 0
+               ELSE (n - {_CHUNK_LEN} + {_CHUNK_STRIDE} - 1)
+                    // {_CHUNK_STRIDE} END)) AS chunk_idx
+      ) c
+    ), toks AS (
+      SELECT ch.doc_id, ch.chunk_idx,
+             j.j, d.words[ch.start0 + j.j] AS w
+      FROM chunks ch
+      JOIN d ON d.doc_id = ch.doc_id
+      , LATERAL (
+        SELECT unnest(generate_series(1,
+          least({_CHUNK_LEN}, ch.n - ch.start0))) AS j
+      ) j
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(j * (length(w) * 131 + ascii(w))) AS BIGINT)
+               AS chunk_hash
+    FROM toks
+    GROUP BY doc_id, chunk_idx
+    """,
+)
+def t_chunk_overlap(spark, sf_dir):
+    """SLIDING-WINDOW CHUNKING for retrieval corpora: each document
+    splits into {_CHUNK_LEN}-token chunks advancing {_CHUNK_STRIDE}
+    tokens (8-token overlap so no boundary context is lost — the
+    standard RAG ingestion shape). Emits one row per (doc, chunk) with
+    its token count and an order-sensitive integer fingerprint
+    (sum over positions j of j * (131*len(w) + ascii(w)) — pure
+    integer, position-weighted so reordered chunks never collide, and
+    both engines compute it on BIGINTs with no float anywhere).
+
+    Plan/scale shape: chunk indices come from a JVM-side sequence()
+    explode (fan-out = n/stride per doc, ~1.33x the token count with
+    this overlap), token rows from a second bounded explode
+    (<= {_CHUNK_LEN} per chunk), then ONE groupBy(doc, chunk) with
+    map-side combine. Zero Python, zero joins — the whole chain is a
+    scan-projection pipeline, embarrassingly parallel at 100 TB; the
+    (doc_id, chunk_idx) output key is also the natural downstream
+    embedding-job partitioning."""
+    (docs,) = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("words"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    n_chunks_last = F.when(F.col("n") <= _CHUNK_LEN, F.lit(0)).otherwise(
+        F.expr(
+            f"(n - {_CHUNK_LEN} + {_CHUNK_STRIDE} - 1) div {_CHUNK_STRIDE}"
+        )
+    )
+    chunks = d.select(
+        "doc_id",
+        "n",
+        "words",
+        F.explode(F.sequence(F.lit(0), n_chunks_last)).alias("chunk_idx"),
+    ).withColumn("start0", F.col("chunk_idx") * _CHUNK_STRIDE)
+    toks = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(
+                    F.lit(_CHUNK_LEN), F.col("n") - F.col("start0")
+                ),
+            )
+        ).alias("j"),
+        F.col("words"),
+        F.col("start0"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "j",
+        F.element_at("words", (F.col("start0") + F.col("j")).cast("int")).alias(
+            "w"
+        ),
+    )
+    return toks.groupBy("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx")).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(
+            F.col("j")
+            * (F.length("w") * 131 + F.ascii("w"))
+        )
+        .cast("long")
+        .alias("chunk_hash"),
+    )
