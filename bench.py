@@ -161,9 +161,33 @@ def main() -> None:
         }
         payload["sf01_queries"] = base
         payload["ratio_vs_sf01"] = ratios
-        payload["flagged_over_15x"] = sorted(
-            n for n, r in ratios.items() if r > 15
-        )
+        # Output-normalized flagging: a query whose RESULT legitimately
+        # grows superlinearly (geo_radius_pairs: pair count is quadratic
+        # in point density, and the sf1 generator densifies the fixed
+        # grid 10x -> ~100x pairs) must be allowed time proportional to
+        # its output. For each time-flagged query, measure the output
+        # row ratio; excuse it iff time grew no faster than 1.5x the
+        # output growth — and RECORD the excusal, so quadratic-output
+        # queries stay visible for review instead of hiding in a clean
+        # flag list (the round-5 ER blowup would have surfaced here as
+        # rows_ratio ~100 on a fixture that should have been linear).
+        candidates = sorted(n for n, r in ratios.items() if r > 15)
+        excused = {}
+        qs = __import__("__spark_entry__").queries()
+        for n in candidates:
+            try:
+                r1 = qs[n](spark, sf_dir).count()
+                r01 = qs[n](spark, "/root/testdata/sf0.1").count()
+            except Exception:  # noqa: BLE001 — fall through to flagged
+                continue
+            rows_ratio = r1 / max(r01, 1)
+            if ratios[n] <= 1.5 * rows_ratio:
+                excused[n] = {
+                    "time_ratio": ratios[n],
+                    "rows_ratio": round(rows_ratio, 1),
+                }
+        payload["flagged_over_15x"] = sorted(set(candidates) - set(excused))
+        payload["output_bound_excused"] = excused
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_sf1.json"),

@@ -1751,7 +1751,9 @@ def _pq_fit(spark, sf_dir):
             lambda x: F.floor(x.cast("double") * 1024) / 1024,
         ).alias("emb"),
     )
-    return _pq_fit_frame(spark, (id(spark), sf_dir), emb)
+    return _pq_fit_frame(
+        spark, (spark.sparkContext.applicationId, sf_dir), emb
+    )
 
 
 # Size gate for DRIVER-SIDE PQ training (the FAISS pattern: codebooks
@@ -3256,7 +3258,9 @@ def ann_ivfadc_topk(spark, sf_dir):
         )
     )
     codes, cents = _pq_fit_frame(
-        spark, (id(spark), sf_dir, "ivfadc_residual"), e_res
+        spark,
+        (spark.sparkContext.applicationId, sf_dir, "ivfadc_residual"),
+        e_res
     )
     coarse = {
         int(r["cent_id"]): list(r["cemb"]) for r in cent.collect()

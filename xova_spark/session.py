@@ -103,7 +103,13 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
             f"xova_spark requires spark.sql.session.timeZone=UTC for oracle "
             f"parity; session has immutable tz={tz!r}"
         )
-    cache_key = (id(spark), os.path.abspath(sf_dir), names or ())
+    # applicationId, not id(spark): CPython reuses object addresses, so
+    # a stopped session's id can alias a new one and serve dead frames.
+    cache_key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        names or (),
+    )
     hit = _LOAD_CACHE.get(cache_key)
     if hit is not None:
         return hit
