@@ -75,3 +75,69 @@ def test_compact_matches_window_formulation(spark):
     )
     assert got.exceptAll(ref).count() == 0
     assert ref.exceptAll(got).count() == 0
+
+
+def test_join_view_cross_term_is_exercised_and_matches_direct(spark):
+    """cdc_join_view_maintenance's hash gate only proves the bilinear
+    product rule if the dO x dC cross term is NON-EMPTY on the fixture
+    (orders whose price changed while their customer was deleted or
+    moved segments in the same batch). Pin that, and pin the entry
+    against a direct recomputation in Spark itself (independent of the
+    DuckDB gate)."""
+    import duckdb
+
+    from xova_spark.queries.cdcq import (
+        _CUST_DEL_MOD,
+        _CUST_DEL_RES,
+        _CUST_MOVE_MOD,
+        _NEW_CUT,
+        _OLD_CUT,
+        cdc_join_view_maintenance,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    n_cross = con.execute(f"""
+        WITH o_old AS (
+          SELECT o_orderkey, o_custkey FROM read_parquet('{sf}/orders.parquet')
+          WHERE o_orderdate < TIMESTAMP '{_OLD_CUT}'
+        ), o_new AS (
+          SELECT o_orderkey, o_custkey FROM read_parquet('{sf}/orders.parquet')
+          WHERE o_orderdate < TIMESTAMP '{_NEW_CUT}' AND o_orderkey % 97 <> 3
+        ), changed_orders AS (
+          SELECT COALESCE(a.o_custkey, b.o_custkey) AS ck
+          FROM o_old a FULL JOIN o_new b USING (o_orderkey)
+          WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+             OR b.o_orderkey % 10 = 0
+        )
+        SELECT count(*) FROM changed_orders
+        WHERE ck % {_CUST_DEL_MOD} = {_CUST_DEL_RES}
+           OR ck % {_CUST_MOVE_MOD} = 0
+    """).fetchone()[0]
+    assert n_cross > 0, "fixture never hits the dO x dC cross term"
+
+    got = {
+        r.mktsegment: (r.n_orders, r.total_cents)
+        for r in cdc_join_view_maintenance(spark, sf).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(f"""
+        WITH o_new AS (
+          SELECT o_custkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   + CASE WHEN o_orderkey % 10 = 0 THEN 500 ELSE 0 END AS p
+          FROM read_parquet('{sf}/orders.parquet')
+          WHERE o_orderdate < TIMESTAMP '{_NEW_CUT}' AND o_orderkey % 97 <> 3
+        ), c_new AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % {_CUST_MOVE_MOD} = 0 THEN 'MOVED'
+                      ELSE c_mktsegment END AS seg
+          FROM read_parquet('{sf}/customer.parquet')
+          WHERE c_custkey % {_CUST_DEL_MOD} <> {_CUST_DEL_RES}
+        )
+        SELECT seg, CAST(count(*) AS BIGINT), CAST(sum(p) AS BIGINT)
+        FROM o_new JOIN c_new ON c_custkey = o_custkey GROUP BY seg
+        """).fetchall()
+    }
+    assert got == want and "MOVED" in got

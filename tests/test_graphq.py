@@ -387,3 +387,42 @@ def test_capped_jaccard_hub_laws(spark):
         {(r[0], r[1]) for r in got} & {(r[0], r[1]) for r in exact_top}
     )
     assert overlap >= 15, f"capped top-20 recall dropped: {overlap}/20"
+
+
+def test_triples_downward_closure_and_bruteforce(spark):
+    """Apriori laws for basket_triples_support at sf0.001:
+
+    1. brute force: the nested JVM expansion enumerates exactly the
+       ordered triples a python replica builds from raw baskets;
+    2. downward closure: support(a,b,c) <= min support of its three
+       constituent pairs (the pruning law every Apriori level relies
+       on) — checked against the pair supports from the same replica.
+    """
+    import itertools
+
+    import pandas as pd
+
+    from xova_spark.queries.graphq import MIN_SUPPORT, basket_triples_support
+
+    got = {
+        (r.pa, r.pb, r.pc): r.support
+        for r in basket_triples_support(spark, SF).collect()
+    }
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).drop_duplicates()
+    pair_sup: dict[tuple, int] = {}
+    tri_sup: dict[tuple, int] = {}
+    for _, g in li.groupby("l_orderkey"):
+        parts = sorted(set(g["l_partkey"]))
+        for p in itertools.combinations(parts, 2):
+            pair_sup[p] = pair_sup.get(p, 0) + 1
+        for t in itertools.combinations(parts, 3):
+            tri_sup[t] = tri_sup.get(t, 0) + 1
+    want = {t: s for t, s in tri_sup.items() if s >= MIN_SUPPORT}
+    assert got == want and got  # law 1
+
+    for (a, b, c), s in got.items():
+        m = min(pair_sup[(a, b)], pair_sup[(a, c)], pair_sup[(b, c)])
+        assert s <= m  # law 2

@@ -277,3 +277,224 @@ def cdc_incremental_rollup(spark, sf_dir):
         )
         .where(F.col("n_orders") > 0)
     )
+
+
+# --- Incremental JOIN-VIEW maintenance (round 6) -----------------------
+#
+# cdc_incremental_rollup maintains a single-table aggregate; production
+# pipelines maintain JOIN views, where deltas arrive on BOTH inputs and
+# the correct update is the bilinear product rule
+#
+#   delta(O JOIN C) = dO JOIN C_old  +  O_old JOIN dC  +  dO JOIN dC
+#
+# with signed multiplicities (insert = +1, delete = -1, update = -old
+# +new). The customer side gets its own deterministic changelog:
+# c_custkey % 89 == 7 rows are DELETEd, c_custkey % 13 == 0 rows move
+# to the 'MOVED' segment (an UPDATE that shifts order mass between
+# groups — the case a naive "re-aggregate changed orders only" scheme
+# silently gets wrong).
+_CUST_DEL_MOD, _CUST_DEL_RES = 89, 7
+_CUST_MOVE_MOD = 13
+
+_JV_CTES = f"""
+    o_old AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '{_OLD_CUT}'
+    ),
+    o_new AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   + CASE WHEN o_orderkey % 10 = 0 THEN 500 ELSE 0 END
+                   AS price_cents
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '{_NEW_CUT}'
+          AND o_orderkey % 97 <> 3
+    ),
+    c_new AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % {_CUST_MOVE_MOD} = 0 THEN 'MOVED'
+                    ELSE c_mktsegment END AS seg
+        FROM customer
+        WHERE c_custkey % {_CUST_DEL_MOD} <> {_CUST_DEL_RES}
+    )
+"""
+
+
+@q(
+    "cdc_join_view_maintenance",
+    f"""
+    WITH {_JV_CTES}
+    SELECT c.seg AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o.price_cents) AS BIGINT) AS total_cents
+    FROM o_new o JOIN c_new c ON c.c_custkey = o.o_custkey
+    GROUP BY c.seg
+    """,
+)
+def cdc_join_view_maintenance(spark, sf_dir):
+    """INCREMENTAL VIEW MAINTENANCE for a JOIN view — the strongest
+    gate in the CDC pack: the view is per-segment (count, sum cents)
+    over orders JOIN customer, deltas arrive on BOTH sides, and Spark
+    maintains it with the bilinear product rule (dO x C_old +
+    O_old x dC + dO x dC, all with signed multiplicities) applied to
+    the OLD materialized state. The DuckDB oracle computes the NEW
+    view directly from the new snapshots — hash equality proves
+    delta-apply == recompute, including the subtle cross terms: an
+    order whose price changed AND whose customer changed segment in
+    the same batch is corrected exactly once (the dO x dC term exists
+    precisely to cancel the double count the two single-side terms
+    introduce).
+
+    Scale shape: every term is a keyed equi-join at CHANGE grain —
+    dO is |changed orders|, dC is |changed customers|, and only
+    O_old x dC touches base data, keyed on the changed customers
+    (semi-join-sized, shuffles only matching orders under AQE); the
+    final apply is a group-grain union + groupBy. Nothing rescans the
+    full join — the whole point of IVM at 100 TB."""
+    o = load_tables(spark, sf_dir, ("orders", "customer"))
+    cust = o["customer"]
+    orders = o["orders"]
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    o_old = orders.where(
+        F.col("o_orderdate") < F.lit(_OLD_CUT).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", cents.alias("price_cents"))
+    o_new = (
+        orders.where(
+            (F.col("o_orderdate") < F.lit(_NEW_CUT).cast("timestamp"))
+            & (F.col("o_orderkey") % 97 != 3)
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            (
+                cents
+                + F.when(F.col("o_orderkey") % 10 == 0, 500).otherwise(0)
+            ).alias("price_cents"),
+        )
+    )
+    c_old = cust.select("c_custkey", F.col("c_mktsegment").alias("seg"))
+    c_new = cust.where(
+        F.col("c_custkey") % _CUST_DEL_MOD != _CUST_DEL_RES
+    ).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % _CUST_MOVE_MOD == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+
+    # Signed order delta: -old row and/or +new row per changed key.
+    ok = F.col("o_orderkey")
+    oo = o_old.select(
+        ok.alias("k"), F.col("o_custkey").alias("ck"),
+        F.col("price_cents").alias("p_old"),
+    )
+    on = o_new.select(
+        ok.alias("k"), F.col("o_custkey").alias("ck_new"),
+        F.col("price_cents").alias("p_new"),
+    )
+    oj = oo.join(on, "k", "full_outer")
+    d_o = oj.where(
+        F.col("ck").isNull()
+        | F.col("ck_new").isNull()
+        | (F.col("p_old") != F.col("p_new"))
+    ).select(
+        F.coalesce("ck", "ck_new").alias("c_custkey"),
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(
+                        F.col("ck").isNotNull(),
+                        F.struct(
+                            F.lit(-1).alias("sign"),
+                            F.col("p_old").alias("price"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("ck_new").isNotNull(),
+                        F.struct(
+                            F.lit(1).alias("sign"),
+                            F.col("p_new").alias("price"),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("d"),
+    ).select("c_custkey", F.col("d.sign").alias("so"), F.col("d.price").alias("price"))
+
+    # Signed customer delta: -old segment and/or +new segment per key.
+    co = c_old.select(F.col("c_custkey").alias("k"), F.col("seg").alias("seg_old"))
+    cn = c_new.select(F.col("c_custkey").alias("k2"), F.col("seg").alias("seg_new"))
+    cj = co.join(cn, co.k == cn.k2, "full_outer")
+    d_c = cj.where(
+        F.col("k2").isNull() | (F.col("seg_old") != F.col("seg_new"))
+    ).select(
+        F.coalesce("k", "k2").alias("c_custkey"),
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(
+                        F.col("k").isNotNull(),
+                        F.struct(
+                            F.lit(-1).alias("sign"),
+                            F.col("seg_old").alias("seg"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("k2").isNotNull(),
+                        F.struct(
+                            F.lit(1).alias("sign"),
+                            F.col("seg_new").alias("seg"),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("d"),
+    ).select("c_custkey", F.col("d.sign").alias("sc"), F.col("d.seg").alias("seg"))
+
+    # The materialized OLD view.
+    v_old = (
+        o_old.join(c_old, o_old.o_custkey == c_old.c_custkey)
+        .groupBy("seg")
+        .agg(
+            F.count("*").cast("long").alias("dn"),
+            F.sum("price_cents").cast("long").alias("ds"),
+        )
+    )
+    # Product-rule terms, each reduced to (seg, dn, ds) contributions.
+    t1 = (
+        d_o.join(c_old, "c_custkey")
+        .groupBy("seg")
+        .agg(
+            F.sum("so").cast("long").alias("dn"),
+            F.sum(F.col("so") * F.col("price")).cast("long").alias("ds"),
+        )
+    )
+    t2 = (
+        o_old.join(d_c, o_old.o_custkey == d_c.c_custkey)
+        .groupBy("seg")
+        .agg(
+            F.sum("sc").cast("long").alias("dn"),
+            F.sum(F.col("sc") * F.col("price_cents")).cast("long").alias("ds"),
+        )
+    )
+    t3 = (
+        d_o.join(d_c, "c_custkey")
+        .groupBy("seg")
+        .agg(
+            F.sum(F.col("so") * F.col("sc")).cast("long").alias("dn"),
+            F.sum(F.col("so") * F.col("sc") * F.col("price"))
+            .cast("long")
+            .alias("ds"),
+        )
+    )
+    return (
+        v_old.unionAll(t1).unionAll(t2).unionAll(t3)
+        .groupBy(F.col("seg").alias("mktsegment"))
+        .agg(
+            F.sum("dn").cast("long").alias("n_orders"),
+            F.sum("ds").cast("long").alias("total_cents"),
+        )
+        .where(F.col("n_orders") > 0)
+    )

@@ -1229,3 +1229,58 @@ def graph_node_jaccard_capped(spark, sf_dir):
         .orderBy(F.desc("jac_lb_pm"), "sa", "sb")
         .limit(20)
     )
+
+
+@q(
+    "basket_triples_support",
+    f"""
+    WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT CAST(a.l_partkey AS BIGINT) AS pa,
+           CAST(b.l_partkey AS BIGINT) AS pb,
+           CAST(c.l_partkey AS BIGINT) AS pc,
+           CAST(count(*) AS BIGINT) AS support
+    FROM pp a
+    JOIN pp b ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+    JOIN pp c ON c.l_orderkey = a.l_orderkey AND b.l_partkey < c.l_partkey
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= {MIN_SUPPORT}
+    """,
+)
+def basket_triples_support(spark, sf_dir):
+    """FREQUENT 3-ITEMSETS — the next Apriori level above the
+    co-purchase pair edges: ordered part triples bought together in >=
+    {MIN_SUPPORT} orders. Same zero-join expansion as the edge builder
+    (_copurchase_edges): per-order sorted distinct part set, then the
+    C(n,3) ordered triples expand JVM-side with a doubly-nested
+    transform/slice (whole-stage codegen — per-order fanout is bounded
+    by the basket width, C(~7,3) <= 35 here, never a table self-join),
+    and ONE (pa, pb, pc) shuffle aggregates support. The oracle is the
+    classical three-way self-join — hash equality proves the nested
+    expansion enumerates exactly the ordered triples. Downward closure
+    (support(abc) <= min support of its three pairs — the Apriori
+    pruning law) is pinned in tests/test_graphq.py; at 100 TB the
+    standard frequent-item pre-filter composes in front of the
+    collect_set to shrink baskets before expansion."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    pp = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    triples = pp.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "flatten(transform(slice(parts, i + 2, size(parts)), (y, j) -> "
+                "transform(slice(parts, i + j + 3, size(parts)), "
+                "z -> struct(x AS pa, y AS pb, z AS pc))))))"
+            )
+        ).alias("t")
+    ).select("t.pa", "t.pb", "t.pc")
+    return (
+        triples.groupBy(
+            F.col("pa").cast("long").alias("pa"),
+            F.col("pb").cast("long").alias("pb"),
+            F.col("pc").cast("long").alias("pc"),
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+    )
