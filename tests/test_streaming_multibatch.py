@@ -519,3 +519,78 @@ def test_pii_scrub_invariance_under_real_triggers(spark, tmp_path, monkeypatch):
     for col in ("doc_id", "redacted", "n_redactions", "action"):
         assert list(got[col]) == list(want[col]), col
     assert (got["action"] == "quarantine").sum() > 0  # %8==0 docs: 2 emails
+
+def test_join_view_maintenance_invariance_under_real_triggers(spark, tmp_path):
+    """stream_join_view_maintenance's additive merge must converge to
+    the batch join-aggregate regardless of how order ingestion was
+    chunked: orders arrive as 4 interleaved files (split on o_orderkey
+    mod 4, NOT date-ordered), one per REAL trigger, each batch joining
+    the broadcast customer dim and merging (count, cents) partials via
+    the stage-then-swap materializer. Converged view == batch view."""
+    import shutil
+    import tempfile
+
+    from xova_spark.streaming import materialize as M
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    c_new = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .where(F.col("c_custkey") % 89 != 7)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 13 == 0, F.lit("MOVED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("seg"),
+        )
+    )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, m in enumerate((2, 0, 3, 1)):  # interleaved, not key-ordered
+        d = str(tmp_path / f"o{i}")
+        orders.filter(F.col("o_orderkey") % 4 == m).coalesce(1).write.parquet(d)
+        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        os.rename(os.path.join(d, part), os.path.join(flat, f"{i:02d}.parquet"))
+        os.utime(os.path.join(flat, f"{i:02d}.parquet"), (1_000_000_000 + i,) * 2)
+
+    def project(df):
+        return (
+            df.where(
+                (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+                & (F.col("o_orderkey") % 97 != 3)
+            )
+            .select(
+                "o_custkey",
+                (
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                    + F.when(F.col("o_orderkey") % 10 == 0, 500).otherwise(0)
+                ).alias("value"),
+            )
+            .join(F.broadcast(c_new), F.col("o_custkey") == F.col("c_custkey"))
+            .select("seg", "value")
+        )
+
+    stream = project(_one_file_per_trigger(spark, flat, orders.schema))
+    out_dir = tempfile.mkdtemp(prefix="xova_mb_jv_state_")
+    ckpt = tempfile.mkdtemp(prefix="xova_mb_jv_ckpt_")
+    try:
+        q = M.materialized_rollup(stream, out_dir, ["seg"], ckpt)
+        q.awaitTermination()
+        n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+        assert n_batches >= 3, [p["numInputRows"] for p in q.recentProgress]
+        got = M.read_rollup(spark, out_dir).select(
+            "seg",
+            F.col("n").cast("long").alias("n"),
+            F.col("total").cast("long").alias("total"),
+        )
+        ref = (
+            project(orders)
+            .groupBy("seg")
+            .agg(F.count("*").cast("long").alias("n"), F.sum("value").alias("total"))
+        )
+        assert got.count() == ref.count() > 0
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -1381,3 +1381,112 @@ def stream_pii_scrub(spark, sf_dir):
         )
         q_.awaitTermination()
     return spark.table(name)
+
+
+@q(
+    "stream_join_view_maintenance",
+    f"""
+    WITH o_new AS (
+        SELECT o_custkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   + CASE WHEN o_orderkey % 10 = 0 THEN 500 ELSE 0 END AS p
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-07-01' AND o_orderkey % 97 <> 3
+    ),
+    c_new AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 13 = 0 THEN 'MOVED'
+                    ELSE c_mktsegment END AS seg
+        FROM customer
+        WHERE c_custkey % 89 <> 7
+    )
+    SELECT c.seg AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o.p) AS BIGINT) AS total_cents
+    FROM o_new o JOIN c_new c ON c.c_custkey = o.o_custkey
+    GROUP BY c.seg
+    """,
+)
+def stream_join_view_maintenance(spark, sf_dir):
+    """STREAMING twin of cdc_join_view_maintenance: the per-segment
+    join view maintained CONTINUOUSLY as order changes stream in. Each
+    micro-batch joins its order rows against the broadcast customer
+    dimension (stream-static join — the streaming plan Spark never
+    re-scans the dim for), reduces to per-segment (count, cents)
+    partials, and merges ADDITIVELY into the parquet-backed view via
+    the shared stage-then-swap materializer (streaming/materialize.py
+    — the same foreachBatch upsert stream_cdc_merge uses). Count+sum
+    are associative/commutative, so the converged availableNow state
+    equals the batch join-aggregate no matter how ingestion was
+    chunked; the DuckDB oracle computes that batch view directly.
+
+    At 100 TB this is the canonical streaming-lakehouse rollup: batch
+    work is proportional to the CHANGES (one partial-agg of the batch
+    + a group-grain merge), never the accumulated history, and the
+    stage-then-swap becomes a transactional MERGE on a real table
+    format."""
+    import os
+    import shutil
+    import tempfile
+
+    from xova_spark.queries.relational import load_tables
+    from xova_spark.streaming import materialize as M
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    c_new = (
+        t["customer"]
+        .where(F.col("c_custkey") % 89 != 7)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 13 == 0, F.lit("MOVED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("seg"),
+        )
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stream_dir = os.path.join("/root/repo/.cache/stream_orders", tag)
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "part-0.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .format("parquet")
+        .load(stream_dir)
+        .where(
+            (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+            & (F.col("o_orderkey") % 97 != 3)
+        )
+        .select(
+            "o_custkey",
+            (
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                + F.when(F.col("o_orderkey") % 10 == 0, 500).otherwise(0)
+            ).alias("value"),
+        )
+        .join(F.broadcast(c_new), F.col("o_custkey") == F.col("c_custkey"))
+        .select("seg", "value")
+    )
+    out_dir = tempfile.mkdtemp(prefix="xova_jv_state_")
+    ckpt = tempfile.mkdtemp(prefix="xova_ckpt_jv_")
+    try:
+        q_ = M.materialized_rollup(stream, out_dir, ["seg"], ckpt)
+        q_.awaitTermination()
+        rows = (
+            M.read_rollup(spark, out_dir)
+            .select(
+                F.col("seg").alias("mktsegment"),
+                F.col("n").cast("long").alias("n_orders"),
+                F.col("total").cast("long").alias("total_cents"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "mktsegment string, n_orders long, total_cents long"
+    )
