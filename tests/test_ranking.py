@@ -100,3 +100,42 @@ def test_no_unpartitioned_window_in_plan(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "rangepartitioning" in plan, plan
+
+
+@pytest.mark.parametrize("parts", [1, 3, 32])
+def test_global_cumsum_matches_window(spark, parts):
+    from xova_spark.operators.ranking import global_cumsum
+
+    df = _events(spark).select(
+        "k", "v", (F.col("skewed") - 500).alias("val")  # negatives too
+    )
+    order = [F.col("v"), F.col("k")]
+    got = global_cumsum(
+        df, order, "val", "cs", num_partitions=parts, window_max_rows=0
+    )
+    want = df.withColumn(
+        "cs",
+        F.sum("val")
+        .over(
+            Window.orderBy(*order).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_global_cumsum_paths_agree(spark):
+    """The size gate's two routes are bit-identical: same frame through
+    the plain window (gate open) and the distributed two-pass running
+    sum (gate forced shut)."""
+    from xova_spark.operators.ranking import global_cumsum
+
+    df = _events(spark, n=2000).select("k", "v", F.col("skewed").alias("val"))
+    order = [F.col("v"), F.col("k")]
+    small = global_cumsum(df, order, "val", "cs", window_max_rows=1_000_000)
+    dist = global_cumsum(df, order, "val", "cs", window_max_rows=0)
+    assert small.exceptAll(dist).count() == 0
+    assert dist.exceptAll(small).count() == 0

@@ -96,3 +96,51 @@ def test_url_canonical_matches_python_replica(spark):
     assert (got["n_raw_forms"] >= 1).all()
     assert (got["n_raw_forms"] <= got["n_docs"]).all()
     assert (got["n_raw_forms"] > 1).any()  # the mess actually collapsed
+
+
+def test_quality_auc_matches_python_midrank_replica(spark):
+    """t_quality_auc's contingency-form AUC must equal the classic
+    midrank formula AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg)
+    computed by an independent pure-python replica over the same
+    (score, label) pairs — and the pair-count identity
+    conc + tied + disc == n_pos * n_neg must hold."""
+    from xova_spark.queries.textops import (
+        t_quality_auc,
+        t_quality_classifier_score,
+        t_quality_score,
+    )
+
+    row = t_quality_auc(spark, SF).collect()[0]
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in t_quality_classifier_score(spark, SF).collect()
+    }
+    labels = {
+        r["doc_id"]: r["quality_keep"] for r in t_quality_score(spark, SF).collect()
+    }
+    pairs = [(scores[d], labels[d]) for d in scores if d in labels]
+    pos = sorted(s for s, y in pairs if y == 1)
+    neg = sorted(s for s, y in pairs if y == 0)
+    assert (len(pos), len(neg)) == (row["n_pos"], row["n_neg"])
+
+    # midrank formula over the pooled sample
+    pooled = sorted(s for s, _ in pairs)
+    import bisect
+
+    def midrank(s):
+        lo = bisect.bisect_left(pooled, s)
+        hi = bisect.bisect_right(pooled, s)
+        return (lo + 1 + hi) / 2.0
+
+    r_pos = sum(midrank(s) for s in pos)
+    auc = (r_pos - len(pos) * (len(pos) + 1) / 2.0) / (len(pos) * len(neg))
+    assert row["auc_micro"] == int(auc * 1_000_000)
+
+    # contingency identity: every (pos, neg) pair is concordant,
+    # tied, or discordant
+    conc = sum(1 for p in pos for n in neg if p > n)
+    tied = sum(1 for p in pos for n in neg if p == n)
+    assert (conc, tied) == (row["conc_pairs"], row["tied_pairs"])
+    assert row["auc_micro"] == (2 * conc + tied) * 1_000_000 // (
+        2 * len(pos) * len(neg)
+    )

@@ -173,3 +173,85 @@ def global_ntile(
     return ranked.withColumn(
         ntile_col, ntile_from_rank(F.col("_gnt_rank"), meta["n_total"], k)
     ).drop("_gnt_rank")
+
+
+# Same rationale as NTILE_WINDOW_MAX_ROWS: below this input size the
+# plain unpartitioned running-sum window is bounded work and the
+# distributed path's job barriers dominate. Both paths bit-identical
+# (tests/test_ranking.py::test_global_cumsum_paths_agree).
+CUMSUM_WINDOW_MAX_ROWS = 100_000
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value_col: str,
+    cumsum_col: str,
+    num_partitions: int | None = None,
+    window_max_rows: int = CUMSUM_WINDOW_MAX_ROWS,
+) -> DataFrame:
+    """Exact inclusive running sum of integral ``value_col`` over a
+    TOTAL order — ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING
+    TO CURRENT ROW)`` without an unbounded single-partition window.
+
+    Gate: small frames take the plain window (bounded single-partition
+    work); above ``window_max_rows`` the two-pass range-partitioned
+    scheme runs — range shuffle + sort, a K-row per-partition SUM
+    collected into driver prefix offsets, then one streaming Arrow pass
+    adding ``offset[pid] + running``. Values must be integral (the
+    oracle-lattice discipline) so partial-sum order cannot drift the
+    result; output column is ``long``.
+    """
+    if df.count() <= window_max_rows:
+        from pyspark.sql import Window
+
+        return df.withColumn(
+            cumsum_col,
+            F.sum(F.col(value_col))
+            .over(
+                Window.orderBy(*order_by).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .cast("long"),
+        )
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    _PINNED.append(ranged)
+    sums = dict(
+        (r["_pid"], int(r["s"]))
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(F.col(value_col)).alias("s"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    out_schema = ranged.drop("_pid").schema.add(cumsum_col, "long")
+    out_cols = [f.name for f in out_schema.fields]
+
+    def add_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        running = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            vals = pdf[value_col].astype("int64").cumsum() + (base + running)
+            running += int(pdf[value_col].astype("int64").sum())
+            pdf[cumsum_col] = vals.astype("int64")
+            yield pdf[out_cols]
+
+    return ranged.mapInPandas(add_cumsum, out_schema)

@@ -85,6 +85,15 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "kind": "dim_agg",
         "marker": r"HashAggregate\(keys=\[part#\d+",
     },
+    # cumulative negatives at DISTINCT-SCORE grain, size-gated through
+    # operators/ranking.global_cumsum (window path only under the gate;
+    # above it the two-pass range-partitioned running sum runs — both
+    # paths pinned in tests/test_ranking.py).
+    "t_quality_auc": {
+        "kind": "size_gate",
+        "marker": r"HashAggregate\(keys=\[score#\d+",
+        "source": r"global_cumsum",
+    },
 }
 
 

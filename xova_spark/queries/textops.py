@@ -3065,3 +3065,118 @@ def t_chunk_overlap(spark, sf_dir):
         .cast("long")
         .alias("chunk_hash"),
     )
+
+
+@q(
+    "t_quality_auc",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), h AS (
+      SELECT doc_id,
+             ({_FH_DUCK_H}) % {_FH_BUCKETS} AS bucket,
+             CASE WHEN (({_FH_DUCK_H}) // {_FH_BUCKETS}) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok WHERE word != ''
+    ), fv AS (
+      SELECT doc_id, bucket, sum(sgn) AS val
+      FROM h GROUP BY doc_id, bucket
+      HAVING sum(sgn) != 0
+    ), wt(bucket, w) AS (
+      VALUES {', '.join(f'({b}, {w})' for b, w in enumerate(_QC_WEIGHTS))}
+    ), score AS (
+      SELECT fv.doc_id, CAST(sum(fv.val * wt.w) AS BIGINT) AS score
+      FROM fv JOIN wt USING (bucket)
+      GROUP BY fv.doc_id
+    ), lab AS (
+      SELECT doc_id,
+             CASE WHEN len(words) BETWEEN 20 AND 1000
+                   AND len(list_distinct(words)) * 1.0 / len(words) > 0.2
+                  THEN 1 ELSE 0 END AS y
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    ), j AS (
+      SELECT s.score, l.y FROM score s JOIN lab l USING (doc_id)
+    ), g AS (
+      SELECT score,
+             CAST(sum(y) AS BIGINT) AS pos,
+             CAST(sum(1 - y) AS BIGINT) AS neg
+      FROM j GROUP BY score
+    ), c AS (
+      SELECT pos, neg,
+             CAST(coalesce(sum(neg) OVER (
+                 ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cn
+      FROM g
+    ), t AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(neg) AS BIGINT) AS n_neg,
+             CAST(sum(pos * cn) AS BIGINT) AS conc_pairs,
+             CAST(sum(pos * neg) AS BIGINT) AS tied_pairs
+      FROM c
+    )
+    SELECT n_pos, n_neg, conc_pairs, tied_pairs,
+           CAST((2 * conc_pairs + tied_pairs) * 1000000
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_micro
+    FROM t
+    """,
+)
+def t_quality_auc(spark, sf_dir):
+    """EXACT DISTRIBUTED AUC — the Mann-Whitney ranking evaluation of
+    the linear quality classifier (t_quality_classifier_score) against
+    the independent rule-based label (t_quality_score.quality_keep):
+    does the cheap hashed-feature score rank rule-kept documents above
+    rule-dropped ones?  AUC = P(score_pos > score_neg) + 0.5 *
+    P(score_pos == score_neg), computed exactly from the per-distinct-
+    score (pos, neg) contingency: concordant pairs are sum(pos(s) *
+    cumneg(<s)) and ties sum(pos(s) * neg(s)) — integer pair counts, so
+    the final micro-unit AUC is a single integer division with no
+    float-aggregation-order hazard.
+
+    Scale shape: the only data-sized work is the doc-keyed score/label
+    join and one groupBy(score) — the cumulative-negatives pass runs at
+    DISTINCT-SCORE grain through ``operators/ranking.global_cumsum``
+    (size-gated: plain bounded window under 100k distinct scores, the
+    two-pass range-partitioned running sum above — the same discipline
+    as global_rank/global_ntile, so no data-grain unpartitioned
+    WindowExec can appear). Pair counts stay exact in BIGINT up to
+    ~3e9 documents per class; beyond that the micro-AUC needs a wider
+    lattice (documented envelope, same class as the HLL regime note).
+
+    The evaluation metric every fastText-style curation filter ships
+    with (classifier-vs-rule agreement audit, compare
+    t_langid_confusion)."""
+    from xova_spark.operators.ranking import global_cumsum
+
+    scores = t_quality_classifier_score(spark, sf_dir).select(
+        "doc_id", "score"
+    )
+    labels = t_quality_score(spark, sf_dir).select(
+        "doc_id", F.col("quality_keep").cast("long").alias("y")
+    )
+    g = (
+        scores.join(labels, "doc_id")
+        .groupBy("score")
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+        )
+    )
+    c = global_cumsum(g, [F.col("score").asc()], "neg", "cneg_incl")
+    return (
+        c.withColumn("cn", F.col("cneg_incl") - F.col("neg"))
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("neg").cast("long").alias("n_neg"),
+            F.sum(F.col("pos") * F.col("cn")).cast("long").alias("conc_pairs"),
+            F.sum(F.col("pos") * F.col("neg")).cast("long").alias("tied_pairs"),
+        )
+        .selectExpr(
+            "n_pos",
+            "n_neg",
+            "conc_pairs",
+            "tied_pairs",
+            "CAST((2 * conc_pairs + tied_pairs) * 1000000"
+            " DIV (2 * n_pos * n_neg) AS BIGINT) AS auc_micro",
+        )
+    )
