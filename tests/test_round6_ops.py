@@ -144,3 +144,24 @@ def test_quality_auc_matches_python_midrank_replica(spark):
     assert row["auc_micro"] == (2 * conc + tied) * 1_000_000 // (
         2 * len(pos) * len(neg)
     )
+
+
+def test_quality_calibration_decile_geometry(spark):
+    """NTILE geometry and ordering laws: deciles 1..10 partition the
+    scored corpus with sizes differing by at most one (largest first),
+    and score ranges are non-overlapping ascending — so the keep-rate
+    curve reads as a true reliability diagram."""
+    from xova_spark.queries.textops import t_quality_calibration
+
+    rows = sorted(
+        t_quality_calibration(spark, SF).collect(), key=lambda r: r["decile"]
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)  # remainder goes first
+    for a, b in zip(rows, rows[1:]):
+        assert a["score_max"] <= b["score_min"]
+    for r in rows:
+        assert 0 <= r["n_keep"] <= r["n_docs"]
+        assert r["keep_permille"] == r["n_keep"] * 1000 // r["n_docs"]

@@ -94,6 +94,14 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "marker": r"HashAggregate\(keys=\[score#\d+",
         "source": r"global_cumsum",
     },
+    # decile assignment over the doc-grain score/label join, size-gated
+    # through operators/ranking.global_ntile (same route as
+    # ev_rfm_segments; window path only under the 100k gate).
+    "t_quality_calibration": {
+        "kind": "size_gate",
+        "marker": r"HashAggregate\(keys=\[doc_id#\d+",
+        "source": r"global_ntile",
+    },
 }
 
 

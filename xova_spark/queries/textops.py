@@ -3180,3 +3180,88 @@ def t_quality_auc(spark, sf_dir):
             " DIV (2 * n_pos * n_neg) AS BIGINT) AS auc_micro",
         )
     )
+
+
+@q(
+    "t_quality_calibration",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), h AS (
+      SELECT doc_id,
+             ({_FH_DUCK_H}) % {_FH_BUCKETS} AS bucket,
+             CASE WHEN (({_FH_DUCK_H}) // {_FH_BUCKETS}) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok WHERE word != ''
+    ), fv AS (
+      SELECT doc_id, bucket, sum(sgn) AS val
+      FROM h GROUP BY doc_id, bucket
+      HAVING sum(sgn) != 0
+    ), wt(bucket, w) AS (
+      VALUES {', '.join(f'({b}, {w})' for b, w in enumerate(_QC_WEIGHTS))}
+    ), score AS (
+      SELECT fv.doc_id, CAST(sum(fv.val * wt.w) AS BIGINT) AS score
+      FROM fv JOIN wt USING (bucket)
+      GROUP BY fv.doc_id
+    ), lab AS (
+      SELECT doc_id,
+             CASE WHEN len(words) BETWEEN 20 AND 1000
+                   AND len(list_distinct(words)) * 1.0 / len(words) > 0.2
+                  THEN 1 ELSE 0 END AS y
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    ), j AS (
+      SELECT s.doc_id, s.score, l.y FROM score s JOIN lab l USING (doc_id)
+    ), d AS (
+      SELECT score, y,
+             CAST(ntile(10) OVER (ORDER BY score, doc_id) AS BIGINT) AS decile
+      FROM j
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_keep,
+           CAST(min(score) AS BIGINT) AS score_min,
+           CAST(max(score) AS BIGINT) AS score_max,
+           CAST(CAST(sum(y) AS BIGINT) * 1000 // count(*) AS BIGINT)
+               AS keep_permille
+    FROM d GROUP BY decile
+    """,
+)
+def t_quality_calibration(spark, sf_dir):
+    """CLASSIFIER CALIBRATION AUDIT — the reliability-diagram companion
+    to t_quality_auc: documents bucketed into exact score DECILES
+    (NTILE(10) over the total order (score, doc_id)), each decile
+    reporting its size, rule-based keep count, score range, and
+    empirical keep rate in integer permille. A well-ordered classifier
+    shows keep_permille rising monotonically with the decile — the
+    curve a curation team reads before picking the keep threshold
+    (t_quality_quantile_cut's cousin, evaluated against the
+    INDEPENDENT rule label rather than the score itself).
+
+    Scale shape: doc-keyed score/label join, then the decile assignment
+    routes through ``operators/ranking.global_ntile`` — plain bounded
+    window under the 100k gate, the two-pass range-partitioned exact
+    rank above it — so no data-grain unpartitioned WindowExec exists on
+    either path; the readout is a 10-row groupBy."""
+    from xova_spark.operators.ranking import global_ntile
+
+    scores = t_quality_classifier_score(spark, sf_dir).select(
+        "doc_id", "score"
+    )
+    labels = t_quality_score(spark, sf_dir).select(
+        "doc_id", F.col("quality_keep").cast("long").alias("y")
+    )
+    j = scores.join(labels, "doc_id")
+    d = global_ntile(j, [F.col("score"), F.col("doc_id")], 10, "decile")
+    return (
+        d.groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_keep"),
+            F.min("score").cast("long").alias("score_min"),
+            F.max("score").cast("long").alias("score_max"),
+        )
+        .withColumn(
+            "keep_permille",
+            F.expr("CAST(n_keep * 1000 DIV n_docs AS BIGINT)"),
+        )
+    )
