@@ -139,3 +139,26 @@ def test_global_cumsum_paths_agree(spark):
     dist = global_cumsum(df, order, "val", "cs", window_max_rows=0)
     assert small.exceptAll(dist).count() == 0
     assert dist.exceptAll(small).count() == 0
+
+
+def test_global_cumsum_multicolumn_paths_agree(spark):
+    """The multi-column form (several running sums sharing one range
+    shuffle) matches per-column plain windows on both gate routes."""
+    from xova_spark.operators.ranking import global_cumsum
+
+    df = _events(spark, n=1500).select(
+        "k", "v", F.col("skewed").alias("a"), (F.col("v") * 3).alias("b")
+    )
+    order = [F.desc("v"), F.col("k")]
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("ca", F.sum("a").over(w).cast("long")).withColumn(
+        "cb", F.sum("b").over(w).cast("long")
+    )
+    for gate in (1_000_000, 0):
+        got = global_cumsum(
+            df, order, ["a", "b"], ["ca", "cb"], window_max_rows=gate
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0

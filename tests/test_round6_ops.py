@@ -165,3 +165,28 @@ def test_quality_calibration_decile_geometry(spark):
     for r in rows:
         assert 0 <= r["n_keep"] <= r["n_docs"]
         assert r["keep_permille"] == r["n_keep"] * 1000 // r["n_docs"]
+
+
+def test_quality_pr_curve_laws(spark):
+    """Threshold-sweep invariants: tp nondecreasing as the threshold
+    descends, recall hits 1000 permille at the lowest threshold (every
+    positive is scored), confusion counts stay consistent, and the
+    permille rates equal their integer-division definitions."""
+    from xova_spark.queries.textops import t_quality_auc, t_quality_pr_curve
+
+    rows = sorted(
+        t_quality_pr_curve(spark, SF).collect(),
+        key=lambda r: -r["threshold"],
+    )
+    auc = t_quality_auc(spark, SF).collect()[0]
+    n_pos, n_neg = auc["n_pos"], auc["n_neg"]
+    prev_tp, prev_npred = 0, 0
+    for r in rows:
+        npred = r["tp"] + r["fp"]
+        assert r["tp"] >= prev_tp and npred > prev_npred
+        prev_tp, prev_npred = r["tp"], npred
+        assert r["precision_permille"] == r["tp"] * 1000 // npred
+        assert r["recall_permille"] == r["tp"] * 1000 // n_pos
+        assert r["f1_permille"] == 2 * r["tp"] * 1000 // (npred + n_pos)
+    assert rows[-1]["tp"] == n_pos and rows[-1]["recall_permille"] == 1000
+    assert rows[-1]["tp"] + rows[-1]["fp"] == n_pos + n_neg

@@ -185,14 +185,16 @@ CUMSUM_WINDOW_MAX_ROWS = 100_000
 def global_cumsum(
     df: DataFrame,
     order_by: Sequence[Column],
-    value_col: str,
-    cumsum_col: str,
+    value_col: str | Sequence[str],
+    cumsum_col: str | Sequence[str],
     num_partitions: int | None = None,
     window_max_rows: int = CUMSUM_WINDOW_MAX_ROWS,
 ) -> DataFrame:
     """Exact inclusive running sum of integral ``value_col`` over a
     TOTAL order — ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING
     TO CURRENT ROW)`` without an unbounded single-partition window.
+    ``value_col``/``cumsum_col`` may be parallel sequences: every
+    running sum shares the ONE range shuffle and Arrow pass.
 
     Gate: small frames take the plain window (bounded single-partition
     work); above ``window_max_rows`` the two-pass range-partitioned
@@ -200,21 +202,23 @@ def global_cumsum(
     collected into driver prefix offsets, then one streaming Arrow pass
     adding ``offset[pid] + running``. Values must be integral (the
     oracle-lattice discipline) so partial-sum order cannot drift the
-    result; output column is ``long``.
+    result; output columns are ``long``.
     """
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    cumsum_cols = (
+        [cumsum_col] if isinstance(cumsum_col, str) else list(cumsum_col)
+    )
+    if len(value_cols) != len(cumsum_cols):
+        raise ValueError("value_col and cumsum_col lengths differ")
     if df.count() <= window_max_rows:
         from pyspark.sql import Window
 
-        return df.withColumn(
-            cumsum_col,
-            F.sum(F.col(value_col))
-            .over(
-                Window.orderBy(*order_by).rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            )
-            .cast("long"),
+        w = Window.orderBy(*order_by).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
         )
+        for vc, cc in zip(value_cols, cumsum_cols):
+            df = df.withColumn(cc, F.sum(F.col(vc)).over(w).cast("long"))
+        return df
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(
@@ -228,30 +232,40 @@ def global_cumsum(
     )
     _PINNED.append(ranged)
     sums = dict(
-        (r["_pid"], int(r["s"]))
+        (r["_pid"], [int(r[f"s{i}"]) for i in range(len(value_cols))])
         for r in ranged.groupBy("_pid")
-        .agg(F.sum(F.col(value_col)).alias("s"))
+        .agg(
+            *(
+                F.sum(F.col(vc)).alias(f"s{i}")
+                for i, vc in enumerate(value_cols)
+            )
+        )
         .collect()
     )
-    offsets: dict[int, int] = {}
-    acc = 0
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * len(value_cols)
     for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += sums[pid]
+        offsets[pid] = list(acc)
+        acc = [a + s for a, s in zip(acc, sums[pid])]
 
-    out_schema = ranged.drop("_pid").schema.add(cumsum_col, "long")
+    out_schema = ranged.drop("_pid").schema
+    for cc in cumsum_cols:
+        out_schema = out_schema.add(cc, "long")
     out_cols = [f.name for f in out_schema.fields]
 
     def add_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        running = 0
+        running = [0] * len(value_cols)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             base = offsets[int(pdf["_pid"].iloc[0])]
             pdf = pdf.drop(columns=["_pid"])
-            vals = pdf[value_col].astype("int64").cumsum() + (base + running)
-            running += int(pdf[value_col].astype("int64").sum())
-            pdf[cumsum_col] = vals.astype("int64")
+            for i, (vc, cc) in enumerate(zip(value_cols, cumsum_cols)):
+                vals = pdf[vc].astype("int64")
+                pdf[cc] = (vals.cumsum() + (base[i] + running[i])).astype(
+                    "int64"
+                )
+                running[i] += int(vals.sum())
             yield pdf[out_cols]
 
     return ranged.mapInPandas(add_cumsum, out_schema)

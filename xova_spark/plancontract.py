@@ -102,6 +102,13 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "marker": r"HashAggregate\(keys=\[doc_id#\d+",
         "source": r"global_ntile",
     },
+    # threshold-sweep cumulative counts at distinct-score grain, both
+    # riding one size-gated multi-column global_cumsum pass.
+    "t_quality_pr_curve": {
+        "kind": "size_gate",
+        "marker": r"HashAggregate\(keys=\[score#\d+",
+        "source": r"global_cumsum",
+    },
 }
 
 

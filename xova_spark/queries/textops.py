@@ -3265,3 +3265,103 @@ def t_quality_calibration(spark, sf_dir):
             F.expr("CAST(n_keep * 1000 DIV n_docs AS BIGINT)"),
         )
     )
+
+
+@q(
+    "t_quality_pr_curve",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), h AS (
+      SELECT doc_id,
+             ({_FH_DUCK_H}) % {_FH_BUCKETS} AS bucket,
+             CASE WHEN (({_FH_DUCK_H}) // {_FH_BUCKETS}) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok WHERE word != ''
+    ), fv AS (
+      SELECT doc_id, bucket, sum(sgn) AS val
+      FROM h GROUP BY doc_id, bucket
+      HAVING sum(sgn) != 0
+    ), wt(bucket, w) AS (
+      VALUES {', '.join(f'({b}, {w})' for b, w in enumerate(_QC_WEIGHTS))}
+    ), score AS (
+      SELECT fv.doc_id, CAST(sum(fv.val * wt.w) AS BIGINT) AS score
+      FROM fv JOIN wt USING (bucket)
+      GROUP BY fv.doc_id
+    ), lab AS (
+      SELECT doc_id,
+             CASE WHEN len(words) BETWEEN 20 AND 1000
+                   AND len(list_distinct(words)) * 1.0 / len(words) > 0.2
+                  THEN 1 ELSE 0 END AS y
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    ), j AS (
+      SELECT s.score, l.y FROM score s JOIN lab l USING (doc_id)
+    ), g AS (
+      SELECT score,
+             CAST(sum(y) AS BIGINT) AS pos,
+             CAST(count(*) AS BIGINT) AS tot
+      FROM j GROUP BY score
+    ), c AS (
+      SELECT score,
+             CAST(sum(pos) OVER (
+                 ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS tp,
+             CAST(sum(tot) OVER (
+                 ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS npred
+      FROM g
+    ), p AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos FROM j)
+    SELECT c.score AS threshold, c.tp, c.npred - c.tp AS fp,
+           CAST(c.tp * 1000 // c.npred AS BIGINT) AS precision_permille,
+           CAST(c.tp * 1000 // p.n_pos AS BIGINT) AS recall_permille,
+           CAST(2 * c.tp * 1000 // (c.npred + p.n_pos) AS BIGINT)
+               AS f1_permille
+    FROM c, p
+    """,
+)
+def t_quality_pr_curve(spark, sf_dir):
+    """EXACT PRECISION/RECALL CURVE — the threshold-sweep readout of
+    the quality classifier against the rule-based label: one row per
+    DISTINCT score, giving the confusion counts and permille
+    precision/recall/F1 of the filter "keep iff score >= threshold".
+    Completes the classifier-audit trilogy (t_quality_auc ranks,
+    t_quality_calibration checks monotone keep rates, this picks the
+    operating point). All counts are integers and every rate is a
+    single integer division, so the whole curve is hash-exact.
+
+    Scale shape: doc-keyed join + one groupBy(score); BOTH cumulative
+    counts (true positives, predicted positives) ride ONE size-gated
+    ``operators/ranking.global_cumsum`` pass over the distinct-score
+    grain (multi-column form — one range shuffle, one Arrow pass); the
+    recall denominator is a 1-row broadcast aggregate."""
+    from xova_spark.operators.ranking import global_cumsum
+
+    scores = t_quality_classifier_score(spark, sf_dir).select(
+        "doc_id", "score"
+    )
+    labels = t_quality_score(spark, sf_dir).select(
+        "doc_id", F.col("quality_keep").cast("long").alias("y")
+    )
+    j = scores.join(labels, "doc_id")
+    g = j.groupBy("score").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.count("*").cast("long").alias("tot"),
+    )
+    c = global_cumsum(
+        g, [F.col("score").desc()], ["pos", "tot"], ["tp", "npred"]
+    )
+    p = j.agg(F.sum("y").cast("long").alias("n_pos"))
+    return (
+        c.crossJoin(F.broadcast(p))
+        .selectExpr(
+            "score AS threshold",
+            "tp",
+            "npred - tp AS fp",
+            "CAST(tp * 1000 DIV npred AS BIGINT) AS precision_permille",
+            "CAST(tp * 1000 DIV n_pos AS BIGINT) AS recall_permille",
+            "CAST(2 * tp * 1000 DIV (npred + n_pos) AS BIGINT)"
+            " AS f1_permille",
+        )
+    )
