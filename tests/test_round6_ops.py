@@ -190,3 +190,38 @@ def test_quality_pr_curve_laws(spark):
         assert r["f1_permille"] == 2 * r["tp"] * 1000 // (npred + n_pos)
     assert rows[-1]["tp"] == n_pos and rows[-1]["recall_permille"] == 1000
     assert rows[-1]["tp"] + rows[-1]["fp"] == n_pos + n_neg
+
+
+def test_hybrid_rrf_fusion_laws(spark):
+    """RRF identities: every served doc's fused score re-derives from
+    its two list ranks (1e9 DIV (60+rank), absent list -> 0); the
+    output is the true top-10 of the fused union (descending, doc_id
+    tiebreak); and the fixture actually exercises fusion — at least one
+    doc carries BOTH ranks, and at least one doc on the served list is
+    single-list (otherwise the outer join is untested)."""
+    from xova_spark.queries.similarity import ann_hybrid_rrf_topk
+
+    rows = sorted(
+        ann_hybrid_rrf_topk(spark, SF).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    prev = None
+    both = single = 0
+    for r in rows:
+        expect = 0
+        for rk in (r["rank_lex"], r["rank_sem"]):
+            if rk is not None:
+                assert 1 <= rk <= 20
+                expect += 1_000_000_000 // (60 + rk)
+        assert r["rrf_micro"] == expect > 0
+        if prev is not None:
+            assert prev["rrf_micro"] > r["rrf_micro"] or (
+                prev["rrf_micro"] == r["rrf_micro"]
+                and prev["doc_id"] < r["doc_id"]
+            )
+        prev = r
+        if r["rank_lex"] is not None and r["rank_sem"] is not None:
+            both += 1
+        if (r["rank_lex"] is None) != (r["rank_sem"] is None):
+            single += 1
+    assert both >= 1 and single >= 1

@@ -109,6 +109,12 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "marker": r"HashAggregate\(keys=\[score#\d+",
         "source": r"global_cumsum",
     },
+    # every ranking window (lexical list, dense list, fused readout)
+    # sits above its own TakeOrderedAndProject top-k.
+    "ann_hybrid_rrf_topk": {
+        "kind": "limit",
+        "marker": r"TakeOrderedAndProject\(limit=\d+",
+    },
 }
 
 

@@ -1240,3 +1240,164 @@ def ann_ivf_nprobe_curve(spark, sf_dir):
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# Hybrid-retrieval fusion: RRF constant 60 (Cormack et al.), each
+# retriever contributes its top-20 list, fused top-10 served. The
+# semantic query is vec 0's embedding; the lexical query is
+# textops.BM25_QUERY_TERMS — the standard RAG hybrid-search split
+# (sparse inverted index + dense ANN, merged rank-only so no score
+# calibration between the two systems is needed).
+_RRF_C = 60
+_RRF_TOPK = 10
+_RRF_QVEC = 0
+
+
+def _rrf_sql() -> str:
+    from xova_spark.queries.textops import BM25_QUERY_TERMS, BM25_TOPK
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), dl AS (
+      SELECT doc_id, len(ws) AS dl FROM d
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM dl
+    ), tok AS (
+      SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM d
+    ), tf AS (
+      SELECT doc_id, term, min(dl) AS dl, CAST(count(*) AS BIGINT) AS tf
+      FROM tok
+      WHERE term IN {BM25_QUERY_TERMS!r}
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), idf AS (
+      SELECT term,
+             CAST(round(ln((s.n_docs - df + 0.5) / (df + 0.5) + 1) * 1000000)
+                  AS BIGINT) AS idf_micro
+      FROM df CROSS JOIN stats s
+    ), contrib AS (
+      SELECT t.doc_id,
+             CAST(round(i.idf_micro
+                        * ((t.tf * 2.2)
+                           / (t.tf + 1.2 * (0.25 + 0.75 * ((t.dl * s.n_docs) / s.sum_dl)))))
+                  AS BIGINT) AS c_micro
+      FROM tf t JOIN idf i USING (term) CROSS JOIN stats s
+    ), scored AS (
+      SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY doc_id
+    ), lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                  AS BIGINT) AS rank_lex
+      FROM scored ORDER BY score_micro DESC, doc_id LIMIT {BM25_TOPK}
+    ), normed AS (
+      SELECT vec_id AS doc_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), qv AS (
+      SELECT embedding AS qe, nrm AS qn FROM normed WHERE doc_id = {_RRF_QVEC}
+    ), sem_scored AS (
+      SELECT n.doc_id, {_duck_dot('q.qe', 'n.embedding')} / (q.qn * n.nrm) AS cos
+      FROM normed n CROSS JOIN qv q WHERE n.doc_id != {_RRF_QVEC}
+    ), sem AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+                 AS rank_sem
+      FROM sem_scored ORDER BY cos DESC, doc_id LIMIT {BM25_TOPK}
+    ), fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             CAST(coalesce(1000000000 // ({_RRF_C} + l.rank_lex), 0)
+                + coalesce(1000000000 // ({_RRF_C} + s.rank_sem), 0)
+                  AS BIGINT) AS rrf_micro,
+             l.rank_lex, s.rank_sem
+      FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT)
+               AS rank,
+           doc_id, rrf_micro, rank_lex, rank_sem
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_TOPK}
+    """
+
+
+@q("ann_hybrid_rrf_topk", _rrf_sql())
+def ann_hybrid_rrf_topk(spark, sf_dir):
+    """HYBRID RETRIEVAL via Reciprocal Rank Fusion — the standard RAG
+    serving pattern: a sparse retriever (the BM25 inverted-index top-20,
+    reused verbatim from t_bm25_topk's lattice-exact scoring) and a
+    dense retriever (brute-force cosine top-20 against the query
+    embedding, ann_cosine_topk's bit-identical sequential-double dot)
+    each contribute rank-only evidence, fused as
+    sum(1e9 DIV (60 + rank)) — integer RRF micro-units, so fusion is
+    hash-exact and needs NO score calibration between the two systems
+    (the reason RRF won in practice). Docs on one list only keep their
+    single contribution (full outer union of the lists).
+
+    Scale shape: both candidate lists are TakeOrderedAndProject top-k —
+    every ranking window in the plan sits above a bounded limit (plan
+    contract: kind=limit). At 100 TB the dense side swaps in the IVF/PQ
+    index entries (same list contract); the fusion itself is a 40-row
+    outer join regardless of corpus size."""
+    from xova_spark.queries.textops import t_bm25_topk
+
+    lex = t_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("rank_lex")
+    )
+    (emb,) = _emb(spark, sf_dir)
+    normed = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+    qv = normed.where(F.col("doc_id") == _RRF_QVEC).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    sem_scored = (
+        normed.where(F.col("doc_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "qe",
+                        "embedding",
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cos"),
+        )
+    )
+    sem_top = sem_scored.orderBy(F.desc("cos"), "doc_id").limit(20)
+    sem = sem_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), "doc_id"))
+        .cast("long")
+        .alias("rank_sem"),
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.expr(
+            f"CAST(coalesce(1000000000 DIV ({_RRF_C} + rank_lex), 0)"
+            f" + coalesce(1000000000 DIV ({_RRF_C} + rank_sem), 0) AS BIGINT)"
+        ).alias("rrf_micro"),
+        "rank_lex",
+        "rank_sem",
+    )
+    top = fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(_RRF_TOPK)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("rrf_micro"), "doc_id"))
+        .cast("long")
+        .alias("rank"),
+        "doc_id",
+        "rrf_micro",
+        "rank_lex",
+        "rank_sem",
+    )
