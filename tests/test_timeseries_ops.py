@@ -448,3 +448,47 @@ def test_dtw_pairs_replica_and_elasticity_laws(spark):
     shifted[0] = 0
     l1 = int(np.abs(a - shifted).sum())
     assert l1 > 0 and dtw(a, shifted) < l1
+
+
+def test_max_drawdown_matches_python_replica(spark):
+    """Per-stream peak/drawdown recomputed by a pure-python walk over
+    the same signed daily flows must match ev_max_drawdown exactly."""
+    from pyspark.sql import functions as F
+
+    (ev,) = R._t(spark, SF, "events")
+    flow = F.floor(F.col("value") * 100 + 0.5).cast("long") * F.when(
+        F.col("event_id") % 2 == 0, 1
+    ).otherwise(-1)
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(F.sum(flow).cast("long").alias("net"))
+        .collect()
+    )
+    series: dict[str, dict[int, int]] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], {})[r["day"]] = r["net"]
+    got = {r["event_type"]: r for r in R.ev_max_drawdown(spark, SF).collect()}
+    assert set(got) == set(series)
+    for t, by_day in series.items():
+        equity = peak = max_eq = max_dd = 0
+        under = 0
+        first = True
+        for d in sorted(by_day):
+            equity += by_day[d]
+            peak = equity if first else max(peak, equity)
+            max_eq = equity if first else max(max_eq, equity)
+            first = False
+            dd = peak - equity
+            max_dd = max(max_dd, dd)
+            if dd > 0:
+                under += 1
+        r = got[t]
+        assert r["n_days"] == len(by_day)
+        assert r["drawdown_days"] == under
+        assert r["max_equity_cents"] == max_eq
+        assert r["max_drawdown_cents"] == max_dd

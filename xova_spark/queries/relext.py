@@ -3505,3 +3505,86 @@ def agg_skyline_pareto(spark, sf_dir):
         )
         .agg(F.count("*").cast("long").alias("n_orders"))
     )
+
+
+@q(
+    "ev_max_drawdown",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      * CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END)
+                  AS BIGINT) AS net_cents
+      FROM events
+      GROUP BY 1, 2
+    ), eq AS (
+      SELECT event_type, day, net_cents,
+             CAST(sum(net_cents) OVER (
+                 PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS equity
+      FROM daily
+    ), dd AS (
+      SELECT event_type, equity,
+             CAST(max(equity) OVER (
+                 PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) - equity AS drawdown
+      FROM eq
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN drawdown > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS drawdown_days,
+           CAST(max(equity) AS BIGINT) AS max_equity_cents,
+           CAST(max(drawdown) AS BIGINT) AS max_drawdown_cents
+    FROM dd
+    GROUP BY event_type
+    """,
+)
+def ev_max_drawdown(spark, sf_dir):
+    """MAXIMUM DRAWDOWN per event stream — the running-peak-minus-
+    equity readout every PnL / capacity / SLO burn-down dashboard
+    carries: signed daily flows (cents lattice, deterministic ±1 by
+    event parity) accumulate into an equity curve; drawdown at each day
+    is the gap to the running peak; the report is each stream's worst
+    gap, peak, and days-under-water count. Pure integers end to end —
+    cumulative sums, running maxima, and the final aggregate cannot
+    drift cross-engine.
+
+    Scale shape: one keyed shuffle to (type, day) grain, then BOTH
+    windows are PARTITIONED by event_type over calendar-bounded day
+    series (never data grain — the unpartitioned-window hazard does not
+    arise); the readout is a K-row groupBy."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    flow = F.floor(F.col("value") * 100 + 0.5).cast("long") * F.when(
+        F.col("event_id") % 2 == 0, 1
+    ).otherwise(-1)
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+    ).agg(F.sum(flow).cast("long").alias("net_cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    eq = daily.withColumn(
+        "equity", F.sum("net_cents").over(w).cast("long")
+    )
+    dd = eq.withColumn(
+        "drawdown", (F.max("equity").over(w) - F.col("equity")).cast("long")
+    )
+    return dd.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.when(F.col("drawdown") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("drawdown_days"),
+        F.max("equity").cast("long").alias("max_equity_cents"),
+        F.max("drawdown").cast("long").alias("max_drawdown_cents"),
+    )
