@@ -225,3 +225,50 @@ def test_hybrid_rrf_fusion_laws(spark):
         if (r["rank_lex"] is None) != (r["rank_sem"] is None):
             single += 1
     assert both >= 1 and single >= 1
+
+
+def test_mmr_rerank_matches_python_greedy_replica(spark):
+    """Replay the MMR greedy walk in pure python over the same integer
+    (rel, pairwise-sim) lattice and demand the identical selection
+    order — and check diversification actually bit: the MMR order must
+    differ from pure-relevance order OR every selection's maxsim must
+    be the true max against the running selected set."""
+    from xova_spark.queries.similarity import (
+        _MMR_K,
+        ann_mmr_rerank,
+        ann_hybrid_rrf_topk,  # noqa: F401 — same pack, ensures import
+    )
+    from xova_spark.queries import similarity as S
+    from xova_spark.sharedframes import shared
+
+    got = sorted(
+        ann_mmr_rerank(spark, SF).collect(), key=lambda r: r["sel_rank"]
+    )
+    cands = {
+        r["doc_id"]: r["rel_micro"]
+        for r in shared(spark, ("mmr_cands", SF), None).collect()
+    }
+    sims = {
+        (r["a"], r["b"]): r["sim_micro"]
+        for r in shared(spark, ("mmr_sims", SF), None).collect()
+    }
+    selected: list[int] = []
+    for step in range(1, _MMR_K + 1):
+        best = None
+        for d, rel in cands.items():
+            if d in selected:
+                continue
+            ms = max((sims[(d, s)] for s in selected), default=0)
+            key = (2 * rel - ms, -d)
+            if best is None or key > best[0]:
+                best = (key, d, rel, ms)
+        _, d, rel, ms = best
+        selected.append(d)
+        r = got[step - 1]
+        assert (r["doc_id"], r["rel_micro"], r["maxsim_micro"]) == (d, rel, ms)
+    pure_rel = [
+        d for d, _ in sorted(cands.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:_MMR_K]
+    assert selected != pure_rel or all(
+        got[i]["maxsim_micro"] == 0 for i in range(_MMR_K)
+    )

@@ -1401,3 +1401,197 @@ def ann_hybrid_rrf_topk(spark, sf_dir):
         "rank_lex",
         "rank_sem",
     )
+
+
+# MMR re-ranking: lambda = 0.5 folded into integer form (2*rel - maxsim),
+# K selections from the dense top-20 pool. Relevance and pairwise
+# similarities are integerized onto the micro lattice BEFORE the greedy,
+# so every argmax comparison is integer and the selection walk cannot
+# diverge cross-engine.
+_MMR_K = 5
+_MMR_POOL = 20
+
+
+def _mmr_sql() -> str:
+    head = f"""
+    WITH normed AS (
+      SELECT vec_id AS doc_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), qv AS (
+      SELECT embedding AS qe, nrm AS qn FROM normed WHERE doc_id = {_RRF_QVEC}
+    ), cands AS (
+      SELECT n.doc_id,
+             CAST(round({_duck_dot('q.qe', 'n.embedding')}
+                        / (q.qn * n.nrm) * 1000000) AS BIGINT) AS rel_micro
+      FROM normed n CROSS JOIN qv q WHERE n.doc_id != {_RRF_QVEC}
+      ORDER BY rel_micro DESC, doc_id LIMIT {_MMR_POOL}
+    ), cand_emb AS (
+      SELECT c.doc_id, n.embedding, n.nrm
+      FROM cands c JOIN normed n USING (doc_id)
+    ), sims AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(round({_duck_dot('a.embedding', 'b.embedding')}
+                        / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS sim_micro
+      FROM cand_emb a JOIN cand_emb b ON a.doc_id != b.doc_id
+    ), sel1 AS (
+      SELECT doc_id, rel_micro, CAST(0 AS BIGINT) AS maxsim_micro,
+             CAST(1 AS BIGINT) AS sel_rank
+      FROM cands ORDER BY rel_micro DESC, doc_id LIMIT 1
+    ), selall1 AS (SELECT * FROM sel1)"""
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        steps.append(f""", score{i} AS (
+      SELECT p.doc_id, p.rel_micro,
+             CAST(max(s.sim_micro) AS BIGINT) AS maxsim_micro
+      FROM cands p JOIN sims s ON s.a = p.doc_id
+      WHERE p.doc_id NOT IN (SELECT doc_id FROM selall{i - 1})
+        AND s.b IN (SELECT doc_id FROM selall{i - 1})
+      GROUP BY p.doc_id, p.rel_micro
+    ), sel{i} AS (
+      SELECT doc_id, rel_micro, maxsim_micro, CAST({i} AS BIGINT) AS sel_rank
+      FROM score{i}
+      ORDER BY 2 * rel_micro - maxsim_micro DESC, doc_id LIMIT 1
+    ), selall{i} AS (
+      SELECT * FROM selall{i - 1} UNION ALL SELECT * FROM sel{i}
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT sel_rank, doc_id, rel_micro, maxsim_micro"
+        f" FROM selall{_MMR_K}\n    "
+    )
+
+
+@q("ann_mmr_rerank", _mmr_sql())
+def ann_mmr_rerank(spark, sf_dir):
+    """MMR DIVERSIFIED RE-RANKING (Carbonell & Goldstein) — the
+    redundancy-aware serving step a RAG stack runs AFTER retrieval:
+    from the dense top-{_MMR_POOL} candidate pool, greedily select
+    {_MMR_K} results maximizing 2*relevance - max_similarity_to_
+    already_selected (lambda = 0.5 in integer micro-units), so near-
+    duplicate passages don't crowd the context window. The greedy walk
+    is {_MMR_K} chained Catalyst steps over BOUNDED frames (pool and
+    pair-sim matrix are top-k artifacts) — no driver loop state, no
+    collect; the DuckDB oracle replays the identical walk as chained
+    CTEs, every comparison on the shared integer lattice.
+
+    Scale shape: the only corpus-sized work is the candidate scan
+    feeding the top-k (TakeOrderedAndProject); pool ({_MMR_POOL}) and
+    sim matrix ({_MMR_POOL}^2) are constant-size, and each greedy step
+    is a join over those constants — at 100 TB the pool would come from
+    the IVF index entries and this plan is unchanged."""
+    from xova_spark.sharedframes import shared
+
+    (emb,) = _emb(spark, sf_dir)
+    normed = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+    qv = normed.where(F.col("doc_id") == _RRF_QVEC).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+
+    # The greedy steps branch the plan ~K times; persist the two
+    # constant-size artifacts (pool, pair-sim matrix) so the corpus
+    # top-k scan runs ONCE, not once per branch.
+    def _build_cands():
+        return (
+            normed.where(F.col("doc_id") != _RRF_QVEC)
+            .crossJoin(F.broadcast(qv))
+            .select(
+                "doc_id",
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            "qe",
+                            "embedding",
+                            lambda x, y: x.cast("double") * y.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (F.col("qn") * F.col("nrm"))
+                    * 1000000
+                )
+                .cast("long")
+                .alias("rel_micro"),
+            )
+            .orderBy(F.desc("rel_micro"), "doc_id")
+            .limit(_MMR_POOL)
+        )
+
+    cands = shared(spark, ("mmr_cands", sf_dir), _build_cands)
+
+    def _build_sims():
+        cand_emb = cands.join(normed, "doc_id").select(
+            "doc_id", "embedding", "nrm"
+        )
+        a = cand_emb.select(
+            F.col("doc_id").alias("a"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        b = cand_emb.select(
+            F.col("doc_id").alias("b"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        return a.join(F.broadcast(b), F.col("a") != F.col("b")).select(
+            "a",
+            "b",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "ea",
+                        "eb",
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("na") * F.col("nb"))
+                * 1000000
+            )
+            .cast("long")
+            .alias("sim_micro"),
+        )
+
+    sims = shared(spark, ("mmr_sims", sf_dir), _build_sims)
+    selected = (
+        cands.orderBy(F.desc("rel_micro"), "doc_id")
+        .limit(1)
+        .select(
+            "doc_id",
+            "rel_micro",
+            F.lit(0).cast("long").alias("maxsim_micro"),
+            F.lit(1).cast("long").alias("sel_rank"),
+        )
+    )
+    for i in range(2, _MMR_K + 1):
+        sel_ids = selected.select(F.col("doc_id").alias("b"))
+        pool = cands.join(
+            selected.select("doc_id"), "doc_id", "left_anti"
+        )
+        sc = (
+            pool.join(sims, pool["doc_id"] == sims["a"])
+            .join(F.broadcast(sel_ids), "b")
+            .groupBy("doc_id", "rel_micro")
+            .agg(F.max("sim_micro").cast("long").alias("maxsim_micro"))
+        )
+        pick = (
+            sc.orderBy(
+                (F.col("rel_micro") * 2 - F.col("maxsim_micro")).desc(),
+                "doc_id",
+            )
+            .limit(1)
+            .select(
+                "doc_id",
+                "rel_micro",
+                "maxsim_micro",
+                F.lit(i).cast("long").alias("sel_rank"),
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected.select("sel_rank", "doc_id", "rel_micro", "maxsim_micro")
