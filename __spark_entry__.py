@@ -67,7 +67,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #           agg_exact_median_rank, agg_skyline_pareto,
 #           dedup_prefix_filter_join, geo_knn_cell, plus the round-6
 #           additions (hub-capped wedge join, ER exact-match
-#           pre-grouping, geo density guard)
+#           pre-grouping, geo density guard) and the round-6-close
+#           batch: t_quality_auc / t_quality_pr_curve (integer-DIV
+#           dialect parity), t_quality_calibration (NTILE tie
+#           semantics), ann_hybrid_rrf_topk (full-outer rank fusion),
+#           ann_mmr_rerank (chained-CTE greedy walk),
+#           cdc_join_view_maintenance / stream_join_view_maintenance
+#           (delta-merge additivity), basket_triples_support,
+#           ev_max_drawdown (running-peak windows), dedup_url_canonical
+#           (regex dialect), t_chunk_overlap
 _PRIORITY: tuple[str, ...] = (
     # time_and_channel averaging core (reference averaging.py:184-260)
     "ms_tc_rows",

@@ -76,6 +76,16 @@ HEADLINE = (
     "graph_node_jaccard_capped",
     "er_blocked_candidates_grouped",
     "geo_cell_density_guard",
+    # round-6 close: incremental join-view maintenance (batch + stream),
+    # itemset expansion, classifier threshold sweep, hybrid retrieval
+    # fusion + MMR re-ranking, per-stream drawdown
+    "cdc_join_view_maintenance",
+    "stream_join_view_maintenance",
+    "basket_triples_support",
+    "t_quality_pr_curve",
+    "ann_hybrid_rrf_topk",
+    "ann_mmr_rerank",
+    "ev_max_drawdown",
 )
 
 
