@@ -272,3 +272,71 @@ def test_mmr_rerank_matches_python_greedy_replica(spark):
     assert selected != pure_rel or all(
         got[i]["maxsim_micro"] == 0 for i in range(_MMR_K)
     )
+
+
+def test_weighted_median_matches_python_replica(spark):
+    """Weighted-median rule (smallest value with 2*cumw >= W) replayed
+    in pure python over the same (flag, cents, weight) triples."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.queries.relext import _t, agg_weighted_median
+
+    (li,) = _t(spark, SF, "lineitem")
+    rows = (
+        li.groupBy(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+        .collect()
+    )
+    groups: dict[str, dict[int, int]] = {}
+    for r in rows:
+        groups.setdefault(r["l_returnflag"], {})[r["cents"]] = r["w"]
+    got = {
+        r["returnflag"]: r for r in agg_weighted_median(spark, SF).collect()
+    }
+    assert set(got) == set(groups)
+    for flag, by_cents in groups.items():
+        total = sum(by_cents.values())
+        cum = 0
+        med = None
+        for cents in sorted(by_cents):
+            cum += by_cents[cents]
+            if 2 * cum >= total:
+                med = cents
+                break
+        assert got[flag]["total_weight"] == total
+        assert got[flag]["wmedian_cents"] == med
+
+
+def test_zonemap_prune_layout_lesson(spark):
+    """The audit must quantify the clustering lesson: under the
+    key-clustered layout every point probe prunes to exactly ONE file
+    (skipping >= 90% of rows); under the time layout zone ranges are
+    near-full so skipping is ~nil; and candidate rows always bound the
+    true matches from above."""
+    from xova_spark.queries.layoutq import layout_zonemap_prune_audit
+
+    rows = layout_zonemap_prune_audit(spark, SF).collect()
+    by_layout: dict[str, list] = {}
+    for r in rows:
+        by_layout.setdefault(r["layout"], []).append(r)
+        assert 0 <= r["true_rows"] <= r["cand_rows"]
+        assert 0 < r["cand_files"] <= r["n_files"]
+        assert r["true_rows"] > 0  # every probe key exists in orders
+    assert set(by_layout) == {"time", "key"}
+    n_key_files = by_layout["key"][0]["n_files"]
+    for r in by_layout["key"]:
+        assert r["cand_files"] == 1
+        # one file of ~total/n_files rows survives the zone filter
+        assert r["skipped_permille"] >= 1000 - 2 * (1000 // n_key_files)
+    avg_key = sum(r["skipped_permille"] for r in by_layout["key"]) / len(
+        by_layout["key"]
+    )
+    avg_time = sum(r["skipped_permille"] for r in by_layout["time"]) / len(
+        by_layout["time"]
+    )
+    assert avg_key > avg_time + 500  # clustering is the whole effect

@@ -241,3 +241,154 @@ def layout_zonemap_skip(spark, sf_dir):
         .cast("long")
         .alias("rows_skipped"),
     )
+
+
+# Zone-map audit: 20 deterministic probe keys; two virtual layouts of
+# the same orders table — 'time' files by calendar month (the natural
+# ingest order) and 'key' files by custkey range (the clustered
+# layout). KEYBUCKET = custkey DIV 20.
+_ZM_PROBES = tuple((i * 73 + 11) % 1500 for i in range(20))
+_ZM_KEYDIV = 20
+
+
+def _zm_probe_values() -> str:
+    return ", ".join(f"({k})" for k in _ZM_PROBES)
+
+
+@q(
+    "layout_zonemap_prune_audit",
+    f"""
+    WITH files AS (
+      SELECT 'time' AS layout,
+             CAST(datediff('month', DATE '1995-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS file_id,
+             o_custkey FROM orders
+      UNION ALL
+      SELECT 'key' AS layout,
+             CAST(o_custkey // {_ZM_KEYDIV} AS BIGINT) AS file_id,
+             o_custkey FROM orders
+    ), zone AS (
+      SELECT layout, file_id,
+             CAST(min(o_custkey) AS BIGINT) AS k_min,
+             CAST(max(o_custkey) AS BIGINT) AS k_max,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM files GROUP BY 1, 2
+    ), tot AS (
+      SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(n_rows) AS BIGINT) AS total_rows
+      FROM zone GROUP BY 1
+    ), probes(k) AS (VALUES {_zm_probe_values()}),
+    cand AS (
+      SELECT z.layout, p.k,
+             CAST(count(*) AS BIGINT) AS cand_files,
+             CAST(sum(z.n_rows) AS BIGINT) AS cand_rows
+      FROM zone z JOIN probes p ON p.k BETWEEN z.k_min AND z.k_max
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT f.layout, p.k, CAST(count(*) AS BIGINT) AS true_rows
+      FROM files f JOIN probes p ON f.o_custkey = p.k
+      GROUP BY 1, 2
+    )
+    SELECT c.layout, c.k AS probe_key,
+           c.cand_files, t.n_files,
+           c.cand_rows,
+           CAST(coalesce(tr.true_rows, 0) AS BIGINT) AS true_rows,
+           CAST((t.total_rows - c.cand_rows) * 1000 // t.total_rows
+                AS BIGINT) AS skipped_permille
+    FROM cand c
+    JOIN tot t USING (layout)
+    LEFT JOIN truth tr ON tr.layout = c.layout AND tr.k = c.k
+    """,
+)
+def layout_zonemap_prune_audit(spark, sf_dir):
+    """ZONE-MAP (min/max) FILE-SKIPPING AUDIT — the data-skipping math
+    every lakehouse scan planner runs, made queryable: the same orders
+    table under two virtual file layouts ('time' = month files, the
+    natural ingest order; 'key' = custkey-range files, the clustered
+    rewrite), a per-file (min, max, rows) zone map, and 20 deterministic
+    point probes priced against it: candidate files (zones whose range
+    covers the key), candidate rows, true matches, and the permille of
+    the table SKIPPED. The readout is the layout lesson itself: time
+    files carry near-full key ranges (skipped ~ 0), key-clustered files
+    prune to one file (skipped ~ 999) — the quantified case for the
+    Z-order/compaction entries next door.
+
+    Scale shape: zone maps are one keyed aggregate at file grain
+    (exactly what Delta/Iceberg store in metadata); probes are a
+    broadcast 20-row dim; truth is a probe-key-filtered count. No
+    data-grain windows, no quadratic forms."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    probes = F.broadcast(
+        spark.createDataFrame([(k,) for k in _ZM_PROBES], "k long")
+    )
+    files = (
+        orders.select(
+            F.lit("time").alias("layout"),
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("file_id"),
+            "o_custkey",
+        )
+    ).unionByName(
+        orders.select(
+            F.lit("key").alias("layout"),
+            F.floor(F.col("o_custkey") / _ZM_KEYDIV)
+            .cast("long")
+            .alias("file_id"),
+            "o_custkey",
+        )
+    )
+    zone = files.groupBy("layout", "file_id").agg(
+        F.min("o_custkey").cast("long").alias("k_min"),
+        F.max("o_custkey").cast("long").alias("k_max"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    tot = zone.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+    )
+    cand = (
+        zone.join(
+            probes,
+            (F.col("k") >= F.col("k_min")) & (F.col("k") <= F.col("k_max")),
+        )
+        .groupBy("layout", "k")
+        .agg(
+            F.count("*").cast("long").alias("cand_files"),
+            F.sum("n_rows").cast("long").alias("cand_rows"),
+        )
+    )
+    truth = (
+        files.join(probes, files["o_custkey"] == probes["k"])
+        .groupBy("layout", "k")
+        .agg(F.count("*").cast("long").alias("true_rows"))
+    )
+    return (
+        cand.join(F.broadcast(tot), "layout")
+        .join(
+            truth.withColumnRenamed("k", "tk").withColumnRenamed(
+                "layout", "tlayout"
+            ),
+            (F.col("layout") == F.col("tlayout"))
+            & (F.col("k") == F.col("tk")),
+            "left",
+        )
+        .select(
+            "layout",
+            F.col("k").alias("probe_key"),
+            "cand_files",
+            "n_files",
+            "cand_rows",
+            F.coalesce(F.col("true_rows"), F.lit(0))
+            .cast("long")
+            .alias("true_rows"),
+            F.expr(
+                "CAST((total_rows - cand_rows) * 1000 DIV total_rows"
+                " AS BIGINT)"
+            ).alias("skipped_permille"),
+        )
+    )
