@@ -275,42 +275,37 @@ def test_mmr_rerank_matches_python_greedy_replica(spark):
 
 
 def test_weighted_median_matches_python_replica(spark):
-    """Weighted-median rule (smallest value with 2*cumw >= W) replayed
-    in pure python over the same (flag, cents, weight) triples."""
+    """Weighted-median rule (smallest price with 2*cumw >= W) replayed
+    in pure python over the same (flag, price, weight) triples as the
+    registry entry agg_weighted_median."""
     from pyspark.sql import functions as F
 
     from xova_spark.queries.relext import _t, agg_weighted_median
 
     (li,) = _t(spark, SF, "lineitem")
     rows = (
-        li.groupBy(
-            "l_returnflag",
-            F.floor(F.col("l_extendedprice") * 100 + 0.5)
-            .cast("long")
-            .alias("cents"),
-        )
+        li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price"))
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
         .collect()
     )
-    groups: dict[str, dict[int, int]] = {}
+    groups: dict[str, dict[float, int]] = {}
     for r in rows:
-        groups.setdefault(r["l_returnflag"], {})[r["cents"]] = r["w"]
+        groups.setdefault(r["l_returnflag"], {})[r["price"]] = r["w"]
     got = {
-        r["returnflag"]: r for r in agg_weighted_median(spark, SF).collect()
+        r["l_returnflag"]: r for r in agg_weighted_median(spark, SF).collect()
     }
     assert set(got) == set(groups)
-    for flag, by_cents in groups.items():
-        total = sum(by_cents.values())
+    for flag, by_price in groups.items():
+        total = sum(by_price.values())
         cum = 0
         med = None
-        for cents in sorted(by_cents):
-            cum += by_cents[cents]
+        for price in sorted(by_price):
+            cum += by_price[price]
             if 2 * cum >= total:
-                med = cents
+                med = price
                 break
-        assert got[flag]["total_weight"] == total
-        assert got[flag]["wmedian_cents"] == med
-
+        assert got[flag]["total_w"] == total
+        assert got[flag]["weighted_median"] == med
 
 def test_zonemap_prune_layout_lesson(spark):
     """The audit must quantify the clustering lesson: under the

@@ -301,14 +301,16 @@ def _zm_probe_values() -> str:
     """,
 )
 def layout_zonemap_prune_audit(spark, sf_dir):
-    """ZONE-MAP (min/max) FILE-SKIPPING AUDIT — the data-skipping math
-    every lakehouse scan planner runs, made queryable: the same orders
+    """ZONE-MAP (min/max) POINT-PROBE AUDIT — the data-skipping math a
+    lakehouse planner runs for KEY LOOKUPS, made queryable (the
+    range-predicate sibling is ``layout_zonemap_skip`` above: that one
+    prices a hot-window scan against the max bound; this one prices 20
+    deterministic point probes against BOTH bounds): the same orders
     table under two virtual file layouts ('time' = month files, the
     natural ingest order; 'key' = custkey-range files, the clustered
-    rewrite), a per-file (min, max, rows) zone map, and 20 deterministic
-    point probes priced against it: candidate files (zones whose range
-    covers the key), candidate rows, true matches, and the permille of
-    the table SKIPPED. The readout is the layout lesson itself: time
+    rewrite), a per-file (min, max, rows) zone map, and per probe the
+    candidate files (zones whose range covers the key), candidate rows,
+    true matches, and the permille of the table SKIPPED. The readout is the layout lesson itself: time
     files carry near-full key ranges (skipped ~ 0), key-clustered files
     prune to one file (skipped ~ 999) — the quantified case for the
     Z-order/compaction entries next door.

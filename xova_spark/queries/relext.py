@@ -3591,78 +3591,6 @@ def ev_max_drawdown(spark, sf_dir):
 
 
 @q(
-    "agg_weighted_median",
-    """
-    WITH wg AS (
-      SELECT l_returnflag,
-             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
-      FROM lineitem
-      GROUP BY 1, 2
-    ), tot AS (
-      SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS total_weight
-      FROM wg GROUP BY 1
-    ), c AS (
-      SELECT l_returnflag, cents,
-             CAST(sum(w) OVER (
-                 PARTITION BY l_returnflag ORDER BY cents
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS BIGINT) AS cumw
-      FROM wg
-    )
-    SELECT c.l_returnflag AS returnflag,
-           t.total_weight,
-           CAST(min(c.cents) AS BIGINT) AS wmedian_cents
-    FROM c JOIN tot t USING (l_returnflag)
-    WHERE 2 * c.cumw >= t.total_weight
-    GROUP BY 1, 2
-    """,
-)
-def agg_weighted_median(spark, sf_dir):
-    """EXACT WEIGHTED MEDIAN per group — the order statistic where each
-    value carries a weight (here: price weighted by quantity — "the
-    price at which half the shipped units are cheaper"): the smallest
-    value whose cumulative weight reaches half the group total
-    (2*cumw >= W, the integer rule — no float halves). Distinct from
-    agg_exact_median_rank (unweighted, row-count rank) and
-    agg_median_mad_outliers (unweighted robust stats).
-
-    Scale shape: one shuffle collapses lineitem to DISTINCT-VALUE grain
-    per group (cents lattice — the window input is bounded by the price
-    DOMAIN, ~1e6 distinct cents, not row count); the running weight is
-    a PARTITIONED window over that domain-bounded grain; totals join
-    back as a K-row broadcast. At 100 TB the per-group domain bound
-    holds (prices don't multiply with rows), so no data-grain single
-    partition exists."""
-    (li,) = _t(spark, sf_dir, "lineitem")
-    from pyspark.sql import Window
-
-    wg = li.groupBy(
-        "l_returnflag",
-        F.floor(F.col("l_extendedprice") * 100 + 0.5)
-        .cast("long")
-        .alias("cents"),
-    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
-    tot = wg.groupBy("l_returnflag").agg(
-        F.sum("w").cast("long").alias("total_weight")
-    )
-    w = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = wg.withColumn("cumw", F.sum("w").over(w).cast("long"))
-    return (
-        c.join(F.broadcast(tot), "l_returnflag")
-        .where(2 * F.col("cumw") >= F.col("total_weight"))
-        .groupBy(
-            F.col("l_returnflag").alias("returnflag"), F.col("total_weight")
-        )
-        .agg(F.min("cents").cast("long").alias("wmedian_cents"))
-    )
-
-
-@q(
     "ev_multitouch_attribution",
     """
     WITH purch AS (
