@@ -393,3 +393,70 @@ def test_multitouch_attribution_books_balance(spark):
     # channel rollup conserves the total credit
     out = ev_multitouch_attribution(spark, SF).collect()
     assert sum(r["credit_permille_total"] for r in out) == 1000 * len(per_p)
+
+
+def test_rank_agreement_identities(spark):
+    """Structural identities of the agreement readout: intersection
+    bounded by both list sizes, Jaccard from the declared formula, pair
+    counts bounded by C(n_common, 2), tau in [-1000, 1000] and equal to
+    its 2000C/(C+D)-1000 form; every RRF-served doc carrying BOTH ranks
+    witnesses the intersection."""
+    from xova_spark.queries.similarity import (
+        ann_hybrid_rrf_topk,
+        ann_rank_agreement,
+    )
+
+    r = ann_rank_agreement(spark, SF).collect()[0]
+    assert 0 < r["n_common"] <= min(r["n_lex"], r["n_sem"])
+    assert r["jaccard_permille"] == r["n_common"] * 1000 // (
+        r["n_lex"] + r["n_sem"] - r["n_common"]
+    )
+    max_pairs = r["n_common"] * (r["n_common"] - 1) // 2
+    assert 0 <= r["conc_pairs"] + r["disc_pairs"] <= max_pairs
+    assert -1000 <= r["tau_permille"] <= 1000
+    cd = r["conc_pairs"] + r["disc_pairs"]
+    want_tau = 0 if cd == 0 else 2000 * r["conc_pairs"] // cd - 1000
+    assert r["tau_permille"] == want_tau
+    both = [
+        x
+        for x in ann_hybrid_rrf_topk(spark, SF).collect()
+        if x["rank_lex"] is not None and x["rank_sem"] is not None
+    ]
+    assert len(both) <= r["n_common"] and len(both) >= 1
+
+
+def test_source_lang_entropy_matches_python_replica(spark):
+    """Replay the ln-latticed entropy in pure python per source; check
+    the diversity bounds: 0 <= H <= ln(n_langs) (lattice slack 1 unit),
+    monolingual sources hit exactly 0."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from xova_spark.queries.textops import _docs, t_source_lang_entropy
+
+    (docs,) = _docs(spark, SF)
+    cells = (
+        docs.groupBy("source", "lang").agg(F.count("*").alias("cnt")).collect()
+    )
+    by_src: dict[str, dict[str, int]] = {}
+    for r in cells:
+        by_src.setdefault(r["source"], {})[r["lang"]] = r["cnt"]
+    got = {r["source"]: r for r in t_source_lang_entropy(spark, SF).collect()}
+    assert set(got) == set(by_src)
+    for src, langs in by_src.items():
+        n = sum(langs.values())
+        wsum = sum(
+            c * round((math.log(n) - math.log(c)) * 1_000_000)
+            for c in langs.values()
+        )
+        want = wsum // n
+        r = got[src]
+        assert r["n_docs"] == n and r["n_langs"] == len(langs)
+        assert r["dominant_share_permille"] == max(langs.values()) * 1000 // n
+        assert r["entropy_micro"] == want
+        assert 0 <= r["entropy_micro"] <= round(
+            math.log(len(langs)) * 1_000_000
+        ) + 1
+        if len(langs) == 1:
+            assert r["entropy_micro"] == 0

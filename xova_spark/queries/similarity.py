@@ -1595,3 +1595,201 @@ def ann_mmr_rerank(spark, sf_dir):
         )
         selected = selected.unionByName(pick)
     return selected.select("sel_rank", "doc_id", "rel_micro", "maxsim_micro")
+
+
+def _rank_agreement_sql() -> str:
+    from xova_spark.queries.textops import BM25_QUERY_TERMS, BM25_TOPK
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), dl AS (
+      SELECT doc_id, len(ws) AS dl FROM d
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM dl
+    ), tok AS (
+      SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM d
+    ), tf AS (
+      SELECT doc_id, term, min(dl) AS dl, CAST(count(*) AS BIGINT) AS tf
+      FROM tok
+      WHERE term IN {BM25_QUERY_TERMS!r}
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), idf AS (
+      SELECT term,
+             CAST(round(ln((s.n_docs - df + 0.5) / (df + 0.5) + 1) * 1000000)
+                  AS BIGINT) AS idf_micro
+      FROM df CROSS JOIN stats s
+    ), contrib AS (
+      SELECT t.doc_id,
+             CAST(round(i.idf_micro
+                        * ((t.tf * 2.2)
+                           / (t.tf + 1.2 * (0.25 + 0.75 * ((t.dl * s.n_docs) / s.sum_dl)))))
+                  AS BIGINT) AS c_micro
+      FROM tf t JOIN idf i USING (term) CROSS JOIN stats s
+    ), scored AS (
+      SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY doc_id
+    ), lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                  AS BIGINT) AS rank_lex
+      FROM scored ORDER BY score_micro DESC, doc_id LIMIT {BM25_TOPK}
+    ), normed AS (
+      SELECT vec_id AS doc_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), qv AS (
+      SELECT embedding AS qe, nrm AS qn FROM normed WHERE doc_id = {_RRF_QVEC}
+    ), sem_scored AS (
+      SELECT n.doc_id, {_duck_dot('q.qe', 'n.embedding')} / (q.qn * n.nrm) AS cos
+      FROM normed n CROSS JOIN qv q WHERE n.doc_id != {_RRF_QVEC}
+    ), sem AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+                 AS rank_sem
+      FROM sem_scored ORDER BY cos DESC, doc_id LIMIT {BM25_TOPK}
+    ), common AS (
+      SELECT l.doc_id, l.rank_lex, s.rank_sem
+      FROM lex l JOIN sem s USING (doc_id)
+    ), sizes AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM lex) AS n_lex,
+             (SELECT CAST(count(*) AS BIGINT) FROM sem) AS n_sem,
+             (SELECT CAST(count(*) AS BIGINT) FROM common) AS n_common
+    ), pairs AS (
+      SELECT CAST(sum(CASE WHEN (a.rank_lex - b.rank_lex)
+                              * (a.rank_sem - b.rank_sem) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conc_pairs,
+             CAST(sum(CASE WHEN (a.rank_lex - b.rank_lex)
+                              * (a.rank_sem - b.rank_sem) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS disc_pairs
+      FROM common a JOIN common b ON a.doc_id < b.doc_id
+    )
+    SELECT z.n_lex, z.n_sem, z.n_common,
+           CAST(z.n_common * 1000
+                // (z.n_lex + z.n_sem - z.n_common) AS BIGINT)
+               AS jaccard_permille,
+           CAST(coalesce(p.conc_pairs, 0) AS BIGINT) AS conc_pairs,
+           CAST(coalesce(p.disc_pairs, 0) AS BIGINT) AS disc_pairs,
+           -- tau = (C-D)/(C+D) written as 2000*C//(C+D) - 1000: the
+           -- dividend stays NONNEGATIVE, so DuckDB's floor division and
+           -- Spark's truncating DIV agree even when tau < 0
+           CAST(CASE WHEN coalesce(p.conc_pairs, 0)
+                          + coalesce(p.disc_pairs, 0) = 0 THEN 0
+                ELSE 2000 * p.conc_pairs
+                     // (p.conc_pairs + p.disc_pairs) - 1000 END AS BIGINT)
+               AS tau_permille
+    FROM sizes z CROSS JOIN pairs p
+    """
+
+
+@q("ann_rank_agreement", _rank_agreement_sql())
+def ann_rank_agreement(spark, sf_dir):
+    """RETRIEVER AGREEMENT DIAGNOSTICS — how much do the sparse and
+    dense retrievers agree, and is their disagreement rank-structured?
+    Over the SAME two top-20 lists ann_hybrid_rrf_topk fuses: list
+    overlap (Jaccard permille of the doc sets) and Kendall concordance
+    over the intersection (for every doc pair on both lists, do the two
+    retrievers order them the same way? tau = (C - D) / (C + D) in
+    permille — ranks are tie-free so tau-a == tau-b). The hybrid-search
+    tuning readout: high overlap + high tau means fusion adds little;
+    low overlap is where RRF earns its keep.
+
+    Scale shape: both lists are corpus-scan top-k
+    (TakeOrderedAndProject); intersection and its pair join are
+    <= 20-row broadcast-tiny artifacts; output is one row. Integer
+    counts and single integer divisions end to end."""
+    from xova_spark.queries.textops import t_bm25_topk
+
+    lex = t_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("rank_lex")
+    )
+    (emb,) = _emb(spark, sf_dir)
+    normed = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+    qv = normed.where(F.col("doc_id") == _RRF_QVEC).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    sem_scored = (
+        normed.where(F.col("doc_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "qe",
+                        "embedding",
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cos"),
+        )
+    )
+    sem = (
+        sem_scored.orderBy(F.desc("cos"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), "doc_id"))
+            .cast("long")
+            .alias("rank_sem"),
+        )
+    )
+    common = lex.join(sem, "doc_id")
+    sizes = (
+        lex.agg(F.count("*").cast("long").alias("n_lex"))
+        .crossJoin(sem.agg(F.count("*").cast("long").alias("n_sem")))
+        .crossJoin(common.agg(F.count("*").cast("long").alias("n_common")))
+    )
+    a = common.select(
+        F.col("doc_id").alias("da"),
+        F.col("rank_lex").alias("la"),
+        F.col("rank_sem").alias("sa"),
+    )
+    b = common.select(
+        F.col("doc_id").alias("db"),
+        F.col("rank_lex").alias("lb"),
+        F.col("rank_sem").alias("sb"),
+    )
+    sgn = (F.col("la") - F.col("lb")) * (F.col("sa") - F.col("sb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(sgn > 0, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("conc_pairs"),
+            F.coalesce(
+                F.sum(F.when(sgn < 0, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("disc_pairs"),
+        )
+    )
+    return (
+        sizes.crossJoin(F.broadcast(pairs))
+        .selectExpr(
+            "n_lex",
+            "n_sem",
+            "n_common",
+            "CAST(n_common * 1000 DIV (n_lex + n_sem - n_common) AS BIGINT)"
+            " AS jaccard_permille",
+            "conc_pairs",
+            "disc_pairs",
+            "CAST(CASE WHEN conc_pairs + disc_pairs = 0 THEN 0"
+            " ELSE 2000 * conc_pairs"
+            " DIV (conc_pairs + disc_pairs) - 1000 END AS BIGINT)"
+            " AS tau_permille",
+        )
+    )

@@ -3365,3 +3365,79 @@ def t_quality_pr_curve(spark, sf_dir):
             " AS f1_permille",
         )
     )
+
+
+@q(
+    "t_source_lang_entropy",
+    """
+    WITH cl AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2
+    ), st AS (
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM cl GROUP BY 1
+    ), term AS (
+      SELECT cl.source, cl.cnt,
+             CAST(round((ln(st.n_docs) - ln(cl.cnt)) * 1000000) AS BIGINT)
+                 AS t_micro
+      FROM cl JOIN st USING (source)
+    )
+    SELECT s.source, s.n_docs, s.n_langs,
+           CAST(s.max_cnt * 1000 // s.n_docs AS BIGINT)
+               AS dominant_share_permille,
+           CAST(sum(t.cnt * t.t_micro) // s.n_docs AS BIGINT)
+               AS entropy_micro
+    FROM term t JOIN st s USING (source)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def t_source_lang_entropy(spark, sf_dir):
+    """SOURCE DIVERSITY AUDIT — Shannon entropy of each ingest feed's
+    language mix (micro-nats): H = sum p_l * ln(1/p_l) with
+    p_l = cnt_l / n, computed as sum(cnt * round((ln n - ln cnt)*1e6))
+    DIV n — the ln is evaluated ONCE per (source, lang) cell and
+    immediately latticed (the BM25 idf_micro discipline), so partial-
+    sum order cannot drift the integer result. Alongside: language
+    count and the dominant language's share. The corpus-mix readout a
+    curation team reads next to t_source_similarity: a feed with
+    entropy ~ 0 is monolingual (its mixture weight buys no diversity);
+    max-entropy feeds carry ln(n_langs).
+
+    Scale shape: two keyed aggregates — (source, lang) cells then
+    source rollup; the cell table is dimension-grain (sources x
+    languages), never data grain. Counts and the final division are
+    integers; nonnegative dividends keep DuckDB floor and Spark DIV
+    identical."""
+    (docs,) = _docs(spark, sf_dir)
+    cl = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    st = cl.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_langs"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    term = cl.join(st, "source").select(
+        "source",
+        "cnt",
+        "n_docs",
+        "n_langs",
+        "max_cnt",
+        F.round((F.log(F.col("n_docs")) - F.log(F.col("cnt"))) * 1000000)
+        .cast("long")
+        .alias("t_micro"),
+    )
+    return (
+        term.groupBy("source", "n_docs", "n_langs", "max_cnt")
+        .agg(F.sum(F.col("cnt") * F.col("t_micro")).alias("wsum"))
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_langs",
+            "CAST(max_cnt * 1000 DIV n_docs AS BIGINT)"
+            " AS dominant_share_permille",
+            "CAST(wsum DIV n_docs AS BIGINT) AS entropy_micro",
+        )
+    )
