@@ -3067,6 +3067,28 @@ def t_chunk_overlap(spark, sf_dir):
     )
 
 
+def _qc_scored(spark, sf_dir):
+    """Shared (doc_id, score, y) frame for the classifier-evaluation
+    trilogy (t_quality_auc / t_quality_calibration / t_quality_pr_curve):
+    the hashed-feature score joined to the rule label, built once per
+    session via the sharedframes registry — a full gate run evaluates
+    all three entries, and the corpus-sized derivation should run once,
+    not three times (the 100 TB argument is the same: one scored table
+    feeds every evaluation readout)."""
+    from xova_spark.sharedframes import shared
+
+    def _build():
+        scores = t_quality_classifier_score(spark, sf_dir).select(
+            "doc_id", "score"
+        )
+        labels = t_quality_score(spark, sf_dir).select(
+            "doc_id", F.col("quality_keep").cast("long").alias("y")
+        )
+        return scores.join(labels, "doc_id")
+
+    return shared(spark, ("qc_scored", sf_dir), _build)
+
+
 @q(
     "t_quality_auc",
     f"""
@@ -3148,14 +3170,8 @@ def t_quality_auc(spark, sf_dir):
     t_langid_confusion)."""
     from xova_spark.operators.ranking import global_cumsum
 
-    scores = t_quality_classifier_score(spark, sf_dir).select(
-        "doc_id", "score"
-    )
-    labels = t_quality_score(spark, sf_dir).select(
-        "doc_id", F.col("quality_keep").cast("long").alias("y")
-    )
     g = (
-        scores.join(labels, "doc_id")
+        _qc_scored(spark, sf_dir)
         .groupBy("score")
         .agg(
             F.sum("y").cast("long").alias("pos"),
@@ -3244,13 +3260,7 @@ def t_quality_calibration(spark, sf_dir):
     either path; the readout is a 10-row groupBy."""
     from xova_spark.operators.ranking import global_ntile
 
-    scores = t_quality_classifier_score(spark, sf_dir).select(
-        "doc_id", "score"
-    )
-    labels = t_quality_score(spark, sf_dir).select(
-        "doc_id", F.col("quality_keep").cast("long").alias("y")
-    )
-    j = scores.join(labels, "doc_id")
+    j = _qc_scored(spark, sf_dir)
     d = global_ntile(j, [F.col("score"), F.col("doc_id")], 10, "decile")
     return (
         d.groupBy(F.col("decile").cast("long").alias("decile"))
@@ -3338,13 +3348,7 @@ def t_quality_pr_curve(spark, sf_dir):
     recall denominator is a 1-row broadcast aggregate."""
     from xova_spark.operators.ranking import global_cumsum
 
-    scores = t_quality_classifier_score(spark, sf_dir).select(
-        "doc_id", "score"
-    )
-    labels = t_quality_score(spark, sf_dir).select(
-        "doc_id", F.col("quality_keep").cast("long").alias("y")
-    )
-    j = scores.join(labels, "doc_id")
+    j = _qc_scored(spark, sf_dir)
     g = j.groupBy("score").agg(
         F.sum("y").cast("long").alias("pos"),
         F.count("*").cast("long").alias("tot"),
