@@ -222,3 +222,43 @@ def test_substring_window_tiling(texts):
     b = "b" * 13 + span + "bb"
     shared = set(windows(a)) & set(windows(b))
     assert any(set(w) == {"z"} for w in shared)
+
+
+# ---------------------------------------------------------------------------
+# Distributed running sum vs a pure-python prefix sum, random frames
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def cumsum_frames(draw):
+    n = draw(st.integers(1, 60))
+    keys = draw(
+        st.lists(st.integers(-50, 50), min_size=n, max_size=n, unique=True)
+    )
+    vals = draw(st.lists(st.integers(-1000, 1000), min_size=n, max_size=n))
+    return list(zip(keys, vals))
+
+
+@given(rows=cumsum_frames(), parts=st.integers(1, 5))
+@settings(max_examples=8, deadline=None)
+def test_global_cumsum_property(spark, rows, parts):
+    """For ANY integer frame and partition count, the distributed
+    two-pass running sum equals the python prefix sum over the sorted
+    keys — including negative values, single rows, and more partitions
+    than rows."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.operators.ranking import global_cumsum
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["cs"]
+        for r in global_cumsum(
+            df, [F.col("k")], "v", "cs",
+            num_partitions=parts, window_max_rows=0,
+        ).collect()
+    }
+    acc = 0
+    for k, v in sorted(rows):
+        acc += v
+        assert got[k] == acc
