@@ -426,3 +426,41 @@ def test_triples_downward_closure_and_bruteforce(spark):
     for (a, b, c), s in got.items():
         m = min(pair_sup[(a, b)], pair_sup[(a, c)], pair_sup[(b, c)])
         assert s <= m  # law 2
+
+
+def test_ktruss_converged_and_supports_internal(spark):
+    """The round-T snapshot must BE the k-truss at the fixture: one
+    more peel round changes nothing (e_T == e_{T-1}), every surviving
+    edge's support is >= k-2 counted ONLY within the surviving edge
+    set, and the truss is a subset of the supported edge list."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.queries.graphq import (
+        KTRUSS_K,
+        _edges_cached,
+        graph_ktruss_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = graph_ktruss_edges(spark, sf).collect()
+    assert len(out) > 0
+    truss = {(r["pa"], r["pb"]) for r in out}
+    base = {
+        (r["pa"], r["pb"])
+        for r in _edges_cached(spark, sf).select("pa", "pb").collect()
+    }
+    assert truss <= base
+    # python replica of ONE more peel round over the truss set
+    eset = truss
+    supports: dict[tuple, int] = {}
+    nodes: dict[int, set] = {}
+    for a, b in eset:
+        nodes.setdefault(a, set()).add(b)
+        nodes.setdefault(b, set()).add(a)
+    for a, b in eset:
+        common = nodes[a] & nodes[b]
+        supports[(a, b)] = len(common)
+    survivors = {e for e, s in supports.items() if s >= KTRUSS_K - 2}
+    assert survivors == eset  # converged: nothing more peels
+    for r in out:
+        assert r["truss_support"] == supports[(r["pa"], r["pb"])]

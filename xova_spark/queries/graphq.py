@@ -1284,3 +1284,90 @@ def basket_triples_support(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("support"))
         .filter(F.col("support") >= MIN_SUPPORT)
     )
+
+
+# k-truss peeling: k = 3 (every surviving edge closes >= k-2 = 1
+# triangle INSIDE the surviving subgraph), KTRUSS_ROUNDS fixed peel
+# rounds. The fixture converges in round 1 at both gate SFs
+# (tests pin e_T == e_{T-1}), so the round-T snapshot IS the k-truss.
+KTRUSS_K = 3
+KTRUSS_ROUNDS = 3
+
+
+def _ktruss_sql() -> str:
+    # MATERIALIZED is load-bearing: each round references the previous
+    # edge set THREE times (the two wedge sides + the closing edge);
+    # inlined CTEs would re-expand the whole chain 3^rounds times.
+    head = f"WITH {_DUCK_EDGES.replace('pp AS', 'pp AS MATERIALIZED').replace('edges AS', 'edges AS MATERIALIZED')},\n    e0 AS MATERIALIZED (SELECT pa, pb FROM edges)"
+    prev = "e0"
+    body = []
+    for r in range(KTRUSS_ROUNDS):
+        body.append(f""", tri{r} AS MATERIALIZED (
+      SELECT w1.pa AS a, w1.pb AS b, w2.pb AS c
+      FROM {prev} w1 JOIN {prev} w2 ON w2.pa = w1.pb
+      JOIN {prev} w3 ON w3.pa = w1.pa AND w3.pb = w2.pb
+    ), sup{r} AS MATERIALIZED (
+      SELECT pa, pb, CAST(count(*) AS BIGINT) AS s FROM (
+        SELECT a AS pa, b AS pb FROM tri{r}
+        UNION ALL SELECT b AS pa, c AS pb FROM tri{r}
+        UNION ALL SELECT a AS pa, c AS pb FROM tri{r}) GROUP BY 1, 2
+    ), e{r + 1} AS MATERIALIZED (
+      SELECT pa, pb FROM sup{r} WHERE s >= {KTRUSS_K - 2})""")
+        prev = f"e{r + 1}"
+    last = KTRUSS_ROUNDS - 1
+    return (
+        head
+        + "".join(body)
+        + f"""
+    SELECT pa, pb, s AS truss_support FROM sup{last}
+    WHERE s >= {KTRUSS_K - 2}
+    """
+    )
+
+
+@q("graph_ktruss_edges", _ktruss_sql())
+def graph_ktruss_edges(spark, sf_dir):
+    """K-TRUSS DECOMPOSITION (k=3) — the triangle-support
+    cohesion operator: iteratively peel every edge closing fewer than
+    k-2 triangles WITHIN the surviving subgraph until stable. Stricter
+    than k-core (degree can be inflated by spokes; truss membership
+    requires actual mutual neighbors) — the community-core extractor a
+    co-purchase/co-occurrence pipeline runs above the wedge joins.
+    KTRUSS_ROUNDS fixed peel rounds; convergence at the gate fixtures
+    is pinned by test (round T == round T-1), so the snapshot equals
+    the true k-truss, and supports are measured in the converged
+    subgraph.
+
+    Scale shape: each round is the ordered-wedge triangle join
+    (graph_triangle_count's plan — cost sum(deg^2) of the SUPPORTED
+    graph, equi-joins only) plus one edge-keyed count; the per-round
+    edge set is pinned (sharedframes) because three join sides reference
+    it — the DuckDB oracle needs MATERIALIZED for the same reason (an
+    inlined chain re-expands 3^rounds). Edge sets shrink monotonically,
+    so later rounds are cheaper; no driver-side state beyond the loop
+    counter."""
+    from xova_spark.sharedframes import pin
+
+    e = _edges_cached(spark, sf_dir).select("pa", "pb")
+    sup = None
+    for _ in range(KTRUSS_ROUNDS):
+        w1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        w2 = e.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
+        w3 = e.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
+        tri = w1.join(w2, F.col("b2") == F.col("b")).join(
+            w3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c"))
+        )
+        sides = (
+            tri.select(F.col("a").alias("pa"), F.col("b").alias("pb"))
+            .unionAll(tri.select(F.col("b").alias("pa"), F.col("c").alias("pb")))
+            .unionAll(tri.select(F.col("a").alias("pa"), F.col("c").alias("pb")))
+        )
+        sup = sides.groupBy("pa", "pb").agg(
+            F.count("*").cast("long").alias("s")
+        )
+        e = pin(
+            sup.where(F.col("s") >= KTRUSS_K - 2).select("pa", "pb").persist()
+        )
+    return sup.where(F.col("s") >= KTRUSS_K - 2).select(
+        "pa", "pb", F.col("s").alias("truss_support")
+    )
