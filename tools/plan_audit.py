@@ -42,7 +42,19 @@ DECLARED survivors (legitimate, do not "fix"):
   exits 2. The list and each bound are also pinned directly by
   tests/test_plan_contract.py (including a red-path injection test).
 
-Usage: python tools/plan_audit.py [sf_dir]
+Usage: python tools/plan_audit.py [sf_dir] [--only NAME ...] [--since GITREF]
+
+Fast paths (VERDICT r6 item 7 — the full sweep is ~25 min at 348
+entries, which is why a late-landing entry once shipped unchecked):
+
+- ``--only NAME ...``   audit just the named entries (land-time check
+  for a new entry: ``python tools/plan_audit.py --only my_entry``).
+- ``--since GITREF``    audit only entries whose defining source file
+  changed since GITREF (``git diff --name-only``), e.g.
+  ``--since HEAD~5``. A change to a shared helper module
+  (operators/, functions/, plancontract, sharedframes, session)
+  widens the selection to ALL entries — shared-code edits can move
+  any plan. Keep the full sweep for round close.
 """
 
 from __future__ import annotations
@@ -68,6 +80,56 @@ from xova_spark.plancontract import (  # noqa: E402
 from xova_spark.plancontract import survivor_violations  # noqa: E402
 
 
+SHARED_PREFIXES = (
+    "xova_spark/operators/",
+    "xova_spark/functions/",
+    "xova_spark/plancontract.py",
+    "xova_spark/sharedframes.py",
+    "xova_spark/session.py",
+    "__spark_entry__.py",
+)
+
+
+def _select_entries(qs: dict, argv: list[str]) -> dict:
+    """Apply --only / --since selection; returns the entries to audit."""
+    import inspect
+    import os
+    import subprocess
+
+    if "--only" in argv:
+        names = set(argv[argv.index("--only") + 1 :])
+        unknown = names - set(qs)
+        if unknown:
+            raise SystemExit(f"--only: unknown entries {sorted(unknown)}")
+        return {n: f for n, f in qs.items() if n in names}
+    if "--since" in argv:
+        ref = argv[argv.index("--since") + 1]
+        changed = subprocess.run(
+            ["git", "diff", "--name-only", ref, "--", "."],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            check=True,
+        ).stdout.split()
+        if any(
+            c == p or c.startswith(p) for c in changed for p in SHARED_PREFIXES
+        ):
+            print(f"--since {ref}: shared module changed -> full sweep")
+            return qs
+        changed_abs = {os.path.join("/root/repo", c) for c in changed}
+        sel = {}
+        for n, f in qs.items():
+            try:
+                src = inspect.getsourcefile(inspect.unwrap(f))
+            except TypeError:
+                src = None
+            if src in changed_abs:
+                sel[n] = f
+        print(f"--since {ref}: {len(sel)}/{len(qs)} entries selected")
+        return sel
+    return qs
+
+
 def main() -> int:
     from xova_spark.session import get_spark
 
@@ -75,12 +137,20 @@ def main() -> int:
 
     import inspect
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    argv = sys.argv[1:]
+    pos = [a for a in argv if not a.startswith("--")]
+    flag_vals = set()
+    for flg in ("--only", "--since"):
+        if flg in argv:
+            flag_vals.update(argv[argv.index(flg) + 1 :])
+    pos = [a for a in pos if a not in flag_vals]
+    sf_dir = pos[0] if pos else "/root/testdata/sf0.001"
+    entries = _select_entries(entrymod.queries(), argv)
     spark = get_spark("plan-audit")
     hits: dict[str, list[str]] = {p: [] for p in PATTERNS}
     errors: list[tuple[str, str]] = []
     violations: list[str] = []
-    for name, fn in entrymod.queries().items():
+    for name, fn in entries.items():
         try:
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001 — report, keep sweeping

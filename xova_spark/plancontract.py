@@ -115,6 +115,15 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "kind": "limit",
         "marker": r"TakeOrderedAndProject\(limit=\d+",
     },
+    # rank_sem's row_number reads the dense top-20 frame (.limit(20)
+    # over the corpus cosine scan) — same shape as ann_hybrid_rrf_topk.
+    # Landed r6 AFTER the last contract update and shipped unlisted
+    # (VERDICT r6 defect #1); allowlisted here with the bound its plan
+    # already carried.
+    "ann_rank_agreement": {
+        "kind": "limit",
+        "marker": r"TakeOrderedAndProject\(limit=\d+",
+    },
 }
 
 
