@@ -129,8 +129,14 @@ def _bench_dir(spark, sf_dir: str):
     return timings, errors, total
 
 
+# The sf0.1 tier every sf1 comparison (times AND output rows) is
+# normalized against — one constant so the two ratios can't silently
+# come from different tiers (ADVICE r6).
+BASE_TIER = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = BASE_TIER
     argv = sys.argv[1:]
     sf1_mode = "--sf" in argv and argv[argv.index("--sf") + 1] == "1"
 
@@ -163,7 +169,7 @@ def main() -> None:
         payload["errors"] = errors
 
     if sf1_mode:
-        base, base_err, _ = _bench_dir(spark, "/root/testdata/sf0.1")
+        base, base_err, _ = _bench_dir(spark, BASE_TIER)
         ratios = {
             n: round(timings[n] / base[n], 2)
             for n in timings
@@ -187,7 +193,7 @@ def main() -> None:
         for n in candidates:
             try:
                 r1 = qs[n](spark, sf_dir).count()
-                r01 = qs[n](spark, "/root/testdata/sf0.1").count()
+                r01 = qs[n](spark, BASE_TIER).count()
             except Exception:  # noqa: BLE001 — fall through to flagged
                 continue
             rows_ratio = r1 / max(r01, 1)

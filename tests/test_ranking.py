@@ -162,3 +162,29 @@ def test_global_cumsum_multicolumn_paths_agree(spark):
         )
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+def test_global_cumsum_null_values_both_paths(spark):
+    """NULL values contribute 0 on BOTH gate routes (ADVICE r6: the
+    distributed path used to crash via int(None) when a partition's
+    value column summed to NULL). One partition is engineered all-NULL
+    by clustering NULLs at the low end of the range order."""
+    from xova_spark.operators.ranking import global_cumsum
+
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 120, F.lit(None).cast("long"))
+        .otherwise(F.col("id") % 7)
+        .alias("val"),
+    )
+    order = [F.col("k")]
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cs", F.sum("val").over(w).cast("long"))
+    for gate, parts in ((1_000_000, None), (0, 8)):
+        got = global_cumsum(
+            df, order, "val", "cs", num_partitions=parts, window_max_rows=gate
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0

@@ -27,6 +27,7 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
+from xova_spark.plancontract import plan_contract_violations  # noqa: E402
 from xova_spark.session import get_spark  # noqa: E402
 
 TABLES = (
@@ -180,7 +181,21 @@ def main():
             clear_shared()
         t0 = time.monotonic()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            # Land-time plan-contract enforcement (VERDICT r6 item 2):
+            # the full plan_audit sweep is ~25 min and only runs
+            # manually, so an entry landing after the last sweep once
+            # shipped with an unlisted unpartitioned window. The gate
+            # IS rerun at every close (tools/gate_summary.py), so check
+            # the frozen window/BNLJ contracts on each entry's executed
+            # plan here — the plan is already built for toPandas, the
+            # check is a string scan.
+            probs = plan_contract_violations(name, df, fn)
+            if probs:
+                print(f"FAIL  {name}: plan contract: {'; '.join(probs)}")
+                n_fail += 1
+                continue
+            sdf = df.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             n_fail += 1

@@ -77,7 +77,10 @@ UNPARTITIONED_WINDOW = "UnpartitionedWindow"
 from xova_spark.plancontract import (  # noqa: E402
     has_unpartitioned_window as _has_unpartitioned_window,
 )
-from xova_spark.plancontract import survivor_violations  # noqa: E402
+from xova_spark.plancontract import (  # noqa: E402
+    bnlj_violations,
+    survivor_violations,
+)
 
 
 SHARED_PREFIXES = (
@@ -159,6 +162,8 @@ def main() -> int:
         for pat in PATTERNS:
             if pat in plan:
                 hits[pat].append(name)
+        if "BroadcastNestedLoopJoin" in plan:
+            violations.extend(bnlj_violations(name, plan))
         if _has_unpartitioned_window(plan):
             hits.setdefault(UNPARTITIONED_WINDOW, []).append(name)
             try:

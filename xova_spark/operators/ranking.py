@@ -157,8 +157,11 @@ def global_ntile(
     for small frames (bounded single-partition work) and the
     distributed exact rank + NTILE bucket formula otherwise. The
     distributed path's total count comes from the rank pass's own
-    per-partition counts — no extra job beyond the gate count."""
-    if df.count() <= window_max_rows:
+    per-partition counts — no extra job beyond the gate count. The gate
+    itself is a bounded probe (count of ``limit(max+1)``), not a full
+    count: same decision, but a huge input stops scanning at max+1 rows
+    instead of materializing once just to pick a path."""
+    if df.limit(window_max_rows + 1).count() <= window_max_rows:
         from pyspark.sql import Window
 
         return df.withColumn(
@@ -210,7 +213,9 @@ def global_cumsum(
     )
     if len(value_cols) != len(cumsum_cols):
         raise ValueError("value_col and cumsum_col lengths differ")
-    if df.count() <= window_max_rows:
+    # Bounded gate probe: limit(max+1).count() decides identically to a
+    # full count but stops scanning at max+1 rows (ADVICE r6).
+    if df.limit(window_max_rows + 1).count() <= window_max_rows:
         from pyspark.sql import Window
 
         w = Window.orderBy(*order_by).rowsBetween(
@@ -231,22 +236,40 @@ def global_cumsum(
         .persist()
     )
     _PINNED.append(ranged)
+    # coalesce: a partition whose value column is all-NULL sums to NULL;
+    # int(None) would crash the offset build (ADVICE r6). SQL SUM skips
+    # NULLs, so 0 is the offset identity — but SUM over a frame with NO
+    # non-null value is NULL, so the per-partition NON-NULL COUNT rides
+    # along: a row's running sum is NULL exactly while the global
+    # non-null count up to it is 0 (matching the window path bit-exact).
     sums = dict(
-        (r["_pid"], [int(r[f"s{i}"]) for i in range(len(value_cols))])
+        (
+            r["_pid"],
+            (
+                [int(r[f"s{i}"]) for i in range(len(value_cols))],
+                [int(r[f"c{i}"]) for i in range(len(value_cols))],
+            ),
+        )
         for r in ranged.groupBy("_pid")
         .agg(
             *(
-                F.sum(F.col(vc)).alias(f"s{i}")
+                F.coalesce(F.sum(F.col(vc)), F.lit(0)).alias(f"s{i}")
                 for i, vc in enumerate(value_cols)
-            )
+            ),
+            *(
+                F.count(F.col(vc)).alias(f"c{i}")
+                for i, vc in enumerate(value_cols)
+            ),
         )
         .collect()
     )
-    offsets: dict[int, list[int]] = {}
+    offsets: dict[int, tuple[list[int], list[int]]] = {}
     acc = [0] * len(value_cols)
+    cnt = [0] * len(value_cols)
     for pid in sorted(sums):
-        offsets[pid] = list(acc)
-        acc = [a + s for a, s in zip(acc, sums[pid])]
+        offsets[pid] = (list(acc), list(cnt))
+        acc = [a + s for a, s in zip(acc, sums[pid][0])]
+        cnt = [c + k for c, k in zip(cnt, sums[pid][1])]
 
     out_schema = ranged.drop("_pid").schema
     for cc in cumsum_cols:
@@ -255,17 +278,28 @@ def global_cumsum(
 
     def add_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         running = [0] * len(value_cols)
+        seen = [0] * len(value_cols)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            base = offsets[int(pdf["_pid"].iloc[0])]
+            base, base_cnt = offsets[int(pdf["_pid"].iloc[0])]
             pdf = pdf.drop(columns=["_pid"])
             for i, (vc, cc) in enumerate(zip(value_cols, cumsum_cols)):
-                vals = pdf[vc].astype("int64")
-                pdf[cc] = (vals.cumsum() + (base[i] + running[i])).astype(
-                    "int64"
-                )
+                notna = pdf[vc].notna()
+                # NULL contributes 0 to the sum, matching SQL SUM ...
+                vals = pdf[vc].fillna(0).astype("int64")
+                cs = (vals.cumsum() + (base[i] + running[i])).astype("int64")
+                # ... but the result is NULL while the frame has no
+                # non-null value yet (leading all-NULL prefix). nn_cum
+                # is non-decreasing, so masking can only matter when
+                # the batch STARTS at zero non-nulls seen.
+                if base_cnt[i] + seen[i] == 0 and not bool(notna.iloc[0]):
+                    nn_cum = notna.cumsum()
+                    pdf[cc] = cs.astype("object").where(nn_cum > 0, None)
+                else:
+                    pdf[cc] = cs
                 running[i] += int(vals.sum())
+                seen[i] += int(notna.sum())
             yield pdf[out_cols]
 
     return ranged.mapInPandas(add_cumsum, out_schema)

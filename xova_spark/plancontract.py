@@ -192,6 +192,117 @@ def unpartitioned_window_segments(plan: str) -> list[str]:
     return out
 
 
+# BroadcastNestedLoopJoin contract (VERDICT r6 item 3). A BNLJ is the
+# non-equi/cross-join fallback whose broadcast side must be TINY — a
+# 1-row global aggregate, a K-row model/dimension artifact, or a top-k
+# frame. The count crept 47 -> 55 across rounds 5-6 with nothing
+# pinning the tiny-side property, so survivor #56 with a data-grain
+# build side could land silently. Same fail-closed recipe as
+# WINDOW_SURVIVORS: every entry whose plan carries a BNLJ must be
+# listed here with a marker that must match INSIDE each BNLJ's
+# broadcast build segment (the BroadcastExchange subtree), proving the
+# broadcast side is bounded.
+#
+# Marker kinds:
+# - one_row_agg: HashAggregate(keys=[]) — global aggregate, <= 1 row.
+# - limit:       TakeOrderedAndProject/GlobalLimit — top-k frame.
+# - keyed_tiny:  single-key filter (e.g. vec_id = QVEC) — 1-row dim.
+# - model_dim:   K-row trained-model artifact (centroids/codebooks),
+#   keyed by a model grain, never data grain.
+_ONE_ROW_AGG = r"HashAggregate\(keys=\[\]"
+_LIMIT = r"(TakeOrderedAndProject\(limit=\d+|GlobalLimit)"
+BNLJ_SURVIVORS: dict[str, dict[str, str]] = {}
+
+
+def bnlj_build_segments(plan: str) -> list[str]:
+    """For each BroadcastNestedLoopJoin line, the text of its broadcast
+    build segment: the BroadcastExchange subtree inside the BNLJ's own
+    subtree (line inclusive). A ReusedExchange build side has no
+    subtree here — its segment is just the ReusedExchange line (markers
+    must then match the exchange's output columns)."""
+    lines = plan.splitlines()
+    out: list[str] = []
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        base = _art_pos(line)
+        # subtree of this BNLJ
+        sub: list[tuple[int, str]] = []
+        for nxt in lines[i + 1 :]:
+            pos = _art_pos(nxt)
+            if 0 <= pos <= base:
+                break
+            sub.append((pos, nxt))
+        # the build side: first (Reused|Broadcast)Exchange AT THE
+        # IMMEDIATE CHILD DEPTH of this BNLJ (deeper exchanges belong
+        # to nested joins on the streamed side)
+        child_depths = [p for p, _ in sub if p >= 0]
+        child_depth = min(child_depths) if child_depths else -1
+        seg: list[str] = []
+        taking = False
+        take_depth = -1
+        for pos, nxt in sub:
+            if taking:
+                if 0 <= pos <= take_depth:
+                    break
+                seg.append(nxt)
+            elif pos == child_depth and (
+                "BroadcastExchange" in nxt or "ReusedExchange" in nxt
+            ):
+                taking = True
+                take_depth = pos
+                seg.append(nxt)
+        out.append("\n".join(seg))
+    return out
+
+
+def bnlj_violations(name: str, plan: str) -> list[str]:
+    """Fail-closed BNLJ contract check. Empty list = OK."""
+    segs = bnlj_build_segments(plan)
+    if not segs:
+        return []
+    spec = BNLJ_SURVIVORS.get(name)
+    if spec is None:
+        return [
+            f"{name}: BroadcastNestedLoopJoin but not in the frozen BNLJ"
+            " survivor list — key the join, or if the broadcast side is"
+            " genuinely a 1-row/K-row artifact, extend BNLJ_SURVIVORS"
+            " with the marker proving it"
+        ]
+    problems = []
+    for j, seg in enumerate(segs):
+        if not re.search(spec["marker"], seg):
+            problems.append(
+                f"{name}: BNLJ #{j} broadcast side lost its declared"
+                f" bound ({spec['kind']}: /{spec['marker']}/ not found"
+                " in the build segment)"
+            )
+    return problems
+
+
+def plan_contract_violations(name, df, fn=None) -> list[str]:
+    """Land-time contract check over one entry's executed plan (VERDICT
+    r6 item 2) — called by tools/check_oracle.py for every entry on
+    every gate run, so a new entry can't ship past the close without
+    its plan being checked against the frozen window + BNLJ contracts.
+
+    Takes the entry's DataFrame (plan already built for the gate's
+    toPandas) and optionally the entry function (for size-gate source
+    routes). Empty list = OK."""
+    import inspect
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    source = ""
+    if fn is not None:
+        try:
+            source = inspect.getsource(inspect.unwrap(fn))
+        except (OSError, TypeError):
+            source = ""
+    return survivor_violations(name, plan, source) + bnlj_violations(
+        name, plan
+    )
+
+
 def survivor_violations(name: str, plan: str, source: str = "") -> list[str]:
     """Contract check for one entry's executed plan. Empty list = OK.
 

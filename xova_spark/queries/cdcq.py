@@ -295,6 +295,13 @@ def cdc_incremental_rollup(spark, sf_dir):
 # silently gets wrong).
 _CUST_DEL_MOD, _CUST_DEL_RES = 89, 7
 _CUST_MOVE_MOD = 13
+# Order-side KEY churn (round 7, ADVICE r6): o_orderkey % 41 == 0
+# orders are reassigned to custkey+1 in the new snapshot — an UPDATE
+# that moves an order between join keys with its price unchanged. The
+# delta builder must book the -1 row at the old key and the +1 row at
+# the new one; a scheme that keys both rows on one coalesced custkey
+# (or treats equal-price rows as unchanged) fails this fixture.
+_OWNER_MOVE_MOD = 41
 
 _JV_CTES = f"""
     o_old AS (
@@ -303,7 +310,9 @@ _JV_CTES = f"""
         FROM orders WHERE o_orderdate < TIMESTAMP '{_OLD_CUT}'
     ),
     o_new AS (
-        SELECT o_orderkey, o_custkey,
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % {_OWNER_MOVE_MOD} = 0
+                    THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                    + CASE WHEN o_orderkey % 10 = 0 THEN 500 ELSE 0 END
                    AS price_cents
@@ -344,7 +353,11 @@ def cdc_join_view_maintenance(spark, sf_dir):
     order whose price changed AND whose customer changed segment in
     the same batch is corrected exactly once (the dO x dC term exists
     precisely to cancel the double count the two single-side terms
-    introduce).
+    introduce), and an order REASSIGNED to a different custkey (the
+    _OWNER_MOVE_MOD churn, price unchanged) books its -1 at the old
+    key and its +1 at the new key — the fixture covers key churn
+    explicitly, so the general rule is what the hash proves (ADVICE
+    r6: a coalesced-key delta passed only because no key ever moved).
 
     Scale shape: every term is a keyed equi-join at CHANGE grain —
     dO is |changed orders|, dC is |changed customers|, and only
@@ -365,7 +378,12 @@ def cdc_join_view_maintenance(spark, sf_dir):
             & (F.col("o_orderkey") % 97 != 3)
         ).select(
             "o_orderkey",
-            "o_custkey",
+            F.when(
+                F.col("o_orderkey") % _OWNER_MOVE_MOD == 0,
+                F.col("o_custkey") + 1,
+            )
+            .otherwise(F.col("o_custkey"))
+            .alias("o_custkey"),
             (
                 cents
                 + F.when(F.col("o_orderkey") % 10 == 0, 500).otherwise(0)
@@ -393,18 +411,25 @@ def cdc_join_view_maintenance(spark, sf_dir):
         F.col("price_cents").alias("p_new"),
     )
     oj = oo.join(on, "k", "full_outer")
+    # A row is CHANGED when it appears/disappears, its price moved, or
+    # its CUSTKEY moved (ADVICE r6: a custkey change with equal price
+    # was silently dropped, and both signed rows were attributed to one
+    # coalesced key). The -1 row books against the OLD custkey and the
+    # +1 row against the NEW one — the general bilinear rule; a
+    # same-key price change still yields the same -1/+1 pair as before.
     d_o = oj.where(
         F.col("ck").isNull()
         | F.col("ck_new").isNull()
         | (F.col("p_old") != F.col("p_new"))
+        | (F.col("ck") != F.col("ck_new"))
     ).select(
-        F.coalesce("ck", "ck_new").alias("c_custkey"),
         F.explode(
             F.filter(
                 F.array(
                     F.when(
                         F.col("ck").isNotNull(),
                         F.struct(
+                            F.col("ck").alias("c_custkey"),
                             F.lit(-1).alias("sign"),
                             F.col("p_old").alias("price"),
                         ),
@@ -412,6 +437,7 @@ def cdc_join_view_maintenance(spark, sf_dir):
                     F.when(
                         F.col("ck_new").isNotNull(),
                         F.struct(
+                            F.col("ck_new").alias("c_custkey"),
                             F.lit(1).alias("sign"),
                             F.col("p_new").alias("price"),
                         ),
@@ -420,7 +446,11 @@ def cdc_join_view_maintenance(spark, sf_dir):
                 lambda x: x.isNotNull(),
             )
         ).alias("d"),
-    ).select("c_custkey", F.col("d.sign").alias("so"), F.col("d.price").alias("price"))
+    ).select(
+        F.col("d.c_custkey").alias("c_custkey"),
+        F.col("d.sign").alias("so"),
+        F.col("d.price").alias("price"),
+    )
 
     # Signed customer delta: -old segment and/or +new segment per key.
     co = c_old.select(F.col("c_custkey").alias("k"), F.col("seg").alias("seg_old"))

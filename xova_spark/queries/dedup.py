@@ -1465,7 +1465,7 @@ _URL_RAW_SQL = """
                        lower(url), '#.*$', ''),
                      '\\?utm_[^#]*$', ''),
                    '^(https?)://www\\.', '\\1://'),
-                 ':443/', '/'),
+                 '^(https?://[^/]+):443(/|$)', '\\1\\2'),
                '/$', '') AS curl,
              url
       FROM raw
@@ -1528,7 +1528,10 @@ def dedup_url_canonical(spark, sf_dir):
     curl = F.regexp_replace(curl, "#.*$", "")
     curl = F.regexp_replace(curl, r"\?utm_[^#]*$", "")
     curl = F.regexp_replace(curl, r"^(https?)://www\.", "$1://")
-    curl = F.regexp_replace(curl, ":443/", "/")
+    # anchored to the AUTHORITY (ADVICE r6): an unanchored ':443/' would
+    # corrupt any path/query segment containing it, and miss the
+    # default port when no slash follows ('https://host:443').
+    curl = F.regexp_replace(curl, r"^(https?://[^/]+):443(/|$)", "$1$2")
     curl = F.regexp_replace(curl, "/$", "")
     return (
         raw.select("doc_id", "url", curl.alias("curl"))
