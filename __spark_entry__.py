@@ -61,21 +61,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #           dq_profile_columns, cdc_merge_upsert, tpch_q1,
 #           w_global_rank, t_unimax_language_budget — all stay
 #           oracle-gated in GATE_LOG
-#   r7 candidates (never driver-sampled): t_blocklist_rate /
+#   r7 in:  the 10 VERDICT r6 item-4 names — ann_rank_agreement,
+#           graph_ktruss_edges, t_source_lang_entropy,
+#           agg_weighted_median, ev_multitouch_attribution,
+#           dedup_url_canonical, t_chunk_overlap,
+#           layout_zonemap_prune_audit, stream_click_attribution,
+#           ev_max_drawdown — plus cdc_join_view_maintenance and
+#           basket_triples_support (both touched by round-7 fixes)
+#   r7 out: the 12 r6-green names (er_* pack, graph_bfs_hops,
+#           graph_sssp_cost, ev_autocorr, ev_series_similarity,
+#           ev_hll_mergeable_rollup, dq_benford, t_pii_redact,
+#           t_bm25_topk) — all stay oracle-gated in GATE_LOG
+#   r8 candidates (never driver-sampled): t_blocklist_rate /
 #           t_blocklist_spans, t_importance_weights,
 #           cdc_incremental_rollup, stream_neardup_ingest,
 #           agg_exact_median_rank, agg_skyline_pareto,
-#           dedup_prefix_filter_join, geo_knn_cell, plus the round-6
-#           additions (hub-capped wedge join, ER exact-match
-#           pre-grouping, geo density guard) and the round-6-close
-#           batch: t_quality_auc / t_quality_pr_curve (integer-DIV
-#           dialect parity), t_quality_calibration (NTILE tie
-#           semantics), ann_hybrid_rrf_topk (full-outer rank fusion),
-#           ann_mmr_rerank (chained-CTE greedy walk),
-#           cdc_join_view_maintenance / stream_join_view_maintenance
-#           (delta-merge additivity), basket_triples_support,
-#           ev_max_drawdown (running-peak windows), dedup_url_canonical
-#           (regex dialect), t_chunk_overlap
+#           dedup_prefix_filter_join, geo_knn_cell,
+#           graph_node_jaccard_capped, er_blocked_candidates_grouped,
+#           geo_radius_pairs_adaptive, t_quality_auc /
+#           t_quality_pr_curve (integer-DIV dialect parity),
+#           t_quality_calibration (NTILE tie semantics),
+#           ann_hybrid_rrf_topk, ann_mmr_rerank,
+#           stream_join_view_maintenance, dedup_minhash_calibration
 _PRIORITY: tuple[str, ...] = (
     # time_and_channel averaging core (reference averaging.py:184-260)
     "ms_tc_rows",
@@ -119,22 +126,26 @@ _PRIORITY: tuple[str, ...] = (
     "stream_bda_vis",
     "stream_session_bins",
     "stream_cdc_merge",
-    # round-6 rotation slots: the 12 never-driver-sampled divergence
-    # candidates VERDICT r5 named (ER/Levenshtein cross-dialect, size-
-    # gated graph relaxation, hostile-tz timestamp bucketing, sketch
-    # booleans, digit-distribution, Java-vs-RE2 regex, BM25 ln-lattice)
-    "er_blocked_candidates",
-    "er_entity_clusters",
-    "er_survivorship",
-    "er_blocking_recall",
-    "graph_bfs_hops",
-    "graph_sssp_cost",
-    "ev_autocorr",
-    "ev_series_similarity",
-    "ev_hll_mergeable_rollup",
-    "dq_benford",
-    "t_pii_redact",
-    "t_bm25_topk",
+    # round-7 rotation slots: the 10 never-driver-sampled cross-dialect
+    # candidates VERDICT r6 named (negative-tau integer DIV, MATERIALIZED-
+    # CTE k-truss oracle + convergence certificate, ln-lattice entropy,
+    # weighted-median crossing, permille attribution bookkeeping, regex
+    # dialect URL canonicalization, chunk-overlap arithmetic, zone-map
+    # point probes, stream-batch interval-join convergence, running-peak
+    # drawdown) + the two entries this round's ADVICE fixes touched
+    # (CDC key-churn bilinear rule; JVM-side triple expansion).
+    "ann_rank_agreement",
+    "graph_ktruss_edges",
+    "t_source_lang_entropy",
+    "agg_weighted_median",
+    "ev_multitouch_attribution",
+    "dedup_url_canonical",
+    "t_chunk_overlap",
+    "layout_zonemap_prune_audit",
+    "stream_click_attribution",
+    "ev_max_drawdown",
+    "cdc_join_view_maintenance",
+    "basket_triples_support",
 )
 
 

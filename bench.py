@@ -86,6 +86,15 @@ HEADLINE = (
     "ann_hybrid_rrf_topk",
     "ann_mmr_rerank",
     "ev_max_drawdown",
+    # round-7 (VERDICT r6 item 6): the oracle-gated round-6-close
+    # entries absent from the headline — the iterative k-truss
+    # especially needs a measured 10x ratio (per-round wedge join over
+    # a shrinking edge set)
+    "graph_ktruss_edges",
+    "ann_rank_agreement",
+    "agg_weighted_median",
+    "ev_multitouch_attribution",
+    "layout_zonemap_prune_audit",
 )
 
 

@@ -464,3 +464,6 @@ def test_ktruss_converged_and_supports_internal(spark):
     assert survivors == eset  # converged: nothing more peels
     for r in out:
         assert r["truss_support"] == supports[(r["pa"], r["pb"])]
+        # the certificate travels with the entry (VERDICT r6 item 5):
+        # every row attests e_T == e_{T-1} inside the query itself
+        assert r["converged"] is True

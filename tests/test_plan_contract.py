@@ -103,3 +103,75 @@ def test_size_gate_source_route_is_checked():
         "ev_rfm_segments", fake_plan, "def ev_rfm_segments(...): pass"
     )
     assert any("size-gate route" in p for p in probs)
+
+
+# ---- BNLJ survivor contract (VERDICT r6 item 3) ----------------------
+
+from xova_spark.plancontract import (  # noqa: E402
+    BNLJ_KIND_PATTERNS,
+    BNLJ_SURVIVORS,
+    bnlj_build_segments,
+    bnlj_violations,
+)
+
+
+def test_bnlj_survivors_name_and_kind_hygiene():
+    """Every listed entry exists in the registry, declares >= 1 known
+    kind, and a positive segment ceiling."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    missing = sorted(set(BNLJ_SURVIVORS) - set(qs))
+    assert not missing, f"frozen BNLJ survivors not in registry: {missing}"
+    for name, spec in BNLJ_SURVIVORS.items():
+        assert spec["kinds"], name
+        unknown = set(spec["kinds"]) - set(BNLJ_KIND_PATTERNS)
+        assert not unknown, f"{name}: unknown kinds {unknown}"
+        assert spec["max_segments"] >= 1, name
+
+
+def test_injected_unlisted_bnlj_is_violation(spark):
+    """A cross join against a DATA-GRAIN frame under a new name must be
+    flagged: not in the list => violation (fail-closed)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lone = spark.read.parquet(f"{SF}/region.parquet")
+    bad = docs.crossJoin(F.broadcast(lone))
+    plan = _plan(bad)
+    segs = bnlj_build_segments(plan)
+    assert segs and "FileScan" in segs[0]
+    probs = bnlj_violations("some_new_entry", plan)
+    assert probs and "not in the frozen BNLJ survivor list" in probs[0]
+
+
+def test_listed_bnlj_with_fat_build_side_is_violation(spark):
+    """Membership is not a waiver: tpch_q22_antijoin declares a 1-row
+    aggregate build side; a raw-table broadcast under its name is red."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    other = spark.read.parquet(f"{SF}/customer.parquet")
+    bad = docs.crossJoin(F.broadcast(other))
+    probs = bnlj_violations("tpch_q22_antijoin", _plan(bad))
+    assert probs and "matches none of its declared bound kinds" in probs[0]
+
+
+def test_listed_bnlj_over_ceiling_is_violation(spark):
+    """A new BNLJ creeping into a LISTED entry trips the per-entry
+    segment ceiling even when the new build side pattern-matches."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    one = docs.agg(F.count("*").alias("n"))
+    two = docs.agg(F.max("doc_id").alias("m"))
+    bad = docs.crossJoin(F.broadcast(one)).crossJoin(F.broadcast(two))
+    probs = bnlj_violations("tpch_q22_antijoin", _plan(bad))
+    assert probs and "declared ceiling" in probs[0]
+
+
+def test_land_time_hook_catches_unlisted_bnlj(spark):
+    """The check_oracle land-time hook (plan_contract_violations) sees
+    the same violation from a live DataFrame — the VERDICT r6 item-2
+    'injected unlisted survivor turns the gate red' acceptance."""
+    from xova_spark.plancontract import plan_contract_violations
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lone = spark.read.parquet(f"{SF}/region.parquet")
+    bad = docs.crossJoin(F.broadcast(lone))
+    probs = plan_contract_violations("some_new_entry", bad)
+    assert probs and "BNLJ" in probs[0] or "BroadcastNestedLoopJoin" in probs[0]

@@ -1315,11 +1315,20 @@ def _ktruss_sql() -> str:
       SELECT pa, pb FROM sup{r} WHERE s >= {KTRUSS_K - 2})""")
         prev = f"e{r + 1}"
     last = KTRUSS_ROUNDS - 1
+    # Convergence certificate: e_{r+1} is always a SUBSET of e_r (the
+    # peel only removes edges), so count equality between the last two
+    # rounds proves set equality — a fixed point of the peel operator,
+    # i.e. the snapshot IS the k-truss. The certificate travels with
+    # the entry so a non-converged run on new data can't silently hash
+    # EXACT against an equally-non-converged oracle (VERDICT r6 item 5).
     return (
         head
         + "".join(body)
         + f"""
-    SELECT pa, pb, s AS truss_support FROM sup{last}
+    SELECT pa, pb, s AS truss_support,
+           (SELECT count(*) FROM e{last}) = (SELECT count(*) FROM e{last + 1})
+               AS converged
+    FROM sup{last}
     WHERE s >= {KTRUSS_K - 2}
     """
     )
@@ -1333,10 +1342,15 @@ def graph_ktruss_edges(spark, sf_dir):
     than k-core (degree can be inflated by spokes; truss membership
     requires actual mutual neighbors) — the community-core extractor a
     co-purchase/co-occurrence pipeline runs above the wedge joins.
-    KTRUSS_ROUNDS fixed peel rounds; convergence at the gate fixtures
-    is pinned by test (round T == round T-1), so the snapshot equals
-    the true k-truss, and supports are measured in the converged
-    subgraph.
+    KTRUSS_ROUNDS fixed peel rounds; every row carries a CONVERGED
+    certificate column — round T edge count == round T-1's (counts
+    suffice: each round's edge set is a subset of the previous, so
+    equal counts mean a fixed point of the peel). The law travels with
+    the entry: on data where the fixed rounds were NOT enough, both
+    engines emit converged=false and the law test (and any downstream
+    consumer asserting the column) goes red instead of silently
+    accepting a non-converged snapshot that hashes EXACT against the
+    equally-non-converged oracle (VERDICT r6 item 5).
 
     Scale shape: each round is the ordered-wedge triangle join
     (graph_triangle_count's plan — cost sum(deg^2) of the SUPPORTED
@@ -1350,7 +1364,9 @@ def graph_ktruss_edges(spark, sf_dir):
 
     e = _edges_cached(spark, sf_dir).select("pa", "pb")
     sup = None
+    prev = e
     for _ in range(KTRUSS_ROUNDS):
+        prev = e
         w1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
         w2 = e.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
         w3 = e.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
@@ -1368,6 +1384,15 @@ def graph_ktruss_edges(spark, sf_dir):
         e = pin(
             sup.where(F.col("s") >= KTRUSS_K - 2).select("pa", "pb").persist()
         )
-    return sup.where(F.col("s") >= KTRUSS_K - 2).select(
-        "pa", "pb", F.col("s").alias("truss_support")
+    # 1-row certificate broadcast onto every edge: last-round edge
+    # count == previous round's (subset + equal count = fixed point).
+    cert = (
+        prev.agg(F.count("*").alias("n_prev"))
+        .crossJoin(e.agg(F.count("*").alias("n_last")))
+        .select((F.col("n_prev") == F.col("n_last")).alias("converged"))
+    )
+    return (
+        sup.where(F.col("s") >= KTRUSS_K - 2)
+        .select("pa", "pb", F.col("s").alias("truss_support"))
+        .crossJoin(F.broadcast(cert))
     )
