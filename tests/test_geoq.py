@@ -207,3 +207,38 @@ def test_adaptive_split_identity_and_dispatch(spark):
         )
 
     assert volume(_RADIUS // 2, 2) < volume(_RADIUS, 1)
+
+
+def test_point_in_polygon_replica_and_reflex(spark):
+    """geo_point_in_polygon vs a pure-python ray cast over the same
+    integer arithmetic; the fixture polygon is genuinely non-convex
+    (some point crosses 3 edges), so the even-odd parity rule — not a
+    convex half-plane AND — is what the entry computes."""
+    from xova_spark.queries.geoq import _POLY_EDGES, geo_point_in_polygon
+
+    rows = geo_point_in_polygon(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+
+    def crossings(px, py):
+        n = 0
+        for x1, y1, x2, y2 in _POLY_EDGES:
+            if (y1 > py) != (y2 > py):
+                num = (x1 - px) * (y2 - y1) + (x2 - x1) * (py - y1)
+                if num * (1 if y2 > y1 else -1) > 0:
+                    n += 1
+        return n
+
+    from xova_spark.queries.geoq import _GRID
+
+    pts = {
+        r["id"]: ((r["id"] * 2654435761) % _GRID, (r["id"] * 40503 + 7919) % _GRID)
+        for r in rows
+    }
+    for r in rows:
+        px, py = pts[r["id"]]
+        c = crossings(px, py)
+        assert r["crossings"] == c
+        assert r["inside"] == (c % 2 == 1)
+    assert any(r["crossings"] >= 3 for r in rows)  # reflex wedge hit
+    assert any(r["inside"] for r in rows)
+    assert any(not r["inside"] for r in rows)

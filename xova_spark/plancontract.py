@@ -263,15 +263,15 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "ann_truncated_recall_at5": {"kinds": ("emb_corpus",), "max_segments": 2},
     "basket_rules_lift": {"kinds": ("one_row_agg",), "max_segments": 1},
     "dedup_embedding_cosine": {"kinds": ("emb_corpus",), "max_segments": 1},
-    "dedup_embedding_lsh_recall": {"kinds": ("emb_corpus", "one_row_agg",), "max_segments": 3},
+    "dedup_embedding_lsh_recall": {"kinds": ("emb_corpus", "one_row_agg",), "max_segments": 5},
     "dedup_lsh_recall_vs_exact": {"kinds": ("one_row_agg",), "max_segments": 2},
-    "dedup_semantic_prune": {"kinds": ("model_rdd",), "max_segments": 3},
-    "dedup_semantic_rate_curve": {"kinds": ("model_rdd", "one_row_agg",), "max_segments": 4},
+    "dedup_semantic_prune": {"kinds": ("model_rdd",), "max_segments": 6},
+    "dedup_semantic_rate_curve": {"kinds": ("model_rdd", "one_row_agg",), "max_segments": 7},
     "dq_benford": {"kinds": ("one_row_agg",), "max_segments": 1},
     "dq_freshness": {"kinds": ("one_row_agg",), "max_segments": 2},
     "dq_histogram_drift": {"kinds": ("one_row_agg",), "max_segments": 1},
     "emb_kmeans_assign": {"kinds": ("model_rdd",), "max_segments": 1},
-    "emb_outlier_flags": {"kinds": ("model_rdd",), "max_segments": 2},
+    "emb_outlier_flags": {"kinds": ("model_rdd",), "max_segments": 4},
     "er_blocking_recall": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ev_active_users_rolling": {"kinds": ("dim_agg",), "max_segments": 1},
     "ev_dtw_pairs": {"kinds": ("dim_agg",), "max_segments": 1},
@@ -290,10 +290,10 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "layout_zonemap_prune_audit": {"kinds": ("model_rdd",), "max_segments": 1},
     "layout_zorder_cells": {"kinds": ("one_row_agg",), "max_segments": 1},
     "mm_phash_hamming_topk": {"kinds": ("key_filter",), "max_segments": 1},
-    "pipeline_embedding_e2e": {"kinds": ("model_rdd",), "max_segments": 2},
+    "pipeline_embedding_e2e": {"kinds": ("model_rdd",), "max_segments": 4},
     "t_bigram_pmi_topk": {"kinds": ("one_row_agg",), "max_segments": 1},
     "t_bm25_topk": {"kinds": ("one_row_agg",), "max_segments": 2},
-    "t_cluster_topterms": {"kinds": ("model_rdd",), "max_segments": 1},
+    "t_cluster_topterms": {"kinds": ("model_rdd",), "max_segments": 2},
     "t_heaps_law_fit": {"kinds": ("one_row_agg",), "max_segments": 1},
     "t_importance_weights": {"kinds": ("one_row_agg",), "max_segments": 2},
     "t_quality_pr_curve": {"kinds": ("one_row_agg",), "max_segments": 1},
@@ -321,9 +321,10 @@ def bnlj_build_segments(plan: str) -> list[str]:
             if 0 <= pos <= base:
                 break
             sub.append((pos, nxt))
-        # the build side: first (Reused|Broadcast)Exchange AT THE
-        # IMMEDIATE CHILD DEPTH of this BNLJ (deeper exchanges belong
-        # to nested joins on the streamed side)
+        # the build side: first (Reused|Broadcast)Exchange — or, in an
+        # AQE-finalized plan, the BroadcastQueryStage wrapping it — AT
+        # THE IMMEDIATE CHILD DEPTH of this BNLJ (deeper exchanges
+        # belong to nested joins on the streamed side)
         child_depths = [p for p, _ in sub if p >= 0]
         child_depth = min(child_depths) if child_depths else -1
         seg: list[str] = []
@@ -335,7 +336,9 @@ def bnlj_build_segments(plan: str) -> list[str]:
                     break
                 seg.append(nxt)
             elif pos == child_depth and (
-                "BroadcastExchange" in nxt or "ReusedExchange" in nxt
+                "BroadcastExchange" in nxt
+                or "ReusedExchange" in nxt
+                or "BroadcastQueryStage" in nxt
             ):
                 taking = True
                 take_depth = pos

@@ -426,3 +426,104 @@ def geo_radius_pairs_adaptive(spark, sf_dir):
     exercised by the law test's injected hot cluster, where the fixture
     tier itself stays under the envelope."""
     return radius_pairs_adaptive(spark, _pts(spark, sf_dir))
+
+
+# Point-in-polygon (round 7): a fixed NON-CONVEX polygon on the same
+# integer grid; every point classified by the even-odd ray cast. The
+# crossing test is division-free exact integer arithmetic — for a +x
+# ray from (px, py), edge (x1,y1)-(x2,y2) crosses iff the edge spans
+# py strictly in y AND the signed numerator
+#     ((x1 - px) * dy + (x2 - x1) * (py - y1)) * sign(dy) > 0
+# (the intersection-x minus px, cleared of the 1/dy division) — so both
+# engines hash identically, the same no-libm discipline as d^2 above.
+_POLY: tuple[tuple[int, int], ...] = (
+    (2000, 2000),
+    (8000, 1500),
+    (7000, 5000),
+    (8500, 8000),
+    (5000, 6500),
+    (1500, 8000),
+    (3000, 4500),
+)
+_POLY_EDGES = tuple(
+    (x1, y1, x2, y2)
+    for (x1, y1), (x2, y2) in zip(_POLY, _POLY[1:] + _POLY[:1])
+)
+
+_PIP_CROSS_SQL = """
+          CASE WHEN (e.y1 > p.y) <> (e.y2 > p.y)
+                AND ((e.x1 - p.x) * (e.y2 - e.y1)
+                     + (e.x2 - e.x1) * (p.y - e.y1))
+                    * (CASE WHEN e.y2 > e.y1 THEN 1 ELSE -1 END) > 0
+               THEN 1 ELSE 0 END
+"""
+
+
+@q(
+    "geo_point_in_polygon",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    edges(x1, y1, x2, y2) AS (
+      VALUES {", ".join(f"({x1}, {y1}, {x2}, {y2})" for x1, y1, x2, y2 in _POLY_EDGES)}
+    ),
+    crossed AS (
+      SELECT p.id, CAST(sum({_PIP_CROSS_SQL}) AS BIGINT) AS crossings
+      FROM pts p CROSS JOIN edges e
+      GROUP BY p.id
+    )
+    SELECT id, crossings, crossings % 2 = 1 AS inside
+    FROM crossed
+    """,
+)
+def geo_point_in_polygon(spark, sf_dir):
+    """POINT-IN-POLYGON containment (even-odd ray cast) against a fixed
+    non-convex polygon — the geofence/region-tag primitive between the
+    cell joins (which find NEIGHBORS) and real GIS: every point gets
+    its +x-ray edge-crossing count and the inside verdict. Non-convex
+    matters: the reflex vertices produce points with crossings=3, so
+    the parity rule (not a convex half-plane AND) is what the hash
+    proves. The crossing predicate is the division-free integer form —
+    no trig, no float slope — so DuckDB and Spark agree bit-exactly.
+
+    Scale shape: ZERO joins on the Spark side — the 7-edge polygon is
+    a LITERAL array column and the crossing count is one
+    whole-stage-codegen ``aggregate`` HOF over it, i.e. a map-only
+    scan (the oracle spells the same arithmetic as a 7-row cross join
+    + groupBy). At 100 TB this is scan-bound and embarrassingly
+    parallel; a polygon too large for a literal would ride the same
+    broadcast-dim pattern as bda's bin params (operators/bda.py:91).
+    Reference analogue: xova has no spatial ops; this extends the
+    engine the way SURVEY 'beyond the reference' prescribes."""
+    edges = F.array(
+        *(
+            F.struct(
+                F.lit(x1).alias("x1"),
+                F.lit(y1).alias("y1"),
+                F.lit(x2).alias("x2"),
+                F.lit(y2).alias("y2"),
+            )
+            for x1, y1, x2, y2 in _POLY_EDGES
+        )
+    )
+    crossings = F.aggregate(
+        edges,
+        F.lit(0).cast("long"),
+        lambda acc, e: acc
+        + F.when(
+            ((e.y1 > F.col("y")) != (e.y2 > F.col("y")))
+            & (
+                (
+                    (e.x1 - F.col("x")) * (e.y2 - e.y1)
+                    + (e.x2 - e.x1) * (F.col("y") - e.y1)
+                )
+                * F.when(e.y2 > e.y1, 1).otherwise(-1)
+                > 0
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return _pts(spark, sf_dir).select(
+        "id",
+        crossings.alias("crossings"),
+        (crossings % 2 == 1).alias("inside"),
+    )
