@@ -492,3 +492,63 @@ def test_max_drawdown_matches_python_replica(spark):
         assert r["drawdown_days"] == under
         assert r["max_equity_cents"] == max_eq
         assert r["max_drawdown_cents"] == max_dd
+
+
+def test_kaplan_meier_replica_and_km_laws(spark):
+    """ev_kaplan_meier vs a pure-python product-limit replica over the
+    same hour-grain spans, plus the KM structural laws: n_risk is
+    strictly decreasing down the curve, survival is non-increasing,
+    every step has deaths, and censored users reduce LATER risk sets
+    without ever being deaths."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from xova_spark.queries.relext import (
+        _KM_QUIET_HOURS,
+        _US_PER_HOUR,
+        ev_kaplan_meier,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = sorted(
+        (r.asDict() for r in ev_kaplan_meier(spark, sf).collect()),
+        key=lambda r: r["dur_hours"],
+    )
+    assert out
+    ev = spark.read.parquet(f"{sf}/events.parquet").selectExpr(
+        "user_id", f"unix_micros(to_utc_timestamp(ts, 'UTC')) div {_US_PER_HOUR} AS hr"
+    )
+    spans = {}
+    for r in ev.groupBy("user_id").agg(
+        F.min("hr").alias("f"), F.max("hr").alias("l")
+    ).collect():
+        spans[r["user_id"]] = (r["f"], r["l"])
+    m = max(l for _, l in spans.values())
+    users = [
+        (l - f, l <= m - _KM_QUIET_HOURS) for f, l in spans.values()
+    ]
+    from collections import Counter
+
+    deaths = Counter(d for d, ch in users if ch)
+    everyone = Counter(d for d, _ in users)
+    prev_risk = None
+    prev_surv = None
+    cum = 0
+    for r in out:
+        t = r["dur_hours"]
+        n = sum(c for d, c in everyone.items() if d >= t)
+        assert r["n_risk"] == n
+        assert r["n_churn"] == deaths[t] > 0
+        assert r["n_censored"] == everyone[t] - deaths[t]
+        cum += round(math.log((n - deaths[t]) / n) * 1e6) if deaths[t] < n else 0
+        if r["n_churn"] == r["n_risk"]:
+            assert r["at_zero"] and r["survival_micro_nats"] is None
+        else:
+            assert r["survival_micro_nats"] == cum <= 0
+        if prev_risk is not None:
+            assert r["n_risk"] < prev_risk
+            if prev_surv is not None and r["survival_micro_nats"] is not None:
+                assert r["survival_micro_nats"] <= prev_surv
+        prev_risk = r["n_risk"]
+        prev_surv = r["survival_micro_nats"]

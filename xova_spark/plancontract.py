@@ -128,6 +128,14 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "kind": "limit",
         "marker": r"TakeOrderedAndProject\(limit=\d+",
     },
+    # Kaplan-Meier: suffix at-risk sum + prefix ln-lattice sum, both
+    # over the DISTINCT-DURATION grain (bounded by the calendar span,
+    # <= ~10^4 rows at any data scale) — the dur-keyed aggregate below
+    # each window is the bound.
+    "ev_kaplan_meier": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[dur#\d+",
+    },
 }
 
 
@@ -275,6 +283,7 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "er_blocking_recall": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ev_active_users_rolling": {"kinds": ("dim_agg",), "max_segments": 1},
     "ev_dtw_pairs": {"kinds": ("dim_agg",), "max_segments": 1},
+    "ev_kaplan_meier": {"kinds": ("one_row_agg",), "max_segments": 2},
     "ev_gapfill_locf": {"kinds": ("dim_agg", "range_spine",), "max_segments": 2},
     "ev_hll_mergeable_rollup": {"kinds": ("one_row_agg",), "max_segments": 2},
     "ev_hourly_rollup_gapfill": {"kinds": ("dim_agg",), "max_segments": 1},

@@ -394,3 +394,140 @@ def layout_zonemap_prune_audit(spark, sf_dir):
             ).alias("skipped_permille"),
         )
     )
+
+
+@q(
+    "layout_clustering_depth",
+    f"""
+    WITH li AS (
+      SELECT l_orderkey,
+             epoch_us(l_shipdate) // {_US_PER_DAY} AS ship_day
+      FROM lineitem
+    ), layouts AS (
+      SELECT 'natural' AS layout, l_orderkey // {_ZM_ROWGROUP_ORDERS} AS rg,
+             ship_day FROM li
+      UNION ALL
+      SELECT 'ship_week' AS layout, ship_day // 7 AS rg, ship_day FROM li
+    ), zones AS (
+      SELECT layout, rg, min(ship_day) AS day_min, max(ship_day) AS day_max
+      FROM layouts GROUP BY layout, rg
+    ), events AS (
+      SELECT layout, boundary, CAST(sum(delta) AS BIGINT) AS delta
+      FROM (
+        SELECT layout, day_min AS boundary, 1 AS delta FROM zones
+        UNION ALL
+        SELECT layout, day_max + 1 AS boundary, -1 AS delta FROM zones
+      ) GROUP BY layout, boundary
+    ), profile AS (
+      SELECT layout, boundary,
+             CAST(sum(delta) OVER (PARTITION BY layout ORDER BY boundary
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth,
+             CAST(coalesce(lead(boundary) OVER (PARTITION BY layout
+                  ORDER BY boundary) - boundary, 0) AS BIGINT) AS seg_days
+      FROM events
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_boundaries,
+           (SELECT CAST(count(*) AS BIGINT) FROM zones z
+            WHERE z.layout = profile.layout) AS n_groups,
+           CAST(max(depth) AS BIGINT) AS max_depth,
+           CAST(sum(depth * seg_days) * 1000
+                // sum(seg_days) AS BIGINT) AS avg_depth_permille,
+           CAST(sum(seg_days) AS BIGINT) AS span_days
+    FROM profile
+    GROUP BY layout
+    """,
+)
+def layout_clustering_depth(spark, sf_dir):
+    """CLUSTERING-DEPTH audit — the metric table-format OPTIMIZE
+    planners (Iceberg/Delta) use to decide whether a rewrite pays: for
+    each virtual layout's row groups, the zone intervals
+    [min(ship_day), max(ship_day)] are swept with +1/-1 boundary
+    events, and the running sum is the OVERLAP DEPTH a point lookup on
+    the sort key would face — depth d means d files/row-groups must be
+    read for that key range. 'natural' (insertion-order groups,
+    shipdate uncorrelated) shows depth ~= n_groups — every group spans
+    the whole calendar, so the layout is unclustered; 'ship_week'
+    shows depth 1 — perfectly clustered, point lookups touch one
+    group. max_depth and the day-weighted avg_depth_permille are the
+    rewrite trigger thresholds.
+
+    Scale shape: the sweep runs on ZONE METADATA (two rows per row
+    group — the manifest, not the data): one scan builds the zones,
+    the boundary events are 2x group-grain, and the running sum is a
+    window PARTITIONED by layout (never a global single-partition
+    sort). At 100 TB the manifest is ~10^5 rows for ~10^11 data rows —
+    the audit costs nothing next to the scan it prices. Same
+    metadata-grain discipline as layout_zonemap_skip/prune_audit."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    base = li.select(
+        "l_orderkey",
+        F.expr(f"unix_micros(l_shipdate) div {_US_PER_DAY}").alias("ship_day"),
+    )
+    layouts = base.select(
+        F.lit("natural").alias("layout"),
+        F.expr(f"l_orderkey div {_ZM_ROWGROUP_ORDERS}").alias("rg"),
+        "ship_day",
+    ).unionAll(
+        base.select(
+            F.lit("ship_week").alias("layout"),
+            F.expr("ship_day div 7").alias("rg"),
+            "ship_day",
+        )
+    )
+    zones = layouts.groupBy("layout", "rg").agg(
+        F.min("ship_day").alias("day_min"),
+        F.max("ship_day").alias("day_max"),
+    )
+    events = (
+        zones.select("layout", F.col("day_min").alias("boundary"), F.lit(1).alias("delta"))
+        .unionAll(
+            zones.select(
+                "layout",
+                (F.col("day_max") + 1).alias("boundary"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .groupBy("layout", "boundary")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+    )
+    w_run = (
+        Window.partitionBy("layout")
+        .orderBy("boundary")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy("layout").orderBy("boundary")
+    profile = events.select(
+        "layout",
+        "boundary",
+        F.sum("delta").over(w_run).cast("long").alias("depth"),
+        F.coalesce(
+            F.lead("boundary").over(w_lead) - F.col("boundary"), F.lit(0)
+        )
+        .cast("long")
+        .alias("seg_days"),
+    )
+    n_groups = zones.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_groups")
+    )
+    return (
+        profile.groupBy("layout")
+        .agg(
+            F.count("*").cast("long").alias("n_boundaries"),
+            F.max("depth").cast("long").alias("max_depth"),
+            F.expr(
+                "CAST(sum(depth * seg_days) * 1000 DIV sum(seg_days)"
+                " AS BIGINT)"
+            ).alias("avg_depth_permille"),
+            F.sum("seg_days").cast("long").alias("span_days"),
+        )
+        .join(F.broadcast(n_groups), "layout")
+        .select(
+            "layout",
+            "n_boundaries",
+            "n_groups",
+            "max_depth",
+            "avg_depth_permille",
+            "span_days",
+        )
+    )

@@ -3291,6 +3291,7 @@ def ev_dtw_pairs(spark, sf_dir):
 
 
 _US_PER_DAY = 86_400_000_000
+_US_PER_HOUR = 3_600_000_000
 _SESSION_GAP_US = 1_800_000_000  # 30-minute inactivity gap
 
 
@@ -3694,4 +3695,142 @@ def ev_multitouch_attribution(spark, sf_dir):
         F.count("*").cast("long").alias("n_touches"),
         F.countDistinct("p_id").cast("long").alias("n_purchases_touched"),
         F.sum("credit").cast("long").alias("credit_permille_total"),
+    )
+
+
+# Kaplan-Meier (round 7): churn rule — a user whose LAST event is more
+# than _KM_QUIET_HOURS hours before the global max hour has churned (observed
+# "death" at duration = last_hr - first_hr); later users are
+# right-censored at the cutoff. Standard KM bookkeeping: at each
+# distinct churn duration t, n_risk counts every user (churned or
+# censored) whose duration >= t; censored-at-t users are AT RISK at t
+# but never a death.
+_KM_QUIET_HOURS = 12
+
+
+@q(
+    "ev_kaplan_meier",
+    f"""
+    WITH spans AS (
+      SELECT user_id,
+             min(epoch_us(ts) // {_US_PER_HOUR}) AS first_hr,
+             max(epoch_us(ts) // {_US_PER_HOUR}) AS last_hr
+      FROM events GROUP BY user_id
+    ), horizon AS (
+      SELECT max(last_hr) AS m FROM spans
+    ), users AS (
+      SELECT s.last_hr - s.first_hr AS dur,
+             CASE WHEN s.last_hr <= h.m - {_KM_QUIET_HOURS}
+                  THEN 1 ELSE 0 END AS churned
+      FROM spans s CROSS JOIN horizon h
+    ), durs AS (
+      SELECT dur,
+             CAST(sum(churned) AS BIGINT) AS n_churn,
+             CAST(sum(1 - churned) AS BIGINT) AS n_censored
+      FROM users GROUP BY dur
+    ), risk AS (
+      SELECT dur, n_churn, n_censored,
+             CAST(sum(n_churn + n_censored) OVER (ORDER BY dur DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+      FROM durs
+    ), steps AS (
+      SELECT dur, n_risk, n_churn, n_censored,
+             CASE WHEN n_churn < n_risk
+                  THEN CAST(round(ln((n_risk - n_churn) * 1.0 / n_risk)
+                                  * 1000000) AS BIGINT)
+                  ELSE 0 END AS step_micro,
+             n_churn = n_risk AS at_zero
+      FROM risk WHERE n_churn > 0
+    )
+    SELECT CAST(dur AS BIGINT) AS dur_hours, n_risk, n_churn, n_censored,
+           CASE WHEN at_zero THEN NULL
+                ELSE CAST(sum(step_micro) OVER (ORDER BY dur
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) END
+               AS survival_micro_nats,
+           at_zero
+    FROM steps
+    """,
+)
+def ev_kaplan_meier(spark, sf_dir):
+    """KAPLAN-MEIER survival curve over user lifetimes — the retention
+    analysis beyond the cohort matrix: at each distinct churn duration
+    t (HOURS between a user's first and last event — hour grain so
+    the fixed quiet-window censoring rule bites on the ~month fixture
+    span), the at-risk count
+    n_t (every user, churned or censored, lasting >= t), the deaths
+    d_t, and the product-limit survival S(t) = prod(1 - d_i/n_i)
+    carried in the exact integer ln-lattice (micro-nats, the BM25/
+    entropy discipline: each step's ln rounds to 1e-6 BEFORE the
+    cumulative sum, so engines agree bit-exactly and the product never
+    underflows). Censoring is the fixed quiet-window rule; a terminal
+    step where everyone dies (n = d) reports survival NULL with the
+    at_zero certificate instead of ln(0).
+
+    Scale shape: one event scan -> user-grain aggregate (keyed
+    shuffle), then everything runs at DISTINCT-DURATION grain, bounded
+    by the calendar span (<= ~10^4 rows at ANY data scale) — the two
+    unpartitioned windows (suffix at-risk sum, prefix ln sum) ride
+    that dimension grain, same survivor class as agg_skyline_pareto;
+    the horizon is a 1-row broadcast. Nothing data-grain crosses a
+    single partition."""
+    (ev,) = _t(spark, sf_dir, "events")
+    hr = F.expr(f"unix_micros(ts) div {_US_PER_HOUR}")
+    spans = ev.groupBy("user_id").agg(
+        F.min(hr).alias("first_hr"), F.max(hr).alias("last_hr")
+    )
+    horizon = spans.agg(F.max("last_hr").alias("m"))
+    users = spans.crossJoin(F.broadcast(horizon)).select(
+        (F.col("last_hr") - F.col("first_hr")).alias("dur"),
+        F.when(
+            F.col("last_hr") <= F.col("m") - _KM_QUIET_HOURS, 1
+        ).otherwise(0).alias("churned"),
+    )
+    durs = users.groupBy("dur").agg(
+        F.sum("churned").cast("long").alias("n_churn"),
+        F.sum(1 - F.col("churned")).cast("long").alias("n_censored"),
+    )
+    w_suffix = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = durs.select(
+        "dur",
+        "n_churn",
+        "n_censored",
+        F.sum(F.col("n_churn") + F.col("n_censored"))
+        .over(w_suffix)
+        .cast("long")
+        .alias("n_risk"),
+    )
+    steps = risk.where(F.col("n_churn") > 0).select(
+        "dur",
+        "n_risk",
+        "n_churn",
+        "n_censored",
+        F.when(
+            F.col("n_churn") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("n_churn"))
+                    * 1.0
+                    / F.col("n_risk")
+                )
+                * 1000000
+            ).cast("long"),
+        )
+        .otherwise(0)
+        .alias("step_micro"),
+        (F.col("n_churn") == F.col("n_risk")).alias("at_zero"),
+    )
+    w_prefix = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return steps.select(
+        F.col("dur").cast("long").alias("dur_hours"),
+        "n_risk",
+        "n_churn",
+        "n_censored",
+        F.when(F.col("at_zero"), F.lit(None).cast("long"))
+        .otherwise(F.sum("step_micro").over(w_prefix).cast("long"))
+        .alias("survival_micro_nats"),
+        "at_zero",
     )
