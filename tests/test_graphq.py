@@ -467,3 +467,55 @@ def test_ktruss_converged_and_supports_internal(spark):
         # the certificate travels with the entry (VERDICT r6 item 5):
         # every row attests e_T == e_{T-1} inside the query itself
         assert r["converged"] is True
+
+
+def test_hits_replica_and_normalization_law(spark):
+    """graph_hits_scores vs a pure-python replica of the integer
+    micro-lattice HITS iteration over the same bipartite edge set;
+    plus the lattice law: after each half-step the max score is
+    exactly 1_000_000 and every score is in (0, 1_000_000]."""
+    from collections import defaultdict
+
+    from xova_spark.queries.graphq import (
+        HITS_ROUNDS,
+        HITS_TOPK,
+        graph_hits_scores,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = [r.asDict() for r in graph_hits_scores(spark, sf).collect()]
+    assert len(out) == 2 * HITS_TOPK
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    edges = {
+        (r["o_custkey"], r["l_partkey"])
+        for r in orders.join(
+            li, orders.o_orderkey == li.l_orderkey
+        ).select("o_custkey", "l_partkey").distinct().collect()
+    }
+
+    def norm(d):
+        mx = max(d.values())
+        return {k: v * 1_000_000 // mx for k, v in d.items()}
+
+    h = None
+    a = None
+    for r in range(HITS_ROUNDS):
+        a = defaultdict(int)
+        for c, p in edges:
+            a[p] += 1_000_000 if h is None else h[c]
+        a = norm(a)
+        assert max(a.values()) == 1_000_000
+        h = defaultdict(int)
+        for c, p in edges:
+            h[c] += a[p]
+        h = norm(h)
+        assert max(h.values()) == 1_000_000
+    want_a = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOPK]
+    want_h = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOPK]
+    got_a = {r["node_id"]: r["score_micro"] for r in out if r["kind"] == "authority"}
+    got_h = {r["node_id"]: r["score_micro"] for r in out if r["kind"] == "hub"}
+    assert got_a == dict(want_a)
+    assert got_h == dict(want_h)
+    assert all(0 < s <= 1_000_000 for s in got_a.values())
+    assert all(0 < s <= 1_000_000 for s in got_h.values())

@@ -296,6 +296,7 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "geo_radius_pairs_fine": {"kinds": ("range_spine",), "max_segments": 1},
     "graph_clustering_coefficient": {"kinds": ("one_row_agg",), "max_segments": 1},
     "graph_ktruss_edges": {"kinds": ("one_row_agg",), "max_segments": 2},
+    "graph_hits_scores": {"kinds": ("one_row_agg",), "max_segments": 22},
     "layout_zonemap_prune_audit": {"kinds": ("model_rdd",), "max_segments": 1},
     "layout_zorder_cells": {"kinds": ("one_row_agg",), "max_segments": 1},
     "mm_phash_hamming_topk": {"kinds": ("key_filter",), "max_segments": 1},

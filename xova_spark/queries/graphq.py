@@ -1396,3 +1396,154 @@ def graph_ktruss_edges(spark, sf_dir):
         .select("pa", "pb", F.col("s").alias("truss_support"))
         .crossJoin(F.broadcast(cert))
     )
+
+
+# HITS (round 7): hubs/authorities on the customer -> part bipartite
+# purchase graph, HITS_ROUNDS synchronous rounds in the exact integer
+# micro-lattice — after each half-step scores renormalize to
+# score * 1e6 DIV max(score), so both engines carry identical BIGINTs
+# (dividends nonnegative: Spark's truncating DIV == DuckDB's floor //).
+HITS_ROUNDS = 2
+HITS_TOPK = 20
+
+
+def _hits_sql() -> str:
+    body = ["""edges AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )"""]
+    prev_h = None  # None means h0 == 1e6 for every customer
+    for r in range(1, HITS_ROUNDS + 1):
+        if prev_h is None:
+            body.append(f""", a{r} AS MATERIALIZED (
+      SELECT p, CAST(count(*) AS BIGINT) * 1000000 AS s
+      FROM edges GROUP BY p
+    )""")
+        else:
+            body.append(f""", a{r} AS MATERIALIZED (
+      SELECT e.p, CAST(sum(h.s) AS BIGINT) AS s
+      FROM edges e JOIN {prev_h} h ON h.c = e.c GROUP BY e.p
+    )""")
+        body.append(f""", a{r}n AS MATERIALIZED (
+      SELECT p, CAST(s * 1000000 // (SELECT max(s) FROM a{r}) AS BIGINT) AS s
+      FROM a{r}
+    )""")
+        body.append(f""", h{r} AS MATERIALIZED (
+      SELECT e.c, CAST(sum(a.s) AS BIGINT) AS s
+      FROM edges e JOIN a{r}n a ON a.p = e.p GROUP BY e.c
+    )""")
+        body.append(f""", h{r}n AS MATERIALIZED (
+      SELECT c, CAST(s * 1000000 // (SELECT max(s) FROM h{r}) AS BIGINT) AS s
+      FROM h{r}
+    )""")
+        prev_h = f"h{r}n"
+    last = HITS_ROUNDS
+    return (
+        "WITH "
+        + "".join(body)
+        + f"""
+    (SELECT 'authority' AS kind, CAST(p AS BIGINT) AS node_id,
+            s AS score_micro
+     FROM a{last}n ORDER BY s DESC, p LIMIT {HITS_TOPK})
+    UNION ALL
+    (SELECT 'hub' AS kind, CAST(c AS BIGINT) AS node_id, s AS score_micro
+     FROM h{last}n ORDER BY s DESC, c LIMIT {HITS_TOPK})
+    """
+    )
+
+
+@q("graph_hits_scores", _hits_sql())
+def graph_hits_scores(spark, sf_dir):
+    """HITS hubs & authorities on the bipartite purchase graph
+    (customer -> part): mutually recursive importance — a part is
+    authoritative when broad-basket customers buy it, a customer is a
+    hub when they buy authoritative parts. {HITS_ROUNDS} synchronous
+    rounds from h0 = 1 (so round 1's authority is weighted degree),
+    each half-step max-renormalized in the integer micro-lattice
+    (score * 1e6 DIV max — nonnegative dividends, so Spark DIV and
+    DuckDB // agree), output the top-{HITS_TOPK} of each side with a
+    total-order tiebreak. The companion to graph_pagerank on the
+    DIRECTED bipartite view of the same purchase data.
+
+    Scale shape: per half-step ONE keyed equi-join (edges x scores,
+    both shuffle-partitioned on the join key) + ONE keyed aggregate —
+    never a matrix materialization; the max is a 1-row broadcast; the
+    edge list is pinned once (sharedframes) because every round
+    references it, the k-truss discipline (graphq.py:1363). Iteration
+    count is fixed and small — HITS converges geometrically and the
+    lattice keeps every round exact."""
+    from xova_spark.sharedframes import shared as _shared
+
+    def _build_edges():
+        t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+        return (
+            t["orders"]
+            .select(F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("c"))
+            .join(
+                t["lineitem"].select(
+                    F.col("l_orderkey").alias("ok"),
+                    F.col("l_partkey").alias("p"),
+                ),
+                "ok",
+            )
+            .select("c", "p")
+            .distinct()
+        )
+
+    edges = _shared(spark, ("hits_edges", sf_dir), _build_edges)
+
+    from xova_spark.sharedframes import pin
+
+    def _norm(df, key):
+        # pinned: the normalized frame is referenced by the next
+        # half-step AND (for the last round) the top-k readout; without
+        # the pin each consumer re-embeds the whole upstream chain and
+        # the plan re-expands per round (the k-truss lesson).
+        mx = df.agg(F.max("s").alias("mx"))
+        return pin(
+            df.crossJoin(F.broadcast(mx))
+            .select(
+                key, F.expr("CAST(s * 1000000 div mx AS BIGINT)").alias("s")
+            )
+            .persist()
+        )
+
+    h = None
+    a = None
+    for r in range(1, HITS_ROUNDS + 1):
+        if h is None:
+            a = edges.groupBy("p").agg(
+                (F.count("*") * 1000000).cast("long").alias("s")
+            )
+        else:
+            a = (
+                edges.join(h, "c")
+                .groupBy("p")
+                .agg(F.sum("s").cast("long").alias("s"))
+            )
+        a = _norm(a, "p")
+        h = (
+            edges.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum("s").cast("long").alias("s"))
+        )
+        h = _norm(h, "c")
+    top_a = (
+        a.orderBy(F.desc("s"), "p")
+        .limit(HITS_TOPK)
+        .select(
+            F.lit("authority").alias("kind"),
+            F.col("p").cast("long").alias("node_id"),
+            F.col("s").alias("score_micro"),
+        )
+    )
+    top_h = (
+        h.orderBy(F.desc("s"), "c")
+        .limit(HITS_TOPK)
+        .select(
+            F.lit("hub").alias("kind"),
+            F.col("c").cast("long").alias("node_id"),
+            F.col("s").alias("score_micro"),
+        )
+    )
+    return top_a.unionAll(top_h)
