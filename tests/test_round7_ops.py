@@ -1,0 +1,70 @@
+"""Round-7 operator laws: trigram stupid-backoff replica (all three
+branches), plus structural laws the oracle hash can't see."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F  # noqa: F401 (fixture style)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_trigram_backoff_replica_all_branches(spark):
+    """t_trigram_backoff_score vs a pure-python stupid-backoff replica
+    over the same train/eval split; at sf0.01 every branch (trigram
+    hit, bigram backoff, unigram backoff) must fire."""
+    from xova_spark.queries.textops import (
+        _TRIGRAM_EVAL_MOD,
+        t_trigram_backoff_score,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = {r["doc_id"]: r.asDict() for r in
+           t_trigram_backoff_score(spark, sf).collect()}
+    assert out
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    c3: Counter = Counter()
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    n_tot = 0
+    for d, ws in docs.items():
+        if d % _TRIGRAM_EVAL_MOD == 0:
+            continue
+        n_tot += len(ws)
+        c1.update(ws)
+        c2.update(zip(ws, ws[1:]))
+        c3.update(zip(ws, ws[1:], ws[2:]))
+    any_b1 = any_b2 = any_hit = False
+    for d, ws in docs.items():
+        if d % _TRIGRAM_EVAL_MOD != 0 or len(ws) < 3:
+            continue
+        s = 0
+        nb1 = nb2 = n = 0
+        for w1, w2, w3 in zip(ws, ws[1:], ws[2:]):
+            n += 1
+            if c3[(w1, w2, w3)] > 0:
+                p = c3[(w1, w2, w3)] / c2[(w1, w2)]
+                any_hit = True
+            elif c2[(w2, w3)] > 0:
+                p = 0.4 * (c2[(w2, w3)] / c1[w2])
+                nb1 += 1
+                any_b1 = True
+            else:
+                p = 0.16 * (c1[w3] / n_tot)
+                nb2 += 1
+                any_b2 = True
+            # engines round ties AWAY from zero (Spark HALF_UP, DuckDB
+            # away-on-double); python round() is half-even — match the
+            # engines, not python
+            s += int(p * 1_000_000 + 0.5)
+        r = out[d]
+        assert r["n_trigrams"] == n
+        assert r["n_backoff_bigram"] == nb1
+        assert r["n_backoff_unigram"] == nb2
+        assert r["score_micro_sum"] == s
+        assert r["avg_p_micro"] == s // n
+    assert any_hit and any_b1 and any_b2

@@ -307,6 +307,7 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "t_heaps_law_fit": {"kinds": ("one_row_agg",), "max_segments": 1},
     "t_importance_weights": {"kinds": ("one_row_agg",), "max_segments": 2},
     "t_quality_pr_curve": {"kinds": ("one_row_agg",), "max_segments": 1},
+    "t_trigram_backoff_score": {"kinds": ("one_row_agg",), "max_segments": 1},
     "tpch_q11_important": {"kinds": ("one_row_agg",), "max_segments": 1},
     "tpch_q22_antijoin": {"kinds": ("one_row_agg",), "max_segments": 1},
 }

@@ -3445,3 +3445,196 @@ def t_source_lang_entropy(spark, sf_dir):
             "CAST(wsum DIV n_docs AS BIGINT) AS entropy_micro",
         )
     )
+
+
+# Trigram stupid-backoff (round 7): the LM trains on the TRAIN split
+# (doc_id % 5 != 0) and scores the EVAL split (doc_id % 5 == 0), so
+# unseen-context backoff genuinely fires — a same-corpus trigram model
+# would never back off. Backoff weight 0.4 (the classic stupid-backoff
+# constant); per-position probabilities round to integer micro-units
+# BEFORE summing, so the per-doc aggregate is an exact integer in both
+# engines (no order-dependent float sum at all).
+_TRIGRAM_EVAL_MOD = 5
+
+
+@q(
+    "t_trigram_backoff_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), train AS (
+      SELECT l FROM toks WHERE doc_id % {_TRIGRAM_EVAL_MOD} <> 0
+    ), tri_train AS (
+      SELECT l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+      FROM train, generate_series(1, 400) g(i) WHERE i <= len(l) - 2
+    ), c3 AS (
+      SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n3
+      FROM tri_train GROUP BY w1, w2, w3
+    ), bi_train AS (
+      SELECT l[i] AS w1, l[i+1] AS w2
+      FROM train, generate_series(1, 400) g(i) WHERE i <= len(l) - 1
+    ), c2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
+      FROM bi_train GROUP BY w1, w2
+    ), uni AS (
+      SELECT unnest(l) AS w FROM train
+    ), c1 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n1 FROM uni GROUP BY w
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM uni
+    ), tri_eval AS (
+      SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+      FROM toks, generate_series(1, 400) g(i)
+      WHERE doc_id % {_TRIGRAM_EVAL_MOD} = 0 AND i <= len(l) - 2
+    ), scored AS (
+      SELECT e.doc_id,
+             CASE
+               WHEN coalesce(t3.n3, 0) > 0 THEN 0
+               WHEN coalesce(b23.n2, 0) > 0 THEN 1
+               ELSE 2 END AS backoff_level,
+             CAST(round(CASE
+               WHEN coalesce(t3.n3, 0) > 0
+                 THEN t3.n3 * 1.0 / ctx.n2
+               WHEN coalesce(b23.n2, 0) > 0
+                 THEN 0.4 * (b23.n2 * 1.0 / u2.n1)
+               ELSE 0.16 * (coalesce(u3.n1, 0) * 1.0 / tot.n)
+             END * 1000000) AS BIGINT) AS p_micro
+      FROM tri_eval e
+      LEFT JOIN c3 t3 ON t3.w1 = e.w1 AND t3.w2 = e.w2 AND t3.w3 = e.w3
+      LEFT JOIN c2 ctx ON ctx.w1 = e.w1 AND ctx.w2 = e.w2
+      LEFT JOIN c2 b23 ON b23.w1 = e.w2 AND b23.w2 = e.w3
+      LEFT JOIN c1 u2 ON u2.w = e.w2
+      LEFT JOIN c1 u3 ON u3.w = e.w3
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN backoff_level = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_backoff_bigram,
+           CAST(sum(CASE WHEN backoff_level = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_backoff_unigram,
+           CAST(sum(p_micro) AS BIGINT) AS score_micro_sum,
+           CAST(sum(p_micro) // count(*) AS BIGINT) AS avg_p_micro
+    FROM scored GROUP BY doc_id
+    """,
+)
+def t_trigram_backoff_score(spark, sf_dir):
+    """TRIGRAM STUPID-BACKOFF scoring — the KenLM-style quality gate
+    one order above t_bigram_lm_score, with a REAL train/eval split so
+    the backoff chain actually executes: p(w3|w1 w2) = c3/c2 when the
+    trigram was seen in training, else 0.4 * c(w2 w3)/c(w2), else
+    0.4^2 * c(w3)/N (unseen words score 0). Each position's probability
+    is latticed to integer micro-units BEFORE the per-doc sum, so the
+    aggregate is exact integer arithmetic — no order-dependent float
+    sum survives; the per-doc backoff-level counts expose HOW a
+    document was scored (heavy unigram-backoff = out-of-domain text).
+
+    Scale shape: all model tables are vocabulary-bounded aggregates
+    (map-side partial counts); scoring is a chain of keyed equi-joins
+    (broadcast-eligible under AQE at real vocab/corpus ratios) + one
+    per-doc aggregation; the train-token total is a 1-row broadcast.
+    The train/eval split is the deterministic doc_id residue — the
+    same hash-split discipline as t_split_deterministic."""
+    (docs,) = _docs(spark, sf_dir)
+    l = "split(text, ' ')"
+    tri = (
+        "explode(zip_with(zip_with(slice({l}, 1, size({l}) - 2),"
+        " slice({l}, 2, size({l}) - 2), (x, y) -> struct(x AS w1, y AS w2)),"
+        " slice({l}, 3, size({l}) - 2),"
+        " (xy, z) -> struct(xy.w1 AS w1, xy.w2 AS w2, z AS w3))) AS t"
+    ).format(l=l)
+    train = docs.where(F.col("doc_id") % _TRIGRAM_EVAL_MOD != 0)
+    tri_train = train.selectExpr(tri).select("t.w1", "t.w2", "t.w3")
+    c3 = tri_train.groupBy("w1", "w2", "w3").agg(
+        F.count("*").cast("long").alias("n3")
+    )
+    bi_train = train.selectExpr(
+        f"explode(zip_with(slice({l}, 1, size({l}) - 1),"
+        f" slice({l}, 2, size({l}) - 1),"
+        " (x, y) -> struct(x AS w1, y AS w2))) AS b"
+    ).select("b.w1", "b.w2")
+    c2 = bi_train.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("n2")
+    )
+    uni = train.select(F.explode(F.split("text", " ")).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").cast("long").alias("n1"))
+    tot = uni.agg(F.count("*").cast("long").alias("n"))
+    tri_eval = (
+        docs.where(F.col("doc_id") % _TRIGRAM_EVAL_MOD == 0)
+        .selectExpr("doc_id", tri)
+        .select("doc_id", "t.w1", "t.w2", "t.w3")
+    )
+    e = tri_eval
+    t3 = c3.select(
+        F.col("w1").alias("a1"), F.col("w2").alias("a2"),
+        F.col("w3").alias("a3"), "n3",
+    )
+    ctx = c2.select(
+        F.col("w1").alias("b1"), F.col("w2").alias("b2"),
+        F.col("n2").alias("n2_ctx"),
+    )
+    b23 = c2.select(
+        F.col("w1").alias("d1"), F.col("w2").alias("d2"),
+        F.col("n2").alias("n2_back"),
+    )
+    u2 = c1.select(F.col("w").alias("u2w"), F.col("n1").alias("n1_w2"))
+    u3 = c1.select(F.col("w").alias("u3w"), F.col("n1").alias("n1_w3"))
+    scored = (
+        e.join(
+            t3,
+            (F.col("a1") == F.col("w1"))
+            & (F.col("a2") == F.col("w2"))
+            & (F.col("a3") == F.col("w3")),
+            "left",
+        )
+        .join(
+            ctx,
+            (F.col("b1") == F.col("w1")) & (F.col("b2") == F.col("w2")),
+            "left",
+        )
+        .join(
+            b23,
+            (F.col("d1") == F.col("w2")) & (F.col("d2") == F.col("w3")),
+            "left",
+        )
+        .join(u2, F.col("u2w") == F.col("w2"), "left")
+        .join(u3, F.col("u3w") == F.col("w3"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(F.coalesce("n3", F.lit(0)) > 0, 0)
+            .when(F.coalesce("n2_back", F.lit(0)) > 0, 1)
+            .otherwise(2)
+            .alias("backoff_level"),
+            F.round(
+                F.when(
+                    F.coalesce("n3", F.lit(0)) > 0,
+                    F.col("n3") * 1.0 / F.col("n2_ctx"),
+                )
+                .when(
+                    F.coalesce("n2_back", F.lit(0)) > 0,
+                    0.4 * (F.col("n2_back") * 1.0 / F.col("n1_w2")),
+                )
+                .otherwise(
+                    0.16
+                    * (F.coalesce("n1_w3", F.lit(0)) * 1.0 / F.col("n"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("p_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.sum(F.when(F.col("backoff_level") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_backoff_bigram"),
+        F.sum(F.when(F.col("backoff_level") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_backoff_unigram"),
+        F.sum("p_micro").cast("long").alias("score_micro_sum"),
+        F.expr("CAST(sum(p_micro) div count(*) AS BIGINT)").alias(
+            "avg_p_micro"
+        ),
+    )
