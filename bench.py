@@ -95,6 +95,14 @@ HEADLINE = (
     "agg_weighted_median",
     "ev_multitouch_attribution",
     "layout_zonemap_prune_audit",
+    # round-7 new operators: geofence ray cast (map-only), manifest
+    # clustering-depth sweep, survival curve, bipartite HITS, held-out
+    # trigram backoff scoring
+    "geo_point_in_polygon",
+    "layout_clustering_depth",
+    "ev_kaplan_meier",
+    "graph_hits_scores",
+    "t_trigram_backoff_score",
 )
 
 

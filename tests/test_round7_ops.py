@@ -68,3 +68,26 @@ def test_trigram_backoff_replica_all_branches(spark):
         assert r["score_micro_sum"] == s
         assert r["avg_p_micro"] == s // n
     assert any_hit and any_b1 and any_b2
+
+
+def test_bloom_skip_audit_laws(spark):
+    """Bloom-zone laws: the bloom can only SHRINK the min/max candidate
+    set, it never loses a true match (cand_bloom >= true_files,
+    false positives >= 0), and on the 'time' layout — where min/max
+    prunes nothing — the bloom must genuinely cut candidates for at
+    least one probe (the reason Parquet blooms exist)."""
+    from xova_spark.queries.layoutq import layout_bloom_skip_audit
+
+    rows = [
+        r.asDict()
+        for r in layout_bloom_skip_audit(spark, "/root/testdata/sf0.01").collect()
+    ]
+    assert rows
+    cut = False
+    for r in rows:
+        assert r["cand_bloom_files"] <= r["cand_minmax_files"]
+        assert r["cand_bloom_files"] >= r["true_files"]
+        assert r["bloom_false_positives"] >= 0
+        if r["layout"] == "time" and r["cand_bloom_files"] < r["cand_minmax_files"]:
+            cut = True
+    assert cut

@@ -299,6 +299,7 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "graph_hits_scores": {"kinds": ("one_row_agg",), "max_segments": 22},
     "layout_zonemap_prune_audit": {"kinds": ("model_rdd",), "max_segments": 1},
     "layout_zorder_cells": {"kinds": ("one_row_agg",), "max_segments": 1},
+    "layout_bloom_skip_audit": {"kinds": ("model_rdd",), "max_segments": 1},
     "mm_phash_hamming_topk": {"kinds": ("key_filter",), "max_segments": 1},
     "pipeline_embedding_e2e": {"kinds": ("model_rdd",), "max_segments": 4},
     "t_bigram_pmi_topk": {"kinds": ("one_row_agg",), "max_segments": 1},

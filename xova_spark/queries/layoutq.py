@@ -531,3 +531,183 @@ def layout_clustering_depth(spark, sf_dir):
             "span_days",
         )
     )
+
+
+# Bloom-zone audit (round 7): each virtual file also stores a 63-bit
+# bloom of its keys (two deterministic hash bits per key, sign bit
+# unused so BIGINT shifts agree across engines) — the Parquet
+# bloom-filter / Iceberg puffin pattern for point probes that min/max
+# zones can't prune (high-cardinality keys scattered per file).
+_BLOOM_BITS = 63
+
+
+def _bloom_mask_sql(col: str) -> str:
+    return (
+        f"((1::BIGINT << (({col} * 2654435761) % {_BLOOM_BITS}))"
+        f" | (1::BIGINT << (({col} * 40503 + 7919) % {_BLOOM_BITS})))"
+    )
+
+
+@q(
+    "layout_bloom_skip_audit",
+    f"""
+    WITH files AS (
+      SELECT 'time' AS layout,
+             CAST(datediff('month', DATE '1995-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS file_id,
+             o_custkey FROM orders
+      UNION ALL
+      SELECT 'key' AS layout,
+             CAST(o_custkey // {_ZM_KEYDIV} AS BIGINT) AS file_id,
+             o_custkey FROM orders
+    ), zone AS (
+      SELECT layout, file_id,
+             CAST(min(o_custkey) AS BIGINT) AS k_min,
+             CAST(max(o_custkey) AS BIGINT) AS k_max,
+             CAST(bit_or({_bloom_mask_sql('o_custkey')}) AS BIGINT)
+                 AS bloom
+      FROM files GROUP BY 1, 2
+    ), probes(k) AS (VALUES {_zm_probe_values()}),
+    verdicts AS (
+      SELECT z.layout, p.k,
+             CASE WHEN p.k BETWEEN z.k_min AND z.k_max
+                  THEN 1 ELSE 0 END AS mm,
+             CASE WHEN p.k BETWEEN z.k_min AND z.k_max
+                   AND (z.bloom & {_bloom_mask_sql('p.k')})
+                       = {_bloom_mask_sql('p.k')}
+                  THEN 1 ELSE 0 END AS bl
+      FROM zone z CROSS JOIN probes p
+    ), truth AS (
+      SELECT f.layout, p.k,
+             CAST(count(DISTINCT f.file_id) AS BIGINT) AS true_files
+      FROM files f JOIN probes p ON f.o_custkey = p.k
+      GROUP BY 1, 2
+    )
+    SELECT v.layout, v.k AS probe_key,
+           CAST(sum(v.mm) AS BIGINT) AS cand_minmax_files,
+           CAST(sum(v.bl) AS BIGINT) AS cand_bloom_files,
+           CAST(coalesce(any_value(t.true_files), 0) AS BIGINT)
+               AS true_files,
+           CAST(sum(v.bl) - coalesce(any_value(t.true_files), 0)
+                AS BIGINT) AS bloom_false_positives
+    FROM verdicts v
+    LEFT JOIN truth t ON t.layout = v.layout AND t.k = v.k
+    GROUP BY 1, 2
+    """,
+)
+def layout_bloom_skip_audit(spark, sf_dir):
+    """BLOOM-ZONE point-probe audit — the Parquet-bloom/Iceberg-puffin
+    companion to layout_zonemap_prune_audit: every virtual file also
+    carries a 63-bit key bloom (bit_or of two deterministic hash bits
+    per key; the sign bit stays unused so BIGINT shift semantics agree
+    across engines), and each probe is priced three ways — min/max
+    candidates, bloom-AND-min/max candidates, and ground truth. The
+    readout is WHY blooms exist: on the 'time' layout min/max prunes
+    nothing (every month file spans the key range) while the bloom
+    cuts candidates sharply; bloom_false_positives quantifies the
+    residual cost of the 2-bit/63-slot configuration exactly.
+
+    Scale shape: the bloom is ONE bit_or keyed aggregate at file grain
+    (the same metadata pass that builds the min/max zones — at 100 TB
+    this is the manifest build, not a data pass); probing is a
+    20-row broadcast dim against file-grain metadata. Integer bit
+    arithmetic end to end — no hashing libraries, no floats."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+
+    def mask(colname: str):
+        # F.shiftleft only takes a literal bit count — spell the
+        # column-valued shift in SQL
+        return F.expr(
+            f"shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(({colname} * 2654435761) % {_BLOOM_BITS} AS INT))"
+            f" | shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(({colname} * 40503 + 7919) % {_BLOOM_BITS} AS INT))"
+        )
+
+    files = orders.select(
+        F.lit("time").alias("layout"),
+        (
+            (F.year("o_orderdate") - F.lit(1995)) * 12
+            + F.month("o_orderdate")
+            - 1
+        )
+        .cast("long")
+        .alias("file_id"),
+        "o_custkey",
+    ).unionAll(
+        orders.select(
+            F.lit("key").alias("layout"),
+            F.expr(f"CAST(o_custkey div {_ZM_KEYDIV} AS BIGINT)").alias(
+                "file_id"
+            ),
+            "o_custkey",
+        )
+    )
+    zone = files.groupBy("layout", "file_id").agg(
+        F.min("o_custkey").cast("long").alias("k_min"),
+        F.max("o_custkey").cast("long").alias("k_max"),
+        F.expr(
+            f"CAST(bit_or((shiftleft(CAST(1 AS BIGINT),"
+            f" CAST((o_custkey * 2654435761) % {_BLOOM_BITS} AS INT))"
+            f" | shiftleft(CAST(1 AS BIGINT),"
+            f" CAST((o_custkey * 40503 + 7919) % {_BLOOM_BITS} AS INT))))"
+            " AS BIGINT)"
+        ).alias("bloom"),
+    )
+    probes = F.broadcast(
+        spark.createDataFrame([(int(k),) for k in _ZM_PROBES], "k long")
+    )
+    pm = mask("k")
+    verdicts = zone.crossJoin(probes).select(
+        "layout",
+        "k",
+        F.when(
+            (F.col("k") >= F.col("k_min")) & (F.col("k") <= F.col("k_max")),
+            1,
+        )
+        .otherwise(0)
+        .alias("mm"),
+        F.when(
+            (F.col("k") >= F.col("k_min"))
+            & (F.col("k") <= F.col("k_max"))
+            & (F.col("bloom").bitwiseAND(pm) == pm),
+            1,
+        )
+        .otherwise(0)
+        .alias("bl"),
+    )
+    truth = (
+        files.join(probes, files.o_custkey == F.col("k"))
+        .groupBy("layout", "k")
+        .agg(F.countDistinct("file_id").cast("long").alias("true_files"))
+        .select(
+            F.col("layout").alias("tlayout"),
+            F.col("k").alias("tk"),
+            "true_files",
+        )
+    )
+    return (
+        verdicts.groupBy("layout", "k")
+        .agg(
+            F.sum("mm").cast("long").alias("cand_minmax_files"),
+            F.sum("bl").cast("long").alias("cand_bloom_files"),
+        )
+        .join(
+            F.broadcast(truth),
+            (F.col("layout") == F.col("tlayout")) & (F.col("k") == F.col("tk")),
+            "left",
+        )
+        .select(
+            "layout",
+            F.col("k").alias("probe_key"),
+            "cand_minmax_files",
+            "cand_bloom_files",
+            F.coalesce("true_files", F.lit(0)).cast("long").alias("true_files"),
+            (
+                F.col("cand_bloom_files")
+                - F.coalesce("true_files", F.lit(0))
+            )
+            .cast("long")
+            .alias("bloom_false_positives"),
+        )
+    )
