@@ -92,6 +92,7 @@ def test_join_view_cross_term_is_exercised_and_matches_direct(spark):
         _CUST_MOVE_MOD,
         _NEW_CUT,
         _OLD_CUT,
+        _OWNER_MOVE_MOD,
         cdc_join_view_maintenance,
     )
 
@@ -124,7 +125,8 @@ def test_join_view_cross_term_is_exercised_and_matches_direct(spark):
         r[0]: (r[1], r[2])
         for r in con.execute(f"""
         WITH o_new AS (
-          SELECT o_custkey,
+          SELECT CASE WHEN o_orderkey % {_OWNER_MOVE_MOD} = 0
+                      THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                    + CASE WHEN o_orderkey % 10 = 0 THEN 500 ELSE 0 END AS p
           FROM read_parquet('{sf}/orders.parquet')

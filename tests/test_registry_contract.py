@@ -117,16 +117,19 @@ def test_priority_block_leads_the_registry():
         assert got >= minimum, (prefix, got)
     # Rotation policy (VERDICT r4 item 8 / r5 item 1): the tail slots
     # rotate through never-driver-sampled divergence candidates each
-    # round. Round 6 rotated in the full 12-name list VERDICT r5
-    # prescribed (pipeline_corpus_e2e rotated OUT per policy after its
-    # round-5 green re-check). Update this set when the slots rotate.
-    rotated_in_r6 = {
-        "er_blocked_candidates", "er_entity_clusters", "er_survivorship",
-        "er_blocking_recall", "graph_bfs_hops", "graph_sssp_cost",
-        "ev_autocorr", "ev_series_similarity", "ev_hll_mergeable_rollup",
-        "dq_benford", "t_pii_redact", "t_bm25_topk",
+    # round. Round 7 rotated in the 10 names VERDICT r6 item 4
+    # prescribed plus the two entries this round's ADVICE fixes touched
+    # (the 12 r6-green names rotated OUT per policy). Update this set
+    # when the slots rotate.
+    rotated_in_r7 = {
+        "ann_rank_agreement", "graph_ktruss_edges", "t_source_lang_entropy",
+        "agg_weighted_median", "ev_multitouch_attribution",
+        "dedup_url_canonical", "t_chunk_overlap",
+        "layout_zonemap_prune_audit", "stream_click_attribution",
+        "ev_max_drawdown", "cdc_join_view_maintenance",
+        "basket_triples_support",
     }
-    assert rotated_in_r6 <= first50, rotated_in_r6 - first50
+    assert rotated_in_r7 <= first50, rotated_in_r7 - first50
 
 
 def test_coverage_header_counts_are_in_sync():
