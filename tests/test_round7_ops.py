@@ -91,3 +91,43 @@ def test_bloom_skip_audit_laws(spark):
         if r["layout"] == "time" and r["cand_bloom_files"] < r["cand_minmax_files"]:
             cut = True
     assert cut
+
+
+def test_gini_replica_and_bounds(spark):
+    """ev_gini_coefficient vs the textbook formula in python; Gini laws:
+    0 <= G < 1000, and injecting a perfectly equal population yields
+    exactly 0."""
+    from xova_spark.queries.relext import ev_gini_coefficient
+    from xova_spark.operators.ranking import global_rank
+
+    sf = "/root/testdata/sf0.01"
+    row = ev_gini_coefficient(spark, sf).collect()[0]
+    counts = sorted(
+        (r["user_id"], r["c"])
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    xs = [c for _, c in sorted(counts, key=lambda t: (t[1], t[0]))]
+    n, s0 = len(xs), sum(xs)
+    s1 = sum(i * x for i, x in enumerate(xs, start=1))
+    want = (2000 * s1 - 1000 * (n + 1) * s0) // (n * s0)
+    assert row["n_users"] == n
+    assert row["total_events"] == s0
+    assert row["gini_permille"] == want
+    assert 0 <= row["gini_permille"] < 1000
+
+    # equal population -> exactly 0 through the same distributed path
+    eq = spark.range(64).select(
+        F.col("id").alias("user_id"), F.lit(5).cast("long").alias("x")
+    )
+    ranked = global_rank(eq, [F.col("x"), F.col("user_id")], rank_col="i",
+                         num_partitions=8)
+    g = ranked.agg(
+        F.expr(
+            "CAST((2000 * sum(i * x) - 1000 * (count(*) + 1) * sum(x))"
+            " div (count(*) * sum(x)) AS BIGINT)"
+        ).alias("g")
+    ).collect()[0]["g"]
+    assert g == 0

@@ -3834,3 +3834,51 @@ def ev_kaplan_meier(spark, sf_dir):
         .alias("survival_micro_nats"),
         "at_zero",
     )
+
+
+@q(
+    "ev_gini_coefficient",
+    """
+    WITH ux AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+      FROM ux
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(x) AS BIGINT) AS total_events,
+           CAST((2000 * sum(i * x) - 1000 * (count(*) + 1) * sum(x))
+                // (count(*) * sum(x)) AS BIGINT) AS gini_permille
+    FROM ranked
+    """,
+)
+def ev_gini_coefficient(spark, sf_dir):
+    """EXACT GINI COEFFICIENT of per-user activity — the single-number
+    inequality readout above ev_user_concentration's decile Lorenz
+    table: sort users ascending by event count (user_id tiebreak for a
+    total order), then G = (2*sum(i*x_i))/(n*sum(x)) - (n+1)/n in
+    integer permille — the dividend is provably nonnegative (zero when
+    all users are equal), so Spark's truncating DIV and DuckDB's floor
+    division agree. All integer arithmetic; no floats anywhere.
+
+    Scale shape: ONE keyed aggregate to user grain, then the exact
+    global rank comes from operators/ranking.global_rank — the two-pass
+    range-partitioned rank with NO WindowExec (a K-row per-partition
+    count collect, K = shuffle partitions), so there is no
+    single-partition sort at ANY user count; the final reduction is one
+    1-row aggregate. The oracle spells the same rank as a window
+    because DuckDB's single-node sort is fine at gate scale."""
+    from xova_spark.operators.ranking import global_rank
+
+    (ev,) = _t(spark, sf_dir, "events")
+    ux = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("x"))
+    ranked = global_rank(ux, [F.col("x"), F.col("user_id")], rank_col="i")
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("total_events"),
+        F.expr(
+            "CAST((2000 * sum(i * x) - 1000 * (count(*) + 1) * sum(x))"
+            " div (count(*) * sum(x)) AS BIGINT)"
+        ).alias("gini_permille"),
+    )
