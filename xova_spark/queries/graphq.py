@@ -1355,13 +1355,17 @@ def graph_ktruss_edges(spark, sf_dir):
     Scale shape: each round is the ordered-wedge triangle join
     (graph_triangle_count's plan — cost sum(deg^2) of the SUPPORTED
     graph, equi-joins only) plus one edge-keyed count; the per-round
-    edge set is pinned (sharedframes) because three join sides reference
+    edge set is localCheckpoint'ed because three join sides reference
     it — the DuckDB oracle needs MATERIALIZED for the same reason (an
-    inlined chain re-expands 3^rounds). Edge sets shrink monotonically,
-    so later rounds are cheaper; no driver-side state beyond the loop
-    counter."""
-    from xova_spark.sharedframes import pin
-
+    inlined chain re-expands 3^rounds). Checkpoint, not persist: a
+    persisted frame still CARRIES its logical plan, so the
+    3-references-per-round chain grows even the plan STRING
+    geometrically — on a bare default-heap driver deep into a
+    350-query gate session, rendering that string OOMed the JVM
+    (round-7 vanilla replay); truncating lineage per round is the
+    kcore_edges lesson (cache alone leaves a 3^rounds plan). Edge
+    sets shrink monotonically, so later rounds are cheaper; no
+    driver-side state beyond the loop counter."""
     e = _edges_cached(spark, sf_dir).select("pa", "pb")
     sup = None
     prev = e
@@ -1381,8 +1385,10 @@ def graph_ktruss_edges(spark, sf_dir):
         sup = sides.groupBy("pa", "pb").agg(
             F.count("*").cast("long").alias("s")
         )
-        e = pin(
-            sup.where(F.col("s") >= KTRUSS_K - 2).select("pa", "pb").persist()
+        e = (
+            sup.where(F.col("s") >= KTRUSS_K - 2)
+            .select("pa", "pb")
+            .localCheckpoint()
         )
     # 1-row certificate broadcast onto every edge: last-round edge
     # count == previous round's (subset + equal count = fixed point).
@@ -1492,20 +1498,21 @@ def graph_hits_scores(spark, sf_dir):
 
     edges = _shared(spark, ("hits_edges", sf_dir), _build_edges)
 
-    from xova_spark.sharedframes import pin
-
     def _norm(df, key):
-        # pinned: the normalized frame is referenced by the next
-        # half-step AND (for the last round) the top-k readout; without
-        # the pin each consumer re-embeds the whole upstream chain and
-        # the plan re-expands per round (the k-truss lesson).
+        # localCheckpoint: the normalized frame is referenced by the
+        # next half-step AND (for the last round) the top-k readout;
+        # without lineage truncation each consumer re-embeds the whole
+        # upstream chain and even the plan STRING re-expands per round
+        # (the k-truss plan-OOM lesson — persist alone does not cut
+        # the logical plan). The frame is K-row (score grain), so the
+        # eager materialization is trivial.
         mx = df.agg(F.max("s").alias("mx"))
-        return pin(
+        return (
             df.crossJoin(F.broadcast(mx))
             .select(
                 key, F.expr("CAST(s * 1000000 div mx AS BIGINT)").alias("s")
             )
-            .persist()
+            .localCheckpoint()
         )
 
     h = None
