@@ -103,6 +103,8 @@ HEADLINE = (
     "ev_kaplan_meier",
     "graph_hits_scores",
     "t_trigram_backoff_score",
+    "layout_bloom_skip_audit",
+    "ev_gini_coefficient",
 )
 
 
