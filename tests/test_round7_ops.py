@@ -131,3 +131,49 @@ def test_gini_replica_and_bounds(spark):
         ).alias("g")
     ).collect()[0]["g"]
     assert g == 0
+
+
+def test_gini_dividend_survives_bigint_overflow(spark):
+    """Round-8 overflow fix law: a population whose Gini dividend
+    2000*sum(i*x) exceeds BIGINT range (>9.2e18) must still produce the
+    exact python-bignum answer through the production DECIMAL(38,0)
+    path. x_i = 1000*i over n=200_000 users makes 2000*sum(i*x) ~
+    5.3e21 — the pre-fix BIGINT lattice wraps (or nulls) here while
+    DuckDB's silent HUGEINT promotion stays right; the fix keeps both
+    engines on the same 128-bit lattice. (Materialising 1000*i events
+    per user is infeasible, so this exercises the production aggregate
+    expression on a pre-ranked frame exactly as ev_gini_coefficient
+    composes it.)"""
+    from xova_spark.queries.relext import ev_gini_coefficient
+    from xova_spark.operators.ranking import global_rank
+
+    n = 200_000
+
+    ux = spark.range(1, n + 1).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") * 1000).cast("long").alias("x"),
+    )
+    ranked = global_rank(ux, [F.col("x"), F.col("user_id")], rank_col="i",
+                         num_partitions=16)
+    row = ranked.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("total_events"),
+        F.expr(
+            "CAST((CAST(2000 AS DECIMAL(38,0))"
+            "        * sum(CAST(i AS DECIMAL(38,0)) * x)"
+            "      - CAST(1000 AS DECIMAL(38,0))"
+            "        * CAST(count(*) + 1 AS DECIMAL(38,0))"
+            "        * CAST(sum(x) AS DECIMAL(38,0)))"
+            " div (CAST(count(*) AS DECIMAL(38,0))"
+            "      * CAST(sum(x) AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("gini_permille"),
+    ).collect()[0]
+    s1 = sum(i * (1000 * i) for i in range(1, n + 1))
+    s0 = sum(1000 * i for i in range(1, n + 1))
+    assert 2000 * s1 > 2**63 - 1  # the scenario genuinely overflows BIGINT
+    want = (2000 * s1 - 1000 * (n + 1) * s0) // (n * s0)
+    assert row["gini_permille"] == want
+    assert row["n_users"] == n and row["total_events"] == s0
+    # and the production query function itself still runs green on real
+    # data (regression guard that the DECIMAL rewrite kept the wiring)
+    assert ev_gini_coefficient(spark, SF).collect()[0]["gini_permille"] >= 0

@@ -3848,8 +3848,11 @@ def ev_kaplan_meier(spark, sf_dir):
     )
     SELECT CAST(count(*) AS BIGINT) AS n_users,
            CAST(sum(x) AS BIGINT) AS total_events,
-           CAST((2000 * sum(i * x) - 1000 * (count(*) + 1) * sum(x))
-                // (count(*) * sum(x)) AS BIGINT) AS gini_permille
+           CAST((2000 * sum(CAST(i AS HUGEINT) * x)
+                 - 1000 * CAST(count(*) + 1 AS HUGEINT)
+                        * CAST(sum(x) AS HUGEINT))
+                // (CAST(count(*) AS HUGEINT) * CAST(sum(x) AS HUGEINT))
+                AS BIGINT) AS gini_permille
     FROM ranked
     """,
 )
@@ -3861,6 +3864,20 @@ def ev_gini_coefficient(spark, sf_dir):
     integer permille — the dividend is provably nonnegative (zero when
     all users are equal), so Spark's truncating DIV and DuckDB's floor
     division agree. All integer arithmetic; no floats anywhere.
+
+    128-BIT LATTICE (round-8 overflow fix): sum(i*x) is QUADRATIC in
+    user count (measured 1.6e11 at sf0.1, 1.6e13 at sf1 — ~100x per
+    10x data), so the BIGINT dividend would overflow around 10^3x sf1
+    (~1 TB of events) and the engines would then DIVERGE (DuckDB
+    silently promotes sum(BIGINT) to HUGEINT; Spark wraps or throws).
+    Both engines now run the dividend AND the n*sum(x) denominator in
+    their native 128-bit integer lattice — Spark DECIMAL(38,0), DuckDB
+    HUGEINT — casting each i*x term wide BEFORE the sum; the final
+    permille quotient (<= 1000) casts back to BIGINT so the hash gate
+    compares identically. Headroom: ~1e25 at the 100 TB row-count
+    extrapolation vs 1e38 capacity (see SCALE.md lattice-headroom
+    audit). Ref analogue: xova asserts its invariants rather than
+    assuming them (chunking.py:287-289).
 
     Scale shape: ONE keyed aggregate to user grain, then the exact
     global rank comes from operators/ranking.global_rank — the two-pass
@@ -3878,7 +3895,12 @@ def ev_gini_coefficient(spark, sf_dir):
         F.count("*").cast("long").alias("n_users"),
         F.sum("x").cast("long").alias("total_events"),
         F.expr(
-            "CAST((2000 * sum(i * x) - 1000 * (count(*) + 1) * sum(x))"
-            " div (count(*) * sum(x)) AS BIGINT)"
+            "CAST((CAST(2000 AS DECIMAL(38,0))"
+            "        * sum(CAST(i AS DECIMAL(38,0)) * x)"
+            "      - CAST(1000 AS DECIMAL(38,0))"
+            "        * CAST(count(*) + 1 AS DECIMAL(38,0))"
+            "        * CAST(sum(x) AS DECIMAL(38,0)))"
+            " div (CAST(count(*) AS DECIMAL(38,0))"
+            "      * CAST(sum(x) AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("gini_permille"),
     )
