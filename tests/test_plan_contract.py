@@ -174,4 +174,6 @@ def test_land_time_hook_catches_unlisted_bnlj(spark):
     lone = spark.read.parquet(f"{SF}/region.parquet")
     bad = docs.crossJoin(F.broadcast(lone))
     probs = plan_contract_violations("some_new_entry", bad)
-    assert probs and "BNLJ" in probs[0] or "BroadcastNestedLoopJoin" in probs[0]
+    assert probs and (
+        "BNLJ" in probs[0] or "BroadcastNestedLoopJoin" in probs[0]
+    )

@@ -43,6 +43,7 @@ DECLARED survivors (legitimate, do not "fix"):
   tests/test_plan_contract.py (including a red-path injection test).
 
 Usage: python tools/plan_audit.py [sf_dir] [--only NAME ...] [--since GITREF]
+(put sf_dir BEFORE --only; a path-shaped --only value errors loudly)
 
 Fast paths (VERDICT r6 item 7 — the full sweep is ~25 min at 348
 entries, which is why a late-landing entry once shipped unchecked):
@@ -93,20 +94,43 @@ SHARED_PREFIXES = (
 )
 
 
-def _select_entries(qs: dict, argv: list[str]) -> dict:
+def parse_args(argv: list[str]):
+    """argparse-based CLI (ADVICE r7: the old hand parser collected ALL
+    args after --since/--only into flag values, silently dropping a
+    positional sf_dir that followed a flag and auditing the default
+    tier instead). --only is greedy, so an sf_dir must come FIRST when
+    combined with it — a path-shaped name is rejected loudly rather
+    than mis-audited."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    p.add_argument("--only", nargs="+", metavar="NAME")
+    p.add_argument("--since", metavar="GITREF")
+    args = p.parse_args(argv)
+    for n in args.only or ():
+        if "/" in n:
+            p.error(
+                f"--only consumed path-like arg {n!r}; put the sf_dir "
+                "BEFORE --only (e.g. plan_audit.py SF_DIR --only a b)"
+            )
+    return args
+
+
+def _select_entries(qs: dict, args) -> dict:
     """Apply --only / --since selection; returns the entries to audit."""
     import inspect
     import os
     import subprocess
 
-    if "--only" in argv:
-        names = set(argv[argv.index("--only") + 1 :])
+    if args.only:
+        names = set(args.only)
         unknown = names - set(qs)
         if unknown:
             raise SystemExit(f"--only: unknown entries {sorted(unknown)}")
         return {n: f for n, f in qs.items() if n in names}
-    if "--since" in argv:
-        ref = argv[argv.index("--since") + 1]
+    if args.since:
+        ref = args.since
         changed = subprocess.run(
             ["git", "diff", "--name-only", ref, "--", "."],
             capture_output=True,
@@ -140,15 +164,9 @@ def main() -> int:
 
     import inspect
 
-    argv = sys.argv[1:]
-    pos = [a for a in argv if not a.startswith("--")]
-    flag_vals = set()
-    for flg in ("--only", "--since"):
-        if flg in argv:
-            flag_vals.update(argv[argv.index(flg) + 1 :])
-    pos = [a for a in pos if a not in flag_vals]
-    sf_dir = pos[0] if pos else "/root/testdata/sf0.001"
-    entries = _select_entries(entrymod.queries(), argv)
+    args = parse_args(sys.argv[1:])
+    sf_dir = args.sf_dir
+    entries = _select_entries(entrymod.queries(), args)
     spark = get_spark("plan-audit")
     hits: dict[str, list[str]] = {p: [] for p in PATTERNS}
     errors: list[tuple[str, str]] = []

@@ -231,8 +231,13 @@ BNLJ_KIND_PATTERNS: dict[str, str] = {
     # top-k frame below the exchange
     "limit": r"(TakeOrderedAndProject\(limit=\d+|GlobalLimit)",
     # key-bounding predicate pushed into the broadcast scan
-    # (centroid id < K, query vec_id = Q)
-    "pushed_key": r"PushedFilters: \[[^\]\n]*(EqualTo|LessThan|GreaterThan|In)\(",
+    # (centroid id < K, query vec_id = Q). ADVICE r7: restricted to the
+    # KNOWN key columns — a data-grain broadcast carrying an unrelated
+    # pushed comparison no longer passes for pushed_key entries.
+    "pushed_key": (
+        r"PushedFilters: \[[^\]\n]*(EqualTo|LessThan|GreaterThan|In)"
+        r"\((cid|qid|vec_id|doc_id),"
+    ),
     # same bound applied post-scan when a UDF blocks pushdown
     "key_filter": r"Filter [^\n]*\((doc_id|vec_id|qid)#\d+L? < \d+\)",
     # tiny generated spine (3x3 neighbor offsets, day grids)
