@@ -72,7 +72,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #           graph_sssp_cost, ev_autocorr, ev_series_similarity,
 #           ev_hll_mergeable_rollup, dq_benford, t_pii_redact,
 #           t_bm25_topk) — all stay oracle-gated in GATE_LOG
-#   r8 candidates (never driver-sampled): t_blocklist_rate /
+#   r8 in:  the 11 VERDICT r7 item-3 names — the seven r7 entries
+#           (ev_gini_coefficient post-overflow-fix, graph_hits_scores,
+#           t_trigram_backoff_score, ev_kaplan_meier,
+#           layout_clustering_depth, layout_bloom_skip_audit,
+#           geo_point_in_polygon) + er_survivorship, cdc_snapshot_diff,
+#           t_decontam_overlap, mm_scene_dedup — plus ann_mmr_rerank
+#           (r8 plan-depth surgery target)
+#   r8 out: the 12 r7-green names (ann_rank_agreement,
+#           graph_ktruss_edges, t_source_lang_entropy,
+#           agg_weighted_median, ev_multitouch_attribution,
+#           dedup_url_canonical, t_chunk_overlap,
+#           layout_zonemap_prune_audit, stream_click_attribution,
+#           ev_max_drawdown, cdc_join_view_maintenance,
+#           basket_triples_support) — all stay oracle-gated in GATE_LOG
+#   r9 candidates (never driver-sampled): t_blocklist_rate /
 #           t_blocklist_spans, t_importance_weights,
 #           cdc_incremental_rollup, stream_neardup_ingest,
 #           agg_exact_median_rank, agg_skyline_pareto,
@@ -81,8 +95,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #           geo_radius_pairs_adaptive, t_quality_auc /
 #           t_quality_pr_curve (integer-DIV dialect parity),
 #           t_quality_calibration (NTILE tie semantics),
-#           ann_hybrid_rrf_topk, ann_mmr_rerank,
-#           stream_join_view_maintenance, dedup_minhash_calibration
+#           ann_hybrid_rrf_topk, stream_join_view_maintenance,
+#           dedup_minhash_calibration
 _PRIORITY: tuple[str, ...] = (
     # time_and_channel averaging core (reference averaging.py:184-260)
     "ms_tc_rows",
@@ -126,26 +140,28 @@ _PRIORITY: tuple[str, ...] = (
     "stream_bda_vis",
     "stream_session_bins",
     "stream_cdc_merge",
-    # round-7 rotation slots: the 10 never-driver-sampled cross-dialect
-    # candidates VERDICT r6 named (negative-tau integer DIV, MATERIALIZED-
-    # CTE k-truss oracle + convergence certificate, ln-lattice entropy,
-    # weighted-median crossing, permille attribution bookkeeping, regex
-    # dialect URL canonicalization, chunk-overlap arithmetic, zone-map
-    # point probes, stream-batch interval-join convergence, running-peak
-    # drawdown) + the two entries this round's ADVICE fixes touched
-    # (CDC key-churn bilinear rule; JVM-side triple expansion).
-    "ann_rank_agreement",
-    "graph_ktruss_edges",
-    "t_source_lang_entropy",
-    "agg_weighted_median",
-    "ev_multitouch_attribution",
-    "dedup_url_canonical",
-    "t_chunk_overlap",
-    "layout_zonemap_prune_audit",
-    "stream_click_attribution",
-    "ev_max_drawdown",
-    "cdc_join_view_maintenance",
-    "basket_triples_support",
+    # round-8 rotation slots (VERDICT r7 item 3): the seven round-7
+    # entries — ev_gini_coefficient AFTER its 128-bit dividend fix, the
+    # HITS keyed-join iteration, the trigram stupid-backoff LM, the
+    # Kaplan-Meier ln-lattice survival curve, the two new lakehouse
+    # audits, the division-free point-in-polygon — plus the high-risk
+    # older names the judge's replays never covered (er_survivorship's
+    # prefer-latest tie rules, cdc_snapshot_diff's full-outer NULL-safe
+    # compare, t_decontam_overlap's shingle join, mm_scene_dedup's
+    # codec-backed phash banding) and ann_mmr_rerank (this round's
+    # plan-depth surgery target — a driver row proves the rewrite).
+    "ev_gini_coefficient",
+    "graph_hits_scores",
+    "t_trigram_backoff_score",
+    "ev_kaplan_meier",
+    "layout_clustering_depth",
+    "layout_bloom_skip_audit",
+    "geo_point_in_polygon",
+    "er_survivorship",
+    "cdc_snapshot_diff",
+    "t_decontam_overlap",
+    "mm_scene_dedup",
+    "ann_mmr_rerank",
 )
 
 

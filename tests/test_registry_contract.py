@@ -117,19 +117,18 @@ def test_priority_block_leads_the_registry():
         assert got >= minimum, (prefix, got)
     # Rotation policy (VERDICT r4 item 8 / r5 item 1): the tail slots
     # rotate through never-driver-sampled divergence candidates each
-    # round. Round 7 rotated in the 10 names VERDICT r6 item 4
-    # prescribed plus the two entries this round's ADVICE fixes touched
-    # (the 12 r6-green names rotated OUT per policy). Update this set
-    # when the slots rotate.
-    rotated_in_r7 = {
-        "ann_rank_agreement", "graph_ktruss_edges", "t_source_lang_entropy",
-        "agg_weighted_median", "ev_multitouch_attribution",
-        "dedup_url_canonical", "t_chunk_overlap",
-        "layout_zonemap_prune_audit", "stream_click_attribution",
-        "ev_max_drawdown", "cdc_join_view_maintenance",
-        "basket_triples_support",
+    # round. Round 8 rotated in the 11 names VERDICT r7 item 3
+    # prescribed plus ann_mmr_rerank (r8 plan-surgery target); the 12
+    # r7-green names rotated OUT per policy. Update this set when the
+    # slots rotate.
+    rotated_in_r8 = {
+        "ev_gini_coefficient", "graph_hits_scores",
+        "t_trigram_backoff_score", "ev_kaplan_meier",
+        "layout_clustering_depth", "layout_bloom_skip_audit",
+        "geo_point_in_polygon", "er_survivorship", "cdc_snapshot_diff",
+        "t_decontam_overlap", "mm_scene_dedup", "ann_mmr_rerank",
     }
-    assert rotated_in_r7 <= first50, rotated_in_r7 - first50
+    assert rotated_in_r8 <= first50, rotated_in_r8 - first50
 
 
 def test_coverage_header_counts_are_in_sync():
