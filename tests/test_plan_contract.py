@@ -177,3 +177,34 @@ def test_land_time_hook_catches_unlisted_bnlj(spark):
     assert probs and (
         "BNLJ" in probs[0] or "BroadcastNestedLoopJoin" in probs[0]
     )
+
+
+def test_coverage_plan_contract_line_matches_allowlists():
+    """COVERAGE.md's stamped 'Plan contract:' line must agree with the
+    live plancontract allowlist sizes (VERDICT r7 item 7: ROADMAP
+    hand-claimed '60 BNLJs' while the sweep observed 59 — counter
+    claims now machine-stamp via `tools/plan_audit.py --stamp` on a
+    full sweep, and this test reds any allowlist edit that ships
+    without a restamp). Observed counts are measured artifacts of the
+    stamping sweep and are NOT re-derived here; the allowlist sizes
+    are the stampable, deterministic parts."""
+    import re
+
+    from xova_spark.plancontract import BNLJ_SURVIVORS, WINDOW_SURVIVORS
+
+    with open("/root/repo/COVERAGE.md") as f:
+        text = f.read()
+    m = re.search(
+        r"Plan contract: \*\*Expand \d+, CartesianProduct (\d+), BNLJ in"
+        r" \d+ plans \((\d+) allowlisted entries\), BatchEvalPython \d+,"
+        r" unpartitioned-window survivors \d+ \((\d+) allowlisted\)\*\*",
+        text,
+    )
+    assert m, (
+        "COVERAGE.md has no stamped Plan contract line — run"
+        " `python tools/plan_audit.py --stamp` (full sweep)"
+    )
+    n_cartesian, n_bnlj_allow, n_win_allow = map(int, m.groups())
+    assert n_cartesian == 0
+    assert n_bnlj_allow == len(BNLJ_SURVIVORS)
+    assert n_win_allow == len(WINDOW_SURVIVORS)

@@ -105,6 +105,19 @@ def test_pmi_ranks_collocations_above_chance(spark):
     for r in rows:
         assert r["c"] >= _PMI_MIN_COUNT
         assert r["pmi_ratio_permille"] > 1000, r
+    # r8 headroom law: the reported quotient is bounded by
+    # 1000*nb/c_min (because n1, n2 >= c >= c_min) — LINEAR in corpus
+    # size, the analytic bound the lattice headroom audit relies on
+    # (SCALE.md; the dividend itself is quadratic and now runs on the
+    # 128-bit lattice in both engines).
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    nb = docs.agg(
+        F.sum(F.size(F.split("text", " ")) - 1).alias("nb")
+    ).collect()[0]["nb"]
+    for r in rows:
+        assert r["pmi_ratio_permille"] <= 1000 * nb // _PMI_MIN_COUNT, r
 
 
 def test_quality_classifier_is_exact_dot_of_features(spark):

@@ -137,13 +137,17 @@ def test_quality_auc_matches_python_midrank_replica(spark):
     assert row["auc_micro"] == int(auc * 1_000_000)
 
     # contingency identity: every (pos, neg) pair is concordant,
-    # tied, or discordant
+    # tied, or discordant. Since the r8 headroom fix the raw pair
+    # counts accumulate in a 128-bit lattice and the REPORTED columns
+    # are the bounded micro-shares of the n_pos*n_neg comparable pairs.
     conc = sum(1 for p in pos for n in neg if p > n)
     tied = sum(1 for p in pos for n in neg if p == n)
-    assert (conc, tied) == (row["conc_pairs"], row["tied_pairs"])
-    assert row["auc_micro"] == (2 * conc + tied) * 1_000_000 // (
-        2 * len(pos) * len(neg)
-    )
+    np_nn = len(pos) * len(neg)
+    assert row["conc_micro"] == conc * 1_000_000 // np_nn
+    assert row["tied_micro"] == tied * 1_000_000 // np_nn
+    assert 0 <= row["conc_micro"] <= 1_000_000
+    assert 0 <= row["tied_micro"] <= 1_000_000 - row["conc_micro"]
+    assert row["auc_micro"] == (2 * conc + tied) * 1_000_000 // (2 * np_nn)
 
 
 def test_quality_calibration_decile_geometry(spark):

@@ -107,6 +107,13 @@ def parse_args(argv: list[str]):
     p.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
     p.add_argument("--only", nargs="+", metavar="NAME")
     p.add_argument("--since", metavar="GITREF")
+    p.add_argument(
+        "--stamp",
+        action="store_true",
+        help="after a FULL sweep, rewrite COVERAGE.md's 'Plan contract:'"
+        " counter line (VERDICT r7 item 7: hand-written counter claims"
+        " drifted from measured output; refused for --only/--since runs)",
+    )
     args = p.parse_args(argv)
     for n in args.only or ():
         if "/" in n:
@@ -157,6 +164,70 @@ def _select_entries(qs: dict, args) -> dict:
     return qs
 
 
+def _stamp_coverage_plan_line(hits: dict, sf_dir: str) -> None:
+    """Rewrite COVERAGE.md's canonical 'Plan contract:' counter line from
+    a fresh FULL sweep (VERDICT r7 item 7 / What's-wrong #2: ROADMAP
+    hand-claimed '60 BNLJs' while the sweep observed 59 — the same
+    staleness class as the round-5 registry-count drift, closed the same
+    way: machine-stamp, then contract-test the stampable parts).
+
+    Observed counts come from the sweep; allowlist sizes come from the
+    live plancontract module, and tests/test_plan_contract.py pins the
+    stamped allowlist sizes against the module so any edit without a
+    restamp goes red. The checkpoint caveat is recorded in the line
+    itself: a localCheckpoint-truncated plan hides upstream BNLJs from
+    the rendered plan text, so observed may trail the allowlist."""
+    import datetime
+    import os
+    import re
+
+    from xova_spark.plancontract import BNLJ_SURVIVORS, WINDOW_SURVIVORS
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M UTC"
+    )
+    new_line = (
+        "Plan contract: **Expand {e}, CartesianProduct {c}, BNLJ in {b}"
+        " plans ({ba} allowlisted entries), BatchEvalPython {p},"
+        " unpartitioned-window survivors {w} ({wa} allowlisted)**"
+        " (stamped by `tools/plan_audit.py --stamp` full sweep,"
+        " {stamp}, sf_dir={sf}; checkpoint-truncated plans hide upstream"
+        " BNLJs from plan text, so BNLJ observed may trail the allowlist"
+        " — do not edit by hand).".format(
+            e=len(hits.get("Expand", [])),
+            c=len(hits.get("CartesianProduct", [])),
+            b=len(hits.get("BroadcastNestedLoopJoin", [])),
+            ba=len(BNLJ_SURVIVORS),
+            p=len(hits.get("BatchEvalPython", [])),
+            w=len(hits.get(UNPARTITIONED_WINDOW, [])),
+            wa=len(WINDOW_SURVIVORS),
+            stamp=stamp,
+            sf=sf_dir,
+        )
+    )
+    path = os.path.join(repo, "COVERAGE.md")
+    with open(path) as f:
+        text = f.read()
+    stamped, n_sub = re.subn(
+        r"Plan contract: \*\*.*?\*\*[^\n]*", new_line, text, count=1
+    )
+    if not n_sub:
+        # first stamp: insert directly under the Registry line
+        stamped, n_sub = re.subn(
+            r"(Registry: \*\*.*?\*\*[^\n]*\n)",
+            r"\1\n" + new_line.replace("\\", "\\\\") + "\n",
+            text,
+            count=1,
+        )
+    if n_sub:
+        with open(path, "w") as f:
+            f.write(stamped)
+        print("stamped COVERAGE.md plan-contract counters")
+    else:
+        print("WARNING: could not stamp COVERAGE.md (anchor line missing)")
+
+
 def main() -> int:
     from xova_spark.session import get_spark
 
@@ -193,6 +264,11 @@ def main() -> int:
         print(f"{pat}: {len(hits.get(pat, []))}")
         for n in hits.get(pat, []):
             print(f"  {n}")
+    if args.stamp:
+        if args.only or args.since:
+            print("--stamp: refused — counters stamp only from a FULL sweep")
+        else:
+            _stamp_coverage_plan_line(hits, sf_dir)
     if violations:
         print(f"SURVIVOR CONTRACT VIOLATIONS: {len(violations)}")
         for v in violations:

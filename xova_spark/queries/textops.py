@@ -2161,9 +2161,13 @@ _PMI_TOPK = 20
     ), n AS (
       SELECT count(*) AS nb FROM bi
     ), scored AS (
+      -- 128-bit lattice (r8 headroom audit): c*nb*1000 is quadratic in
+      -- corpus size (both factors linear) and n1*n2 likewise — HUGEINT
+      -- here, DECIMAL(38,0) on the Spark side; the QUOTIENT is bounded
+      -- by 1000*nb/c_min (n1,n2 >= c >= c_min), linear, BIGINT-safe
       SELECT cxy.w1, cxy.w2, cxy.c,
-             cxy.c * (SELECT nb FROM n) * 1000
-                 // (cx.n1 * cy.n2) AS pmi_ratio_permille
+             CAST(cxy.c AS HUGEINT) * (SELECT nb FROM n) * 1000
+                 // (CAST(cx.n1 AS HUGEINT) * cy.n2) AS pmi_ratio_permille
       FROM cxy
       JOIN cx ON cx.word = cxy.w1
       JOIN cy ON cy.word = cxy.w2
@@ -2222,7 +2226,13 @@ def t_bigram_pmi_topk(spark, sf_dir):
             "w1",
             "w2",
             "c",
-            F.expr("c * nb * 1000 div (n1 * n2)").alias("pmi_ratio_permille"),
+            # 128-bit dividend/divisor (r8 headroom audit — the gini
+            # class): c*nb*1000 and n1*n2 are both quadratic in corpus
+            # size; the quotient (<= 1000*nb/c_min) stays BIGINT-safe
+            F.expr(
+                "CAST(CAST(c AS DECIMAL(38,0)) * nb * 1000"
+                " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+            ).alias("pmi_ratio_permille"),
         )
     )
     # Top-k via orderBy+limit (TakeOrderedAndProject — distributed
@@ -3131,15 +3141,24 @@ def _qc_scored(spark, sf_dir):
                  AS BIGINT) AS cn
       FROM g
     ), t AS (
+      -- 128-bit pair-count lattice (r8 headroom audit): conc/tied are
+      -- sums of pos*cumneg products, quadratic in document count —
+      -- BIGINT holds them only to ~3e9 docs/class. HUGEINT here,
+      -- DECIMAL(38,0) on the Spark side; the REPORTED columns are the
+      -- bounded micro-shares of comparable pairs (<= 1e6 always).
       SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
              CAST(sum(neg) AS BIGINT) AS n_neg,
-             CAST(sum(pos * cn) AS BIGINT) AS conc_pairs,
-             CAST(sum(pos * neg) AS BIGINT) AS tied_pairs
+             sum(CAST(pos AS HUGEINT) * cn) AS conc_h,
+             sum(CAST(pos AS HUGEINT) * neg) AS tied_h
       FROM c
     )
-    SELECT n_pos, n_neg, conc_pairs, tied_pairs,
-           CAST((2 * conc_pairs + tied_pairs) * 1000000
-                // (2 * n_pos * n_neg) AS BIGINT) AS auc_micro
+    SELECT n_pos, n_neg,
+           CAST(conc_h * 1000000
+                // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS conc_micro,
+           CAST(tied_h * 1000000
+                // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS tied_micro,
+           CAST((2 * conc_h + tied_h) * 1000000
+                // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_micro
     FROM t
     """,
 )
@@ -3161,9 +3180,18 @@ def t_quality_auc(spark, sf_dir):
     (size-gated: plain bounded window under 100k distinct scores, the
     two-pass range-partitioned running sum above — the same discipline
     as global_rank/global_ntile, so no data-grain unpartitioned
-    WindowExec can appear). Pair counts stay exact in BIGINT up to
-    ~3e9 documents per class; beyond that the micro-AUC needs a wider
-    lattice (documented envelope, same class as the HLL regime note).
+    WindowExec can appear).
+
+    128-BIT PAIR LATTICE (round-8 headroom audit — the gini class): the
+    raw pair counts are quadratic in document count and leave BIGINT
+    around ~3e9 docs/class, far below 100 TB. Both engines now
+    accumulate them in their native 128-bit integer type (Spark
+    DECIMAL(38,0) with each pos*cn term cast wide BEFORE the sum,
+    DuckDB HUGEINT) and the REPORTED columns are the bounded
+    micro-shares conc_micro / tied_micro (fraction of the n_pos*n_neg
+    comparable pairs, <= 1e6 at any scale) — every output column is
+    BIGINT-safe at the 100 TB extrapolation (see SCALE.md lattice
+    headroom table; the internal dividend has its own audit probe).
 
     The evaluation metric every fastText-style curation filter ships
     with (classifier-vs-rule agreement audit, compare
@@ -3184,16 +3212,21 @@ def t_quality_auc(spark, sf_dir):
         .agg(
             F.sum("pos").cast("long").alias("n_pos"),
             F.sum("neg").cast("long").alias("n_neg"),
-            F.sum(F.col("pos") * F.col("cn")).cast("long").alias("conc_pairs"),
-            F.sum(F.col("pos") * F.col("neg")).cast("long").alias("tied_pairs"),
+            F.expr("sum(CAST(pos AS DECIMAL(38,0)) * cn)").alias("conc_d"),
+            F.expr("sum(CAST(pos AS DECIMAL(38,0)) * neg)").alias("tied_d"),
         )
         .selectExpr(
             "n_pos",
             "n_neg",
-            "conc_pairs",
-            "tied_pairs",
-            "CAST((2 * conc_pairs + tied_pairs) * 1000000"
-            " DIV (2 * n_pos * n_neg) AS BIGINT) AS auc_micro",
+            "CAST(conc_d * 1000000"
+            " DIV (CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
+            " AS conc_micro",
+            "CAST(tied_d * 1000000"
+            " DIV (CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
+            " AS tied_micro",
+            "CAST((2 * conc_d + tied_d) * 1000000"
+            " DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
+            " AS auc_micro",
         )
     )
 
