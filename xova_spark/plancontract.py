@@ -296,6 +296,9 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "ev_kaplan_meier": {"kinds": ("one_row_agg",), "max_segments": 2},
     "ev_gapfill_locf": {"kinds": ("dim_agg", "range_spine",), "max_segments": 2},
     "ev_hll_mergeable_rollup": {"kinds": ("one_row_agg",), "max_segments": 2},
+    # r8 inequality siblings: user-grain rows x 1-row totals broadcast
+    "ev_theil_index": {"kinds": ("one_row_agg",), "max_segments": 1},
+    "ev_hoover_index": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ev_hourly_rollup_gapfill": {"kinds": ("dim_agg",), "max_segments": 1},
     "ev_seasonal_decompose": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ev_user_concentration": {"kinds": ("one_row_agg",), "max_segments": 1},

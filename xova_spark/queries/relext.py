@@ -3904,3 +3904,144 @@ def ev_gini_coefficient(spark, sf_dir):
             "      * CAST(sum(x) AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("gini_permille"),
     )
+
+
+@q(
+    "ev_theil_index",
+    """
+    WITH ux AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t
+      FROM ux
+    )
+    SELECT n AS n_users, t AS total_events,
+           CAST(greatest(
+                  sum(CAST(x AS HUGEINT)
+                      * CAST(round(ln(CAST(x AS DOUBLE) * n / t)
+                                   * 1000000) AS BIGINT)),
+                  0)
+                // CAST(t AS HUGEINT) AS BIGINT) AS theil_micro_nats
+    FROM ux, tot
+    GROUP BY n, t
+    """,
+)
+def ev_theil_index(spark, sf_dir):
+    """THEIL T INDEX of per-user activity — the decomposable inequality
+    scalar next to ev_gini_coefficient (Theil is additively separable
+    across subgroups, which Gini is not — the one you roll up per
+    region/cohort at 100 TB): T = sum((x_i/T_tot) * ln(x_i * n / T_tot))
+    in micro-nats. Per-row ln lands on the micro-nat lattice BEFORE the
+    sum (the BM25/entropy/Kaplan-Meier discipline — 1e-6 rounding
+    absorbs cross-engine libm ulp drift), weighted by the integer x_i.
+
+    128-bit lattice: the weighted sum of micro-nat terms is quadratic-
+    ish in user count (x_i times a ~25e6-bounded lattice value, summed
+    over n users — ~4e23 at the 100 TB extrapolation), so it
+    accumulates in Spark DECIMAL(38,0) / DuckDB HUGEINT and divides
+    down to BIGINT micro-nats (lattice_headroom audit). The exact
+    dividend is >= 0 by Jensen; per-row lattice rounding can leave a
+    few negative micro-units on a near-equal population, where floor
+    (DuckDB //) and truncate (Spark div) would diverge — both engines
+    clamp at 0 first (GREATEST), which is also the true lower bound.
+
+    Scale shape: ONE keyed aggregate to user grain, a 1-row totals
+    broadcast, one map-side ln, one final 1-row reduction — no window,
+    no data-grain join."""
+    (ev,) = _t(spark, sf_dir, "events")
+    ux = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("x"))
+    tot = ux.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("t"),
+    )
+    return (
+        ux.crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "t",
+            F.expr(
+                "CAST(x AS DECIMAL(38,0))"
+                " * CAST(round(ln(CAST(x AS DOUBLE) * n / t)"
+                "              * 1000000) AS BIGINT)"
+            ).alias("term"),
+        )
+        .groupBy("n", "t")
+        .agg(
+            F.expr(
+                "CAST(greatest(sum(term), CAST(0 AS DECIMAL(38,0)))"
+                " div CAST(max(t) AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("theil_micro_nats")
+        )
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("t").alias("total_events"),
+            "theil_micro_nats",
+        )
+    )
+
+
+@q(
+    "ev_hoover_index",
+    """
+    WITH ux AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t
+      FROM ux
+    )
+    SELECT n AS n_users, t AS total_events,
+           CAST(sum(abs(CAST(x AS HUGEINT) * n - t)) * 1000
+                // (2 * CAST(n AS HUGEINT) * t) AS BIGINT)
+               AS hoover_permille
+    FROM ux, tot
+    GROUP BY n, t
+    """,
+)
+def ev_hoover_index(spark, sf_dir):
+    """HOOVER (Robin Hood) INDEX of per-user activity — the third
+    inequality scalar beside Gini and Theil: the fraction of total
+    activity that would have to move from above-mean users to
+    below-mean users to equalize, H = sum|x_i/T - 1/n| / 2 =
+    sum|x_i*n - T| / (2*n*T), reported in integer permille. Unlike
+    Theil there is NO logarithm — the whole computation is integer
+    arithmetic end-to-end, so the hash gate carries no float at all.
+
+    128-bit lattice (the gini class, by construction this time): the
+    per-term |x_i*n - T| is linear-times-linear and the sum over users
+    adds another factor — ~2e26 at the 100 TB extrapolation — so each
+    term casts wide (Spark DECIMAL(38,0) / DuckDB HUGEINT) BEFORE the
+    sum, as does the 2*n*T denominator (~3e22); only the bounded
+    permille quotient returns to BIGINT. Dividend is nonnegative by
+    construction, so floor and truncating division agree.
+
+    Scale shape: identical to ev_theil_index — one keyed aggregate,
+    1-row broadcast, map-side |.|, 1-row reduction."""
+    (ev,) = _t(spark, sf_dir, "events")
+    ux = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("x"))
+    tot = ux.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("t"),
+    )
+    return (
+        ux.crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "t",
+            F.expr("abs(CAST(x AS DECIMAL(38,0)) * n - t)").alias("dev"),
+        )
+        .groupBy("n", "t")
+        .agg(
+            F.expr(
+                "CAST(sum(dev) * 1000"
+                " div (2 * CAST(max(n) AS DECIMAL(38,0)) * max(t))"
+                " AS BIGINT)"
+            ).alias("hoover_permille")
+        )
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("t").alias("total_events"),
+            "hoover_permille",
+        )
+    )
