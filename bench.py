@@ -105,6 +105,20 @@ HEADLINE = (
     "t_trigram_backoff_score",
     "layout_bloom_skip_audit",
     "ev_gini_coefficient",
+    # round-8: inequality siblings (one keyed agg + 1-row broadcast),
+    # statistical-testing pack (distinct-bin cumsum / contingency /
+    # jackknife blocks / double global_rank), training-data mining
+    # (brute-force corpus broadcast class), centroid silhouette
+    "ev_theil_index",
+    "ev_hoover_index",
+    "ev_ks_test",
+    "ev_mann_whitney_u",
+    "ev_spearman_rho",
+    "ev_chisq_independence",
+    "ev_jackknife_ci",
+    "ann_hard_negative_mining",
+    "ann_label_knn_accuracy",
+    "emb_silhouette_centroid",
 )
 
 

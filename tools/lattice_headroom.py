@@ -138,12 +138,129 @@ def _probe_pmi_dividend(spark, sf_dir):
     )
 
 
+def _probe_spearman_d2(spark, sf_dir):
+    """ev_spearman_rho's internal 6*sum(d^2) — CUBIC in user count (the
+    steepest dividend in the table; rank differences are ~n each and
+    there are n of them), on the production DECIMAL(38,0) lattice."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.operators.ranking import global_rank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ux = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    rx = global_rank(ux, [F.col("x"), F.col("user_id")], rank_col="rx").select(
+        "user_id", "rx"
+    )
+    ry = global_rank(ux, [F.col("y"), F.col("user_id")], rank_col="ry").select(
+        "user_id", "ry"
+    )
+    return rx.join(ry, "user_id").agg(
+        F.expr(
+            "6 * sum(CAST(rx - ry AS DECIMAL(38,0)) * (rx - ry))"
+        ).alias("probe_mag")
+    )
+
+
+def _probe_ks_dividend(spark, sf_dir):
+    """ev_ks_test's internal max|f1*n2 - f2*n1| — quadratic in row
+    count (cumulative count times opposite-sample total), compared on
+    the production DECIMAL(38,0) lattice."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.operators.ranking import global_cumsum
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    g = v.groupBy("vm").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    tot = g.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    c = global_cumsum(g, [F.col("vm").asc()], ["c1", "c2"], ["f1", "f2"])
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.expr(
+                "max(abs(CAST(f1 AS DECIMAL(38,0)) * n2"
+                "        - CAST(f2 AS DECIMAL(38,0)) * n1))"
+            ).alias("probe_mag")
+        )
+    )
+
+
+def _probe_mwu_r1_dividend(spark, sf_dir):
+    """ev_mann_whitney_u's internal doubled rank-sum 2*R1 — quadratic
+    in row count (midranks are ~N each, summed over the first sample's
+    rows), on the production DECIMAL(38,0) lattice (the reported
+    auc_micro is a bounded quotient)."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.operators.ranking import global_cumsum
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    g = v.groupBy("vm").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.count("*").cast("long").alias("ct"),
+    )
+    c = global_cumsum(g, [F.col("vm").asc()], "ct", "ct_incl")
+    return c.withColumn("cb", F.col("ct_incl") - F.col("ct")).agg(
+        F.expr("sum(CAST(ca AS DECIMAL(38,0)) * (2 * cb + ct + 1))").alias(
+            "probe_mag"
+        )
+    )
+
+
+def _probe_jackknife_block_sum(spark, sf_dir):
+    """ev_jackknife_ci's per-block permille-lattice sum s — LINEAR in
+    row count but carried in BIGINT (the entry's one 64-bit
+    accumulator; everything downstream is cast wide). Probes the
+    largest block."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.select(
+            (F.col("user_id") % 32).alias("b"),
+            F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+        .groupBy("b")
+        .agg(F.sum("vm").cast("long").alias("s"))
+        .agg(F.max("s").alias("probe_mag"))
+    )
+
+
 # name -> (probe_fn, capacity) for internal accumulators the output
 # cannot see (computed and divided away inside one expression)
 PROBES = {
     "ev_gini_coefficient__dividend": (_probe_gini_dividend, DEC38_CAP),
     "t_quality_auc__pair_dividend": (_probe_auc_pair_dividend, DEC38_CAP),
     "t_bigram_pmi_topk__dividend": (_probe_pmi_dividend, DEC38_CAP),
+    # r8 statistical-testing pack internals
+    "ev_spearman_rho__d2_dividend": (_probe_spearman_d2, DEC38_CAP),
+    "ev_ks_test__cdf_dividend": (_probe_ks_dividend, DEC38_CAP),
+    "ev_mann_whitney_u__r1_dividend": (_probe_mwu_r1_dividend, DEC38_CAP),
+    "ev_jackknife_ci__block_sum": (_probe_jackknife_block_sum, BIGINT_CAP),
 }
 
 # (entry, column) -> (analytic_alpha, justification): overrides the

@@ -136,6 +136,21 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "kind": "dim_agg",
         "marker": r"HashAggregate\(keys=\[dur#\d+",
     },
+    # KS / Mann-Whitney cumulative counts at DISTINCT-VALUE-BIN grain
+    # (permille lattice bounds bins by the VALUE RANGE — ~5e5 for this
+    # table at any row count), size-gated through global_cumsum: the
+    # bounded window runs under 100k bins, the two-pass range-
+    # partitioned running sum above (same route as t_quality_auc).
+    "ev_ks_test": {
+        "kind": "size_gate",
+        "marker": r"HashAggregate\(keys=\[vm#\d+",
+        "source": r"global_cumsum",
+    },
+    "ev_mann_whitney_u": {
+        "kind": "size_gate",
+        "marker": r"HashAggregate\(keys=\[vm#\d+",
+        "source": r"global_cumsum",
+    },
 }
 
 
@@ -258,14 +273,29 @@ BNLJ_KIND_PATTERNS: dict[str, str] = {
 BNLJ_SURVIVORS: dict[str, dict] = {
     "agg_sketch_accuracy": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ann_cosine_topk": {"kinds": ("emb_corpus",), "max_segments": 1},
+    # r8 mining pack: declared brute-force corpus broadcasts (the exact
+    # oracles; production twins ride the IVF cell join)
+    "ann_hard_negative_mining": {"kinds": ("emb_corpus",), "max_segments": 1},
+    "ann_label_knn_accuracy": {"kinds": ("emb_corpus",), "max_segments": 1},
     "ann_hybrid_rrf_topk": {"kinds": ("one_row_agg", "pushed_key",), "max_segments": 3},
     "ann_ivf_topk": {"kinds": ("pushed_key",), "max_segments": 2},
-    "ann_ivfadc_topk": {"kinds": ("pushed_key",), "max_segments": 1},
+    # pushed_key OR key_filter: the same vec_id bound appears as a
+    # parquet PushedFilter when the dyadic embedding frame is cold, or
+    # as a post-scan Filter over InMemoryTableScan when another entry
+    # in the session already pinned it (r8: the kmeans builder no
+    # longer unpersists the shared frame).
+    "ann_ivfadc_topk": {
+        "kinds": ("pushed_key", "key_filter"),
+        "max_segments": 1,
+    },
     "ann_ivfkm_pq_topk": {"kinds": ("model_rdd",), "max_segments": 2},
     "ann_ivfkm_recall_at3": {"kinds": ("emb_corpus", "model_rdd",), "max_segments": 3},
     "ann_ivfkm_topk": {"kinds": ("model_rdd",), "max_segments": 2},
     "ann_ivfpq_recall_at5": {"kinds": ("emb_corpus", "pushed_key",), "max_segments": 3},
-    "ann_ivfpq_topk": {"kinds": ("pushed_key",), "max_segments": 2},
+    "ann_ivfpq_topk": {
+        "kinds": ("pushed_key", "key_filter"),
+        "max_segments": 2,
+    },
     # r8 plan surgery: the greedy walk localCheckpoints the <= K-row
     # selected frame per step, so the executed plan no longer exposes
     # the 3x-per-step lineage blowup (was max_segments=241). The two
@@ -289,6 +319,13 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "dq_freshness": {"kinds": ("one_row_agg",), "max_segments": 2},
     "dq_histogram_drift": {"kinds": ("one_row_agg",), "max_segments": 1},
     "emb_kmeans_assign": {"kinds": ("model_rdd",), "max_segments": 1},
+    # r8: silhouette rides the same k-row trained-centroid broadcast
+    # (one crossJoin in the shared all-dists frame; the pinned artifact
+    # can re-expose it through InMemoryTableScan under AQE)
+    "emb_silhouette_centroid": {
+        "kinds": ("model_rdd", "pinned_artifact"),
+        "max_segments": 2,
+    },
     "emb_outlier_flags": {"kinds": ("model_rdd",), "max_segments": 4},
     "er_blocking_recall": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ev_active_users_rolling": {"kinds": ("dim_agg",), "max_segments": 1},
@@ -298,6 +335,13 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "ev_hll_mergeable_rollup": {"kinds": ("one_row_agg",), "max_segments": 2},
     # r8 inequality siblings: user-grain rows x 1-row totals broadcast
     "ev_theil_index": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # r8 statistical-testing pack: every BNLJ is a 1-row totals /
+    # margin-count broadcast onto a bounded-grain frame (distinct-value
+    # bins, contingency cells, 32 jackknife blocks)
+    "ev_ks_test": {"kinds": ("one_row_agg",), "max_segments": 1},
+    "ev_mann_whitney_u": {"kinds": ("one_row_agg",), "max_segments": 1},
+    "ev_chisq_independence": {"kinds": ("one_row_agg",), "max_segments": 3},
+    "ev_jackknife_ci": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ev_hoover_index": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ev_hourly_rollup_gapfill": {"kinds": ("dim_agg",), "max_segments": 1},
     "ev_seasonal_decompose": {"kinds": ("one_row_agg",), "max_segments": 1},

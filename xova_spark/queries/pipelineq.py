@@ -863,7 +863,34 @@ def _emb_dyadic(spark, sf_dir):
     )
 
 
-def _kmeans_assign_build(spark, sf_dir):
+def _kmeans_top2(spark, sf_dir):
+    """Per-vector TOP-2 centroid distances (vec_id, cid, d, rn<=2)
+    after the trained Lloyd loop — ONE shared frame serving both the
+    assignment entry (rn=1 argmin) and the silhouette entry (rn=1 vs
+    rn=2). localCheckpoint truncates the crossJoin lineage (the
+    k-truss/HITS/mmr lesson): without it every downstream consumer's
+    plan text re-prints the centroid-broadcast BNLJ through the nested
+    InMemoryRelation, doubling its plan-contract segment count; with it
+    consumers see a clean RDD scan. 2N rows — same order of
+    materialization the assignment persist already paid."""
+    return shared(
+        spark,
+        ("kmeans_top2", sf_dir),
+        lambda: _kmeans_top2_build(spark, sf_dir),
+    )
+
+
+def _kmeans_top2_build(spark, sf_dir):
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    return (
+        _kmeans_all_dists_build(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .localCheckpoint()
+    )
+
+
+def _kmeans_all_dists_build(spark, sf_dir):
     spark_ = spark
     emb = _emb_dyadic(spark_, sf_dir)
 
@@ -872,7 +899,7 @@ def _kmeans_assign_build(spark, sf_dir):
         for r in emb.filter(F.col("vec_id") < _K).collect()
     }
 
-    def assign(cent_map):
+    def dists(cent_map):
         cent_rows = [(int(cid), [float(v) for v in cv]) for cid, cv in
                      sorted(cent_map.items())]
         cdf = spark_.createDataFrame(cent_rows, "cid int, cv array<double>")
@@ -881,10 +908,14 @@ def _kmeans_assign_build(spark, sf_dir):
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        return emb.crossJoin(F.broadcast(cdf)).select(
+            "vec_id", "cid", d.alias("d")
+        )
+
+    def assign(cent_map):
         w = Window.partitionBy("vec_id").orderBy("d", "cid")
         return (
-            emb.crossJoin(F.broadcast(cdf))
-            .select("vec_id", "cid", d.alias("d"))
+            dists(cent_map)
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "cid", "d")
@@ -904,12 +935,14 @@ def _kmeans_assign_build(spark, sf_dir):
             new_cents.setdefault(row["cid"], [0.0] * _DIM)[row["dim"]] = row["v"]
         cents = new_cents
 
-    final = assign(cents)
-    emb.unpersist()
-    return final.select(
-        "vec_id",
-        F.col("cid").alias("cluster"),
-        "d",
+    return dists(cents)
+
+
+def _kmeans_assign_build(spark, sf_dir):
+    return (
+        _kmeans_top2(spark, sf_dir)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"), "d")
     )
 
 
@@ -3757,4 +3790,72 @@ def emb_outlier_flags(spark, sf_dir):
         "dist_q",
         "mean_q",
         (F.col("dist_q") > 2 * F.col("mean_q")).alias("is_outlier"),
+    )
+
+
+def _silhouette_sql() -> str:
+    return (
+        "WITH " + ", ".join(_kmeans_ctes()) + f""",
+    nn AS (
+      SELECT vec_id, cid, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM s{_ITERS}
+    ), sil AS (
+      SELECT a.vec_id, a.cid AS cluster,
+             CAST(round(CASE WHEN b.d = 0 THEN 0
+                  ELSE (1 - sqrt(a.d) / sqrt(b.d)) * 1000000 END)
+                  AS BIGINT) AS sm
+      FROM (SELECT vec_id, cid, d FROM nn WHERE rn = 1) a
+      JOIN (SELECT vec_id, d FROM nn WHERE rn = 2) b USING (vec_id)
+    )
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(sm) // count(*) AS BIGINT) AS mean_sil_micro
+    FROM sil GROUP BY cluster ORDER BY cluster
+    """
+    )
+
+
+@q("emb_silhouette_centroid", _silhouette_sql())
+def emb_silhouette_centroid(spark, sf_dir):
+    """SIMPLIFIED (centroid) SILHOUETTE per k-means cluster — the
+    clustering-quality readout that decides whether the k in semantic
+    dedup / domain discovery is right: for each vector, a = distance to
+    its own (nearest) centroid, b = distance to the second-nearest, and
+    s = 1 - sqrt(a)/sqrt(b) in [0, 1) (the centroid form of the
+    classic (b-a)/max(a,b) — O(N*k) instead of silhouette's O(N^2)
+    pairwise, the ONLY form that exists at 100 TB). Reported per
+    cluster as mean in integer micro-units.
+
+    Exactness: rides the SAME trained-centroid all-distances frame as
+    emb_kmeans_assign (one shared training run; dyadic-quantized inputs
+    make every distance an order-independent-exact double, sqrt and the
+    ratio are fixed-shape per-row IEEE ops identical on both engines),
+    and each vector's s lands on the micro lattice BEFORE the cluster
+    mean, so only integers accumulate; s >= 0 by construction (a is the
+    min), so the floor/truncate division question never arises.
+
+    Scale shape: one broadcast crossJoin against the k-row centroid
+    artifact (the model_rdd class), one per-vector top-2 window
+    (partitioned by vec_id — never global), one k-row rollup."""
+    nn = _kmeans_top2(spark, sf_dir)
+    a = nn.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("d").alias("da")
+    )
+    b = nn.filter(F.col("rn") == 2).select("vec_id", F.col("d").alias("db"))
+    sil = a.join(b, "vec_id").select(
+        "cluster",
+        F.expr(
+            "CAST(round(CASE WHEN db = 0 THEN 0"
+            " ELSE (1 - sqrt(da) / sqrt(db)) * 1000000 END) AS BIGINT)"
+        ).alias("sm"),
+    )
+    return (
+        sil.groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.expr("CAST(sum(sm) div count(*) AS BIGINT)").alias(
+                "mean_sil_micro"
+            ),
+        )
+        .orderBy("cluster")
     )

@@ -4045,3 +4045,474 @@ def ev_hoover_index(spark, sf_dir):
             "hoover_permille",
         )
     )
+
+# ---------------------------------------------------------------------------
+# Round-8 statistical-testing pack: the exact nonparametric tests an
+# evaluation pipeline runs BEFORE trusting a data/model change — KS
+# two-sample, Mann-Whitney U / rank-biserial AUC, Spearman rank
+# correlation, chi-square independence, and a deterministic jackknife
+# CI. All integer-lattice (the gini/theil discipline): per-row values
+# land on the permille lattice before any sum, pair/rank dividends
+# accumulate in each engine's native 128-bit type (Spark DECIMAL(38,0),
+# DuckDB HUGEINT), and only bounded quotients are reported.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ev_ks_test",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), g AS (
+      SELECT vm,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM v GROUP BY vm
+    ), tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM g
+    ), c AS (
+      SELECT CAST(sum(c1) OVER (ORDER BY vm
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f1,
+             CAST(sum(c2) OVER (ORDER BY vm
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f2
+      FROM g
+    )
+    SELECT n1, n2,
+           CAST(max(abs(CAST(f1 AS HUGEINT) * n2
+                        - CAST(f2 AS HUGEINT) * n1)) * 1000000
+                // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_micro
+    FROM c, tot
+    GROUP BY n1, n2
+    """,
+)
+def ev_ks_test(spark, sf_dir):
+    """EXACT two-sample KOLMOGOROV-SMIRNOV statistic between the value
+    distributions of 'click' and 'purchase' events — the distribution-
+    drift test an eval pipeline runs before trusting a segment split:
+    D = max_x |F1(x) - F2(x)|, reported in integer micro-units.
+
+    Values land on the permille lattice (round(value*1000)) — the
+    per-row rounding that makes every later count exact and bounds the
+    DISTINCT-VALUE grain by the value RANGE, not the row count (~5e5
+    bins for this table's 0-500 range at ANY data scale). The
+    empirical-CDF difference is cross-multiplied to the common n1*n2
+    denominator so the max runs over exact integers — no float CDF
+    anywhere; the engines cannot disagree by an ulp. The f1*n2 products
+    are quadratic in row count (~1e24 at the 100 TB extrapolation), so
+    they subtract in DuckDB HUGEINT / Spark DECIMAL(38,0) and only the
+    bounded micro-unit quotient (<= 1e6) returns to BIGINT
+    (lattice-headroom audit class, SCALE.md).
+
+    Scale shape: one keyed aggregate to (vm) grain, the two inclusive
+    cumulative counts ride ONE size-gated global_cumsum pass (bounded
+    window under 100k distinct bins, the two-pass range-partitioned
+    running sum above), a 1-row totals broadcast, and a 1-row readout.
+    No data-grain window, no data-grain join."""
+    from xova_spark.operators.ranking import global_cumsum
+
+    (ev,) = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    g = v.groupBy("vm").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    tot = g.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    c = global_cumsum(g, [F.col("vm").asc()], ["c1", "c2"], ["f1", "f2"])
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            F.expr(
+                "abs(CAST(f1 AS DECIMAL(38,0)) * n2"
+                "    - CAST(f2 AS DECIMAL(38,0)) * n1)"
+            ).alias("dev"),
+        )
+        .groupBy("n1", "n2")
+        .agg(
+            F.expr(
+                "CAST(max(dev) * 1000000"
+                " div (CAST(max(n1) AS DECIMAL(38,0)) * max(n2))"
+                " AS BIGINT)"
+            ).alias("ks_micro")
+        )
+    )
+
+
+@q(
+    "ev_mann_whitney_u",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), g AS (
+      SELECT vm,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(count(*) AS BIGINT) AS ct
+      FROM v GROUP BY vm
+    ), tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n1,
+             CAST(sum(ct) - sum(ca) AS BIGINT) AS n2
+      FROM g
+    ), c AS (
+      SELECT ca, ct,
+             CAST(coalesce(sum(ct) OVER (ORDER BY vm
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cb
+      FROM g
+    ), r AS (
+      SELECT sum(CAST(ca AS HUGEINT) * (2 * cb + ct + 1)) AS r1_2x
+      FROM c
+    )
+    SELECT n1, n2,
+           CAST((r1_2x - CAST(n1 AS HUGEINT) * (n1 + 1)) * 500000
+                // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS auc_micro
+    FROM r, tot
+    """,
+)
+def ev_mann_whitney_u(spark, sf_dir):
+    """EXACT MANN-WHITNEY U between 'click' and 'purchase' event values
+    — the nonparametric location test (does one segment's value
+    distribution stochastically dominate the other?), with midrank tie
+    handling, reported as the rank-biserial AUC in micro-units
+    (AUC = U1/(n1*n2) — the events-table sibling of t_quality_auc's
+    document-classifier readout; U1 itself stays INTERNAL because it is
+    quadratic in row count and would overflow a reported BIGINT near
+    ~3e9 rows/class — the exact ev_gini_coefficient defect class, so
+    only the bounded quotient leaves the aggregate).
+
+    Midranks without floats: every element in a tie group of size ct
+    starting after cb predecessors has midrank cb + (ct+1)/2, so the
+    group's rank-sum DOUBLED is ca * (2*cb + ct + 1) — pure integers at
+    the DISTINCT-VALUE grain (permille lattice bounds it by the value
+    range, ~5e5 bins at any scale). 2*R1 is quadratic in row count
+    (~1e24 at the 100 TB extrapolation): it accumulates in HUGEINT /
+    DECIMAL(38,0) — see the lattice-headroom probe
+    ev_mann_whitney_u__r1_dividend.
+
+    Scale shape: one keyed aggregate to (vm) grain, the exclusive
+    cumulative count rides the size-gated global_cumsum, a 1-row totals
+    broadcast, one 1-row readout."""
+    from xova_spark.operators.ranking import global_cumsum
+
+    (ev,) = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    g = v.groupBy("vm").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.count("*").cast("long").alias("ct"),
+    )
+    tot = g.agg(
+        F.sum("ca").cast("long").alias("n1"),
+        (F.sum("ct") - F.sum("ca")).cast("long").alias("n2"),
+    )
+    c = global_cumsum(g, [F.col("vm").asc()], "ct", "ct_incl")
+    r = (
+        c.withColumn("cb", F.col("ct_incl") - F.col("ct"))
+        .agg(
+            F.expr(
+                "sum(CAST(ca AS DECIMAL(38,0)) * (2 * cb + ct + 1))"
+            ).alias("r1_2x")
+        )
+    )
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "n1",
+            "n2",
+            "CAST((r1_2x - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) * 500000"
+            " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+            " AS auc_micro",
+        )
+    )
+
+
+@q(
+    "ev_spearman_rho",
+    """
+    WITH ux AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS rx,
+             CAST(row_number() OVER (ORDER BY y, user_id) AS BIGINT) AS ry
+      FROM ux
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS d2
+      FROM ranked
+    )
+    SELECT n AS n_users,
+           CAST((2 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+                 - 6 * d2) * 1000000
+                // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
+                - 1000000 AS BIGINT) AS rho_micro
+    FROM s
+    """,
+)
+def ev_spearman_rho(spark, sf_dir):
+    """EXACT SPEARMAN RANK CORRELATION between two per-user activity
+    metrics — event COUNT vs total latticed VALUE (does volume rank
+    where spend ranks?): rho = 1 - 6*sum(d^2)/(n(n^2-1)) in integer
+    micro-units, on ranks defined by the TOTAL order (metric, user_id)
+    — the same deterministic tiebreak contract every rank entry here
+    carries, documented in lieu of midrank ties (both engines rank the
+    identical total order, so the hash cannot drift).
+
+    The y metric is the PER-ROW permille lattice sum (round(value*1000)
+    before the user-grain sum) — an integer, so cross-engine float
+    summation order cannot flip adjacent ranks. sum(d^2) is CUBIC in
+    user count (~1e27 at the 100 TB extrapolation — the steepest
+    dividend in the lattice-headroom table, still 1e11 under the
+    DECIMAL(38,0)/HUGEINT ceiling); it accumulates 128-bit with each
+    squared difference cast wide BEFORE the sum, and only the bounded
+    micro-unit rho (|rho| <= 1e6) returns to BIGINT.
+
+    SIGN DISCIPLINE: rho can be negative, and Spark's integer div
+    TRUNCATES where DuckDB's // FLOORS — they disagree by 1 on any
+    negative non-even quotient. Both engines therefore divide the
+    provably NONNEGATIVE shifted numerator (1+rho)*den = 2n(n^2-1) -
+    6*d2 (>= 0 because max d2 over permutations is n(n^2-1)/3) and
+    subtract the constant 1000000 after — floor and truncate agree on
+    every nonnegative dividend, so the lattice is sign-safe by
+    construction (law-tested on a perfectly anticorrelated population
+    where rho_micro = -1000000 exactly).
+
+    Scale shape: one keyed aggregate to user grain, TWO windowless
+    global_rank passes (the two-pass range-partitioned rank — no
+    single-partition WindowExec at any user count), one 1-row
+    reduction."""
+    from xova_spark.operators.ranking import global_rank
+
+    (ev,) = _t(spark, sf_dir, "events")
+    ux = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    rx = global_rank(ux, [F.col("x"), F.col("user_id")], rank_col="rx").select(
+        "user_id", "rx"
+    )
+    ry = global_rank(ux, [F.col("y"), F.col("user_id")], rank_col="ry").select(
+        "user_id", "ry"
+    )
+    return (
+        rx.join(ry, "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr(
+                "sum(CAST(rx - ry AS DECIMAL(38,0)) * (rx - ry))"
+            ).alias("d2"),
+        )
+        .selectExpr(
+            "n AS n_users",
+            "CAST((2 * CAST(n AS DECIMAL(38,0))"
+            "      * (CAST(n AS DECIMAL(38,0)) * n - 1) - 6 * d2) * 1000000"
+            " div (CAST(n AS DECIMAL(38,0))"
+            "      * (CAST(n AS DECIMAL(38,0)) * n - 1))"
+            " - 1000000 AS BIGINT) AS rho_micro",
+        )
+    )
+
+
+@q(
+    "ev_chisq_independence",
+    """
+    WITH cell AS (
+      SELECT event_type, date_part('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, date_part('hour', ts)
+    ), mr AS (
+      SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+      FROM cell GROUP BY event_type
+    ), mc AS (
+      SELECT hr, CAST(sum(o) AS BIGINT) AS c
+      FROM cell GROUP BY hr
+    ), tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n FROM cell
+    ), term AS (
+      SELECT CAST(round(
+               power(o - CAST(r AS DOUBLE) * c / n, 2)
+                 / (CAST(r AS DOUBLE) * c / n) * 1000000) AS BIGINT) AS tm
+      FROM cell JOIN mr USING (event_type) JOIN mc USING (hr), tot
+    )
+    SELECT (SELECT count(*) FROM cell) AS n_cells,
+           CAST(((SELECT count(*) FROM mr) - 1)
+                * ((SELECT count(*) FROM mc) - 1) AS BIGINT) AS dof,
+           CAST(sum(tm) AS BIGINT) AS chi2_micro
+    FROM term
+    """,
+)
+def ev_chisq_independence(spark, sf_dir):
+    """PEARSON CHI-SQUARE independence statistic over the event_type x
+    hour-of-day contingency table — the are-these-dimensions-coupled
+    audit (is traffic mix time-of-day dependent?) that gates every
+    stratified-sampling decision: chi2 = sum over cells (O-E)^2/E with
+    E = row_total * col_total / N, reported in integer micro-units
+    alongside the cell count and degrees of freedom.
+
+    Float discipline: O, r, c, N are exact integer COUNTS; each cell's
+    (O-E)^2/E is a fixed-shape IEEE-double expression of those integers
+    — mult/div/pow are exactly-rounded deterministic ops, identical on
+    both engines for identical inputs (the same per-row contract the
+    ln-lattice entries rely on) — and the per-CELL term lands on the
+    micro lattice BEFORE the sum, so only integers accumulate. The cell
+    grain is the CONTINGENCY table (|event_types| x 24 — structurally
+    bounded, ~120 cells at any data scale), so the three margin
+    aggregates and the final sum all run at dimension grain.
+
+    Scale shape: one keyed aggregate to cell grain (map-side partial
+    over the raw events — the ONLY data-sized stage), two dimension-
+    grain margin rollups broadcast back onto the cells, one bounded
+    reduction. UTC session timezone keeps date_part('hour') identical
+    across engines (session.py contract)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").cast("long").alias("o"))
+    mr = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    mc = cell.groupBy("hr").agg(F.sum("o").cast("long").alias("c"))
+    tot = cell.agg(F.sum("o").cast("long").alias("n"))
+    n_rows = mr.agg(F.count("*").cast("long").alias("nr"))
+    n_cols = mc.agg(F.count("*").cast("long").alias("nc"))
+    term = (
+        cell.join(F.broadcast(mr), "event_type")
+        .join(F.broadcast(mc), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(round(power(o - CAST(r AS DOUBLE) * c / n, 2)"
+                " / (CAST(r AS DOUBLE) * c / n) * 1000000) AS BIGINT)"
+            ).alias("tm")
+        )
+    )
+    return (
+        term.agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("tm").cast("long").alias("chi2_micro"),
+        )
+        .crossJoin(F.broadcast(n_rows))
+        .crossJoin(F.broadcast(n_cols))
+        .select(
+            "n_cells",
+            F.expr("CAST((nr - 1) * (nc - 1) AS BIGINT)").alias("dof"),
+            "chi2_micro",
+        )
+    )
+
+
+@q(
+    "ev_jackknife_ci",
+    """
+    WITH v AS (
+      SELECT user_id % 32 AS b,
+             CAST(round(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ), per AS (
+      SELECT b, CAST(sum(vm) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      FROM v GROUP BY b
+    ), tot AS (
+      SELECT CAST(sum(s) AS BIGINT) AS st, CAST(sum(c) AS BIGINT) AS ct,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM per
+    ), theta AS (
+      SELECT nb, st, ct,
+             CAST(round(CAST(st - s AS DOUBLE) / (ct - c) * 1000000)
+                  AS BIGINT) AS tb
+      FROM per, tot
+    )
+    SELECT max(ct) AS n_events, max(nb) AS n_buckets,
+           CAST(CAST(max(st) AS HUGEINT) * 1000000 // max(ct) AS BIGINT)
+               AS mean_micro,
+           CAST((max(nb) - 1)
+                * (max(nb) * sum(CAST(tb AS HUGEINT) * tb)
+                   - CAST(sum(tb) AS HUGEINT) * sum(tb))
+                // (CAST(max(nb) AS HUGEINT) * max(nb) * max(nb))
+                AS BIGINT) AS jack_var_micro2
+    FROM theta
+    """,
+)
+def ev_jackknife_ci(spark, sf_dir):
+    """DETERMINISTIC DELETE-ONE-BLOCK JACKKNIFE variance of the mean
+    event value — the resampling-free confidence interval a 100 TB
+    pipeline can actually afford: users hash into B=32 blocks (user_id
+    % 32 — deterministic, no RNG, so the gate hash is stable), each
+    leave-one-block-out mean theta_b comes from the per-block
+    (sum, count) partials, and var_jack = (B-1)/B * sum((tb - mean_tb)^2)
+    collapses to the integer form (B-1) * (B*sum(tb^2) - (sum tb)^2)
+    / B^3 in micro^2 units (SE = sqrt(var)/1e3 downstream — the sqrt
+    stays OUT of the gated output so no cross-engine libm enters the
+    hash). Blocking by USER (not row) respects the within-user
+    correlation a row-level jackknife would fake away.
+
+    Lattice discipline: values land on the permille lattice per row;
+    per-block sums are integers (128-bit at the 100 TB extrapolation:
+    sum(vm) ~ 5e18 holds in BIGINT with ~20x headroom, and every
+    downstream product is cast wide BEFORE multiplying — HUGEINT /
+    DECIMAL(38,0)); each theta_b is ONE fixed-shape double division of
+    two exact integers rounded straight back to the micro lattice.
+    B*sum(tb^2) ~ 32 * (2e8)^2 ~ 1e18 per term — wide-cast anyway.
+
+    Scale shape: ONE keyed aggregate to the 32-block grain (map-side
+    partials — the only data-sized stage), a 1-row totals broadcast,
+    and a 32-row reduction. Nothing else touches data grain."""
+    (ev,) = _t(spark, sf_dir, "events")
+    v = ev.select(
+        (F.col("user_id") % 32).alias("b"),
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    per = v.groupBy("b").agg(
+        F.sum("vm").cast("long").alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    tot = per.agg(
+        F.sum("s").cast("long").alias("st"),
+        F.sum("c").cast("long").alias("ct"),
+        F.count("*").cast("long").alias("nb"),
+    )
+    theta = per.crossJoin(F.broadcast(tot)).select(
+        "nb",
+        "st",
+        "ct",
+        F.expr(
+            "CAST(round(CAST(st - s AS DOUBLE) / (ct - c) * 1000000)"
+            " AS BIGINT)"
+        ).alias("tb"),
+    )
+    return theta.agg(
+        F.max("ct").alias("n_events"),
+        F.max("nb").alias("n_buckets"),
+        F.expr(
+            "CAST(CAST(max(st) AS DECIMAL(38,0)) * 1000000"
+            " div max(ct) AS BIGINT)"
+        ).alias("mean_micro"),
+        F.expr(
+            "CAST((max(nb) - 1)"
+            " * (max(nb) * sum(CAST(tb AS DECIMAL(38,0)) * tb)"
+            "    - CAST(sum(tb) AS DECIMAL(38,0)) * sum(tb))"
+            " div (CAST(max(nb) AS DECIMAL(38,0)) * max(nb) * max(nb))"
+            " AS BIGINT)"
+        ).alias("jack_var_micro2"),
+    )

@@ -1805,3 +1805,210 @@ def ann_rank_agreement(spark, sf_dir):
             " AS tau_permille",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 training-data mining pack: hard-negative mining (the
+# contrastive-training data generator) and kNN label accuracy (the
+# embedding-quality eval every curation pipeline runs before trusting
+# an embedding column for semantic dedup / clustering).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ann_hard_negative_mining",
+    f"""
+    WITH normed AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), queries AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qe, nrm AS qn
+      FROM normed WHERE vec_id < 20
+    ), scored AS (
+      SELECT qid, qlabel, c.vec_id AS cid, c.label AS neg_label,
+             {_duck_dot('qe', 'c.embedding')} / (qn * c.nrm) AS cos
+      FROM queries CROSS JOIN normed c
+      WHERE c.label != qlabel
+    ), ranked AS (
+      SELECT qid, qlabel, cid, neg_label, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+                 AS rank
+      FROM scored
+    )
+    SELECT qid, qlabel, cid, neg_label, round(cos, 6) AS cos, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_hard_negative_mining(spark, sf_dir):
+    """HARD-NEGATIVE MINING for contrastive training: for each of 20
+    query vectors, the top-5 most-similar candidates with a DIFFERENT
+    label — the near-misses that teach an embedding model its decision
+    boundary (the batch-mining step of every dual-encoder training
+    pipeline; random negatives are too easy to carry gradient).
+
+    Same exact-cosine spine as ann_cosine_topk (per-vector norms
+    computed once; sequential same-order dot products keep the doubles
+    bit-identical across engines; round(cos, 6) is the hash contract),
+    plus the label-exclusion predicate on the broadcast side.
+
+    Scale shape: at fixture scale the candidate corpus broadcasts (the
+    DECLARED emb_corpus brute-force class — this entry is the exact
+    oracle; the production path is the same mining over the IVF cell
+    join, see ann_ivf_topk). Per-query state is a top-5
+    TakeOrderedAndProject window, never a materialized score matrix."""
+    (emb,) = _emb(spark, sf_dir)
+    normed = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+    queries = normed.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = normed.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    return (
+        queries.crossJoin(F.broadcast(cand))
+        .filter(F.col("neg_label") != F.col("qlabel"))
+        .withColumn("cos", _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "qid",
+            "qlabel",
+            "cid",
+            "neg_label",
+            F.round("cos", 6).alias("cos"),
+            "rank",
+        )
+    )
+
+
+@q(
+    "ann_label_knn_accuracy",
+    f"""
+    WITH normed AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), queries AS (
+      SELECT vec_id AS qid, label AS true_label, embedding AS qe, nrm AS qn
+      FROM normed WHERE vec_id < 50
+    ), scored AS (
+      SELECT qid, true_label, c.label AS nlabel,
+             {_duck_dot('qe', 'c.embedding')} / (qn * c.nrm) AS cos,
+             c.vec_id AS cid
+      FROM queries CROSS JOIN normed c
+      WHERE c.vec_id != qid
+    ), nn AS (
+      SELECT qid, true_label, nlabel FROM (
+        SELECT qid, true_label, nlabel,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+                   AS rank
+        FROM scored
+      ) WHERE rank <= 5
+    ), votes AS (
+      SELECT qid, true_label, nlabel, count(*) AS nvotes
+      FROM nn GROUP BY qid, true_label, nlabel
+    ), pred AS (
+      SELECT qid, true_label, nlabel AS pred_label FROM (
+        SELECT qid, true_label, nlabel,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY nvotes DESC, nlabel) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT true_label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                * 1000 // count(*) AS BIGINT) AS acc_permille
+    FROM pred
+    GROUP BY true_label
+    ORDER BY true_label
+    """,
+)
+def ann_label_knn_accuracy(spark, sf_dir):
+    """kNN LABEL ACCURACY — the embedding-quality eval: predict each of
+    50 held-out queries' label by majority vote of its 5 nearest
+    neighbors (self excluded; ties broken toward the smaller label for
+    determinism) and report per-true-label accuracy in permille. The
+    readout that decides whether an embedding column is trustworthy
+    enough to drive semantic dedup / clustering / curation at 100 TB —
+    a cheap proxy for downstream probe performance.
+
+    Exactness: the same bit-identical sequential-cosine spine as the
+    other ANN entries; votes and accuracies are pure integer counts
+    (permille floor division — nonnegative, so floor == truncate).
+
+    Scale shape: brute-force corpus broadcast at fixture scale (the
+    declared emb_corpus oracle class); the production twin rides the
+    IVF cell-probed join. Per-query state: a top-5 window, a <=5-row
+    vote count, a 1-row argmax — all keyed by qid."""
+    (emb,) = _emb(spark, sf_dir)
+    normed = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+    queries = normed.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = normed.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    nn = (
+        queries.crossJoin(F.broadcast(cand))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cos", _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn")))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "true_label", "nlabel")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("nvotes"), "nlabel")
+    pred = (
+        nn.groupBy("qid", "true_label", "nlabel")
+        .agg(F.count("*").alias("nvotes"))
+        .withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("qid", "true_label", F.col("nlabel").alias("pred_label"))
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n_queries",
+            "n_correct",
+            F.expr(
+                "CAST(n_correct * 1000 div n_queries AS BIGINT)"
+            ).alias("acc_permille"),
+        )
+        .orderBy("true_label")
+    )
