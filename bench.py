@@ -119,6 +119,12 @@ HEADLINE = (
     "ann_hard_negative_mining",
     "ann_label_knn_accuracy",
     "emb_silhouette_centroid",
+    # round-8 batch 2: association effect sizes, hub-capped link
+    # prediction, cascaded stream-stream funnel
+    "dq_mutual_information",
+    "ev_cramers_v",
+    "graph_adamic_adar",
+    "stream_funnel_conversion",
 )
 
 

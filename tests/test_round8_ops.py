@@ -314,3 +314,128 @@ def test_hard_negative_labels_differ(spark):
         per_q.setdefault(r["qid"], []).append(r["rank"])
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# ---------------------------------------------------------------------------
+# Batch-2 laws: association measures, link prediction, streaming funnel.
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_information_matches_python_replica(spark):
+    """dq_mutual_information vs a python replica on the same micro-nat
+    lattice; MI >= 0 (Jensen, enforced by the GREATEST clamp)."""
+    import math
+
+    from xova_spark.queries.relext import dq_mutual_information
+
+    row = dq_mutual_information(spark, SF).collect()[0]
+    cells = {}
+    for r in (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", F.hour("ts").cast("long").alias("hr"))
+        .collect()
+    ):
+        k = (r["event_type"], r["hr"])
+        cells[k] = cells.get(k, 0) + 1
+    rtot, ctot, n = {}, {}, 0
+    for (et, hr), o in cells.items():
+        rtot[et] = rtot.get(et, 0) + o
+        ctot[hr] = ctot.get(hr, 0) + o
+        n += o
+
+    def half_away(v: float) -> int:
+        return int(v + 0.5) if v >= 0 else -int(-v + 0.5)
+
+    tm = sum(
+        o * half_away(math.log(o * n / (rtot[et] * ctot[hr])) * 1e6)
+        for (et, hr), o in cells.items()
+    )
+    assert row["mi_micro_nats"] == max(tm, 0) // n
+    assert row["n_events"] == n and row["n_cells"] == len(cells)
+    assert row["mi_micro_nats"] >= 0
+
+
+def test_cramers_v_consistent_with_chi2(spark):
+    """ev_cramers_v must carry the IDENTICAL chi2_micro as
+    ev_chisq_independence (same lattice, independently assembled), and
+    V in [0, 1e6]."""
+    import math
+
+    from xova_spark.queries.relext import ev_chisq_independence, ev_cramers_v
+
+    v = ev_cramers_v(spark, SF).collect()[0]
+    chi = ev_chisq_independence(spark, SF).collect()[0]
+    assert v["chi2_micro"] == chi["chi2_micro"]
+    assert 0 <= v["cramers_v_micro"] <= 1_000_000
+    want = round(
+        math.sqrt(v["chi2_micro"] / 1e6 / (v["n_events"] * v["kmin"])) * 1e6
+    )
+    assert v["cramers_v_micro"] == want
+
+
+def test_adamic_adar_bounds_and_wedge_consistency(spark):
+    """graph_adamic_adar: every pair's score sits inside the per-wedge
+    weight envelope [common*w(cap), common*w(2)] (w(d) = round(1e6 /
+    ln(d)) is decreasing), and pairs also present in the capped-Jaccard
+    top-20 agree on common_capped (same wedge spine)."""
+    import math
+
+    from xova_spark.queries.graphq import (
+        WEDGE_DEGREE_CAP,
+        graph_adamic_adar,
+        graph_node_jaccard_capped,
+    )
+
+    rows = graph_adamic_adar(spark, SF).collect()
+    assert rows, "no candidate pairs"
+    wmax = round(1e6 / math.log(2))
+    wmin = round(1e6 / math.log(WEDGE_DEGREE_CAP))
+    for r in rows:
+        assert r["common_capped"] * wmin <= r["aa_micro"] <= r["common_capped"] * wmax
+    jac = {
+        (r["sa"], r["sb"]): r["common_capped"]
+        for r in graph_node_jaccard_capped(spark, SF).collect()
+    }
+    for r in rows:
+        if (r["sa"], r["sb"]) in jac:
+            assert jac[(r["sa"], r["sb"])] == r["common_capped"]
+
+
+def test_stream_funnel_matches_batch_and_ordering(spark):
+    """stream_funnel_conversion's converged output equals the batch
+    three-way interval join run through plain DataFrame ops, and every
+    emitted triple is time-ordered within its windows."""
+    from xova_spark.queries.streamingq import stream_funnel_conversion
+
+    got = {
+        (r["view_id"], r["click_id"], r["purchase_id"]): r["funnel_lag_us"]
+        for r in stream_funnel_conversion(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "event_type", F.to_utc_timestamp("ts", "UTC").alias("ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").selectExpr(
+        "event_id AS view_id", "user_id AS u", "ts AS v_ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").selectExpr(
+        "event_id AS click_id", "user_id AS cu", "ts AS c_ts"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "event_id AS purchase_id", "user_id AS pu", "ts AS p_ts"
+    )
+    want = {
+        (r["view_id"], r["click_id"], r["purchase_id"]): r["lag"]
+        for r in (
+            v.join(c, F.expr("u = cu AND c_ts >= v_ts AND c_ts < v_ts + interval 2 hours"))
+            .join(p, F.expr("cu = pu AND p_ts >= c_ts AND p_ts < c_ts + interval 2 hours"))
+            .select(
+                "view_id",
+                "click_id",
+                "purchase_id",
+                (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+    assert all(lag >= 0 for lag in got.values())

@@ -54,6 +54,11 @@ SF1_SAMPLE: tuple[str, ...] = (
     "layout_zonemap_prune_audit",# manifest-grain pruning
     "t_pii_redact",              # Java-vs-RE2 regex at 10x text
     "agg_exact_median_rank",     # exact rank arithmetic at 10x rows
+    # late-r8 additions: the statistical-testing pack's three steepest
+    # internal dividends (cubic Spearman, quadratic KS / Mann-Whitney)
+    "ev_spearman_rho",
+    "ev_ks_test",
+    "ev_mann_whitney_u",
 )
 
 

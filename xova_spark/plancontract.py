@@ -342,6 +342,8 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "ev_mann_whitney_u": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ev_chisq_independence": {"kinds": ("one_row_agg",), "max_segments": 3},
     "ev_jackknife_ci": {"kinds": ("one_row_agg",), "max_segments": 1},
+    "dq_mutual_information": {"kinds": ("one_row_agg",), "max_segments": 1},
+    "ev_cramers_v": {"kinds": ("one_row_agg",), "max_segments": 3},
     "ev_hoover_index": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ev_hourly_rollup_gapfill": {"kinds": ("dim_agg",), "max_segments": 1},
     "ev_seasonal_decompose": {"kinds": ("one_row_agg",), "max_segments": 1},

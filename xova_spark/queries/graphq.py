@@ -1554,3 +1554,83 @@ def graph_hits_scores(spark, sf_dir):
         )
     )
     return top_a.unionAll(top_h)
+
+
+@q(
+    "graph_adamic_adar",
+    f"""
+    WITH {_DUCK_EDGES},
+    light AS (
+      SELECT a.src, a.dst, d.degree FROM arcs a
+      JOIN deg d ON d.node = a.dst
+      WHERE d.degree BETWEEN 2 AND {WEDGE_DEGREE_CAP}
+    ),
+    wedges AS (
+      SELECT a.src AS sa, b.src AS sb,
+             count(*) AS common_capped,
+             CAST(sum(CAST(round(1000000 / ln(a.degree)) AS BIGINT))
+                  AS BIGINT) AS aa_micro
+      FROM light a JOIN light b
+        ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT CAST(sa AS BIGINT) AS sa, CAST(sb AS BIGINT) AS sb,
+           CAST(common_capped AS BIGINT) AS common_capped, aa_micro
+    FROM wedges
+    ORDER BY aa_micro DESC, sa, sb LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark, sf_dir):
+    """HUB-CAPPED ADAMIC-ADAR link prediction on the co-purchase graph
+    — the standard common-neighbor score that DISCOUNTS popular
+    intermediaries: AA(a,b) = sum over common neighbors n of
+    1/ln(deg(n)), so a shared niche part predicts a link far more
+    strongly than a shared bestseller. Top-20 candidate pairs by score
+    (the ranking graph_node_jaccard_capped's unweighted count can't
+    produce when hubs dominate).
+
+    Same wedge spine and cap as graph_node_jaccard_capped: wedges route
+    only through neighbors with degree <= WEDGE_DEGREE_CAP, so
+    candidate volume stays <= cap * |arcs| (linear in edges, hub-proof)
+    and the score is a certified LOWER bound — dropped hub wedges carry
+    the SMALLEST weights (1/ln(deg) shrinks with degree), so the capped
+    ranking approximates the exact one better than capped Jaccard does.
+    Degree-1 arcs are filtered BEFORE the per-arc weight (ln(1) = 0
+    would divide by zero under ANSI mode) — semantics unchanged, since
+    a degree-1 node has a single arc and can never pair with itself in
+    the sa < sb wedge join.
+
+    Lattice: each wedge's 1e6/ln(deg) lands on the micro lattice
+    PER WEDGE (fixed-shape IEEE ln/div of an exact integer — identical
+    on both engines) and only integers accumulate; sums are bounded by
+    1.45e6 * common_capped (ln(2) is the smallest divisor), linear in
+    the cap — no 128-bit needed (headroom table).
+
+    Scale shape: one keyed degree join to filter light arcs, ONE keyed
+    wedge self-join at bounded fanout, one keyed aggregate, and a
+    distributed TakeOrderedAndProject top-20."""
+    edges = _edges_cached(spark, sf_dir)
+    arcs, deg = _arcs_and_degrees(edges)
+    light = arcs.join(
+        deg.where(
+            (F.col("degree") >= 2) & (F.col("degree") <= WEDGE_DEGREE_CAP)
+        ).select(F.col("node").alias("dst"), "degree"),
+        "dst",
+    )
+    a = light.select(
+        F.col("src").alias("sa"),
+        F.col("dst").alias("n"),
+        F.expr("CAST(round(1000000 / ln(degree)) AS BIGINT)").alias("w"),
+    )
+    b = light.select(F.col("src").alias("sb"), F.col("dst").alias("n"))
+    return (
+        a.join(b, "n")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.count("*").cast("long").alias("common_capped"),
+            F.sum("w").cast("long").alias("aa_micro"),
+        )
+        .orderBy(F.desc("aa_micro"), "sa", "sb")
+        .limit(20)
+    )

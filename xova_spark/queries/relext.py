@@ -4516,3 +4516,172 @@ def ev_jackknife_ci(spark, sf_dir):
             " AS BIGINT)"
         ).alias("jack_var_micro2"),
     )
+
+
+@q(
+    "dq_mutual_information",
+    """
+    WITH cell AS (
+      SELECT event_type, date_part('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, date_part('hour', ts)
+    ), mr AS (
+      SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+      FROM cell GROUP BY event_type
+    ), mc AS (
+      SELECT hr, CAST(sum(o) AS BIGINT) AS c
+      FROM cell GROUP BY hr
+    ), tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n FROM cell
+    ), term AS (
+      SELECT n,
+             CAST(o AS HUGEINT)
+               * CAST(round(ln(CAST(o AS DOUBLE) * n / (CAST(r AS DOUBLE) * c))
+                            * 1000000) AS BIGINT) AS tm
+      FROM cell JOIN mr USING (event_type) JOIN mc USING (hr), tot
+    )
+    SELECT max(n) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(greatest(sum(tm), 0) // max(n) AS BIGINT) AS mi_micro_nats
+    FROM term
+    """,
+)
+def dq_mutual_information(spark, sf_dir):
+    """MUTUAL INFORMATION between event_type and hour-of-day in
+    micro-nats — the effect-SIZE companion to ev_chisq_independence's
+    test statistic (chi2 says whether the coupling is real; MI says how
+    many nats of information one dimension carries about the other —
+    the readout that decides if time-of-day must be a stratification
+    key): I = sum over cells (o/n) * ln(o*n/(r*c)).
+
+    The ev_theil_index lattice discipline exactly: each cell's ln lands
+    on the micro-nat lattice BEFORE the o-weighted sum (fixed-shape
+    IEEE ops on exact integer counts — identical on both engines), the
+    weighted sum accumulates in HUGEINT / DECIMAL(38,0) (o ~ N per
+    cell times a ~±30e6 lattice value → past BIGINT at the 100 TB
+    extrapolation), and the division back to bounded micro-nats floors
+    a GREATEST(0)-clamped dividend (true MI >= 0 by Jensen; per-cell
+    rounding can leave a few negative micro-units on a near-independent
+    table, where DuckDB floor and Spark truncate would diverge).
+
+    Scale shape: identical to ev_chisq_independence — one data-sized
+    keyed aggregate to the ~120-cell contingency grain, margin rollups
+    broadcast back, one bounded reduction."""
+    (ev,) = _t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").cast("long").alias("o"))
+    mr = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    mc = cell.groupBy("hr").agg(F.sum("o").cast("long").alias("c"))
+    tot = cell.agg(F.sum("o").cast("long").alias("n"))
+    term = (
+        cell.join(F.broadcast(mr), "event_type")
+        .join(F.broadcast(mc), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.expr(
+                "CAST(o AS DECIMAL(38,0))"
+                " * CAST(round(ln(CAST(o AS DOUBLE) * n"
+                "               / (CAST(r AS DOUBLE) * c)) * 1000000)"
+                "        AS BIGINT)"
+            ).alias("tm"),
+        )
+    )
+    return term.agg(
+        F.max("n").alias("n_events"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.expr(
+            "CAST(greatest(sum(tm), CAST(0 AS DECIMAL(38,0)))"
+            " div CAST(max(n) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("mi_micro_nats"),
+    )
+
+
+@q(
+    "ev_cramers_v",
+    """
+    WITH cell AS (
+      SELECT event_type, date_part('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, date_part('hour', ts)
+    ), mr AS (
+      SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+      FROM cell GROUP BY event_type
+    ), mc AS (
+      SELECT hr, CAST(sum(o) AS BIGINT) AS c
+      FROM cell GROUP BY hr
+    ), tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n FROM cell
+    ), chi AS (
+      SELECT max(n) AS n,
+             CAST(sum(CAST(round(
+               power(o - CAST(r AS DOUBLE) * c / n, 2)
+                 / (CAST(r AS DOUBLE) * c / n) * 1000000) AS BIGINT))
+               AS BIGINT) AS chi2_micro,
+             CAST(least((SELECT count(*) FROM mr) - 1,
+                        (SELECT count(*) FROM mc) - 1) AS BIGINT) AS kmin
+      FROM cell JOIN mr USING (event_type) JOIN mc USING (hr), tot
+    )
+    SELECT n AS n_events, kmin, chi2_micro,
+           CAST(round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000
+                           / (CAST(n AS DOUBLE) * kmin)) * 1000000)
+                AS BIGINT) AS cramers_v_micro
+    FROM chi
+    """,
+)
+def ev_cramers_v(spark, sf_dir):
+    """CRAMER'S V effect size for the event_type x hour-of-day
+    association — the [0,1]-normalized companion that makes
+    ev_chisq_independence's statistic comparable across table sizes
+    (chi2 grows linearly with N at fixed effect; V = sqrt(chi2 /
+    (N*min(r-1,c-1))) does not — THE number a drift monitor thresholds
+    on): reported in micro-units with the chi2 it derives from.
+
+    Same per-cell micro lattice as ev_chisq_independence; the final
+    sqrt is ONE fixed-shape double expression of two exact integers on
+    a 1-row frame — deterministic on both engines, and the result is
+    bounded in [0, 1e6] at any scale so the output column never
+    inherits chi2's linear growth.
+
+    Scale shape: identical to the chi-square entry — one data-sized
+    keyed aggregate to contingency grain, margin broadcasts, 1-row
+    readout."""
+    (ev,) = _t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").cast("long").alias("o"))
+    mr = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    mc = cell.groupBy("hr").agg(F.sum("o").cast("long").alias("c"))
+    tot = cell.agg(F.sum("o").cast("long").alias("n"))
+    n_rows = mr.agg((F.count("*") - 1).cast("long").alias("rm1"))
+    n_cols = mc.agg((F.count("*") - 1).cast("long").alias("cm1"))
+    chi = (
+        cell.join(F.broadcast(mr), "event_type")
+        .join(F.broadcast(mc), "hr")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("n"),
+            F.expr(
+                "CAST(sum(CAST(round(power(o - CAST(r AS DOUBLE) * c / n, 2)"
+                " / (CAST(r AS DOUBLE) * c / n) * 1000000) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("chi2_micro"),
+        )
+        .crossJoin(F.broadcast(n_rows))
+        .crossJoin(F.broadcast(n_cols))
+        .select(
+            "n",
+            "chi2_micro",
+            F.expr("CAST(least(rm1, cm1) AS BIGINT)").alias("kmin"),
+        )
+    )
+    return chi.select(
+        F.col("n").alias("n_events"),
+        "kmin",
+        "chi2_micro",
+        F.expr(
+            "CAST(round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000"
+            " / (CAST(n AS DOUBLE) * kmin)) * 1000000) AS BIGINT)"
+        ).alias("cramers_v_micro"),
+    )

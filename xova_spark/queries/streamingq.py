@@ -1490,3 +1490,111 @@ def stream_join_view_maintenance(spark, sf_dir):
     return spark.createDataFrame(
         rows, "mktsegment string, n_orders long, total_cents long"
     )
+
+
+@q(
+    "stream_funnel_conversion",
+    """
+    SELECT CAST(v.event_id AS BIGINT) AS view_id,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           CAST(p.event_id AS BIGINT) AS purchase_id,
+           v.user_id AS user_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS funnel_lag_us
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 2 HOUR
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 2 HOUR
+    """,
+)
+def stream_funnel_conversion(spark, sf_dir):
+    """CHAINED STREAM-STREAM FUNNEL — the three-stage view -> click ->
+    purchase conversion join, the one streaming join topology the pack
+    did not yet cover (stream_click_attribution is a single
+    stream-stream join; this CASCADES a second interval join onto the
+    first join's output, which is what a real funnel needs). Each stage
+    must land within 2 hours of the previous one; output is the exact
+    triple grain (every qualifying path, the same contract as the
+    attribution entry).
+
+    State boundedness — the property that lets this run forever at
+    100 TB/day: all three legs carry event-time watermarks (5 h =
+    the 4 h maximum view->purchase span plus late-data margin), so
+    Spark evicts a buffered view/click once no future purchase can
+    complete its funnel; state is O(rows-in-flight-within-4h), never
+    O(stream length). Watermark propagation through the cascaded join
+    is the exact machinery under test: Spark allows only ONE event-time
+    column into the second join, so the first join's output demotes the
+    view time to a plain epoch-micros long and keeps the click time as
+    the watermark carrier — eviction flows through it. The
+    availableNow-converged output equals the batch three-way interval
+    join (the oracle)."""
+    from xova_spark.queries.relational import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    norm = F.to_utc_timestamp(F.col("ts"), "UTC")
+
+    def leg(etype, idc, userc, tsc):
+        return (
+            _events_stream(spark, sf_dir)
+            .withColumn("ts", norm)
+            .where(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(idc),
+                F.col("user_id").alias(userc),
+                F.col("ts").alias(tsc),
+            )
+            .withWatermark(tsc, "5 hours")
+        )
+
+    views = leg("view", "view_id", "v_user", "v_ts")
+    clicks = leg("click", "click_id", "c_user", "c_ts")
+    purchases = leg("purchase", "purchase_id", "p_user", "p_ts")
+    vc = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND c_ts >= v_ts"
+            " AND c_ts < v_ts + interval 2 hours"
+        ),
+    ).select(
+        # Only ONE event-time column may flow into the next
+        # stream-stream join (Spark enforces this); the view time
+        # demotes to a plain epoch-microsecond long for the final lag
+        # readout, and c_ts stays the watermark carrier.
+        "view_id",
+        "click_id",
+        "c_user",
+        "c_ts",
+        F.unix_micros("v_ts").alias("v_us"),
+    )
+    vcp = vc.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts"
+            " AND p_ts < c_ts + interval 2 hours"
+        ),
+    )
+    name = f"q_stream_funnel_{next(_uniq)}"
+    with SA.stream_state_partitions(spark):
+        q_ = (
+            vcp.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    t = spark.table(name)
+    return t.select(
+        F.col("view_id").cast("long").alias("view_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.col("v_us"))
+        .cast("long")
+        .alias("funnel_lag_us"),
+    )
