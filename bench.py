@@ -125,6 +125,8 @@ HEADLINE = (
     "ev_cramers_v",
     "graph_adamic_adar",
     "stream_funnel_conversion",
+    "ev_fdr_segment_residuals",
+    "agg_trimmed_mean",
 )
 
 

@@ -439,3 +439,46 @@ def test_stream_funnel_matches_batch_and_ordering(spark):
     }
     assert got == want
     assert all(lag >= 0 for lag in got.values())
+
+
+def test_fdr_bh_property_and_staircase_replica(spark):
+    """ev_fdr_segment_residuals: python replica of the z->p staircase
+    and the exact BH rule (largest k with p_(k) <= k/m*alpha; rejected
+    == ranks 1..k), ranks a permutation of 1..m."""
+    from xova_spark.queries.relext import _Z_P_STAIRS, ev_fdr_segment_residuals
+
+    rows = ev_fdr_segment_residuals(spark, SF).collect()
+    m = len(rows)
+    assert sorted(r["rk"] for r in rows) == list(range(1, m + 1))
+    for r in rows:
+        z = r["absz_milli"] / 1000.0
+        p = next((p for zc, p in _Z_P_STAIRS if z >= zc), 1_000_000)
+        assert r["p_micro"] == p
+    ks = [r["rk"] for r in rows if r["p_micro"] * m <= r["rk"] * 50000]
+    kmax = max(ks) if ks else 0
+    for r in rows:
+        assert r["rejected"] == (r["rk"] <= kmax)
+
+
+def test_trimmed_mean_matches_python_replica(spark):
+    """agg_trimmed_mean vs a python replica of the exact rank-window
+    overlap arithmetic; n_kept = n - 2*lo; trimmed mean inside the
+    kept range; winsorized mean inside [trim_lo, trim_hi] values."""
+    from xova_spark.queries.relext import agg_trimmed_mean
+
+    row = agg_trimmed_mean(spark, SF).collect()[0]
+    vms = sorted(
+        r["vm"]
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .select(F.round(F.col("value") * 1000).cast("long").alias("vm"))
+        .collect()
+    )
+    n = len(vms)
+    lo = n * 5 // 100
+    kept = vms[lo : n - lo]
+    assert row["n_events"] == n
+    assert row["n_kept"] == n - 2 * lo
+    assert row["trimmed_mean_micro"] == sum(kept) * 1000 // len(kept)
+    wins = sum(kept) + lo * kept[0] + lo * kept[-1]
+    assert row["winsor_mean_micro"] == wins * 1000 // n
+    assert kept[0] * 1000 <= row["trimmed_mean_micro"] <= kept[-1] * 1000

@@ -151,6 +151,17 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "marker": r"HashAggregate\(keys=\[vm#\d+",
         "source": r"global_cumsum",
     },
+    # trimmed/winsorized mean rides the same distinct-value-bin cumsum
+    "agg_trimmed_mean": {
+        "kind": "size_gate",
+        "marker": r"HashAggregate\(keys=\[vm#\d+",
+        "source": r"global_cumsum",
+    },
+    # BH ranking/count windows run over the ~120-cell contingency grain
+    "ev_fdr_segment_residuals": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[(event_type|hr)#\d+",
+    },
 }
 
 
@@ -344,6 +355,14 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "ev_jackknife_ci": {"kinds": ("one_row_agg",), "max_segments": 1},
     "dq_mutual_information": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ev_cramers_v": {"kinds": ("one_row_agg",), "max_segments": 3},
+    # 3 segments: the 1-row totals broadcast appears in BOTH the main
+    # branch and the kmax sub-branch's recomputed lineage, plus the
+    # 1-row kmax broadcast itself — all one-row aggregates.
+    "ev_fdr_segment_residuals": {
+        "kinds": ("one_row_agg",),
+        "max_segments": 3,
+    },
+    "agg_trimmed_mean": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ev_hoover_index": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ev_hourly_rollup_gapfill": {"kinds": ("dim_agg",), "max_segments": 1},
     "ev_seasonal_decompose": {"kinds": ("one_row_agg",), "max_segments": 1},

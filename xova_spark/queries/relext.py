@@ -4685,3 +4685,247 @@ def ev_cramers_v(spark, sf_dir):
             " / (CAST(n AS DOUBLE) * kmin)) * 1000000) AS BIGINT)"
         ).alias("cramers_v_micro"),
     )
+
+
+# Two-sided normal-tail staircase for the FDR entry: |z| cutoff ->
+# p-value bucket, a LITERAL table in both engines (no erf anywhere —
+# cross-engine libm cannot drift a literal CASE chain). Cutoffs are
+# the standard two-sided z quantiles.
+_Z_P_STAIRS: tuple[tuple[float, int], ...] = (
+    (3.8906, 100),      # p <= 0.0001
+    (3.2905, 1000),     # p <= 0.001
+    (2.8070, 5000),     # p <= 0.005
+    (2.5758, 10000),    # p <= 0.01
+    (2.3263, 20000),    # p <= 0.02
+    (1.9600, 50000),    # p <= 0.05
+    (1.6449, 100000),   # p <= 0.1
+    (1.2816, 200000),   # p <= 0.2
+    (0.8416, 400000),   # p <= 0.4
+    (0.5244, 600000),   # p <= 0.6
+    (0.2533, 800000),   # p <= 0.8
+)
+
+
+def _p_stairs_sql(zcol: str) -> str:
+    cases = " ".join(
+        f"WHEN {zcol} >= {z} THEN {p}" for z, p in _Z_P_STAIRS
+    )
+    return f"CASE {cases} ELSE 1000000 END"
+
+
+@q(
+    "ev_fdr_segment_residuals",
+    f"""
+    WITH cell AS (
+      SELECT event_type, date_part('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, date_part('hour', ts)
+    ), mr AS (
+      SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+      FROM cell GROUP BY event_type
+    ), mc AS (
+      SELECT hr, CAST(sum(o) AS BIGINT) AS c
+      FROM cell GROUP BY hr
+    ), tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n FROM cell
+    ), zp AS (
+      SELECT event_type, hr, o,
+             CAST(round(abs(o - CAST(r AS DOUBLE) * c / n)
+                        / sqrt(CAST(r AS DOUBLE) * c / n) * 1000)
+                  AS BIGINT) AS absz_milli
+      FROM cell JOIN mr USING (event_type) JOIN mc USING (hr), tot
+    ), pp AS (
+      SELECT event_type, hr, o, absz_milli,
+             {_p_stairs_sql('absz_milli / 1000.0')} AS p_micro,
+             CAST(count(*) OVER () AS BIGINT) AS m,
+             CAST(row_number() OVER (
+                 ORDER BY {_p_stairs_sql('absz_milli / 1000.0')},
+                          event_type, hr) AS BIGINT) AS rk
+      FROM zp
+    ), kmax AS (
+      SELECT coalesce(max(rk), 0) AS k FROM pp
+      WHERE CAST(p_micro AS HUGEINT) * m <= CAST(rk AS HUGEINT) * 50000
+    )
+    SELECT event_type, CAST(hr AS BIGINT) AS hr, o, absz_milli,
+           CAST(p_micro AS BIGINT) AS p_micro, rk,
+           rk <= k AS rejected
+    FROM pp, kmax
+    ORDER BY rk
+    """,
+)
+def ev_fdr_segment_residuals(spark, sf_dir):
+    """BENJAMINI-HOCHBERG FDR over the contingency cells' standardized
+    Pearson residuals — the WHICH-segments drill-down under
+    ev_chisq_independence's table-level verdict, with multiple-testing
+    control (120 simultaneous tests at alpha=0.05 would expect 6 false
+    alarms; BH caps the false-discovery RATE instead): per cell
+    z = (O-E)/sqrt(E), two-sided p from a LITERAL z->p staircase (the
+    standard normal quantile table embedded in both engines' query —
+    no erf, so no cross-engine libm), rank p ascending, and reject the
+    largest prefix with p_(k) <= k/m * alpha.
+
+    Exactness: |z| lands on the milli lattice per cell (fixed-shape
+    IEEE ops on exact integer counts); the staircase compare and the BH
+    inequality p*m <= k*alpha_micro are pure integer arithmetic (the
+    HUGEINT/DECIMAL cast is paranoia — both sides are <= 1e6 * 120).
+    The ranking window runs over the CONTINGENCY grain (~120 cells at
+    any data scale — the dim_agg survivor class), with the (p,
+    event_type, hr) total order making ranks deterministic.
+
+    Scale shape: one data-sized keyed aggregate to cell grain, margin
+    broadcasts, a bounded window, a 1-row kmax broadcast back. The
+    monitoring primitive every segment-drift dashboard needs at
+    100 TB."""
+    (ev,) = _t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").cast("long").alias("o"))
+    mr = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    mc = cell.groupBy("hr").agg(F.sum("o").cast("long").alias("c"))
+    tot = cell.agg(F.sum("o").cast("long").alias("n"))
+    zp = (
+        cell.join(F.broadcast(mr), "event_type")
+        .join(F.broadcast(mc), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "hr",
+            "o",
+            F.expr(
+                "CAST(round(abs(o - CAST(r AS DOUBLE) * c / n)"
+                " / sqrt(CAST(r AS DOUBLE) * c / n) * 1000) AS BIGINT)"
+            ).alias("absz_milli"),
+        )
+    )
+    p_expr = _p_stairs_sql("absz_milli / 1000.0")
+    w_all = Window.partitionBy()
+    w_rk = Window.orderBy(F.expr(p_expr), "event_type", "hr")
+    pp = zp.select(
+        "event_type",
+        "hr",
+        "o",
+        "absz_milli",
+        F.expr(p_expr).cast("long").alias("p_micro"),
+        F.count("*").over(w_all).cast("long").alias("m"),
+        F.row_number().over(w_rk).cast("long").alias("rk"),
+    )
+    kmax = pp.filter(
+        F.expr(
+            "CAST(p_micro AS DECIMAL(38,0)) * m"
+            " <= CAST(rk AS DECIMAL(38,0)) * 50000"
+        )
+    ).agg(F.coalesce(F.max("rk"), F.lit(0)).cast("long").alias("k"))
+    return (
+        pp.crossJoin(F.broadcast(kmax))
+        .select(
+            "event_type",
+            "hr",
+            "o",
+            "absz_milli",
+            "p_micro",
+            "rk",
+            (F.col("rk") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("rk")
+    )
+
+
+@q(
+    "agg_trimmed_mean",
+    """
+    WITH v AS (
+      SELECT CAST(round(value * 1000) AS BIGINT) AS vm FROM events
+    ), g AS (
+      SELECT vm, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY vm
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt) * 5 // 100 AS BIGINT) AS lo
+      FROM g
+    ), c AS (
+      SELECT vm, cnt,
+             CAST(sum(cnt) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+                  - cnt AS BIGINT) AS cb
+      FROM g
+    ), k AS (
+      SELECT vm, cnt, cb, n, lo,
+             greatest(0, least(cb + cnt, n - lo) - greatest(cb, lo))
+                 AS kept
+      FROM c, tot
+    )
+    SELECT max(n) AS n_events, CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(CAST(vm AS HUGEINT) * kept) * 1000
+                // sum(kept) AS BIGINT) AS trimmed_mean_micro,
+           CAST((sum(CAST(vm AS HUGEINT) * kept)
+                 + max(lo) * CAST(min(CASE WHEN kept > 0 THEN vm END)
+                                  AS HUGEINT)
+                 + max(lo) * CAST(max(CASE WHEN kept > 0 THEN vm END)
+                                  AS HUGEINT)) * 1000
+                // max(n) AS BIGINT) AS winsor_mean_micro
+    FROM k
+    """,
+)
+def agg_trimmed_mean(spark, sf_dir):
+    """EXACT 5%-TRIMMED and WINSORIZED means of the event value — the
+    robust central-tendency pair every metrics pipeline needs when the
+    tail is contaminated (a handful of corrupt 1e9 values should not
+    move the business mean): drop (trim) or clamp (winsorize) the
+    bottom and top 5% of ranks, computed EXACTLY at the distinct-
+    value-bin grain rather than by any quantile sketch.
+
+    Rank arithmetic without per-row ranking: with bins (vm, cnt) and
+    exclusive cumulative count cb, the kept mass of a bin under rank
+    window [lo+1, n-lo] is max(0, min(cb+cnt, n-lo) - max(cb, lo)) —
+    pure integer overlap, so trim boundaries land exactly even when a
+    single bin straddles them. Winsorization adds lo copies of the
+    lowest and highest KEPT bin values (the rank-(lo+1) and rank-(n-lo)
+    order statistics, recovered as conditional min/max over kept bins).
+    Permille lattice bounds the bin grain by the VALUE RANGE (~5e5 at
+    any row count); weighted sums are quadratic-ish (bin value x count)
+    and accumulate in HUGEINT / DECIMAL(38,0).
+
+    Scale shape: one keyed aggregate to bin grain, ONE size-gated
+    global_cumsum pass, a 1-row totals broadcast, one bounded
+    reduction — the KS/Mann-Whitney spine reused for robust
+    aggregation."""
+    from xova_spark.operators.ranking import global_cumsum
+
+    (ev,) = _t(spark, sf_dir, "events")
+    g = (
+        ev.select(F.round(F.col("value") * 1000).cast("long").alias("vm"))
+        .groupBy("vm")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = g.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.expr("CAST(sum(cnt) * 5 div 100 AS BIGINT)").alias("lo"),
+    )
+    c = global_cumsum(g, [F.col("vm").asc()], "cnt", "c_incl")
+    k = (
+        c.withColumn("cb", F.col("c_incl") - F.col("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vm",
+            "cnt",
+            "n",
+            "lo",
+            F.expr(
+                "greatest(0, least(cb + cnt, n - lo) - greatest(cb, lo))"
+            ).alias("kept"),
+        )
+    )
+    return k.agg(
+        F.max("n").alias("n_events"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.expr(
+            "CAST(sum(CAST(vm AS DECIMAL(38,0)) * kept) * 1000"
+            " div sum(kept) AS BIGINT)"
+        ).alias("trimmed_mean_micro"),
+        F.expr(
+            "CAST((sum(CAST(vm AS DECIMAL(38,0)) * kept)"
+            " + max(lo) * CAST(min(CASE WHEN kept > 0 THEN vm END)"
+            "                  AS DECIMAL(38,0))"
+            " + max(lo) * CAST(max(CASE WHEN kept > 0 THEN vm END)"
+            "                  AS DECIMAL(38,0))) * 1000"
+            " div max(n) AS BIGINT)"
+        ).alias("winsor_mean_micro"),
+    )
