@@ -127,6 +127,8 @@ HEADLINE = (
     "stream_funnel_conversion",
     "ev_fdr_segment_residuals",
     "agg_trimmed_mean",
+    "join_asof_nearest",
+    "layout_partition_skew_audit",
 )
 
 

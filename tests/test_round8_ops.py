@@ -482,3 +482,68 @@ def test_trimmed_mean_matches_python_replica(spark):
     wins = sum(kept) + lo * kept[0] + lo * kept[-1]
     assert row["winsor_mean_micro"] == wins * 1000 // n
     assert kept[0] * 1000 <= row["trimmed_mean_micro"] <= kept[-1] * 1000
+
+
+def test_join_asof_nearest_matches_python_replica(spark):
+    """join_asof_nearest vs a python replica of the nearest rule
+    (ties -> backward, equal-ts purchase counts as prior/lag 0);
+    signed lag orientation checked."""
+    import bisect
+
+    from xova_spark.queries.relext import join_asof_nearest
+
+    got = {
+        r["event_id"]: (r["nearest_lag_us"], r["nearest_value"])
+        for r in join_asof_nearest(spark, SF).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "user_id", "event_type", F.unix_micros(
+            F.to_utc_timestamp("ts", "UTC")).alias("us"), "value")
+        .collect()
+    )
+    # purchases per user ordered by (us, value) — the entry's total order
+    per = {}
+    for r in ev:
+        if r["event_type"] == "purchase":
+            per.setdefault(r["user_id"], []).append((r["us"], r["value"]))
+    for v in per.values():
+        v.sort()
+    n_checked = 0
+    for r in ev:
+        if r["event_type"] != "click":
+            continue
+        ps = per.get(r["user_id"], [])
+        want = (None, None)
+        if ps:
+            us = [p[0] for p in ps]
+            i = bisect.bisect_right(us, r["us"])
+            back = ps[i - 1] if i > 0 else None
+            fwd = ps[i] if i < len(ps) else None
+            if back is None:
+                want = (fwd[0] - r["us"], round(fwd[1], 6))
+            elif fwd is None or (r["us"] - back[0]) <= (fwd[0] - r["us"]):
+                want = (-(r["us"] - back[0]), round(back[1], 6))
+            else:
+                want = (fwd[0] - r["us"], round(fwd[1], 6))
+        assert got[r["event_id"]] == want
+        n_checked += 1
+    assert n_checked > 0
+
+
+def test_partition_skew_audit_laws(spark):
+    """layout_partition_skew_audit: file skew >= 1000 (max >= mean),
+    part shares floor-sum to <= 1000*n_parts, hot flag consistent."""
+    from xova_spark.queries.layoutq import layout_partition_skew_audit
+
+    rows = layout_partition_skew_audit(spark, SF).collect()
+    assert rows
+    n_parts = len(rows)
+    total = sum(r["total_bytes"] for r in rows)
+    for r in rows:
+        assert r["file_skew_permille"] >= 1000
+        assert r["max_file_bytes"] * r["n_files"] >= r["total_bytes"]
+        want_share = r["total_bytes"] * 1000 * n_parts // total
+        assert r["part_share_permille_x"] == want_share
+        assert r["hot_part"] == (want_share >= 2000)
+    assert sum(r["part_share_permille_x"] for r in rows) <= 1000 * n_parts

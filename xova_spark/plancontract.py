@@ -363,6 +363,10 @@ BNLJ_SURVIVORS: dict[str, dict] = {
         "max_segments": 3,
     },
     "agg_trimmed_mean": {"kinds": ("one_row_agg",), "max_segments": 1},
+    "layout_partition_skew_audit": {
+        "kinds": ("one_row_agg",),
+        "max_segments": 1,
+    },
     "ev_hoover_index": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ev_hourly_rollup_gapfill": {"kinds": ("dim_agg",), "max_segments": 1},
     "ev_seasonal_decompose": {"kinds": ("one_row_agg",), "max_segments": 1},

@@ -711,3 +711,88 @@ def layout_bloom_skip_audit(spark, sf_dir):
             .alias("bloom_false_positives"),
         )
     )
+
+
+@q(
+    "layout_partition_skew_audit",
+    f"""
+    WITH files AS (
+      SELECT epoch_us(o_orderdate) // {_US_PER_DAY} AS day,
+             CAST(count(*) * 100 AS BIGINT) AS bytes
+      FROM orders GROUP BY 1
+    ), parts AS (
+      SELECT day // {_COMPACT_PART_DAYS} AS part,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(bytes) AS BIGINT) AS total_bytes,
+             CAST(max(bytes) AS BIGINT) AS max_file_bytes
+      FROM files GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(total_bytes) AS BIGINT) AS grand,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM parts
+    )
+    SELECT CAST(part AS BIGINT) AS part, n_files, total_bytes,
+           max_file_bytes,
+           CAST(max_file_bytes * 1000 * n_files // total_bytes AS BIGINT)
+               AS file_skew_permille,
+           CAST(total_bytes * 1000 * n_parts // grand AS BIGINT)
+               AS part_share_permille_x,
+           total_bytes * 1000 * n_parts // grand >= 2000 AS hot_part
+    FROM parts, tot
+    ORDER BY part
+    """,
+)
+def layout_partition_skew_audit(spark, sf_dir):
+    """PARTITION-SKEW AUDIT over the file manifest — the planner
+    readout that decides when a lakehouse table needs re-bucketing or
+    AQE skew-join handling BEFORE a 1000-executor job stalls on one
+    straggler partition: per 90-day layout partition, file count, total
+    and max file bytes, the within-partition file skew (max/mean as
+    permille — 1000 = perfectly even), and the partition's share of the
+    table normalized by partition count (1000 = even; >= 2000 flags a
+    hot partition holding 2x its fair share — the straggler that sets a
+    shuffle stage's tail latency).
+
+    All integer arithmetic over the MANIFEST grain (daily batches stand
+    in for files, the layout_compaction_plan fixture convention; ~10^5
+    manifest rows for ~10^11 data rows at 100 TB): one partial-
+    aggregated shuffle to day grain, one keyed rollup to partition
+    grain, a 1-row totals broadcast, zero windows. Nonnegative
+    dividends throughout, so floor and truncating division agree."""
+    (orders,) = (
+        load_tables(spark, sf_dir, ("orders",))[n] for n in ("orders",)
+    )
+    files = orders.groupBy(
+        F.expr(f"unix_micros(o_orderdate) div {_US_PER_DAY}").alias("day")
+    ).agg((F.count("*") * 100).cast("long").alias("bytes"))
+    parts = files.groupBy(
+        F.expr(f"day div {_COMPACT_PART_DAYS}").alias("part")
+    ).agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.max("bytes").cast("long").alias("max_file_bytes"),
+    )
+    tot = parts.agg(
+        F.sum("total_bytes").cast("long").alias("grand"),
+        F.count("*").cast("long").alias("n_parts"),
+    )
+    return (
+        parts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("part").cast("long").alias("part"),
+            "n_files",
+            "total_bytes",
+            "max_file_bytes",
+            F.expr(
+                "CAST(max_file_bytes * 1000 * n_files div total_bytes"
+                " AS BIGINT)"
+            ).alias("file_skew_permille"),
+            F.expr(
+                "CAST(total_bytes * 1000 * n_parts div grand AS BIGINT)"
+            ).alias("part_share_permille_x"),
+            F.expr(
+                "total_bytes * 1000 * n_parts div grand >= 2000"
+            ).alias("hot_part"),
+        )
+        .orderBy("part")
+    )

@@ -4929,3 +4929,130 @@ def agg_trimmed_mean(spark, sf_dir):
             " div max(n) AS BIGINT)"
         ).alias("winsor_mean_micro"),
     )
+
+
+@q(
+    "join_asof_nearest",
+    """
+    WITH merged AS (
+      SELECT user_id, ts, event_id, 1 AS kind,
+             CAST(NULL AS DOUBLE) AS p_value
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id, 0 AS kind,
+             value AS p_value
+      FROM events WHERE event_type = 'purchase'
+    ), scan AS (
+      SELECT user_id, ts, event_id, kind,
+             last_value(p_value IGNORE NULLS) OVER wb AS prev_v,
+             last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+                 OVER wb AS prev_ts,
+             first_value(p_value IGNORE NULLS) OVER wf AS next_v,
+             first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+                 OVER wf AS next_ts
+      FROM merged
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts, kind, p_value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts, kind, p_value
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ), picked AS (
+      SELECT event_id,
+             epoch_us(ts) - epoch_us(prev_ts) AS back_lag,
+             epoch_us(next_ts) - epoch_us(ts) AS fwd_lag,
+             prev_v, next_v
+      FROM scan WHERE kind = 1
+    )
+    SELECT event_id,
+           CAST(CASE
+             WHEN back_lag IS NULL AND fwd_lag IS NULL THEN NULL
+             WHEN fwd_lag IS NULL OR (back_lag IS NOT NULL
+                                      AND back_lag <= fwd_lag)
+               THEN -back_lag ELSE fwd_lag END AS BIGINT) AS nearest_lag_us,
+           round(CASE
+             WHEN back_lag IS NULL AND fwd_lag IS NULL THEN NULL
+             WHEN fwd_lag IS NULL OR (back_lag IS NOT NULL
+                                      AND back_lag <= fwd_lag)
+               THEN prev_v ELSE next_v END, 6) AS nearest_value
+    FROM picked
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """NEAREST-direction as-of join (the pandas
+    merge_asof(direction='nearest') surface, completing the
+    backward/forward pair): for each click, the same-user purchase with
+    the smallest |time difference|, ties broken toward the PRIOR
+    purchase (backward <= forward, the pandas rule). Reported as a
+    SIGNED lag (negative = purchase before the click) plus the matched
+    value; NULLs when the user never purchases.
+
+    One union + ONE shuffle by user + two frames over the same ordered
+    window scan (running last-prior and first-following) — never a
+    join, never a cross product; equal timestamps resolve by the
+    (ts, kind, value) total order with purchases sorted BEFORE clicks,
+    so an equal-ts purchase is 'prior' (lag 0) on both engines. Lags
+    are integer microseconds (unix_micros/epoch_us — timezone-proof);
+    only the matched value carries the round(, 6) float contract.
+
+    Scale shape: identical to join_asof — skew-safe for bounded
+    per-user rows, a single partitioned window pass."""
+    (ev,) = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("p_value"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("kind"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("p_value"),
+        "event_id",
+        F.lit(1).alias("kind"),
+    )
+    merged = purchases.unionByName(clicks)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "p_value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "p_value")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    p_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    scan = merged.select(
+        "event_id",
+        "kind",
+        "ts",
+        F.last("p_value", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(p_ts, ignorenulls=True).over(wb).alias("prev_ts"),
+        F.first("p_value", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(p_ts, ignorenulls=True).over(wf).alias("next_ts"),
+    )
+    picked = scan.filter(F.col("kind") == 1).select(
+        "event_id",
+        (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("back_lag"),
+        (F.unix_micros("next_ts") - F.unix_micros("ts")).alias("fwd_lag"),
+        "prev_v",
+        "next_v",
+    )
+    take_back = F.col("fwd_lag").isNull() | (
+        F.col("back_lag").isNotNull() & (F.col("back_lag") <= F.col("fwd_lag"))
+    )
+    both_null = F.col("back_lag").isNull() & F.col("fwd_lag").isNull()
+    return picked.select(
+        "event_id",
+        F.when(both_null, F.lit(None).cast("long"))
+        .when(take_back, -F.col("back_lag"))
+        .otherwise(F.col("fwd_lag"))
+        .cast("long")
+        .alias("nearest_lag_us"),
+        F.round(
+            F.when(both_null, F.lit(None).cast("double"))
+            .when(take_back, F.col("prev_v"))
+            .otherwise(F.col("next_v")),
+            6,
+        ).alias("nearest_value"),
+    )
