@@ -129,6 +129,7 @@ HEADLINE = (
     "agg_trimmed_mean",
     "join_asof_nearest",
     "layout_partition_skew_audit",
+    "ev_sprt_ab_test",
 )
 
 

@@ -547,3 +547,66 @@ def test_partition_skew_audit_laws(spark):
         assert r["part_share_permille_x"] == want_share
         assert r["hot_part"] == (want_share >= 2000)
     assert sum(r["part_share_permille_x"] for r in rows) <= 1000 * n_parts
+
+
+def test_sprt_matches_python_replica(spark):
+    """ev_sprt_ab_test vs a python replica of the integer LLR walk and
+    the first-crossing decision rule; Wald boundary constants pinned to
+    their closed forms."""
+    import math
+
+    from xova_spark.queries.relext import (
+        _SPRT_A,
+        _SPRT_B,
+        _SPRT_L0,
+        _SPRT_L1,
+        ev_sprt_ab_test,
+    )
+
+    assert _SPRT_L1 == round(math.log(0.22 / 0.18) * 1e6)
+    assert _SPRT_L0 == round(math.log(0.78 / 0.82) * 1e6)
+    assert _SPRT_A == round(math.log(0.95 / 0.05) * 1e6) == -_SPRT_B
+
+    rows = {r["variant"]: r for r in ev_sprt_ab_test(spark, SF).collect()}
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(
+            (F.col("user_id") % 2).alias("v"),
+            F.expr(
+                "unix_micros(to_utc_timestamp(ts, 'UTC')) div 3600000000"
+            ).alias("hr"),
+            (F.col("event_type") == "purchase").alias("s"),
+        )
+        .collect()
+    )
+    bins = {}
+    for r in ev:
+        sc, fc = bins.get((r["v"], r["hr"]), (0, 0))
+        bins[(r["v"], r["hr"])] = (sc + int(r["s"]), fc + int(not r["s"]))
+    for v in (0, 1):
+        hrs = sorted(h for (vv, h) in bins if vv == v)
+        llr, h1, h0, last = 0, None, None, None
+        for h in hrs:
+            sc, fc = bins[(v, h)]
+            llr += sc * _SPRT_L1 + fc * _SPRT_L0
+            if h1 is None and llr >= _SPRT_A:
+                h1 = h
+            if h0 is None and llr <= _SPRT_B:
+                h0 = h
+            last = llr
+        row = rows[v]
+        assert row["n_hours"] == len(hrs)
+        assert row["final_llr_micro"] == last
+        crossing = (
+            None
+            if h1 is None and h0 is None
+            else min(x for x in (h1, h0) if x is not None)
+        )
+        assert row["crossing_hr"] == crossing
+        if h1 is not None and (h0 is None or h1 <= h0):
+            want = "accept_h1"
+        elif h0 is not None:
+            want = "accept_h0"
+        else:
+            want = "continue"
+        assert row["decision"] == want

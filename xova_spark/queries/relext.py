@@ -5056,3 +5056,145 @@ def join_asof_nearest(spark, sf_dir):
             6,
         ).alias("nearest_value"),
     )
+
+
+# SPRT constants — literal micro-nat log-likelihood increments for the
+# Bernoulli hypotheses H0: p=0.18 vs H1: p=0.22 and Wald boundaries
+# for alpha=beta=0.05. Literals make the whole test INTEGER arithmetic
+# on both engines (the FDR-staircase discipline: no runtime ln).
+_SPRT_L1 = 200671   # round(ln(0.22/0.18) * 1e6)        per success
+_SPRT_L0 = -50010   # round(ln(0.78/0.82) * 1e6)        per failure
+_SPRT_A = 2944439   # round(ln(0.95/0.05) * 1e6)        accept H1 at >= A
+_SPRT_B = -2944439  # round(ln(0.05/0.95) * 1e6)        accept H0 at <= B
+
+
+@q(
+    "ev_sprt_ab_test",
+    f"""
+    WITH assigned AS (
+      SELECT user_id % 2 AS variant,
+             epoch_us(ts) // 3600000000 AS hr,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+      FROM events
+    ), bins AS (
+      SELECT variant, hr,
+             CAST(sum(s) AS BIGINT) AS succ,
+             CAST(count(*) - sum(s) AS BIGINT) AS fail
+      FROM assigned GROUP BY variant, hr
+    ), walk AS (
+      SELECT variant, hr, succ, fail,
+             CAST(sum(succ * {_SPRT_L1} + fail * ({_SPRT_L0})) OVER (
+                 PARTITION BY variant ORDER BY hr
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS llr_micro
+      FROM bins
+    )
+    SELECT CAST(variant AS BIGINT) AS variant,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(succ) AS BIGINT) AS n_success,
+           CAST(sum(fail) AS BIGINT) AS n_failure,
+           CAST(max_by(llr_micro, hr) AS BIGINT) AS final_llr_micro,
+           CAST(min(CASE WHEN llr_micro >= {_SPRT_A}
+                          OR llr_micro <= {_SPRT_B} THEN hr END)
+                AS BIGINT) AS crossing_hr,
+           CASE
+             WHEN min(CASE WHEN llr_micro >= {_SPRT_A} THEN hr END)
+                  <= coalesce(min(CASE WHEN llr_micro <= {_SPRT_B}
+                                       THEN hr END),
+                              min(CASE WHEN llr_micro >= {_SPRT_A}
+                                       THEN hr END))
+               THEN 'accept_h1'
+             WHEN min(CASE WHEN llr_micro <= {_SPRT_B} THEN hr END)
+                  IS NOT NULL THEN 'accept_h0'
+             ELSE 'continue' END AS decision
+    FROM walk
+    GROUP BY variant
+    ORDER BY variant
+    """,
+)
+def ev_sprt_ab_test(spark, sf_dir):
+    """WALD SEQUENTIAL PROBABILITY RATIO TEST per A/B variant — the
+    always-valid sequential decision a streaming experiment platform
+    makes INSTEAD of a fixed-horizon z-test (peeking at a z-test
+    inflates false positives; the SPRT's Wald boundaries price the
+    peeking in): users split deterministically by user_id parity, each
+    variant walks a cumulative log-likelihood ratio for H1: p=0.22 vs
+    H0: p=0.18 over hourly bins (success = purchase event), and the
+    first boundary crossing decides.
+
+    ENTIRELY INTEGER: the per-observation LLR increments and the Wald
+    boundaries ln((1-b)/a), ln(b/(1-a)) are LITERAL micro-nat constants
+    (the FDR-staircase discipline — no runtime ln, so no cross-engine
+    libm anywhere), the walk is an integer cumulative sum, and the
+    crossing is an integer comparison. Decision rule on ties and
+    history: the FIRST crossing in hour order wins; if the H1 crossing
+    hour precedes-or-equals the H0 one it is accept_h1 (both cannot
+    cross in the same hour since A > 0 > B).
+
+    Scale shape: one keyed aggregate to (variant, hour) grain — bounded
+    by the calendar, not the row count — then a variant-partitioned
+    ordered window over those bins and a 2-row rollup. The data-sized
+    stage is the first aggregate only."""
+    (ev,) = _t(spark, sf_dir, "events")
+    bins = ev.groupBy(
+        (F.col("user_id") % 2).alias("variant"),
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("succ"),
+        (
+            F.count("*")
+            - F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("fail"),
+    )
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = bins.withColumn(
+        "llr_micro",
+        F.sum(
+            F.col("succ") * F.lit(_SPRT_L1) + F.col("fail") * F.lit(_SPRT_L0)
+        )
+        .over(w)
+        .cast("long"),
+    )
+    h1_hr = F.min(F.when(F.col("llr_micro") >= _SPRT_A, F.col("hr")))
+    h0_hr = F.min(F.when(F.col("llr_micro") <= _SPRT_B, F.col("hr")))
+    return (
+        walk.groupBy("variant")
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.sum("succ").cast("long").alias("n_success"),
+            F.sum("fail").cast("long").alias("n_failure"),
+            F.expr("max_by(llr_micro, hr)").cast("long").alias(
+                "final_llr_micro"
+            ),
+            F.least(
+                F.coalesce(h1_hr, h0_hr), F.coalesce(h0_hr, h1_hr)
+            )
+            .cast("long")
+            .alias("crossing_hr"),
+            F.when(
+                h1_hr <= F.coalesce(h0_hr, h1_hr), "accept_h1"
+            )
+            .when(h0_hr.isNotNull(), "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+        )
+        .select(
+            F.col("variant").cast("long").alias("variant"),
+            "n_hours",
+            "n_success",
+            "n_failure",
+            "final_llr_micro",
+            "crossing_hr",
+            "decision",
+        )
+        .orderBy("variant")
+    )
