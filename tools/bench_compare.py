@@ -1,6 +1,8 @@
 """Compare two bench.py JSON payloads per query with a noise band.
 
-Usage: python tools/bench_compare.py OLD.json NEW.json [--band 0.2]
+Usage: python tools/bench_compare.py [OLD.json] NEW.json [--band 0.2]
+       (OLD defaults to the committed BENCH_BASELINE.json — the
+        round-8 full-headline median re-baseline)
 
 Reads either a raw ``{"metric": ...}`` payload or a driver
 ``BENCH_r{N}.json`` wrapper (takes the ``parsed`` field). Prints a
@@ -46,6 +48,15 @@ def main() -> int:
         else:
             args.append(a)
         i += 1
+    if len(args) == 1:
+        # Default comparator: the committed round-8 median re-baseline
+        # (VERDICT r7 item 4 — per-query medians at the FULL headline,
+        # so regressions in post-round-5 queries are no longer
+        # invisible to this discipline).
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        args.insert(0, os.path.join(repo, "BENCH_BASELINE.json"))
     if len(args) != 2:
         raise SystemExit(__doc__)
     old, new = load(args[0]), load(args[1])
