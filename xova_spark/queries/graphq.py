@@ -1241,12 +1241,12 @@ def graph_node_jaccard_capped(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS support
     FROM pp a
     JOIN pp b ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
-    -- c joins on B's orderkey (transitively = a's): EVERY pair of
-    -- relations then shares an equality key, so no join order the
-    -- optimizer picks degenerates to an inequality-only O(N^2) join
-    -- (found by the sf1 oracle gate: with c keyed only on a, DuckDB's
-    -- b x c association had nothing but b.partkey < c.partkey and ran
-    -- >1 h at sf1; semantics identical)
+    -- c keys on B's orderkey (transitively = a's): EVERY pair of
+    -- relations then shares an equality key, so whatever association
+    -- the optimizer picks cannot degenerate to an inequality-only
+    -- O(N^2) nested loop (found by the sf1 oracle gate: with c keyed
+    -- only on a, DuckDB's b x c association had nothing but
+    -- b.partkey < c.partkey and ran >1 h at sf1; semantics identical)
     JOIN pp c ON c.l_orderkey = b.l_orderkey AND b.l_partkey < c.l_partkey
     GROUP BY 1, 2, 3
     HAVING count(*) >= {MIN_SUPPORT}
