@@ -130,6 +130,8 @@ HEADLINE = (
     "join_asof_nearest",
     "layout_partition_skew_audit",
     "ev_sprt_ab_test",
+    "cdc_deletion_vector_audit",
+    "pipeline_eval_gate_e2e",
 )
 
 

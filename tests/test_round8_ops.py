@@ -610,3 +610,66 @@ def test_sprt_matches_python_replica(spark):
         else:
             want = "continue"
         assert row["decision"] == want
+
+
+def test_deletion_vector_audit_laws(spark):
+    """cdc_deletion_vector_audit: live + deleted == rows, rewrite flag
+    and savings consistent with the 10% threshold, totals match the
+    raw delete predicate."""
+    from xova_spark.queries.cdcq import cdc_deletion_vector_audit
+
+    rows = cdc_deletion_vector_audit(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["live_rows"] + r["n_deleted"] == r["n_rows"]
+        dp = r["n_deleted"] * 1000 // r["n_rows"]
+        assert r["deleted_permille"] == dp
+        assert r["rewrite_due"] == (dp >= 100)
+        assert r["scan_rows_saved_by_rewrite"] == (
+            r["n_deleted"] if dp >= 100 else 0
+        )
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    want_deleted = orders.filter(F.col("o_orderkey") % 97 == 3).count()
+    assert sum(r["n_deleted"] for r in rows) == want_deleted
+    assert sum(r["n_rows"] for r in rows) == orders.count()
+
+
+def test_eval_gate_composes_its_components(spark):
+    """pipeline_eval_gate_e2e must carry the IDENTICAL metric values as
+    its component entries, and `ship` must equal the documented
+    threshold conjunction."""
+    from xova_spark.queries.relext import (
+        agg_trimmed_mean,
+        ev_cramers_v,
+        ev_fdr_segment_residuals,
+        ev_ks_test,
+        ev_sprt_ab_test,
+        pipeline_eval_gate_e2e,
+    )
+
+    g = pipeline_eval_gate_e2e(spark, SF).collect()[0]
+    assert g["ks_micro"] == ev_ks_test(spark, SF).collect()[0]["ks_micro"]
+    assert (
+        g["cramers_v_micro"]
+        == ev_cramers_v(spark, SF).collect()[0]["cramers_v_micro"]
+    )
+    fdr = sum(
+        1 for r in ev_fdr_segment_residuals(spark, SF).collect() if r["rejected"]
+    )
+    assert g["n_fdr_rejected"] == fdr
+    h1 = sum(
+        1
+        for r in ev_sprt_ab_test(spark, SF).collect()
+        if r["decision"] == "accept_h1"
+    )
+    assert g["n_sprt_h1"] == h1
+    assert (
+        g["trimmed_mean_micro"]
+        == agg_trimmed_mean(spark, SF).collect()[0]["trimmed_mean_micro"]
+    )
+    assert g["ship"] == (
+        g["ks_micro"] < 100000
+        and g["cramers_v_micro"] < 100000
+        and g["n_fdr_rejected"] <= 10
+        and g["n_sprt_h1"] == 0
+    )

@@ -162,6 +162,12 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "kind": "dim_agg",
         "marker": r"HashAggregate\(keys=\[(event_type|hr)#\d+",
     },
+    # the composed eval gate inherits its components' bounded windows:
+    # the KS distinct-value-bin cumsum and the FDR contingency ranking
+    "pipeline_eval_gate_e2e": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[(vm|event_type|hr)#\d+",
+    },
 }
 
 
@@ -366,6 +372,13 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "layout_partition_skew_audit": {
         "kinds": ("one_row_agg",),
         "max_segments": 1,
+    },
+    # composed eval gate: the union of its five components' 1-row
+    # broadcasts plus four composition joins of 1-row frames — every
+    # segment a one-row aggregate by construction
+    "pipeline_eval_gate_e2e": {
+        "kinds": ("one_row_agg",),
+        "max_segments": 12,
     },
     "ev_hoover_index": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ev_hourly_rollup_gapfill": {"kinds": ("dim_agg",), "max_segments": 1},

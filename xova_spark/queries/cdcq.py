@@ -528,3 +528,71 @@ def cdc_join_view_maintenance(spark, sf_dir):
         )
         .where(F.col("n_orders") > 0)
     )
+
+
+@q(
+    "cdc_deletion_vector_audit",
+    """
+    WITH files AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_orderkey % 97 = 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_deleted
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(day AS BIGINT) AS day, n_rows, n_deleted,
+           CAST(n_rows - n_deleted AS BIGINT) AS live_rows,
+           CAST(n_deleted * 1000 // n_rows AS BIGINT) AS deleted_permille,
+           n_deleted * 1000 // n_rows >= 100 AS rewrite_due,
+           CAST(CASE WHEN n_deleted * 1000 // n_rows >= 100
+                     THEN n_deleted ELSE 0 END AS BIGINT)
+               AS scan_rows_saved_by_rewrite
+    FROM files
+    ORDER BY day
+    """,
+)
+def cdc_deletion_vector_audit(spark, sf_dir):
+    """DELETION-VECTOR (merge-on-read) REWRITE AUDIT — the lakehouse
+    maintenance readout for tables that take deletes as bitmaps instead
+    of rewrites (Delta deletion vectors / Iceberg position deletes):
+    per file, how much of it is dead, and is the dead fraction past the
+    rewrite threshold where compacting beats carrying the vector? Every
+    read of a DV'd file still scans ALL its rows and filters — so the
+    per-file `scan_rows_saved_by_rewrite` is exactly its deleted count
+    once the 10% threshold (the Delta default neighborhood) is crossed.
+
+    Fixture: daily order batches stand in for files (the
+    layout_compaction_plan convention) and the CDC pack's deterministic
+    delete predicate (o_orderkey % 97 = 3) stands in for the accumulated
+    deletion vector. Pure integer arithmetic at MANIFEST grain (~2400
+    day-files at any data scale — the audit never touches data rows
+    except through ONE partial-aggregated count); nonnegative permille
+    divisions, so floor and truncate agree.
+
+    Scale shape: one map-side-combined keyed aggregate to day grain,
+    then bounded per-row arithmetic. The decision table a nightly
+    OPTIMIZE job consumes at 100 TB."""
+    (orders,) = (
+        load_tables(spark, sf_dir, ("orders",))[n] for n in ("orders",)
+    )
+    files = orders.groupBy(
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey") % 97 == 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_deleted"),
+    )
+    dp = F.expr("n_deleted * 1000 div n_rows")
+    return files.select(
+        F.col("day").cast("long").alias("day"),
+        "n_rows",
+        "n_deleted",
+        (F.col("n_rows") - F.col("n_deleted")).cast("long").alias("live_rows"),
+        dp.cast("long").alias("deleted_permille"),
+        (dp >= 100).alias("rewrite_due"),
+        F.when(dp >= 100, F.col("n_deleted"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("scan_rows_saved_by_rewrite"),
+    ).orderBy("day")

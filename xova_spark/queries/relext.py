@@ -5198,3 +5198,86 @@ def ev_sprt_ab_test(spark, sf_dir):
         )
         .orderBy("variant")
     )
+
+
+def _eval_gate_sql() -> str:
+    """Compose the component oracles (verbatim, as derived tables) into
+    the one-row ship/block decision — oracle reuse keeps the twin
+    definitions from drifting."""
+    ks = REGISTRY["ev_ks_test"][1]
+    cv = REGISTRY["ev_cramers_v"][1]
+    fdr = REGISTRY["ev_fdr_segment_residuals"][1]
+    sprt = REGISTRY["ev_sprt_ab_test"][1]
+    tm = REGISTRY["agg_trimmed_mean"][1]
+    return f"""
+    SELECT ks.ks_micro,
+           cv.cramers_v_micro,
+           f.n_fdr_rejected,
+           s.n_sprt_h1,
+           tm.trimmed_mean_micro,
+           ks.ks_micro < 100000 AND cv.cramers_v_micro < 100000
+             AND f.n_fdr_rejected <= 10 AND s.n_sprt_h1 = 0 AS ship
+    FROM ({ks}) ks,
+         ({cv}) cv,
+         (SELECT CAST(sum(CASE WHEN rejected THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_fdr_rejected FROM ({fdr})) f,
+         (SELECT CAST(sum(CASE WHEN decision = 'accept_h1' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_sprt_h1 FROM ({sprt})) s,
+         ({tm}) tm
+    """
+
+
+@q("pipeline_eval_gate_e2e", _eval_gate_sql())
+def pipeline_eval_gate_e2e(spark, sf_dir):
+    """END-TO-END EVAL GATE — the composed ship/block decision a
+    data-release pipeline runs nightly, chaining the round-8
+    statistical pack into ONE row: KS segment-drift (< 0.1), Cramer's V
+    association strength (< 0.1), the FDR-controlled count of deviant
+    contingency cells (<= 10 rejected at alpha=0.05), the SPRT variant
+    decisions (no accept_h1 fired), and the robust trimmed mean carried
+    as the release's headline metric. `ship` is true only when every
+    stability test passes — the exact composition a human release
+    checklist encodes, now a single oracle-gated query.
+
+    Composition discipline: the Spark side CALLS the component entry
+    functions (one shared implementation per metric) and joins their
+    bounded outputs — four 1-row frames and two tiny rollups — via
+    broadcast; the oracle embeds the component oracle SQLs verbatim as
+    derived tables (_eval_gate_sql), so the twins cannot drift from
+    their components. All thresholds are integer-lattice comparisons.
+
+    Scale shape: the union of the component shapes (each bounded-grain
+    with one data-sized keyed aggregate); the composition itself adds
+    only 1-row broadcasts."""
+    ks = ev_ks_test(spark, sf_dir).select("ks_micro")
+    cv = ev_cramers_v(spark, sf_dir).select("cramers_v_micro")
+    fdr = ev_fdr_segment_residuals(spark, sf_dir).agg(
+        F.sum(F.when(F.col("rejected"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fdr_rejected")
+    )
+    sprt = ev_sprt_ab_test(spark, sf_dir).agg(
+        F.sum(F.when(F.col("decision") == "accept_h1", 1).otherwise(0))
+        .cast("long")
+        .alias("n_sprt_h1")
+    )
+    tm = agg_trimmed_mean(spark, sf_dir).select("trimmed_mean_micro")
+    return (
+        ks.crossJoin(F.broadcast(cv))
+        .crossJoin(F.broadcast(fdr))
+        .crossJoin(F.broadcast(sprt))
+        .crossJoin(F.broadcast(tm))
+        .select(
+            "ks_micro",
+            "cramers_v_micro",
+            "n_fdr_rejected",
+            "n_sprt_h1",
+            "trimmed_mean_micro",
+            (
+                (F.col("ks_micro") < 100000)
+                & (F.col("cramers_v_micro") < 100000)
+                & (F.col("n_fdr_rejected") <= 10)
+                & (F.col("n_sprt_h1") == 0)
+            ).alias("ship"),
+        )
+    )
