@@ -439,6 +439,15 @@ def test_stream_funnel_matches_batch_and_ordering(spark):
     }
     assert got == want
     assert all(lag >= 0 for lag in got.values())
+    # Pins the lattice_headroom ANALYTIC_BOUNDS justification: every
+    # output id is an event identifier, bounded by max(event_id) —
+    # LINEAR in rows, whatever the two-point fit reads from funnel
+    # sparsity at the small tier.
+    max_id = spark.read.parquet(f"{SF}/events.parquet").agg(
+        F.max("event_id")
+    ).collect()[0][0]
+    for v, c, p in got:
+        assert max(v, c, p) <= max_id
 
 
 def test_fdr_bh_property_and_staircase_replica(spark):

@@ -286,6 +286,25 @@ ANALYTIC_BOUNDS: dict[tuple[str, str], tuple[float, str]] = {
         1.0,
         "pre-r8 column, retained for older-table diff only",
     ),
+    # funnel triple ids are EVENT IDENTIFIERS, bounded by max(event_id)
+    # — LINEAR in rows by construction (law test: every output id <=
+    # max event_id, test_round8_ops.py funnel law). The naive fit reads
+    # funnel-completion SPARSITY at the small tier (few qualifying
+    # view->click->purchase triples => small max participating id) as
+    # superlinear growth of the id itself.
+    ("stream_funnel_conversion", "view_id"): (
+        1.0,
+        "event identifier <= max(event_id), linear in rows; small-tier"
+        " funnel sparsity fakes the superlinear fit",
+    ),
+    ("stream_funnel_conversion", "click_id"): (
+        1.0,
+        "same identifier bound as view_id",
+    ),
+    ("stream_funnel_conversion", "purchase_id"): (
+        1.0,
+        "same identifier bound as view_id",
+    ),
 }
 
 
