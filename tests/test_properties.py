@@ -262,3 +262,39 @@ def test_global_cumsum_property(spark, rows, parts):
     for k, v in sorted(rows):
         acc += v
         assert got[k] == acc
+
+
+def test_fixture_timestamps_post_epoch(spark):
+    """DATA CONTRACT: every timestamp column in the fixture tables is
+    >= 1970-01-01 UTC. Hour/day binning across the registry uses Spark
+    `div` (truncate toward zero) vs DuckDB `//` (floor) on
+    unix_micros — identical iff the micros are nonnegative. A
+    pre-epoch timestamp would silently diverge the two engines
+    (ev_sprt_ab_test, cdc_deletion_vector_audit,
+    layout_partition_skew_audit, and the layoutq/cdcq day-grain
+    family), so this test turns that latent hazard into a loud one."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.session import load_tables
+
+    tables = load_tables(spark, "/root/testdata/sf0.01")
+    checked = 0
+    for name, df in tables.items():
+        ts_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName().startswith("timestamp")
+            or f.dataType.typeName() == "date"
+        ]
+        if not ts_cols:
+            continue
+        row = df.agg(
+            *[F.min(F.col(c).cast("timestamp")).alias(c) for c in ts_cols]
+        ).collect()[0]
+        for c in ts_cols:
+            assert row[c] is None or row[c].year >= 1970, (
+                f"{name}.{c} has pre-epoch timestamps: div/floor "
+                f"binning contract violated ({row[c]})"
+            )
+            checked += 1
+    assert checked >= 3, "expected at least orders/lineitem/events ts cols"

@@ -270,19 +270,45 @@ def test_jackknife_matches_python_replica(spark):
         return int(v + 0.5) if v >= 0 else -int(-v + 0.5)
 
     tbs = [half_away((st - s) / (ct - c) * 1e6) for s, c in per.values()]
-    var = (nb - 1) * (nb * sum(t * t for t in tbs) - sum(tbs) ** 2) // nb**3
+    var = (nb - 1) * (nb * sum(t * t for t in tbs) - sum(tbs) ** 2) // nb**2
     assert (row["n_events"], row["n_buckets"]) == (ct, nb)
     assert row["mean_micro"] == st * 1_000_000 // ct
     assert row["jack_var_micro2"] == var
     assert row["jack_var_micro2"] >= 0
 
 
+def test_jackknife_divisor_hand_computed():
+    """Divisor-law pin on a hand-computable population, INDEPENDENT of
+    the engine replica above (which once shared a wrong B^3 divisor
+    with both engines — the class of error a shared replica cannot
+    catch). For one observation per block the delete-one jackknife of
+    the mean equals the classic SE^2 = s^2/n exactly:
+    theta_b = (st - x_b)/(n - 1), and (B-1)/B * sum((theta_b - m)^2)
+    = sum((x_i - xbar)^2) / (n*(n-1)) = var(xbar)."""
+    xs = [10.0, 12.0, 17.0, 21.0]  # n = B = 4, one obs per block
+    n = len(xs)
+    st = sum(xs)
+    tbs = [(st - x) / (n - 1) for x in xs]
+    m = sum(tbs) / n
+    var_jack = (n - 1) / n * sum((t - m) ** 2 for t in tbs)
+    xbar = st / n
+    s2 = sum((x - xbar) ** 2 for x in xs) / (n - 1)
+    assert abs(var_jack - s2 / n) < 1e-12
+    # and the integer collapse used by both engines reproduces it:
+    collapse = (n - 1) * (n * sum(t * t for t in tbs) - sum(tbs) ** 2) / n**2
+    assert abs(collapse - var_jack) < 1e-9
+    # the former B^3 divisor is off by exactly B:
+    wrong = (n - 1) * (n * sum(t * t for t in tbs) - sum(tbs) ** 2) / n**3
+    assert abs(wrong * n - var_jack) < 1e-9
+
+
 def test_knn_accuracy_and_silhouette_shapes(spark):
     """ann_label_knn_accuracy: per-label counts sum to the query count
     and accuracies are permille-bounded. emb_silhouette_centroid:
-    per-cluster counts sum to the corpus and s in [0, 1e6) (a is the
+    per-cluster counts sum to the corpus and s in [0, 1e6] (a is the
     MIN distance, so the centroid silhouette is nonnegative by
-    construction)."""
+    construction; exactly 1e6 when a vector coincides with its nearest
+    centroid — a=0, b>0 — so the bound is inclusive)."""
     from xova_spark.queries.pipelineq import emb_silhouette_centroid
     from xova_spark.queries.similarity import ann_label_knn_accuracy
 
@@ -298,7 +324,7 @@ def test_knn_accuracy_and_silhouette_shapes(spark):
     )
     assert sum(r["n_vectors"] for r in sil) == ntot
     for r in sil:
-        assert 0 <= r["mean_sil_micro"] < 1_000_000
+        assert 0 <= r["mean_sil_micro"] <= 1_000_000
 
 
 def test_hard_negative_labels_differ(spark):

@@ -3821,7 +3821,8 @@ def emb_silhouette_centroid(spark, sf_dir):
     clustering-quality readout that decides whether the k in semantic
     dedup / domain discovery is right: for each vector, a = distance to
     its own (nearest) centroid, b = distance to the second-nearest, and
-    s = 1 - sqrt(a)/sqrt(b) in [0, 1) (the centroid form of the
+    s = 1 - sqrt(a)/sqrt(b) in [0, 1] (exactly 1 when a vector
+    coincides with its nearest centroid: a=0, b>0 — the centroid form of the
     classic (b-a)/max(a,b) — O(N*k) instead of silhouette's O(N^2)
     pairwise, the ONLY form that exists at 100 TB). Reported per
     cluster as mean in integer micro-units.

@@ -4449,7 +4449,7 @@ def ev_chisq_independence(spark, sf_dir):
            CAST((max(nb) - 1)
                 * (max(nb) * sum(CAST(tb AS HUGEINT) * tb)
                    - CAST(sum(tb) AS HUGEINT) * sum(tb))
-                // (CAST(max(nb) AS HUGEINT) * max(nb) * max(nb))
+                // (CAST(max(nb) AS HUGEINT) * max(nb))
                 AS BIGINT) AS jack_var_micro2
     FROM theta
     """,
@@ -4462,10 +4462,13 @@ def ev_jackknife_ci(spark, sf_dir):
     leave-one-block-out mean theta_b comes from the per-block
     (sum, count) partials, and var_jack = (B-1)/B * sum((tb - mean_tb)^2)
     collapses to the integer form (B-1) * (B*sum(tb^2) - (sum tb)^2)
-    / B^3 in micro^2 units (SE = sqrt(var)/1e3 downstream — the sqrt
+    / B^2 in micro^2 units (SE = sqrt(var)/1e3 downstream — the sqrt
     stays OUT of the gated output so no cross-engine libm enters the
     hash). Blocking by USER (not row) respects the within-user
-    correlation a row-level jackknife would fake away.
+    correlation a row-level jackknife would fake away. (Sum-expansion:
+    sum((tb - m)^2) = (B*sum(tb^2) - (sum tb)^2)/B, so the divisor is
+    B^2 — a B^3 divisor here under-reports the variance 32x; pinned by
+    the hand-computed tiny-population test in test_round8_ops.py.)
 
     Lattice discipline: values land on the permille lattice per row;
     per-block sums are integers (128-bit at the 100 TB extrapolation:
@@ -4512,7 +4515,7 @@ def ev_jackknife_ci(spark, sf_dir):
             "CAST((max(nb) - 1)"
             " * (max(nb) * sum(CAST(tb AS DECIMAL(38,0)) * tb)"
             "    - CAST(sum(tb) AS DECIMAL(38,0)) * sum(tb))"
-            " div (CAST(max(nb) AS DECIMAL(38,0)) * max(nb) * max(nb))"
+            " div (CAST(max(nb) AS DECIMAL(38,0)) * max(nb))"
             " AS BIGINT)"
         ).alias("jack_var_micro2"),
     )
@@ -5133,7 +5136,15 @@ def ev_sprt_ab_test(spark, sf_dir):
     Scale shape: one keyed aggregate to (variant, hour) grain — bounded
     by the calendar, not the row count — then a variant-partitioned
     ordered window over those bins and a 2-row rollup. The data-sized
-    stage is the first aggregate only."""
+    stage is the first aggregate only.
+
+    DATA CONTRACT (post-epoch timestamps): hour binning uses Spark
+    `div` (truncate toward zero) against DuckDB `//` (floor) — these
+    agree iff unix_micros(ts) >= 0, i.e. ts >= 1970-01-01. The same
+    idiom prices day bins in cdc_deletion_vector_audit and
+    layout_partition_skew_audit (and the layoutq/cdcq day-grain
+    family). The contract is pinned fixture-wide by
+    tests/test_properties.py::test_fixture_timestamps_post_epoch."""
     (ev,) = _t(spark, sf_dir, "events")
     bins = ev.groupBy(
         (F.col("user_id") % 2).alias("variant"),
