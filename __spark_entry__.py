@@ -86,7 +86,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #           layout_zonemap_prune_audit, stream_click_attribution,
 #           ev_max_drawdown, cdc_join_view_maintenance,
 #           basket_triples_support) — all stay oracle-gated in GATE_LOG
-#   r9 candidates (never driver-sampled): t_blocklist_rate /
+#   r9 in:  the 12 VERDICT r8 item-1 names — the cross-dialect-risk
+#           classes among the 21 round-8 entries: ev_spearman_rho
+#           (double windowless global_rank), ev_fdr_segment_residuals
+#           (literal z->p staircase + bounded windows), ev_sprt_ab_test
+#           (literal LLR lattice + div/floor hour bins),
+#           agg_trimmed_mean (rank-window overlap at bin grain),
+#           stream_funnel_conversion (chained stream-stream joins with
+#           watermark demotion), pipeline_eval_gate_e2e (composition —
+#           oracle embeds component SQLs verbatim), graph_adamic_adar
+#           (hub-capped wedge spine), ann_label_knn_accuracy
+#           (sequential-cosine spine majority vote),
+#           emb_silhouette_centroid (shared k-means run + IEEE sqrt
+#           ratio), cdc_deletion_vector_audit (manifest-grain day
+#           bins), dq_mutual_information (contingency micro-nat
+#           lattice), join_asof_nearest (union + one shuffle + two
+#           window frames). All 21 r8 entries were pre-verified
+#           vanilla-EXACT by both builder and judge.
+#   r9 out: the 12 r8-green names (ev_gini_coefficient,
+#           graph_hits_scores, t_trigram_backoff_score,
+#           ev_kaplan_meier, layout_clustering_depth,
+#           layout_bloom_skip_audit, geo_point_in_polygon,
+#           er_survivorship, cdc_snapshot_diff, t_decontam_overlap,
+#           mm_scene_dedup, ann_mmr_rerank) — all stay oracle-gated
+#           in GATE_LOG
+#   r10 candidates (never driver-sampled): t_blocklist_rate /
 #           t_blocklist_spans, t_importance_weights,
 #           cdc_incremental_rollup, stream_neardup_ingest,
 #           agg_exact_median_rank, agg_skyline_pareto,
@@ -96,7 +120,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #           t_quality_pr_curve (integer-DIV dialect parity),
 #           t_quality_calibration (NTILE tie semantics),
 #           ann_hybrid_rrf_topk, stream_join_view_maintenance,
-#           dedup_minhash_calibration
+#           dedup_minhash_calibration, ev_ks_test, ev_mann_whitney_u,
+#           ev_jackknife_ci (post-B^2-fix), ev_chisq_independence
 _PRIORITY: tuple[str, ...] = (
     # time_and_channel averaging core (reference averaging.py:184-260)
     "ms_tc_rows",
@@ -140,28 +165,28 @@ _PRIORITY: tuple[str, ...] = (
     "stream_bda_vis",
     "stream_session_bins",
     "stream_cdc_merge",
-    # round-8 rotation slots (VERDICT r7 item 3): the seven round-7
-    # entries — ev_gini_coefficient AFTER its 128-bit dividend fix, the
-    # HITS keyed-join iteration, the trigram stupid-backoff LM, the
-    # Kaplan-Meier ln-lattice survival curve, the two new lakehouse
-    # audits, the division-free point-in-polygon — plus the high-risk
-    # older names the judge's replays never covered (er_survivorship's
-    # prefer-latest tie rules, cdc_snapshot_diff's full-outer NULL-safe
-    # compare, t_decontam_overlap's shingle join, mm_scene_dedup's
-    # codec-backed phash banding) and ann_mmr_rerank (this round's
-    # plan-depth surgery target — a driver row proves the rewrite).
-    "ev_gini_coefficient",
-    "graph_hits_scores",
-    "t_trigram_backoff_score",
-    "ev_kaplan_meier",
-    "layout_clustering_depth",
-    "layout_bloom_skip_audit",
-    "geo_point_in_polygon",
-    "er_survivorship",
-    "cdc_snapshot_diff",
-    "t_decontam_overlap",
-    "mm_scene_dedup",
-    "ann_mmr_rerank",
+    # round-9 rotation slots (VERDICT r8 item 1): the 12 cross-dialect-
+    # risk classes among the 21 round-8 entries — the double windowless
+    # global-rank Spearman, the literal z->p staircase FDR, the literal
+    # LLR-lattice SPRT (+ its div/floor hour-bin data contract), the
+    # rank-window trimmed mean, the chained stream-stream funnel (the
+    # one topology the driver has never executed), the composed nightly
+    # eval gate, the hub-capped Adamic-Adar, the sequential-cosine
+    # label-kNN vote, the shared-k-means silhouette, the manifest-grain
+    # deletion-vector audit, the contingency-lattice MI, and the
+    # nearest-direction as-of join.
+    "ev_spearman_rho",
+    "ev_fdr_segment_residuals",
+    "ev_sprt_ab_test",
+    "agg_trimmed_mean",
+    "stream_funnel_conversion",
+    "pipeline_eval_gate_e2e",
+    "graph_adamic_adar",
+    "ann_label_knn_accuracy",
+    "emb_silhouette_centroid",
+    "cdc_deletion_vector_audit",
+    "dq_mutual_information",
+    "join_asof_nearest",
 )
 
 

@@ -117,18 +117,19 @@ def test_priority_block_leads_the_registry():
         assert got >= minimum, (prefix, got)
     # Rotation policy (VERDICT r4 item 8 / r5 item 1): the tail slots
     # rotate through never-driver-sampled divergence candidates each
-    # round. Round 8 rotated in the 11 names VERDICT r7 item 3
-    # prescribed plus ann_mmr_rerank (r8 plan-surgery target); the 12
-    # r7-green names rotated OUT per policy. Update this set when the
-    # slots rotate.
-    rotated_in_r8 = {
-        "ev_gini_coefficient", "graph_hits_scores",
-        "t_trigram_backoff_score", "ev_kaplan_meier",
-        "layout_clustering_depth", "layout_bloom_skip_audit",
-        "geo_point_in_polygon", "er_survivorship", "cdc_snapshot_diff",
-        "t_decontam_overlap", "mm_scene_dedup", "ann_mmr_rerank",
+    # round. Round 9 rotated in the 12 names VERDICT r8 item 1
+    # prescribed (the cross-dialect-risk classes among the 21 round-8
+    # entries); the 12 r8-green names rotated OUT per policy. Update
+    # this set when the slots rotate.
+    rotated_in_r9 = {
+        "ev_spearman_rho", "ev_fdr_segment_residuals",
+        "ev_sprt_ab_test", "agg_trimmed_mean",
+        "stream_funnel_conversion", "pipeline_eval_gate_e2e",
+        "graph_adamic_adar", "ann_label_knn_accuracy",
+        "emb_silhouette_centroid", "cdc_deletion_vector_audit",
+        "dq_mutual_information", "join_asof_nearest",
     }
-    assert rotated_in_r8 <= first50, rotated_in_r8 - first50
+    assert rotated_in_r9 <= first50, rotated_in_r9 - first50
 
 
 def test_coverage_header_counts_are_in_sync():
