@@ -270,11 +270,13 @@ def test_jackknife_matches_python_replica(spark):
         return int(v + 0.5) if v >= 0 else -int(-v + 0.5)
 
     tbs = [half_away((st - s) / (ct - c) * 1e6) for s, c in per.values()]
-    var = (nb - 1) * (nb * sum(t * t for t in tbs) - sum(tbs) ** 2) // nb**2
+    var = (nb - 1) * (nb * sum(t * t for t in tbs) - sum(tbs) ** 2) // (
+        nb**2 * 1_000_000
+    )
     assert (row["n_events"], row["n_buckets"]) == (ct, nb)
     assert row["mean_micro"] == st * 1_000_000 // ct
-    assert row["jack_var_micro2"] == var
-    assert row["jack_var_micro2"] >= 0
+    assert row["jack_var_milli2"] == var
+    assert row["jack_var_milli2"] >= 0
 
 
 def test_jackknife_divisor_hand_computed():

@@ -29,36 +29,36 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Round-8 sample: every integer-lattice accumulator family (gini's
-# 128-bit dividend, the ln-lattices, permille bookkeeping), the three
-# iterative graph entries (lineage/OOM class), the heaviest regex
-# entries, one streaming entry, and the newest audits.
+# Round-9 sample (VERDICT r8 item 3): rotate toward never-sf1-gated
+# lattice/iterative entries — the contingency lattices, the two
+# round-8 128-bit dividend fixes (prove them at 10x like gini was),
+# this round's jackknife divisor fix, the chained stream-stream
+# funnel, the graph iteratives not yet gated, and the
+# integer-bookkeeping tail. The 23 round-8-proven names rotate out
+# (GATE_SF1.md history keeps their EXACT rows).
 SF1_SAMPLE: tuple[str, ...] = (
-    "ev_gini_coefficient",       # 128-bit dividend (the r7 defect, post-fix)
-    "ev_kaplan_meier",           # ln micro-nat lattice, suffix window
-    "graph_ktruss_edges",        # iterative + localCheckpoint lineage
-    "graph_hits_scores",         # iterative renorm lattice
-    "graph_pagerank",            # iterative
-    "t_bm25_topk",               # ln-lattice + doc-grain sums
-    "t_source_lang_entropy",     # ln-lattice entropy
-    "t_trigram_backoff_score",   # LM lattice + train/eval split
-    "basket_triples_support",    # combinatorial expansion
-    "agg_weighted_median",       # crossing-point integer arithmetic
-    "ev_max_drawdown",           # running-peak lattice
-    "ev_multitouch_attribution", # permille bookkeeping sums
-    "ev_peak_concurrency",       # +1/-1 prefix sums
-    "ev_hll_mergeable_rollup",   # sketch booleans
-    "dedup_minhash_lsh",         # banded signatures at 10x docs
-    "ann_ivfpq_topk",            # trained-model artifact path
-    "layout_bloom_skip_audit",   # bit_or integer lattice
-    "layout_zonemap_prune_audit",# manifest-grain pruning
-    "t_pii_redact",              # Java-vs-RE2 regex at 10x text
-    "agg_exact_median_rank",     # exact rank arithmetic at 10x rows
-    # late-r8 additions: the statistical-testing pack's three steepest
-    # internal dividends (cubic Spearman, quadratic KS / Mann-Whitney)
-    "ev_spearman_rho",
-    "ev_ks_test",
-    "ev_mann_whitney_u",
+    "ev_chisq_independence",      # contingency micro lattice at 10x
+    "ev_cramers_v",               # effect size on the same grain
+    "dq_mutual_information",      # micro-nat contingency lattice
+    "t_bigram_pmi_topk",          # r8 128-bit dividend fix — prove at 10x
+    "t_quality_auc",              # r8 128-bit pair-sum fix — prove at 10x
+    "ev_jackknife_ci",            # r9 B^2 divisor fix — prove at 10x
+    "stream_funnel_conversion",   # chained stream-stream at 10x events
+    "er_survivorship",            # prefer-latest tie rules at 10x
+    "graph_adamic_adar",          # wedge spine + ln-lattice weights
+    "graph_kcore",                # bounded peel, never sf1-gated
+    "ev_theil_index",             # ln lattice + 128-bit weighted sum
+    "ev_hoover_index",            # integer end-to-end
+    "ev_fdr_segment_residuals",   # z->p staircase + BH sweep at 10x
+    "ev_sprt_ab_test",            # LLR lattice + div/floor hour bins
+    "agg_trimmed_mean",           # rank-window overlap at bin grain
+    "dq_benford",                 # leading-digit lattice, never gated
+    "t_quality_calibration",      # global_ntile tie semantics at 10x
+    "t_quality_pr_curve",         # full threshold sweep at 10x scores
+    "join_asof_nearest",          # union + one shuffle + window frames
+    "emb_silhouette_centroid",    # shared k-means + IEEE sqrt ratio
+    "cdc_deletion_vector_audit",  # manifest-grain day bins
+    "pipeline_eval_gate_e2e",     # composition of the stats pack at 10x
 )
 
 

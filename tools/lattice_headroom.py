@@ -263,16 +263,21 @@ PROBES = {
     "ev_jackknife_ci__block_sum": (_probe_jackknife_block_sum, BIGINT_CAP),
 }
 
-# (entry, column) -> (analytic_alpha, justification): overrides the
-# two-point power fit where the fit is provably a fixture artifact.
-# Each override must cite a closed-form bound, pinned by a law test.
-ANALYTIC_BOUNDS: dict[tuple[str, str], tuple[float, str]] = {
+# (entry, column) -> (analytic_alpha, justification, law_test):
+# overrides the two-point power fit where the fit is provably a
+# fixture artifact. Each override MUST cite a closed-form bound AND
+# name the pytest node that pins it (VERDICT r8 item 7: the escape
+# hatch accreted prose-only overrides in one round —
+# tests/test_registry_contract.py::test_analytic_bounds_overrides_
+# name_live_law_tests fails on orphans, so the hatch can't silently
+# grow).
+ANALYTIC_BOUNDS: dict[tuple[str, str], tuple[float, str, str]] = {
     ("t_bigram_pmi_topk", "pmi_ratio_permille"): (
         1.0,
         "quotient <= 1000*nb/c_min since n1,n2 >= c >= c_min — LINEAR"
-        " in corpus size (law test: test_round5_ops.py pmi bound); the"
-        " naive fit reads the top-1 pair's exclusivity shift between"
-        " fixture tiers as growth",
+        " in corpus size; the naive fit reads the top-1 pair's"
+        " exclusivity shift between fixture tiers as growth",
+        "tests/test_round5_ops.py::test_pmi_ranks_collocations_above_chance",
     ),
     ("dedup_band_tuning_report", "n_candidates"): (
         1.0,
@@ -281,14 +286,10 @@ ANALYTIC_BOUNDS: dict[tuple[str, str], tuple[float, str]] = {
         " materialization itself is infeasible; the quadratic fixture"
         " growth is band-sweep densification of a fixed text space"
         " (tuned production banding yields ~linear candidates)",
-    ),
-    ("t_quality_auc", "conc_pairs"): (
-        1.0,
-        "pre-r8 column, retained for older-table diff only",
+        "tests/test_round9_ops.py::test_band_tuning_candidates_are_pair_counts",
     ),
     # funnel triple ids are EVENT IDENTIFIERS, bounded by max(event_id)
-    # — LINEAR in rows by construction (law test: every output id <=
-    # max event_id, test_round8_ops.py funnel law). The naive fit reads
+    # — LINEAR in rows by construction. The naive fit reads
     # funnel-completion SPARSITY at the small tier (few qualifying
     # view->click->purchase triples => small max participating id) as
     # superlinear growth of the id itself.
@@ -296,14 +297,19 @@ ANALYTIC_BOUNDS: dict[tuple[str, str], tuple[float, str]] = {
         1.0,
         "event identifier <= max(event_id), linear in rows; small-tier"
         " funnel sparsity fakes the superlinear fit",
+        "tests/test_round8_ops.py::test_stream_funnel_matches_batch_and_ordering",
     ),
     ("stream_funnel_conversion", "click_id"): (
         1.0,
-        "same identifier bound as view_id",
+        "same identifier bound as view_id: every output id is an event"
+        " identifier <= max(event_id), linear in rows by construction",
+        "tests/test_round8_ops.py::test_stream_funnel_matches_batch_and_ordering",
     ),
     ("stream_funnel_conversion", "purchase_id"): (
         1.0,
-        "same identifier bound as view_id",
+        "same identifier bound as view_id: every output id is an event"
+        " identifier <= max(event_id), linear in rows by construction",
+        "tests/test_round8_ops.py::test_stream_funnel_matches_batch_and_ordering",
     ),
 }
 

@@ -1,0 +1,116 @@
+"""Out-of-sample vanilla replay — burn down the never-driver-sampled tail.
+
+The driver's correctness gate samples 50 registry names per round and
+the rotation moves 12/round, so most entries only ever see the local
+gate. Judge sessions spot-checked 35-70 of the riskiest by hand
+(VERDICT r6-r8); this tool makes that evidence COMMITTED and
+systematic (VERDICT r8 item 4): each round-close it
+
+1. collects every name that has EVER had a driver row (the union of
+   all committed CORRECTNESS_r*.json keys),
+2. draws a SEEDED random sample of the rest (seed = round number, so
+   the draw is reproducible and rotates by round),
+3. replays the sample through check_oracle --vanilla — the bare
+   hostile-timezone session that mimics the driver environment,
+4. writes OOS_SAMPLE_r{N}.md next to GATE_LOG.md.
+
+Run ~40/round and the 238-entry tail is covered in ~6 rounds with
+committed evidence instead of judge-session spot checks.
+
+Usage: python tools/oos_replay.py ROUND [n_sample] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import json
+import os
+import random
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def driver_sampled_names() -> set[str]:
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        try:
+            names |= set(json.load(open(path)))
+        except Exception as exc:  # noqa: BLE001 — a broken artifact shouldn't kill the replay
+            print(f"WARN: unreadable {os.path.basename(path)}: {exc}")
+    return names
+
+
+def main() -> int:
+    if len(sys.argv) < 2 or not sys.argv[1].isdigit():
+        print(__doc__)
+        return 2
+    rnd = int(sys.argv[1])
+    n_sample = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    all_names = list(entrymod.queries())
+    seen = driver_sampled_names()
+    # Prior OOS rounds also count as covered — the point is tail burn-down.
+    for path in glob.glob(os.path.join(REPO, "OOS_SAMPLE_r*.md")):
+        m_rnd = os.path.basename(path)[len("OOS_SAMPLE_r"):-len(".md")]
+        if m_rnd.isdigit() and int(m_rnd) < rnd:
+            for ln in open(path):
+                if ln.startswith(("EXACT ", "NOOR ")):
+                    seen.add(ln.split()[1].rstrip(":"))
+    tail = [n for n in all_names if n not in seen]
+    rng = random.Random(rnd)  # seeded: reproducible, rotates by round
+    sample = sorted(rng.sample(tail, min(n_sample, len(tail))))
+    print(
+        f"registry={len(all_names)} driver/OOS-covered={len(seen & set(all_names))} "
+        f"tail={len(tail)} sampling={len(sample)}"
+    )
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "check_oracle.py"),
+            "--vanilla",
+            sf_dir,
+            *sample,
+        ],
+        capture_output=True,
+        text=True,
+    )
+    lines = [
+        ln
+        for ln in proc.stdout.splitlines()
+        if ln.startswith(("EXACT", "CLOSE", "FAIL", "NOOR", "=="))
+    ]
+    summary = next((ln for ln in lines if ln.startswith("==")), "== (missing)")
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M UTC"
+    )
+    out = os.path.join(REPO, f"OOS_SAMPLE_r{rnd}.md")
+    with open(out, "w") as f:
+        f.write(
+            f"# Out-of-sample vanilla replay — round {rnd}, {stamp}\n\n"
+            f"Seeded (seed={rnd}) random draw of {len(sample)} registry\n"
+            f"entries that have NEVER had a driver correctness row nor a\n"
+            f"prior OOS row, replayed on a BARE hostile-timezone session\n"
+            f"(the driver's environment) at {sf_dir}.\n"
+            f"Tail before this run: {len(tail)} of {len(all_names)}.\n\n"
+            f"Summary: `{summary.lstrip('= ')}`\n\n```\n"
+            + "\n".join(lines)
+            + "\n```\n"
+        )
+    print(f"wrote {out}")
+    print(summary)
+    bad = [ln for ln in lines if ln.startswith(("FAIL", "CLOSE"))]
+    for ln in bad:
+        print(ln)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -4449,8 +4449,8 @@ def ev_chisq_independence(spark, sf_dir):
            CAST((max(nb) - 1)
                 * (max(nb) * sum(CAST(tb AS HUGEINT) * tb)
                    - CAST(sum(tb) AS HUGEINT) * sum(tb))
-                // (CAST(max(nb) AS HUGEINT) * max(nb))
-                AS BIGINT) AS jack_var_micro2
+                // (CAST(max(nb) AS HUGEINT) * max(nb) * 1000000)
+                AS BIGINT) AS jack_var_milli2
     FROM theta
     """,
 )
@@ -4462,9 +4462,15 @@ def ev_jackknife_ci(spark, sf_dir):
     leave-one-block-out mean theta_b comes from the per-block
     (sum, count) partials, and var_jack = (B-1)/B * sum((tb - mean_tb)^2)
     collapses to the integer form (B-1) * (B*sum(tb^2) - (sum tb)^2)
-    / B^2 in micro^2 units (SE = sqrt(var)/1e3 downstream — the sqrt
-    stays OUT of the gated output so no cross-engine libm enters the
-    hash). Blocking by USER (not row) respects the within-user
+    / (B^2 * 1e6), REPORTED IN MILLI^2 (permille^2) units — matching
+    the input permille lattice; SE in value units = sqrt(var_milli2)
+    / 1e3 downstream (the sqrt stays OUT of the gated output so no
+    cross-engine libm enters the hash). Milli^2, not micro^2: the
+    micro^2 variance burned 12 decimal digits on unit scale alone and
+    sat within 39x of BIGINT at the small fixture tier (the round-9
+    lattice_headroom flag after the B^2 divisor fix); milli^2 restores
+    ~4.5e8x headroom while keeping full 1e-6-value^2 resolution.
+    Blocking by USER (not row) respects the within-user
     correlation a row-level jackknife would fake away. (Sum-expansion:
     sum((tb - m)^2) = (B*sum(tb^2) - (sum tb)^2)/B, so the divisor is
     B^2 — a B^3 divisor here under-reports the variance 32x; pinned by
@@ -4515,9 +4521,9 @@ def ev_jackknife_ci(spark, sf_dir):
             "CAST((max(nb) - 1)"
             " * (max(nb) * sum(CAST(tb AS DECIMAL(38,0)) * tb)"
             "    - CAST(sum(tb) AS DECIMAL(38,0)) * sum(tb))"
-            " div (CAST(max(nb) AS DECIMAL(38,0)) * max(nb))"
+            " div (CAST(max(nb) AS DECIMAL(38,0)) * max(nb) * 1000000)"
             " AS BIGINT)"
-        ).alias("jack_var_micro2"),
+        ).alias("jack_var_milli2"),
     )
 
 
