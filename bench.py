@@ -132,6 +132,8 @@ HEADLINE = (
     "ev_sprt_ab_test",
     "cdc_deletion_vector_audit",
     "pipeline_eval_gate_e2e",
+    # round-9: the cell-probed production twin of the mining oracle
+    "ann_hard_negative_mining_ivf",
 )
 
 

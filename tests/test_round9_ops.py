@@ -87,3 +87,63 @@ def test_analytic_bounds_overrides_name_live_law_tests():
         assert f"def {func}(" in src, (
             f"({name},{col}) cites {func} absent from {path}"
         )
+
+
+def test_hard_negative_ivf_recall_vs_brute_twin(spark):
+    """ann_hard_negative_mining_ivf is the PRODUCTION twin of the
+    brute-force mining oracle (VERDICT r8 item 5) — same mining
+    semantics over the cell-probed candidate set. The ann_recall_at5
+    discipline: measure top-5 overlap against the exact twin and pin
+    the measured floor (0.76 at sf0.001 / 0.65 at sf0.01 with
+    NPROBE=2 of K=8 cells — ~25% of the corpus probed; floor pinned
+    at 0.5). Also: every mined negative must differ in label from its
+    query, and ranks are dense 1..k per query."""
+    from xova_spark.queries.similarity import (
+        ann_hard_negative_mining,
+        ann_hard_negative_mining_ivf,
+    )
+
+    brute = {
+        (r["qid"], r["cid"])
+        for r in ann_hard_negative_mining(spark, SF).collect()
+    }
+    rows = ann_hard_negative_mining_ivf(spark, SF).collect()
+    ivf = {(r["qid"], r["cid"]) for r in rows}
+    assert brute and ivf
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, f"cell-probe recall collapsed: {recall:.3f}"
+    assert all(r["neg_label"] != r["qlabel"] for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_hard_negative_ivf_plan_is_keyed_cell_join(spark):
+    """The VERDICT r8 item-5 'done' criterion: the production twin's
+    plan shows the keyed cell join and NO full-corpus broadcast. The
+    only BroadcastNestedLoopJoin segments allowed are the K-centroid
+    assignment pass (vec_id < 8 bounded); the mining join itself must
+    be a keyed equi-join (hash or sort-merge), and the corpus-sized
+    side must never sit under a BroadcastExchange without the centroid
+    key bound."""
+    import re
+
+    from xova_spark.queries.similarity import ann_hard_negative_mining_ivf
+
+    df = ann_hard_negative_mining_ivf(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[(cell|pcell)",
+        plan,
+    ), "mining join is not keyed on the cell id"
+    # every BNLJ segment must carry the centroid key bound
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj <= 2, f"unexpected BNLJ growth: {n_bnlj}"
+    if n_bnlj:
+        assert re.search(
+            r"(PushedFilters: \[[^\]\n]*LessThan\(vec_id"
+            r"|Filter [^\n]*vec_id#\d+L? < 8)",
+            plan,
+        ), "BNLJ present without the K-centroid key bound"

@@ -296,6 +296,14 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "ann_label_knn_accuracy": {"kinds": ("emb_corpus",), "max_segments": 1},
     "ann_hybrid_rrf_topk": {"kinds": ("one_row_agg", "pushed_key",), "max_segments": 3},
     "ann_ivf_topk": {"kinds": ("pushed_key",), "max_segments": 2},
+    # r9 production twin of the mining oracle: the only BNLJ is the
+    # K=8 centroid broadcast of the assignment pass (vec_id < 8 pushed
+    # into the scan, or post-scan when the frame is pinned); the
+    # mining join itself is keyed on the cell id.
+    "ann_hard_negative_mining_ivf": {
+        "kinds": ("pushed_key", "key_filter"),
+        "max_segments": 2,
+    },
     # pushed_key OR key_filter: the same vec_id bound appears as a
     # parquet PushedFilter when the dyadic embedding frame is cold, or
     # as a post-scan Filter over InMemoryTableScan when another entry

@@ -2012,3 +2012,122 @@ def ann_label_knn_accuracy(spark, sf_dir):
         )
         .orderBy("true_label")
     )
+
+
+@q(
+    "ann_hard_negative_mining_ivf",
+    f"""
+    WITH normed AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+      FROM normed WHERE vec_id < {_IVF_K}
+    ), cells AS (
+      SELECT n.vec_id, n.label, n.embedding, n.nrm, c.cent_id,
+             row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY {_duck_dot('n.embedding', 'c.cemb')} / (n.nrm * c.cnrm)
+                        DESC, c.cent_id) AS rn
+      FROM normed n CROSS JOIN cent c
+    ), assigned AS (
+      SELECT vec_id AS cid, label AS neg_label, embedding AS ce,
+             nrm AS cn, cent_id AS cell
+      FROM cells WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qe, nrm AS qn,
+             cent_id AS pcell
+      FROM cells WHERE vec_id < 20 AND rn <= {_IVF_NPROBE}
+    ), scored AS (
+      SELECT qid, qlabel, cid, neg_label,
+             {_duck_dot('qe', 'ce')} / (qn * cn) AS cos
+      FROM probes JOIN assigned ON cell = pcell
+      WHERE neg_label != qlabel AND cid != qid
+    ), ranked AS (
+      SELECT qid, qlabel, cid, neg_label, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+                 AS rank
+      FROM scored
+    )
+    SELECT qid, qlabel, cid, neg_label, round(cos, 6) AS cos, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_hard_negative_mining_ivf(spark, sf_dir):
+    """HARD-NEGATIVE MINING, PRODUCTION PATH (VERDICT r8 item 5): the
+    same top-5 different-label mining as ann_hard_negative_mining, but
+    over the IVF cell-probed candidate set instead of the full-corpus
+    broadcast — the form that runs at 100 TB. Candidates come from the
+    query's NPROBE={_IVF_NPROBE} nearest coarse cells (the exact plan
+    spine of ann_ivf_topk: K-centroid broadcast assignment pass, then
+    ONE equi-join keyed on the cell id), so per-query work is
+    ~NPROBE/K of the corpus and the cell id is the natural storage
+    partition key. The brute-force twin stays registered as the exact
+    oracle; the recall law test measures this entry's top-5 overlap
+    against it (the ann_recall_at5 discipline) and pins the measured
+    floor.
+
+    Exactness: identical sequential-cosine spine and tie rules as the
+    twin; the only difference is the candidate set, which is itself a
+    deterministic function of the same dot products. round(cos, 6) is
+    the hash contract.
+
+    Scale shape: one K-row centroid broadcast over one corpus scan
+    (the assignment pass), one shuffle keyed on the cell, per-query
+    top-5 windows. No full-corpus broadcast anywhere — the plan test
+    pins the scored join as a keyed join."""
+    (emb,) = _emb(spark, sf_dir)
+    normed = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+    cent = normed.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cent_cos = _spark_dot("embedding", "cemb") / (F.col("nrm") * F.col("cnrm"))
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), "cent_id")
+    cells = (
+        normed.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", cent_cos)
+        .withColumn("rn", F.row_number().over(wc))
+    )
+    assigned = cells.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+        F.col("cent_id").alias("cell"),
+    )
+    probes = cells.filter(
+        (F.col("vec_id") < 20) & (F.col("rn") <= _IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("cent_id").alias("pcell"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    return (
+        probes.join(assigned, F.col("cell") == F.col("pcell"))
+        .filter(
+            (F.col("neg_label") != F.col("qlabel"))
+            & (F.col("cid") != F.col("qid"))
+        )
+        .withColumn("cos", _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "qid",
+            "qlabel",
+            "cid",
+            "neg_label",
+            F.round("cos", 6).alias("cos"),
+            "rank",
+        )
+    )
