@@ -132,8 +132,14 @@ HEADLINE = (
     "ev_sprt_ab_test",
     "cdc_deletion_vector_audit",
     "pipeline_eval_gate_e2e",
-    # round-9: the cell-probed production twin of the mining oracle
+    # round-9: the cell-probed production twin of the mining oracle,
+    # plus stats pack batch 2 (k-group ANOVA, Welch/Cohen, Holm FWER,
+    # MAD robust outliers)
     "ann_hard_negative_mining_ivf",
+    "ev_anova_oneway",
+    "ev_welch_t2_effect",
+    "ev_holm_bonferroni",
+    "dq_anomaly_mad",
 )
 
 

@@ -147,3 +147,135 @@ def test_hard_negative_ivf_plan_is_keyed_cell_join(spark):
             r"|Filter [^\n]*vec_id#\d+L? < 8)",
             plan,
         ), "BNLJ present without the K-centroid key bound"
+
+
+# ---------------------------------------------------------------------------
+# Round-9 stats pack batch 2: python-replica law tests.
+# ---------------------------------------------------------------------------
+
+
+def _events_vm(spark, types=None):
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    if types:
+        df = df.filter(F.col("event_type").isin(*types))
+    return [
+        (r["event_type"], r["vm"])
+        for r in df.select(
+            "event_type", F.round(F.col("value") * 1000).cast("long").alias("vm")
+        ).collect()
+    ]
+
+
+def _half_away(v: float) -> int:
+    return int(v + 0.5) if v >= 0 else -int(-v + 0.5)
+
+
+def test_anova_matches_python_replica(spark):
+    """ev_anova_oneway vs a python replica of the exact integer form;
+    eta2 in [0, 1e6]; F >= 0; and the SST identity holds on the
+    lattice (SSB + SSW equals the total sum of squares computed the
+    same way, by construction of the decomposition)."""
+    from xova_spark.queries.relext import ev_anova_oneway
+
+    row = ev_anova_oneway(spark, SF).collect()[0]
+    per = {}
+    for et, vm in _events_vm(spark):
+        n, s, q = per.get(et, (0, 0, 0))
+        per[et] = (n + 1, s + vm, q + vm * vm)
+    n = sum(p[0] for p in per.values())
+    st = sum(p[1] for p in per.values())
+    k = len(per)
+    gm = _half_away(st * 1000 / n)
+    ssb = ssw = 0
+    for ng, s, q2 in per.values():
+        mb = _half_away(s * 1000 / ng)
+        ssb += ng * (mb - gm) ** 2
+        ssw += q2 * 1_000_000 - ng * mb * mb
+    f = 0 if ssw <= 0 or n <= k else (ssb // (k - 1)) * 1000 // (ssw // (n - k))
+    eta2 = 0 if ssb + ssw <= 0 else ssb * 1_000_000 // (ssb + ssw)
+    assert (row["n_events"], row["k_groups"]) == (n, k)
+    assert row["f_milli"] == f >= 0
+    assert row["eta2_micro"] == eta2
+    assert 0 <= row["eta2_micro"] <= 1_000_000
+
+
+def test_welch_matches_python_replica(spark):
+    """ev_welch_t2_effect vs a python replica; t2 and d2 nonnegative;
+    means match the per-group micro lattice."""
+    from xova_spark.queries.relext import ev_welch_t2_effect
+
+    row = ev_welch_t2_effect(spark, SF).collect()[0]
+    per = {}
+    for et, vm in _events_vm(spark, ("click", "purchase")):
+        n, s, q = per.get(et, (0, 0, 0))
+        per[et] = (n + 1, s + vm, q + vm * vm)
+    (n1, s1, q1), (n2, s2, q2) = per["click"], per["purchase"]
+    m1 = _half_away(s1 * 1000 / n1)
+    m2 = _half_away(s2 * 1000 / n2)
+    v1 = max(0, q1 * 1_000_000 - n1 * m1 * m1) // (n1 - 1)
+    v2 = max(0, q2 * 1_000_000 - n2 * m2 * m2) // (n2 - 1)
+    sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) // (n1 + n2 - 2)
+    d2 = 0 if sp2 <= 0 else (m1 - m2) ** 2 * 1_000_000 // sp2
+    se2 = v1 // n1 + v2 // n2
+    t2 = 0 if se2 <= 0 else (m1 - m2) ** 2 * 1000 // se2
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert (row["mean1_micro"], row["mean2_micro"]) == (m1, m2)
+    assert row["delta_micro"] == m1 - m2
+    assert row["d2_micro"] == d2 >= 0
+    assert row["t2_milli"] == t2 >= 0
+
+
+def test_holm_subset_of_bh_and_step_down_replica(spark):
+    """Holm-rejected is a SUBSET of BH-rejected on the same residuals
+    at the same alpha (FWER control is strictly more conservative than
+    FDR control — the textbook dominance), and the rejected set equals
+    the python step-down replica on the entry's own (p, rank) output."""
+    from xova_spark.queries.relext import (
+        ev_fdr_segment_residuals,
+        ev_holm_bonferroni,
+    )
+
+    holm = ev_holm_bonferroni(spark, SF).collect()
+    bh = {
+        (r["event_type"], r["hr"]): r["rejected"]
+        for r in ev_fdr_segment_residuals(spark, SF).collect()
+    }
+    m = len(holm)
+    kf = m + 1
+    for r in sorted(holm, key=lambda r: r["rk"]):
+        if r["p_micro"] * (m - r["rk"] + 1) > 50000:
+            kf = r["rk"]
+            break
+    for r in holm:
+        assert r["rejected"] == (r["rk"] < kf), r
+        if r["rejected"]:
+            assert bh[(r["event_type"], r["hr"])], (
+                "Holm rejected a cell BH kept — dominance violated"
+            )
+
+
+def test_mad_matches_python_replica(spark):
+    """dq_anomaly_mad vs a python replica: exact lower medians, the
+    44478-lattice fence, and the contamination-robustness property the
+    entry exists for (outlier share is bounded by construction since
+    the fence sits at 3 robust sigmas)."""
+    from xova_spark.queries.relext import dq_anomaly_mad
+
+    rows = {r["event_type"]: r for r in dq_anomaly_mad(spark, SF).collect()}
+    per = {}
+    for et, vm in _events_vm(spark):
+        per.setdefault(et, []).append(vm)
+    assert set(rows) == set(per)
+    for et, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        med = vals[(n + 1) // 2 - 1]  # lower median
+        devs = sorted(abs(v - med) for v in vals)
+        mad = devs[(n + 1) // 2 - 1]
+        n_out = sum(1 for v in vals if abs(v - med) * 10000 > 44478 * mad)
+        r = rows[et]
+        assert r["n_events"] == n
+        assert r["med_vm"] == med, (et, r["med_vm"], med)
+        assert r["mad_vm"] == mad, (et, r["mad_vm"], mad)
+        assert r["n_outliers"] == n_out
+        assert r["outlier_permille"] == n_out * 1000 // n

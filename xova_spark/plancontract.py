@@ -162,6 +162,11 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "kind": "dim_agg",
         "marker": r"HashAggregate\(keys=\[(event_type|hr)#\d+",
     },
+    # Holm step-down: same contingency-grain ranking windows as BH
+    "ev_holm_bonferroni": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[(event_type|hr)#\d+",
+    },
     # the composed eval gate inherits its components' bounded windows:
     # the KS distinct-value-bin cumsum and the FDR contingency ranking
     "pipeline_eval_gate_e2e": {
@@ -341,6 +346,8 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "dedup_semantic_prune": {"kinds": ("model_rdd",), "max_segments": 6},
     "dedup_semantic_rate_curve": {"kinds": ("model_rdd", "one_row_agg",), "max_segments": 7},
     "dq_benford": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # r9 stats pack batch 2: 1-row totals / k-group broadcasts
+    "ev_anova_oneway": {"kinds": ("one_row_agg",), "max_segments": 1},
     "dq_freshness": {"kinds": ("one_row_agg",), "max_segments": 2},
     "dq_histogram_drift": {"kinds": ("one_row_agg",), "max_segments": 1},
     "emb_kmeans_assign": {"kinds": ("model_rdd",), "max_segments": 1},
@@ -375,6 +382,12 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "ev_fdr_segment_residuals": {
         "kinds": ("one_row_agg",),
         "max_segments": 3,
+    },
+    # Holm mirrors BH's margin/totals one-row broadcasts; the stop
+    # rank rides a window on the same grain, not a broadcast
+    "ev_holm_bonferroni": {
+        "kinds": ("one_row_agg",),
+        "max_segments": 1,
     },
     "agg_trimmed_mean": {"kinds": ("one_row_agg",), "max_segments": 1},
     "layout_partition_skew_audit": {

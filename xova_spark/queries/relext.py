@@ -5298,3 +5298,531 @@ def pipeline_eval_gate_e2e(spark, sf_dir):
             ).alias("ship"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 statistical-testing pack, batch 2: one-way ANOVA (k-group
+# location), Welch t^2 + Cohen's d (two-group, unequal variance), Holm
+# step-down multiple-comparison control (the FWER sibling of the BH
+# FDR entry), and MAD robust outlier detection. Same disciplines as
+# batch 1: permille input lattice, 128-bit internal accumulators,
+# bounded reported columns, nonnegative dividends so floor == truncate.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ev_anova_oneway",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ), g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(vm) AS BIGINT) AS s,
+             sum(CAST(vm AS HUGEINT) * vm) AS q2
+      FROM v GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS st,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g
+    ), m AS (
+      SELECT ng, q2, n, k,
+             CAST(round(CAST(s AS DOUBLE) * 1000 / ng) AS BIGINT) AS mb,
+             CAST(round(CAST(st AS DOUBLE) * 1000 / n) AS BIGINT) AS gm
+      FROM g, tot
+    ), ss AS (
+      SELECT max(n) AS n, max(k) AS k,
+             sum(CAST(ng AS HUGEINT) * (mb - gm) * (mb - gm)) AS ssb,
+             sum(q2 * 1000000 - CAST(ng AS HUGEINT) * mb * mb) AS ssw
+      FROM m
+    )
+    SELECT n AS n_events, k AS k_groups,
+           CAST(CASE WHEN ssw <= 0 OR n <= k THEN 0
+                ELSE (ssb // (k - 1)) * 1000 // (ssw // (n - k)) END
+                AS BIGINT) AS f_milli,
+           CAST(CASE WHEN ssb + ssw <= 0 THEN 0
+                ELSE ssb * 1000000 // (ssb + ssw) END
+                AS BIGINT) AS eta2_micro
+    FROM ss
+    """,
+)
+def ev_anova_oneway(spark, sf_dir):
+    """ONE-WAY ANOVA F over the event-type groups' latticed values —
+    the k-group location test (do the five event types carry the same
+    mean value?), with eta-squared effect size (SSB/SST — the
+    [0,1e6]-bounded companion, V's role for Cramer in the chi-square
+    pair). Reported: F in milli-units, eta^2 in micro-units.
+
+    Integer form: per-group (n_g, sum, sum-of-squares) partials; each
+    group mean lands on the micro lattice via ONE fixed-shape double
+    division of two exact integers (the jackknife theta_b idiom), so
+    SSB = sum n_g*(mb_g - gm)^2 and SSW = sum(q2*1e6 - n_g*mb_g^2) are
+    pure 128-bit integers (q2 is the per-row vm^2 sum — quadratic per
+    row, HUGEINT/DECIMAL(38,0) from birth). F = MSB/MSW computes as
+    mean squares FIRST ((ssb div (k-1)) then div msw) so the dividend
+    never exceeds ~1e31 at the 100 TB extrapolation (ssb*(n-k) would
+    cross the DECIMAL(38,0) cap near 1e43). All dividends nonnegative
+    (ssw >= 0 up to mean-lattice rounding, CASE-guarded) — floor ==
+    truncate on both engines.
+
+    Scale shape: ONE data-sized keyed aggregate to event_type grain
+    (map-side partials), then 5-row arithmetic. Nothing else touches
+    data grain."""
+    (ev,) = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    g = v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("vm").cast("long").alias("s"),
+        F.expr("sum(CAST(vm AS DECIMAL(38,0)) * vm)").alias("q2"),
+    )
+    tot = g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("st"),
+        F.count("*").cast("long").alias("k"),
+    )
+    m = g.crossJoin(F.broadcast(tot)).select(
+        "ng",
+        "q2",
+        "n",
+        "k",
+        F.expr(
+            "CAST(round(CAST(s AS DOUBLE) * 1000 / ng) AS BIGINT)"
+        ).alias("mb"),
+        F.expr(
+            "CAST(round(CAST(st AS DOUBLE) * 1000 / n) AS BIGINT)"
+        ).alias("gm"),
+    )
+    ss = m.agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.expr(
+            "sum(CAST(ng AS DECIMAL(38,0)) * (mb - gm) * (mb - gm))"
+        ).alias("ssb"),
+        F.expr(
+            "sum(q2 * 1000000 - CAST(ng AS DECIMAL(38,0)) * mb * mb)"
+        ).alias("ssw"),
+    )
+    return ss.selectExpr(
+        "n AS n_events",
+        "k AS k_groups",
+        "CAST(CASE WHEN ssw <= 0 OR n <= k THEN 0"
+        " ELSE (ssb div (k - 1)) * 1000 div (ssw div (n - k)) END"
+        " AS BIGINT) AS f_milli",
+        "CAST(CASE WHEN ssb + ssw <= 0 THEN 0"
+        " ELSE ssb * 1000000 div (ssb + ssw) END"
+        " AS BIGINT) AS eta2_micro",
+    )
+
+
+@q(
+    "ev_welch_t2_effect",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(vm) AS BIGINT) AS s,
+             sum(CAST(vm AS HUGEINT) * vm) AS q2
+      FROM v GROUP BY event_type
+    ), m AS (
+      SELECT event_type, ng, q2,
+             CAST(round(CAST(s AS DOUBLE) * 1000 / ng) AS BIGINT) AS mb
+      FROM g
+    ), w AS (
+      SELECT event_type, ng, mb,
+             CAST(greatest(0, q2 * 1000000
+                              - CAST(ng AS HUGEINT) * mb * mb)
+                  // (ng - 1) AS HUGEINT) AS v2
+      FROM m WHERE ng > 1
+    ), pair AS (
+      SELECT max(CASE WHEN event_type = 'click' THEN ng END) AS n1,
+             max(CASE WHEN event_type = 'purchase' THEN ng END) AS n2,
+             max(CASE WHEN event_type = 'click' THEN mb END) AS m1,
+             max(CASE WHEN event_type = 'purchase' THEN mb END) AS m2,
+             max(CASE WHEN event_type = 'click' THEN v2 END) AS v1,
+             max(CASE WHEN event_type = 'purchase' THEN v2 END) AS v2
+      FROM w
+    )
+    SELECT n1, n2, m1 AS mean1_micro, m2 AS mean2_micro,
+           CAST(m1 - m2 AS BIGINT) AS delta_micro,
+           CAST(CASE WHEN (CAST(n1 - 1 AS HUGEINT) * v1
+                           + CAST(n2 - 1 AS HUGEINT) * v2) <= 0 THEN 0
+                ELSE CAST(m1 - m2 AS HUGEINT) * (m1 - m2) * 1000000
+                     // ((CAST(n1 - 1 AS HUGEINT) * v1
+                          + CAST(n2 - 1 AS HUGEINT) * v2)
+                         // (n1 + n2 - 2)) END AS BIGINT) AS d2_micro,
+           CAST(CASE WHEN v1 // n1 + v2 // n2 <= 0
+                THEN 0
+                ELSE CAST(m1 - m2 AS HUGEINT) * (m1 - m2) * 1000
+                     // (v1 // n1 + v2 // n2)
+                END AS BIGINT) AS t2_milli
+    FROM pair
+    """,
+)
+def ev_welch_t2_effect(spark, sf_dir):
+    """WELCH'S TWO-SAMPLE TEST (unequal variances) between 'click' and
+    'purchase' event values, reported SQRT-FREE as t^2 in milli-units
+    plus Cohen's d^2 effect size in micro-units — the parametric
+    companion to ev_mann_whitney_u on the same two segments (t^2
+    rather than t so no cross-engine sqrt enters the hash; the decision
+    threshold just squares too: |t| > 1.96 <=> t2_milli > 3841).
+
+    Integer form: per-group (n, sum, sum-of-squares) partials; means on
+    the micro lattice (jackknife theta_b idiom); sample variance
+    v = (q2*1e6 - n*mb^2) // (n-1) as a nonnegative 128-bit integer in
+    micro^2. t^2 = delta^2 / (v1//n1 + v2//n2): the per-group variance
+    in micro^2 sits at ~1e17 for unit-scale values, so the integer
+    division by n keeps >= 1e5 resolution through the 100 TB row count
+    and cannot underflow to 0 before ~1e17 rows/group (and the CASE
+    guard returns 0, not an error, even there). d^2 = delta^2 /
+    s_pooled^2 with the (n-1)*v products cast 128-bit BEFORE the
+    multiply (they cross BIGINT at ~1e5 rows x 1e17 micro^2). Every
+    dividend is a square — nonnegative, floor == truncate.
+
+    Scale shape: ONE keyed aggregate to the 2-group grain, then 2-row
+    arithmetic; the same single-shuffle shape as the ANOVA entry."""
+    (ev,) = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    g = v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("vm").cast("long").alias("s"),
+        F.expr("sum(CAST(vm AS DECIMAL(38,0)) * vm)").alias("q2"),
+    )
+    w = g.filter(F.col("ng") > 1).select(
+        "event_type",
+        "ng",
+        F.expr(
+            "CAST(round(CAST(s AS DOUBLE) * 1000 / ng) AS BIGINT)"
+        ).alias("mb"),
+    ).join(g.select("event_type", "q2"), "event_type").select(
+        "event_type",
+        "ng",
+        "mb",
+        F.expr(
+            "greatest(CAST(0 AS DECIMAL(38,0)), q2 * 1000000"
+            " - CAST(ng AS DECIMAL(38,0)) * mb * mb) div (ng - 1)"
+        ).alias("v2"),
+    )
+    pair = w.agg(
+        F.expr("max(CASE WHEN event_type = 'click' THEN ng END)").alias("n1"),
+        F.expr(
+            "max(CASE WHEN event_type = 'purchase' THEN ng END)"
+        ).alias("n2"),
+        F.expr("max(CASE WHEN event_type = 'click' THEN mb END)").alias("m1"),
+        F.expr(
+            "max(CASE WHEN event_type = 'purchase' THEN mb END)"
+        ).alias("m2"),
+        F.expr("max(CASE WHEN event_type = 'click' THEN v2 END)").alias("v1"),
+        F.expr(
+            "max(CASE WHEN event_type = 'purchase' THEN v2 END)"
+        ).alias("v2"),
+    )
+    return pair.selectExpr(
+        "n1",
+        "n2",
+        "m1 AS mean1_micro",
+        "m2 AS mean2_micro",
+        "CAST(m1 - m2 AS BIGINT) AS delta_micro",
+        "CAST(CASE WHEN (CAST(n1 - 1 AS DECIMAL(38,0)) * v1"
+        " + CAST(n2 - 1 AS DECIMAL(38,0)) * v2) <= 0 THEN 0"
+        " ELSE CAST(m1 - m2 AS DECIMAL(38,0)) * (m1 - m2) * 1000000"
+        " div ((CAST(n1 - 1 AS DECIMAL(38,0)) * v1"
+        " + CAST(n2 - 1 AS DECIMAL(38,0)) * v2)"
+        " div (n1 + n2 - 2)) END AS BIGINT) AS d2_micro",
+        "CAST(CASE WHEN v1 div n1 + v2 div n2 <= 0"
+        " THEN 0"
+        " ELSE CAST(m1 - m2 AS DECIMAL(38,0)) * (m1 - m2) * 1000"
+        " div (v1 div n1 + v2 div n2)"
+        " END AS BIGINT) AS t2_milli",
+    )
+
+
+@q(
+    "ev_holm_bonferroni",
+    f"""
+    WITH cell AS (
+      SELECT event_type, date_part('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, date_part('hour', ts)
+    ), mr AS (
+      SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+      FROM cell GROUP BY event_type
+    ), mc AS (
+      SELECT hr, CAST(sum(o) AS BIGINT) AS c
+      FROM cell GROUP BY hr
+    ), tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n FROM cell
+    ), zp AS (
+      SELECT event_type, hr, o,
+             CAST(round(abs(o - CAST(r AS DOUBLE) * c / n)
+                        / sqrt(CAST(r AS DOUBLE) * c / n) * 1000)
+                  AS BIGINT) AS absz_milli
+      FROM cell JOIN mr USING (event_type) JOIN mc USING (hr), tot
+    ), pp AS (
+      SELECT event_type, hr, o, absz_milli,
+             {{p_stairs}} AS p_micro,
+             CAST(count(*) OVER () AS BIGINT) AS m,
+             CAST(row_number() OVER (
+                 ORDER BY {{p_stairs}},
+                          event_type, hr) AS BIGINT) AS rk
+      FROM zp
+    ), kfail AS (
+      SELECT coalesce(min(rk), max(m) + 1) AS kf FROM pp
+      WHERE CAST(p_micro AS HUGEINT) * (m - rk + 1) > 50000
+    )
+    SELECT event_type, CAST(hr AS BIGINT) AS hr, o, absz_milli,
+           CAST(p_micro AS BIGINT) AS p_micro, rk,
+           rk < kf AS rejected
+    FROM pp, kfail
+    ORDER BY rk
+    """.replace("{p_stairs}", _p_stairs_sql('absz_milli / 1000.0')),
+)
+def ev_holm_bonferroni(spark, sf_dir):
+    """HOLM-BONFERRONI step-down over the same standardized contingency
+    residuals as ev_fdr_segment_residuals — the FAMILY-WISE error
+    control sibling (BH bounds the false-discovery RATE; Holm bounds
+    the probability of ANY false alarm — what a pager policy wants,
+    strictly more conservative): sort p ascending, reject sequentially
+    while p_(i) <= alpha/(m-i+1), STOP at the first failure (step-down
+    — unlike BH's max-k scan, a later small p cannot resurrect the
+    walk).
+
+    Exactness: identical z->p LITERAL staircase and milli-z lattice as
+    the BH entry; the Holm inequality p*(m-i+1) <= alpha_micro is pure
+    integer arithmetic, and the stop rule is rk < min(first failing
+    rank) — a 1-row broadcast, not a running state. Dominance law
+    (test-pinned): Holm-rejected is a SUBSET of BH-rejected on the same
+    residuals at the same alpha.
+
+    Scale shape: identical to the BH entry — one data-sized keyed
+    aggregate to the ~120-cell contingency grain, margin broadcasts, a
+    bounded window, a 1-row broadcast back."""
+    (ev,) = _t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").cast("long").alias("o"))
+    mr = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    mc = cell.groupBy("hr").agg(F.sum("o").cast("long").alias("c"))
+    tot = cell.agg(F.sum("o").cast("long").alias("n"))
+    zp = (
+        cell.join(F.broadcast(mr), "event_type")
+        .join(F.broadcast(mc), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "hr",
+            "o",
+            F.expr(
+                "CAST(round(abs(o - CAST(r AS DOUBLE) * c / n)"
+                " / sqrt(CAST(r AS DOUBLE) * c / n) * 1000) AS BIGINT)"
+            ).alias("absz_milli"),
+        )
+    )
+    p_expr = _p_stairs_sql("absz_milli / 1000.0")
+    w_all = Window.partitionBy()
+    w_rk = Window.orderBy(F.expr(p_expr), "event_type", "hr")
+    pp = zp.select(
+        "event_type",
+        "hr",
+        "o",
+        "absz_milli",
+        F.expr(p_expr).cast("long").alias("p_micro"),
+        F.count("*").over(w_all).cast("long").alias("m"),
+        F.row_number().over(w_rk).cast("long").alias("rk"),
+    )
+    # First failing rank via one more window over the SAME bounded
+    # contingency grain (no extra broadcast lineage): kf = min rank
+    # where the Holm inequality fails, else m+1 (reject everything).
+    return (
+        pp.withColumn(
+            "kf",
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.expr(
+                            "CAST(p_micro AS DECIMAL(38,0)) * (m - rk + 1)"
+                            " > 50000"
+                        ),
+                        F.col("rk"),
+                    )
+                ).over(w_all),
+                F.col("m") + 1,
+            ),
+        )
+        .select(
+            "event_type",
+            "hr",
+            "o",
+            "absz_milli",
+            "p_micro",
+            "rk",
+            (F.col("rk") < F.col("kf")).alias("rejected"),
+        )
+        .orderBy("rk")
+    )
+
+
+@q(
+    "dq_anomaly_mad",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ), g AS (
+      SELECT event_type, vm, CAST(count(*) AS BIGINT) AS cnt
+      FROM v GROUP BY event_type, vm
+    ), c AS (
+      SELECT event_type, vm, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY vm
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM g
+    ), med AS (
+      SELECT event_type, max(n) AS n,
+             min(CASE WHEN cum * 2 >= n THEN vm END) AS med_vm
+      FROM c GROUP BY event_type
+    ), d AS (
+      SELECT g.event_type, abs(g.vm - med.med_vm) AS dm, g.cnt, med.n
+      FROM g JOIN med USING (event_type)
+    ), dg AS (
+      SELECT event_type, dm, CAST(sum(cnt) AS BIGINT) AS cnt, max(n) AS n
+      FROM d GROUP BY event_type, dm
+    ), dc AS (
+      SELECT event_type, dm, cnt, n,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY dm
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum
+      FROM dg
+    ), mad AS (
+      SELECT event_type,
+             min(CASE WHEN cum * 2 >= n THEN dm END) AS mad_vm
+      FROM dc GROUP BY event_type
+    )
+    SELECT med.event_type, med.n AS n_events, med.med_vm, mad.mad_vm,
+           CAST(coalesce(sum(CASE WHEN d.dm * 10000
+                                       > 44478 * mad.mad_vm
+                             THEN d.cnt END), 0) AS BIGINT)
+               AS n_outliers,
+           CAST(coalesce(sum(CASE WHEN d.dm * 10000
+                                       > 44478 * mad.mad_vm
+                             THEN d.cnt END), 0) * 1000
+                // med.n AS BIGINT) AS outlier_permille
+    FROM med JOIN mad USING (event_type)
+    JOIN d ON d.event_type = med.event_type
+    GROUP BY med.event_type, med.n, med.med_vm, mad.mad_vm
+    ORDER BY med.event_type
+    """,
+)
+def dq_anomaly_mad(spark, sf_dir):
+    """MEDIAN-ABSOLUTE-DEVIATION robust outlier detection per event
+    type — the anomaly readout that survives the contamination it
+    hunts (a mean/stddev z-score moves WITH the corrupt tail; the
+    median/MAD pair does not): per segment, the exact lower median of
+    the latticed value, the exact lower median of absolute deviations
+    (MAD), and the count of rows beyond the classic 3-sigma-equivalent
+    fence |x - med| > 3 * 1.4826 * MAD — the constant latticed as the
+    integer compare dm * 10000 > 44478 * mad, no floats anywhere.
+
+    Exact medians WITHOUT global sorting: both medians compute at the
+    (event_type, value-bin) grain via partitioned cumulative counts —
+    the lower median (rank ceil(n/2)) is the smallest bin whose
+    inclusive cumulative DOUBLED reaches n (pure integers — for odd n
+    the integer compare lands on rank (n+1)/2, for even n on rank n/2,
+    exactly the lower order statistic; deterministic at every tie) —
+    so the plan carries only PARTITIONED windows over bins bounded by
+    the value range, never a per-row rank.
+
+    Scale shape: two keyed aggregates to bin grain (values, then
+    deviations), two partitioned bounded windows, a 5-row dimension
+    join back. The deviation pass joins bins to the 5-row median table
+    — broadcast, map-side."""
+    (ev,) = _t(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+        .groupBy("event_type", "vm")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        "vm",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt").over(w_n).cast("long").alias("n"),
+    )
+    med = c.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("n"), F.col("vm"))
+        ).alias("med_vm"),
+    )
+    d = g.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("vm") - F.col("med_vm")).alias("dm"),
+        "cnt",
+        "n",
+    )
+    dg = d.groupBy("event_type", "dm").agg(
+        F.sum("cnt").cast("long").alias("cnt"), F.max("n").alias("n")
+    )
+    w_dcum = (
+        Window.partitionBy("event_type")
+        .orderBy("dm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dc = dg.select(
+        "event_type",
+        "dm",
+        "cnt",
+        "n",
+        F.sum("cnt").over(w_dcum).cast("long").alias("cum"),
+    )
+    mad = dc.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("n"), F.col("dm"))
+        ).alias("mad_vm")
+    )
+    out = (
+        d.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(med.select("event_type", "med_vm")), "event_type")
+        .groupBy("event_type", "n", "med_vm", "mad_vm")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("dm") * 10000 > 44478 * F.col("mad_vm"),
+                        F.col("cnt"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return out.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        "med_vm",
+        "mad_vm",
+        "n_outliers",
+        F.expr("CAST(n_outliers * 1000 div n AS BIGINT)").alias(
+            "outlier_permille"
+        ),
+    ).orderBy("event_type")
