@@ -279,3 +279,79 @@ def test_mad_matches_python_replica(spark):
         assert r["mad_vm"] == mad, (et, r["mad_vm"], mad)
         assert r["n_outliers"] == n_out
         assert r["outlier_permille"] == n_out * 1000 // n
+
+
+def test_doc_entropy_matches_python_replica(spark):
+    """t_doc_entropy_filter vs a python replica of the micro-nat
+    lattice; H >= 0 for every doc (Jensen, exact 0 at a
+    single-distinct-token doc by lattice construction)."""
+    import math
+    from collections import Counter
+
+    from xova_spark.queries.textops import (
+        _ENTROPY_LOW_MICRO,
+        t_doc_entropy_filter,
+    )
+
+    got = {r["source"]: r for r in t_doc_entropy_filter(spark, SF).collect()}
+    per_source = {}
+    for r in (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    ):
+        c = Counter(r["text"].split(" "))
+        n = sum(c.values())
+        h = round(math.log(n) * 1e6) - sum(
+            k * round(math.log(k) * 1e6) for k in c.values()
+        ) // n
+        assert h >= 0, (r["doc_id"], h)
+        per_source.setdefault(r["source"], []).append(h)
+    assert set(got) == set(per_source)
+    for src, hs in per_source.items():
+        r = got[src]
+        assert r["n_docs"] == len(hs)
+        assert r["mean_entropy_micro"] == sum(hs) // len(hs)
+        assert r["min_entropy_micro"] == min(hs)
+        n_low = sum(1 for h in hs if h < _ENTROPY_LOW_MICRO)
+        assert r["n_low"] == n_low
+        assert r["low_permille"] == n_low * 1000 // len(hs)
+
+
+def test_vocab_oov_matches_python_replica(spark):
+    """t_vocab_oov_rate vs a python replica: the vocab is the exact
+    top-V under (count DESC, token ASC) on the train split, and OOV is
+    pure membership on the eval split."""
+    from collections import Counter
+
+    from xova_spark.queries.textops import _VOCAB_TOP_V, t_vocab_oov_rate
+
+    rows = {r["source"]: r for r in t_vocab_oov_rate(spark, SF).collect()}
+    train = Counter()
+    ev = []
+    for r in (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    ):
+        toks = r["text"].split(" ")
+        if r["doc_id"] % 10 < 8:
+            train.update(toks)
+        else:
+            ev.append((r["source"], toks))
+    vocab = {
+        w
+        for w, _ in sorted(train.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_VOCAB_TOP_V
+        ]
+    }
+    per = {}
+    for src, toks in ev:
+        n, oov = per.get(src, (0, 0))
+        per[src] = (n + len(toks), oov + sum(1 for t in toks if t not in vocab))
+    assert set(rows) == set(per)
+    for src, (n, oov) in per.items():
+        r = rows[src]
+        assert (r["n_tokens"], r["n_oov"]) == (n, oov)
+        assert r["oov_permille"] == oov * 1000 // n
+        assert 0 <= r["oov_permille"] <= 1000

@@ -3671,3 +3671,190 @@ def t_trigram_backoff_score(spark, sf_dir):
             "avg_p_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 text-quality additions: per-document token entropy (the
+# repetitiveness/boilerplate filter) and vocabulary OOV coverage (the
+# tokenizer-fit audit between a train-split vocab and the eval split).
+# ---------------------------------------------------------------------------
+
+_ENTROPY_LOW_MICRO = 2_500_000  # 2.5 nats: the fixture's ~5th percentile
+
+_VOCAB_TOP_V = 20
+
+
+@q(
+    "t_doc_entropy_filter",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2, 3
+    ), h AS (
+      SELECT doc_id, any_value(source) AS source,
+             CAST(round(ln(sum(c)) * 1000000) AS BIGINT)
+             - CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT))
+                    // sum(c) AS BIGINT) AS h_micro
+      FROM c GROUP BY doc_id
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(h_micro) // count(*) AS BIGINT) AS mean_entropy_micro,
+           CAST(min(h_micro) AS BIGINT) AS min_entropy_micro,
+           CAST(sum(CASE WHEN h_micro < {_ENTROPY_LOW_MICRO}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN h_micro < {_ENTROPY_LOW_MICRO}
+                    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+               AS low_permille
+    FROM h GROUP BY source ORDER BY source
+    """,
+)
+def t_doc_entropy_filter(spark, sf_dir):
+    """PER-DOCUMENT TOKEN ENTROPY filter — the repetitiveness quality
+    signal (templated/boilerplate/spam pages reuse a tiny vocabulary,
+    so their unigram entropy collapses; a perplexity filter's cheap
+    sibling that needs no trained LM): per doc H = ln(n) - (1/n) * sum
+    c_i*ln(c_i) over its token counts, latticed to micro-nats, rolled
+    up per source as mean/min entropy and the share of docs under the
+    2.5-nat boilerplate fence (the fixture's ~5th percentile).
+
+    Lattice discipline: ln evaluated ONCE per (doc, token) cell on the
+    integer count and immediately rounded to micro-nats (the BM25 idf
+    / lang-entropy discipline), ln(n) once per doc — so every per-doc
+    entropy is an exact integer and the source rollup sums integers;
+    partial-sum order cannot drift the hash. H >= 0 by Jensen (exactly
+    0 for a single-distinct-token doc, where both terms coincide on
+    the lattice by construction).
+
+    Scale shape: one explode to token grain (map-side), one keyed
+    aggregate to (doc, token) cells, one to doc grain, one to source
+    grain — a strictly shrinking aggregation chain, no windows, no
+    joins."""
+    (docs,) = _docs(spark, sf_dir)
+    c = (
+        docs.select(
+            "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    h = (
+        c.select(
+            "doc_id",
+            "source",
+            "c",
+            F.round(F.log("c") * 1000000).cast("long").alias("lnc_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c") * F.col("lnc_micro")).alias("s"),
+        )
+        .selectExpr(
+            "source",
+            "CAST(round(ln(n) * 1000000) AS BIGINT)"
+            " - CAST(s div n AS BIGINT) AS h_micro",
+        )
+    )
+    return (
+        h.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("h_micro").alias("hsum"),
+            F.min("h_micro").cast("long").alias("min_entropy_micro"),
+            F.sum(
+                F.when(F.col("h_micro") < _ENTROPY_LOW_MICRO, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "CAST(hsum div n_docs AS BIGINT) AS mean_entropy_micro",
+            "min_entropy_micro",
+            "n_low",
+            "CAST(n_low * 1000 div n_docs AS BIGINT) AS low_permille",
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "t_vocab_oov_rate",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS cnt FROM tok WHERE doc_id % 10 < 8
+        GROUP BY w ORDER BY cnt DESC, w LIMIT {_VOCAB_TOP_V}
+      )
+    ), ev AS (
+      SELECT t.source, t.w, v.w IS NOT NULL AS known
+      FROM tok t LEFT JOIN vocab v ON t.w = v.w
+      WHERE t.doc_id % 10 >= 8
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_oov,
+           CAST(sum(CASE WHEN known THEN 0 ELSE 1 END) * 1000
+                // count(*) AS BIGINT) AS oov_permille
+    FROM ev GROUP BY source ORDER BY source
+    """,
+)
+def t_vocab_oov_rate(spark, sf_dir):
+    """VOCABULARY OOV-RATE audit — the tokenizer-fit readout: build the
+    top-{_VOCAB_TOP_V} token vocabulary from the TRAIN split (doc_id %
+    10 < 8, the deterministic split idiom) and measure the
+    out-of-vocabulary token share on the EVAL split per source. The
+    number a tokenizer/vocab decision is made on: a source whose OOV
+    rate spikes is drifting away from the vocabulary the model was
+    built for (new language, new domain, encoding rot).
+
+    Determinism: the vocab is a top-k under the TOTAL order (count
+    DESC, token ASC) — TakeOrderedAndProject semantics, identical in
+    both engines at every count tie; OOV is a pure membership test
+    (left join against the K-row vocab, broadcast), and the rates are
+    integer permille.
+
+    Scale shape: one explode, one keyed aggregate to token grain
+    (vocab candidates are bounded by the vocabulary, not the corpus),
+    a K-row top-k, then one map-side broadcast join over the eval
+    tokens and a source-grain rollup. No data-grain windows."""
+    (docs,) = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = (
+        tok.filter(F.col("doc_id") % 10 < 8)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(_VOCAB_TOP_V)
+        .select("w", F.lit(True).alias("known"))
+    )
+    ev = (
+        tok.filter(F.col("doc_id") % 10 >= 8)
+        .join(F.broadcast(vocab), "w", "left")
+    )
+    return (
+        ev.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("known"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "n_oov",
+            "CAST(n_oov * 1000 div n_tokens AS BIGINT) AS oov_permille",
+        )
+        .orderBy("source")
+    )
