@@ -140,6 +140,9 @@ HEADLINE = (
     "ev_welch_t2_effect",
     "ev_holm_bonferroni",
     "dq_anomaly_mad",
+    "t_doc_entropy_filter",
+    "t_vocab_oov_rate",
+    "ann_nprobe_tuning_report",
 )
 
 

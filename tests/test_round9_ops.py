@@ -355,3 +355,27 @@ def test_vocab_oov_matches_python_replica(spark):
         assert (r["n_tokens"], r["n_oov"]) == (n, oov)
         assert r["oov_permille"] == oov * 1000 // n
         assert 0 <= r["oov_permille"] <= 1000
+
+
+def test_nprobe_tuning_monotonicity(spark):
+    """ann_nprobe_tuning_report: nprobe candidate sets are NESTED by
+    construction (rn <= np), so candidates, candidate-contained hits,
+    and recall must all be non-decreasing in nprobe; recall is
+    permille-bounded; and the searched top-5 can never recover more
+    exact neighbors than the candidate set contains."""
+    from xova_spark.queries.similarity import ann_nprobe_tuning_report
+
+    rows = sorted(
+        ann_nprobe_tuning_report(spark, SF).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_candidates"] >= a["n_candidates"]
+        assert b["n_hits_cand"] >= a["n_hits_cand"]
+        assert b["recall_permille"] >= a["recall_permille"]
+    for r in rows:
+        assert 0 <= r["recall_permille"] <= 1000
+        # 50 exact neighbors (10 queries x top-5): recall hits <= what
+        # the candidate set even contains
+        assert r["recall_permille"] * 50 <= r["n_hits_cand"] * 1000

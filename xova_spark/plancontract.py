@@ -333,6 +333,13 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     # re-expose their stored-plan BNLJ under AQE InMemoryTableScan.
     "ann_mmr_rerank": {"kinds": ("limit", "pushed_key",), "max_segments": 4},
     "ann_multiprobe_recall_at5": {"kinds": ("emb_corpus",), "max_segments": 1},
+    # r9 tuning report: the K-centroid assignment BNLJ (pushed/filtered
+    # vec_id bound), the declared brute-force exact-top-5 referee
+    # (emb_corpus), and 1-row n_exact broadcast
+    "ann_nprobe_tuning_report": {
+        "kinds": ("pushed_key", "key_filter", "emb_corpus", "one_row_agg"),
+        "max_segments": 4,
+    },
     "ann_pq_rerank_topk": {"kinds": ("model_rdd",), "max_segments": 1},
     "ann_pq_topk": {"kinds": ("model_rdd",), "max_segments": 1},
     "ann_quantized_recall_at5": {"kinds": ("emb_corpus",), "max_segments": 2},

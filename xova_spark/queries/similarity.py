@@ -2131,3 +2131,196 @@ def ann_hard_negative_mining_ivf(spark, sf_dir):
             "rank",
         )
     )
+
+
+@q(
+    "ann_nprobe_tuning_report",
+    f"""
+    WITH normed AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+      FROM normed WHERE vec_id < {_IVF_K}
+    ), cells AS (
+      SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+             row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY {_duck_dot('n.embedding', 'c.cemb')} / (n.nrm * c.cnrm)
+                        DESC, c.cent_id) AS rn
+      FROM normed n CROSS JOIN cent c
+    ), assigned AS (
+      SELECT vec_id AS cid, embedding AS ce, nrm AS cn, cent_id AS cell
+      FROM cells WHERE rn = 1
+    ), pr AS (
+      SELECT s.np, c.vec_id AS qid, c.embedding AS qe, c.nrm AS qn,
+             c.cent_id AS pcell
+      FROM cells c JOIN (VALUES (1), (2), (4)) s(np) ON c.rn <= s.np
+      WHERE c.vec_id < 10
+    ), scored AS (
+      SELECT np, qid, cid,
+             {_duck_dot('qe', 'ce')} / (qn * cn) AS cos
+      FROM pr JOIN assigned ON cell = pcell AND cid != qid
+    ), ivf_top AS (
+      SELECT np, qid, cid FROM (
+        SELECT np, qid, cid,
+               row_number() OVER (PARTITION BY np, qid
+                                  ORDER BY cos DESC, cid) AS rk
+        FROM scored
+      ) WHERE rk <= 5
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+      FROM normed WHERE vec_id < 10
+    ), exact_top AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, n.vec_id AS cid,
+               row_number() OVER (PARTITION BY q.qid
+                   ORDER BY {_duck_dot('q.qe', 'n.embedding')} / (q.qn * n.nrm)
+                            DESC, n.vec_id) AS rk
+        FROM q CROSS JOIN normed n WHERE n.vec_id != q.qid
+      ) WHERE rk <= 5
+    ), nx AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact_top
+    )
+    SELECT s.np AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(coalesce(sum(CASE WHEN i.cid IS NOT NULL THEN 1 END), 0)
+                AS BIGINT) AS n_hits_cand,
+           CAST((SELECT coalesce(count(*), 0) FROM ivf_top t
+                 JOIN exact_top e ON t.np = s.np AND t.qid = e.qid
+                                  AND t.cid = e.cid) * 1000
+                // (SELECT n_exact FROM nx) AS BIGINT) AS recall_permille
+    FROM scored s
+    LEFT JOIN exact_top i ON s.qid = i.qid AND s.cid = i.cid
+    GROUP BY s.np ORDER BY s.np
+    """,
+)
+def ann_nprobe_tuning_report(spark, sf_dir):
+    """IVF NPROBE TUNING report — measure, don't guess, applied to the
+    ANN index itself (the dedup_band_tuning_report discipline for the
+    similarity stack): for nprobe in {{1, 2, 4}} over the K={_IVF_K}
+    coarse cells, the candidate volume the probe pays, how many exact
+    top-5 neighbors the CANDIDATE SET even contains, and the measured
+    recall@5 of the probed search vs the exact-cosine referee. This is
+    the table that justifies the nprobe a 100 TB deployment sets: cost
+    grows ~nprobe/K of the corpus per query, recall saturates — the
+    report shows exactly where.
+
+    Exactness: one shared assignment pass (the ann_ivf_topk spine);
+    the nprobe sweep is a 3-row VALUES spine joined on rn <= np (NOT
+    three re-scans); the referee is the declared emb_corpus
+    brute-force class (same tie rules, round-free — membership counts
+    only, so no float column leaves the plan).
+
+    Scale shape: K-centroid broadcast assignment, ONE cell-keyed
+    equi-join for all three nprobe settings at once, bounded per-(np,
+    qid) top-5 windows, a 10-query referee. n_candidates is a
+    row-cardinality counter (the band-tuning bound class)."""
+    (emb,) = _emb(spark, sf_dir)
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+    cent = normed.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cent_cos = _spark_dot("embedding", "cemb") / (F.col("nrm") * F.col("cnrm"))
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), "cent_id")
+    cells = (
+        normed.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", cent_cos)
+        .withColumn("rn", F.row_number().over(wc))
+    )
+    assigned = cells.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+        F.col("cent_id").alias("cell"),
+    )
+    pr = (
+        cells.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+            F.col("cent_id").alias("pcell"),
+            "rn",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("np"),
+        )
+        .filter(F.col("rn") <= F.col("np"))
+    )
+    scored = (
+        pr.join(assigned, F.col("cell") == F.col("pcell"))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn(
+            "cos", _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+        )
+    )
+    wi = Window.partitionBy("np", "qid").orderBy(F.desc("cos"), "cid")
+    # localCheckpoint the two tiny result frames (<= 150 and <= 50 rows
+    # at ANY corpus size — 3 nprobes x 10 queries x top-5): each feeds
+    # 2-3 consumers, and without the cut every consumer re-prints the
+    # centroid/referee broadcast lineage (the mmr/k-truss lesson; 8
+    # BNLJ segments down to the 2 genuine ones).
+    ivf_top = (
+        scored.withColumn("rk", F.row_number().over(wi))
+        .filter(F.col("rk") <= 5)
+        .select("np", "qid", "cid")
+        .localCheckpoint(eager=True)
+    )
+    qs = normed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    we = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    exact_top = (
+        qs.crossJoin(F.broadcast(normed.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cn"),
+        )))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn(
+            "cos", _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+        )
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "cid")
+        .localCheckpoint(eager=True)
+    )
+    nx = exact_top.agg(F.count("*").cast("long").alias("n_exact"))
+    cand_stats = (
+        scored.join(
+            exact_top.withColumn("hit", F.lit(1)), ["qid", "cid"], "left"
+        )
+        .groupBy("np")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.coalesce(F.sum("hit"), F.lit(0))
+            .cast("long")
+            .alias("n_hits_cand"),
+        )
+    )
+    rec = (
+        ivf_top.join(exact_top, ["qid", "cid"])
+        .groupBy("np")
+        .agg(F.count("*").cast("long").alias("n_rec"))
+    )
+    return (
+        cand_stats.join(rec, "np", "left")
+        .crossJoin(F.broadcast(nx))
+        .select(
+            F.col("np").cast("int").alias("nprobe"),
+            "n_candidates",
+            "n_hits_cand",
+            F.expr(
+                "CAST(coalesce(n_rec, 0) * 1000 div n_exact AS BIGINT)"
+            ).alias("recall_permille"),
+        )
+        .orderBy("nprobe")
+    )
