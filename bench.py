@@ -143,6 +143,7 @@ HEADLINE = (
     "t_doc_entropy_filter",
     "t_vocab_oov_rate",
     "ann_nprobe_tuning_report",
+    "graph_local_clustering",
 )
 
 

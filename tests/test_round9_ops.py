@@ -379,3 +379,53 @@ def test_nprobe_tuning_monotonicity(spark):
         # 50 exact neighbors (10 queries x top-5): recall hits <= what
         # the candidate set even contains
         assert r["recall_permille"] * 50 <= r["n_hits_cand"] * 1000
+
+
+def test_local_clustering_matches_python_replica(spark):
+    """graph_local_clustering vs a python replica of the capped
+    middle-counting triangle enumeration on the same supported edge
+    list; cc in [0, 1000]; and on the UNCAPPED replica each reported
+    (capped) triangle count is a lower bound."""
+    from xova_spark.queries.graphq import (
+        WEDGE_DEGREE_CAP,
+        _edges_cached,
+        graph_local_clustering,
+    )
+
+    edges = {
+        (r["pa"], r["pb"])
+        for r in _edges_cached(spark, SF).select("pa", "pb").collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    tri_capped = {}
+    tri_exact = {}
+    for v, ns in adj.items():
+        t = sum(
+            1
+            for x in ns
+            for y in ns
+            if x < y and ((x, y) in edges or (y, x) in edges)
+        )
+        tri_exact[v] = t
+        if deg[v] <= WEDGE_DEGREE_CAP:
+            tri_capped[v] = t
+        else:
+            tri_capped[v] = 0  # hub middles are dropped by the light cap
+    rows = graph_local_clustering(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        v = r["node"]
+        assert r["degree"] == deg[v]
+        assert r["triangles"] == tri_capped[v], (v, r["triangles"])
+        assert r["triangles"] <= tri_exact[v]
+        want_cc = (
+            0
+            if deg[v] < 2
+            else tri_capped[v] * 2000 // (deg[v] * (deg[v] - 1))
+        )
+        assert r["cc_permille"] == want_cc
+        assert 0 <= r["cc_permille"] <= 1000

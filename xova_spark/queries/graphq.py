@@ -1640,3 +1640,95 @@ def graph_adamic_adar(spark, sf_dir):
         .orderBy(F.desc("aa_micro"), "sa", "sb")
         .limit(20)
     )
+
+
+@q(
+    "graph_local_clustering",
+    f"""
+    WITH {_DUCK_EDGES},
+    light AS (
+      SELECT a.src, a.dst FROM arcs a
+      JOIN deg d ON d.node = a.dst
+      WHERE d.degree <= {WEDGE_DEGREE_CAP}
+    ),
+    tri AS (
+      SELECT a.dst AS node, count(*) AS triangles
+      FROM light a JOIN light b
+        ON a.dst = b.dst AND a.src < b.src
+      JOIN edges e ON e.pa = a.src AND e.pb = b.src
+      GROUP BY a.dst
+    )
+    SELECT CAST(d.node AS BIGINT) AS node,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+           CAST(CASE WHEN d.degree < 2 THEN 0
+                ELSE coalesce(t.triangles, 0) * 2000
+                     // (d.degree * (d.degree - 1)) END AS BIGINT)
+               AS cc_permille
+    FROM deg d LEFT JOIN tri t ON t.node = d.node
+    ORDER BY cc_permille DESC, node LIMIT 20
+    """,
+)
+def graph_local_clustering(spark, sf_dir):
+    """LOCAL CLUSTERING COEFFICIENT per node (hub-capped) — how much a
+    node's neighborhood is itself connected: cc(v) = 2*T(v) /
+    (deg(v)*(deg(v)-1)) in permille, where T(v) counts triangles with
+    v as the wedge MIDDLE (each triangle contributes exactly one
+    middle role to each member, so counting middles IS counting
+    incident triangles — no 3x dedup needed). The community-structure
+    readout next to graph_modularity: a recommender trusts co-purchase
+    neighborhoods with high cc, flags low-cc hubs as aggregator
+    artifacts.
+
+    Triangle enumeration on the house wedge spine: light arcs (middle
+    degree <= {WEDGE_DEGREE_CAP} — the graph_node_jaccard_capped hub
+    cap, volume bounded by cap * |arcs|, linear in edges), wedge pairs
+    (sa < sb) semi-joined against the ordered edge list — every
+    surviving row certifies one triangle through its middle. T(v) is
+    a certified LOWER bound at hub middles (exact on the fixture
+    below the cap for tail nodes — the same declared-lossy contract
+    as the capped Jaccard; deg stays exact so cc is a lower bound).
+
+    Scale shape: the wedge join keys on the shared-neighbor id, the
+    edge-membership join on the (pa, pb) pair — both equi-joins over
+    the pruned edge set; a left join back to the degree table and a
+    top-20 TakeOrderedAndProject."""
+    edges = _edges_cached(spark, sf_dir)
+    arcs, deg = _arcs_and_degrees(edges)
+    light = arcs.join(
+        deg.where(F.col("degree") <= WEDGE_DEGREE_CAP).select(
+            F.col("node").alias("dst")
+        ),
+        "dst",
+    )
+    a = light.select(F.col("src").alias("sa"), F.col("dst").alias("n"))
+    b = light.select(F.col("src").alias("sb"), F.col("dst").alias("n"))
+    tri = (
+        a.join(b, "n")
+        .filter(F.col("sa") < F.col("sb"))
+        .join(
+            edges.select(
+                F.col("pa").alias("sa"), F.col("pb").alias("sb")
+            ),
+            ["sa", "sb"],
+        )
+        .groupBy(F.col("n").alias("node"))
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("long")
+            .alias("triangles"),
+            F.expr(
+                "CAST(CASE WHEN degree < 2 THEN 0"
+                " ELSE coalesce(triangles, 0) * 2000"
+                " div (degree * (degree - 1)) END AS BIGINT)"
+            ).alias("cc_permille"),
+        )
+        .orderBy(F.desc("cc_permille"), "node")
+        .limit(20)
+    )
