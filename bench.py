@@ -144,6 +144,7 @@ HEADLINE = (
     "t_vocab_oov_rate",
     "ann_nprobe_tuning_report",
     "graph_local_clustering",
+    "layout_sort_advisor",
 )
 
 

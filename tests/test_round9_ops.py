@@ -429,3 +429,32 @@ def test_local_clustering_matches_python_replica(spark):
         )
         assert r["cc_permille"] == want_cc
         assert 0 <= r["cc_permille"] <= 1000
+
+
+def test_sort_advisor_picks_the_clustered_layout(spark):
+    """layout_sort_advisor: exactly one recommended layout; it carries
+    the minimum avg depth; ship_week (sorted by the probe key) must
+    beat both natural and the wrong-key part_bucket layout — the
+    measured, not assumed, advisor contract."""
+    from xova_spark.queries.layoutq import layout_sort_advisor
+
+    rows = layout_sort_advisor(spark, SF).collect()
+    assert {r["layout"] for r in rows} == {
+        "natural", "ship_week", "part_bucket",
+    }
+    rec = [r for r in rows if r["recommended"]]
+    assert len(rec) == 1
+    best = min(r["avg_depth_permille"] for r in rows)
+    assert rec[0]["avg_depth_permille"] == best
+    by = {r["layout"]: r for r in rows}
+    assert rec[0]["layout"] == "ship_week"
+    assert (
+        by["ship_week"]["avg_depth_permille"]
+        < by["natural"]["avg_depth_permille"]
+    )
+    assert (
+        by["ship_week"]["avg_depth_permille"]
+        < by["part_bucket"]["avg_depth_permille"]
+    )
+    for r in rows:
+        assert r["max_depth"] <= r["n_groups"]

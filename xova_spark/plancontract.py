@@ -355,6 +355,9 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "dq_benford": {"kinds": ("one_row_agg",), "max_segments": 1},
     # r9 stats pack batch 2: 1-row totals / k-group broadcasts
     "ev_anova_oneway": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # r9 sort advisor: the min-depth and argmin-name 1-row broadcasts
+    # (the second re-prints the first's lineage)
+    "layout_sort_advisor": {"kinds": ("one_row_agg",), "max_segments": 3},
     "dq_freshness": {"kinds": ("one_row_agg",), "max_segments": 2},
     "dq_histogram_drift": {"kinds": ("one_row_agg",), "max_segments": 1},
     "emb_kmeans_assign": {"kinds": ("model_rdd",), "max_segments": 1},

@@ -796,3 +796,173 @@ def layout_partition_skew_audit(spark, sf_dir):
         )
         .orderBy("part")
     )
+
+
+_ADVISOR_PART_BUCKET = 64  # partkeys per part-sorted row group
+
+
+@q(
+    "layout_sort_advisor",
+    f"""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey,
+             epoch_us(l_shipdate) // {_US_PER_DAY} AS ship_day
+      FROM lineitem
+    ), layouts AS (
+      SELECT 'natural' AS layout, l_orderkey // {_ZM_ROWGROUP_ORDERS} AS rg,
+             ship_day FROM li
+      UNION ALL
+      SELECT 'ship_week' AS layout, ship_day // 7 AS rg, ship_day FROM li
+      UNION ALL
+      SELECT 'part_bucket' AS layout,
+             l_partkey // {_ADVISOR_PART_BUCKET} AS rg, ship_day FROM li
+    ), zones AS (
+      SELECT layout, rg, min(ship_day) AS day_min, max(ship_day) AS day_max
+      FROM layouts GROUP BY layout, rg
+    ), events AS (
+      SELECT layout, boundary, CAST(sum(delta) AS BIGINT) AS delta
+      FROM (
+        SELECT layout, day_min AS boundary, 1 AS delta FROM zones
+        UNION ALL
+        SELECT layout, day_max + 1 AS boundary, -1 AS delta FROM zones
+      ) GROUP BY layout, boundary
+    ), profile AS (
+      SELECT layout, boundary,
+             CAST(sum(delta) OVER (PARTITION BY layout ORDER BY boundary
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth,
+             CAST(coalesce(lead(boundary) OVER (PARTITION BY layout
+                  ORDER BY boundary) - boundary, 0) AS BIGINT) AS seg_days
+      FROM events
+    ), m AS (
+      SELECT layout,
+             (SELECT CAST(count(*) AS BIGINT) FROM zones z
+              WHERE z.layout = profile.layout) AS n_groups,
+             CAST(max(depth) AS BIGINT) AS max_depth,
+             CAST(sum(depth * seg_days) * 1000
+                  // sum(seg_days) AS BIGINT) AS avg_depth_permille
+      FROM profile GROUP BY layout
+    ), best AS (
+      SELECT min(avg_depth_permille) AS best_depth FROM m
+    ), bestname AS (
+      SELECT min(layout) AS best_layout FROM m, best
+      WHERE avg_depth_permille = best_depth
+    )
+    SELECT m.layout, m.n_groups, m.max_depth, m.avg_depth_permille,
+           m.layout = bestname.best_layout AS recommended
+    FROM m, bestname
+    ORDER BY m.avg_depth_permille, m.layout
+    """,
+)
+def layout_sort_advisor(spark, sf_dir):
+    """SORT-ORDER ADVISOR — the decision layer on top of
+    layout_clustering_depth: price THREE candidate physical layouts
+    ('natural' insertion order, 'ship_week' time-sorted, 'part_bucket'
+    partkey-sorted) against the ship_day probe key with the same
+    zone-sweep depth metric, and RECOMMEND the argmin (deterministic
+    tie toward the lexicographically first layout). This is the table
+    an OPTIMIZE/Z-ORDER planner reads before paying for a rewrite: it
+    shows not just that 'natural' is unclustered but that sorting by
+    the WRONG key (part_bucket) buys nothing for time-ranged scans —
+    measured, not assumed.
+
+    Scale shape: identical manifest-grain machinery as the depth audit
+    (zones are row-group metadata, the sweep is a layout-partitioned
+    window over boundary events); the recommendation is two 1-row
+    broadcasts (min depth, then min name among argmins), never a
+    global window."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    base = li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr(f"unix_micros(l_shipdate) div {_US_PER_DAY}").alias(
+            "ship_day"
+        ),
+    )
+    layouts = (
+        base.select(
+            F.lit("natural").alias("layout"),
+            F.expr(f"l_orderkey div {_ZM_ROWGROUP_ORDERS}").alias("rg"),
+            "ship_day",
+        )
+        .unionAll(
+            base.select(
+                F.lit("ship_week").alias("layout"),
+                F.expr("ship_day div 7").alias("rg"),
+                "ship_day",
+            )
+        )
+        .unionAll(
+            base.select(
+                F.lit("part_bucket").alias("layout"),
+                F.expr(f"l_partkey div {_ADVISOR_PART_BUCKET}").alias("rg"),
+                "ship_day",
+            )
+        )
+    )
+    zones = layouts.groupBy("layout", "rg").agg(
+        F.min("ship_day").alias("day_min"),
+        F.max("ship_day").alias("day_max"),
+    )
+    events = (
+        zones.select(
+            "layout",
+            F.col("day_min").alias("boundary"),
+            F.lit(1).alias("delta"),
+        )
+        .unionAll(
+            zones.select(
+                "layout",
+                (F.col("day_max") + 1).alias("boundary"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .groupBy("layout", "boundary")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+    )
+    w_run = (
+        Window.partitionBy("layout")
+        .orderBy("boundary")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy("layout").orderBy("boundary")
+    profile = events.select(
+        "layout",
+        "boundary",
+        F.sum("delta").over(w_run).cast("long").alias("depth"),
+        F.coalesce(
+            F.lead("boundary").over(w_lead) - F.col("boundary"), F.lit(0)
+        )
+        .cast("long")
+        .alias("seg_days"),
+    )
+    ng = zones.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_groups")
+    )
+    m = (
+        profile.groupBy("layout")
+        .agg(
+            F.max("depth").cast("long").alias("max_depth"),
+            F.expr(
+                "CAST(sum(depth * seg_days) * 1000"
+                " div sum(seg_days) AS BIGINT)"
+            ).alias("avg_depth_permille"),
+        )
+        .join(F.broadcast(ng), "layout")
+    )
+    best = m.agg(F.min("avg_depth_permille").alias("best_depth"))
+    bestname = (
+        m.crossJoin(F.broadcast(best))
+        .filter(F.col("avg_depth_permille") == F.col("best_depth"))
+        .agg(F.min("layout").alias("best_layout"))
+    )
+    return (
+        m.crossJoin(F.broadcast(bestname))
+        .select(
+            "layout",
+            "n_groups",
+            "max_depth",
+            "avg_depth_permille",
+            (F.col("layout") == F.col("best_layout")).alias("recommended"),
+        )
+        .orderBy("avg_depth_permille", "layout")
+    )
