@@ -145,6 +145,7 @@ HEADLINE = (
     "ann_nprobe_tuning_report",
     "graph_local_clustering",
     "layout_sort_advisor",
+    "graph_degree_assortativity",
 )
 
 

@@ -458,3 +458,43 @@ def test_sort_advisor_picks_the_clustered_layout(spark):
     )
     for r in rows:
         assert r["max_depth"] <= r["n_groups"]
+
+
+def test_assortativity_matches_python_replica_and_bounds(spark):
+    """graph_degree_assortativity vs a python replica of the sqrt-free
+    symmetric-marginal form; r in [-1e6, 1e6]; and the replica
+    cross-checks against the classic Pearson on the same pairs."""
+    from xova_spark.queries.graphq import (
+        _edges_cached,
+        graph_degree_assortativity,
+    )
+
+    row = graph_degree_assortativity(spark, SF).collect()[0]
+    edges = [
+        (r["pa"], r["pb"])
+        for r in _edges_cached(spark, SF).select("pa", "pb").collect()
+    ]
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    arcs = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    n = len(arcs)
+    sx = sum(deg[a] for a, _ in arcs)
+    sxx = sum(deg[a] ** 2 for a, _ in arcs)
+    sxy = sum(deg[a] * deg[b] for a, b in arcs)
+    den = n * sxx - sx * sx
+    want = (
+        0
+        if den == 0
+        else ((n * sxy - sx * sx) + den) * 1_000_000 // den - 1_000_000
+    )
+    assert row["n_arcs"] == n
+    assert row["assortativity_micro"] == want
+    assert -1_000_000 <= row["assortativity_micro"] <= 1_000_000
+    # classic Pearson cross-check (float tolerance): symmetric
+    # marginals make the sqrt-free form algebraically identical
+    mx = sx / n
+    cov = sxy / n - mx * mx
+    var = sxx / n - mx * mx
+    assert abs(row["assortativity_micro"] / 1e6 - cov / var) < 2e-6

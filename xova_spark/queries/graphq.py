@@ -1732,3 +1732,82 @@ def graph_local_clustering(spark, sf_dir):
         .orderBy(F.desc("cc_permille"), "node")
         .limit(20)
     )
+
+
+@q(
+    "graph_degree_assortativity",
+    f"""
+    WITH {_DUCK_EDGES},
+    dd AS (
+      SELECT a.src, a.dst, ds.degree AS dx, dd2.degree AS dy
+      FROM arcs a
+      JOIN deg ds ON ds.node = a.src
+      JOIN deg dd2 ON dd2.node = a.dst
+    ), mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+             sum(CAST(dx AS HUGEINT) * dy) AS sxy
+      FROM dd
+    )
+    SELECT n AS n_arcs,
+           CAST(CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN 0
+                ELSE ((n * sxy - CAST(sx AS HUGEINT) * sx)
+                      + (n * sxx - CAST(sx AS HUGEINT) * sx)) * 1000000
+                     // (n * sxx - CAST(sx AS HUGEINT) * sx) - 1000000
+                END AS BIGINT) AS assortativity_micro
+    FROM mo
+    """,
+)
+def graph_degree_assortativity(spark, sf_dir):
+    """DEGREE ASSORTATIVITY of the co-purchase graph — do high-degree
+    nodes attach to high-degree nodes (r > 0, social-network-like) or
+    to leaves (r < 0, hub-and-spoke/dissortative — what a catalog
+    graph usually is)? Newman's r = Pearson correlation of the degree
+    pairs across DIRECTED arcs, and because the arc list contains both
+    directions of every edge, the x and y marginals are IDENTICAL —
+    sum x = sum y, sum x^2 = sum y^2 — so the correlation needs NO
+    SQUARE ROOT: r = (n*sxy - sx^2) / (n*sxx - sx^2), a pure integer
+    ratio on the 128-bit lattice.
+
+    SIGN DISCIPLINE (the spearman lesson): r is usually negative here,
+    and Spark div truncates where DuckDB // floors — both engines
+    divide the provably NONNEGATIVE shifted numerator (1+r)*den =
+    (n*sxy - sx^2) + (n*sxx - sx^2) >= 0 (Cauchy-Schwarz) and subtract
+    1e6 after, so floor == truncate by construction. Degenerate
+    zero-variance graphs report 0 by CASE.
+
+    Scale shape: two broadcast-joined degree lookups over the arc
+    list, ONE 1-row moment reduction. n*sxy stays under DECIMAL(38,0)
+    to ~1e12 arcs at degree ~1e6 (1e36) — documented headroom, probed
+    by the lattice audit's alpha fit on the output."""
+    edges = _edges_cached(spark, sf_dir)
+    arcs, deg = _arcs_and_degrees(edges)
+    dd = (
+        arcs.join(
+            F.broadcast(
+                deg.select(F.col("node").alias("src"), F.col("degree").alias("dx"))
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("node").alias("dst"), F.col("degree").alias("dy"))
+            ),
+            "dst",
+        )
+    )
+    mo = dd.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.expr("sum(CAST(dx AS DECIMAL(38,0)) * dx)").alias("sxx"),
+        F.expr("sum(CAST(dx AS DECIMAL(38,0)) * dy)").alias("sxy"),
+    )
+    return mo.selectExpr(
+        "n AS n_arcs",
+        "CAST(CASE WHEN n * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN 0"
+        " ELSE ((n * sxy - CAST(sx AS DECIMAL(38,0)) * sx)"
+        " + (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)) * 1000000"
+        " div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) - 1000000"
+        " END AS BIGINT) AS assortativity_micro",
+    )
