@@ -146,6 +146,8 @@ HEADLINE = (
     "graph_local_clustering",
     "layout_sort_advisor",
     "graph_degree_assortativity",
+    "ev_seasonality_strength",
+    "agg_histogram_quantile_sketch",
 )
 
 

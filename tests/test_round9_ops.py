@@ -498,3 +498,83 @@ def test_assortativity_matches_python_replica_and_bounds(spark):
     cov = sxy / n - mx * mx
     var = sxx / n - mx * mx
     assert abs(row["assortativity_micro"] / 1e6 - cov / var) < 2e-6
+
+
+def test_seasonality_strength_is_eta2_on_calendar(spark):
+    """ev_seasonality_strength vs a python replica of the ANOVA eta^2
+    machinery on both calendar groupings, including the
+    dayofweek-origin parity (Spark dayofweek-1 == DuckDB dow)."""
+    from xova_spark.queries.relext import ev_seasonality_strength
+
+    got = {
+        r["component"]: r
+        for r in ev_seasonality_strength(spark, SF).collect()
+    }
+    assert set(got) == {"hour_of_day", "day_of_week"}
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(
+            F.hour("ts").cast("long").alias("hr"),
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+        .collect()
+    )
+    for comp, key in (("hour_of_day", "hr"), ("day_of_week", "dow")):
+        per = {}
+        for r in rows:
+            n, s, q = per.get(r[key], (0, 0, 0))
+            per[r[key]] = (n + 1, s + r["vm"], q + r["vm"] * r["vm"])
+        n = sum(p[0] for p in per.values())
+        st = sum(p[1] for p in per.values())
+        k = len(per)
+        gm = _half_away(st * 1000 / n)
+        ssb = ssw = 0
+        for ng, s, q2 in per.values():
+            mb = _half_away(s * 1000 / ng)
+            ssb += ng * (mb - gm) ** 2
+            ssw += q2 * 1_000_000 - ng * mb * mb
+        r = got[comp]
+        assert r["k_buckets"] == k
+        assert r["strength_micro"] == ssb * 1_000_000 // (ssb + ssw)
+        assert 0 <= r["strength_micro"] <= 1_000_000
+
+
+def test_histogram_sketch_error_law(spark):
+    """agg_histogram_quantile_sketch: the exact quantile lies inside
+    the sketch's crossing bin, so |est - exact| <= W/2 ALWAYS — the
+    accuracy contract the entry reports; estimates sit on bin
+    midpoints; exact quantiles are monotone in q; and the sketch is
+    mergeable by construction (python check: histogram of two halves
+    added == histogram of the whole)."""
+    from collections import Counter
+
+    from xova_spark.queries.relext import (
+        _HQS_BIN_W,
+        agg_histogram_quantile_sketch,
+    )
+
+    rows = agg_histogram_quantile_sketch(spark, SF).collect()
+    assert [r["q_permille"] for r in rows] == [500, 900, 990]
+    for r in rows:
+        assert r["abs_err"] <= r["err_bound"] == _HQS_BIN_W // 2
+        assert r["est_vm"] % _HQS_BIN_W == _HQS_BIN_W // 2
+    ex = [r["exact_vm"] for r in rows]
+    assert ex == sorted(ex)
+    vms = [
+        r["vm"]
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .select(F.round(F.col("value") * 1000).cast("long").alias("vm"))
+        .collect()
+    ]
+    h1 = Counter(v // _HQS_BIN_W for v in vms[: len(vms) // 2])
+    h2 = Counter(v // _HQS_BIN_W for v in vms[len(vms) // 2:])
+    assert h1 + h2 == Counter(v // _HQS_BIN_W for v in vms)
+    # replica of the exact quantile rule
+    vms.sort()
+    n = len(vms)
+    for r in rows:
+        # smallest vm with cum*1000 >= n*q == order statistic at
+        # rank ceil(n*q/1000)
+        rank = -(-n * r["q_permille"] // 1000)
+        assert r["exact_vm"] == vms[rank - 1]

@@ -157,6 +157,13 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "marker": r"HashAggregate\(keys=\[vm#\d+",
         "source": r"global_cumsum",
     },
+    # r9 sketch + referee: both cumsums ride the size-gated primitive
+    # over value-bin / sketch-bin grains
+    "agg_histogram_quantile_sketch": {
+        "kind": "size_gate",
+        "marker": r"HashAggregate\(keys=\[(vm|bin)#\d+",
+        "source": r"global_cumsum",
+    },
     # BH ranking/count windows run over the ~120-cell contingency grain
     "ev_fdr_segment_residuals": {
         "kind": "dim_agg",
@@ -400,6 +407,12 @@ BNLJ_SURVIVORS: dict[str, dict] = {
         "max_segments": 1,
     },
     "agg_trimmed_mean": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # r9 sketch: 1-row totals + 3-row quantile spine broadcasts, on
+    # both the exact and sketch branches
+    "agg_histogram_quantile_sketch": {
+        "kinds": ("one_row_agg", "range_spine"),
+        "max_segments": 4,
+    },
     "layout_partition_skew_audit": {
         "kinds": ("one_row_agg",),
         "max_segments": 1,

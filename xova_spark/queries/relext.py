@@ -5826,3 +5826,244 @@ def dq_anomaly_mad(spark, sf_dir):
             "outlier_permille"
         ),
     ).orderBy("event_type")
+
+
+@q(
+    "ev_seasonality_strength",
+    """
+    WITH v AS (
+      SELECT component, b, vm FROM (
+        SELECT 'hour_of_day' AS component,
+               CAST(date_part('hour', ts) AS BIGINT) AS b,
+               CAST(round(value * 1000) AS BIGINT) AS vm
+        FROM events
+        UNION ALL
+        SELECT 'day_of_week' AS component,
+               CAST(date_part('dow', ts) AS BIGINT) AS b,
+               CAST(round(value * 1000) AS BIGINT) AS vm
+        FROM events
+      )
+    ), g AS (
+      SELECT component, b, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(vm) AS BIGINT) AS s,
+             sum(CAST(vm AS HUGEINT) * vm) AS q2
+      FROM v GROUP BY component, b
+    ), tot AS (
+      SELECT component, CAST(sum(ng) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS st,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g GROUP BY component
+    ), m AS (
+      SELECT g.component, ng, q2, n, k,
+             CAST(round(CAST(s AS DOUBLE) * 1000 / ng) AS BIGINT) AS mb,
+             CAST(round(CAST(st AS DOUBLE) * 1000 / n) AS BIGINT) AS gm
+      FROM g JOIN tot USING (component)
+    ), ss AS (
+      SELECT component, max(n) AS n, max(k) AS k,
+             sum(CAST(ng AS HUGEINT) * (mb - gm) * (mb - gm)) AS ssb,
+             sum(q2 * 1000000 - CAST(ng AS HUGEINT) * mb * mb) AS ssw
+      FROM ss0 GROUP BY component
+    )
+    SELECT component, n AS n_events, k AS k_buckets,
+           CAST(CASE WHEN ssb + ssw <= 0 THEN 0
+                ELSE ssb * 1000000 // (ssb + ssw) END AS BIGINT)
+               AS strength_micro,
+           CAST(CASE WHEN ssw <= 0 OR n <= k THEN 0
+                ELSE (ssb // (k - 1)) * 1000 // (ssw // (n - k)) END
+                AS BIGINT) AS f_milli
+    FROM ss ORDER BY component
+    """.replace("FROM ss0 GROUP BY", "FROM m GROUP BY"),
+)
+def ev_seasonality_strength(spark, sf_dir):
+    """SEASONALITY STRENGTH of the event value per calendar component —
+    the variance-explained readout a drift monitor needs before
+    normalizing by calendar (a metric with hour_of_day strength 0.3
+    MUST be compared hour-over-hour, not raw): for each component
+    (hour-of-day, day-of-week), eta^2 = SSB/SST of the value grouped
+    by the calendar bucket, on the exact ANOVA integer machinery
+    (ev_anova_oneway's lattice — group means on the micro lattice via
+    one fixed-shape division, 128-bit SSB/SSW, mean squares before the
+    F ratio), reported with the F statistic.
+
+    Cross-engine calendar parity: hour via the established
+    date_part('hour') == F.hour pair; day-of-week via DuckDB
+    date_part('dow') (0 = Sunday) matched by Spark dayofweek(ts) - 1 —
+    the ONE calendar function whose origins differ between the
+    engines, pinned here once.
+
+    Scale shape: one scan exploded to (component, bucket) grain — the
+    grain is the CALENDAR (24 + 7 buckets), never data — then bounded
+    arithmetic. Both components ride one shuffle."""
+    (ev,) = _t(spark, sf_dir, "events")
+    v = ev.select(
+        F.explode(
+            F.create_map(
+                F.lit("hour_of_day"),
+                F.hour("ts").cast("long"),
+                F.lit("day_of_week"),
+                (F.dayofweek("ts") - 1).cast("long"),
+            )
+        ).alias("component", "b"),
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    g = v.groupBy("component", "b").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("vm").cast("long").alias("s"),
+        F.expr("sum(CAST(vm AS DECIMAL(38,0)) * vm)").alias("q2"),
+    )
+    tot = g.groupBy("component").agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("st"),
+        F.count("*").cast("long").alias("k"),
+    )
+    m = g.join(F.broadcast(tot), "component").select(
+        "component",
+        "ng",
+        "q2",
+        "n",
+        "k",
+        F.expr(
+            "CAST(round(CAST(s AS DOUBLE) * 1000 / ng) AS BIGINT)"
+        ).alias("mb"),
+        F.expr(
+            "CAST(round(CAST(st AS DOUBLE) * 1000 / n) AS BIGINT)"
+        ).alias("gm"),
+    )
+    ss = m.groupBy("component").agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.expr(
+            "sum(CAST(ng AS DECIMAL(38,0)) * (mb - gm) * (mb - gm))"
+        ).alias("ssb"),
+        F.expr(
+            "sum(q2 * 1000000 - CAST(ng AS DECIMAL(38,0)) * mb * mb)"
+        ).alias("ssw"),
+    )
+    return ss.selectExpr(
+        "component",
+        "n AS n_events",
+        "k AS k_buckets",
+        "CAST(CASE WHEN ssb + ssw <= 0 THEN 0"
+        " ELSE ssb * 1000000 div (ssb + ssw) END AS BIGINT)"
+        " AS strength_micro",
+        "CAST(CASE WHEN ssw <= 0 OR n <= k THEN 0"
+        " ELSE (ssb div (k - 1)) * 1000 div (ssw div (n - k)) END"
+        " AS BIGINT) AS f_milli",
+    ).orderBy("component")
+
+
+_HQS_BIN_W = 512  # sketch bin width on the permille lattice
+
+
+@q(
+    "agg_histogram_quantile_sketch",
+    f"""
+    WITH v AS (
+      SELECT CAST(round(value * 1000) AS BIGINT) AS vm FROM events
+    ), ve AS (
+      SELECT vm, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY vm
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n FROM ve
+    ), ce AS (
+      SELECT vm,
+             CAST(sum(cnt) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM ve
+    ), hb AS (
+      SELECT vm // {_HQS_BIN_W} AS bin, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM ve GROUP BY vm // {_HQS_BIN_W}
+    ), ch AS (
+      SELECT bin,
+             CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM hb
+    ), qs AS (
+      SELECT q FROM (VALUES (500), (900), (990)) t(q)
+    ), ex AS (
+      SELECT q, min(vm) AS exact_vm
+      FROM ce, tot, qs WHERE cum * 1000 >= n * q GROUP BY q
+    ), sk AS (
+      SELECT q, min(bin) * {_HQS_BIN_W} + {_HQS_BIN_W} // 2 AS est_vm
+      FROM ch, tot, qs WHERE cum * 1000 >= n * q GROUP BY q
+    )
+    SELECT CAST(ex.q AS BIGINT) AS q_permille,
+           CAST(sk.est_vm AS BIGINT) AS est_vm,
+           CAST(ex.exact_vm AS BIGINT) AS exact_vm,
+           CAST(abs(sk.est_vm - ex.exact_vm) AS BIGINT) AS abs_err,
+           CAST({_HQS_BIN_W} // 2 AS BIGINT) AS err_bound
+    FROM ex JOIN sk USING (q) ORDER BY q_permille
+    """,
+)
+def agg_histogram_quantile_sketch(spark, sf_dir):
+    """MERGEABLE HISTOGRAM QUANTILE SKETCH with its measured error —
+    the quantile primitive that actually exists at 100 TB (exact
+    per-row ranking does not): values land in fixed width-{_HQS_BIN_W}
+    bins on the permille lattice, the bin-count table is a plain
+    keyed aggregate — MERGEABLE: partial histograms from any partition
+    / day / shard ADD, the property t-digest and KLL trade exactness
+    for — and each quantile estimate is the midpoint of the bin where
+    the cumulative mass crosses rank ceil(q*n/1000). The entry
+    reports, PER QUANTILE (p50/p90/p99): the sketch estimate, the
+    exact order statistic from the distinct-value grain (the
+    agg_trimmed_mean referee machinery), the realized |error|, and
+    the analytic bound W/2 — measure, don't guess, applied to the
+    sketch's own accuracy contract.
+
+    Determinism: both the exact and sketch quantiles are 'smallest bin
+    whose inclusive cumulative x1000 reaches n*q' — pure integers,
+    deterministic at every tie; the midpoint rule is integer
+    arithmetic. The error LAW |est - exact| <= W/2 holds by
+    construction (the exact value lies inside the crossing bin) and is
+    pinned by the law test.
+
+    Scale shape: one keyed aggregate to the distinct-value grain
+    (bounded by the value range), one to the ~1e3-bin sketch grain,
+    two size-gated global cumsums, a 3-row quantile spine."""
+    from xova_spark.operators.ranking import global_cumsum
+
+    (ev,) = _t(spark, sf_dir, "events")
+    ve = (
+        ev.select(F.round(F.col("value") * 1000).cast("long").alias("vm"))
+        .groupBy("vm")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = ve.agg(F.sum("cnt").cast("long").alias("n"))
+    ce = global_cumsum(ve, [F.col("vm").asc()], "cnt", "cum")
+    hb = ve.groupBy(
+        F.expr(f"vm div {_HQS_BIN_W}").alias("bin")
+    ).agg(F.sum("cnt").cast("long").alias("cnt"))
+    ch = global_cumsum(hb, [F.col("bin").asc()], "cnt", "cum")
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(500), F.lit(900), F.lit(990))).alias("q")
+    )
+    ex = (
+        ce.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * 1000 >= F.col("n") * F.col("q"))
+        .groupBy("q")
+        .agg(F.min("vm").alias("exact_vm"))
+    )
+    sk = (
+        ch.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * 1000 >= F.col("n") * F.col("q"))
+        .groupBy("q")
+        .agg(
+            (
+                F.min("bin") * _HQS_BIN_W + _HQS_BIN_W // 2
+            ).alias("est_vm")
+        )
+    )
+    return (
+        ex.join(sk, "q")
+        .select(
+            F.col("q").cast("long").alias("q_permille"),
+            F.col("est_vm").cast("long").alias("est_vm"),
+            F.col("exact_vm").cast("long").alias("exact_vm"),
+            F.abs(F.col("est_vm") - F.col("exact_vm"))
+            .cast("long")
+            .alias("abs_err"),
+            F.lit(_HQS_BIN_W // 2).cast("long").alias("err_bound"),
+        )
+        .orderBy("q_permille")
+    )
