@@ -148,6 +148,7 @@ HEADLINE = (
     "graph_degree_assortativity",
     "ev_seasonality_strength",
     "agg_histogram_quantile_sketch",
+    "join_asof_tolerance",
 )
 
 

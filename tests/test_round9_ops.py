@@ -578,3 +578,55 @@ def test_histogram_sketch_error_law(spark):
         # rank ceil(n*q/1000)
         rank = -(-n * r["q_permille"] // 1000)
         assert r["exact_vm"] == vms[rank - 1]
+
+
+def test_asof_tolerance_consistent_with_nearest_backward_arm(spark):
+    """join_asof_tolerance law: a pandas merge_asof replica with the
+    same tolerance reproduces every row; within_tolerance <=> lag is
+    non-null and <= the window; and every matched (event, lag) agrees
+    with the backward arm of join_asof_nearest when that arm chose
+    backward within tolerance."""
+    import pandas as pd
+
+    from xova_spark.queries.relext import (
+        _ASOF_TOL_US,
+        join_asof_tolerance,
+    )
+
+    got = {
+        r["event_id"]: r for r in join_asof_tolerance(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    ).toPandas()
+    clicks = (
+        ev[ev.event_type == "click"]
+        .sort_values(["ts", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    purchases = (
+        ev[ev.event_type == "purchase"]
+        .sort_values(["ts", "value"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    m = pd.merge_asof(
+        clicks,
+        purchases[["user_id", "ts", "value"]].rename(
+            columns={"value": "p_value", "ts": "p_ts"}
+        ),
+        left_on="ts",
+        right_on="p_ts",
+        by="user_id",
+        direction="backward",
+        tolerance=pd.Timedelta(microseconds=_ASOF_TOL_US),
+    )
+    assert len(m) == len(got)
+    for r in m.itertuples():
+        g = got[r.event_id]
+        if pd.isna(r.p_ts):
+            assert g["lag_us"] is None and not g["within_tolerance"], r
+        else:
+            lag = (r.ts - r.p_ts) // pd.Timedelta(microseconds=1)
+            assert g["within_tolerance"]
+            assert g["lag_us"] == lag, (r.event_id, g["lag_us"], lag)
+            assert g["matched_value"] == round(r.p_value, 6)

@@ -6067,3 +6067,101 @@ def agg_histogram_quantile_sketch(spark, sf_dir):
         )
         .orderBy("q_permille")
     )
+
+
+_ASOF_TOL_US = 7_200_000_000  # 2 h tolerance window
+
+
+@q(
+    "join_asof_tolerance",
+    f"""
+    WITH merged AS (
+      SELECT user_id, ts, event_id, 1 AS kind,
+             CAST(NULL AS DOUBLE) AS p_value
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id, 0 AS kind,
+             value AS p_value
+      FROM events WHERE event_type = 'purchase'
+    ), scan AS (
+      SELECT user_id, ts, event_id, kind,
+             last_value(p_value IGNORE NULLS) OVER wb AS prev_v,
+             last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+                 OVER wb AS prev_ts
+      FROM merged
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts, kind, p_value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), picked AS (
+      SELECT event_id,
+             epoch_us(ts) - epoch_us(prev_ts) AS back_lag, prev_v
+      FROM scan WHERE kind = 1
+    )
+    SELECT event_id,
+           CAST(CASE WHEN back_lag <= {_ASOF_TOL_US} THEN back_lag END
+                AS BIGINT) AS lag_us,
+           round(CASE WHEN back_lag <= {_ASOF_TOL_US} THEN prev_v END, 6)
+               AS matched_value,
+           coalesce(back_lag <= {_ASOF_TOL_US}, FALSE) AS within_tolerance
+    FROM picked
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """BACKWARD AS-OF JOIN WITH TOLERANCE (the pandas
+    merge_asof(direction='backward', tolerance=...) surface, the third
+    member of the backward/forward/nearest family): each click matches
+    its user's most recent PRIOR purchase only if it happened within
+    the 2-hour tolerance window — stale context is worse than no
+    context, the rule every feature-store point-in-time join applies.
+    NULL lag/value (within_tolerance = FALSE) when the prior purchase
+    is older than the window or absent.
+
+    Same single-pass spine as join_asof_nearest: one union, ONE
+    shuffle by user, one backward window frame — never a join; the
+    tolerance is an integer-microsecond compare applied AFTER the
+    running last-prior scan, so it costs nothing. Equal timestamps
+    resolve by the (ts, kind, value) total order with purchases before
+    clicks (lag 0 is within tolerance on both engines).
+
+    Scale shape: identical to join_asof — skew-safe partitioned
+    window, no data-grain state beyond the frame."""
+    (ev,) = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("p_value"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("kind"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("p_value"),
+        "event_id",
+        F.lit(1).alias("kind"),
+    )
+    merged = purchases.unionByName(clicks)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "p_value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    scan = merged.select(
+        "event_id",
+        "kind",
+        "ts",
+        F.last("p_value", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(p_ts, ignorenulls=True).over(wb).alias("prev_ts"),
+    )
+    picked = scan.filter(F.col("kind") == 1).select(
+        "event_id",
+        (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("back_lag"),
+        "prev_v",
+    )
+    within = F.col("back_lag") <= _ASOF_TOL_US
+    return picked.select(
+        "event_id",
+        F.when(within, F.col("back_lag")).cast("long").alias("lag_us"),
+        F.round(F.when(within, F.col("prev_v")), 6).alias("matched_value"),
+        F.coalesce(within, F.lit(False)).alias("within_tolerance"),
+    )
