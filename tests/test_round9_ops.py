@@ -630,3 +630,39 @@ def test_asof_tolerance_consistent_with_nearest_backward_arm(spark):
             assert g["within_tolerance"]
             assert g["lag_us"] == lag, (r.event_id, g["lag_us"], lag)
             assert g["matched_value"] == round(r.p_value, 6)
+
+
+def test_er_conflict_audit_laws(spark):
+    """er_cluster_conflict_rate: segment conflicts are structurally
+    IMPOSSIBLE (market segment is part of the blocking key and
+    equality is transitive through the closure) — the audit must
+    report exactly 0; nation conflicts match a python replica over the
+    entity clusters; permille bounded."""
+    from xova_spark.queries.erq import (
+        er_cluster_conflict_rate,
+        er_entity_clusters,
+    )
+
+    row = er_cluster_conflict_rate(spark, SF).collect()[0]
+    assert row["n_segment_conflicts"] == 0
+    cust = {
+        r["c_custkey"]: (r["c_nationkey"], r["c_mktsegment"])
+        for r in spark.read.parquet(f"{SF}/customer.parquet")
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .collect()
+    }
+    ents = {}
+    for r in er_entity_clusters(spark, SF).collect():
+        ents.setdefault(r["entity_id"], []).append(r["c_custkey"])
+    multi = {e: ms for e, ms in ents.items() if len(ms) >= 2}
+    n_conf = sum(
+        1
+        for ms in multi.values()
+        if len({cust[m][0] for m in ms}) > 1
+    )
+    assert row["n_entities"] == len(multi)
+    assert row["n_nation_conflicts"] == n_conf
+    assert row["nation_conflict_permille"] == n_conf * 1000 // len(multi)
+    assert row["max_entity_size"] == max(len(ms) for ms in multi.values())
+    for ms in multi.values():
+        assert len({cust[m][1] for m in ms}) == 1  # the structural law

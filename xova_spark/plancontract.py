@@ -377,6 +377,11 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     },
     "emb_outlier_flags": {"kinds": ("model_rdd",), "max_segments": 4},
     "er_blocking_recall": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # r9 merge-QA audit: the 1-row max-entity-size broadcast
+    "er_cluster_conflict_rate": {
+        "kinds": ("one_row_agg",),
+        "max_segments": 1,
+    },
     "ev_active_users_rolling": {"kinds": ("dim_agg",), "max_segments": 1},
     "ev_dtw_pairs": {"kinds": ("dim_agg",), "max_segments": 1},
     "ev_kaplan_meier": {"kinds": ("one_row_agg",), "max_segments": 2},

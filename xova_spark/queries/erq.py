@@ -435,3 +435,94 @@ def er_blocked_candidates_grouped(spark, sf_dir):
     groupBy the dedup_exact pass already runs."""
     cust = load_tables(spark, sf_dir, ("customer",))["customer"]
     return grouped_candidate_pairs(cust)
+
+
+@q(
+    "er_cluster_conflict_rate",
+    f"""
+    WITH RECURSIVE {_DUCK_PAIRS},
+    edges AS (
+      SELECT cust_a AS src, cust_b AS dst FROM cand
+      UNION
+      SELECT cust_b AS src, cust_a AS dst FROM cand
+    ), reach AS (
+      SELECT DISTINCT src AS c_custkey, src AS comp FROM edges
+      UNION
+      SELECT e.dst AS c_custkey, r.comp
+      FROM reach r JOIN edges e ON e.src = r.c_custkey
+    ), asg AS (
+      SELECT c_custkey, min(comp) AS entity_id
+      FROM reach GROUP BY c_custkey
+    ), ent AS (
+      SELECT a.entity_id,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(count(DISTINCT c.c_nationkey) AS BIGINT) AS n_nations,
+             CAST(count(DISTINCT c.c_mktsegment) AS BIGINT) AS n_segments
+      FROM asg a JOIN c ON c.c_custkey = a.c_custkey
+      GROUP BY a.entity_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_entities,
+           CAST(sum(CASE WHEN n_nations > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nation_conflicts,
+           CAST(sum(CASE WHEN n_segments > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_segment_conflicts,
+           CAST(sum(CASE WHEN n_nations > 1 THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS nation_conflict_permille,
+           CAST(max(n_members) AS BIGINT) AS max_entity_size
+    FROM ent WHERE n_members >= 2
+    """,
+)
+def er_cluster_conflict_rate(spark, sf_dir):
+    """MERGE-QUALITY audit over the resolved entities — the QA table an
+    MDM pipeline reads before trusting survivorship: for every
+    multi-member entity, do the merged records AGREE on the fields the
+    match rule did not enforce? Nation was only SCORED (same_nation is
+    a feature, not a blocking predicate), so nation conflicts measure
+    real over-merging; market segment was part of the blocking key and
+    equality is transitive, so segment conflicts are IMPOSSIBLE by
+    construction — reported anyway as the structural zero that proves
+    the closure respected the key (law-tested).
+
+    Scale shape: everything after candidate generation is entity-grain
+    (keyed count-distincts over cluster members, a 1-row rollup);
+    count(DISTINCT) over two low-cardinality fields rides the same
+    keyed aggregate — no windows, no broadcasts of unbounded tables."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"].select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    asg = er_entity_clusters(spark, sf_dir).select("c_custkey", "entity_id")
+    ent = (
+        asg.join(c, "c_custkey")
+        .groupBy("entity_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
+            F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+        )
+    )
+    return (
+        ent.filter(F.col("n_members") >= 2)
+        .agg(
+            F.count("*").cast("long").alias("n_entities"),
+            F.sum(F.when(F.col("n_nations") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_nation_conflicts"),
+            F.sum(F.when(F.col("n_segments") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_segment_conflicts"),
+        )
+        .selectExpr(
+            "n_entities",
+            "n_nation_conflicts",
+            "n_segment_conflicts",
+            "CAST(n_nation_conflicts * 1000 div n_entities AS BIGINT)"
+            " AS nation_conflict_permille",
+        )
+        .crossJoin(
+            F.broadcast(
+                ent.filter(F.col("n_members") >= 2).agg(
+                    F.max("n_members").cast("long").alias("max_entity_size")
+                )
+            )
+        )
+    )
