@@ -149,6 +149,8 @@ HEADLINE = (
     "ev_seasonality_strength",
     "agg_histogram_quantile_sketch",
     "join_asof_tolerance",
+    "er_cluster_conflict_rate",
+    "stream_histogram_quantiles",
 )
 
 

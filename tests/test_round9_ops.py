@@ -666,3 +666,22 @@ def test_er_conflict_audit_laws(spark):
     assert row["max_entity_size"] == max(len(ms) for ms in multi.values())
     for ms in multi.values():
         assert len({cust[m][1] for m in ms}) == 1  # the structural law
+
+
+def test_stream_histogram_quantiles_equal_batch_sketch(spark):
+    """The streaming histogram's converged quantile estimates equal
+    the batch sketch's est_vm column exactly — mergeability exercised
+    by the engine (update-mode keyed counts across micro-batches)
+    rather than asserted in python."""
+    from xova_spark.queries.relext import agg_histogram_quantile_sketch
+    from xova_spark.queries.streamingq import stream_histogram_quantiles
+
+    batch = {
+        r["q_permille"]: r["est_vm"]
+        for r in agg_histogram_quantile_sketch(spark, SF).collect()
+    }
+    stream = {
+        r["q_permille"]: r["est_vm"]
+        for r in stream_histogram_quantiles(spark, SF).collect()
+    }
+    assert stream == batch

@@ -164,6 +164,12 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "marker": r"HashAggregate\(keys=\[(vm|bin)#\d+",
         "source": r"global_cumsum",
     },
+    # streaming twin: the converged-bins cumsum rides the same gate
+    "stream_histogram_quantiles": {
+        "kind": "size_gate",
+        "marker": r"HashAggregate\(keys=\[bin#\d+",
+        "source": r"global_cumsum",
+    },
     # BH ranking/count windows run over the ~120-cell contingency grain
     "ev_fdr_segment_residuals": {
         "kind": "dim_agg",
@@ -417,6 +423,10 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "agg_histogram_quantile_sketch": {
         "kinds": ("one_row_agg", "range_spine"),
         "max_segments": 4,
+    },
+    "stream_histogram_quantiles": {
+        "kinds": ("one_row_agg", "range_spine"),
+        "max_segments": 2,
     },
     "layout_partition_skew_audit": {
         "kinds": ("one_row_agg",),

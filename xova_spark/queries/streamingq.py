@@ -1615,3 +1615,88 @@ def stream_funnel_conversion(spark, sf_dir):
         .cast("long")
         .alias("funnel_lag_us"),
     )
+
+
+@q(
+    "stream_histogram_quantiles",
+    """
+    WITH v AS (
+      SELECT CAST(round(value * 1000) AS BIGINT) AS vm FROM events
+    ), hb AS (
+      SELECT vm // 512 AS bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM v GROUP BY vm // 512
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hb
+    ), ch AS (
+      SELECT bin,
+             CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM hb
+    ), qs AS (
+      SELECT q FROM (VALUES (500), (900), (990)) t(q)
+    )
+    SELECT CAST(q AS BIGINT) AS q_permille,
+           CAST(min(bin) * 512 + 256 AS BIGINT) AS est_vm
+    FROM ch, tot, qs WHERE cum * 1000 >= n * q
+    GROUP BY q ORDER BY q_permille
+    """,
+)
+def stream_histogram_quantiles(spark, sf_dir):
+    """STREAMING QUANTILES via the mergeable histogram — the sketch
+    entry's mergeability exercised by the ENGINE rather than asserted:
+    the event stream feeds an update-mode keyed count at the fixed
+    width-512 bin grain (per-bin counts are additive across
+    micro-batches — exactly the property the batch entry documents),
+    the memory sink's final per-bin state is the max emission (counts
+    are monotone under append-only input), and the converged histogram
+    yields the SAME p50/p90/p99 midpoint estimates as
+    agg_histogram_quantile_sketch's batch sketch — the oracle is that
+    entry's sketch branch verbatim, so the twins cannot drift.
+
+    Scale shape: watermark-free keyed streaming aggregate over a
+    ~1e3-bin state (bounded by the value range, not the stream
+    length), then the bounded batch cumsum over the final bins."""
+    from xova_spark.operators.ranking import global_cumsum
+    from xova_spark.queries.relational import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    counts = (
+        _events_stream(spark, sf_dir)
+        .select(
+            F.expr("CAST(round(value * 1000) AS BIGINT) div 512")
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    name = f"q_stream_histq_{next(_uniq)}"
+    with SA.stream_state_partitions(spark, 4):
+        q_ = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    # final state per bin = last (max) emission; counts are monotone
+    hb = (
+        spark.table(name)
+        .groupBy("bin")
+        .agg(F.max("n").cast("long").alias("cnt"))
+    )
+    tot = hb.agg(F.sum("cnt").cast("long").alias("n"))
+    ch = global_cumsum(hb, [F.col("bin").asc()], "cnt", "cum")
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(500), F.lit(900), F.lit(990))).alias("q")
+    )
+    return (
+        ch.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * 1000 >= F.col("n") * F.col("q"))
+        .groupBy("q")
+        .agg((F.min("bin") * 512 + 256).cast("long").alias("est_vm"))
+        .select(F.col("q").cast("long").alias("q_permille"), "est_vm")
+        .orderBy("q_permille")
+    )
