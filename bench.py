@@ -151,6 +151,7 @@ HEADLINE = (
     "join_asof_tolerance",
     "er_cluster_conflict_rate",
     "stream_histogram_quantiles",
+    "ev_cuped_adjustment",
 )
 
 

@@ -685,3 +685,52 @@ def test_stream_histogram_quantiles_equal_batch_sketch(spark):
         for r in stream_histogram_quantiles(spark, SF).collect()
     }
     assert stream == batch
+
+
+def test_cuped_matches_python_replica_and_bounds(spark):
+    """ev_cuped_adjustment vs a python replica on the same 128-bit
+    moments; rho^2 in [0, 1e6] (Cauchy-Schwarz); and the defining CUPED
+    property on the actual data: adjusting y by theta*x reduces sample
+    variance by exactly rho^2 (checked in floats to 1e-9)."""
+    from xova_spark.queries.relext import ev_cuped_adjustment
+
+    row = ev_cuped_adjustment(spark, SF).collect()[0]
+    per = {}
+    for r in (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+        .collect()
+    ):
+        x, y = per.get(r["user_id"], (0, 0))
+        if r["event_type"] == "view":
+            x += 1
+        elif r["event_type"] == "purchase":
+            y += r["vm"]
+        per[r["user_id"]] = (x, y)
+    n = len(per)
+    sx = sum(x for x, _ in per.values())
+    sy = sum(y for _, y in per.values())
+    sxx = sum(x * x for x, _ in per.values())
+    sxy = sum(x * y for x, y in per.values())
+    syy = sum(y * y for _, y in per.values())
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    assert row["n_users"] == n
+    assert row["theta_micro"] == _half_away(num / vx * 1e6)
+    want_rho2 = _half_away(num / vx * num / vy * 1e6)
+    assert row["var_reduction_micro"] == want_rho2
+    assert 0 <= row["var_reduction_micro"] <= 1_000_000
+    # the CUPED identity: var(y - theta*x) = var(y) * (1 - rho^2)
+    theta = num / vx
+    mx, my = sx / n, sy / n
+    var_y = sum((y - my) ** 2 for _, y in per.values()) / n
+    var_adj = sum(
+        (y - theta * x - (my - theta * mx)) ** 2 for x, y in per.values()
+    ) / n
+    rho2 = num / vx * num / vy
+    assert abs(var_adj / var_y - (1 - rho2)) < 1e-9

@@ -6165,3 +6165,104 @@ def join_asof_tolerance(spark, sf_dir):
         F.round(F.when(within, F.col("prev_v")), 6).alias("matched_value"),
         F.coalesce(within, F.lit(False)).alias("within_tolerance"),
     )
+
+
+@q(
+    "ev_cuped_adjustment",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 1000) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ), mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM u
+    )
+    SELECT n AS n_users,
+           CAST(CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN 0
+                ELSE round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy
+                                AS DOUBLE)
+                           / CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                                  AS DOUBLE) * 1000000) END
+                AS BIGINT) AS theta_micro,
+           CAST(CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
+                       OR n * syy - CAST(sy AS HUGEINT) * sy = 0 THEN 0
+                ELSE round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy
+                                AS DOUBLE)
+                           / CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                                  AS DOUBLE)
+                           * CAST(n * sxy - CAST(sx AS HUGEINT) * sy
+                                  AS DOUBLE)
+                           / CAST(n * syy - CAST(sy AS HUGEINT) * sy
+                                  AS DOUBLE) * 1000000) END
+                AS BIGINT) AS var_reduction_micro
+    FROM mo
+    """,
+)
+def ev_cuped_adjustment(spark, sf_dir):
+    """CUPED covariate adjustment — the variance-reduction workhorse
+    every experimentation platform runs before the t-test (adjusting
+    the metric by a pre-experiment covariate shrinks its variance by
+    rho^2, which shrinks required sample size by the same factor):
+    per-user covariate x = view count, metric y = latticed purchase
+    value; theta = cov(x,y)/var(x) is the adjustment coefficient and
+    var_reduction = rho^2 = cov^2/(var(x)*var(y)) in micro-units is
+    the fraction of metric variance the adjustment removes.
+
+    Lattice discipline: user-grain partials are exact integers; all
+    five moments accumulate 128-bit (sxy ~ 1e23 at the 100 TB user
+    count, num = n*sxy - sx*sy ~ 1e35 still under DECIMAL(38,0) — but
+    num^2 is NOT, so the ratios are ONE fixed-shape double expression
+    each over the exact 128-bit moments on the 1-row frame, the
+    cramers_v sqrt precedent; theta is signed, which the double path
+    handles without the div-vs-floor hazard). rho^2 is bounded
+    [0, 1e6] by Cauchy-Schwarz at any scale.
+
+    Scale shape: ONE keyed aggregate to user grain, one 1-row moment
+    reduction. Nothing else touches data grain."""
+    (ev,) = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 1000).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    mo = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    return mo.selectExpr(
+        "n AS n_users",
+        "CAST(CASE WHEN n * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN 0"
+        " ELSE round(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+        " AS DOUBLE)"
+        " / CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+        " * 1000000) END AS BIGINT) AS theta_micro",
+        "CAST(CASE WHEN n * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0"
+        " OR n * syy - CAST(sy AS DECIMAL(38,0)) * sy = 0 THEN 0"
+        " ELSE round(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+        " AS DOUBLE)"
+        " / CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+        " * CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        " / CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        " * 1000000) END AS BIGINT) AS var_reduction_micro",
+    )
