@@ -152,6 +152,7 @@ HEADLINE = (
     "er_cluster_conflict_rate",
     "stream_histogram_quantiles",
     "ev_cuped_adjustment",
+    "ev_power_sample_size",
 )
 
 

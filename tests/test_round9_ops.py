@@ -734,3 +734,57 @@ def test_cuped_matches_python_replica_and_bounds(spark):
     ) / n
     rho2 = num / vx * num / vy
     assert abs(var_adj / var_y - (1 - rho2)) < 1e-9
+
+
+def test_power_sample_size_replica_and_cuped_dominance(spark):
+    """ev_power_sample_size vs a python replica on the same moments;
+    the CUPED-adjusted requirement never exceeds the raw one (rho^2 >=
+    0) and equals n_required * (1 - rho^2) on the integer lattice; and
+    the classic formula sanity-checks in floats."""
+    from xova_spark.queries.relext import (
+        _Z_ALPHA_MICRO,
+        _Z_POWER_MICRO,
+        ev_power_sample_size,
+    )
+
+    row = ev_power_sample_size(spark, SF).collect()[0]
+    per = {}
+    for r in (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+        .collect()
+    ):
+        x, y = per.get(r["user_id"], (0, 0))
+        if r["event_type"] == "view":
+            x += 1
+        elif r["event_type"] == "purchase":
+            y += r["vm"]
+        per[r["user_id"]] = (x, y)
+    n = len(per)
+    sx = sum(x for x, _ in per.values())
+    sy = sum(y for _, y in per.values())
+    sxx = sum(x * x for x, _ in per.values())
+    sxy = sum(x * y for x, y in per.values())
+    syy = sum(y * y for _, y in per.values())
+    vy = (n * syy - sy * sy) // (n * (n - 1))
+    num, vx_, vy_ = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    rho2 = 0 if vx_ == 0 or vy_ == 0 else _half_away(num / vx_ * num / vy_ * 1e6)
+    delta = max(sy // n // 100, 1)
+    zs = _Z_ALPHA_MICRO + _Z_POWER_MICRO
+    n_req = 2 * zs * zs * vy // (delta * delta * 10**12)
+    n_req_c = 2 * zs * zs * vy * (1_000_000 - rho2) // (
+        delta * delta * 10**18
+    )
+    assert row["n_users"] == n
+    assert row["metric_var_p2"] == vy
+    assert row["cuped_rho2_micro"] == rho2
+    assert row["n_required"] == n_req
+    assert row["n_required_cuped"] == n_req_c
+    assert row["n_required_cuped"] <= row["n_required"]
+    # float sanity: n = 2*(1.96+0.84)^2 * var/delta^2 within 1%
+    approx = 2 * (zs / 1e6) ** 2 * vy / delta**2
+    assert abs(n_req - approx) <= max(2, 0.01 * approx)

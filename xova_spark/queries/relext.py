@@ -6266,3 +6266,130 @@ def ev_cuped_adjustment(spark, sf_dir):
         " / CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)"
         " * 1000000) END AS BIGINT) AS var_reduction_micro",
     )
+
+
+# Literal two-sided z quantiles in micro-units (the FDR-staircase
+# discipline — no runtime quantile function on either engine):
+# z_{alpha/2} for alpha=0.05 and z_{power} for power=0.80.
+_Z_ALPHA_MICRO = 1_959_964
+_Z_POWER_MICRO = 841_621
+
+
+@q(
+    "ev_power_sample_size",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 1000) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ), mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM u
+    ), d AS (
+      SELECT n, sy,
+             (n * syy - CAST(sy AS HUGEINT) * sy) // (n * (n - 1)) AS vy,
+             CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
+                    OR n * syy - CAST(sy AS HUGEINT) * sy = 0 THEN 0
+                  ELSE CAST(round(
+                    CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                    / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                    / CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                    * 1000000) AS BIGINT) END AS rho2,
+             greatest(sy // n // 100, 1) AS delta_p
+      FROM mo
+    )
+    SELECT n AS n_users, CAST(10 AS BIGINT) AS mde_permille,
+           CAST(vy AS BIGINT) AS metric_var_p2,
+           CAST(rho2 AS BIGINT) AS cuped_rho2_micro,
+           CAST(2 * CAST({_Z_ALPHA_MICRO} + {_Z_POWER_MICRO} AS HUGEINT)
+                  * ({_Z_ALPHA_MICRO} + {_Z_POWER_MICRO}) * vy
+                // (CAST(delta_p AS HUGEINT) * delta_p * 1000000000000)
+                AS BIGINT) AS n_required,
+           CAST(2 * CAST({_Z_ALPHA_MICRO} + {_Z_POWER_MICRO} AS HUGEINT)
+                  * ({_Z_ALPHA_MICRO} + {_Z_POWER_MICRO}) * vy
+                  * (1000000 - rho2)
+                // (CAST(delta_p AS HUGEINT) * delta_p
+                    * 1000000000000000000) AS BIGINT) AS n_required_cuped
+    FROM d
+    """,
+)
+def ev_power_sample_size(spark, sf_dir):
+    """POWER / SAMPLE-SIZE calculator — the planning readout an
+    experimentation platform derives from the SAME user-grain moments
+    as ev_cuped_adjustment: for a 1% relative MDE (delta = mean/100 on
+    the permille lattice, floored at 1), alpha=0.05 two-sided, power
+    0.80, the classic per-arm n = 2*(z_a+z_b)^2 * var / delta^2 — and
+    the CUPED-adjusted requirement n*(1 - rho^2), which is the entire
+    business case for covariate adjustment stated as a user count.
+
+    Lattice discipline: z quantiles are LITERAL micro constants (the
+    staircase rule — no runtime quantile/erf); variance is the exact
+    integer sample variance at user grain (128-bit dividend); the only
+    double is rho^2's fixed-shape 1-row expression inherited from the
+    CUPED entry; the n_required divisions are nonnegative 128-bit
+    integer floors (z^2 carries 1e12 of unit scale, divided back out
+    explicitly — the quotient is a plain user count, immune to unit
+    overflow at any data scale).
+
+    Scale shape: identical to CUPED — one keyed aggregate to user
+    grain, a 1-row moment reduction, pure arithmetic after."""
+    (ev,) = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 1000).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    mo = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    zs = _Z_ALPHA_MICRO + _Z_POWER_MICRO
+    d = mo.selectExpr(
+        "n",
+        "sy",
+        "(n * syy - CAST(sy AS DECIMAL(38,0)) * sy)"
+        " div (n * (n - 1)) AS vy",
+        "CASE WHEN n * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0"
+        " OR n * syy - CAST(sy AS DECIMAL(38,0)) * sy = 0 THEN 0"
+        " ELSE CAST(round("
+        " CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        " / CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+        " * CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        " / CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        " * 1000000) AS BIGINT) END AS rho2",
+        "greatest(sy div n div 100, 1) AS delta_p",
+    )
+    return d.selectExpr(
+        "n AS n_users",
+        "CAST(10 AS BIGINT) AS mde_permille",
+        "CAST(vy AS BIGINT) AS metric_var_p2",
+        "CAST(rho2 AS BIGINT) AS cuped_rho2_micro",
+        f"CAST(2 * CAST({zs} AS DECIMAL(38,0)) * {zs} * vy"
+        " div (CAST(delta_p AS DECIMAL(38,0)) * delta_p"
+        " * 1000000000000) AS BIGINT) AS n_required",
+        f"CAST(2 * CAST({zs} AS DECIMAL(38,0)) * {zs} * vy"
+        " * (1000000 - rho2)"
+        " div (CAST(delta_p AS DECIMAL(38,0)) * delta_p"
+        " * 1000000000000000000) AS BIGINT) AS n_required_cuped",
+    )
