@@ -59,6 +59,11 @@ SF1_SAMPLE: tuple[str, ...] = (
     "emb_silhouette_centroid",    # shared k-means + IEEE sqrt ratio
     "cdc_deletion_vector_audit",  # manifest-grain day bins
     "pipeline_eval_gate_e2e",     # composition of the stats pack at 10x
+    # late-r9 additions: the new 128-bit lattice forms at 10x
+    "ev_anova_oneway",            # ssb/ssw 128-bit decomposition
+    "ev_cuped_adjustment",        # five 128-bit moments + 1-row doubles
+    "graph_degree_assortativity", # shifted-negative quotient at 10x edges
+    "agg_histogram_quantile_sketch",  # dual cumsum + W/2 error law
 )
 
 

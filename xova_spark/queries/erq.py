@@ -491,13 +491,22 @@ def er_cluster_conflict_rate(spark, sf_dir):
         "c_custkey", "c_nationkey", "c_mktsegment"
     )
     asg = er_entity_clusters(spark, sf_dir).select("c_custkey", "entity_id")
+    # size(collect_set(...)), not countDistinct x2: two count-distincts
+    # in one aggregate plan an Expand (row multiplication at member
+    # grain — the dq_profile lesson); the sets here are bounded by the
+    # 25-nation / 5-segment dimensions, so collect_set is O(1) state
+    # per group and the plan stays a plain keyed aggregate.
     ent = (
         asg.join(c, "c_custkey")
         .groupBy("entity_id")
         .agg(
             F.count("*").cast("long").alias("n_members"),
-            F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
-            F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+            F.size(F.collect_set("c_nationkey"))
+            .cast("long")
+            .alias("n_nations"),
+            F.size(F.collect_set("c_mktsegment"))
+            .cast("long")
+            .alias("n_segments"),
         )
     )
     return (
