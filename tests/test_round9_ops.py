@@ -191,7 +191,7 @@ def test_anova_matches_python_replica(spark):
         mb = _half_away(s * 1000 / ng)
         ssb += ng * (mb - gm) ** 2
         ssw += q2 * 1_000_000 - ng * mb * mb
-    f = 0 if ssw <= 0 or n <= k else (ssb // (k - 1)) * 1000 // (ssw // (n - k))
+    f = 0 if ssw <= 0 or n <= k else _half_away(ssb * (n - k) * 1000 / (ssw * (k - 1)))
     eta2 = 0 if ssb + ssw <= 0 else ssb * 1_000_000 // (ssb + ssw)
     assert (row["n_events"], row["k_groups"]) == (n, k)
     assert row["f_milli"] == f >= 0

@@ -5338,7 +5338,8 @@ def pipeline_eval_gate_e2e(spark, sf_dir):
     )
     SELECT n AS n_events, k AS k_groups,
            CAST(CASE WHEN ssw <= 0 OR n <= k THEN 0
-                ELSE (ssb // (k - 1)) * 1000 // (ssw // (n - k)) END
+                ELSE round(CAST(ssb AS DOUBLE) * (n - k) * 1000
+                           / (CAST(ssw AS DOUBLE) * (k - 1))) END
                 AS BIGINT) AS f_milli,
            CAST(CASE WHEN ssb + ssw <= 0 THEN 0
                 ELSE ssb * 1000000 // (ssb + ssw) END
@@ -5358,12 +5359,16 @@ def ev_anova_oneway(spark, sf_dir):
     division of two exact integers (the jackknife theta_b idiom), so
     SSB = sum n_g*(mb_g - gm)^2 and SSW = sum(q2*1e6 - n_g*mb_g^2) are
     pure 128-bit integers (q2 is the per-row vm^2 sum — quadratic per
-    row, HUGEINT/DECIMAL(38,0) from birth). F = MSB/MSW computes as
-    mean squares FIRST ((ssb div (k-1)) then div msw) so the dividend
-    never exceeds ~1e31 at the 100 TB extrapolation (ssb*(n-k) would
-    cross the DECIMAL(38,0) cap near 1e43). All dividends nonnegative
-    (ssw >= 0 up to mean-lattice rounding, CASE-guarded) — floor ==
-    truncate on both engines.
+    row, HUGEINT/DECIMAL(38,0) from birth). F = MSB/MSW is ONE
+    fixed-shape double expression over the exact 128-bit sums on the
+    1-row frame (the cramers_v precedent): the round-9 sf1 gate caught
+    the integer form on ITS FIRST RUN — Spark's div yields a LONG
+    result, and ssb/(k-1) alone crosses BIGINT at 10x data — and an
+    integer rearrangement ssb*(n-k) would cross DECIMAL(38,0) near
+    1e43 at the 100 TB extrapolation, so the double (deterministic
+    IEEE on a 1-row frame, identical text both engines) is the form
+    that survives every scale. eta^2 stays pure integer (its quotient
+    is bounded by 1e6).
 
     Scale shape: ONE data-sized keyed aggregate to event_type grain
     (map-side partials), then 5-row arithmetic. Nothing else touches
@@ -5409,7 +5414,8 @@ def ev_anova_oneway(spark, sf_dir):
         "n AS n_events",
         "k AS k_groups",
         "CAST(CASE WHEN ssw <= 0 OR n <= k THEN 0"
-        " ELSE (ssb div (k - 1)) * 1000 div (ssw div (n - k)) END"
+        " ELSE round(CAST(ssb AS DOUBLE) * (n - k) * 1000"
+        " / (CAST(ssw AS DOUBLE) * (k - 1))) END"
         " AS BIGINT) AS f_milli",
         "CAST(CASE WHEN ssb + ssw <= 0 THEN 0"
         " ELSE ssb * 1000000 div (ssb + ssw) END"
@@ -5869,7 +5875,8 @@ def dq_anomaly_mad(spark, sf_dir):
                 ELSE ssb * 1000000 // (ssb + ssw) END AS BIGINT)
                AS strength_micro,
            CAST(CASE WHEN ssw <= 0 OR n <= k THEN 0
-                ELSE (ssb // (k - 1)) * 1000 // (ssw // (n - k)) END
+                ELSE round(CAST(ssb AS DOUBLE) * (n - k) * 1000
+                           / (CAST(ssw AS DOUBLE) * (k - 1))) END
                 AS BIGINT) AS f_milli
     FROM ss ORDER BY component
     """.replace("FROM ss0 GROUP BY", "FROM m GROUP BY"),
@@ -5882,8 +5889,9 @@ def ev_seasonality_strength(spark, sf_dir):
     (hour-of-day, day-of-week), eta^2 = SSB/SST of the value grouped
     by the calendar bucket, on the exact ANOVA integer machinery
     (ev_anova_oneway's lattice — group means on the micro lattice via
-    one fixed-shape division, 128-bit SSB/SSW, mean squares before the
-    F ratio), reported with the F statistic.
+    one fixed-shape division, 128-bit SSB/SSW; the F ratio is the
+    1-row fixed-shape double of the sibling entry — see its sf1-gate
+    war story), reported with the F statistic.
 
     Cross-engine calendar parity: hour via the established
     date_part('hour') == F.hour pair; day-of-week via DuckDB
@@ -5947,7 +5955,8 @@ def ev_seasonality_strength(spark, sf_dir):
         " ELSE ssb * 1000000 div (ssb + ssw) END AS BIGINT)"
         " AS strength_micro",
         "CAST(CASE WHEN ssw <= 0 OR n <= k THEN 0"
-        " ELSE (ssb div (k - 1)) * 1000 div (ssw div (n - k)) END"
+        " ELSE round(CAST(ssb AS DOUBLE) * (n - k) * 1000"
+        " / (CAST(ssw AS DOUBLE) * (k - 1))) END"
         " AS BIGINT) AS f_milli",
     ).orderBy("component")
 
