@@ -153,6 +153,8 @@ HEADLINE = (
     "stream_histogram_quantiles",
     "ev_cuped_adjustment",
     "ev_power_sample_size",
+    "dedup_cluster_size_profile",
+    "t_dedup_mix_shift",
 )
 
 

@@ -788,3 +788,54 @@ def test_power_sample_size_replica_and_cuped_dominance(spark):
     # float sanity: n = 2*(1.96+0.84)^2 * var/delta^2 within 1%
     approx = 2 * (zs / 1e6) ** 2 * vy / delta**2
     assert abs(n_req - approx) <= max(2, 0.01 * approx)
+
+
+def test_cluster_size_profile_conservation(spark):
+    """dedup_cluster_size_profile: sum(cluster_size * n_clusters)
+    equals the number of clustered documents (conservation), every
+    cluster has size >= 2 (cc runs on verified PAIRS), and n_docs is
+    the product column it claims to be."""
+    from xova_spark.queries.dedup import (
+        dedup_cc_clusters,
+        dedup_cluster_size_profile,
+    )
+
+    rows = dedup_cluster_size_profile(spark, SF).collect()
+    clustered = dedup_cc_clusters(spark, SF).count()
+    assert sum(r["n_docs"] for r in rows) == clustered
+    for r in rows:
+        assert r["cluster_size"] >= 2
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+
+
+def test_dedup_mix_shift_books_balance(spark):
+    """t_dedup_mix_shift: per-source counts reconcile with a python
+    replica of keep-lowest exact dedup; shares sum to ~1000 permille
+    (floor slack < n_sources); shifts sum to ~0."""
+    from collections import Counter
+
+    from xova_spark.queries.textops import _docs  # noqa: F401 — spine check
+    from xova_spark.queries.dedup import t_dedup_mix_shift
+
+    rows = {r["source"]: r for r in t_dedup_mix_shift(spark, SF).collect()}
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    before = Counter(r["source"] for r in docs)
+    keep = {}
+    for r in docs:
+        k = r["text"]
+        if k not in keep or r["doc_id"] < keep[k][0]:
+            keep[k] = (r["doc_id"], r["source"])
+    after = Counter(src for _, src in keep.values())
+    assert set(rows) == set(before)
+    tb, ta = sum(before.values()), sum(after.values())
+    for src, r in rows.items():
+        assert r["n_before"] == before[src]
+        assert r["n_after"] == after.get(src, 0)
+        assert r["shift_pm"] == (
+            after.get(src, 0) * 1000 // ta - before[src] * 1000 // tb
+        )
+    assert 1000 - len(rows) <= sum(r["share_after_pm"] for r in rows.values()) <= 1000

@@ -383,6 +383,8 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     },
     "emb_outlier_flags": {"kinds": ("model_rdd",), "max_segments": 4},
     "er_blocking_recall": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # r9 mix-shift audit: the two 1-row totals broadcasts
+    "t_dedup_mix_shift": {"kinds": ("one_row_agg",), "max_segments": 2},
     # r9 merge-QA audit: the 1-row max-entity-size broadcast
     "er_cluster_conflict_rate": {
         "kinds": ("one_row_agg",),

@@ -1542,3 +1542,134 @@ def dedup_url_canonical(spark, sf_dir):
             F.min("doc_id").cast("long").alias("keeper_doc"),
         )
     )
+
+
+@q(
+    "dedup_cluster_size_profile",
+    f"""
+    WITH RECURSIVE {_DUCK_EDGE_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach AS (
+      SELECT DISTINCT src AS doc_id, src AS comp FROM edges
+      UNION
+      SELECT e.dst AS doc_id, r.comp
+      FROM reach r JOIN edges e ON e.src = r.doc_id
+    ), asg AS (
+      SELECT doc_id, min(comp) AS component
+      FROM reach GROUP BY doc_id
+    ), sz AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM asg GROUP BY component
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sz GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def dedup_cluster_size_profile(spark, sf_dir):
+    """NEAR-DUP CLUSTER SIZE DISTRIBUTION — the shape readout that
+    tells a dedup operator WHAT kind of duplication the corpus has
+    (a long tail of pairs = boilerplate variants; a few giant
+    clusters = template farms or mirror sites, the thing to kill
+    first): for every near-dup cluster size, how many clusters and how
+    many documents sit at that size. Conservation law (test-pinned):
+    sum(cluster_size * n_clusters) == clustered documents.
+
+    Scale shape: rides the shared verified-pair + connected-components
+    spine of dedup_cc_clusters (size-gated union-find with the
+    distributed min-label fallback), then two keyed aggregates at
+    cluster and size grain — both bounded by the cluster structure,
+    not the corpus."""
+    asg = dedup_cc_clusters(spark, sf_dir)
+    sz = asg.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        sz.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@q(
+    "t_dedup_mix_shift",
+    """
+    WITH before AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_before FROM documents
+      GROUP BY source
+    ), keep AS (
+      SELECT min(doc_id) AS keep_doc_id FROM documents GROUP BY md5(text)
+    ), after AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_after
+      FROM documents d JOIN keep k ON d.doc_id = k.keep_doc_id
+      GROUP BY d.source
+    ), tot AS (
+      SELECT CAST(sum(n_before) AS BIGINT) AS tb FROM before
+    ), tot2 AS (
+      SELECT CAST(sum(n_after) AS BIGINT) AS ta FROM after
+    )
+    SELECT b.source, b.n_before, coalesce(a.n_after, 0) AS n_after,
+           CAST(b.n_before * 1000 // tb AS BIGINT) AS share_before_pm,
+           CAST(coalesce(a.n_after, 0) * 1000 // ta AS BIGINT)
+               AS share_after_pm,
+           CAST(coalesce(a.n_after, 0) * 1000 // ta
+                - b.n_before * 1000 // tb AS BIGINT) AS shift_pm
+    FROM before b LEFT JOIN after a USING (source), tot, tot2
+    ORDER BY b.source
+    """,
+)
+def t_dedup_mix_shift(spark, sf_dir):
+    """DEDUP MIX-SHIFT audit — what exact dedup does to the corpus
+    composition (the question a data-mixture owner asks before
+    re-weighting: dedup removes MORE from boilerplate-heavy feeds, so
+    the post-dedup source mix is NOT the pre-dedup mix): per source,
+    document counts and permille shares before/after keep-lowest-doc_id
+    exact dedup, and the signed share shift. The shift column is a
+    DIFFERENCE of two nonnegative floor divisions (each engine computes
+    the identical pair before subtracting), so the signed value never
+    meets a floor-vs-truncate division.
+
+    Scale shape: the dedup_exact hash-groupBy (one shuffle, map-side
+    partials), one keyed membership join on the survivor ids, two
+    source-grain rollups and two 1-row totals broadcasts."""
+    (docs,) = _docs(spark, sf_dir)
+    before = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_before")
+    )
+    keep = docs.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("keep_doc_id")
+    ).select("keep_doc_id")
+    after = (
+        docs.join(keep, docs["doc_id"] == keep["keep_doc_id"])
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_after"))
+    )
+    tb = before.agg(F.sum("n_before").cast("long").alias("tb"))
+    ta = after.agg(F.sum("n_after").cast("long").alias("ta"))
+    return (
+        before.join(after, "source", "left")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+        .selectExpr(
+            "source",
+            "n_before",
+            "coalesce(n_after, 0) AS n_after",
+            "CAST(n_before * 1000 div tb AS BIGINT) AS share_before_pm",
+            "CAST(coalesce(n_after, 0) * 1000 div ta AS BIGINT)"
+            " AS share_after_pm",
+            "CAST(coalesce(n_after, 0) * 1000 div ta"
+            " - n_before * 1000 div tb AS BIGINT) AS shift_pm",
+        )
+        .orderBy("source")
+    )
