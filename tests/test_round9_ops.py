@@ -814,7 +814,6 @@ def test_dedup_mix_shift_books_balance(spark):
     (floor slack < n_sources); shifts sum to ~0."""
     from collections import Counter
 
-    from xova_spark.queries.textops import _docs  # noqa: F401 — spine check
     from xova_spark.queries.dedup import t_dedup_mix_shift
 
     rows = {r["source"]: r for r in t_dedup_mix_shift(spark, SF).collect()}
