@@ -110,7 +110,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #           er_survivorship, cdc_snapshot_diff, t_decontam_overlap,
 #           mm_scene_dedup, ann_mmr_rerank) — all stay oracle-gated
 #           in GATE_LOG
-#   r10 candidates (never driver-sampled): t_blocklist_rate /
+#   r10 in:  the 12 round-9 cross-dialect-risk entries (see the
+#           rotation-slot comment below) — ev_holm_bonferroni,
+#           dq_anomaly_mad, agg_histogram_quantile_sketch,
+#           ev_cuped_adjustment, ev_power_sample_size,
+#           ev_seasonality_strength, join_asof_tolerance,
+#           graph_degree_assortativity, ann_nprobe_tuning_report,
+#           graph_local_clustering, t_doc_entropy_filter,
+#           er_cluster_conflict_rate.
+#   r10 out: the 12 r9-green names (ev_spearman_rho,
+#           ev_fdr_segment_residuals, ev_sprt_ab_test,
+#           agg_trimmed_mean, stream_funnel_conversion,
+#           pipeline_eval_gate_e2e, graph_adamic_adar,
+#           ann_label_knn_accuracy, emb_silhouette_centroid,
+#           cdc_deletion_vector_audit, dq_mutual_information,
+#           join_asof_nearest) — all stay oracle-gated in GATE_LOG.
+#   r11 candidates (never driver-sampled): t_blocklist_rate /
 #           t_blocklist_spans, t_importance_weights,
 #           cdc_incremental_rollup, stream_neardup_ingest,
 #           agg_exact_median_rank, agg_skyline_pareto,
@@ -165,28 +180,29 @@ _PRIORITY: tuple[str, ...] = (
     "stream_bda_vis",
     "stream_session_bins",
     "stream_cdc_merge",
-    # round-9 rotation slots (VERDICT r8 item 1): the 12 cross-dialect-
-    # risk classes among the 21 round-8 entries — the double windowless
-    # global-rank Spearman, the literal z->p staircase FDR, the literal
-    # LLR-lattice SPRT (+ its div/floor hour-bin data contract), the
-    # rank-window trimmed mean, the chained stream-stream funnel (the
-    # one topology the driver has never executed), the composed nightly
-    # eval gate, the hub-capped Adamic-Adar, the sequential-cosine
-    # label-kNN vote, the shared-k-means silhouette, the manifest-grain
-    # deletion-vector audit, the contingency-lattice MI, and the
-    # nearest-direction as-of join.
-    "ev_spearman_rho",
-    "ev_fdr_segment_residuals",
-    "ev_sprt_ab_test",
-    "agg_trimmed_mean",
-    "stream_funnel_conversion",
-    "pipeline_eval_gate_e2e",
-    "graph_adamic_adar",
-    "ann_label_knn_accuracy",
-    "emb_silhouette_centroid",
-    "cdc_deletion_vector_audit",
-    "dq_mutual_information",
-    "join_asof_nearest",
+    # round-10 rotation slots (VERDICT r9 item 1 / ROADMAP round-10
+    # queue): the 12 cross-dialect-risk classes among the 20 round-9
+    # entries — the Holm step-down staircase (+ the all-reject boundary
+    # fixed this round per ADVICE r9), the double-median MAD crossing,
+    # the dual-cumsum histogram-quantile sketch, the 1-row 128-bit
+    # moment expressions (CUPED, power planning), the dayofweek-origin
+    # seasonality eta^2, the tolerance-bounded as-of join, the
+    # shifted-negative assortativity quotient, the measured nprobe
+    # frontier, the hub-capped local clustering coefficient, the
+    # doc-entropy ln lattice, and the entity-grain merge-QA conflict
+    # rate. All 12 pre-verified vanilla-EXACT by the r9 judge replay.
+    "ev_holm_bonferroni",
+    "dq_anomaly_mad",
+    "agg_histogram_quantile_sketch",
+    "ev_cuped_adjustment",
+    "ev_power_sample_size",
+    "ev_seasonality_strength",
+    "join_asof_tolerance",
+    "graph_degree_assortativity",
+    "ann_nprobe_tuning_report",
+    "graph_local_clustering",
+    "t_doc_entropy_filter",
+    "er_cluster_conflict_rate",
 )
 
 

@@ -298,3 +298,24 @@ def test_fixture_timestamps_post_epoch(spark):
             )
             checked += 1
     assert checked >= 3, "expected at least orders/lineitem/events ts cols"
+
+
+def test_fixture_event_values_nonnegative(spark):
+    """DATA CONTRACT: events.value >= 0 across fixture tiers. The
+    512-milli histogram bin (stream_histogram_quantiles,
+    agg_histogram_quantile_sketch) computes `vm // 512` in DuckDB
+    (floor) vs Spark `div` (truncate toward zero) — identical iff vm
+    is nonnegative. Same pattern as the post-epoch timestamp contract
+    above: turn the latent divergence into a loud failure if the
+    fixture generator ever emits negative values."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.session import load_tables
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = load_tables(spark, sf_dir)["events"]
+        mn = ev.agg(F.min("value").alias("mn")).collect()[0]["mn"]
+        assert mn is not None and mn >= 0, (
+            f"{sf_dir}/events.value has negatives (min={mn}): the "
+            "div-vs-floor histogram binning contract is violated"
+        )

@@ -117,19 +117,19 @@ def test_priority_block_leads_the_registry():
         assert got >= minimum, (prefix, got)
     # Rotation policy (VERDICT r4 item 8 / r5 item 1): the tail slots
     # rotate through never-driver-sampled divergence candidates each
-    # round. Round 9 rotated in the 12 names VERDICT r8 item 1
-    # prescribed (the cross-dialect-risk classes among the 21 round-8
-    # entries); the 12 r8-green names rotated OUT per policy. Update
+    # round. Round 10 rotated in the 12 names VERDICT r9 item 1
+    # prescribed (the cross-dialect-risk classes among the 20 round-9
+    # entries); the 12 r9-green names rotated OUT per policy. Update
     # this set when the slots rotate.
-    rotated_in_r9 = {
-        "ev_spearman_rho", "ev_fdr_segment_residuals",
-        "ev_sprt_ab_test", "agg_trimmed_mean",
-        "stream_funnel_conversion", "pipeline_eval_gate_e2e",
-        "graph_adamic_adar", "ann_label_knn_accuracy",
-        "emb_silhouette_centroid", "cdc_deletion_vector_audit",
-        "dq_mutual_information", "join_asof_nearest",
+    rotated_in_r10 = {
+        "ev_holm_bonferroni", "dq_anomaly_mad",
+        "agg_histogram_quantile_sketch", "ev_cuped_adjustment",
+        "ev_power_sample_size", "ev_seasonality_strength",
+        "join_asof_tolerance", "graph_degree_assortativity",
+        "ann_nprobe_tuning_report", "graph_local_clustering",
+        "t_doc_entropy_filter", "er_cluster_conflict_rate",
     }
-    assert rotated_in_r9 <= first50, rotated_in_r9 - first50
+    assert rotated_in_r10 <= first50, rotated_in_r10 - first50
 
 
 def test_coverage_header_counts_are_in_sync():

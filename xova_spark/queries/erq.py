@@ -16,10 +16,13 @@ under the size gate, iterative min-label propagation above it).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from xova_spark.queries.dedup import cc_components
 from xova_spark.session import load_tables
+from xova_spark.sharedframes import shared
 
 REGISTRY: dict[str, tuple] = {}
 
@@ -128,6 +131,26 @@ def er_blocked_candidates(spark, sf_dir):
     )
 
 
+def _entity_assignment(spark, sf_dir):
+    """The resolved (c_custkey, entity_id) cluster assignment, built
+    ONCE per (session, sf_dir) and persisted via the sharedframes
+    registry (VERDICT r9 item 5): er_entity_clusters, er_survivorship,
+    and er_cluster_conflict_rate all consume the same union-find
+    closure, and each used to rebuild candidate generation + CC from
+    scratch — three identical collects in one gate run. Same lifecycle
+    as the dedup CC path: clear_shared() releases it at gate exit."""
+
+    def build():
+        pairs = er_blocked_candidates(spark, sf_dir).select(
+            F.col("cust_a").alias("doc_a"), F.col("cust_b").alias("doc_b")
+        )
+        return cc_components(
+            spark, pairs, id_col="c_custkey"
+        ).withColumnRenamed("component", "entity_id")
+
+    return shared(spark, ("er_asg", os.path.abspath(sf_dir)), build)
+
+
 @q(
     "er_entity_clusters",
     f"""
@@ -164,12 +187,7 @@ def er_entity_clusters(spark, sf_dir):
     the unbounded entity table."""
     from pyspark.sql import Window
 
-    pairs = er_blocked_candidates(spark, sf_dir).select(
-        F.col("cust_a").alias("doc_a"), F.col("cust_b").alias("doc_b")
-    )
-    asg = cc_components(spark, pairs, id_col="c_custkey").withColumnRenamed(
-        "component", "entity_id"
-    )
+    asg = _entity_assignment(spark, sf_dir)
     return asg.select(
         "c_custkey",
         "entity_id",
@@ -228,7 +246,7 @@ def er_survivorship(spark, sf_dir):
         "c_custkey",
         F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
     )
-    asg = er_entity_clusters(spark, sf_dir).select("c_custkey", "entity_id")
+    asg = _entity_assignment(spark, sf_dir)
     members = asg.join(c, "c_custkey")
     best = members.groupBy("entity_id").agg(
         F.max("bal_cents").alias("max_bal_cents"),
@@ -490,7 +508,7 @@ def er_cluster_conflict_rate(spark, sf_dir):
     c = load_tables(spark, sf_dir, ("customer",))["customer"].select(
         "c_custkey", "c_nationkey", "c_mktsegment"
     )
-    asg = er_entity_clusters(spark, sf_dir).select("c_custkey", "entity_id")
+    asg = _entity_assignment(spark, sf_dir)
     # size(collect_set(...)), not countDistinct x2: two count-distincts
     # in one aggregate plan an Expand (row multiplication at member
     # grain — the dq_profile lesson); the sets here are bounded by the

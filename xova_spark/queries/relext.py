@@ -5455,8 +5455,9 @@ def ev_anova_oneway(spark, sf_dir):
     )
     SELECT n1, n2, m1 AS mean1_micro, m2 AS mean2_micro,
            CAST(m1 - m2 AS BIGINT) AS delta_micro,
-           CAST(CASE WHEN (CAST(n1 - 1 AS HUGEINT) * v1
-                           + CAST(n2 - 1 AS HUGEINT) * v2) <= 0 THEN 0
+           CAST(CASE WHEN ((CAST(n1 - 1 AS HUGEINT) * v1
+                            + CAST(n2 - 1 AS HUGEINT) * v2)
+                           // (n1 + n2 - 2)) <= 0 THEN 0
                 ELSE CAST(m1 - m2 AS HUGEINT) * (m1 - m2) * 1000000
                      // ((CAST(n1 - 1 AS HUGEINT) * v1
                           + CAST(n2 - 1 AS HUGEINT) * v2)
@@ -5536,8 +5537,13 @@ def ev_welch_t2_effect(spark, sf_dir):
         "m1 AS mean1_micro",
         "m2 AS mean2_micro",
         "CAST(m1 - m2 AS BIGINT) AS delta_micro",
-        "CAST(CASE WHEN (CAST(n1 - 1 AS DECIMAL(38,0)) * v1"
-        " + CAST(n2 - 1 AS DECIMAL(38,0)) * v2) <= 0 THEN 0"
+        # Guard on the POST-DIVISION pooled variance (the actual d^2
+        # divisor): the pooled SUM can be positive while the integer
+        # division by (n1+n2-2) floors to 0 when both group variances
+        # are sub-micro^2 — the docstring's promised 0, not NULL.
+        "CAST(CASE WHEN ((CAST(n1 - 1 AS DECIMAL(38,0)) * v1"
+        " + CAST(n2 - 1 AS DECIMAL(38,0)) * v2)"
+        " div (n1 + n2 - 2)) <= 0 THEN 0"
         " ELSE CAST(m1 - m2 AS DECIMAL(38,0)) * (m1 - m2) * 1000000"
         " div ((CAST(n1 - 1 AS DECIMAL(38,0)) * v1"
         " + CAST(n2 - 1 AS DECIMAL(38,0)) * v2)"
@@ -5580,8 +5586,15 @@ def ev_welch_t2_effect(spark, sf_dir):
                           event_type, hr) AS BIGINT) AS rk
       FROM zp
     ), kfail AS (
-      SELECT coalesce(min(rk), max(m) + 1) AS kf FROM pp
-      WHERE CAST(p_micro AS HUGEINT) * (m - rk + 1) > 50000
+      -- Fallback m+1 must use the UNFILTERED scope: with a WHERE on
+      -- the Holm inequality, the all-reject boundary (no failing row)
+      -- makes max(m) NULL too and kf goes NULL, flipping every
+      -- `rejected` to NULL while Spark's window form yields TRUE.
+      SELECT coalesce(
+               min(CASE WHEN CAST(p_micro AS HUGEINT) * (m - rk + 1)
+                             > 50000 THEN rk END),
+               max(m) + 1) AS kf
+      FROM pp
     )
     SELECT event_type, CAST(hr AS BIGINT) AS hr, o, absz_milli,
            CAST(p_micro AS BIGINT) AS p_micro, rk,

@@ -3751,7 +3751,10 @@ def t_doc_entropy_filter(spark, sf_dir):
         .agg(
             F.any_value("source").alias("source"),
             F.sum("c").cast("long").alias("n"),
-            F.sum(F.col("c") * F.col("lnc_micro")).alias("s"),
+            # 128-bit accumulator discipline: the oracle's sum promotes
+            # to HUGEINT; a plain BIGINT product can silently wrap
+            # under non-ANSI Spark on very large documents.
+            F.expr("sum(CAST(c AS DECIMAL(38,0)) * lnc_micro)").alias("s"),
         )
         .selectExpr(
             "source",
