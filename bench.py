@@ -155,6 +155,21 @@ HEADLINE = (
     "ev_power_sample_size",
     "dedup_cluster_size_profile",
     "t_dedup_mix_shift",
+    # round-10 additions
+    "ev_kruskal_wallis",
+    "ev_levene_brown_forsythe",
+    "ev_benjamini_yekutieli",
+    "ev_mcnemar_paired",
+    "ev_poisson_bootstrap_ci",
+    "ev_theil_sen_trend",
+    "ev_mann_kendall_trend",
+    "ev_nelson_aalen_hazard",
+    "ev_winsorized_mean",
+    "geo_dbscan_core_points",
+    "t_mixture_waterfill",
+    "t_ngram_coverage_curve",
+    "ann_ivf_cell_balance",
+    "pipeline_tokenize_shard_e2e",
 )
 
 

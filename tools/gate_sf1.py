@@ -29,41 +29,40 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Round-9 sample (VERDICT r8 item 3): rotate toward never-sf1-gated
-# lattice/iterative entries — the contingency lattices, the two
-# round-8 128-bit dividend fixes (prove them at 10x like gini was),
-# this round's jackknife divisor fix, the chained stream-stream
-# funnel, the graph iteratives not yet gated, and the
-# integer-bookkeeping tail. The 23 round-8-proven names rotate out
-# (GATE_SF1.md history keeps their EXACT rows).
+# Round-10 sample (VERDICT r9 item 4): rotate toward the round-9 and
+# round-10 lattice/iterative entries never sf1-gated — the Welch
+# 128-bit pooled forms (ANOVA proved last round, keep Welch), the
+# CUPED moments, the assortativity shifted-negative quotient, the
+# doc-entropy ln lattice (post its r10 DECIMAL(38,0) accumulator
+# fix), the hub-capped local clustering, the nprobe frontier, the
+# entity-grain conflict rate (post the r10 shared-assignment change),
+# plus ALL 14 round-10 entries (rank lattices, trend pairs, the
+# deterministic Poisson bootstrap, survival hazard, density census).
+# The 26 round-9-proven names rotate out (GATE_SF1.md history keeps
+# their EXACT rows).
 SF1_SAMPLE: tuple[str, ...] = (
-    "ev_chisq_independence",      # contingency micro lattice at 10x
-    "ev_cramers_v",               # effect size on the same grain
-    "dq_mutual_information",      # micro-nat contingency lattice
-    "t_bigram_pmi_topk",          # r8 128-bit dividend fix — prove at 10x
-    "t_quality_auc",              # r8 128-bit pair-sum fix — prove at 10x
-    "ev_jackknife_ci",            # r9 B^2 divisor fix — prove at 10x
-    "stream_funnel_conversion",   # chained stream-stream at 10x events
-    "er_survivorship",            # prefer-latest tie rules at 10x
-    "graph_adamic_adar",          # wedge spine + ln-lattice weights
-    "graph_kcore",                # bounded peel, never sf1-gated
-    "ev_theil_index",             # ln lattice + 128-bit weighted sum
-    "ev_hoover_index",            # integer end-to-end
-    "ev_fdr_segment_residuals",   # z->p staircase + BH sweep at 10x
-    "ev_sprt_ab_test",            # LLR lattice + div/floor hour bins
-    "agg_trimmed_mean",           # rank-window overlap at bin grain
-    "dq_benford",                 # leading-digit lattice, never gated
-    "t_quality_calibration",      # global_ntile tie semantics at 10x
-    "t_quality_pr_curve",         # full threshold sweep at 10x scores
-    "join_asof_nearest",          # union + one shuffle + window frames
-    "emb_silhouette_centroid",    # shared k-means + IEEE sqrt ratio
-    "cdc_deletion_vector_audit",  # manifest-grain day bins
-    "pipeline_eval_gate_e2e",     # composition of the stats pack at 10x
-    # late-r9 additions: the new 128-bit lattice forms at 10x
-    "ev_anova_oneway",            # ssb/ssw 128-bit decomposition
-    "ev_cuped_adjustment",        # five 128-bit moments + 1-row doubles
-    "graph_degree_assortativity", # shifted-negative quotient at 10x edges
-    "agg_histogram_quantile_sketch",  # dual cumsum + W/2 error law
+    "ev_welch_t2_effect",          # (n-1)*v 128-bit pooled forms at 10x
+    "ev_cuped_adjustment",         # five 128-bit moments + 1-row doubles
+    "graph_degree_assortativity",  # shifted-negative quotient at 10x
+    "t_doc_entropy_filter",        # ln lattice + r10 DECIMAL accumulator
+    "graph_local_clustering",      # hub-capped wedge spine at 10x edges
+    "ann_nprobe_tuning_report",    # measured frontier at 10x corpus
+    "er_cluster_conflict_rate",    # shared assignment (r10) at 10x
+    # round-10 entries, all at 10x for the first time
+    "ev_kruskal_wallis",           # N^3 term sum + midrank lattice
+    "ev_levene_brown_forsythe",    # median centers + ANOVA 128-bit
+    "ev_benjamini_yekutieli",      # harmonic nano lattice + staircase
+    "ev_mcnemar_paired",           # discordant-pair quadratic dividend
+    "ev_poisson_bootstrap_ci",     # 31-bit hash weights at 10x rows
+    "ev_theil_sen_trend",          # floor-div slope lattice, pair grain
+    "ev_mann_kendall_trend",       # S/var18 cubics at 10x hours
+    "ev_nelson_aalen_hazard",      # hazard micro lattice + suffix risk
+    "ev_winsorized_mean",          # decile fences at 10x bins
+    "geo_dbscan_core_points",      # density census at 10x points
+    "t_mixture_waterfill",         # budget fill at 10x tokens
+    "t_ngram_coverage_curve",      # top-K coverage at 10x vocab
+    "ann_ivf_cell_balance",        # quadratic load moments at 10x
+    "pipeline_tokenize_shard_e2e", # shard-balance gate at 10x docs
 )
 
 

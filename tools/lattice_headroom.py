@@ -250,6 +250,152 @@ def _probe_jackknife_block_sum(spark, sf_dir):
     )
 
 
+def _probe_kw_term_sum(spark, sf_dir):
+    """ev_kruskal_wallis's internal deviation sum
+    s = sum ((d_milli^2)//1e6) * ng — cubic in row count (d_milli is
+    ~N milli-ranks, squared and unit-downscaled, times group size), on
+    the DECIMAL(38,0) lattice (h_milli is the bounded 1-row double)."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.operators.ranking import global_cumsum
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    cell = v.groupBy("event_type", "vm").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    bins = cell.groupBy("vm").agg(F.sum("c").cast("long").alias("ct"))
+    cum = global_cumsum(bins, [F.col("vm").asc()], "ct", "ct_incl").select(
+        "vm", "ct", (F.col("ct_incl") - F.col("ct")).alias("cb")
+    )
+    grp = (
+        cell.join(cum, "vm")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("ng"),
+            F.expr(
+                "sum(CAST(c AS DECIMAL(38,0)) * (2 * cb + ct + 1))"
+            ).alias("r2g"),
+        )
+    )
+    tot = grp.agg(F.sum("ng").cast("long").alias("n"))
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .selectExpr("(r2g * 500 div ng) - 500 * (n + 1) AS d_milli", "ng")
+        .selectExpr(
+            "CAST((CAST(d_milli AS DECIMAL(38,0)) * d_milli)"
+            " div 1000000 AS DECIMAL(38,0)) * ng AS t"
+        )
+        .agg(F.sum("t").alias("probe_mag"))
+    )
+
+
+def _probe_mk_z2_dividend(spark, sf_dir):
+    """ev_mann_kendall_trend's z^2 dividend (|S|-1)^2 * 18000 — S is
+    bounded by C(n_hours, 2), so the dividend is ~n_hours^4 (calendar-
+    bounded, NOT data-grain: a decade of hours is ~1e4 -> ~2e20), on
+    the DECIMAL(38,0) lattice."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hrs = (
+        ev.select(
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+            ).alias("hr")
+        )
+        .groupBy("hr")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    a = hrs.select(F.col("hr").alias("hr_a"), F.col("cnt").alias("cnt_a"))
+    b = hrs.select(F.col("hr").alias("hr_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        a.join(F.broadcast(b), F.col("hr_b") > F.col("hr_a"))
+        .agg(
+            F.sum(
+                F.when(F.col("cnt_b") > F.col("cnt_a"), 1)
+                .when(F.col("cnt_b") < F.col("cnt_a"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+        .selectExpr(
+            "CAST(greatest(abs(s) - 1, 0) AS DECIMAL(38,0))"
+            " * greatest(abs(s) - 1, 0) * 18000 AS probe_mag"
+        )
+    )
+
+
+def _probe_mcnemar_chi2_dividend(spark, sf_dir):
+    """ev_mcnemar_paired's chi2 dividend (|b-c|-1)^2 * 1000 —
+    quadratic in the discordant-user count, DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    evc = ev.selectExpr(
+        "user_id",
+        "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+    )
+    bounds = evc.agg(
+        F.expr("CAST((min(us) + max(us)) div 2 AS BIGINT)").alias("mid")
+    )
+    u = (
+        evc.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.expr(
+                    "CASE WHEN us < mid AND event_type = 'click'"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("p1"),
+            F.max(
+                F.expr(
+                    "CASE WHEN us >= mid AND event_type = 'click'"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("p2"),
+        )
+    )
+    return u.agg(
+        F.sum(F.col("p1") * (1 - F.col("p2"))).alias("b"),
+        F.sum((1 - F.col("p1")) * F.col("p2")).alias("c"),
+    ).selectExpr(
+        "CAST(greatest(abs(b - c) - 1, 0) AS DECIMAL(38,0))"
+        " * greatest(abs(b - c) - 1, 0) * 1000 AS probe_mag"
+    )
+
+
+def _probe_pb_replicate_wsum(spark, sf_dir):
+    """ev_poisson_bootstrap_ci's per-replicate weighted value sum
+    sum(w*vm) — linear in row count x the weight cap 4,
+    DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    x = ev.select(
+        "event_id", F.round(F.col("value") * 1000).cast("long").alias("vm")
+    )
+    ex = x.selectExpr(
+        "vm",
+        "CAST((CAST(event_id AS DECIMAL(38,0)) * 2654435761"
+        " + 1 * 2246822519) % 2147483648 AS BIGINT) AS u",
+    ).selectExpr(
+        "vm",
+        "CASE WHEN u < 790015084 THEN 0 WHEN u < 1580030168 THEN 1"
+        " WHEN u < 1975037710 THEN 2 WHEN u < 2106706891 THEN 3"
+        " ELSE 4 END AS w",
+    )
+    return ex.agg(
+        F.expr("sum(CAST(w AS DECIMAL(38,0)) * vm)").alias("probe_mag")
+    )
+
+
 # name -> (probe_fn, capacity) for internal accumulators the output
 # cannot see (computed and divided away inside one expression)
 PROBES = {
@@ -261,6 +407,14 @@ PROBES = {
     "ev_ks_test__cdf_dividend": (_probe_ks_dividend, DEC38_CAP),
     "ev_mann_whitney_u__r1_dividend": (_probe_mwu_r1_dividend, DEC38_CAP),
     "ev_jackknife_ci__block_sum": (_probe_jackknife_block_sum, BIGINT_CAP),
+    # r10 stats batch 3 internals
+    "ev_kruskal_wallis__term_sum": (_probe_kw_term_sum, DEC38_CAP),
+    "ev_mann_kendall_trend__z2_dividend": (_probe_mk_z2_dividend, DEC38_CAP),
+    "ev_mcnemar_paired__chi2_dividend": (
+        _probe_mcnemar_chi2_dividend,
+        DEC38_CAP,
+    ),
+    "ev_poisson_bootstrap_ci__wsum": (_probe_pb_replicate_wsum, DEC38_CAP),
 }
 
 # (entry, column) -> (analytic_alpha, justification, law_test):

@@ -170,6 +170,45 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "marker": r"HashAggregate\(keys=\[bin#\d+",
         "source": r"global_cumsum",
     },
+    # Nelson-Aalen: identical duration-grain windows to Kaplan-Meier
+    "ev_nelson_aalen_hazard": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[dur#\d+",
+    },
+    # Poisson bootstrap: ranking window over the B=64 replicate rows
+    # (the b-keyed aggregate below is the bound — B is a literal)
+    "ev_poisson_bootstrap_ci": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[b#\d+",
+    },
+    # Theil-Sen medians: cumulative-crossing windows over distinct-
+    # slope / distinct-intercept bins, both bounded by the hour-pair
+    # grain (calendar^2, never data grain) — the slope/intercept-keyed
+    # aggregate below each window is the bound.
+    "ev_theil_sen_trend": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[(slope_micro|b0)#\d+",
+    },
+    # water-fill: exclusive prefix over the SOURCE dimension (bounded,
+    # ~tens at any corpus size) — the source-keyed aggregate below is
+    # the bound
+    "t_mixture_waterfill": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[source#\d+",
+    },
+    # coverage curve: ranking/cumsum windows over the ALREADY top-K'd
+    # frame (<= 1000 rows by the literal) — t_bm25_topk class
+    "t_ngram_coverage_curve": {
+        "kind": "limit",
+        "marker": r"TakeOrderedAndProject\(limit=\d+",
+    },
+    # Kruskal-Wallis midranks: the same distinct-value-bin exclusive
+    # prefix as ev_mann_whitney_u, through the size-gated primitive
+    "ev_kruskal_wallis": {
+        "kind": "size_gate",
+        "marker": r"HashAggregate\(keys=\[vm#\d+",
+        "source": r"global_cumsum",
+    },
     # BH ranking/count windows run over the ~120-cell contingency grain
     "ev_fdr_segment_residuals": {
         "kind": "dim_agg",
@@ -177,6 +216,11 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
     },
     # Holm step-down: same contingency-grain ranking windows as BH
     "ev_holm_bonferroni": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[(event_type|hr)#\d+",
+    },
+    # BY: same contingency-grain ranking windows as BH/Holm
+    "ev_benjamini_yekutieli": {
         "kind": "dim_agg",
         "marker": r"HashAggregate\(keys=\[(event_type|hr)#\d+",
     },
@@ -293,7 +337,7 @@ BNLJ_KIND_PATTERNS: dict[str, str] = {
     # tiny generated spine (3x3 neighbor offsets, day grids)
     "range_spine": r"Range \(0, \d+, step",
     # K-grain dimension aggregate (event_type/day/cell), never data grain
-    "dim_agg": r"HashAggregate\(keys=\[(event_type|d|day|seg|bucket|cell|band|gx|gy)#",
+    "dim_agg": r"HashAggregate\(keys=\[(event_type|d|day|hr|seg|bucket|cell|band|gx|gy)#",
     # constant-size frame pinned via sharedframes
     "pinned_artifact": r"InMemoryTableScan",
     # K-row driver-trained model artifact (k-means centroids, PQ LUTs,
@@ -314,6 +358,9 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "ann_label_knn_accuracy": {"kinds": ("emb_corpus",), "max_segments": 1},
     "ann_hybrid_rrf_topk": {"kinds": ("one_row_agg", "pushed_key",), "max_segments": 3},
     "ann_ivf_topk": {"kinds": ("pushed_key",), "max_segments": 2},
+    # balance audit: the same K-centroid broadcast (vec_id < K pushed
+    # into the scan) as ann_ivf_topk's assignment pass
+    "ann_ivf_cell_balance": {"kinds": ("pushed_key",), "max_segments": 1},
     # r9 production twin of the mining oracle: the only BNLJ is the
     # K=8 centroid broadcast of the assignment pass (vec_id < 8 pushed
     # into the scan, or post-scan when the frame is pinned); the
@@ -368,6 +415,11 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "dq_benford": {"kinds": ("one_row_agg",), "max_segments": 1},
     # r9 stats pack batch 2: 1-row totals / k-group broadcasts
     "ev_anova_oneway": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # KW: the 1-row (n,k) totals and the 1-row tie sum broadcast back
+    "ev_kruskal_wallis": {"kinds": ("one_row_agg",), "max_segments": 2},
+    # Brown-Forsythe: the 1-row ANOVA totals broadcast (median join is
+    # keyed on event_type)
+    "ev_levene_brown_forsythe": {"kinds": ("one_row_agg",), "max_segments": 1},
     # r9 sort advisor: the min-depth and argmin-name 1-row broadcasts
     # (the second re-prints the first's lineage)
     "layout_sort_advisor": {"kinds": ("one_row_agg",), "max_segments": 3},
@@ -393,6 +445,8 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "ev_active_users_rolling": {"kinds": ("dim_agg",), "max_segments": 1},
     "ev_dtw_pairs": {"kinds": ("dim_agg",), "max_segments": 1},
     "ev_kaplan_meier": {"kinds": ("one_row_agg",), "max_segments": 2},
+    # Nelson-Aalen: same 1-row horizon broadcast as Kaplan-Meier
+    "ev_nelson_aalen_hazard": {"kinds": ("one_row_agg",), "max_segments": 2},
     "ev_gapfill_locf": {"kinds": ("dim_agg", "range_spine",), "max_segments": 2},
     "ev_hll_mergeable_rollup": {"kinds": ("one_row_agg",), "max_segments": 2},
     # r8 inequality siblings: user-grain rows x 1-row totals broadcast
@@ -418,6 +472,32 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "ev_holm_bonferroni": {
         "kinds": ("one_row_agg",),
         "max_segments": 1,
+    },
+    # BY: the 1-row grand-total broadcast (appearing under both the pp
+    # and kmax lineages), the 1-row harmonic-sum, and the 1-row kmax
+    "ev_benjamini_yekutieli": {"kinds": ("one_row_agg",), "max_segments": 5},
+    # McNemar: the 1-row window-midpoint bounds broadcast
+    "ev_mcnemar_paired": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # Poisson bootstrap: the 1-row CI frame broadcast onto the 1-row
+    # point estimate
+    "ev_poisson_bootstrap_ci": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # water-fill: the 1-row budget broadcast
+    "t_mixture_waterfill": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # coverage curve: the 3-row checkpoint spine (spark.range) and the
+    # 1-row totals broadcast
+    "t_ngram_coverage_curve": {
+        "kinds": ("range_spine", "one_row_agg"),
+        "max_segments": 2,
+    },
+    # trend pair: the hour-pair theta join broadcasts the hour-grain
+    # aggregate (calendar-bounded dimension), plus 1-row stat broadcasts
+    "ev_theil_sen_trend": {
+        "kinds": ("dim_agg", "one_row_agg"),
+        "max_segments": 4,
+    },
+    "ev_mann_kendall_trend": {
+        "kinds": ("dim_agg", "one_row_agg"),
+        "max_segments": 4,
     },
     "agg_trimmed_mean": {"kinds": ("one_row_agg",), "max_segments": 1},
     # r9 sketch: 1-row totals + 3-row quantile spine broadcasts, on
@@ -448,6 +528,11 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "geo_cell_density_guard": {"kinds": ("one_row_agg", "range_spine",), "max_segments": 2},
     "geo_knn_cell": {"kinds": ("range_spine",), "max_segments": 1},
     "geo_radius_pairs": {"kinds": ("range_spine",), "max_segments": 1},
+    # DBSCAN census: the same 3x3 offset spine as geo_radius_pairs,
+    # appearing under each of the three consumers of the neighbor list
+    # (counts, border semi-join, census) — every segment is the
+    # literal 9-row offset spine
+    "geo_dbscan_core_points": {"kinds": ("range_spine",), "max_segments": 3},
     "geo_radius_pairs_adaptive": {"kinds": ("range_spine",), "max_segments": 1},
     "geo_radius_pairs_fine": {"kinds": ("range_spine",), "max_segments": 1},
     "graph_clustering_coefficient": {"kinds": ("one_row_agg",), "max_segments": 1},

@@ -527,3 +527,122 @@ def geo_point_in_polygon(spark, sf_dir):
         crossings.alias("crossings"),
         (crossings % 2 == 1).alias("inside"),
     )
+
+
+_DBSCAN_MINPTS = 2  # core point: >= MINPTS neighbors within _RADIUS
+
+
+@q(
+    "geo_dbscan_core_points",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    cells AS (
+      SELECT id, x, y, x // {_RADIUS} AS cx, y // {_RADIUS} AS cy FROM pts
+    ), probes AS (
+      SELECT id, x, y, cx + dx AS cx, cy + dy AS cy
+      FROM cells
+      CROSS JOIN (VALUES (-1), (0), (1)) AS ox(dx)
+      CROSS JOIN (VALUES (-1), (0), (1)) AS oy(dy)
+    ), nbr AS (
+      SELECT a.id, b.id AS nid
+      FROM probes a JOIN cells b ON b.cx = a.cx AND b.cy = a.cy
+      WHERE a.id != b.id
+        AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= {_RADIUS * _RADIUS}
+    ), cnts AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS n_nbrs FROM nbr GROUP BY id
+    ), lab AS (
+      SELECT p.id, coalesce(c.n_nbrs, 0) AS n_nbrs,
+             coalesce(c.n_nbrs, 0) >= {_DBSCAN_MINPTS} AS is_core
+      FROM pts p LEFT JOIN cnts c USING (id)
+    ), bord AS (
+      SELECT DISTINCT n.id
+      FROM nbr n JOIN lab lb ON lb.id = n.nid
+      WHERE lb.is_core
+    ), cls AS (
+      SELECT l.id, l.n_nbrs,
+             CASE WHEN l.is_core THEN 'core'
+                  WHEN b.id IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS cls
+      FROM lab l LEFT JOIN bord b USING (id)
+    )
+    SELECT cls, CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(n_nbrs) AS BIGINT) AS total_nbrs,
+           CAST(max(n_nbrs) AS BIGINT) AS max_nbrs
+    FROM cls GROUP BY cls
+    """,
+)
+def geo_dbscan_core_points(spark, sf_dir):
+    """DBSCAN density classification — the first (and distributed-
+    friendly) phase of the classic clustering algorithm: a CORE point
+    has >= minPts neighbors within eps, a BORDER point is a non-core
+    point with at least one core neighbor, everything else is NOISE.
+    The per-class census (count, neighbor mass, max degree) is the
+    density profile a curation pipeline reads before committing to a
+    clustering pass; the full cluster extraction is exactly the
+    connected components of core points — dedup.cc_components, already
+    a shared engine.
+
+    Exactness: neighborhoods come from the same cell-bucketed 3x3
+    probe join as geo_radius_pairs (completeness pinned there against
+    brute force); distances are exact integer d^2 (no trig, no
+    floats); minPts is a literal integer compare, so both engines
+    agree bit-exactly.
+
+    Scale shape: the probe join is the pack's standard cell equi-join
+    (cost ~ points x local density, never all-pairs); neighbor counts
+    are ONE keyed aggregate; border detection is ONE semi-join of the
+    directed neighbor list against the core flags (id-keyed, no new
+    grain); the census is a 3-row rollup."""
+    pts = _pts(spark, sf_dir)
+    cells = pts.withColumn("cx", F.expr(f"x div {_RADIUS}")).withColumn(
+        "cy", F.expr(f"y div {_RADIUS}")
+    )
+    offsets = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("long").alias("dx"),
+        (F.expr("id div 3") - 1).cast("long").alias("dy"),
+    )
+    probes = cells.crossJoin(F.broadcast(offsets)).select(
+        "id",
+        "x",
+        "y",
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+    )
+    a, b = probes.alias("a"), cells.alias("b")
+    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    nbr = (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("a.id") != F.col("b.id")) & (d2 <= _RADIUS * _RADIUS))
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("nid"))
+    )
+    cnts = nbr.groupBy("id").agg(F.count("*").cast("long").alias("n_nbrs"))
+    lab = pts.select("id").join(cnts, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_nbrs"), F.lit(0)).cast("long").alias("n_nbrs"),
+        (F.coalesce(F.col("n_nbrs"), F.lit(0)) >= _DBSCAN_MINPTS).alias(
+            "is_core"
+        ),
+    )
+    bord = (
+        nbr.join(
+            lab.filter("is_core").select(F.col("id").alias("nid")), "nid"
+        )
+        .select("id")
+        .distinct()
+        .withColumn("has_core_nbr", F.lit(True))
+    )
+    cls = lab.join(bord, "id", "left").select(
+        "n_nbrs",
+        F.when(F.col("is_core"), "core")
+        .when(F.col("has_core_nbr"), "border")
+        .otherwise("noise")
+        .alias("cls"),
+    )
+    return cls.groupBy("cls").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("n_nbrs").cast("long").alias("total_nbrs"),
+        F.max("n_nbrs").cast("long").alias("max_nbrs"),
+    )

@@ -3860,3 +3860,84 @@ def emb_silhouette_centroid(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+_TSH_SHARDS = 8  # shard count (matches t_shard_assignment's writer)
+_TSH_BALANCE_MAX_MILLI = 1500  # gate: hottest shard <= 1.5x average
+
+
+@q(
+    "pipeline_tokenize_shard_e2e",
+    f"""
+    WITH d AS (
+      SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)
+                 % {_TSH_SHARDS} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), sh AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+      FROM d GROUP BY shard
+    )
+    SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(shard_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS n_shards,
+           CAST(max(shard_tokens) AS BIGINT) AS max_shard_tokens,
+           CAST(min(shard_tokens) AS BIGINT) AS min_shard_tokens,
+           CAST(max(shard_tokens) * count(*) * 1000 // sum(shard_tokens)
+                AS BIGINT) AS balance_milli,
+           max(shard_tokens) * count(*) * 1000 // sum(shard_tokens)
+               <= {_TSH_BALANCE_MAX_MILLI} AS balanced
+    FROM sh
+    """,
+)
+def pipeline_tokenize_shard_e2e(spark, sf_dir):
+    """TOKENIZE -> SHARD -> BALANCE-GATE composite — the training-data
+    packaging nightly: count tokens per document (whitespace, the
+    t_token_count convention), assign each document to one of
+    {_TSH_SHARDS} shards by the content-independent key hash
+    t_shard_assignment writes with, and gate on TOKEN balance (the
+    dataloader's actual constraint — a shard 1.5x over average
+    stretches every epoch): max_shard x n_shards / total in milli,
+    pass iff <= {_TSH_BALANCE_MAX_MILLI}. One-row verdict with the
+    evidence columns, the pipeline_eval_gate_e2e idiom.
+
+    Exactness: the shard id is the md5-prefix hash both engines
+    compute identically (the t_shard_assignment contract); token
+    counts are exact; the balance quotient is a positive integer
+    division.
+
+    Scale shape: one doc-grain projection (no shuffle — the hash and
+    the token count are per-row), ONE keyed aggregate to the
+    {_TSH_SHARDS}-row shard grain, a 1-row rollup. At 100 TB the
+    assignment column is the write.partitionBy key, and this gate
+    reads the writer's own manifest."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
+            f" 16, 10) as bigint) % {_TSH_SHARDS}"
+        ).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    sh = d.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+    )
+    return sh.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("shard_tokens").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_shards"),
+        F.max("shard_tokens").cast("long").alias("max_shard_tokens"),
+        F.min("shard_tokens").cast("long").alias("min_shard_tokens"),
+    ).selectExpr(
+        "n_docs",
+        "total_tokens",
+        "n_shards",
+        "max_shard_tokens",
+        "min_shard_tokens",
+        "CAST(max_shard_tokens * n_shards * 1000 div total_tokens"
+        " AS BIGINT) AS balance_milli",
+        "max_shard_tokens * n_shards * 1000 div total_tokens"
+        f" <= {_TSH_BALANCE_MAX_MILLI} AS balanced",
+    )

@@ -6415,3 +6415,1130 @@ def ev_power_sample_size(spark, sf_dir):
         " div (CAST(delta_p AS DECIMAL(38,0)) * delta_p"
         " * 1000000000000000000) AS BIGINT) AS n_required_cuped",
     )
+
+
+@q(
+    "ev_kruskal_wallis",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ), cell AS (
+      SELECT event_type, vm, CAST(count(*) AS BIGINT) AS c
+      FROM v GROUP BY event_type, vm
+    ), bins AS (
+      SELECT vm, CAST(sum(c) AS BIGINT) AS ct
+      FROM cell GROUP BY vm
+    ), cum AS (
+      SELECT vm, ct,
+             CAST(coalesce(sum(ct) OVER (ORDER BY vm
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cb
+      FROM bins
+    ), grp AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS ng,
+             sum(CAST(c AS HUGEINT) * (2 * cb + ct + 1)) AS r2g
+      FROM cell JOIN cum USING (vm)
+      GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k
+      FROM grp
+    ), ties AS (
+      SELECT sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS t3t FROM bins
+    ), dev AS (
+      SELECT ng, n, k,
+             (r2g * 500 // ng) - 500 * (n + 1) AS d_milli
+      FROM grp, tot
+    ), term AS (
+      SELECT max(n) AS n, max(k) AS k,
+             sum(((d_milli * d_milli) // 1000000) * CAST(ng AS HUGEINT))
+                 AS s
+      FROM dev
+    )
+    SELECT n AS n_events, k AS k_groups,
+           CAST(CASE WHEN n <= 1 THEN 0
+                ELSE round(12000.0 * CAST(s AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (n + 1))) END
+                AS BIGINT) AS h_milli,
+           CAST(CASE WHEN n <= 1
+                     OR CAST(n AS HUGEINT) * n * n - n <= t3t THEN 0
+                ELSE round(12000.0 * CAST(s AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (n + 1))
+                           / (1.0 - CAST(t3t AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * n * n - n))) END
+                AS BIGINT) AS h_tieadj_milli
+    FROM term, ties
+    """,
+)
+def ev_kruskal_wallis(spark, sf_dir):
+    """KRUSKAL-WALLIS rank one-way ANOVA over the five event-type
+    groups — the k-group generalization of ev_mann_whitney_u (same
+    midrank machinery) and the nonparametric sibling of
+    ev_anova_oneway (location shift without the normality assumption):
+    H = 12/(N(N+1)) * sum n_g*(rbar_g - (N+1)/2)^2, reported in
+    milli-units plus the tie-adjusted H/(1 - sum(t^3-t)/(N^3-N)).
+
+    Integer form: midranks DOUBLED at the distinct-value-bin grain
+    (each tie group of size ct after cb predecessors contributes
+    c*(2cb+ct+1) to the doubled rank-sum — the MWU idiom), per-group
+    deviation on the milli lattice via one positive integer division
+    (r2g*500//ng is the floor of the milli mean rank; both engines
+    floor), squared and down-scaled to unit^2 BEFORE the n_g multiply
+    so the summand peaks at ~N^3 (~1e36 at the 100 TB extrapolation —
+    inside DECIMAL(38,0); the raw R_g^2 form would cross 1e48). H
+    itself is ONE fixed-shape double over the exact 128-bit sum on the
+    1-row frame (the ANOVA F precedent — Spark div's LONG ceiling and
+    DECIMAL overflow both rule out the pure-integer form at 10x+).
+
+    Scale shape: one keyed aggregate to (event_type, vm) cells, one to
+    value bins (bounded by the milli value range at any row count —
+    the ev_ks_test class), the exclusive prefix via the size-gated
+    global_cumsum primitive, then 5-row arithmetic."""
+    from xova_spark.operators.ranking import global_cumsum
+
+    (ev,) = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    cell = v.groupBy("event_type", "vm").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    bins = cell.groupBy("vm").agg(F.sum("c").cast("long").alias("ct"))
+    cum = global_cumsum(bins, [F.col("vm").asc()], "ct", "ct_incl").select(
+        "vm", "ct", (F.col("ct_incl") - F.col("ct")).alias("cb")
+    )
+    grp = (
+        cell.join(cum, "vm")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("ng"),
+            F.expr(
+                "sum(CAST(c AS DECIMAL(38,0)) * (2 * cb + ct + 1))"
+            ).alias("r2g"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    ties = bins.agg(
+        F.expr("sum(CAST(ct AS DECIMAL(38,0)) * ct * ct - ct)").alias("t3t")
+    )
+    dev = grp.crossJoin(F.broadcast(tot)).selectExpr(
+        "ng",
+        "n",
+        "k",
+        "(r2g * 500 div ng) - 500 * (n + 1) AS d_milli",
+    )
+    term = dev.selectExpr(
+        "n",
+        "k",
+        "CAST((CAST(d_milli AS DECIMAL(38,0)) * d_milli) div 1000000"
+        " AS DECIMAL(38,0)) * ng AS t",
+    ).agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.sum("t").alias("s"),
+    )
+    return term.crossJoin(F.broadcast(ties)).selectExpr(
+        "n AS n_events",
+        "k AS k_groups",
+        "CAST(CASE WHEN n <= 1 THEN 0"
+        " ELSE round(12000.0 * CAST(s AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * (n + 1))) END AS BIGINT) AS h_milli",
+        "CAST(CASE WHEN n <= 1"
+        " OR CAST(n AS DECIMAL(38,0)) * n * n - n <= t3t THEN 0"
+        " ELSE round(12000.0 * CAST(s AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * (n + 1))"
+        " / (1.0 - CAST(t3t AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * n * n - n))) END"
+        " AS BIGINT) AS h_tieadj_milli",
+    )
+
+
+@q(
+    "ev_levene_brown_forsythe",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ), g AS (
+      SELECT event_type, vm, CAST(count(*) AS BIGINT) AS c
+      FROM v GROUP BY event_type, vm
+    ), c AS (
+      SELECT event_type, vm, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY vm
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM g
+    ), med AS (
+      SELECT event_type,
+             min(CASE WHEN cum * 2 >= n THEN vm END) AS med_vm
+      FROM c GROUP BY event_type
+    ), z AS (
+      SELECT g.event_type, abs(g.vm - m.med_vm) AS zm, g.c
+      FROM g JOIN med m USING (event_type)
+    ), zg AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS ng,
+             CAST(sum(c * zm) AS BIGINT) AS s,
+             sum(CAST(c AS HUGEINT) * zm * zm) AS q2
+      FROM z GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS st,
+             CAST(count(*) AS BIGINT) AS k
+      FROM zg
+    ), m2 AS (
+      SELECT ng, q2, n, k,
+             CAST(round(CAST(s AS DOUBLE) * 1000 / ng) AS BIGINT) AS mb,
+             CAST(round(CAST(st AS DOUBLE) * 1000 / n) AS BIGINT) AS gm
+      FROM zg, tot
+    ), ss AS (
+      SELECT max(n) AS n, max(k) AS k,
+             sum(CAST(ng AS HUGEINT) * (mb - gm) * (mb - gm)) AS ssb,
+             sum(q2 * 1000000 - CAST(ng AS HUGEINT) * mb * mb) AS ssw
+      FROM m2
+    )
+    SELECT n AS n_events, k AS k_groups,
+           CAST(CASE WHEN ssw <= 0 OR n <= k THEN 0
+                ELSE round(CAST(ssb AS DOUBLE) * (n - k) * 1000
+                           / (CAST(ssw AS DOUBLE) * (k - 1))) END
+                AS BIGINT) AS bf_f_milli
+    FROM ss
+    """,
+)
+def ev_levene_brown_forsythe(spark, sf_dir):
+    """BROWN-FORSYTHE robust variance-homogeneity test (Levene's test
+    with MEDIAN centers) across the event-type groups — the
+    equal-variance gate that ANOVA and the pooled Welch d assume, made
+    robust to the heavy tails that break the mean-centered original:
+    one-way ANOVA F computed on z = |x - median_g|, F in milli-units.
+
+    Integer form: per-group EXACT lower medians via the partitioned
+    cumulative-crossing idiom (dq_anomaly_mad's double-median
+    machinery — cum*2 >= n picks the lower order statistic with
+    deterministic tie behavior, no global sort); z lands back on the
+    milli lattice by construction (difference of lattice points), then
+    the standard 128-bit ANOVA partials (ng, s, q2) and the 1-row
+    fixed-shape double F (the ANOVA precedent).
+
+    Scale shape: two keyed aggregates to (event_type, bin) grains, a
+    5-row median broadcast back, one keyed aggregate to event_type,
+    5-row arithmetic. All windows PARTITIONED on event_type over
+    value-range-bounded bins."""
+    (ev,) = _t(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+        .groupBy("event_type", "vm")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = Window.partitionBy("event_type")
+    cm = g.select(
+        "event_type",
+        "vm",
+        "c",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_n).cast("long").alias("n"),
+    )
+    med = cm.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("vm"))).alias(
+            "med_vm"
+        )
+    )
+    z = g.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("vm") - F.col("med_vm")).alias("zm"), "c"
+    )
+    zg = z.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("ng"),
+        F.sum(F.col("c") * F.col("zm")).cast("long").alias("s"),
+        F.expr("sum(CAST(c AS DECIMAL(38,0)) * zm * zm)").alias("q2"),
+    )
+    tot = zg.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("st"),
+        F.count("*").cast("long").alias("k"),
+    )
+    m2 = zg.crossJoin(F.broadcast(tot)).select(
+        "ng",
+        "q2",
+        "n",
+        "k",
+        F.expr(
+            "CAST(round(CAST(s AS DOUBLE) * 1000 / ng) AS BIGINT)"
+        ).alias("mb"),
+        F.expr(
+            "CAST(round(CAST(st AS DOUBLE) * 1000 / n) AS BIGINT)"
+        ).alias("gm"),
+    )
+    ss = m2.agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.expr(
+            "sum(CAST(ng AS DECIMAL(38,0)) * (mb - gm) * (mb - gm))"
+        ).alias("ssb"),
+        F.expr(
+            "sum(q2 * 1000000 - CAST(ng AS DECIMAL(38,0)) * mb * mb)"
+        ).alias("ssw"),
+    )
+    return ss.selectExpr(
+        "n AS n_events",
+        "k AS k_groups",
+        "CAST(CASE WHEN ssw <= 0 OR n <= k THEN 0"
+        " ELSE round(CAST(ssb AS DOUBLE) * (n - k) * 1000"
+        " / (CAST(ssw AS DOUBLE) * (k - 1))) END"
+        " AS BIGINT) AS bf_f_milli",
+    )
+
+
+@q(
+    "ev_benjamini_yekutieli",
+    f"""
+    WITH cell AS (
+      SELECT event_type, date_part('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, date_part('hour', ts)
+    ), mr AS (
+      SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+      FROM cell GROUP BY event_type
+    ), mc AS (
+      SELECT hr, CAST(sum(o) AS BIGINT) AS c
+      FROM cell GROUP BY hr
+    ), tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n FROM cell
+    ), zp AS (
+      SELECT event_type, hr, o,
+             CAST(round(abs(o - CAST(r AS DOUBLE) * c / n)
+                        / sqrt(CAST(r AS DOUBLE) * c / n) * 1000)
+                  AS BIGINT) AS absz_milli
+      FROM cell JOIN mr USING (event_type) JOIN mc USING (hr), tot
+    ), pp AS (
+      SELECT event_type, hr, o, absz_milli,
+             {{p_stairs}} AS p_micro,
+             CAST(count(*) OVER () AS BIGINT) AS m,
+             CAST(row_number() OVER (
+                 ORDER BY {{p_stairs}},
+                          event_type, hr) AS BIGINT) AS rk
+      FROM zp
+    ), harm AS (
+      SELECT CAST(sum(1000000000 // rk) AS BIGINT) AS h_nano FROM pp
+    ), kmax AS (
+      SELECT coalesce(max(rk), 0) AS k
+      FROM pp, harm
+      WHERE CAST(p_micro AS HUGEINT) * m * h_nano
+            <= CAST(rk AS HUGEINT) * 50000 * 1000000000
+    )
+    SELECT event_type, CAST(hr AS BIGINT) AS hr, o, absz_milli,
+           CAST(p_micro AS BIGINT) AS p_micro, rk,
+           rk <= k AS rejected
+    FROM pp, kmax
+    ORDER BY rk
+    """.replace("{p_stairs}", _p_stairs_sql('absz_milli / 1000.0')),
+)
+def ev_benjamini_yekutieli(spark, sf_dir):
+    """BENJAMINI-YEKUTIELI FDR control over the same standardized
+    contingency residuals as the BH and Holm entries — the
+    ARBITRARY-DEPENDENCE variant (BH's FDR guarantee needs positive
+    regression dependence; BY buys correctness under ANY dependence by
+    shrinking alpha by the harmonic number H_m = sum 1/i): reject
+    rk <= max{{rk : p_(rk) * m * H_m <= rk * alpha}}.
+
+    Exactness: identical z->p LITERAL staircase and milli-z lattice as
+    the BH/Holm entries; H_m is latticed EXACTLY the same way on both
+    engines as sum(1e9 // rk) over the rank column (rk enumerates
+    1..m, so the sum over rows IS the harmonic number in nano-units —
+    no series evaluation, no floats), and the BY inequality is pure
+    128-bit integer arithmetic. Sandwich law (test-pinned):
+    BY-rejected is a SUBSET of BH-rejected (alpha shrinks) and a
+    SUPERSET of nothing weaker we assert — Holm vs BY is not ordered
+    in general, so only the BH dominance is pinned.
+
+    Scale shape: identical to the BH entry — one data-sized keyed
+    aggregate to the ~120-cell contingency grain (bounded: event
+    types x 24 hours at ANY row count), margin broadcasts, bounded
+    windows, two 1-row broadcasts back."""
+    (ev,) = _t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").cast("long").alias("o"))
+    mr = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    mc = cell.groupBy("hr").agg(F.sum("o").cast("long").alias("c"))
+    tot = cell.agg(F.sum("o").cast("long").alias("n"))
+    zp = (
+        cell.join(F.broadcast(mr), "event_type")
+        .join(F.broadcast(mc), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "hr",
+            "o",
+            F.expr(
+                "CAST(round(abs(o - CAST(r AS DOUBLE) * c / n)"
+                " / sqrt(CAST(r AS DOUBLE) * c / n) * 1000) AS BIGINT)"
+            ).alias("absz_milli"),
+        )
+    )
+    p_expr = _p_stairs_sql("absz_milli / 1000.0")
+    w_all = Window.partitionBy()
+    w_rk = Window.orderBy(F.expr(p_expr), "event_type", "hr")
+    pp = zp.select(
+        "event_type",
+        "hr",
+        "o",
+        "absz_milli",
+        F.expr(p_expr).cast("long").alias("p_micro"),
+        F.count("*").over(w_all).cast("long").alias("m"),
+        F.row_number().over(w_rk).cast("long").alias("rk"),
+    )
+    harm = pp.agg(
+        F.expr("CAST(sum(1000000000 div rk) AS BIGINT)").alias("h_nano")
+    )
+    kmax = (
+        pp.crossJoin(F.broadcast(harm))
+        .filter(
+            F.expr(
+                "CAST(p_micro AS DECIMAL(38,0)) * m * h_nano"
+                " <= CAST(rk AS DECIMAL(38,0)) * 50000 * 1000000000"
+            )
+        )
+        .agg(F.coalesce(F.max("rk"), F.lit(0)).cast("long").alias("k"))
+    )
+    return (
+        pp.crossJoin(F.broadcast(kmax))
+        .select(
+            "event_type",
+            "hr",
+            "o",
+            "absz_milli",
+            "p_micro",
+            "rk",
+            (F.col("rk") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("rk")
+    )
+
+
+@q(
+    "ev_mcnemar_paired",
+    """
+    WITH bounds AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+      FROM events
+    ), u AS (
+      SELECT user_id,
+             max(CASE WHEN epoch_us(ts) < mid
+                       AND event_type = 'click' THEN 1 ELSE 0 END) AS p1,
+             max(CASE WHEN epoch_us(ts) >= mid
+                       AND event_type = 'click' THEN 1 ELSE 0 END) AS p2
+      FROM events, bounds
+      GROUP BY user_id
+    ), cnt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(p1 * p2) AS BIGINT) AS n_both,
+             CAST(sum(p1 * (1 - p2)) AS BIGINT) AS n_only_first,
+             CAST(sum((1 - p1) * p2) AS BIGINT) AS n_only_second,
+             CAST(sum((1 - p1) * (1 - p2)) AS BIGINT) AS n_neither
+      FROM u
+    )
+    SELECT n_users, n_both, n_only_first, n_only_second, n_neither,
+           CAST(CASE WHEN n_only_first + n_only_second = 0 THEN 0
+                ELSE CAST(greatest(abs(n_only_first - n_only_second)
+                                   - 1, 0) AS HUGEINT)
+                     * greatest(abs(n_only_first - n_only_second) - 1, 0)
+                     * 1000
+                     // (n_only_first + n_only_second) END
+                AS BIGINT) AS mcnemar_chi2_milli
+    FROM cnt
+    """,
+)
+def ev_mcnemar_paired(spark, sf_dir):
+    """MCNEMAR'S PAIRED TEST on within-user behavior change across the
+    two halves of the observation window — the A/B test for PAIRED
+    binary outcomes (did the same users click in half 2 who clicked in
+    half 1?), which the two-proportion z-test (ev_ab_test_ztest) gets
+    wrong on paired data because the halves share users: only the
+    DISCORDANT pairs (b = clicked-then-stopped, c = started-clicking)
+    carry information; chi2 = (|b-c|-1)^2/(b+c) with the standard
+    continuity correction, clamped to 0 when |b-c| <= 1.
+
+    Integer form: the window midpoint is the floor of an exact integer
+    mean of unix micros (post-epoch contract makes floor == truncate);
+    per-user period flags are 0/1 max-aggregates; the four contingency
+    counts are exact; the statistic's dividend is quadratic in row
+    count so it accumulates 128-bit (HUGEINT / DECIMAL(38,0)) and only
+    the bounded quotient leaves (the MWU discipline).
+
+    Scale shape: one 1-row bounds broadcast, ONE user-grain keyed
+    aggregate, one 1-row rollup. Nothing else touches data grain."""
+    (ev,) = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr(
+            "CAST((min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+            " AS BIGINT)"
+        ).alias("mid")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.expr(
+                    "CASE WHEN unix_micros(ts) < mid"
+                    " AND event_type = 'click' THEN 1 ELSE 0 END"
+                )
+            ).alias("p1"),
+            F.max(
+                F.expr(
+                    "CASE WHEN unix_micros(ts) >= mid"
+                    " AND event_type = 'click' THEN 1 ELSE 0 END"
+                )
+            ).alias("p2"),
+        )
+    )
+    cnt = u.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("p1") * F.col("p2")).cast("long").alias("n_both"),
+        F.sum(F.col("p1") * (1 - F.col("p2")))
+        .cast("long")
+        .alias("n_only_first"),
+        F.sum((1 - F.col("p1")) * F.col("p2"))
+        .cast("long")
+        .alias("n_only_second"),
+        F.sum((1 - F.col("p1")) * (1 - F.col("p2")))
+        .cast("long")
+        .alias("n_neither"),
+    )
+    return cnt.selectExpr(
+        "n_users",
+        "n_both",
+        "n_only_first",
+        "n_only_second",
+        "n_neither",
+        "CAST(CASE WHEN n_only_first + n_only_second = 0 THEN 0"
+        " ELSE CAST(greatest(abs(n_only_first - n_only_second) - 1, 0)"
+        " AS DECIMAL(38,0))"
+        " * greatest(abs(n_only_first - n_only_second) - 1, 0) * 1000"
+        " div (n_only_first + n_only_second) END"
+        " AS BIGINT) AS mcnemar_chi2_milli",
+    )
+
+
+# Deterministic Poisson-bootstrap constants: a 31-bit multiplicative
+# hash u(event_id, b) drives a truncated-Poisson(1) weight via literal
+# integer thresholds floor(cum_k * 2^31) for k = 0..3 (w = 4 lumps the
+# >= 4 tail; E[w] = 0.9957 — the truncation bias is documented and
+# identical on both engines). Multipliers are the public Knuth /
+# xxhash-prime constants.
+_PB_REPS = 64
+_PB_MOD = 2_147_483_648
+_PB_MUL_ID = 2_654_435_761
+_PB_MUL_B = 2_246_822_519
+_PB_T0 = 790_015_084
+_PB_T1 = 1_580_030_168
+_PB_T2 = 1_975_037_710
+_PB_T3 = 2_106_706_891
+_PB_W_SQL = (
+    f"CASE WHEN u < {_PB_T0} THEN 0"
+    f" WHEN u < {_PB_T1} THEN 1"
+    f" WHEN u < {_PB_T2} THEN 2"
+    f" WHEN u < {_PB_T3} THEN 3"
+    " ELSE 4 END"
+)
+
+
+@q(
+    "ev_poisson_bootstrap_ci",
+    f"""
+    WITH x AS (
+      SELECT event_id, CAST(round(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ), ex AS (
+      SELECT vm,
+             CAST((CAST(event_id AS HUGEINT) * {_PB_MUL_ID}
+                   + (gs.b + 1) * {_PB_MUL_B}) % {_PB_MOD} AS BIGINT) AS u,
+             gs.b
+      FROM x, generate_series(0, {_PB_REPS - 1}) AS gs(b)
+    ), w AS (
+      SELECT b, {_PB_W_SQL} AS w, vm FROM ex
+    ), rep AS (
+      SELECT b, CAST(sum(w) AS BIGINT) AS sw,
+             sum(CAST(w AS HUGEINT) * vm) AS swv
+      FROM w GROUP BY b
+    ), means AS (
+      SELECT b,
+             CAST(CASE WHEN sw <= 0 THEN 0
+                  ELSE swv * 1000 // sw END AS BIGINT) AS mean_micro
+      FROM rep
+    ), ranked AS (
+      SELECT mean_micro,
+             row_number() OVER (ORDER BY mean_micro, b) AS rk
+      FROM means
+    ), ci AS (
+      SELECT max(CASE WHEN rk = 2 THEN mean_micro END) AS lo,
+             max(CASE WHEN rk = {_PB_REPS - 1} THEN mean_micro END) AS hi
+      FROM ranked
+    ), pt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(vm) * 1000 // count(*) AS BIGINT) AS point_mean_micro
+      FROM x
+    )
+    SELECT n_rows, CAST({_PB_REPS} AS BIGINT) AS b_reps,
+           point_mean_micro,
+           CAST(lo AS BIGINT) AS ci_lo_micro,
+           CAST(hi AS BIGINT) AS ci_hi_micro,
+           CAST(hi - lo AS BIGINT) AS ci_width_micro
+    FROM pt, ci
+    """,
+)
+def ev_poisson_bootstrap_ci(spark, sf_dir):
+    """DETERMINISTIC POISSON BOOTSTRAP confidence interval for the mean
+    event value — THE bootstrap that works at 100 TB: classical
+    resampling needs n draws per replicate from a global index
+    (impossible distributed), but Poisson(1) per-row weights are an
+    excellent approximation (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012 — public) and embarrassingly
+    parallel: each row computes its own B weights map-side, one keyed
+    aggregate to B replicate rows, done.
+
+    Determinism (the house requirement no RNG satisfies): the weight is
+    a truncated-Poisson(1) inverse-CDF lookup on a 31-bit
+    multiplicative hash u = (event_id*K1 + (b+1)*K2) mod 2^31 — pure
+    integer arithmetic, bit-identical on both engines (128-bit product
+    before the mod; thresholds are literal floor(cum*2^31) constants;
+    the >= 4 tail lumps at 4, E[w] = 0.9957, documented). Replicate
+    means land on the micro lattice via positive integer division; the
+    2.5%/97.5% CI picks literal ranks 2 and 63 of the 64 sorted means.
+
+    Scale shape: ONE map-side explode (x64 rows, no shuffle), ONE keyed
+    aggregate to B=64 replicate rows (map-side partials make this B x
+    partitions, not B x N), a 64-row ranking window (B-grain, bounded
+    by the literal), two 1-row broadcasts. The explode factor IS the
+    cost model: B x data scan, zero extra shuffles."""
+    (ev,) = _t(spark, sf_dir, "events")
+    x = ev.select(
+        "event_id", F.round(F.col("value") * 1000).cast("long").alias("vm")
+    )
+    ex = x.select(
+        "vm",
+        F.explode(F.sequence(F.lit(0), F.lit(_PB_REPS - 1))).alias("b"),
+        "event_id",
+    ).selectExpr(
+        "vm",
+        "b",
+        f"CAST((CAST(event_id AS DECIMAL(38,0)) * {_PB_MUL_ID}"
+        f" + (b + 1) * {_PB_MUL_B}) % {_PB_MOD} AS BIGINT) AS u",
+    )
+    w = ex.selectExpr("b", "vm", f"{_PB_W_SQL} AS w")
+    rep = w.groupBy("b").agg(
+        F.sum("w").cast("long").alias("sw"),
+        F.expr("sum(CAST(w AS DECIMAL(38,0)) * vm)").alias("swv"),
+    )
+    means = rep.selectExpr(
+        "b",
+        "CAST(CASE WHEN sw <= 0 THEN 0"
+        " ELSE swv * 1000 div sw END AS BIGINT) AS mean_micro",
+    )
+    ranked = means.select(
+        "mean_micro",
+        F.row_number()
+        .over(Window.orderBy("mean_micro", "b"))
+        .alias("rk"),
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean_micro"))).alias("lo"),
+        F.max(
+            F.when(F.col("rk") == _PB_REPS - 1, F.col("mean_micro"))
+        ).alias("hi"),
+    )
+    pt = x.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr(
+            "CAST(sum(vm) * 1000 div count(*) AS BIGINT)"
+        ).alias("point_mean_micro"),
+    )
+    return pt.crossJoin(F.broadcast(ci)).selectExpr(
+        "n_rows",
+        f"CAST({_PB_REPS} AS BIGINT) AS b_reps",
+        "point_mean_micro",
+        "CAST(lo AS BIGINT) AS ci_lo_micro",
+        "CAST(hi AS BIGINT) AS ci_hi_micro",
+        "CAST(hi - lo AS BIGINT) AS ci_width_micro",
+    )
+
+
+# Hour-grain count series shared by the trend pair: bounded by the
+# calendar span (<= ~10^4 hours at any row count), so the O(n_hours^2)
+# pair join is dimension-grain arithmetic, never data-grain.
+_TREND_HOURS_SQL = f"""
+    hrs AS (
+      SELECT epoch_us(ts) // {_US_PER_HOUR} AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY epoch_us(ts) // {_US_PER_HOUR}
+    )
+"""
+
+
+def _trend_hours(spark, sf_dir):
+    (ev,) = _t(spark, sf_dir, "events")
+    # Project hr BEFORE the groupBy so the aggregate keys on the named
+    # column (keys=[hr#N]) — the plan-contract dim_agg marker proves
+    # the BNLJ broadcast side is the calendar-bounded hour grain, and
+    # a _groupingexpression key would defeat the structural check.
+    return (
+        ev.select(
+            F.expr(f"unix_micros(ts) div {_US_PER_HOUR}").alias("hr")
+        )
+        .groupBy("hr")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+@q(
+    "ev_theil_sen_trend",
+    f"""
+    WITH {_TREND_HOURS_SQL},
+    pairs AS (
+      SELECT (b.cnt - a.cnt) * 1000000 // (b.hr - a.hr) AS slope_micro
+      FROM hrs a JOIN hrs b ON b.hr > a.hr
+    ), sg AS (
+      SELECT slope_micro, CAST(count(*) AS BIGINT) AS c
+      FROM pairs GROUP BY slope_micro
+    ), sc AS (
+      SELECT slope_micro, c,
+             CAST(sum(c) OVER (ORDER BY slope_micro
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS np
+      FROM sg
+    ), med AS (
+      SELECT min(CASE WHEN cum * 2 >= np THEN slope_micro END)
+                 AS slope_micro_per_hr,
+             max(np) AS n_pairs
+      FROM sc
+    ), ic AS (
+      SELECT h.cnt * 1000000 - m.slope_micro_per_hr * h.hr AS b0,
+             m.slope_micro_per_hr, m.n_pairs
+      FROM hrs h, med m
+    ), ig AS (
+      SELECT b0, slope_micro_per_hr, n_pairs,
+             CAST(count(*) AS BIGINT) AS c
+      FROM ic GROUP BY b0, slope_micro_per_hr, n_pairs
+    ), icc AS (
+      SELECT b0, slope_micro_per_hr, n_pairs, c,
+             CAST(sum(c) OVER (ORDER BY b0
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS nh
+      FROM ig
+    )
+    SELECT max(nh) AS n_hours, max(n_pairs) AS n_pairs,
+           max(slope_micro_per_hr) AS slope_micro_per_hr,
+           min(CASE WHEN cum * 2 >= nh THEN b0 END) AS intercept_micro
+    FROM icc
+    """,
+)
+def ev_theil_sen_trend(spark, sf_dir):
+    """THEIL-SEN robust trend over the hourly event-count series — the
+    median of all pairwise slopes (29% breakdown point vs OLS's zero:
+    one corrupted hour cannot move it), with the matching median
+    intercept; the robust companion to ev_double_smooth_forecast's
+    least-squares world.
+
+    Integer form: slopes land on the micro lattice via EXPLICIT floor
+    division — dy can be negative, and Spark div truncates toward zero
+    while DuckDB // floors, so the Spark side computes
+    (a - pmod(a, dx)) div dx (exact: the numerator is a multiple of
+    dx, making truncate == floor == exact); both medians are lower
+    order statistics via the cumulative-crossing idiom at
+    distinct-slope grain. No floats anywhere.
+
+    Scale shape: ONE data-sized keyed aggregate to hour grain (bounded
+    by the calendar span, <= ~1e4 rows at ANY data scale), then all
+    O(hours^2) pair arithmetic is dimension-grain (<= ~5e7 pairs from
+    a 1e4-hour decade — a single-task broadcast nested loop over a
+    BOUNDED build side, the declared survivor class); medians ride
+    unpartitioned windows over distinct-slope bins (pair-grain
+    bounded)."""
+    hrs = _trend_hours(spark, sf_dir)
+    a = hrs.select(
+        F.col("hr").alias("hr_a"), F.col("cnt").alias("cnt_a")
+    )
+    b = hrs.select(
+        F.col("hr").alias("hr_b"), F.col("cnt").alias("cnt_b")
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("hr_b") > F.col("hr_a")
+    ).selectExpr(
+        "CAST((CAST(cnt_b - cnt_a AS DECIMAL(38,0)) * 1000000"
+        " - pmod(CAST(cnt_b - cnt_a AS DECIMAL(38,0)) * 1000000,"
+        " hr_b - hr_a)) div (hr_b - hr_a) AS BIGINT) AS slope_micro"
+    )
+    sg = pairs.groupBy("slope_micro").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w_cum = Window.orderBy("slope_micro").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    sc = sg.select(
+        "slope_micro",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("np"),
+    )
+    med = sc.agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("np"), F.col("slope_micro"))
+        ).alias("slope_micro_per_hr"),
+        F.max("np").alias("n_pairs"),
+    )
+    ic = hrs.crossJoin(F.broadcast(med)).selectExpr(
+        "cnt * 1000000 - slope_micro_per_hr * hr AS b0",
+        "slope_micro_per_hr",
+        "n_pairs",
+    )
+    ig = ic.groupBy("b0", "slope_micro_per_hr", "n_pairs").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w_icum = Window.orderBy("b0").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    icc = ig.select(
+        "b0",
+        "slope_micro_per_hr",
+        "n_pairs",
+        F.sum("c").over(w_icum).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("nh"),
+    )
+    return icc.agg(
+        F.max("nh").alias("n_hours"),
+        F.max("n_pairs").alias("n_pairs"),
+        F.max("slope_micro_per_hr").alias("slope_micro_per_hr"),
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("nh"), F.col("b0"))
+        ).alias("intercept_micro"),
+    )
+
+
+@q(
+    "ev_mann_kendall_trend",
+    f"""
+    WITH {_TREND_HOURS_SQL},
+    s AS (
+      SELECT CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+                           WHEN b.cnt < a.cnt THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat
+      FROM hrs a JOIN hrs b ON b.hr > a.hr
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS nh FROM hrs
+    ), ties AS (
+      SELECT CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1)
+                               * (2 * t + 5)), 0) AS BIGINT) AS tsum
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t
+            FROM hrs GROUP BY cnt) HAVING true
+    ), v AS (
+      SELECT CAST(nh AS HUGEINT) * (nh - 1) * (2 * nh + 5) - tsum
+                 AS var18, nh, s_stat, tsum
+      FROM n, s, ties
+    )
+    SELECT nh AS n_hours, s_stat, CAST(var18 AS BIGINT) AS var18,
+           CAST(CASE WHEN var18 <= 0 OR s_stat = 0 THEN 0
+                ELSE CASE WHEN s_stat > 0 THEN 1 ELSE -1 END
+                     * (CAST(greatest(abs(s_stat) - 1, 0) AS HUGEINT)
+                        * greatest(abs(s_stat) - 1, 0) * 18000)
+                     // var18 END AS BIGINT) AS z2_signed_milli
+    FROM v
+    """,
+)
+def ev_mann_kendall_trend(spark, sf_dir):
+    """MANN-KENDALL trend test on the hourly event-count series — the
+    nonparametric is-there-a-monotonic-trend companion to
+    ev_theil_sen_trend's how-steep (the classic pairing in
+    environmental statistics): S = sum over hour pairs of
+    sign(cnt_j - cnt_i), the tie-corrected variance
+    var = [n(n-1)(2n+5) - sum t(t-1)(2t+5)]/18, and the
+    continuity-corrected z reported SQRT-FREE as sign(S)*(|S|-1)^2*18
+    /var18 in milli-units (|z| > 1.96 <=> |z2| > 3841, the Welch
+    discipline).
+
+    Integer form: S is an exact +-1 sum; the tie term groups hours by
+    count value (HUGEINT cubics — n_hours^3 stays ~1e12 even at a
+    decade of hours); the z^2 dividend is quadratic in S (~n^4) so it
+    accumulates 128-bit and only the bounded quotient leaves. Floor vs
+    truncate: the dividend is a product of a nonnegative square and
+    sign is applied OUTSIDE the division on both engines... (both
+    divisions see nonnegative operands; the sign multiplies the
+    floored quotient).
+
+    Scale shape: one keyed aggregate to hour grain (calendar-bounded),
+    one dimension-grain pair reduction (bounded nested loop, declared
+    survivor), one tie aggregate at distinct-count grain, 1-row
+    arithmetic."""
+    hrs = _trend_hours(spark, sf_dir)
+    a = hrs.select(
+        F.col("hr").alias("hr_a"), F.col("cnt").alias("cnt_a")
+    )
+    b = hrs.select(
+        F.col("hr").alias("hr_b"), F.col("cnt").alias("cnt_b")
+    )
+    s = a.join(F.broadcast(b), F.col("hr_b") > F.col("hr_a")).agg(
+        F.sum(
+            F.when(F.col("cnt_b") > F.col("cnt_a"), 1)
+            .when(F.col("cnt_b") < F.col("cnt_a"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    n = hrs.agg(F.count("*").cast("long").alias("nh"))
+    ties = (
+        hrs.groupBy("cnt")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.expr(
+                "CAST(coalesce(sum(CAST(t AS DECIMAL(38,0)) * (t - 1)"
+                " * (2 * t + 5)), 0) AS BIGINT)"
+            ).alias("tsum")
+        )
+    )
+    v = (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "nh",
+            "s_stat",
+            "tsum",
+            "CAST(nh AS DECIMAL(38,0)) * (nh - 1) * (2 * nh + 5) - tsum"
+            " AS var18",
+        )
+    )
+    return v.selectExpr(
+        "nh AS n_hours",
+        "s_stat",
+        "CAST(var18 AS BIGINT) AS var18",
+        "CAST(CASE WHEN var18 <= 0 OR s_stat = 0 THEN 0"
+        " ELSE CASE WHEN s_stat > 0 THEN 1 ELSE -1 END"
+        " * (CAST(greatest(abs(s_stat) - 1, 0) AS DECIMAL(38,0))"
+        " * greatest(abs(s_stat) - 1, 0) * 18000)"
+        " div var18 END AS BIGINT) AS z2_signed_milli",
+    )
+
+
+@q(
+    "ev_nelson_aalen_hazard",
+    f"""
+    WITH spans AS (
+      SELECT user_id,
+             min(epoch_us(ts) // {_US_PER_HOUR}) AS first_hr,
+             max(epoch_us(ts) // {_US_PER_HOUR}) AS last_hr
+      FROM events GROUP BY user_id
+    ), horizon AS (
+      SELECT max(last_hr) AS m FROM spans
+    ), users AS (
+      SELECT s.last_hr - s.first_hr AS dur,
+             CASE WHEN s.last_hr <= h.m - {_KM_QUIET_HOURS}
+                  THEN 1 ELSE 0 END AS churned
+      FROM spans s CROSS JOIN horizon h
+    ), durs AS (
+      SELECT dur,
+             CAST(sum(churned) AS BIGINT) AS n_churn,
+             CAST(sum(1 - churned) AS BIGINT) AS n_censored
+      FROM users GROUP BY dur
+    ), risk AS (
+      SELECT dur, n_churn, n_censored,
+             CAST(sum(n_churn + n_censored) OVER (ORDER BY dur DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+      FROM durs
+    ), steps AS (
+      SELECT dur, n_risk, n_churn, n_censored,
+             CAST(n_churn * 1000000 // n_risk AS BIGINT)
+                 AS hazard_step_micro
+      FROM risk WHERE n_churn > 0
+    )
+    SELECT CAST(dur AS BIGINT) AS dur_hours, n_risk, n_churn, n_censored,
+           hazard_step_micro,
+           CAST(sum(hazard_step_micro) OVER (ORDER BY dur
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumhaz_micro
+    FROM steps
+    """,
+)
+def ev_nelson_aalen_hazard(spark, sf_dir):
+    """NELSON-AALEN cumulative hazard over the same user-lifetime
+    machinery as ev_kaplan_meier (identical churn/censoring rule,
+    docstring there): H(t) = sum over event times <= t of d_i/n_i —
+    the estimator survival analysis prefers when the HAZARD (churn
+    intensity), not the survival probability, is the readout, and the
+    better-behaved one at small risk sets (no product hitting zero).
+
+    Integer form: each step d/n lands on the micro lattice via one
+    POSITIVE integer division (floor == truncate; KM needed the ln
+    lattice because its steps multiply — here they ADD, so plain micro
+    units carry the exact prefix sum). Duality law (test-pinned):
+    exp(-H(t)) >= S_KM(t) at every step on the shared lattice, the
+    textbook inequality, with equality drift bounded by the lattice
+    epsilon.
+
+    Scale shape: identical to ev_kaplan_meier — one user-grain keyed
+    aggregate, then everything at DISTINCT-DURATION grain (calendar-
+    bounded), two bounded windows (suffix at-risk, prefix hazard), one
+    1-row horizon broadcast."""
+    (ev,) = _t(spark, sf_dir, "events")
+    hr = F.expr(f"unix_micros(ts) div {_US_PER_HOUR}")
+    spans = ev.groupBy("user_id").agg(
+        F.min(hr).alias("first_hr"), F.max(hr).alias("last_hr")
+    )
+    horizon = spans.agg(F.max("last_hr").alias("m"))
+    users = spans.crossJoin(F.broadcast(horizon)).select(
+        (F.col("last_hr") - F.col("first_hr")).alias("dur"),
+        F.when(
+            F.col("last_hr") <= F.col("m") - _KM_QUIET_HOURS, 1
+        ).otherwise(0).alias("churned"),
+    )
+    durs = users.groupBy("dur").agg(
+        F.sum("churned").cast("long").alias("n_churn"),
+        F.sum(1 - F.col("churned")).cast("long").alias("n_censored"),
+    )
+    w_suffix = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = durs.select(
+        "dur",
+        "n_churn",
+        "n_censored",
+        F.sum(F.col("n_churn") + F.col("n_censored"))
+        .over(w_suffix)
+        .cast("long")
+        .alias("n_risk"),
+    )
+    steps = risk.where(F.col("n_churn") > 0).select(
+        "dur",
+        "n_risk",
+        "n_churn",
+        "n_censored",
+        F.expr("CAST(n_churn * 1000000 div n_risk AS BIGINT)").alias(
+            "hazard_step_micro"
+        ),
+    )
+    w_prefix = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return steps.select(
+        F.col("dur").cast("long").alias("dur_hours"),
+        "n_risk",
+        "n_churn",
+        "n_censored",
+        "hazard_step_micro",
+        F.sum("hazard_step_micro")
+        .over(w_prefix)
+        .cast("long")
+        .alias("cumhaz_micro"),
+    )
+
+
+@q(
+    "ev_winsorized_mean",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ), g AS (
+      SELECT event_type, vm, CAST(count(*) AS BIGINT) AS c
+      FROM v GROUP BY event_type, vm
+    ), c AS (
+      SELECT event_type, vm, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY vm
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM g
+    ), fence AS (
+      SELECT event_type, max(n) AS n,
+             min(CASE WHEN cum * 10 >= n THEN vm END) AS p10_vm,
+             min(CASE WHEN cum * 10 >= 9 * n THEN vm END) AS p90_vm
+      FROM c GROUP BY event_type
+    )
+    SELECT g.event_type, f.n,
+           f.p10_vm, f.p90_vm,
+           CAST(sum(g.c * least(greatest(g.vm, f.p10_vm), f.p90_vm))
+                * 1000 // f.n AS BIGINT) AS winsor_mean_micro,
+           CAST(sum(g.c * g.vm) * 1000 // f.n AS BIGINT) AS raw_mean_micro
+    FROM g JOIN fence f USING (event_type)
+    GROUP BY g.event_type, f.n, f.p10_vm, f.p90_vm
+    """,
+)
+def ev_winsorized_mean(spark, sf_dir):
+    """WINSORIZED MEAN (10/90) per event type — agg_trimmed_mean's
+    sibling that CLAMPS the tails to the decile fences instead of
+    dropping them (keeps n constant — the robust location estimate a
+    metrics pipeline wants when per-segment counts must reconcile
+    downstream), reported beside the raw mean so the winsorization
+    delta is the outlier-pressure readout.
+
+    Integer form: the decile fences are exact LOWER order statistics
+    via the PARTITIONED cumulative-crossing idiom (cum*10 >= n and
+    cum*10 >= 9n — the dq_anomaly_mad median machinery generalized to
+    any rank); clamping is least/greatest on lattice integers; both
+    means are positive integer divisions (value >= 0 by the fixture
+    data contract, so floor == truncate).
+
+    Scale shape: one keyed aggregate to (event_type, value-bin) cells,
+    partitioned bounded windows, a 5-row fence join back, one keyed
+    aggregate to event_type. No unpartitioned windows, no broadcasts
+    of unbounded tables."""
+    (ev,) = _t(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+        .groupBy("event_type", "vm")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = Window.partitionBy("event_type")
+    cm = g.select(
+        "event_type",
+        "vm",
+        "c",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_n).cast("long").alias("n"),
+    )
+    fence = cm.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("cum") * 10 >= F.col("n"), F.col("vm"))
+        ).alias("p10_vm"),
+        F.min(
+            F.when(F.col("cum") * 10 >= 9 * F.col("n"), F.col("vm"))
+        ).alias("p90_vm"),
+    )
+    return (
+        g.join(F.broadcast(fence), "event_type")
+        .groupBy("event_type", "n", "p10_vm", "p90_vm")
+        .agg(
+            F.expr(
+                "CAST(sum(c * least(greatest(vm, p10_vm), p90_vm))"
+                " * 1000 div n AS BIGINT)"
+            ).alias("winsor_mean_micro"),
+            F.expr(
+                "CAST(sum(c * vm) * 1000 div n AS BIGINT)"
+            ).alias("raw_mean_micro"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "p10_vm",
+            "p90_vm",
+            "winsor_mean_micro",
+            "raw_mean_micro",
+        )
+    )

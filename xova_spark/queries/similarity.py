@@ -2324,3 +2324,107 @@ def ann_nprobe_tuning_report(spark, sf_dir):
         )
         .orderBy("nprobe")
     )
+
+
+@q(
+    "ann_ivf_cell_balance",
+    f"""
+    WITH normed AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+      FROM normed WHERE vec_id < {_IVF_K}
+    ), assigned AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT n.vec_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_duck_dot('n.embedding', 'c.cemb')} / (n.nrm * c.cnrm)
+                          DESC, c.cent_id) AS rn
+        FROM normed n CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), cells AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS csize
+      FROM assigned GROUP BY cell
+    ), stat AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(csize) AS BIGINT) AS n_vectors,
+             CAST(max(csize) AS BIGINT) AS max_cell,
+             CAST(min(csize) AS BIGINT) AS min_cell,
+             sum(CAST(csize AS HUGEINT) * csize) AS sq
+      FROM cells
+    )
+    SELECT n_cells, n_vectors, max_cell, min_cell,
+           CAST(max_cell * n_cells * 1000 // n_vectors AS BIGINT)
+               AS imbalance_milli,
+           CAST(sq * n_cells * 1000000
+                // (CAST(n_vectors AS HUGEINT) * n_vectors)
+                - 1000000 AS BIGINT) AS load_cv2_micro
+    FROM stat
+    """,
+)
+def ann_ivf_cell_balance(spark, sf_dir):
+    """IVF INDEX BALANCE AUDIT over the same cell assignment as
+    ann_ivf_topk — the index-health readout an ANN serving team reads
+    before trusting nprobe latency budgets: cell count, size extremes,
+    the max/avg imbalance factor in milli (1000 = perfectly balanced;
+    a 5000 means the hottest cell costs 5x the average probe), and the
+    squared coefficient of variation of cell load reported SQRT-FREE
+    in micro (K*sum(c^2)/N^2 - 1 — the exact-moment identity, no
+    stddev enters the hash).
+
+    Exactness: the assignment inherits ann_ivf_topk's deterministic
+    seed-centroid quantizer (documented there: cosine ranking with
+    cent_id tiebreak, fixture-scale determinism class shared by every
+    IVF entry); everything downstream is exact integer arithmetic at
+    K-cell grain with the quadratic sum 128-bit from birth.
+
+    Scale shape: one K-centroid broadcast over one corpus scan, one
+    keyed aggregate to K cells, 1-row arithmetic. The audit costs one
+    assignment pass — at production it reads the ALREADY-MATERIALIZED
+    index cells for free."""
+    (emb,) = _emb(spark, sf_dir)
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+    cent = normed.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cent_cos = _spark_dot("embedding", "cemb") / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), "cent_id")
+    assigned = (
+        normed.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", cent_cos)
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    cells = assigned.groupBy("cell").agg(
+        F.count("*").cast("long").alias("csize")
+    )
+    stat = cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("csize").cast("long").alias("n_vectors"),
+        F.max("csize").cast("long").alias("max_cell"),
+        F.min("csize").cast("long").alias("min_cell"),
+        F.expr("sum(CAST(csize AS DECIMAL(38,0)) * csize)").alias("sq"),
+    )
+    return stat.selectExpr(
+        "n_cells",
+        "n_vectors",
+        "max_cell",
+        "min_cell",
+        "CAST(max_cell * n_cells * 1000 div n_vectors AS BIGINT)"
+        " AS imbalance_milli",
+        "CAST(sq * n_cells * 1000000"
+        " div (CAST(n_vectors AS DECIMAL(38,0)) * n_vectors)"
+        " - 1000000 AS BIGINT) AS load_cv2_micro",
+    )

@@ -3861,3 +3861,189 @@ def t_vocab_oov_rate(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_WATERFILL_QCHARS = 280  # quality proxy: doc passes if n_chars >= this
+
+
+@q(
+    "t_mixture_waterfill",
+    f"""
+    WITH src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+             CAST(sum(CASE WHEN n_chars >= {_WATERFILL_QCHARS}
+                           THEN 1 ELSE 0 END) * 1000
+                  // count(*) AS BIGINT) AS quality_permille
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(tokens) // 2 AS BIGINT) AS budget FROM src
+    ), ord AS (
+      SELECT source, n_docs, tokens, quality_permille, budget,
+             CAST(coalesce(sum(tokens) OVER (
+                 ORDER BY quality_permille DESC, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+      FROM src, tot
+    )
+    SELECT source, n_docs, tokens, quality_permille,
+           CAST(least(tokens, greatest(budget - cum_before, 0))
+                AS BIGINT) AS taken_tokens,
+           least(tokens, greatest(budget - cum_before, 0)) < tokens
+               AS truncated
+    FROM ord
+    """,
+)
+def t_mixture_waterfill(spark, sf_dir):
+    """GREEDY QUALITY WATER-FILL mixture allocation — the training-
+    data budgeting step after per-source quality scoring: given a
+    global token budget (here 50% of the corpus — the literal every
+    data-constrained pretraining run picks first), fill from the
+    highest-quality source down, truncating the source that crosses
+    the budget and zeroing everything below it. The per-source readout
+    (tokens, quality, taken, truncated flag) IS the mixture spec a
+    sampler consumes; t_unimax_language_budget is the LANGUAGE-axis
+    sibling (epoch-capped fairness), this is the QUALITY-axis greedy.
+
+    Exactness: quality is an integer permille pass rate on the doc
+    count (pass = n_chars >= literal); the fill order is total
+    (quality DESC, source ASC); cum_before is an exclusive prefix sum
+    of exact token counts; take = least/greatest integer arithmetic.
+    Law (test-pinned): sum(taken) == min(budget, total_tokens), and
+    the truncated set is a suffix of the fill order.
+
+    Scale shape: ONE doc-grain keyed aggregate to source grain
+    (bounded dimension, ~tens at any corpus size), a 1-row budget
+    broadcast, one bounded window over sources. The explode-free
+    token count (len(split)) keeps the scan single-pass."""
+    (docs,) = _docs(spark, sf_dir)
+    src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens"),
+        F.expr(
+            f"CAST(sum(CASE WHEN n_chars >= {_WATERFILL_QCHARS}"
+            " THEN 1 ELSE 0 END) * 1000 div count(*) AS BIGINT)"
+        ).alias("quality_permille"),
+    )
+    tot = src.agg(
+        F.expr("CAST(sum(tokens) div 2 AS BIGINT)").alias("budget")
+    )
+    w = Window.orderBy(F.desc("quality_permille"), "source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ordd = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        "quality_permille",
+        "budget",
+        (F.sum("tokens").over(w) - F.col("tokens"))
+        .cast("long")
+        .alias("cum_before"),
+    )
+    return ordd.selectExpr(
+        "source",
+        "n_docs",
+        "tokens",
+        "quality_permille",
+        "CAST(least(tokens, greatest(budget - cum_before, 0)) AS BIGINT)"
+        " AS taken_tokens",
+        "least(tokens, greatest(budget - cum_before, 0)) < tokens"
+        " AS truncated",
+    )
+
+
+_COVERAGE_TOPK = 1000  # deepest checkpoint; the global sort stops here
+
+
+@q(
+    "t_ngram_coverage_curve",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT) AS vocab
+      FROM freq
+    ), top AS (
+      SELECT w, c FROM freq ORDER BY c DESC, w LIMIT {_COVERAGE_TOPK}
+    ), ranked AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c DESC, w) AS rk,
+             CAST(sum(c) OVER (ORDER BY c DESC, w
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM top
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(least(k, vocab) AS BIGINT) AS vocab_at_k,
+           CAST(max(CASE WHEN rk <= k THEN cum END) * 1000
+                // total_tokens AS BIGINT) AS coverage_permille,
+           total_tokens, vocab
+    FROM ranked, tot, (VALUES (10), (100), (1000)) AS ks(k)
+    GROUP BY k, vocab, total_tokens
+    ORDER BY k
+    """,
+)
+def t_ngram_coverage_curve(spark, sf_dir):
+    """VOCABULARY COVERAGE CURVE — the tokenizer-design readout: what
+    fraction of all token OCCURRENCES do the top-K types cover, at
+    K = 10/100/1000? (Zipf's law says ~K^(1-1/s) — t_zipf_slope fits
+    the exponent; this entry reads the curve directly, which is what a
+    vocab-size decision actually consumes. The OOV-rate entries are
+    the same curve evaluated from the other side.)
+
+    Exactness: frequencies are exact counts; the top-K order is total
+    (count DESC, token ASC); the cumulative rides a window over the
+    ALREADY-LIMITED frame (<= {_COVERAGE_TOPK} rows by the literal);
+    coverage is a positive integer permille division. Law
+    (test-pinned): coverage is monotone nondecreasing in K and
+    vocab_at_k == min(K, vocab).
+
+    Scale shape: one token-grain keyed aggregate (map-side combine),
+    ONE distributed TakeOrderedAndProject top-K (the t_bm25_topk
+    survivor class — never a global sort), a bounded window over the
+    K-row frame, a 3-row checkpoint spine, 1-row totals broadcast."""
+    (docs,) = _docs(spark, sf_dir)
+    tok = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    tot = freq.agg(
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    top = freq.orderBy(F.desc("c"), "w").limit(_COVERAGE_TOPK)
+    w_rk = Window.orderBy(F.desc("c"), "w")
+    ranked = top.select(
+        "c",
+        F.row_number().over(w_rk).alias("rk"),
+        F.sum("c")
+        .over(
+            w_rk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long")
+        .alias("cum"),
+    )
+    ks = spark.range(3).select(
+        F.expr("CAST(pow(10, id + 1) AS BIGINT)").alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "vocab", "total_tokens")
+        .agg(
+            F.expr(
+                "CAST(max(CASE WHEN rk <= k THEN cum END) * 1000"
+                " div total_tokens AS BIGINT)"
+            ).alias("coverage_permille")
+        )
+        .selectExpr(
+            "k",
+            "CAST(least(k, vocab) AS BIGINT) AS vocab_at_k",
+            "coverage_permille",
+            "total_tokens",
+            "vocab",
+        )
+        .orderBy("k")
+    )
