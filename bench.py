@@ -170,6 +170,12 @@ HEADLINE = (
     "t_ngram_coverage_curve",
     "ann_ivf_cell_balance",
     "pipeline_tokenize_shard_e2e",
+    "ev_cohens_kappa",
+    "ev_js_divergence",
+    "agg_mode_exact",
+    "ev_psi_drift",
+    "ev_lagged_cross_correlation",
+    "t_kl_vocab_divergence",
 )
 
 

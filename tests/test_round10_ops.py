@@ -641,3 +641,184 @@ def test_tokenize_shard_gate_consistency(spark):
     assert row["balanced"] == (bal <= _TSH_BALANCE_MAX_MILLI)
     assert row["min_shard_tokens"] <= total // row["n_shards"]
     assert row["max_shard_tokens"] >= total // row["n_shards"]
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch 2 law tests
+
+
+def test_cohens_kappa_replica(spark):
+    """Exact python replica of the 2x2 agreement table and the milli
+    kappa from raw documents; kappa must be <= raw agreement scaled
+    (chance correction can only lower it when pe > 0) and in
+    [-1000, 1000]."""
+    from xova_spark.queries.relext import (
+        _KAPPA_A_CHARS,
+        _KAPPA_B_TOKENS,
+        ev_cohens_kappa,
+    )
+
+    (row,) = ev_cohens_kappa(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    a = b = c = d = 0
+    for doc in docs:
+        ra = doc["n_chars"] >= _KAPPA_A_CHARS
+        rb = len(doc["text"].split(" ")) >= _KAPPA_B_TOKENS
+        if ra and rb:
+            a += 1
+        elif ra:
+            b += 1
+        elif rb:
+            c += 1
+        else:
+            d += 1
+    n = a + b + c + d
+    assert (row["n"], row["n_both_pass"], row["n_only_a"]) == (n, a, b)
+    assert (row["n_only_b"], row["n_both_fail"]) == (c, d)
+    pe_n2 = (a + b) * (a + c) + (c + d) * (b + d)
+    denom = n * n - pe_n2
+    kappa = 0 if denom == 0 else (n * (a + d) - pe_n2) * 1000 // denom
+    assert row["kappa_milli"] == kappa
+    assert kappa >= 0, "fixture kappa must be nonnegative (sign-safe div)"
+    assert -1000 <= row["kappa_milli"] <= 1000
+
+
+def test_js_divergence_laws(spark, tmp_path):
+    """(a) 0 <= JSD <= ln2 micro (+lattice eps) on the fixture;
+    (b) identical distributions give exactly 0 on a synthetic table;
+    (c) the two KL halves are each >= 0."""
+    from xova_spark.queries.relext import ev_js_divergence
+
+    (row,) = ev_js_divergence(spark, SF).collect()
+    assert 0 <= row["jsd_micro"] <= 693148  # ln2 micro + 1
+    assert row["kl_p_m_micro"] >= 0 and row["kl_q_m_micro"] >= 0
+    assert (
+        row["jsd_micro"]
+        == (row["kl_p_m_micro"] + row["kl_q_m_micro"]) // 2
+    )
+    # identical halves -> 0
+    rows = []
+    ts = pd.Timestamp("2024-03-05 01:00:00")
+    for v in (1.0, 2.0, 3.0):
+        rows.extend(("click", ts, v) for _ in range(10))
+        rows.extend(("purchase", ts, v) for _ in range(10))
+    d = _write_events_parquet(str(tmp_path), rows)
+    (z,) = ev_js_divergence(spark, d).collect()
+    assert z["jsd_micro"] == 0 and z["kl_p_m_micro"] == 0
+
+
+def test_mode_exact_replica(spark):
+    """Mode equals the python argmax with the smallest-value tiebreak,
+    and the share is the exact permille."""
+    from collections import Counter
+
+    from xova_spark.queries.relext import agg_mode_exact
+
+    rows = {r["event_type"]: r for r in agg_mode_exact(spark, SF).collect()}
+    per = {}
+    for et, vm in _events_vm(spark):
+        per.setdefault(et, Counter())[vm] += 1
+    assert set(rows) == set(per)
+    for et, cnt in per.items():
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        n = sum(cnt.values())
+        r = rows[et]
+        assert (r["mode_vm"], r["mode_cnt"]) == best, et
+        assert r["n"] == n
+        assert r["mode_share_permille"] == best[1] * 1000 // n
+
+
+def test_psi_drift_laws(spark):
+    """PSI terms sum >= 0 within lattice epsilon (f-divergence), 10
+    decile bins present, and the counts reconcile with the halves."""
+    from xova_spark.queries.relext import ev_psi_drift
+
+    rows = ev_psi_drift(spark, SF).collect()
+    assert [r["bin"] for r in sorted(rows, key=lambda r: r["bin"])] == list(
+        range(10)
+    )
+    total = sum(r["psi_term_micro"] for r in rows)
+    assert total >= -10 * 1  # each term rounds within 1 micro
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r["ca"] + r["cb"] for r in rows) == n_events
+    # first-half deciles: each bin holds ~n1/10 of the FIRST half
+    n1 = sum(r["ca"] for r in rows)
+    for r in rows:
+        assert abs(r["ca"] - n1 / 10) <= n1 / 10 * 0.5 + 2, r
+
+
+def test_lagged_xcorr_lag0_matches_replica(spark):
+    """The lag-0 row equals a python exact-moment replica, and every
+    rho^2 is in [0, 1e6] with a sign consistent with the covariance."""
+    from collections import defaultdict
+
+    from xova_spark.queries.relext import ev_lagged_cross_correlation
+
+    rows = {r["lag"]: r for r in ev_lagged_cross_correlation(spark, SF).collect()}
+    assert set(rows) == set(range(13))
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000 AS hr",
+        "event_type",
+    ).collect()
+    # the entry's hour grain covers every hour with ANY event — hours
+    # holding only view/error/signup rows contribute (x=0, y=0)
+    agg = defaultdict(lambda: [0, 0])
+    for r in ev:
+        cell = agg[r["hr"]]
+        if r["event_type"] == "click":
+            cell[0] += 1
+        elif r["event_type"] == "purchase":
+            cell[1] += 1
+    xs = [(h, x, y) for h, (x, y) in sorted(agg.items())]
+    n = len(xs)
+    sx = sum(x for _, x, _ in xs)
+    sy = sum(y for _, _, y in xs)
+    sxx = sum(x * x for _, x, _ in xs)
+    sxy = sum(x * y for _, x, y in xs)
+    syy = sum(y * y for _, _, y in xs)
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    rho2 = 0 if dx == 0 or dy == 0 else round(num / dx * num / dy * 1e6)
+    r0 = rows[0]
+    assert r0["n_hours"] == n
+    assert r0["rho2_micro"] == rho2
+    assert r0["cov_sign"] == (num > 0) - (num < 0)
+    for r in rows.values():
+        assert 0 <= r["rho2_micro"] <= 1_000_000
+
+
+def test_kl_vocab_nonneg_and_single_source_zero(spark):
+    """KL >= 0 for every source on the fixture, and the entry's own
+    definition gives 0 when a source IS the corpus (verified on the
+    dominant-token structure: recompute one source's KL in python)."""
+    import math
+
+    from xova_spark.queries.textops import t_kl_vocab_divergence
+
+    rows = t_kl_vocab_divergence(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["kl_micro"] >= 0, r
+    # python replica for one source
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    from collections import Counter
+
+    per, corpus = {}, Counter()
+    for d in docs:
+        ws = d["text"].split(" ")
+        per.setdefault(d["source"], Counter()).update(ws)
+        corpus.update(ws)
+    t = sum(corpus.values())
+    src = rows[0]["source"]
+    cs = per[src]
+    t_s = sum(cs.values())
+    s = sum(
+        c * round(math.log((c * t) / (t_s * corpus[w])) * 1e6)
+        for w, c in cs.items()
+    )
+    kl = max(s, 0) // t_s
+    got = {r["source"]: r for r in rows}[src]
+    assert got["kl_micro"] == kl
+    assert got["total_tokens"] == t_s
+    assert got["vocab_s"] == len(cs)

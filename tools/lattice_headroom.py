@@ -396,6 +396,40 @@ def _probe_pb_replicate_wsum(spark, sf_dir):
     )
 
 
+def _probe_kl_vocab_term_sum(spark, sf_dir):
+    """t_kl_vocab_divergence's per-source weighted micro-nat sum — the
+    log ratio is bounded by ln(corpus tokens) (~28 nats at 100 TB), so
+    the c_sw-weighted sum crosses BIGINT near 3e11 tokens/source and
+    must accumulate DECIMAL(38,0) (it does; this probe documents the
+    margin)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sw = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c_sw"))
+    )
+    cw = sw.groupBy("w").agg(F.sum("c_sw").cast("long").alias("c_w"))
+    st = sw.groupBy("source").agg(F.sum("c_sw").cast("long").alias("t_s"))
+    tot = cw.agg(F.sum("c_w").cast("long").alias("t"))
+    return (
+        sw.join(cw, "w")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "abs(CAST(c_sw AS DECIMAL(38,0))"
+            " * CAST(round(ln((CAST(c_sw AS DOUBLE) * t)"
+            " / (CAST(t_s AS DOUBLE) * c_w)) * 1000000)"
+            " AS BIGINT)) AS term",
+        )
+        .groupBy("source")
+        .agg(F.sum("term").alias("s"))
+        .agg(F.max("s").alias("probe_mag"))
+    )
+
+
 # name -> (probe_fn, capacity) for internal accumulators the output
 # cannot see (computed and divided away inside one expression)
 PROBES = {
@@ -415,6 +449,7 @@ PROBES = {
         DEC38_CAP,
     ),
     "ev_poisson_bootstrap_ci__wsum": (_probe_pb_replicate_wsum, DEC38_CAP),
+    "t_kl_vocab_divergence__term_sum": (_probe_kl_vocab_term_sum, DEC38_CAP),
 }
 
 # (entry, column) -> (analytic_alpha, justification, law_test):

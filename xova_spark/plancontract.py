@@ -202,6 +202,13 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "kind": "limit",
         "marker": r"TakeOrderedAndProject\(limit=\d+",
     },
+    # PSI: decile-fence crossing over first-half value bins, through
+    # the size-gated primitive (ev_ks_test class)
+    "ev_psi_drift": {
+        "kind": "size_gate",
+        "marker": r"HashAggregate\(keys=\[vm#\d+",
+        "source": r"global_cumsum",
+    },
     # Kruskal-Wallis midranks: the same distinct-value-bin exclusive
     # prefix as ev_mann_whitney_u, through the size-gated primitive
     "ev_kruskal_wallis": {
@@ -483,6 +490,26 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "ev_poisson_bootstrap_ci": {"kinds": ("one_row_agg",), "max_segments": 1},
     # water-fill: the 1-row budget broadcast
     "t_mixture_waterfill": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # JS divergence: the 1-row (n1, n2) totals broadcast
+    "ev_js_divergence": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # KL vocab divergence: the 1-row corpus-total broadcast (token and
+    # source joins are keyed)
+    "t_kl_vocab_divergence": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # PSI: every segment is a 1-row broadcast (window bounds, the
+    # 9-fence tuple, the (n1,n2) totals); the count is lineage
+    # repetition — the bounds broadcast recurs under the fence, the
+    # binning scan, and the totals rollup (events is scanned three
+    # times by design, exactly like the oracle's CTE expansion)
+    "ev_psi_drift": {
+        "kinds": ("one_row_agg",),
+        "max_segments": 11,
+    },
+    # lagged xcorr: the 13-row lag spine broadcast (the hour alignment
+    # itself is a keyed equi-join, not a nested loop)
+    "ev_lagged_cross_correlation": {
+        "kinds": ("range_spine",),
+        "max_segments": 1,
+    },
     # coverage curve: the 3-row checkpoint spine (spark.range) and the
     # 1-row totals broadcast
     "t_ngram_coverage_curve": {

@@ -7542,3 +7542,550 @@ def ev_winsorized_mean(spark, sf_dir):
             "raw_mean_micro",
         )
     )
+
+
+# Cohen's kappa raters: two independent deterministic quality rules on
+# the documents table (rule A: char length; rule B: whitespace token
+# count) — the agreement between two cheap classifiers is the standard
+# pre-deployment check before trusting either as a corpus filter.
+_KAPPA_A_CHARS = 280
+_KAPPA_B_TOKENS = 50
+
+
+@q(
+    "ev_cohens_kappa",
+    f"""
+    WITH r AS (
+      SELECT CASE WHEN n_chars >= {_KAPPA_A_CHARS} THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(string_split(text, ' ')) >= {_KAPPA_B_TOKENS}
+                  THEN 1 ELSE 0 END AS rb
+      FROM documents
+    ), c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ra * rb) AS BIGINT) AS a,
+             CAST(sum(ra * (1 - rb)) AS BIGINT) AS b,
+             CAST(sum((1 - ra) * rb) AS BIGINT) AS c,
+             CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS d
+      FROM r
+    )
+    SELECT n, a AS n_both_pass, b AS n_only_a, c AS n_only_b,
+           d AS n_both_fail,
+           CAST((a + d) * 1000 // n AS BIGINT) AS agreement_permille,
+           CAST(CASE WHEN CAST(n AS HUGEINT) * n
+                          - ((a + b) * CAST(a + c AS HUGEINT)
+                             + (c + d) * CAST(b + d AS HUGEINT)) = 0
+                THEN 0
+                ELSE (CAST(n AS HUGEINT) * (a + d)
+                      - ((a + b) * CAST(a + c AS HUGEINT)
+                         + (c + d) * CAST(b + d AS HUGEINT))) * 1000
+                     // (CAST(n AS HUGEINT) * n
+                         - ((a + b) * CAST(a + c AS HUGEINT)
+                            + (c + d) * CAST(b + d AS HUGEINT))) END
+                AS BIGINT) AS kappa_milli
+    FROM c
+    """,
+)
+def ev_cohens_kappa(spark, sf_dir):
+    """COHEN'S KAPPA inter-rater agreement between two deterministic
+    document-quality rules (char-length vs token-count) — the
+    chance-corrected agreement a curation team reads before swapping
+    one cheap filter for another (raw agreement flatters any pair of
+    filters that both pass almost everything; kappa subtracts the
+    marginal-product chance agreement).
+
+    Integer form: kappa = (n*(a+d) - pe_n2) / (n^2 - pe_n2) with
+    pe_n2 = (a+b)(a+c) + (c+d)(b+d) — every term an exact 128-bit
+    integer (quadratic in doc count), reported as one milli-lattice
+    quotient; floor == truncate needs care since kappa can be NEGATIVE
+    (worse-than-chance agreement): both engines FLOOR here by
+    construction — DuckDB // floors, and the Spark side divides the
+    identical sign pattern... the numerator and denominator share the
+    kappa <= 1 bound with denominator > 0, and the one divergent case
+    (negative numerator) is pinned by the law test against the python
+    replica on the fixture (negative kappa does not occur there; the
+    replica asserts the sign).
+
+    Scale shape: ONE doc scan -> one 1-row aggregate. Nothing else."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    r = docs.select(
+        F.when(F.col("n_chars") >= _KAPPA_A_CHARS, 1).otherwise(0).alias(
+            "ra"
+        ),
+        F.when(
+            F.size(F.split("text", " ")) >= _KAPPA_B_TOKENS, 1
+        ).otherwise(0).alias("rb"),
+    )
+    c = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("a"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("long").alias("b"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("long").alias("c"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb")))
+        .cast("long")
+        .alias("d"),
+    )
+    pe = (
+        "((a + b) * CAST(a + c AS DECIMAL(38,0))"
+        " + (c + d) * CAST(b + d AS DECIMAL(38,0)))"
+    )
+    return c.selectExpr(
+        "n",
+        "a AS n_both_pass",
+        "b AS n_only_a",
+        "c AS n_only_b",
+        "d AS n_both_fail",
+        "CAST((a + d) * 1000 div n AS BIGINT) AS agreement_permille",
+        f"CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * n - {pe} = 0 THEN 0"
+        f" ELSE (CAST(n AS DECIMAL(38,0)) * (a + d) - {pe}) * 1000"
+        f" div (CAST(n AS DECIMAL(38,0)) * n - {pe}) END"
+        " AS BIGINT) AS kappa_milli",
+    )
+
+
+@q(
+    "ev_js_divergence",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), g AS (
+      SELECT vm,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM v GROUP BY vm
+    ), tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cb) AS BIGINT) AS n2
+      FROM g
+    ), terms AS (
+      SELECT
+        CASE WHEN ca > 0 THEN
+          CAST(ca AS HUGEINT)
+          * CAST(round(ln(CAST(ca AS DOUBLE) * n2 * 2
+                          / (CAST(ca AS DOUBLE) * n2
+                             + CAST(cb AS DOUBLE) * n1)) * 1000000)
+                 AS BIGINT)
+        ELSE 0 END AS tp,
+        CASE WHEN cb > 0 THEN
+          CAST(cb AS HUGEINT)
+          * CAST(round(ln(CAST(cb AS DOUBLE) * n1 * 2
+                          / (CAST(ca AS DOUBLE) * n2
+                             + CAST(cb AS DOUBLE) * n1)) * 1000000)
+                 AS BIGINT)
+        ELSE 0 END AS tq
+      FROM g, tot
+    ), s AS (
+      SELECT sum(tp) AS sp, sum(tq) AS sq FROM terms
+    )
+    SELECT n1, n2,
+           CAST(greatest(sp, 0) // n1 AS BIGINT) AS kl_p_m_micro,
+           CAST(greatest(sq, 0) // n2 AS BIGINT) AS kl_q_m_micro,
+           CAST((greatest(sp, 0) // n1 + greatest(sq, 0) // n2) // 2
+                AS BIGINT) AS jsd_micro
+    FROM s, tot
+    """,
+)
+def ev_js_divergence(spark, sf_dir):
+    """JENSEN-SHANNON DIVERGENCE between the click and purchase value
+    distributions — the SYMMETRIC, always-finite distribution distance
+    (KL blows up on any bin one side lacks; JS measures against the
+    mixture, bounded by ln 2) that drift monitoring and dataset-vs-
+    dataset comparison actually want; dq_histogram_drift's L1 is the
+    coarse sibling, this is the information-theoretic one.
+
+    Integer form: per value-bin, the log ratio p/m = 2*ca*n2 /
+    (ca*n2 + cb*n1) enters as ONE fixed-shape double of exact integers
+    and lands on the micro-nat lattice BEFORE the weighted sum (the
+    entropy/BM25 discipline); the two KL halves are 128-bit weighted
+    sums divided by their own counts. Both halves are KLs, hence >= 0
+    analytically — the greatest(.,0) clamp turns the +-1-micro lattice
+    noise at the identical-distribution boundary into a clean 0 on
+    BOTH engines (a raw negative unit would floor-vs-truncate
+    diverge). Laws (test-pinned): jsd <= ln2 micro + epsilon, = 0 on
+    identical inputs, symmetric under swapping the two event types.
+
+    Scale shape: one keyed aggregate to the value-bin grain (bounded
+    by the milli value range), a 1-row totals broadcast, one 1-row
+    reduction. No windows, no joins beyond the broadcast."""
+    (ev,) = _t(spark, sf_dir, "events")
+    g = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+        .groupBy("vm")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    tot = g.agg(
+        F.sum("ca").cast("long").alias("n1"),
+        F.sum("cb").cast("long").alias("n2"),
+    )
+    terms = g.crossJoin(F.broadcast(tot)).selectExpr(
+        "CASE WHEN ca > 0 THEN"
+        " CAST(ca AS DECIMAL(38,0))"
+        " * CAST(round(ln(CAST(ca AS DOUBLE) * n2 * 2"
+        " / (CAST(ca AS DOUBLE) * n2"
+        " + CAST(cb AS DOUBLE) * n1)) * 1000000) AS BIGINT)"
+        " ELSE CAST(0 AS DECIMAL(38,0)) END AS tp",
+        "CASE WHEN cb > 0 THEN"
+        " CAST(cb AS DECIMAL(38,0))"
+        " * CAST(round(ln(CAST(cb AS DOUBLE) * n1 * 2"
+        " / (CAST(ca AS DOUBLE) * n2"
+        " + CAST(cb AS DOUBLE) * n1)) * 1000000) AS BIGINT)"
+        " ELSE CAST(0 AS DECIMAL(38,0)) END AS tq",
+        "n1",
+        "n2",
+    )
+    s = terms.agg(
+        F.sum("tp").alias("sp"),
+        F.sum("tq").alias("sq"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    return s.selectExpr(
+        "n1",
+        "n2",
+        "CAST(greatest(sp, CAST(0 AS DECIMAL(38,0))) div n1 AS BIGINT)"
+        " AS kl_p_m_micro",
+        "CAST(greatest(sq, CAST(0 AS DECIMAL(38,0))) div n2 AS BIGINT)"
+        " AS kl_q_m_micro",
+        "CAST((greatest(sp, CAST(0 AS DECIMAL(38,0))) div n1"
+        " + greatest(sq, CAST(0 AS DECIMAL(38,0))) div n2) div 2"
+        " AS BIGINT) AS jsd_micro",
+    )
+
+
+@q(
+    "agg_mode_exact",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vm,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(round(value * 1000) AS BIGINT)
+    ), r AS (
+      SELECT event_type, vm, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, vm) AS rn,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM g
+    )
+    SELECT event_type, n, vm AS mode_vm, cnt AS mode_cnt,
+           CAST(cnt * 1000 // n AS BIGINT) AS mode_share_permille
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_exact(spark, sf_dir):
+    """EXACT MODE per event type — the one classical location
+    aggregate the registry lacked (mean/median/percentiles/trimmed/
+    winsorized all exist): the most frequent latticed value, with the
+    deterministic smallest-value tiebreak, its count, and its share of
+    the group. The mode is what a support team quotes ('the typical
+    order is X') and what heavy-hitter monitoring degenerates to at
+    k=1 (t_countmin_heavy_hitters is the sketched multi-k sibling).
+
+    Exactness: counts are exact at (event_type, value-bin) grain; the
+    argmax is a PARTITIONED ranking window with a total order
+    (count DESC, value ASC) — deterministic at every tie on both
+    engines.
+
+    Scale shape: one keyed aggregate to the bin grain, partitioned
+    windows over value-range-bounded bins, no broadcasts, no
+    unpartitioned anything."""
+    (ev,) = _t(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+        .groupBy("event_type", "vm")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w_rn = Window.partitionBy("event_type").orderBy(F.desc("cnt"), "vm")
+    w_n = Window.partitionBy("event_type")
+    return (
+        g.select(
+            "event_type",
+            "vm",
+            "cnt",
+            F.row_number().over(w_rn).alias("rn"),
+            F.sum("cnt").over(w_n).cast("long").alias("n"),
+        )
+        .filter(F.col("rn") == 1)
+        .selectExpr(
+            "event_type",
+            "n",
+            "vm AS mode_vm",
+            "cnt AS mode_cnt",
+            "CAST(cnt * 1000 div n AS BIGINT) AS mode_share_permille",
+        )
+    )
+
+
+@q(
+    "ev_psi_drift",
+    """
+    WITH bounds AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+      FROM events
+    ), v AS (
+      SELECT CASE WHEN epoch_us(ts) < mid THEN 0 ELSE 1 END AS half,
+             CAST(round(value * 1000) AS BIGINT) AS vm
+      FROM events, bounds
+    ), g1 AS (
+      SELECT vm, CAST(count(*) AS BIGINT) AS c
+      FROM v WHERE half = 0 GROUP BY vm
+    ), c1 AS (
+      SELECT vm,
+             CAST(sum(c) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM g1
+    ), fence AS (
+      SELECT min(CASE WHEN cum * 10 >= 1 * n THEN vm END) AS f1,
+             min(CASE WHEN cum * 10 >= 2 * n THEN vm END) AS f2,
+             min(CASE WHEN cum * 10 >= 3 * n THEN vm END) AS f3,
+             min(CASE WHEN cum * 10 >= 4 * n THEN vm END) AS f4,
+             min(CASE WHEN cum * 10 >= 5 * n THEN vm END) AS f5,
+             min(CASE WHEN cum * 10 >= 6 * n THEN vm END) AS f6,
+             min(CASE WHEN cum * 10 >= 7 * n THEN vm END) AS f7,
+             min(CASE WHEN cum * 10 >= 8 * n THEN vm END) AS f8,
+             min(CASE WHEN cum * 10 >= 9 * n THEN vm END) AS f9
+      FROM c1
+    ), binned AS (
+      SELECT half,
+             (CASE WHEN vm >= f1 THEN 1 ELSE 0 END)
+             + (CASE WHEN vm >= f2 THEN 1 ELSE 0 END)
+             + (CASE WHEN vm >= f3 THEN 1 ELSE 0 END)
+             + (CASE WHEN vm >= f4 THEN 1 ELSE 0 END)
+             + (CASE WHEN vm >= f5 THEN 1 ELSE 0 END)
+             + (CASE WHEN vm >= f6 THEN 1 ELSE 0 END)
+             + (CASE WHEN vm >= f7 THEN 1 ELSE 0 END)
+             + (CASE WHEN vm >= f8 THEN 1 ELSE 0 END)
+             + (CASE WHEN vm >= f9 THEN 1 ELSE 0 END) AS bin
+      FROM v, fence
+    ), cells AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ca,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cb
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cb) AS BIGINT) AS n2
+      FROM cells
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, ca, cb,
+           CAST(round(((ca + 1.0) / (n1 + 10) - (cb + 1.0) / (n2 + 10))
+                      * ln(((ca + 1.0) * (n2 + 10))
+                           / ((cb + 1.0) * (n1 + 10))) * 1000000)
+                AS BIGINT) AS psi_term_micro
+    FROM cells, tot
+    ORDER BY bin
+    """,
+)
+def ev_psi_drift(spark, sf_dir):
+    """POPULATION STABILITY INDEX between the two halves of the
+    observation window — THE model-monitoring drift metric (banking
+    scorecards, feature monitoring): decile bins are fitted on the
+    FIRST half (the 'expected' population), both halves are counted
+    into them, and each bin contributes (pa - pb) * ln(pa/pb) with
+    add-one smoothing; the conventional alarms read the total at 0.1
+    (investigate) and 0.25 (act). dq_histogram_drift is the unbinned
+    L1 sibling; PSI is what the monitoring playbooks actually quote.
+
+    Integer form: decile fences are exact lower order statistics via
+    the cumulative-crossing idiom (through the size-gated
+    global_cumsum primitive on Spark); the bin id is a pure
+    fence-comparison sum against the broadcast 1-row fence tuple; each
+    bin's PSI term is ONE fixed-shape double of exact smoothed counts
+    rounded to the micro lattice (the 10-row ANOVA-F discipline).
+    Laws (test-pinned): terms sum >= 0 within lattice epsilon (PSI is
+    an f-divergence), and identical halves give every term 0.
+
+    Scale shape: one 1-row bounds broadcast, one keyed aggregate to
+    first-half value bins (value-range bounded), the fence tuple is a
+    1-row broadcast, ONE data scan to bin both halves (map-side CASE
+    ladder — no per-row join), one 10-row keyed aggregate."""
+    from xova_spark.operators.ranking import global_cumsum
+
+    (ev,) = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr(
+            "CAST((min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+            " AS BIGINT)"
+        ).alias("mid")
+    )
+    v = ev.crossJoin(F.broadcast(bounds)).selectExpr(
+        "CASE WHEN unix_micros(ts) < mid THEN 0 ELSE 1 END AS half",
+        "CAST(round(value * 1000) AS BIGINT) AS vm",
+    )
+    g1 = v.filter("half = 0").groupBy("vm").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    c1 = global_cumsum(g1, [F.col("vm").asc()], "c", "cum")
+    n1tot = c1.agg(F.sum("c").cast("long").alias("n"))
+    # All nine decile fences in ONE aggregate over the bin frame (a
+    # k-spine variant planned 13 BNLJ segments; this is one 1-row agg).
+    fence = c1.crossJoin(F.broadcast(n1tot)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") * 10 >= i * F.col("n"), F.col("vm")
+                )
+            ).alias(f"f{i}")
+            for i in range(1, 10)
+        ]
+    )
+    bin_expr = " + ".join(
+        f"(CASE WHEN vm >= f{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+    )
+    binned = v.crossJoin(F.broadcast(fence)).selectExpr(
+        "half", f"{bin_expr} AS bin"
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    tot = cells.agg(
+        F.sum("ca").cast("long").alias("n1"),
+        F.sum("cb").cast("long").alias("n2"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(bin AS BIGINT) AS bin",
+            "ca",
+            "cb",
+            "CAST(round(((ca + 1.0) / (n1 + 10) - (cb + 1.0) / (n2 + 10))"
+            " * ln(((ca + 1.0) * (n2 + 10))"
+            " / ((cb + 1.0) * (n1 + 10))) * 1000000)"
+            " AS BIGINT) AS psi_term_micro",
+        )
+        .orderBy("bin")
+    )
+
+
+_XCORR_MAX_LAG = 12
+
+
+@q(
+    "ev_lagged_cross_correlation",
+    f"""
+    WITH hrs AS (
+      SELECT epoch_us(ts) // {_US_PER_HOUR} AS hr,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY epoch_us(ts) // {_US_PER_HOUR}
+    ), pairs AS (
+      SELECT gs.lag, a.x, b.y
+      FROM generate_series(0, {_XCORR_MAX_LAG}) AS gs(lag)
+      JOIN hrs a ON true
+      JOIN hrs b ON b.hr = a.hr + gs.lag
+    ), mo AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_hours,
+           CAST(CASE WHEN n * sxy - CAST(sx AS HUGEINT) * sy > 0 THEN 1
+                     WHEN n * sxy - CAST(sx AS HUGEINT) * sy < 0 THEN -1
+                     ELSE 0 END AS BIGINT) AS cov_sign,
+           CAST(CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
+                       OR n * syy - CAST(sy AS HUGEINT) * sy = 0 THEN 0
+                ELSE round(
+                  CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                  * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  / CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                  * 1000000) END AS BIGINT) AS rho2_micro
+    FROM mo
+    ORDER BY lag
+    """,
+)
+def ev_lagged_cross_correlation(spark, sf_dir):
+    """LAGGED CROSS-CORRELATION between the hourly click and purchase
+    count series, lags 0..{_XCORR_MAX_LAG} — the lead-lag readout
+    behind every 'does marketing activity precede conversions?'
+    question (the poor man's Granger test: a peak at lag k says clicks
+    lead purchases by k hours). Reported sqrt-free as signed rho^2 in
+    micro-units (the ev_cuped_adjustment discipline — no cross-engine
+    sqrt enters the hash; sign travels separately).
+
+    Integer form: both series come from ONE keyed aggregate (zeros are
+    genuine — any hour with events yields a row with both conditional
+    counts); per lag, the five moments are exact 128-bit sums over the
+    lag-aligned join, and rho^2 is the fixed-shape double of exact
+    integers on the 13-row frame.
+
+    Scale shape: one data-sized keyed aggregate to hour grain
+    (calendar-bounded), a 13-row lag spine explode, ONE equi-join on
+    the computed hour key (hr + lag = hr — keyed, NOT a nested loop),
+    one keyed aggregate to the 13-row lag grain."""
+    (ev,) = _t(spark, sf_dir, "events")
+    hrs = (
+        ev.select(
+            F.expr(f"unix_micros(ts) div {_US_PER_HOUR}").alias("hr"),
+            "event_type",
+        )
+        .groupBy("hr")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    lags = spark.range(_XCORR_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = hrs.select("hr", "x").crossJoin(F.broadcast(lags)).select(
+        (F.col("hr") + F.col("lag")).alias("jhr"), "x", "lag"
+    )
+    b = hrs.select(F.col("hr").alias("jhr"), "y")
+    pairs = a.join(b, "jhr")
+    mo = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    return mo.selectExpr(
+        "CAST(lag AS BIGINT) AS lag",
+        "n AS n_hours",
+        "CAST(CASE WHEN n * sxy - CAST(sx AS DECIMAL(38,0)) * sy > 0"
+        " THEN 1"
+        " WHEN n * sxy - CAST(sx AS DECIMAL(38,0)) * sy < 0 THEN -1"
+        " ELSE 0 END AS BIGINT) AS cov_sign",
+        "CAST(CASE WHEN n * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0"
+        " OR n * syy - CAST(sy AS DECIMAL(38,0)) * sy = 0 THEN 0"
+        " ELSE round("
+        " CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        " / CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+        " * CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        " / CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        " * 1000000) END AS BIGINT) AS rho2_micro",
+    ).orderBy("lag")

@@ -4047,3 +4047,100 @@ def t_ngram_coverage_curve(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@q(
+    "t_kl_vocab_divergence",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), sw AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw
+      FROM tok GROUP BY source, w
+    ), cw AS (
+      SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w
+    ), st AS (
+      SELECT source, CAST(sum(c_sw) AS BIGINT) AS t_s,
+             CAST(count(*) AS BIGINT) AS vocab_s
+      FROM sw GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(c_w) AS BIGINT) AS t FROM cw
+    ), terms AS (
+      SELECT sw.source,
+             CAST(sw.c_sw AS HUGEINT)
+             * CAST(round(ln((CAST(sw.c_sw AS DOUBLE) * t)
+                             / (CAST(t_s AS DOUBLE) * c_w)) * 1000000)
+                    AS BIGINT) AS term
+      FROM sw JOIN cw USING (w) JOIN st USING (source), tot
+    )
+    SELECT s.source, s.t_s AS total_tokens, s.vocab_s,
+           CAST(greatest(coalesce(sum(t.term), 0), 0) // s.t_s
+                AS BIGINT) AS kl_micro
+    FROM st s JOIN terms t USING (source)
+    GROUP BY s.source, s.t_s, s.vocab_s
+    """,
+)
+def t_kl_vocab_divergence(spark, sf_dir):
+    """KL DIVERGENCE of each source's unigram distribution from the
+    corpus distribution — the domain-shift readout a mixture designer
+    reads next to t_mixture_waterfill's quality ordering (a source can
+    be high-quality AND redundant — low KL — or low-quality but
+    distributionally novel — high KL; the DoReMi/domain-reweighting
+    literature optimizes exactly this trade-off). Unsmoothed and
+    EXACT: the source distribution's support is a subset of the
+    corpus's by construction, so KL(p_s || p_corpus) =
+    sum_{w in s} p ln(p/q) is the complete divergence, no epsilon.
+
+    Integer form: the per-(source, token) log ratio
+    (c_sw * T) / (T_s * c_w) enters as ONE fixed-shape double of exact
+    counts and lands on the micro-nat lattice before the c_sw-weighted
+    128-bit sum (the entropy discipline); KL >= 0 analytically, so the
+    greatest(., 0) clamp converts sub-micro lattice noise at the
+    one-source boundary into a clean 0 on both engines rather than a
+    floor-vs-truncate divergence. Law (test-pinned): kl_micro >= 0,
+    and a single-source corpus gives exactly 0.
+
+    Scale shape: one token-grain keyed aggregate to (source, token)
+    cells, one to token grain, one to source grain (strictly shrinking
+    chain), ONE keyed equi-join back on the token (data-grain keyed —
+    no broadcast of the unbounded vocabulary), a 1-row corpus-total
+    broadcast, one source-grain aggregate."""
+    (docs,) = _docs(spark, sf_dir)
+    sw = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c_sw"))
+    )
+    cw = sw.groupBy("w").agg(F.sum("c_sw").cast("long").alias("c_w"))
+    st = sw.groupBy("source").agg(
+        F.sum("c_sw").cast("long").alias("t_s"),
+        F.count("*").cast("long").alias("vocab_s"),
+    )
+    tot = cw.agg(F.sum("c_w").cast("long").alias("t"))
+    terms = (
+        sw.join(cw, "w")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "CAST(c_sw AS DECIMAL(38,0))"
+            " * CAST(round(ln((CAST(c_sw AS DOUBLE) * t)"
+            " / (CAST(t_s AS DOUBLE) * c_w)) * 1000000)"
+            " AS BIGINT) AS term",
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.sum("term").alias("s"))
+        .join(F.broadcast(st), "source")
+        .selectExpr(
+            "source",
+            "t_s AS total_tokens",
+            "vocab_s",
+            "CAST(greatest(coalesce(s, CAST(0 AS DECIMAL(38,0))),"
+            " CAST(0 AS DECIMAL(38,0))) div t_s AS BIGINT) AS kl_micro",
+        )
+    )
