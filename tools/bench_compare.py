@@ -2,7 +2,7 @@
 
 Usage: python tools/bench_compare.py [OLD.json] NEW.json [--band 0.2]
        (OLD defaults to the committed BENCH_BASELINE.json — the
-        round-8 full-headline median re-baseline)
+        round-10 126-query median re-baseline)
 
 Reads either a raw ``{"metric": ...}`` payload or a driver
 ``BENCH_r{N}.json`` wrapper (takes the ``parsed`` field). Prints a

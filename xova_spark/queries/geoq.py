@@ -613,10 +613,22 @@ def geo_dbscan_core_points(spark, sf_dir):
     d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
         F.col("a.y") - F.col("b.y")
     ) * (F.col("a.y") - F.col("b.y"))
-    nbr = (
+    from pyspark.storagelevel import StorageLevel
+
+    from xova_spark.sharedframes import pin
+
+    # The neighbor relation feeds THREE consumers (counts, the border
+    # semi-join, the census): persist it once instead of re-running
+    # the probe join per branch — the sf1 bench showed the recompute
+    # tripling a join whose candidate volume grows with density^2
+    # (30x time at 10x data pre-fix). MEMORY_AND_DISK: pair grain is
+    # points x local density — persistable at any scale the join
+    # itself is feasible at. pin() releases it at gate exit.
+    nbr = pin(
         a.join(b, ["cx", "cy"])
         .filter((F.col("a.id") != F.col("b.id")) & (d2 <= _RADIUS * _RADIUS))
         .select(F.col("a.id").alias("id"), F.col("b.id").alias("nid"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cnts = nbr.groupBy("id").agg(F.count("*").cast("long").alias("n_nbrs"))
     lab = pts.select("id").join(cnts, "id", "left").select(
