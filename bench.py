@@ -176,6 +176,31 @@ HEADLINE = (
     "ev_psi_drift",
     "ev_lagged_cross_correlation",
     "t_kl_vocab_divergence",
+    # round-10 batches 4-5: blocked nonparametrics, agreement,
+    # changepoint/randomness, gain/lift, corpus statistics, fences,
+    # binary-quantization recall, sampled centrality, rich club
+    "ev_friedman_test",
+    "ev_cochran_q",
+    "ev_fleiss_kappa",
+    "ev_pettitt_changepoint",
+    "ev_runs_test",
+    "ev_lift_gain_curve",
+    "ev_kendall_tau_b",
+    "ev_capture_recapture",
+    "ev_odds_ratio",
+    "t_chao1_vocab_richness",
+    "t_good_turing_counts",
+    "t_burstiness_fano",
+    "t_simpson_diversity",
+    "t_flesch_readability",
+    "dq_outlier_iqr",
+    "ann_signbit_recall_at5",
+    "graph_closeness_sampled",
+    "graph_rich_club",
+    "ev_logrank_test",
+    "t_mattr_chunked",
+    "t_yule_k",
+    "pipeline_corpus_health_gate",
 )
 
 

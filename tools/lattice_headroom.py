@@ -430,6 +430,298 @@ def _probe_kl_vocab_term_sum(spark, sf_dir):
     )
 
 
+def _probe_friedman_chi2_dividend(spark, sf_dir):
+    """ev_friedman_test's chi2 dividend 3000*sum R2_j^2 — quadratic in
+    block count (each R2_j is linear in n), DECIMAL(38,0)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cells = li.groupBy(
+        F.col("l_suppkey").alias("blk"), F.col("l_returnflag").alias("trt")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(l_quantity AS BIGINT)) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("cellv")
+    )
+    complete = cells.groupBy("blk").agg(F.count("*").alias("kc")).filter(
+        F.col("kc") == 3
+    )
+    ranked = cells.join(complete.select("blk"), "blk").select(
+        "blk",
+        "trt",
+        (
+            2 * F.rank().over(Window.partitionBy("blk").orderBy("cellv"))
+            + F.count("*").over(Window.partitionBy("blk", "cellv"))
+            - 1
+        ).alias("rank2"),
+    )
+    rs = ranked.groupBy("trt").agg(F.sum("rank2").cast("long").alias("r2"))
+    return rs.agg(
+        F.expr(
+            "CAST(3000 * sum(CAST(r2 AS DECIMAL(38,0)) * r2) AS DOUBLE)"
+        ).alias("probe_mag")
+    )
+
+
+def _probe_cochran_q_dividend(spark, sf_dir):
+    """ev_cochran_q's Q dividend 2*(3*sum C_j^2 - N^2)*1000 — quadratic
+    in block count, DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lines = li.filter(F.col("l_linenumber") <= 3).select(
+        F.col("l_orderkey").alias("blk"),
+        F.col("l_linenumber").alias("trt"),
+        F.expr(
+            "CASE WHEN CAST(l_quantity AS BIGINT) >= 25 THEN 1 ELSE 0 END"
+        ).alias("s"),
+    )
+    ok = (
+        lines.groupBy("blk")
+        .agg(F.count("*").alias("kc"), F.countDistinct("trt").alias("kd"))
+        .filter((F.col("kc") == 3) & (F.col("kd") == 3))
+        .select("blk")
+    )
+    cols = lines.join(ok, "blk").agg(
+        F.sum(F.expr("CASE WHEN trt = 1 THEN s ELSE 0 END")).alias("c1"),
+        F.sum(F.expr("CASE WHEN trt = 2 THEN s ELSE 0 END")).alias("c2"),
+        F.sum(F.expr("CASE WHEN trt = 3 THEN s ELSE 0 END")).alias("c3"),
+        F.sum("s").alias("n"),
+    )
+    return cols.selectExpr(
+        "CAST(abs(2 * (3 * (CAST(c1 AS DECIMAL(38,0)) * c1"
+        " + CAST(c2 AS DECIMAL(38,0)) * c2"
+        " + CAST(c3 AS DECIMAL(38,0)) * c3)"
+        " - CAST(n AS DECIMAL(38,0)) * n) * 1000) AS DOUBLE)"
+        " AS probe_mag"
+    )
+
+
+def _probe_fleiss_pe_dividend(spark, sf_dir):
+    """ev_fleiss_kappa's Pe dividend sum T_j^2 * 1e9 — quadratic in
+    item count times the nano unit; the batch's LARGEST internal
+    (pbar's (A - nm)*1e9 is linear-in-n times 1e9, strictly smaller)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    eligible = li.groupBy("l_orderkey").agg(F.count("*").alias("nl")).filter(
+        F.col("nl") >= 4
+    )
+    raters = (
+        li.join(eligible.select("l_orderkey"), "l_orderkey")
+        .select(
+            F.expr(
+                "least((CAST(l_quantity AS BIGINT) - 1) div 17, 2)"
+            ).alias("cat"),
+            F.row_number()
+            .over(
+                Window.partitionBy("l_orderkey").orderBy(
+                    "l_linenumber",
+                    "l_partkey",
+                    "l_suppkey",
+                    "l_quantity",
+                    "l_extendedprice",
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 4)
+    )
+    t = raters.groupBy("cat").agg(F.count("*").cast("long").alias("tj"))
+    return t.agg(
+        F.expr(
+            "CAST(sum(CAST(tj AS DECIMAL(38,0)) * tj) * 1000000000"
+            " AS DOUBLE)"
+        ).alias("probe_mag")
+    )
+
+
+def _probe_lift_dividend(spark, sf_dir):
+    """ev_lift_gain_curve's lift dividend cum_pos * tot_n * 1e6 —
+    maximal at the last decile: tot_pos * tot_n * 1e6, quadratic in
+    row count, DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.agg(
+        F.expr(
+            "CAST(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1"
+            " ELSE 0 END) AS DECIMAL(38,0)) * count(*) * 1000000"
+            " AS DOUBLE)"
+        ).alias("probe_mag")
+    )
+
+
+def _probe_chao1_corr_dividend(spark, sf_dir):
+    """t_chao1_vocab_richness's correction dividend f1^2 * 1e6 —
+    quadratic in per-source singleton vocabulary, DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    f1 = wf.filter(F.col("c") == 1).groupBy("source").agg(
+        F.count("*").cast("long").alias("f1")
+    )
+    return f1.agg(
+        F.expr(
+            "CAST(max(CAST(f1 AS DECIMAL(38,0)) * f1 * 1000000)"
+            " AS DOUBLE)"
+        ).alias("probe_mag")
+    )
+
+
+def _probe_fano_dividend(spark, sf_dir):
+    """t_burstiness_fano's dividend D*ssq*1e6 (its minuend bounds the
+    difference) — docs x sum-of-squared-counts for the heaviest word,
+    DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    top = (
+        cw.groupBy("w")
+        .agg(F.count("*").alias("t"))
+        .orderBy(F.desc("t"), "w")
+        .limit(20)
+    )
+    dc = (
+        cw.join(F.broadcast(top.select("w")), "w")
+        .groupBy("w", "doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ssq = dc.groupBy("w").agg(
+        F.expr("sum(CAST(c AS DECIMAL(38,0)) * c)").alias("ssq")
+    )
+    nd = docs.count()
+    return ssq.agg(
+        F.expr(
+            f"CAST(max(ssq) * {nd} * 1000000 AS DOUBLE)"
+        ).alias("probe_mag")
+    )
+
+
+def _probe_taub_dividend(spark, sf_dir):
+    """ev_kendall_tau_b's (nc-nd)^2 * 1e6 dividend — quartic in
+    CALENDAR DAYS (pair counts squared), never in rows; DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("d")
+    ).agg(F.count("*").alias("x"))
+    return daily.agg(F.count("*").alias("n")).selectExpr(
+        "CAST(CAST(n * (n - 1) AS DECIMAL(38,0)) * n * (n - 1) / 4"
+        " * 1000000 AS DOUBLE) AS probe_mag"
+    )
+
+
+def _probe_capture_dividend(spark, sf_dir):
+    """ev_capture_recapture's (n1+1)(n2+1)*1e6 dividend — quadratic in
+    user count, DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.select("user_id").distinct().count()
+    return spark.range(1).selectExpr(
+        f"CAST(CAST({n} + 1 AS DECIMAL(38,0)) * ({n} + 1) * 1000000"
+        " AS DOUBLE) AS probe_mag"
+    )
+
+
+def _probe_odds_ratio_dividend(spark, sf_dir):
+    """ev_odds_ratio's a*d*1e6 dividend — quadratic in user count
+    (both cells user-grain), DECIMAL(38,0); a*(c+d)*1e6 is the same
+    order."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.expr("CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END")
+        ).alias("e"),
+        F.max(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        ).alias("o"),
+    )
+    return u.agg(
+        F.expr(
+            "CAST(CAST(sum(e * o) AS DECIMAL(38,0))"
+            " * sum((1 - e) * (1 - o)) * 1000000 AS DOUBLE)"
+        ).alias("probe_mag")
+    )
+
+
+def _probe_simpson_dividend(spark, sf_dir):
+    """t_simpson_diversity's ss*1e6 dividend — ss = sum c(c-1) is
+    quadratic in per-source token mass, DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return wf.groupBy("source").agg(
+        F.expr("sum(CAST(c AS DECIMAL(38,0)) * (c - 1))").alias("ss")
+    ).agg(
+        F.expr("CAST(max(ss) * 1000000 AS DOUBLE)").alias("probe_mag")
+    )
+
+
+def _probe_rich_club_dividend(spark, sf_dir):
+    """graph_rich_club's n_k*(n_k-1) divisor / 2*e_k*1e6 dividend —
+    quadratic in the rich-node count, DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    n = pp.select("l_partkey").distinct().count()
+    return spark.range(1).selectExpr(
+        f"CAST(CAST({n} AS DECIMAL(38,0)) * ({n} - 1) * 1000000"
+        " AS DOUBLE) AS probe_mag"
+    )
+
+
+def _probe_logrank_v_dividend(spark, sf_dir):
+    """ev_logrank_test's variance-stage dividend d(n-d)*p_micro with
+    p_micro <= 250000 — CUBIC in user count after the two-stage
+    restructure (the naive quartic form failed this very sweep),
+    DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.select("user_id").distinct().count()
+    return spark.range(1).selectExpr(
+        f"CAST(CAST({n} AS DECIMAL(38,0)) * {n} * 250000 AS DOUBLE)"
+        " AS probe_mag"
+    )
+
+
+def _probe_logrank_chi2_dividend(spark, sf_dir):
+    """ev_logrank_test's chi2 dividend (O*1e6 - E_micro)^2 — quadratic
+    in (user count x 1e6), DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.select("user_id").distinct().count()
+    return spark.range(1).selectExpr(
+        f"CAST(CAST({n} AS DECIMAL(38,0)) * 1000000"
+        f" * {n} * 1000000 AS DOUBLE) AS probe_mag"
+    )
+
+
 # name -> (probe_fn, capacity) for internal accumulators the output
 # cannot see (computed and divided away inside one expression)
 PROBES = {
@@ -450,6 +742,31 @@ PROBES = {
     ),
     "ev_poisson_bootstrap_ci__wsum": (_probe_pb_replicate_wsum, DEC38_CAP),
     "t_kl_vocab_divergence__term_sum": (_probe_kl_vocab_term_sum, DEC38_CAP),
+    # r10 batch 4 internals
+    "ev_friedman_test__chi2_dividend": (
+        _probe_friedman_chi2_dividend,
+        DEC38_CAP,
+    ),
+    "ev_cochran_q__q_dividend": (_probe_cochran_q_dividend, DEC38_CAP),
+    "ev_fleiss_kappa__pe_dividend": (_probe_fleiss_pe_dividend, DEC38_CAP),
+    "ev_lift_gain_curve__lift_dividend": (_probe_lift_dividend, DEC38_CAP),
+    "t_chao1_vocab_richness__corr_dividend": (
+        _probe_chao1_corr_dividend,
+        DEC38_CAP,
+    ),
+    "t_burstiness_fano__dividend": (_probe_fano_dividend, DEC38_CAP),
+    # r10 batch 5 internals
+    "ev_kendall_tau_b__dividend": (_probe_taub_dividend, DEC38_CAP),
+    "ev_capture_recapture__dividend": (_probe_capture_dividend, DEC38_CAP),
+    "ev_odds_ratio__dividend": (_probe_odds_ratio_dividend, DEC38_CAP),
+    "t_simpson_diversity__dividend": (_probe_simpson_dividend, DEC38_CAP),
+    "graph_rich_club__dividend": (_probe_rich_club_dividend, DEC38_CAP),
+    # r10 batch 6 internals
+    "ev_logrank_test__v_dividend": (_probe_logrank_v_dividend, DEC38_CAP),
+    "ev_logrank_test__chi2_dividend": (
+        _probe_logrank_chi2_dividend,
+        DEC38_CAP,
+    ),
 }
 
 # (entry, column) -> (analytic_alpha, justification, law_test):

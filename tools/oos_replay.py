@@ -17,7 +17,12 @@ systematic (VERDICT r8 item 4): each round-close it
 Run ~40/round and the 238-entry tail is covered in ~6 rounds with
 committed evidence instead of judge-session spot checks.
 
-Usage: python tools/oos_replay.py ROUND [n_sample] [sf_dir]
+Usage: python tools/oos_replay.py ROUND [n_sample] [sf_dir] [batch]
+
+``batch`` (a single letter, e.g. ``b``) draws a SECOND in-round sample:
+the draw excludes every name already covered by ANY committed OOS file
+(including this round's earlier batches), seeds with round*100+ord so
+it is reproducible, and writes OOS_SAMPLE_r{ROUND}{batch}.md.
 """
 
 from __future__ import annotations
@@ -50,6 +55,7 @@ def main() -> int:
     rnd = int(sys.argv[1])
     n_sample = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+    batch = sys.argv[4] if len(sys.argv) > 4 else ""
 
     sys.path.insert(0, REPO)
     import __spark_entry__ as entrymod
@@ -57,14 +63,22 @@ def main() -> int:
     all_names = list(entrymod.queries())
     seen = driver_sampled_names()
     # Prior OOS rounds also count as covered — the point is tail burn-down.
+    this_out = f"OOS_SAMPLE_r{rnd}{batch}.md"
     for path in glob.glob(os.path.join(REPO, "OOS_SAMPLE_r*.md")):
-        m_rnd = os.path.basename(path)[len("OOS_SAMPLE_r"):-len(".md")]
-        if m_rnd.isdigit() and int(m_rnd) < rnd:
+        base = os.path.basename(path)
+        m_rnd = base[len("OOS_SAMPLE_r"):-len(".md")]
+        digits = m_rnd.rstrip("abcdefgh")
+        if not digits.isdigit() or base == this_out:
+            continue
+        # batch mode covers EVERY prior OOS file (incl. this round's
+        # earlier batches); plain mode keeps the historical < rnd rule
+        if int(digits) < rnd or (batch and int(digits) <= rnd):
             for ln in open(path):
                 if ln.startswith(("EXACT ", "NOOR ")):
                     seen.add(ln.split()[1].rstrip(":"))
     tail = [n for n in all_names if n not in seen]
-    rng = random.Random(rnd)  # seeded: reproducible, rotates by round
+    # seeded: reproducible, rotates by round (and by in-round batch)
+    rng = random.Random(rnd * 100 + ord(batch) if batch else rnd)
     sample = sorted(rng.sample(tail, min(n_sample, len(tail))))
     print(
         f"registry={len(all_names)} driver/OOS-covered={len(seen & set(all_names))} "
@@ -91,11 +105,13 @@ def main() -> int:
     stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
         "%Y-%m-%d %H:%M UTC"
     )
-    out = os.path.join(REPO, f"OOS_SAMPLE_r{rnd}.md")
+    out = os.path.join(REPO, f"OOS_SAMPLE_r{rnd}{batch}.md")
     with open(out, "w") as f:
+        seed = rnd * 100 + ord(batch) if batch else rnd
         f.write(
-            f"# Out-of-sample vanilla replay — round {rnd}, {stamp}\n\n"
-            f"Seeded (seed={rnd}) random draw of {len(sample)} registry\n"
+            f"# Out-of-sample vanilla replay — round {rnd}{batch},"
+            f" {stamp}\n\n"
+            f"Seeded (seed={seed}) random draw of {len(sample)} registry\n"
             f"entries that have NEVER had a driver correctness row nor a\n"
             f"prior OOS row, replayed on a BARE hostile-timezone session\n"
             f"(the driver's environment) at {sf_dir}.\n"

@@ -175,6 +175,11 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "kind": "dim_agg",
         "marker": r"HashAggregate\(keys=\[dur#\d+",
     },
+    # log-rank: the same duration-grain suffix windows as KM/NA
+    "ev_logrank_test": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[dur#\d+",
+    },
     # Poisson bootstrap: ranking window over the B=64 replicate rows
     # (the b-keyed aggregate below is the bound — B is a literal)
     "ev_poisson_bootstrap_ci": {
@@ -236,6 +241,31 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
     "pipeline_eval_gate_e2e": {
         "kind": "dim_agg",
         "marker": r"HashAggregate\(keys=\[(vm|event_type|hr)#\d+",
+    },
+    # r10 batch 4: Pettitt / runs-test windows all run at DAY grain
+    # (n ~ calendar days) above the daily keyed aggregate (whose day
+    # key is a grouping expression producing output column d).
+    "ev_pettitt_changepoint": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[_groupingexpression#\d+L?\],"
+        r" functions=\[[^\n]*output=\[d#\d+",
+    },
+    "ev_runs_test": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[_groupingexpression#\d+L?\],"
+        r" functions=\[[^\n]*output=\[d#\d+",
+    },
+    # decile table: the event-grain ntile is size-gated through
+    # operators/ranking.global_ntile (the ev_rfm_segments route); the
+    # cumulative window runs at DECILE grain (10 rows).
+    # the gated ntile window's subtree is the raw events frame (its
+    # bound IS the global_ntile size gate); the decile-grain cumulative
+    # windows additionally carry the decile aggregate below them.
+    "ev_lift_gain_curve": {
+        "kind": "size_gate",
+        "marker": r"(HashAggregate\(keys=\[decile#\d+"
+        r"|events\.parquet)",
+        "source": r"global_ntile",
     },
 }
 
@@ -344,7 +374,10 @@ BNLJ_KIND_PATTERNS: dict[str, str] = {
     # tiny generated spine (3x3 neighbor offsets, day grids)
     "range_spine": r"Range \(0, \d+, step",
     # K-grain dimension aggregate (event_type/day/cell), never data grain
-    "dim_agg": r"HashAggregate\(keys=\[(event_type|d|day|hr|seg|bucket|cell|band|gx|gy)#",
+    # (second alternative: the day key computed as a grouping
+    # expression, visible only in the aggregate's output list)
+    "dim_agg": r"HashAggregate\(keys=\[(event_type|d|day|hr|seg|bucket|cell|band|gx|gy)#"
+    r"|HashAggregate\(keys=\[_groupingexpression#\d+L?\][^\n]*output=\[d#\d+",
     # constant-size frame pinned via sharedframes
     "pinned_artifact": r"InMemoryTableScan",
     # K-row driver-trained model artifact (k-means centroids, PQ LUTs,
@@ -413,7 +446,37 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "ann_rank_agreement": {"kinds": ("one_row_agg", "pushed_key",), "max_segments": 16},
     "ann_recall_at5": {"kinds": ("emb_corpus",), "max_segments": 1},
     "ann_truncated_recall_at5": {"kinds": ("emb_corpus",), "max_segments": 2},
+    # r10: sign-bit recall gate — the exact referee + the declared
+    # brute-force packed-word broadcast, both fixture-scale oracles
+    "ann_signbit_recall_at5": {"kinds": ("emb_corpus",), "max_segments": 2},
     "basket_rules_lift": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # r10 batch 4: 1-row statistic broadcasts (Friedman's ssq/chi2
+    # frame joined onto the k=3 rank-sum rows; Cochran's column-total
+    # rollup joined onto the 1-row block stats)
+    "ev_friedman_test": {"kinds": ("one_row_agg",), "max_segments": 2},
+    "ev_cochran_q": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # runs test: the 1-row day-count broadcast (median pick + final
+    # readout) and the 1-row 2x-median broadcast (kept-days filter)
+    "ev_runs_test": {"kinds": ("one_row_agg",), "max_segments": 4},
+    # Kendall tau-b: the day-grain pair enumeration self-join (theta
+    # a.d < b.d over the DAY aggregate, calendar-bounded)
+    "ev_kendall_tau_b": {"kinds": ("dim_agg",), "max_segments": 1},
+    # capture-recapture: the 1-row window-midpoint broadcast
+    "ev_capture_recapture": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # log-rank: the 1-row censoring-horizon broadcast (the KM shape)
+    "ev_logrank_test": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # rich club: the K=4 literal threshold spine (a 4-row parallelized
+    # RDD) broadcast into both theta joins — the degree/edge side
+    # streams
+    "graph_rich_club": {"kinds": ("model_rdd",), "max_segments": 2},
+    # burstiness: the 1-row corpus doc-count broadcast
+    "t_burstiness_fano": {"kinds": ("one_row_agg",), "max_segments": 1},
+    # corpus-health gate: six 1-row component rollups cross-joined
+    # (+ the fano component's inner doc-count broadcast)
+    "pipeline_corpus_health_gate": {
+        "kinds": ("one_row_agg",),
+        "max_segments": 6,
+    },
     "dedup_embedding_cosine": {"kinds": ("emb_corpus",), "max_segments": 1},
     "dedup_embedding_lsh_recall": {"kinds": ("emb_corpus", "one_row_agg",), "max_segments": 5},
     "dedup_lsh_recall_vs_exact": {"kinds": ("one_row_agg",), "max_segments": 2},

@@ -813,3 +813,100 @@ def dq_fd_profile(spark, sf_dir):
         ).select(F.lit(name).alias("fd"), "*")
         out = rep if out is None else out.unionByName(rep)
     return out
+
+
+@q(
+    "dq_outlier_iqr",
+    """
+    WITH qv AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    ), rk AS (
+      SELECT flag, q,
+             row_number() OVER (PARTITION BY flag ORDER BY q) AS rn,
+             CAST(count(*) OVER (PARTITION BY flag) AS BIGINT) AS n
+      FROM qv
+    ), quart AS (
+      SELECT flag, CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN rn = (n + 3) // 4 THEN q ELSE 0 END)
+                  AS BIGINT) AS q1,
+             CAST(sum(CASE WHEN rn = (3 * n + 3) // 4 THEN q ELSE 0 END)
+                  AS BIGINT) AS q3
+      FROM rk GROUP BY flag
+    )
+    SELECT qv.flag AS l_returnflag, max(quart.n) AS n_rows,
+           max(q1) AS q1, max(q3) AS q3,
+           CAST(sum(CASE WHEN 2 * q < 2 * q1 - 3 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+           CAST(sum(CASE WHEN 2 * q > 2 * q3 + 3 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+    FROM qv JOIN quart ON qv.flag = quart.flag
+    GROUP BY qv.flag
+    ORDER BY l_returnflag
+    """,
+)
+def dq_outlier_iqr(spark, sf_dir):
+    """TUKEY IQR FENCE audit per return-flag population — the
+    complement of dq_anomaly_mad (MAD catches level outliers robustly;
+    the 1.5*IQR fence is the boxplot rule every profiling report
+    quotes). Quartiles are exact type-1 order statistics (the value at
+    rank ceil(n/4) / ceil(3n/4)); the fences ride a 2x integer lattice
+    (2q <> 2q1 - 3*IQR) so the 1.5 multiplier never becomes a float.
+
+    Scale shape: ranks come from a window PARTITIONED by the flag (the
+    population key — no global sort); quartile extraction is one
+    flag-grain aggregate; the fence count is one keyed equi-join of the
+    3-row quartile table back onto the scan plus one flag-grain
+    aggregate. On the uniform fixture quantity (1..50) the fences
+    exclude nothing — the zero rows are themselves the oracle-pinned
+    expectation; the law test drives a constructed skew through the
+    same plan."""
+    (li,) = load_tables(spark, sf_dir, ("lineitem",)).values()
+    qv = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("q"),
+    )
+    w = Window.partitionBy("flag")
+    rk = qv.select(
+        "flag",
+        "q",
+        F.row_number().over(w.orderBy("q")).alias("rn"),
+        F.count("*").over(w).cast("long").alias("n"),
+    )
+    quart = rk.groupBy("flag").agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr(
+            "CAST(sum(CASE WHEN rn = (n + 3) div 4 THEN q ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("q1"),
+        F.expr(
+            "CAST(sum(CASE WHEN rn = (3 * n + 3) div 4 THEN q ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("q3"),
+    )
+    return (
+        qv.join(quart, "flag")
+        .groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(
+            F.max("n").alias("n_rows"),
+            F.max("q1").alias("q1"),
+            F.max("q3").alias("q3"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN 2 * q < 2 * q1 - 3 * (q3 - q1)"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN 2 * q > 2 * q3 + 3 * (q3 - q1)"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )

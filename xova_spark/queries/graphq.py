@@ -1811,3 +1811,215 @@ def graph_degree_assortativity(spark, sf_dir):
         " div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) - 1000000"
         " END AS BIGINT) AS assortativity_micro",
     )
+
+
+CLOSENESS_SOURCES = 4
+
+
+def _closeness_sql() -> str:
+    ctes = [
+        _DUCK_EDGES.strip(),
+        f"seeds AS (SELECT node AS s FROM deg ORDER BY node"
+        f" LIMIT {CLOSENESS_SOURCES})",
+        "c0 AS MATERIALIZED (SELECT s, s AS node, 0 AS hops FROM seeds)",
+    ]
+    for r in range(BFS_ROUNDS):
+        ctes.append(
+            f"c{r + 1} AS MATERIALIZED (SELECT s, node, min(hops) AS hops"
+            f" FROM (SELECT s, node, hops FROM c{r}"
+            f" UNION ALL SELECT d.s, a.dst AS node, d.hops + 1 AS hops"
+            f" FROM c{r} d JOIN arcs a ON a.src = d.node)"
+            f" GROUP BY s, node)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f"""
+        SELECT CAST(s AS BIGINT) AS src,
+               CAST(count(*) AS BIGINT) AS n_reached,
+               CAST(sum(hops) AS BIGINT) AS sum_hops,
+               CAST(sum(CASE WHEN hops > 0 THEN 1000000 // hops
+                        ELSE 0 END) AS BIGINT) AS harmonic_micro
+        FROM c{BFS_ROUNDS} GROUP BY s ORDER BY src
+        """
+    )
+
+
+@q("graph_closeness_sampled", _closeness_sql())
+def graph_closeness_sampled(spark, sf_dir):
+    """SAMPLED CLOSENESS CENTRALITY — per-source BFS reach profile from
+    a pinned {CLOSENESS_SOURCES}-source sample (the lowest node ids:
+    deterministic on both engines), reporting reach count, total hop
+    mass, and HARMONIC closeness (sum 1/d on the micro lattice —
+    harmonic handles disconnected graphs where classical closeness is
+    undefined). Exact closeness is O(V*E); production estimates it from
+    a source sample exactly like this (Eppstein-Wang) — the sample size
+    is the only knob.
+
+    Integer form: hops are integers; harmonic mass is a sum of floored
+    1e6/d terms (deterministic lattice, identical on both engines).
+    Scale shape: the per-source label table rides the SAME fixed-round
+    frontier relaxation as graph_bfs_hops — each round one join + one
+    (source, node) keyed min, localCheckpoint per round to keep plans
+    flat; size-gated onto the driver below _BFS_COLLECT_EDGES (the
+    k-core lesson: per-round job latency dominates at gate scale).
+    Frontier volume is CLOSENESS_SOURCES x the single-source cost."""
+    edges = _edges_cached(spark, sf_dir)
+    n_edges = edges.count()
+    if n_edges <= _BFS_COLLECT_EDGES:
+        arcs: list[tuple[int, int]] = []
+        nodes: set[int] = set()
+        for r in edges.select("pa", "pb").collect():
+            arcs.append((r.pa, r.pb))
+            arcs.append((r.pb, r.pa))
+            nodes.add(r.pa)
+            nodes.add(r.pb)
+        seeds = sorted(nodes)[:CLOSENESS_SOURCES]
+        dist: dict[tuple[int, int], int] = {(s, s): 0 for s in seeds}
+        for _ in range(BFS_ROUNDS):
+            nxt = dict(dist)
+            for u, v in arcs:
+                for s in seeds:
+                    du = dist.get((s, u))
+                    if du is not None and du + 1 < nxt.get(
+                        (s, v), du + 2
+                    ):
+                        nxt[(s, v)] = du + 1
+            dist = nxt
+        acc: dict[int, list[int]] = {
+            s: [0, 0, 0] for s in seeds
+        }  # n_reached, sum_hops, harmonic_micro
+        for (s, _node), h in dist.items():
+            acc[s][0] += 1
+            acc[s][1] += h
+            if h > 0:
+                acc[s][2] += 1_000_000 // h
+        rows = [
+            (s, acc[s][0], acc[s][1], acc[s][2]) for s in sorted(acc)
+        ]
+        return spark.createDataFrame(
+            rows, "src long, n_reached long, sum_hops long,"
+            " harmonic_micro long"
+        )
+    arcs_df, deg = _arcs_and_degrees(edges)
+    seeds = (
+        deg.select(F.col("node").alias("s"))
+        .orderBy("s")
+        .limit(CLOSENESS_SOURCES)
+    )
+    labels = seeds.select(
+        "s", F.col("s").alias("node"), F.lit(0).cast("long").alias("hops")
+    )
+    for _ in range(BFS_ROUNDS):
+        relax = labels.join(
+            arcs_df, labels["node"] == arcs_df["src"]
+        ).select(
+            labels["s"],
+            F.col("dst").alias("node"),
+            (F.col("hops") + 1).alias("hops"),
+        )
+        labels = (
+            labels.unionAll(relax)
+            .groupBy("s", "node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("s").cast("long").alias("src"))
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum("hops").cast("long").alias("sum_hops"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN hops > 0 THEN 1000000 div hops ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("harmonic_micro"),
+        )
+        .orderBy("src")
+    )
+
+
+RICH_CLUB_KS = (2, 4, 8, 16)
+
+
+@q(
+    "graph_rich_club",
+    f"""
+    WITH {_DUCK_EDGES},
+    ks AS (SELECT unnest(ARRAY[{", ".join(str(k) for k in RICH_CLUB_KS)}])
+             AS k),
+    rich AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_k
+      FROM ks JOIN deg ON deg.degree > ks.k GROUP BY k
+    ), re AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS e_k
+      FROM ks
+      JOIN edges ON TRUE
+      JOIN deg da ON da.node = edges.pa AND da.degree > ks.k
+      JOIN deg db ON db.node = edges.pb AND db.degree > ks.k
+      GROUP BY ks.k
+    )
+    SELECT rich.k AS k, n_k, coalesce(e_k, 0) AS e_k,
+           CAST(CASE WHEN n_k < 2 THEN 0
+                ELSE 2 * CAST(coalesce(e_k, 0) AS HUGEINT) * 1000000
+                     // (CAST(n_k AS HUGEINT) * (n_k - 1)) END
+                AS BIGINT) AS phi_micro
+    FROM rich LEFT JOIN re ON re.k = rich.k
+    ORDER BY k
+    """,
+)
+def graph_rich_club(spark, sf_dir):
+    """RICH-CLUB COEFFICIENT phi(k) = 2 E_k / (N_k (N_k - 1)) for the
+    degree thresholds {RICH_CLUB_KS}: how densely the high-degree parts
+    of the co-purchase graph connect to EACH OTHER — a rising phi(k)
+    is the hub-oligarchy signature (hubs trade with hubs), the
+    structural fact behind the hub-capped wedge-spine contracts the
+    clustering entries declare.
+
+    Integer form: N_k and E_k are exact counts; phi leaves as one
+    positive micro floor-div per threshold (quadratic 128-bit
+    dividend). Scale shape: degrees come from the shared cached edge
+    list's arc aggregate; per threshold the rich subgraph is TWO keyed
+    semi-joins of the edge list against the degree table (the K=4
+    thresholds ride one small broadcast spine) — never a pair
+    enumeration; everything after is threshold grain."""
+    edges = _edges_cached(spark, sf_dir)
+    _, deg = _arcs_and_degrees(edges)
+    ks = spark.createDataFrame(
+        [(k,) for k in RICH_CLUB_KS], "k int"
+    )
+    rich = (
+        deg.join(F.broadcast(ks), deg["degree"] > ks["k"])
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_k"))
+    )
+    da = deg.select(
+        F.col("node").alias("pa"), F.col("degree").alias("dega")
+    )
+    db = deg.select(
+        F.col("node").alias("pb"), F.col("degree").alias("degb")
+    )
+    ed = edges.join(da, "pa").join(db, "pb")
+    re_ = (
+        ed.join(
+            F.broadcast(ks),
+            (ed["dega"] > ks["k"]) & (ed["degb"] > ks["k"]),
+        )
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("e_k"))
+    )
+    return (
+        rich.join(re_, "k", "left")
+        .selectExpr(
+            "CAST(k AS BIGINT) AS k",
+            "n_k",
+            "coalesce(e_k, 0) AS e_k",
+            "CAST(CASE WHEN n_k < 2 THEN 0"
+            " ELSE 2 * CAST(coalesce(e_k, 0) AS DECIMAL(38,0)) * 1000000"
+            " div (CAST(n_k AS DECIMAL(38,0)) * (n_k - 1)) END"
+            " AS BIGINT) AS phi_micro",
+        )
+        .orderBy("k")
+    )

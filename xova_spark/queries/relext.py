@@ -8089,3 +8089,1125 @@ def ev_lagged_cross_correlation(spark, sf_dir):
         " / CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)"
         " * 1000000) END AS BIGINT) AS rho2_micro",
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch 4: nonparametric blocked designs (Friedman, Cochran's Q),
+# inter-rater agreement at m raters (Fleiss' kappa), changepoint detection
+# (Pettitt), randomness audit (Wald-Wolfowitz runs), and the classifier
+# gain/lift decile table. Same discipline as batches 1-3: integer lattices,
+# 128-bit dividends, bounded quotients, shift-before-div for signed results.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ev_friedman_test",
+    """
+    WITH cells AS (
+      SELECT l_suppkey AS blk, l_returnflag AS trt,
+             CAST(sum(CAST(l_quantity AS BIGINT)) * 1000000
+                  // count(*) AS BIGINT) AS cellv
+      FROM lineitem
+      GROUP BY l_suppkey, l_returnflag
+    ), complete AS (
+      SELECT blk FROM cells GROUP BY blk HAVING count(*) = 3
+    ), ranked AS (
+      SELECT c.blk, c.trt,
+             2 * rank() OVER (PARTITION BY c.blk ORDER BY c.cellv)
+               + count(*) OVER (PARTITION BY c.blk, c.cellv) - 1 AS rank2
+      FROM cells c JOIN complete USING (blk)
+    ), rs AS (
+      SELECT trt, CAST(sum(rank2) AS BIGINT) AS r2_sum
+      FROM ranked GROUP BY trt
+    ), tot AS (
+      SELECT CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks
+      FROM ranked
+    ), stat AS (
+      SELECT n_blocks,
+             CAST((3000 * (SELECT sum(CAST(r2_sum AS HUGEINT) * r2_sum)
+                           FROM rs)
+                   - 3000 * CAST(n_blocks AS HUGEINT) * n_blocks
+                     * 3 * 16)
+                  // (CAST(n_blocks AS HUGEINT) * 3 * 4)
+                  AS BIGINT) AS chi2_milli
+      FROM tot
+    )
+    SELECT rs.trt AS l_returnflag, rs.r2_sum,
+           stat.n_blocks, stat.chi2_milli
+    FROM rs CROSS JOIN stat
+    ORDER BY l_returnflag
+    """,
+)
+def ev_friedman_test(spark, sf_dir):
+    """FRIEDMAN RANK TEST for k=3 related samples — the nonparametric
+    blocked-design ANOVA (Kruskal-Wallis assumes independent groups;
+    Friedman ranks WITHIN each block, so per-supplier level shifts
+    cancel). Blocks are suppliers, treatments the three return-flag
+    populations, cell value the per-cell micro-mean quantity; only
+    complete blocks (all 3 treatments present) enter, per the classical
+    design. Midranks are carried x2 on the integer lattice
+    (rank2 = 2*rank + ties - 1); chi2 = 12/(nk(k+1)) * sum R_j^2
+    - 3n(k+1) collapses to ONE positive floor-div of an exact 128-bit
+    dividend: (3000*sum R2_j^2 - 3000*n^2*k*(k+1)^2) / (n*k*(k+1)).
+    Ties are midranked but the classical (uncorrected) statistic is
+    reported — documented, identical on both engines.
+
+    Scale shape: one (block, treatment)-grain keyed aggregate, one
+    block-complete semi-filter, one k(=3)-row rank-sum aggregate; every
+    window partitions by block (bounded grain k). Nothing row-grain
+    survives the first shuffle."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_suppkey").alias("blk"), F.col("l_returnflag").alias("trt")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(l_quantity AS BIGINT)) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("cellv")
+    )
+    complete = cells.groupBy("blk").agg(F.count("*").alias("kc")).filter(
+        F.col("kc") == 3
+    )
+    ranked = cells.join(complete.select("blk"), "blk").select(
+        "blk",
+        "trt",
+        (
+            2 * F.rank().over(Window.partitionBy("blk").orderBy("cellv"))
+            + F.count("*").over(Window.partitionBy("blk", "cellv"))
+            - 1
+        ).alias("rank2"),
+    )
+    rs = ranked.groupBy("trt").agg(
+        F.sum("rank2").cast("long").alias("r2_sum")
+    )
+    stat = ranked.agg(
+        F.countDistinct("blk").cast("long").alias("n_blocks")
+    ).crossJoin(
+        F.broadcast(
+            rs.agg(
+                F.expr(
+                    "sum(CAST(r2_sum AS DECIMAL(38,0)) * r2_sum)"
+                ).alias("ssq")
+            )
+        )
+    ).selectExpr(
+        "n_blocks",
+        "CAST((3000 * ssq"
+        " - 3000 * CAST(n_blocks AS DECIMAL(38,0)) * n_blocks * 3 * 16)"
+        " div (CAST(n_blocks AS DECIMAL(38,0)) * 3 * 4) AS BIGINT)"
+        " AS chi2_milli",
+    )
+    return (
+        rs.crossJoin(F.broadcast(stat))
+        .select(
+            F.col("trt").alias("l_returnflag"),
+            "r2_sum",
+            "n_blocks",
+            "chi2_milli",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "ev_cochran_q",
+    """
+    WITH lines AS (
+      SELECT l_orderkey AS blk, l_linenumber AS trt,
+             CASE WHEN CAST(l_quantity AS BIGINT) >= 25 THEN 1 ELSE 0 END
+               AS succ
+      FROM lineitem WHERE l_linenumber <= 3
+    ), complete AS (
+      SELECT blk FROM lines GROUP BY blk
+      HAVING count(*) = 3 AND count(DISTINCT trt) = 3
+    ), cell AS (
+      SELECT l.blk, l.trt, l.succ FROM lines l JOIN complete USING (blk)
+    ), rows_ AS (
+      SELECT blk, CAST(sum(succ) AS BIGINT) AS r FROM cell GROUP BY blk
+    ), cols AS (
+      SELECT CAST(sum(CASE WHEN trt = 1 THEN succ ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(sum(CASE WHEN trt = 2 THEN succ ELSE 0 END) AS BIGINT)
+               AS c2,
+             CAST(sum(CASE WHEN trt = 3 THEN succ ELSE 0 END) AS BIGINT)
+               AS c3
+      FROM cell
+    ), rstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(r) AS BIGINT) AS n_success,
+             CAST(sum(r * r) AS BIGINT) AS sum_r_sq
+      FROM rows_
+    )
+    SELECT n_blocks, n_success, c1, c2, c3, sum_r_sq,
+           CAST(CASE WHEN 3 * n_success - sum_r_sq <= 0 THEN 0
+                ELSE (2 * (3 * (CAST(c1 AS HUGEINT) * c1
+                                + CAST(c2 AS HUGEINT) * c2
+                                + CAST(c3 AS HUGEINT) * c3)
+                           - CAST(n_success AS HUGEINT) * n_success)
+                      * 1000)
+                     // (3 * n_success - sum_r_sq) END
+                AS BIGINT) AS q_milli
+    FROM rstats CROSS JOIN cols
+    """,
+)
+def ev_cochran_q(spark, sf_dir):
+    """COCHRAN'S Q TEST — the k-treatment generalization of McNemar for
+    BINARY blocked outcomes: did line positions 1/2/3 of the same order
+    differ in their high-quantity (>= 25) rate? Blocks are orders
+    carrying all three line positions; Q = (k-1)(k*sum C_j^2 - N^2) /
+    (k*N - sum R_i^2), the all-integer collapse of the textbook
+    k(k-1)*sum(C_j - N/k)^2 / (k*sum R_i - sum R_i^2) form (N = total
+    successes, C_j column totals, R_i block totals). Blocks where every
+    treatment agrees contribute nothing — exactly McNemar's
+    discordant-pairs principle at k=3.
+
+    Integer form: every quantity is a count; the dividend accumulates
+    128-bit (quadratic in block count); the bounded quotient leaves in
+    milli; the degenerate all-agree denominator (k*N = sum R^2) guards
+    to 0. Scale shape: one block-grain keyed aggregate, two 1-row
+    rollups, a 1x1 cross join."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    lines = li.filter(F.col("l_linenumber") <= 3).select(
+        F.col("l_orderkey").alias("blk"),
+        F.col("l_linenumber").alias("trt"),
+        F.expr(
+            "CASE WHEN CAST(l_quantity AS BIGINT) >= 25 THEN 1 ELSE 0 END"
+        ).alias("succ"),
+    )
+    complete = (
+        lines.groupBy("blk")
+        .agg(
+            F.count("*").alias("kc"),
+            F.countDistinct("trt").alias("kd"),
+        )
+        .filter((F.col("kc") == 3) & (F.col("kd") == 3))
+    )
+    cell = lines.join(complete.select("blk"), "blk")
+    rows_ = cell.groupBy("blk").agg(F.sum("succ").cast("long").alias("r"))
+    cols = cell.agg(
+        F.sum(F.expr("CASE WHEN trt = 1 THEN succ ELSE 0 END"))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.expr("CASE WHEN trt = 2 THEN succ ELSE 0 END"))
+        .cast("long")
+        .alias("c2"),
+        F.sum(F.expr("CASE WHEN trt = 3 THEN succ ELSE 0 END"))
+        .cast("long")
+        .alias("c3"),
+    )
+    rstats = rows_.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("r").cast("long").alias("n_success"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("sum_r_sq"),
+    )
+    return rstats.crossJoin(F.broadcast(cols)).selectExpr(
+        "n_blocks",
+        "n_success",
+        "c1",
+        "c2",
+        "c3",
+        "sum_r_sq",
+        "CAST(CASE WHEN 3 * n_success - sum_r_sq <= 0 THEN 0"
+        " ELSE (2 * (3 * (CAST(c1 AS DECIMAL(38,0)) * c1"
+        " + CAST(c2 AS DECIMAL(38,0)) * c2"
+        " + CAST(c3 AS DECIMAL(38,0)) * c3)"
+        " - CAST(n_success AS DECIMAL(38,0)) * n_success) * 1000)"
+        " div (3 * n_success - sum_r_sq) END AS BIGINT) AS q_milli",
+    )
+
+
+@q(
+    "ev_fleiss_kappa",
+    """
+    WITH eligible AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING count(*) >= 4
+    ), raters AS (
+      SELECT l_orderkey AS item,
+             least((CAST(l_quantity AS BIGINT) - 1) // 17, 2) AS cat,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey,
+                                         l_suppkey, l_quantity,
+                                         l_extendedprice) AS rn
+      FROM lineitem JOIN eligible USING (l_orderkey)
+    ), cells AS (
+      SELECT item, cat, CAST(count(*) AS BIGINT) AS nij
+      FROM raters WHERE rn <= 4 GROUP BY item, cat
+    ), s AS (
+      SELECT CAST(sum(nij) AS BIGINT) // 4 AS n_items,
+             CAST(sum(nij * nij) AS BIGINT) AS a_sq,
+             CAST(sum(CASE WHEN cat = 0 THEN nij ELSE 0 END) AS BIGINT)
+               AS t0,
+             CAST(sum(CASE WHEN cat = 1 THEN nij ELSE 0 END) AS BIGINT)
+               AS t1,
+             CAST(sum(CASE WHEN cat = 2 THEN nij ELSE 0 END) AS BIGINT)
+               AS t2
+      FROM cells
+    ), lat AS (
+      SELECT n_items, a_sq, t0, t1, t2,
+             CAST((CAST(a_sq AS HUGEINT) - 4 * n_items) * 1000000000
+                  // (12 * CAST(n_items AS HUGEINT)) AS BIGINT)
+               AS pbar_nano,
+             CAST((CAST(t0 AS HUGEINT) * t0 + CAST(t1 AS HUGEINT) * t1
+                   + CAST(t2 AS HUGEINT) * t2) * 1000000000
+                  // (16 * CAST(n_items AS HUGEINT) * n_items)
+                  AS BIGINT) AS pe_nano
+      FROM s
+    )
+    SELECT n_items, CAST(4 AS BIGINT) AS m, t0, t1, t2,
+           pbar_nano, pe_nano,
+           CAST(CASE WHEN 1000000000 - pe_nano <= 0 THEN 0
+                ELSE ((CAST(pbar_nano AS HUGEINT) - pe_nano) * 1000000
+                      + CAST(10000000 AS HUGEINT)
+                        * (1000000000 - pe_nano))
+                     // (1000000000 - pe_nano) - 10000000 END
+                AS BIGINT) AS kappa_micro
+    FROM lat
+    """,
+)
+def ev_fleiss_kappa(spark, sf_dir):
+    """FLEISS' KAPPA — chance-corrected agreement among m=4 raters
+    assigning n items to 3 categories, the standard audit for
+    LLM-labeling panels (m model/human annotators per document). Items
+    are orders with >= 4 lines; the 4 lowest line positions act as the
+    raters; the category is the quantity tercile ((q-1) div 17 capped
+    at 2). kappa = (Pbar - Pe)/(1 - Pe) with Pbar = (sum n_ij^2 - nm) /
+    (nm(m-1)) and Pe = sum_j (T_j/(nm))^2.
+
+    Integer form: both probability terms land on a deterministic NANO
+    lattice first (floored 128-bit dividends — the intermediate
+    rounding is part of the contract, identical on both engines); the
+    final quotient is SIGNED (kappa ~ 0 on independent raters can be
+    negative), so it uses the shifted-div trick (+1e7*den before the
+    floor-div, -1e7 after) to make DuckDB's floor and Spark's
+    truncation agree — valid because kappa >= -Pe/(1-Pe) > -10 by
+    construction (law-tested). Scale shape: one partitioned-window
+    rater pick, one (item, cat) keyed aggregate, one 1-row rollup."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    eligible = li.groupBy("l_orderkey").agg(F.count("*").alias("nl")).filter(
+        F.col("nl") >= 4
+    )
+    raters = (
+        li.join(eligible.select("l_orderkey"), "l_orderkey")
+        .select(
+            F.col("l_orderkey").alias("item"),
+            F.expr(
+                "least((CAST(l_quantity AS BIGINT) - 1) div 17, 2)"
+            ).alias("cat"),
+            F.row_number()
+            .over(
+                Window.partitionBy("l_orderkey").orderBy(
+                    "l_linenumber",
+                    "l_partkey",
+                    "l_suppkey",
+                    "l_quantity",
+                    "l_extendedprice",
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 4)
+    )
+    cells = raters.groupBy("item", "cat").agg(
+        F.count("*").cast("long").alias("nij")
+    )
+    s = cells.agg(
+        F.expr("CAST(sum(nij) AS BIGINT) div 4").alias("n_items"),
+        F.sum(F.col("nij") * F.col("nij")).cast("long").alias("a_sq"),
+        F.sum(F.expr("CASE WHEN cat = 0 THEN nij ELSE 0 END"))
+        .cast("long")
+        .alias("t0"),
+        F.sum(F.expr("CASE WHEN cat = 1 THEN nij ELSE 0 END"))
+        .cast("long")
+        .alias("t1"),
+        F.sum(F.expr("CASE WHEN cat = 2 THEN nij ELSE 0 END"))
+        .cast("long")
+        .alias("t2"),
+    )
+    lat = s.selectExpr(
+        "n_items",
+        "a_sq",
+        "t0",
+        "t1",
+        "t2",
+        "CAST((CAST(a_sq AS DECIMAL(38,0)) - 4 * n_items) * 1000000000"
+        " div (12 * CAST(n_items AS DECIMAL(38,0))) AS BIGINT)"
+        " AS pbar_nano",
+        "CAST((CAST(t0 AS DECIMAL(38,0)) * t0"
+        " + CAST(t1 AS DECIMAL(38,0)) * t1"
+        " + CAST(t2 AS DECIMAL(38,0)) * t2) * 1000000000"
+        " div (16 * CAST(n_items AS DECIMAL(38,0)) * n_items)"
+        " AS BIGINT) AS pe_nano",
+    )
+    return lat.selectExpr(
+        "n_items",
+        "CAST(4 AS BIGINT) AS m",
+        "t0",
+        "t1",
+        "t2",
+        "pbar_nano",
+        "pe_nano",
+        "CAST(CASE WHEN 1000000000 - pe_nano <= 0 THEN 0"
+        " ELSE ((CAST(pbar_nano AS DECIMAL(38,0)) - pe_nano) * 1000000"
+        " + CAST(10000000 AS DECIMAL(38,0)) * (1000000000 - pe_nano))"
+        " div (1000000000 - pe_nano) - 10000000 END"
+        " AS BIGINT) AS kappa_micro",
+    )
+
+
+@q(
+    "ev_pettitt_changepoint",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS d,
+             CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+               AS xv
+      FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT d, xv,
+             2 * rank() OVER (ORDER BY xv)
+               + count(*) OVER (PARTITION BY xv) - 1 AS rank2,
+             row_number() OVER (ORDER BY d) AS t,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ), u AS (
+      SELECT d, t, n,
+             CAST(sum(rank2) OVER (ORDER BY d
+                                   ROWS UNBOUNDED PRECEDING)
+                  - t * (n + 1) AS BIGINT) AS u_t
+      FROM ranked
+    ), best AS (
+      SELECT d, t, n, u_t,
+             row_number() OVER (ORDER BY abs(u_t) DESC, t) AS pick
+      FROM u WHERE t < n
+    )
+    SELECT n AS n_days, CAST(t AS BIGINT) AS t_star,
+           CAST(d AS BIGINT) AS day_star, u_t AS u_star,
+           CAST(abs(u_t) AS BIGINT) AS k_stat,
+           CAST(6 * CAST(abs(u_t) AS HUGEINT) * abs(u_t) * 1000000
+                // (CAST(n AS HUGEINT) * n * n
+                    + CAST(n AS HUGEINT) * n) AS BIGINT)
+             AS p_exp_micro
+    FROM best WHERE pick = 1
+    """,
+)
+def ev_pettitt_changepoint(spark, sf_dir):
+    """PETTITT CHANGEPOINT TEST — the rank-based (distribution-free)
+    detector for a single shift in a series' level, here the daily
+    micro-revenue of the events stream. The classical U_t =
+    2*sum_{i<=t} r_i - t(n+1) needs only the global midranks and ONE
+    cumulative sum: with midranks carried x2 (rank2), U_t =
+    cumsum(rank2) - t(n+1) exactly. K = max|U_t| over t < n picks the
+    split day; the approximate significance is reported as the exact
+    exponent of p ~ 2exp(-6K^2/(n^3+n^2)) on the micro lattice (the
+    caller applies 2e^-x; no floating transcendentals cross the hash).
+
+    Integer form: daily revenue is the exact micro-cent sum; ranks,
+    cumsums, and U_t are integers; the only division is the final
+    128-bit-dividend floor-div. Scale shape: one day-grain keyed
+    aggregate, then every window runs at DAY grain (n ~ calendar days,
+    bounded) — the unpartitioned windows are dim-grain by construction
+    and declared in WINDOW_SURVIVORS."""
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("d")
+    ).agg(
+        F.expr("CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)")
+        .alias("xv")
+    )
+    ranked = daily.select(
+        "d",
+        "xv",
+        (
+            2 * F.rank().over(Window.orderBy("xv"))
+            + F.count("*").over(Window.partitionBy("xv"))
+            - 1
+        ).alias("rank2"),
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n"),
+    )
+    u = ranked.select(
+        "d",
+        "t",
+        "n",
+        (
+            F.sum("rank2").over(
+                Window.orderBy("d").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("t") * (F.col("n") + 1)
+        ).cast("long").alias("u_t"),
+    )
+    best = (
+        u.filter(F.col("t") < F.col("n"))
+        .withColumn(
+            "pick",
+            F.row_number().over(Window.orderBy(F.abs("u_t").desc(), "t")),
+        )
+        .filter(F.col("pick") == 1)
+    )
+    return best.selectExpr(
+        "n AS n_days",
+        "CAST(t AS BIGINT) AS t_star",
+        "CAST(d AS BIGINT) AS day_star",
+        "u_t AS u_star",
+        "CAST(abs(u_t) AS BIGINT) AS k_stat",
+        "CAST(6 * CAST(abs(u_t) AS DECIMAL(38,0)) * abs(u_t) * 1000000"
+        " div (CAST(n AS DECIMAL(38,0)) * n * n"
+        " + CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) AS p_exp_micro",
+    )
+
+
+@q(
+    "ev_runs_test",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), nrow AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily
+    ), rk AS (
+      SELECT d, c, row_number() OVER (ORDER BY c, d) AS rn
+      FROM daily
+    ), med AS (
+      SELECT CAST(sum(CASE WHEN rn = (n_days + 1) // 2
+                           THEN c ELSE 0 END)
+                  + sum(CASE WHEN rn = n_days // 2 + 1
+                             THEN c ELSE 0 END)
+                  AS BIGINT) AS m2,
+             CAST(max(n_days) AS BIGINT) AS n_days
+      FROM rk CROSS JOIN nrow
+    ), kept AS (
+      SELECT d, CASE WHEN 2 * c > m2 THEN 1 ELSE 0 END AS sgn
+      FROM daily CROSS JOIN med WHERE 2 * c != m2
+    ), runs AS (
+      SELECT sgn,
+             CASE WHEN lag(sgn) OVER (ORDER BY d) IS NULL
+                   OR lag(sgn) OVER (ORDER BY d) != sgn
+                  THEN 1 ELSE 0 END AS start
+      FROM kept
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(sgn) AS BIGINT) AS n_above,
+             CAST(count(*) - sum(sgn) AS BIGINT) AS n_below,
+             CAST(sum(start) AS BIGINT) AS n_runs
+      FROM runs
+    )
+    SELECT med.n_days, n_kept, n_above, n_below, n_runs,
+           CAST(CASE
+             WHEN n_runs * n_kept - n_kept - 2 * n_above * n_below > 0
+               THEN 1
+             WHEN n_runs * n_kept - n_kept - 2 * n_above * n_below < 0
+               THEN -1 ELSE 0 END AS BIGINT) AS z_sign,
+           CAST(CASE WHEN n_above = 0 OR n_below = 0
+                      OR 2 * n_above * n_below - n_kept <= 0 THEN 0
+                ELSE (CAST(n_runs * n_kept - n_kept
+                           - 2 * n_above * n_below AS HUGEINT)
+                      * (n_runs * n_kept - n_kept
+                         - 2 * n_above * n_below)
+                      * (n_kept - 1) * 1000)
+                     // (CAST(2 AS HUGEINT) * n_above * n_below
+                         * (2 * n_above * n_below - n_kept)) END
+                AS BIGINT) AS z2_milli
+    FROM agg CROSS JOIN med
+    """,
+)
+def ev_runs_test(spark, sf_dir):
+    """WALD-WOLFOWITZ RUNS TEST for randomness of the daily event
+    volume around its median — too FEW runs means trending/clustered
+    days, too MANY means oscillation; either breaks the i.i.d.
+    assumption every other daily statistic in this pack quietly makes.
+    Days equal to the median are excluded (the classical treatment);
+    the median is the exact 2x lattice (lower+upper order statistic).
+
+    Integer form: z^2 = (Rn - n - 2ab)^2 (n-1) / (2ab(2ab - n)) is the
+    all-integer collapse of ((R - mu)/sigma)^2 with mu = 1 + 2ab/n and
+    sigma^2 = 2ab(2ab - n)/(n^2(n-1)); the sign of (R - mu) is reported
+    separately so no signed floor-div exists; degenerate denominators
+    (single-sided series) guard to 0. Scale shape: one day-grain keyed
+    aggregate; every window runs at day grain (declared dim-grain
+    survivors); two 1-row broadcasts."""
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("d")
+    ).agg(F.count("*").cast("long").alias("c"))
+    nrow = daily.agg(F.count("*").cast("long").alias("n_days"))
+    rk = daily.select(
+        "d",
+        "c",
+        F.row_number().over(Window.orderBy("c", "d")).alias("rn"),
+    )
+    med = rk.crossJoin(F.broadcast(nrow)).agg(
+        F.expr(
+            "CAST(sum(CASE WHEN rn = (n_days + 1) div 2"
+            " THEN c ELSE 0 END)"
+            " + sum(CASE WHEN rn = n_days div 2 + 1 THEN c ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("m2"),
+        F.max("n_days").cast("long").alias("n_days"),
+    )
+    kept = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.expr("2 * c != m2"))
+        .select(
+            "d",
+            F.expr("CASE WHEN 2 * c > m2 THEN 1 ELSE 0 END").alias("sgn"),
+        )
+    )
+    runs = kept.select(
+        "sgn",
+        F.expr(
+            "CASE WHEN lag(sgn) OVER (ORDER BY d) IS NULL"
+            " OR lag(sgn) OVER (ORDER BY d) != sgn THEN 1 ELSE 0 END"
+        ).alias("start"),
+    )
+    agg = runs.agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("sgn").cast("long").alias("n_above"),
+        (F.count("*") - F.sum("sgn")).cast("long").alias("n_below"),
+        F.sum("start").cast("long").alias("n_runs"),
+    )
+    return agg.crossJoin(F.broadcast(med.select("n_days"))).selectExpr(
+        "n_days",
+        "n_kept",
+        "n_above",
+        "n_below",
+        "n_runs",
+        "CAST(CASE"
+        " WHEN n_runs * n_kept - n_kept - 2 * n_above * n_below > 0"
+        " THEN 1"
+        " WHEN n_runs * n_kept - n_kept - 2 * n_above * n_below < 0"
+        " THEN -1 ELSE 0 END AS BIGINT) AS z_sign",
+        "CAST(CASE WHEN n_above = 0 OR n_below = 0"
+        " OR 2 * n_above * n_below - n_kept <= 0 THEN 0"
+        " ELSE (CAST(n_runs * n_kept - n_kept"
+        " - 2 * n_above * n_below AS DECIMAL(38,0))"
+        " * (n_runs * n_kept - n_kept - 2 * n_above * n_below)"
+        " * (n_kept - 1) * 1000)"
+        " div (CAST(2 AS DECIMAL(38,0)) * n_above * n_below"
+        " * (2 * n_above * n_below - n_kept)) END"
+        " AS BIGINT) AS z2_milli",
+    )
+
+
+@q(
+    "ev_lift_gain_curve",
+    """
+    WITH scored AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+             ntile(10) OVER (ORDER BY value DESC, event_id) AS decile
+      FROM events
+    ), dec AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM scored GROUP BY decile
+    ), cum AS (
+      SELECT decile, n_rows, n_pos,
+             CAST(sum(n_rows) OVER (ORDER BY decile
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_n,
+             CAST(sum(n_pos) OVER (ORDER BY decile
+                                   ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_pos,
+             CAST(sum(n_rows) OVER () AS BIGINT) AS tot_n,
+             CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+      FROM dec
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_rows, n_pos, cum_pos,
+           CAST(CASE WHEN tot_pos = 0 THEN 0
+                ELSE CAST(cum_pos AS HUGEINT) * 1000000 // tot_pos END
+                AS BIGINT) AS gain_micro,
+           CAST(CASE WHEN tot_pos = 0 OR cum_n = 0 THEN 0
+                ELSE CAST(cum_pos AS HUGEINT) * tot_n * 1000000
+                     // (CAST(cum_n AS HUGEINT) * tot_pos) END
+                AS BIGINT) AS lift_micro
+    FROM cum ORDER BY decile
+    """,
+)
+def ev_lift_gain_curve(spark, sf_dir):
+    """GAIN/LIFT DECILE TABLE — the classifier triage report: rank
+    events by score (value) descending, cut into 10 equal deciles, and
+    report cumulative capture (gain) and precision multiple (lift) of
+    the positive class (purchases) per decile. A useful classifier
+    shows lift >> 1 in decile 1 decaying to 1; the fixture's
+    uninformative score reads ~1 everywhere — exactly what this gate
+    exists to catch before a filtering model ships.
+
+    Integer form: deciles are NTILE over (score DESC, event_id) — the
+    unique id tiebreak makes the assignment deterministic and
+    hash-identical on both engines; counts/cumulative sums are exact;
+    gain/lift leave as bounded micro floor-divs of 128-bit dividends.
+    Scale shape: the event-grain ntile is size-gated through
+    global_ntile (plain window under 100k rows, distributed exact-rank
+    bucketing above it — the ev_rfm_segments route); everything after
+    is DECILE grain (10 rows)."""
+    from xova_spark.operators.ranking import global_ntile
+
+    (ev,) = _t(spark, sf_dir, "events")
+    scored = global_ntile(
+        ev.select(
+            F.expr(
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            ).alias("pos"),
+            "value",
+            "event_id",
+        ),
+        [F.desc("value"), F.col("event_id")],
+        10,
+        "decile",
+    )
+    dec = scored.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = dec.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.sum("n_rows").over(wcum).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(wcum).cast("long").alias("cum_pos"),
+        F.sum("n_rows").over(wall).cast("long").alias("tot_n"),
+        F.sum("n_pos").over(wall).cast("long").alias("tot_pos"),
+    )
+    return cum.selectExpr(
+        "CAST(decile AS BIGINT) AS decile",
+        "n_rows",
+        "n_pos",
+        "cum_pos",
+        "CAST(CASE WHEN tot_pos = 0 THEN 0"
+        " ELSE CAST(cum_pos AS DECIMAL(38,0)) * 1000000 div tot_pos END"
+        " AS BIGINT) AS gain_micro",
+        "CAST(CASE WHEN tot_pos = 0 OR cum_n = 0 THEN 0"
+        " ELSE CAST(cum_pos AS DECIMAL(38,0)) * tot_n * 1000000"
+        " div (CAST(cum_n AS DECIMAL(38,0)) * tot_pos) END"
+        " AS BIGINT) AS lift_micro",
+    ).orderBy("decile")
+
+
+@q(
+    "ev_kendall_tau_b",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events GROUP BY 1
+    ), pairs AS (
+      SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END
+               AS conc,
+             CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END
+               AS disc,
+             CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      FROM daily a JOIN daily b ON a.d < b.d
+    ), s AS (
+      SELECT CAST(sum(conc) AS BIGINT) AS nc,
+             CAST(sum(disc) AS BIGINT) AS nd,
+             CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(tx) AS BIGINT) AS n1,
+             CAST(sum(ty) AS BIGINT) AS n2
+      FROM pairs
+    )
+    SELECT nc, nd, n0, n1, n2,
+           CAST(CASE WHEN n0 - n1 <= 0 OR n0 - n2 <= 0 THEN 0
+                ELSE (CASE WHEN nc >= nd THEN 1 ELSE -1 END)
+                     * (CAST(nc - nd AS HUGEINT) * (nc - nd) * 1000000
+                        // (CAST(n0 - n1 AS HUGEINT) * (n0 - n2)))
+                END AS BIGINT) AS tau_b2_signed_micro
+    FROM s
+    """,
+)
+def ev_kendall_tau_b(spark, sf_dir):
+    """KENDALL'S TAU-B between the daily event VOLUME and the daily
+    VALUE mass — the rank-correlation robustness check on
+    ev_spearman_rho (tau's bounded influence function makes it the
+    auditor's choice when a few days are wild). Tie-corrected:
+    tau_b = (nc - nd) / sqrt((n0 - n1)(n0 - n2)); the sqrt never
+    happens — the SIGNED SQUARE leaves on the micro lattice
+    (sign(nc-nd) * (nc-nd)^2 / ((n0-n1)(n0-n2))), the sqrt-free
+    discipline ev_lagged_cross_correlation already uses.
+
+    Integer form: concordance tests are sign tests on integer deltas;
+    all five counts are exact; one signed-by-CASE (never signed-div)
+    128-bit floor-div. Scale shape: one day-grain keyed aggregate, then
+    the pair enumeration is a DAY-grain self-join — quadratic only in
+    CALENDAR DAYS (bounded ~1e4 at any data scale), never in rows."""
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("d")
+    ).agg(
+        F.count("*").cast("long").alias("x"),
+        F.expr(
+            "CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)"
+        ).alias("y"),
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.expr(
+            "CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END"
+        ).alias("conc"),
+        F.expr(
+            "CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END"
+        ).alias("disc"),
+        F.expr("CASE WHEN a.x = b.x THEN 1 ELSE 0 END").alias("tx"),
+        F.expr("CASE WHEN a.y = b.y THEN 1 ELSE 0 END").alias("ty"),
+    )
+    s = pairs.agg(
+        F.sum("conc").cast("long").alias("nc"),
+        F.sum("disc").cast("long").alias("nd"),
+        F.count("*").cast("long").alias("n0"),
+        F.sum("tx").cast("long").alias("n1"),
+        F.sum("ty").cast("long").alias("n2"),
+    )
+    return s.selectExpr(
+        "nc",
+        "nd",
+        "n0",
+        "n1",
+        "n2",
+        "CAST(CASE WHEN n0 - n1 <= 0 OR n0 - n2 <= 0 THEN 0"
+        " ELSE (CASE WHEN nc >= nd THEN 1 ELSE -1 END)"
+        " * (CAST(nc - nd AS DECIMAL(38,0)) * (nc - nd) * 1000000"
+        " div (CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n2)))"
+        " END AS BIGINT) AS tau_b2_signed_micro",
+    )
+
+
+@q(
+    "ev_capture_recapture",
+    """
+    WITH bounds AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+      FROM events
+    ), u AS (
+      SELECT user_id,
+             max(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END) AS h1,
+             max(CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END) AS h2
+      FROM events, bounds GROUP BY user_id
+    ), s AS (
+      SELECT CAST(sum(h1) AS BIGINT) AS n1,
+             CAST(sum(h2) AS BIGINT) AS n2,
+             CAST(sum(h1 * h2) AS BIGINT) AS m_both,
+             CAST(count(*) AS BIGINT) AS n_observed
+      FROM u
+    )
+    SELECT n1, n2, m_both, n_observed,
+           CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * 1000000
+                 // (m_both + 1)) - 1000000 AS BIGINT)
+             AS chapman_nhat_micro
+    FROM s
+    """,
+)
+def ev_capture_recapture(spark, sf_dir):
+    """CAPTURE-RECAPTURE population estimate (Chapman's corrected
+    Lincoln-Petersen): treat the two halves of the window as two
+    capture occasions; users seen in both are the recaptures; the TRUE
+    population (including never-seen users) is estimated as
+    (n1+1)(n2+1)/(m+1) - 1. The audience-size twin of Chao1 (which
+    estimates unseen VOCABULARY from the same mark-recapture logic) —
+    the dial for "how many users exist that this log never saw".
+
+    Integer form: the midpoint is the exact floored micro mean
+    (post-epoch contract); per-user half flags are 0/1 max-aggregates;
+    Chapman's +1 makes the denominator never zero (the reason it beats
+    raw Lincoln-Petersen here); one positive 128-bit floor-div leaves
+    in micro. Scale shape: one 1-row bounds broadcast, ONE user-grain
+    keyed aggregate, one 1-row rollup — the McNemar plan with a
+    different readout."""
+    (ev,) = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr(
+            "CAST((min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+            " AS BIGINT)"
+        ).alias("mid")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.expr("CASE WHEN unix_micros(ts) < mid THEN 1 ELSE 0 END")
+            ).alias("h1"),
+            F.max(
+                F.expr(
+                    "CASE WHEN unix_micros(ts) >= mid THEN 1 ELSE 0 END"
+                )
+            ).alias("h2"),
+        )
+    )
+    s = u.agg(
+        F.sum("h1").cast("long").alias("n1"),
+        F.sum("h2").cast("long").alias("n2"),
+        F.sum(F.col("h1") * F.col("h2")).cast("long").alias("m_both"),
+        F.count("*").cast("long").alias("n_observed"),
+    )
+    return s.selectExpr(
+        "n1",
+        "n2",
+        "m_both",
+        "n_observed",
+        "CAST((CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1) * 1000000"
+        " div (m_both + 1)) - 1000000 AS BIGINT)"
+        " AS chapman_nhat_micro",
+    )
+
+
+@q(
+    "ev_odds_ratio",
+    """
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS exposed,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS outcome
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT CAST(sum(exposed * outcome) AS BIGINT) AS a,
+             CAST(sum(exposed * (1 - outcome)) AS BIGINT) AS b,
+             CAST(sum((1 - exposed) * outcome) AS BIGINT) AS c,
+             CAST(sum((1 - exposed) * (1 - outcome)) AS BIGINT) AS d
+      FROM u
+    )
+    SELECT a, b, c, d,
+           CAST(CASE WHEN b * c = 0 THEN 0
+                ELSE CAST(a AS HUGEINT) * d * 1000000
+                     // (CAST(b AS HUGEINT) * c) END AS BIGINT)
+             AS odds_ratio_micro,
+           CAST(CASE WHEN c = 0 OR a + b = 0 THEN 0
+                ELSE CAST(a AS HUGEINT) * (c + d) * 1000000
+                     // (CAST(c AS HUGEINT) * (a + b)) END AS BIGINT)
+             AS relative_risk_micro,
+           CAST(CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN 0
+                ELSE 1000000000 // a + 1000000000 // b
+                     + 1000000000 // c + 1000000000 // d END AS BIGINT)
+             AS woolf_se2_nano
+    FROM c
+    """,
+)
+def ev_odds_ratio(spark, sf_dir):
+    """ODDS RATIO / RELATIVE RISK of purchasing given signup exposure —
+    the 2x2 effect-size readout that chi-square independence
+    (ev_chisq_independence) deliberately doesn't give (chi2 says
+    "associated", OR says "how much"). Woolf's log-OR variance
+    1/a + 1/b + 1/c + 1/d is reported as the exact nano-lattice sum so
+    a caller can build the Wald CI without the engines ever exchanging
+    a float.
+
+    Integer form: the 2x2 is exact user-grain 0/1 algebra; OR and RR
+    are positive 128-bit-dividend floor-divs with zero-cell guards;
+    Woolf's terms are four floored nano reciprocals (deterministic,
+    identical both engines). Scale shape: ONE user-grain keyed
+    aggregate, one 1-row rollup."""
+    (ev,) = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.expr("CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END")
+        ).alias("exposed"),
+        F.max(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        ).alias("outcome"),
+    )
+    c = u.agg(
+        F.sum(F.col("exposed") * F.col("outcome")).cast("long").alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("outcome")))
+        .cast("long")
+        .alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("outcome"))
+        .cast("long")
+        .alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("outcome")))
+        .cast("long")
+        .alias("d"),
+    )
+    return c.selectExpr(
+        "a",
+        "b",
+        "c",
+        "d",
+        "CAST(CASE WHEN b * c = 0 THEN 0"
+        " ELSE CAST(a AS DECIMAL(38,0)) * d * 1000000"
+        " div (CAST(b AS DECIMAL(38,0)) * c) END AS BIGINT)"
+        " AS odds_ratio_micro",
+        "CAST(CASE WHEN c = 0 OR a + b = 0 THEN 0"
+        " ELSE CAST(a AS DECIMAL(38,0)) * (c + d) * 1000000"
+        " div (CAST(c AS DECIMAL(38,0)) * (a + b)) END AS BIGINT)"
+        " AS relative_risk_micro",
+        "CAST(CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN 0"
+        " ELSE 1000000000 div a + 1000000000 div b"
+        " + 1000000000 div c + 1000000000 div d END AS BIGINT)"
+        " AS woolf_se2_nano",
+    )
+
+
+@q(
+    "ev_logrank_test",
+    f"""
+    WITH spans AS (
+      SELECT user_id,
+             min(epoch_us(ts) // {_US_PER_HOUR}) AS first_hr,
+             max(epoch_us(ts) // {_US_PER_HOUR}) AS last_hr,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS grp
+      FROM events GROUP BY user_id
+    ), horizon AS (
+      SELECT max(last_hr) AS m FROM spans
+    ), users AS (
+      SELECT s.last_hr - s.first_hr AS dur, s.grp,
+             CASE WHEN s.last_hr <= h.m - {_KM_QUIET_HOURS}
+                  THEN 1 ELSE 0 END AS churned
+      FROM spans s CROSS JOIN horizon h
+    ), durs AS (
+      SELECT dur,
+             CAST(sum(churned) AS BIGINT) AS d_all,
+             CAST(sum(churned * grp) AS BIGINT) AS d1,
+             CAST(count(*) AS BIGINT) AS c_all,
+             CAST(sum(grp) AS BIGINT) AS c1
+      FROM users GROUP BY dur
+    ), risk AS (
+      SELECT dur, d_all, d1,
+             CAST(sum(c_all) OVER (ORDER BY dur DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_all,
+             CAST(sum(c1) OVER (ORDER BY dur DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n1
+      FROM durs
+    ), terms AS (
+      SELECT d1, d_all, n1, n_all,
+             CAST(CAST(d_all AS HUGEINT) * n1 * 1000000 // n_all
+                  AS BIGINT) AS e1_micro,
+             -- two-stage bounded lattice (100 TB headroom: the naive
+             -- single-div dividend is quartic in user count): first
+             -- p_micro = n1(n-n1)/n^2 <= 250000, then
+             -- v = d(n-d) * p_micro / ((n-1) * 1e6) * 1e6 micro
+             CASE WHEN n_all <= 1 THEN 0
+                  ELSE CAST(CAST(d_all AS HUGEINT) * (n_all - d_all)
+                            * (CAST(n1 AS HUGEINT) * (n_all - n1)
+                               * 1000000
+                               // (CAST(n_all AS HUGEINT) * n_all))
+                            // (n_all - 1) AS BIGINT) END AS v_micro
+      FROM risk WHERE d_all > 0
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+             CAST(sum(d1) AS BIGINT) AS o1,
+             CAST(sum(e1_micro) AS BIGINT) AS e1_micro,
+             CAST(sum(v_micro) AS BIGINT) AS v_micro
+      FROM terms
+    )
+    SELECT n_event_times, o1, e1_micro, v_micro,
+           CAST(CASE WHEN o1 * 1000000 - e1_micro > 0 THEN 1
+                WHEN o1 * 1000000 - e1_micro < 0 THEN -1 ELSE 0 END
+                AS BIGINT) AS direction,
+           CAST(CASE WHEN v_micro = 0 THEN 0
+                ELSE CAST(o1 * 1000000 - e1_micro AS HUGEINT)
+                     * (o1 * 1000000 - e1_micro)
+                     // (CAST(v_micro AS HUGEINT) * 1000) END
+                AS BIGINT) AS logrank_chi2_milli
+    FROM s
+    """,
+)
+def ev_logrank_test(spark, sf_dir):
+    """LOG-RANK TEST — do signup users churn on a DIFFERENT survival
+    curve than the rest? The hypothesis test the Kaplan-Meier /
+    Nelson-Aalen curves beg for: at every distinct churn time, the
+    observed group-1 deaths are compared with the hypergeometric
+    expectation d_t * n1_t / n_t, and chi2 = (O - E)^2 / V with
+    V = sum d_t n1_t (n_t - n1_t)(n_t - d_t) / (n_t^2 (n_t - 1)).
+    Same spans / quiet-window-censoring construction as ev_kaplan_meier
+    (duration grain = hours), so the three survival entries read as one
+    coherent analysis.
+
+    Integer form: at-risk counts are suffix sums at duration grain;
+    the expectation term floors once per event time; the variance term
+    uses a TWO-STAGE lattice (p_micro = n1(n-n1)*1e6/n^2 <= 250000
+    first, then d(n-d)*p_micro/(n-1)) so its dividend stays cubic in
+    user count — the naive single-div form is quartic and fails the
+    100 TB headroom floor; both floors are deterministic and identical
+    on both engines. The final chi2 is one positive floor-div with the
+    (O-E) sign reported separately. Scale
+    shape: one user-grain keyed aggregate, duration-grain suffix
+    windows (calendar-bounded grain, the KM survivors' declared
+    bound), 1-row rollup."""
+    (ev,) = _t(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.expr(f"min(unix_micros(ts) div {_US_PER_HOUR})").alias(
+            "first_hr"
+        ),
+        F.expr(f"max(unix_micros(ts) div {_US_PER_HOUR})").alias(
+            "last_hr"
+        ),
+        F.max(
+            F.expr("CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END")
+        ).alias("grp"),
+    )
+    horizon = spans.agg(F.max("last_hr").alias("m"))
+    users = spans.crossJoin(F.broadcast(horizon)).select(
+        (F.col("last_hr") - F.col("first_hr")).alias("dur"),
+        "grp",
+        F.expr(
+            f"CASE WHEN last_hr <= m - {_KM_QUIET_HOURS}"
+            " THEN 1 ELSE 0 END"
+        ).alias("churned"),
+    )
+    durs = users.groupBy("dur").agg(
+        F.sum("churned").cast("long").alias("d_all"),
+        F.sum(F.col("churned") * F.col("grp")).cast("long").alias("d1"),
+        F.count("*").cast("long").alias("c_all"),
+        F.sum("grp").cast("long").alias("c1"),
+    )
+    wdesc = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = durs.select(
+        "dur",
+        "d_all",
+        "d1",
+        F.sum("c_all").over(wdesc).cast("long").alias("n_all"),
+        F.sum("c1").over(wdesc).cast("long").alias("n1"),
+    )
+    terms = risk.filter(F.col("d_all") > 0).selectExpr(
+        "d1",
+        "d_all",
+        "n1",
+        "n_all",
+        "CAST(CAST(d_all AS DECIMAL(38,0)) * n1 * 1000000 div n_all"
+        " AS BIGINT) AS e1_micro",
+        "CASE WHEN n_all <= 1 THEN 0"
+        " ELSE CAST(CAST(d_all AS DECIMAL(38,0)) * (n_all - d_all)"
+        " * (CAST(n1 AS DECIMAL(38,0)) * (n_all - n1) * 1000000"
+        " div (CAST(n_all AS DECIMAL(38,0)) * n_all))"
+        " div (n_all - 1) AS BIGINT) END AS v_micro",
+    )
+    s = terms.agg(
+        F.count("*").cast("long").alias("n_event_times"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1_micro").cast("long").alias("e1_micro"),
+        F.sum("v_micro").cast("long").alias("v_micro"),
+    )
+    return s.selectExpr(
+        "n_event_times",
+        "o1",
+        "e1_micro",
+        "v_micro",
+        "CAST(CASE WHEN o1 * 1000000 - e1_micro > 0 THEN 1"
+        " WHEN o1 * 1000000 - e1_micro < 0 THEN -1 ELSE 0 END"
+        " AS BIGINT) AS direction",
+        "CAST(CASE WHEN v_micro = 0 THEN 0"
+        " ELSE CAST(o1 * 1000000 - e1_micro AS DECIMAL(38,0))"
+        " * (o1 * 1000000 - e1_micro)"
+        " div (CAST(v_micro AS DECIMAL(38,0)) * 1000) END"
+        " AS BIGINT) AS logrank_chi2_milli",
+    )

@@ -2428,3 +2428,126 @@ def ann_ivf_cell_balance(spark, sf_dir):
         " div (CAST(n_vectors AS DECIMAL(38,0)) * n_vectors)"
         " - 1000000 AS BIGINT) AS load_cv2_micro",
     )
+
+
+_SB_W1 = (
+    "list_sum(list_transform(range(0, 32), i -> CASE WHEN"
+    " embedding[i + 1] > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END))"
+)
+_SB_W2 = (
+    "list_sum(list_transform(range(0, 32), i -> CASE WHEN"
+    " embedding[i + 33] > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END))"
+)
+
+
+@q(
+    "ann_signbit_recall_at5",
+    "WITH " + _EXACT_TOP5 + f"""
+    , sb AS (
+      SELECT vec_id, {_SB_W1} AS w1, {_SB_W2} AS w2 FROM embeddings
+    ), sq AS (
+      SELECT vec_id AS qid, w1 AS qw1, w2 AS qw2 FROM sb
+      WHERE vec_id < 10
+    ), ham AS (
+      SELECT qid, c.vec_id AS cid,
+             bit_count(xor(qw1, c.w1)) + bit_count(xor(qw2, c.w2)) AS hd
+      FROM sq CROSS JOIN sb c WHERE c.vec_id != qid
+    ), ham_top AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY hd, cid) AS rnk
+        FROM ham) WHERE rnk <= 5
+    )
+    SELECT e.qid,
+           CAST(count(t.cid) AS INTEGER) AS n_hits,
+           round(count(t.cid) / 5.0, 6) AS recall_at_5
+    FROM exact_top e
+    LEFT JOIN ham_top t ON t.qid = e.qid AND t.cid = e.cid
+    GROUP BY e.qid
+    """,
+)
+def ann_signbit_recall_at5(spark, sf_dir):
+    """BINARY-QUANTIZATION recall gate: 1 bit per dimension (the sign),
+    64 dims packed into two 32-bit words, candidates ranked by Hamming
+    distance — the 32x-compression retrieval mode modern vector stores
+    ship (the asymmetric-rescoring variant starts from exactly this
+    ranking). Recall@5 vs the exact cosine top-5 referee decides
+    whether sign-bit prefiltering is usable on this corpus before the
+    index ships; ties in Hamming distance (common at 64 bits) break by
+    cid on both engines.
+
+    Integer form: the packed words are exact BIGINT bit-sums; Hamming
+    distance is bit_count(xor) — no float leaves the ranking; only the
+    referee's cosine is double (declared brute-force fixture oracle,
+    same contract as the other recall gates). Scale shape: both
+    searches are brute force BY DECLARATION (the referees); the
+    production path would bucket by the first word's high bits — the
+    packing projection itself is one codegen'd map, no explode."""
+    (emb,) = _emb(spark, sf_dir)
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+    pack = (
+        "aggregate(zip_with(slice(embedding, {o}, 32), sequence(0, 31),"
+        " (e, i) -> IF(e > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT),"
+        " i), CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    sb = emb.select(
+        "vec_id",
+        F.expr(pack.format(o=1)).alias("w1"),
+        F.expr(pack.format(o=33)).alias("w2"),
+    )
+    queries = normed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = normed.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    w = Window.partitionBy("qid")
+    exact_top = (
+        queries.crossJoin(F.broadcast(cand))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cos", _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn")))
+        .withColumn(
+            "rnk", F.row_number().over(w.orderBy(F.desc("cos"), "cid"))
+        )
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "cid")
+    )
+    sq = sb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
+    )
+    sc = sb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("w1").alias("cw1"),
+        F.col("w2").alias("cw2"),
+    )
+    ham_top = (
+        sq.crossJoin(F.broadcast(sc))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn(
+            "hd",
+            F.expr("bit_count(qw1 ^ cw1) + bit_count(qw2 ^ cw2)"),
+        )
+        .withColumn("rnk", F.row_number().over(w.orderBy("hd", "cid")))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "cid")
+    )
+    hit = ham_top.withColumn("hit", F.lit(1))
+    return (
+        exact_top.join(hit, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").cast("int").alias("n_hits"),
+            F.round(F.count("hit") / 5.0, 6).alias("recall_at_5"),
+        )
+    )

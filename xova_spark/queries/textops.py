@@ -4144,3 +4144,639 @@ def t_kl_vocab_divergence(spark, sf_dir):
             " CAST(0 AS DECIMAL(38,0))) div t_s AS BIGINT) AS kl_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch 4: vocabulary-richness estimation (Chao1), Good-Turing
+# frequency re-estimation, and per-word burstiness (Fano factor) — the
+# corpus-statistics trio for LLM-data curation (how much vocabulary is
+# unseen; what a count of r is really worth; which words clump).
+# ---------------------------------------------------------------------------
+
+
+def _source_word_counts(spark, sf_dir):
+    """The (source, word, c) frequency frame, persisted once per
+    (session, sf_dir) and shared by the richness dashboard entries
+    (Chao1 / Simpson / Yule / the health gate) — the er_* shared
+    cluster-frame discipline applied to the word-count scan: four
+    consumers, ONE explode + keyed count."""
+    from xova_spark.sharedframes import shared
+
+    (docs,) = _docs(spark, sf_dir)
+
+    def build():
+        return (
+            docs.select(
+                "source", F.explode(F.split("text", " ")).alias("word")
+            )
+            .filter(F.col("word") != "")
+            .groupBy("source", "word")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    return shared(spark, ("source_word_counts", sf_dir), build)
+
+
+@q(
+    "t_chao1_vocab_richness",
+    """
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), wf AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      FROM w WHERE word != '' GROUP BY source, word
+    ), s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS d_vocab,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM wf GROUP BY source
+    )
+    SELECT source, d_vocab, f1, f2,
+           CAST(d_vocab * 1000000
+                + CASE WHEN f2 > 0
+                       THEN CAST(f1 AS HUGEINT) * f1 * 1000000 // (2 * f2)
+                       ELSE CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000 // 2
+                  END AS BIGINT) AS chao1_micro
+    FROM s ORDER BY source
+    """,
+)
+def t_chao1_vocab_richness(spark, sf_dir):
+    """CHAO1 RICHNESS ESTIMATOR per source — the lower bound on TRUE
+    vocabulary size from the observed frequency-of-frequencies:
+    chao1 = D + f1^2/(2 f2) (singletons^2 over twice the doubletons),
+    with the bias-corrected f1(f1-1)/2 form when no doubleton exists.
+    For corpus curation this is the "how much of this source's
+    vocabulary have we NOT seen yet" dial — a source whose chao1 far
+    exceeds its observed D is undersampled; one where they agree is
+    exhausted.
+
+    Integer form: all inputs are exact counts; the correction term is a
+    single positive floor-div on the micro lattice with a 128-bit
+    dividend (f1^2 is quadratic in vocabulary size). Scale shape: one
+    explode + one (source, word) keyed aggregate (map-side combined),
+    one source-grain rollup — the word table is touched once."""
+    wf = _source_word_counts(spark, sf_dir)
+    s = wf.groupBy("source").agg(
+        F.count("*").cast("long").alias("d_vocab"),
+        F.sum(F.expr("CASE WHEN c = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.expr("CASE WHEN c = 2 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("f2"),
+    )
+    return s.selectExpr(
+        "source",
+        "d_vocab",
+        "f1",
+        "f2",
+        "CAST(d_vocab * 1000000"
+        " + CASE WHEN f2 > 0"
+        " THEN CAST(f1 AS DECIMAL(38,0)) * f1 * 1000000 div (2 * f2)"
+        " ELSE CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) * 1000000 div 2"
+        " END AS BIGINT) AS chao1_micro",
+    ).orderBy("source")
+
+
+@q(
+    "t_good_turing_counts",
+    """
+    WITH w AS (
+      SELECT string_split(text, ' ') AS ws FROM documents
+    ), tg AS (
+      -- series bound inherits the fixture text cap (ORACLE_TEXT_CAP)
+      SELECT ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gram
+      FROM w, generate_series(1, 600) g(i)
+      WHERE i <= len(ws) - 2
+    ), gf AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY gram
+    ), fof AS (
+      SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r
+      FROM gf GROUP BY c
+    )
+    SELECT CAST(a.r AS BIGINT) AS r, a.n_r,
+           CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r_plus_1,
+           CAST((a.r + 1) * CAST(coalesce(b.n_r, 0) AS HUGEINT)
+                * 1000000 // a.n_r AS BIGINT) AS r_star_micro
+    FROM fof a LEFT JOIN fof b ON b.r = a.r + 1
+    WHERE a.r <= 8 ORDER BY a.r
+    """,
+)
+def t_good_turing_counts(spark, sf_dir):
+    """GOOD-TURING ADJUSTED COUNTS over TRIGRAM types: r* =
+    (r+1) N_{r+1} / N_r for r = 1..8 — the smoothing estimate of what
+    an n-gram observed r times is really worth, the foundation of
+    count-based LM backoff (Katz) and of the "mass of the unseen"
+    estimate (N_1 / N). Trigrams are the unit because that is where the
+    low-count regime lives (the fixture's unigram vocabulary is tiny
+    and saturated — r <= 8 is empty there; pinned in the law test); a
+    corpus whose singleton r* is far below 1 is dominated by hapax
+    noise (OCR junk, boilerplate shards).
+
+    Integer form: frequency-of-frequencies are exact counts; r* leaves
+    on the micro lattice via one positive floor-div (dividend 128-bit:
+    N_{r+1} is type-table-sized). Scale shape: per-row zip_with trigram
+    projection (explode only into the count), one gram-keyed count
+    (map-side combined), one count-keyed re-aggregate (the
+    frequency-of-frequencies table is ~#distinct-counts rows), then a
+    self-join at that tiny grain."""
+    (docs,) = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    # greatest(n-2, 0): slice() throws on a negative length, so a
+    # sub-3-token document must yield an empty gram list, not an error
+    n = F.greatest(F.size("ws") - 2, F.lit(0))
+    grams = F.zip_with(
+        F.zip_with(
+            F.slice("ws", 1, n),
+            F.slice("ws", 2, n),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+        F.slice("ws", 3, n),
+        lambda xy, z: F.concat_ws(" ", xy, z),
+    )
+    gf = (
+        docs.select(ws.alias("ws"))
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    fof = gf.groupBy(F.col("c").alias("r")).agg(
+        F.count("*").cast("long").alias("n_r")
+    )
+    a = fof.filter(F.col("r") <= 8).alias("a")
+    b = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    ).alias("b")
+    return (
+        a.join(b, "r", "left")
+        .selectExpr(
+            "CAST(r AS BIGINT) AS r",
+            "n_r",
+            "CAST(coalesce(n_r1, 0) AS BIGINT) AS n_r_plus_1",
+            "CAST((r + 1) * CAST(coalesce(n_r1, 0) AS DECIMAL(38,0))"
+            " * 1000000 div n_r AS BIGINT) AS r_star_micro",
+        )
+        .orderBy("r")
+    )
+
+
+@q(
+    "t_burstiness_fano",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), cw AS (SELECT doc_id, word FROM w WHERE word != ''),
+    top AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS t
+      FROM cw GROUP BY word ORDER BY count(*) DESC, word LIMIT 20
+    ), dc AS (
+      SELECT cw.word, cw.doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM cw JOIN top ON cw.word = top.word
+      GROUP BY cw.word, cw.doc_id
+    ), nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ), agg AS (
+      SELECT word, CAST(sum(c * c) AS BIGINT) AS ssq,
+             CAST(sum(c) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS n_docs_present
+      FROM dc GROUP BY word
+    )
+    SELECT word, t AS total_count, n_docs_present,
+           CAST((CAST(n_docs AS HUGEINT) * ssq - CAST(t AS HUGEINT) * t)
+                * 1000000 // (CAST(n_docs AS HUGEINT) * t)
+                AS BIGINT) AS fano_micro
+    FROM agg CROSS JOIN nd
+    ORDER BY total_count DESC, word
+    """,
+)
+def t_burstiness_fano(spark, sf_dir):
+    """WORD BURSTINESS via the FANO FACTOR (variance-to-mean ratio of
+    per-document counts, zeros included) for the 20 highest-frequency
+    words: Fano ~ 1 is Poisson scatter (function words), >> 1 is
+    bursty/topical clumping (content words, and — the curation case —
+    boilerplate injected wholesale into a subset of documents). The
+    population-moment identity Fano = (D*sum c^2 - T^2) / (D*T) needs
+    only the present-doc counts (zeros drop out of both sums), so the
+    zero rows are never materialized.
+
+    Integer form: counts exact; the dividend is Cauchy-Schwarz
+    nonnegative and accumulates 128-bit; one positive micro floor-div.
+    Scale shape: one explode feeding BOTH the top-k
+    (TakeOrderedAndProject) and, semi-joined down to 20 words, the
+    (word, doc) keyed count; the doc-count is a 1-row broadcast."""
+    (docs,) = _docs(spark, sf_dir)
+    cw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    top = (
+        cw.groupBy("word")
+        .agg(F.count("*").cast("long").alias("t"))
+        .orderBy(F.desc("t"), "word")
+        .limit(20)
+    )
+    dc = (
+        cw.join(F.broadcast(top.select("word")), "word")
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    nd = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    agg = dc.groupBy("word").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+        F.sum("c").cast("long").alias("t"),
+        F.count("*").cast("long").alias("n_docs_present"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(nd))
+        .selectExpr(
+            "word",
+            "t AS total_count",
+            "n_docs_present",
+            "CAST((CAST(n_docs AS DECIMAL(38,0)) * ssq"
+            " - CAST(t AS DECIMAL(38,0)) * t) * 1000000"
+            " div (CAST(n_docs AS DECIMAL(38,0)) * t)"
+            " AS BIGINT) AS fano_micro",
+        )
+        .orderBy(F.desc("total_count"), "word")
+    )
+
+
+@q(
+    "t_simpson_diversity",
+    """
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), wf AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      FROM w WHERE word != '' GROUP BY source, word
+    ), s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS d_vocab,
+             CAST(sum(c) AS BIGINT) AS t_tokens,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS ss
+      FROM wf GROUP BY source
+    )
+    SELECT source, d_vocab, t_tokens,
+           CAST(CASE WHEN t_tokens < 2 THEN 0
+                ELSE CAST(ss AS HUGEINT) * 1000000
+                     // (CAST(t_tokens AS HUGEINT) * (t_tokens - 1)) END
+                AS BIGINT) AS simpson_lambda_micro,
+           CAST(1000000 - CASE WHEN t_tokens < 2 THEN 0
+                ELSE CAST(ss AS HUGEINT) * 1000000
+                     // (CAST(t_tokens AS HUGEINT) * (t_tokens - 1)) END
+                AS BIGINT) AS gini_simpson_micro
+    FROM s ORDER BY source
+    """,
+)
+def t_simpson_diversity(spark, sf_dir):
+    """SIMPSON DIVERSITY per source — lambda = sum c(c-1) / T(T-1),
+    the probability two tokens drawn WITHOUT replacement are the same
+    type (the unbiased finite-sample form), and its Gini-Simpson
+    complement 1 - lambda. The entropy pack (t_source_lang_entropy,
+    t_doc_entropy_filter) weights rare types logarithmically; Simpson
+    weights DOMINANT types quadratically — a source whose lambda rises
+    while entropy holds is being flooded by one template, the drift
+    mode ln lattices are least sensitive to.
+
+    Integer form: c(c-1) sums are exact; lambda leaves as one positive
+    128-bit-dividend micro floor-div; the complement is lattice
+    subtraction. Scale shape: one explode + (source, word) keyed count
+    (map-side combined), one source-grain rollup — identical to the
+    Chao1 plan, different readout."""
+    wf = _source_word_counts(spark, sf_dir)
+    s = wf.groupBy("source").agg(
+        F.count("*").cast("long").alias("d_vocab"),
+        F.sum("c").cast("long").alias("t_tokens"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("ss"),
+    )
+    lam = (
+        "CASE WHEN t_tokens < 2 THEN 0"
+        " ELSE CAST(ss AS DECIMAL(38,0)) * 1000000"
+        " div (CAST(t_tokens AS DECIMAL(38,0)) * (t_tokens - 1)) END"
+    )
+    return s.selectExpr(
+        "source",
+        "d_vocab",
+        "t_tokens",
+        f"CAST({lam} AS BIGINT) AS simpson_lambda_micro",
+        f"CAST(1000000 - {lam} AS BIGINT) AS gini_simpson_micro",
+    ).orderBy("source")
+
+
+@q(
+    "t_flesch_readability",
+    """
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x != '')) AS BIGINT) AS w,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+                  AS BIGINT) AS y
+      FROM documents
+    ), agg AS (
+      SELECT source, CAST(sum(w) AS BIGINT) AS words,
+             CAST(sum(s) AS BIGINT) AS sentences,
+             CAST(sum(y) AS BIGINT) AS syllables
+      FROM per_doc GROUP BY source
+    )
+    SELECT source, words, sentences, syllables,
+           CAST(206835
+                - CAST(1015 AS HUGEINT) * words // sentences
+                - CAST(84600 AS HUGEINT) * syllables // words
+                AS BIGINT) AS flesch_milli
+    FROM agg ORDER BY source
+    """,
+)
+def t_flesch_readability(spark, sf_dir):
+    """FLESCH READING-EASE per source on the milli lattice:
+    206.835 - 1.015 (words/sentence) - 84.6 (syllables/word) — the
+    classic curation readability feature (Gopher and friends gate on
+    cousins of it). Sentences are counted as terminal-punctuation runs
+    with a floor of ONE PER DOCUMENT (the fixture corpus carries no
+    punctuation — pinned in the law test — so each document reads as
+    one sentence, which is also the honest parse); syllables are the
+    standard vowel-group proxy ([aeiou]+ runs).
+
+    Integer form: words/sentences/vowel-group counts are exact; the
+    two ratio terms are separate positive floor-divs off the 128-bit
+    lattice (the subtraction happens after flooring — deterministic,
+    identical both engines; no signed division). Scale shape: per-row
+    regexp counting (codegen'd, no explode), one source-grain keyed
+    aggregate."""
+    (docs,) = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "source",
+        F.expr(
+            "CAST(size(filter(split(text, ' '), x -> x != ''))"
+            " AS BIGINT)"
+        ).alias("w"),
+        F.expr(
+            "CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)),"
+            " 1) AS BIGINT)"
+        ).alias("s"),
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[aeiou]+', 0))"
+            " AS BIGINT)"
+        ).alias("y"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.sum("w").cast("long").alias("words"),
+        F.sum("s").cast("long").alias("sentences"),
+        F.sum("y").cast("long").alias("syllables"),
+    )
+    return agg.selectExpr(
+        "source",
+        "words",
+        "sentences",
+        "syllables",
+        "CAST(206835"
+        " - CAST(1015 AS DECIMAL(38,0)) * words div sentences"
+        " - CAST(84600 AS DECIMAL(38,0)) * syllables div words"
+        " AS BIGINT) AS flesch_milli",
+    ).orderBy("source")
+
+
+_MATTR_CHUNK = 50
+
+
+@q(
+    "t_mattr_chunked",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws
+      FROM documents
+    ), tok AS (
+      -- series bound inherits the fixture text cap (ORACLE_TEXT_CAP)
+      SELECT doc_id, source, (i - 1) // {_MATTR_CHUNK} AS chunk,
+             ws[i] AS word
+      FROM w, generate_series(1, 600) g(i)
+      WHERE i <= len(ws) AND ws[i] != ''
+    ), ch AS (
+      SELECT doc_id, source, chunk,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT word) AS BIGINT) AS n_types
+      FROM tok GROUP BY doc_id, source, chunk
+    ), full_ch AS (
+      SELECT source, n_types FROM ch WHERE n_tokens = {_MATTR_CHUNK}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_types) AS BIGINT) AS sum_types,
+           CAST(sum(n_types) * 1000000
+                // (count(*) * {_MATTR_CHUNK}) AS BIGINT)
+             AS mattr_micro
+    FROM full_ch GROUP BY source ORDER BY source
+    """,
+)
+def t_mattr_chunked(spark, sf_dir):
+    """CHUNKED TYPE-TOKEN RATIO (the non-overlapping-window MATTR
+    variant) per source: mean distinct-type share over fixed
+    {_MATTR_CHUNK}-token chunks. Raw TTR is length-confounded (longer
+    docs always score lower); fixing the window removes that, making
+    sources comparable — the lexical-diversity dial that complements
+    Simpson (dominance) and Chao1 (unseen mass). Partial trailing
+    chunks are excluded (the standard treatment), so every chunk's
+    denominator is the same constant.
+
+    Integer form: chunk ids are positional floor-divs; type counts are
+    exact; the mean leaves as one positive micro floor-div. Scale
+    shape: one positional explode (per-row, codegen'd), one
+    (doc, chunk, word)-implicit distinct via the (doc, chunk) keyed
+    count-distinct aggregate, one source rollup."""
+    (docs,) = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos0", "word"),
+    ).filter(F.col("word") != "").select(
+        "doc_id",
+        "source",
+        F.expr(f"pos0 div {_MATTR_CHUNK}").alias("chunk"),
+        "word",
+    )
+    ch = tok.groupBy("doc_id", "source", "chunk").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("word").cast("long").alias("n_types"),
+    )
+    full_ch = ch.filter(F.col("n_tokens") == _MATTR_CHUNK)
+    return (
+        full_ch.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("n_types").cast("long").alias("sum_types"),
+        )
+        .selectExpr(
+            "source",
+            "n_chunks",
+            "sum_types",
+            f"CAST(sum_types * 1000000 div (n_chunks * {_MATTR_CHUNK})"
+            " AS BIGINT) AS mattr_micro",
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "t_yule_k",
+    """
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), wf AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      FROM w WHERE word != '' GROUP BY source, word
+    ), s AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS t_tokens,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM wf GROUP BY source
+    )
+    SELECT source, t_tokens, s2,
+           CAST(CASE WHEN t_tokens = 0 THEN 0
+                ELSE CAST(10000 AS HUGEINT) * (s2 - t_tokens) * 1000
+                     // (CAST(t_tokens AS HUGEINT) * t_tokens) END
+                AS BIGINT) AS yule_k_milli
+    FROM s ORDER BY source
+    """,
+)
+def t_yule_k(spark, sf_dir):
+    """YULE'S CHARACTERISTIC K per source — the classical
+    length-invariant repetitiveness constant 10^4 (S2 - T) / T^2 with
+    S2 = sum c^2 (Yule 1944; the lexicometric ancestor of Simpson's
+    lambda, scaled to be readable: human prose sits ~100-200, template
+    spam rockets). K rises exactly when a source's token mass
+    concentrates on few types — with Simpson (probability form), MATTR
+    (windowed form), and Chao1 (unseen mass) this completes the
+    richness dashboard.
+
+    Integer form: S2/T are exact; K leaves as one positive milli
+    floor-div with a quadratic 128-bit dividend. Same single
+    (source, word)-keyed plan as Chao1/Simpson — one scan, one explode,
+    two keyed aggregates."""
+    wf = _source_word_counts(spark, sf_dir)
+    s = wf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("t_tokens"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    return s.selectExpr(
+        "source",
+        "t_tokens",
+        "s2",
+        "CAST(CASE WHEN t_tokens = 0 THEN 0"
+        " ELSE CAST(10000 AS DECIMAL(38,0)) * (s2 - t_tokens) * 1000"
+        " div (CAST(t_tokens AS DECIMAL(38,0)) * t_tokens) END"
+        " AS BIGINT) AS yule_k_milli",
+    ).orderBy("source")
+
+
+def _corpus_health_sql() -> str:
+    """Compose the round-10 corpus-statistics oracles (verbatim, as
+    derived tables) into the one-row corpus-health certificate — the
+    pipeline_eval_gate_e2e idiom applied to curation."""
+    chao = REGISTRY["t_chao1_vocab_richness"][1]
+    simp = REGISTRY["t_simpson_diversity"][1]
+    fano = REGISTRY["t_burstiness_fano"][1]
+    gt = REGISTRY["t_good_turing_counts"][1]
+    fl = REGISTRY["t_flesch_readability"][1]
+    mattr = REGISTRY["t_mattr_chunked"][1]
+    return f"""
+    SELECT c.min_coverage_permille, s.max_lambda_micro, b.max_fano_micro,
+           g.gt1_r_star_micro, f.min_flesch_milli, m.min_mattr_micro,
+           c.min_coverage_permille >= 900
+             AND s.max_lambda_micro <= 100000
+             AND b.max_fano_micro <= 3000000
+             AND g.gt1_r_star_micro >= 500000
+             AND f.min_flesch_milli >= 0
+             AND m.min_mattr_micro >= 300000 AS healthy
+    FROM (SELECT CAST(min(d_vocab * 1000000000 // chao1_micro) AS BIGINT)
+              AS min_coverage_permille FROM ({chao})) c,
+         (SELECT CAST(max(simpson_lambda_micro) AS BIGINT)
+              AS max_lambda_micro FROM ({simp})) s,
+         (SELECT CAST(max(fano_micro) AS BIGINT) AS max_fano_micro
+          FROM ({fano})) b,
+         (SELECT CAST(coalesce(max(CASE WHEN r = 1 THEN r_star_micro END),
+                               0) AS BIGINT) AS gt1_r_star_micro
+          FROM ({gt})) g,
+         (SELECT CAST(min(flesch_milli) AS BIGINT) AS min_flesch_milli
+          FROM ({fl})) f,
+         (SELECT CAST(min(mattr_micro) AS BIGINT) AS min_mattr_micro
+          FROM ({mattr})) m
+    """
+
+
+@q("pipeline_corpus_health_gate", _corpus_health_sql())
+def pipeline_corpus_health_gate(spark, sf_dir):
+    """CORPUS-HEALTH GATE — the one-row ship/block certificate a
+    curation pipeline stamps on a corpus snapshot, composing the
+    round-10 richness dashboard: sample coverage (observed vocabulary
+    as a share of the Chao1 estimate — undersampled corpora fail),
+    Simpson dominance (template floods fail), top-word burstiness
+    (wholesale boilerplate injection fails), Good-Turing singleton
+    value (hapax-noise-dominated corpora fail), Flesch floor
+    (unreadable shards fail), and the chunked-TTR floor (repetition
+    fails). The DuckDB oracle embeds the six component oracles
+    VERBATIM as derived tables (the pipeline_eval_gate_e2e discipline),
+    so the composed twin can never drift from its parts.
+
+    Scale shape: six independent source-grain aggregates (each reusing
+    its component's single-scan plan) reduced to 1-row frames and
+    cross-joined — at 100 TB this is six passes that a production
+    variant would fuse into two (the word-frequency scan is shared by
+    four components); the gate itself is constant-size."""
+    chao = t_chao1_vocab_richness(spark, sf_dir)
+    simp = t_simpson_diversity(spark, sf_dir)
+    fano = t_burstiness_fano(spark, sf_dir)
+    gt = t_good_turing_counts(spark, sf_dir)
+    fl = t_flesch_readability(spark, sf_dir)
+    mattr = t_mattr_chunked(spark, sf_dir)
+    c = chao.agg(
+        F.expr(
+            "CAST(min(d_vocab * 1000000000 div chao1_micro) AS BIGINT)"
+        ).alias("min_coverage_permille")
+    )
+    s = simp.agg(
+        F.max("simpson_lambda_micro").cast("long").alias(
+            "max_lambda_micro"
+        )
+    )
+    b = fano.agg(
+        F.max("fano_micro").cast("long").alias("max_fano_micro")
+    )
+    g = gt.agg(
+        F.expr(
+            "CAST(coalesce(max(CASE WHEN r = 1 THEN r_star_micro END), 0)"
+            " AS BIGINT)"
+        ).alias("gt1_r_star_micro")
+    )
+    f = fl.agg(
+        F.min("flesch_milli").cast("long").alias("min_flesch_milli")
+    )
+    m = mattr.agg(
+        F.min("mattr_micro").cast("long").alias("min_mattr_micro")
+    )
+    out = (
+        c.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(f))
+        .crossJoin(F.broadcast(m))
+    )
+    return out.selectExpr(
+        "min_coverage_permille",
+        "max_lambda_micro",
+        "max_fano_micro",
+        "gt1_r_star_micro",
+        "min_flesch_milli",
+        "min_mattr_micro",
+        "min_coverage_permille >= 900"
+        " AND max_lambda_micro <= 100000"
+        " AND max_fano_micro <= 3000000"
+        " AND gt1_r_star_micro >= 500000"
+        " AND min_flesch_milli >= 0"
+        " AND min_mattr_micro >= 300000 AS healthy",
+    )
