@@ -201,6 +201,35 @@ HEADLINE = (
     "t_mattr_chunked",
     "t_yule_k",
     "pipeline_corpus_health_gate",
+    # round-10 batches 7-9: distribution-comparison lattice tests,
+    # ordered-alternative trends, equivalence, corpus composition,
+    # link prediction, Katz, categorical drift, experiment readout
+    "ev_srm_check",
+    "ev_mood_median_test",
+    "ev_cliff_delta",
+    "ev_cramer_von_mises",
+    "ev_turning_points_test",
+    "ev_bartels_rank_test",
+    "ev_rmst",
+    "ev_gtest_independence",
+    "ev_page_trend_test",
+    "ev_jonckheere_terpstra",
+    "ev_tost_equivalence",
+    "t_code_ratio",
+    "t_hapax_guiraud",
+    "t_ari_readability",
+    "graph_link_prediction_scores",
+    "graph_katz_centrality",
+    "dq_categorical_drift",
+    "ev_mood_dispersion_test",
+    "ev_wilcoxon_signed_rank",
+    "ev_cox_stuart_trend",
+    "ev_kendall_w",
+    "pipeline_experiment_readout_e2e",
+    "stream_srm_monitor",
+    "ev_seasonal_mann_kendall",
+    "join_levenshtein_blocked",
+    "t_honore_r",
 )
 
 

@@ -940,7 +940,9 @@ def test_yule_k_replica_and_hand(spark, duck):
     st = {s: (t, s2) for s, t, s2 in stats}
     for r in rows:
         t, s2 = st[r["source"]]
-        assert (r["t_tokens"], r["s2"]) == (t, s2)
+        assert r["t_tokens"] == t
+        # s2 is a 128-bit INTERNAL since the round-10 headroom fix —
+        # only the bounded K quotient leaves the plan
         assert r["yule_k_milli"] == 10_000 * (s2 - t) * 1000 // (t * t)
     # hand: every type once (s2 = t) -> K = 0; one type t times ->
     # K = 1e4 (t^2 - t)/t^2 -> approaches 1e4: t=100 -> 9900.000

@@ -75,8 +75,12 @@ def test_analytic_bounds_overrides_name_live_law_tests():
         alpha, why, law_test = triple
         assert isinstance(alpha, float) and alpha > 0, (name, col, alpha)
         assert len(why) > 40, f"({name},{col}) justification too thin"
-        assert name in live_entries, (
+        # an override may target a registry entry OR an internal-
+        # accumulator probe (r10: the calendar-bounded Wilcoxon
+        # dividend probe needed one) — but never a dead name
+        assert name in live_entries or name in mod.PROBES, (
             f"override ({name},{col}) targets a dead registry entry"
+            " / probe"
         )
         m = re.fullmatch(r"(tests/[\w/]+\.py)::(test_\w+)", law_test)
         assert m, f"({name},{col}) law_test not a pytest node: {law_test!r}"

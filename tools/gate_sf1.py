@@ -41,28 +41,37 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # The 26 round-9-proven names rotate out (GATE_SF1.md history keeps
 # their EXACT rows).
 SF1_SAMPLE: tuple[str, ...] = (
-    "ev_welch_t2_effect",          # (n-1)*v 128-bit pooled forms at 10x
-    "ev_cuped_adjustment",         # five 128-bit moments + 1-row doubles
-    "graph_degree_assortativity",  # shifted-negative quotient at 10x
-    "t_doc_entropy_filter",        # ln lattice + r10 DECIMAL accumulator
-    "graph_local_clustering",      # hub-capped wedge spine at 10x edges
-    "ann_nprobe_tuning_report",    # measured frontier at 10x corpus
-    "er_cluster_conflict_rate",    # shared assignment (r10) at 10x
-    # round-10 entries, all at 10x for the first time
-    "ev_kruskal_wallis",           # N^3 term sum + midrank lattice
-    "ev_levene_brown_forsythe",    # median centers + ANOVA 128-bit
-    "ev_benjamini_yekutieli",      # harmonic nano lattice + staircase
-    "ev_mcnemar_paired",           # discordant-pair quadratic dividend
-    "ev_poisson_bootstrap_ci",     # 31-bit hash weights at 10x rows
-    "ev_theil_sen_trend",          # floor-div slope lattice, pair grain
-    "ev_mann_kendall_trend",       # S/var18 cubics at 10x hours
-    "ev_nelson_aalen_hazard",      # hazard micro lattice + suffix risk
-    "ev_winsorized_mean",          # decile fences at 10x bins
-    "geo_dbscan_core_points",      # density census at 10x points
-    "t_mixture_waterfill",         # budget fill at 10x tokens
-    "t_ngram_coverage_curve",      # top-K coverage at 10x vocab
-    "ann_ivf_cell_balance",        # quadratic load moments at 10x
-    "pipeline_tokenize_shard_e2e", # shard-balance gate at 10x docs
+    # round-10 batches 7-9 at 10x for the first time: value-bin
+    # cumsum lattices (Mood/Cliff/CvM), KM exp lattice (RMST),
+    # ln lattice (G-test), Welch forms (TOST/SRM), quartic hour
+    # internals (Wilcoxon/Bartels), 128-bit trend dividends
+    # (Page/JT), iterative lattice (Katz), cross-multiplied TVD
+    "ev_srm_check",
+    "ev_mood_median_test",
+    "ev_cliff_delta",
+    "ev_cramer_von_mises",
+    "ev_turning_points_test",
+    "ev_bartels_rank_test",
+    "ev_rmst",
+    "ev_gtest_independence",
+    "ev_page_trend_test",
+    "ev_jonckheere_terpstra",
+    "ev_tost_equivalence",
+    "t_code_ratio",
+    "t_hapax_guiraud",
+    "t_ari_readability",
+    "graph_link_prediction_scores",
+    "graph_katz_centrality",
+    "dq_categorical_drift",
+    "ev_mood_dispersion_test",
+    "ev_wilcoxon_signed_rank",
+    "ev_cox_stuart_trend",
+    "ev_kendall_w",
+    "pipeline_experiment_readout_e2e",
+    "stream_srm_monitor",
+    "ev_seasonal_mann_kendall",
+    "join_levenshtein_blocked",
+    "t_honore_r",
 )
 
 

@@ -617,7 +617,7 @@ def _probe_taub_dividend(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     daily = ev.groupBy(
-        F.expr("unix_micros(ts) div 86400000000").alias("d")
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("d")
     ).agg(F.count("*").alias("x"))
     return daily.agg(F.count("*").alias("n")).selectExpr(
         "CAST(CAST(n * (n - 1) AS DECIMAL(38,0)) * n * (n - 1) / 4"
@@ -724,6 +724,566 @@ def _probe_logrank_chi2_dividend(spark, sf_dir):
 
 # name -> (probe_fn, capacity) for internal accumulators the output
 # cannot see (computed and divided away inside one expression)
+
+def _probe_srm_dividend(spark, sf_dir):
+    """ev_srm_check's (n0-n1)^2*1000 dividend. The REALIZED imbalance
+    under a fair hash is a ~sqrt(n) random walk, so the second column
+    carries the analytic WORST CASE n^2*1000 (total one-arm assignment)
+    — the sweep audits the bound, not the lucky draw."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    arms = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            F.expr(
+                "cast(conv(substring(md5(cast(user_id as string)), 1, 15),"
+                " 16, 10) as bigint) % 2"
+            ).alias("arm")
+        )
+    )
+    return arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.count("*").cast("long").alias("n"),
+    ).selectExpr(
+        "CAST(CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n1) * 1000"
+        " AS DECIMAL(38,0)) AS realized_dividend",
+        "CAST(CAST(n AS DECIMAL(38,0)) * n * 1000 AS DECIMAL(38,0))"
+        " AS worst_dividend",
+    )
+
+
+def _cliff_cvm_bins(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from xova_spark.operators.ranking import global_cumsum
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("isa"),
+    )
+    bins = v.groupBy("vm").agg(
+        F.sum("isa").cast("long").alias("ac"),
+        F.sum(1 - F.col("isa")).cast("long").alias("bc"),
+    )
+    cum = global_cumsum(
+        bins, [F.col("vm").asc()], ["ac", "bc"], ["cuma", "cumb"]
+    )
+    tot = cum.agg(
+        F.max("cuma").cast("long").alias("n1"),
+        F.max("cumb").cast("long").alias("n2"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    return cum.crossJoin(broadcast(tot))
+
+
+def _probe_cliff_dominance(spark, sf_dir):
+    """ev_cliff_delta's dominance sum |sum ac*(2*cumb - bc - n2)| and
+    its micro-scaled dividend — quadratic in row count (bounded by
+    n1*n2), on the DECIMAL(38,0) lattice."""
+    from pyspark.sql import functions as F
+
+    return _cliff_cvm_bins(spark, sf_dir).agg(
+        F.expr(
+            "CAST(abs(sum(CAST(ac AS DECIMAL(38,0))"
+            " * (2 * cumb - bc - n2))) * 1000000 AS DECIMAL(38,0))"
+        ).alias("dom_micro_dividend")
+    )
+
+
+def _probe_cvm_gap_dividend(spark, sf_dir):
+    """ev_cramer_von_mises's per-bin gap dividend
+    max |n2*cuma - n1*cumb| * 1000 — quadratic in row count, on the
+    DECIMAL(38,0) lattice (s_milli2 itself is the audited output)."""
+    from pyspark.sql import functions as F
+
+    return _cliff_cvm_bins(spark, sf_dir).agg(
+        F.expr(
+            "CAST(max(abs(CAST(n2 AS DECIMAL(38,0)) * cuma"
+            " - CAST(n1 AS DECIMAL(38,0)) * cumb)) * 1000"
+            " AS DECIMAL(38,0))"
+        ).alias("gap_dividend")
+    )
+
+
+def _probe_gtest_term_sum(spark, sf_dir):
+    """ev_gtest_independence's weighted log-ratio sum
+    sum |o * lr_micro| <= N * ln(N)*1e6 — slightly superlinear in row
+    count, on the DECIMAL(38,0) lattice."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cell = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").cast("long").alias("o"))
+    mr = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    mc = cell.groupBy("hr").agg(F.sum("o").cast("long").alias("c"))
+    tot = cell.agg(F.sum("o").cast("long").alias("n"))
+    return (
+        cell.join(F.broadcast(mr), "event_type")
+        .join(F.broadcast(mc), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            F.expr(
+                "CAST(round(ln(CAST(o AS DOUBLE) * n"
+                " / (CAST(r AS DOUBLE) * c)) * 1000000) AS BIGINT)"
+            ).alias("lr_micro"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(abs(CAST(o AS DECIMAL(38,0)) * lr_micro))"
+                " AS DECIMAL(38,0))"
+            ).alias("term_sum_abs")
+        )
+    )
+
+
+def _probe_bartels_quartics(spark, sf_dir):
+    """ev_bartels_rank_test's sq4 = sum R2^2 (~4*n_hours^3) and num4
+    (~quartic worst case at alternation) — calendar-bounded hour grain,
+    on the DECIMAL(38,0) lattice."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hrs = (
+        ev.select(
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+            ).alias("hr")
+        )
+        .groupBy("hr")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    rk = hrs.select(
+        "hr",
+        (
+            2 * F.rank().over(Window.orderBy("cnt"))
+            + F.count("*").over(Window.partitionBy("cnt"))
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    seq = rk.select(
+        "r2", F.lead("r2").over(Window.orderBy("hr")).alias("r2n")
+    )
+    return seq.agg(
+        F.expr("CAST(sum(CAST(r2 AS DECIMAL(38,0)) * r2) AS DECIMAL(38,0))").alias(
+            "sq4"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN r2n IS NULL THEN CAST(0 AS DECIMAL(38,0))"
+            " ELSE CAST(r2 - r2n AS DECIMAL(38,0)) * (r2 - r2n) END)"
+            " AS DECIMAL(38,0))"
+        ).alias("num4"),
+    )
+
+
+
+def _probe_page_dividend(spark, sf_dir):
+    """ev_page_trend_test's d^2*36000 dividend — d = L2 - 24b is ~b
+    (supplier count), so the dividend is quadratic in the block
+    cardinality, on the DECIMAL(38,0) lattice."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cells = li.groupBy(
+        F.col("l_suppkey").alias("blk"), F.col("l_returnflag").alias("trt")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(l_quantity AS BIGINT)) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("cellv")
+    )
+    complete = cells.groupBy("blk").agg(F.count("*").alias("kc")).filter(
+        F.col("kc") == 3
+    )
+    ranked = cells.join(complete.select("blk"), "blk").select(
+        "blk",
+        F.expr("CASE trt WHEN 'A' THEN 1 WHEN 'N' THEN 2 ELSE 3 END").alias(
+            "j"
+        ),
+        (
+            2 * F.rank().over(Window.partitionBy("blk").orderBy("cellv"))
+            + F.count("*").over(Window.partitionBy("blk", "cellv"))
+            - 1
+        ).alias("rank2"),
+    )
+    return ranked.agg(
+        F.countDistinct("blk").cast("long").alias("b"),
+        F.sum(F.col("j") * F.col("rank2")).cast("long").alias("l2"),
+    ).selectExpr(
+        "CAST(abs(CAST(l2 - 24 * b AS DECIMAL(38,0))) * abs(l2 - 24 * b)"
+        " * 36000 AS DECIMAL(38,0)) AS page_dividend"
+    )
+
+
+def _probe_jt_internals(spark, sf_dir):
+    """ev_jonckheere_terpstra's 128-bit internals: J2 (~N^2/2), the
+    doubled deviation d2, and the no-tie variance numerator v72
+    (~2N^3 — the binding one at the 100 TB extrapolation)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    cells = v.groupBy("event_type", "vm").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    groups = cells.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("ng")
+    )
+    return groups.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.expr("sum(CAST(ng AS DECIMAL(38,0)) * ng)").alias("sn2"),
+        F.expr(
+            "sum(CAST(ng AS DECIMAL(38,0)) * ng * (2 * ng + 3))"
+        ).alias("sn23"),
+    ).selectExpr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * n - sn2 AS DECIMAL(38,0))"
+        " AS cross2",
+        "CAST(CAST(n AS DECIMAL(38,0)) * n * (2 * n + 3) - sn23"
+        " AS DECIMAL(38,0)) AS v72",
+    )
+
+
+def _probe_tost_dividend(spark, sf_dir):
+    """ev_tost_equivalence's (d +- eps)^2 * 1000 dividends on the
+    128-bit lattice (the Welch internal class)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = ev.select(
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 15),"
+            " 16, 10) as bigint) % 2"
+        ).alias("arm"),
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    g = v.groupBy("arm").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("vm").cast("long").alias("s"),
+    )
+    pair = g.agg(
+        F.expr(
+            "max(CASE WHEN arm = 0 THEN CAST(round(CAST(s AS DOUBLE)"
+            " * 1000 / ng) AS BIGINT) END)"
+        ).alias("m0"),
+        F.expr(
+            "max(CASE WHEN arm = 1 THEN CAST(round(CAST(s AS DOUBLE)"
+            " * 1000 / ng) AS BIGINT) END)"
+        ).alias("m1"),
+    )
+    return pair.selectExpr(
+        "CAST((abs(CAST(m0 - m1 AS DECIMAL(38,0))) + 50000)"
+        " * (abs(m0 - m1) + 50000) * 1000 AS DECIMAL(38,0))"
+        " AS tost_dividend"
+    )
+
+
+def _probe_guiraud_v2(spark, sf_dir):
+    """t_hapax_guiraud's V^2*1e6 dividend — quadratic in per-source
+    vocabulary size, DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        wf.groupBy("source")
+        .agg(F.count("*").cast("long").alias("v"))
+        .agg(
+            F.expr(
+                "CAST(max(CAST(v AS DECIMAL(38,0)) * v * 1000000)"
+                " AS DECIMAL(38,0))"
+            ).alias("guiraud_dividend")
+        )
+    )
+
+
+def _probe_tvd_dividend(spark, sf_dir):
+    """dq_categorical_drift's cross-multiplied TVD internals: the
+    per-type |ce*nl - cl*ne| sum (~N^2) and the 2*ne*nl divisor, both
+    DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = ev.select(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+        ).alias("hr"),
+    )
+    b = h.agg(
+        F.expr("CAST((min(hr) + max(hr)) div 2 AS BIGINT)").alias(
+            "boundary"
+        )
+    )
+    cell = (
+        h.crossJoin(F.broadcast(b))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("hr") <= F.col("boundary"), 1).otherwise(0))
+            .cast("long")
+            .alias("ce"),
+            F.sum(F.when(F.col("hr") > F.col("boundary"), 1).otherwise(0))
+            .cast("long")
+            .alias("cl"),
+        )
+    )
+    m = cell.agg(
+        F.sum("ce").cast("long").alias("ne"),
+        F.sum("cl").cast("long").alias("nl"),
+    )
+    return (
+        cell.crossJoin(F.broadcast(m))
+        .agg(
+            F.expr(
+                "CAST(sum(abs(CAST(ce AS DECIMAL(38,0)) * nl"
+                " - CAST(cl AS DECIMAL(38,0)) * ne)) * 1000000"
+                " AS DECIMAL(38,0))"
+            ).alias("tvd_dividend"),
+            F.expr(
+                "CAST(2 * CAST(max(ne) AS DECIMAL(38,0)) * max(nl)"
+                " AS DECIMAL(38,0))"
+            ).alias("tvd_divisor"),
+        )
+    )
+
+
+def _probe_katz_in_sum(spark, sf_dir):
+    """graph_katz_centrality's per-node neighbor sum at the last
+    iteration (~deg_max^2 * 1e4 on hub-dense graphs), DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pp = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = pp.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
+    edges = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    arcs = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(
+        edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = arcs.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    x = deg.select(
+        "node",
+        (
+            F.lit(1000000)
+            + F.expr("CAST(degree * 1000000 div 10 AS BIGINT)")
+        ).alias("x"),
+    )
+    for _ in range(2):
+        s = (
+            arcs.join(x.select(F.col("node").alias("src"), "x"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.expr("sum(CAST(x AS DECIMAL(38,0)))").alias("s"))
+        )
+        x = deg.join(s, "node", "left").select(
+            "node",
+            F.expr(
+                "CAST(1000000 + CAST(coalesce(s, 0) div 10 AS BIGINT)"
+                " AS BIGINT)"
+            ).alias("x"),
+        )
+    s3 = (
+        arcs.join(x.select(F.col("node").alias("src"), "x"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.expr("sum(CAST(x AS DECIMAL(38,0)))").alias("s"))
+    )
+    return s3.agg(
+        F.expr("CAST(max(s) AS DECIMAL(38,0))").alias("katz_in_sum")
+    )
+
+
+
+def _probe_mood_disp_t4ds(spark, sf_dir):
+    """ev_mood_dispersion_test's unit^2-downscaled deviation sum
+    (~m*N^2/1e6, the KW-discipline accumulator) plus its exact
+    expectation ed, both DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    from xova_spark.operators.ranking import global_cumsum
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("isa"),
+    )
+    bins = v.groupBy("vm").agg(
+        F.sum("isa").cast("long").alias("ac"),
+        F.sum(1 - F.col("isa")).cast("long").alias("bc"),
+    ).withColumn("ct", F.col("ac") + F.col("bc"))
+    cum = global_cumsum(bins, [F.col("vm").asc()], "ct", "ct_incl").select(
+        "ac", "ct", (F.col("ct_incl") - F.col("ct")).alias("cb")
+    )
+    tot = bins.agg(
+        F.sum("ac").cast("long").alias("m"),
+        F.sum("bc").cast("long").alias("n2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .selectExpr("ac", "m", "n2", "2 * cb + ct + 1 - (m + n2 + 1) AS dd")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(ac AS DECIMAL(38,0))"
+                " * ((CAST(dd AS DECIMAL(38,0)) * dd) div 1000000))"
+                " AS DECIMAL(38,0))"
+            ).alias("t4ds"),
+            F.expr(
+                "CAST(max(CAST(m AS DECIMAL(38,0))"
+                " * (CAST(m + n2 AS DECIMAL(38,0)) * (m + n2) - 1)"
+                " div 3000000) AS DECIMAL(38,0))"
+            ).alias("ed"),
+        )
+    )
+
+
+def _probe_wilcoxon_varnum(spark, sf_dir):
+    """ev_wilcoxon_signed_rank's tie-corrected variance numerator
+    (~n_pairs^3, calendar-bounded) and d2w^2 dividend, DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hrs = (
+        ev.select(
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+            ).alias("hr")
+        )
+        .groupBy("hr")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    a = hrs.select((F.col("hr") + 24).alias("hr24"), F.col("cnt").alias("ca"))
+    b = hrs.select(F.col("hr").alias("hr24"), F.col("cnt").alias("cb_"))
+    pairs = (
+        a.join(b, "hr24")
+        .where(F.col("cb_") != F.col("ca"))
+        .select((F.col("cb_") - F.col("ca")).alias("d"))
+    )
+    bins = pairs.select(F.abs(F.col("d")).alias("ad"), "d").groupBy(
+        "ad"
+    ).agg(
+        F.count("*").cast("long").alias("ct"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ctp"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "ct", "ctp",
+        (F.sum("ct").over(w) - F.col("ct")).cast("long").alias("cb"),
+    )
+    return cum.agg(
+        F.sum("ct").cast("long").alias("n"),
+        F.sum(F.col("ctp") * (2 * F.col("cb") + F.col("ct") + 1))
+        .cast("long")
+        .alias("w2p"),
+        F.expr("sum(CAST(ct AS DECIMAL(38,0)) * ct * ct - ct)").alias(
+            "t3t"
+        ),
+    ).selectExpr(
+        "CAST(abs(CAST(2 * w2p - n * (n + 1) AS DECIMAL(38,0)))"
+        " * abs(2 * w2p - n * (n + 1)) * 3000 AS DECIMAL(38,0))"
+        " AS wsr_dividend",
+        "CAST(2 * (CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1)"
+        " - t3t div 2) AS DECIMAL(38,0)) AS wsr_varnum",
+    )
+
+
+
+def _probe_smk_var18(spark, sf_dir):
+    """ev_seasonal_mann_kendall's summed tie-corrected variance
+    (24 seasons x n_days^3 cubics, calendar-bounded) on the
+    DECIMAL(38,0) lattice."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cells = ev.select(
+        F.hour(F.expr("CAST(ts AS TIMESTAMP)")).cast("long").alias("hod"),
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("d"),
+    ).groupBy("hod", "d").agg(F.count("*").cast("long").alias("cnt"))
+    nsz = cells.groupBy("hod").agg(F.count("*").cast("long").alias("n_g"))
+    ties = (
+        cells.groupBy("hod", "cnt")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("hod")
+        .agg(
+            F.expr(
+                "CAST(coalesce(sum(CAST(t AS DECIMAL(38,0)) * (t - 1)"
+                " * (2 * t + 5)), 0) AS BIGINT)"
+            ).alias("tsum")
+        )
+    )
+    return (
+        nsz.join(ties, "hod")
+        .selectExpr(
+            "CAST(n_g AS DECIMAL(38,0)) * (n_g - 1) * (2 * n_g + 5)"
+            " - tsum AS var18_g"
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(var18_g AS DECIMAL(38,0)))"
+                " AS DECIMAL(38,0))"
+            ).alias("smk_var18")
+        )
+    )
+
+
+
+def _probe_yule_s2(spark, sf_dir):
+    """t_yule_k's sum c^2 internal — quadratic in per-source token
+    mass (the round-10 sweep flagged the old BIGINT output form at
+    3.65x; now DECIMAL(38,0) internal)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return wf.groupBy("source").agg(
+        F.expr("sum(CAST(c AS DECIMAL(38,0)) * c)").alias("s2")
+    ).agg(F.expr("CAST(max(s2) AS DECIMAL(38,0))").alias("yule_s2"))
+
+
 PROBES = {
     "ev_gini_coefficient__dividend": (_probe_gini_dividend, DEC38_CAP),
     "t_quality_auc__pair_dividend": (_probe_auc_pair_dividend, DEC38_CAP),
@@ -767,6 +1327,31 @@ PROBES = {
         _probe_logrank_chi2_dividend,
         DEC38_CAP,
     ),
+    # r10 batch 10 internals
+    "t_yule_k__s2": (_probe_yule_s2, DEC38_CAP),
+    "ev_seasonal_mann_kendall__var18": (_probe_smk_var18, DEC38_CAP),
+    # r10 batch 9 internals
+    "ev_mood_dispersion_test__t4ds": (_probe_mood_disp_t4ds, DEC38_CAP),
+    "ev_wilcoxon_signed_rank__varnum": (
+        _probe_wilcoxon_varnum,
+        DEC38_CAP,
+    ),
+    # r10 batch 8 internals
+    "ev_page_trend_test__dividend": (_probe_page_dividend, DEC38_CAP),
+    "ev_jonckheere_terpstra__v72": (_probe_jt_internals, DEC38_CAP),
+    "ev_tost_equivalence__dividend": (_probe_tost_dividend, DEC38_CAP),
+    "t_hapax_guiraud__v2": (_probe_guiraud_v2, DEC38_CAP),
+    "dq_categorical_drift__tvd": (_probe_tvd_dividend, DEC38_CAP),
+    "graph_katz_centrality__in_sum": (_probe_katz_in_sum, DEC38_CAP),
+    # r10 batch 7 internals
+    "ev_srm_check__dividend": (_probe_srm_dividend, DEC38_CAP),
+    "ev_cliff_delta__dominance": (_probe_cliff_dominance, DEC38_CAP),
+    "ev_cramer_von_mises__gap_dividend": (
+        _probe_cvm_gap_dividend,
+        DEC38_CAP,
+    ),
+    "ev_gtest_independence__term_sum": (_probe_gtest_term_sum, DEC38_CAP),
+    "ev_bartels_rank_test__quartics": (_probe_bartels_quartics, DEC38_CAP),
 }
 
 # (entry, column) -> (analytic_alpha, justification, law_test):
@@ -778,6 +1363,33 @@ PROBES = {
 # name_live_law_tests fails on orphans, so the hatch can't silently
 # grow).
 ANALYTIC_BOUNDS: dict[tuple[str, str], tuple[float, str, str]] = {
+    # Wilcoxon signed-rank internals are CALENDAR-bounded, not
+    # data-grain: |d2w| <= n(n+1) and the dividend <= 3000*n^2(n+1)^2
+    # with n = nonzero 24h-lag hour pairs, capped by the calendar span
+    # (a decade is ~9e4 hours -> |d2w| < 8e9, dividend < 2e23 — both
+    # inside their lattices with >= 1e14x room). The naive fit reads
+    # fixture tie-thinning (denser hours at the bigger tier leave
+    # fewer zero day-over-day diffs, so n jumps toward the calendar
+    # cap) as row-count growth.
+    ("ev_wilcoxon_signed_rank", "d2w"): (
+        0.5,
+        "|d2w| = |2W2+ - n(n+1)| <= n(n+1), n <= calendar hour pairs"
+        " — sublinear in data volume (span grows ~1e3x while rows grow"
+        " 1e6x); fixture jump is tie-thinning, not growth",
+        "tests/test_round10e_ops.py::test_wilcoxon_replica_and_hand",
+    ),
+    ("ev_wilcoxon_signed_rank", "w2_plus"): (
+        0.5,
+        "W2+ <= n(n+1) (the all-positive pole), same calendar bound"
+        " as d2w",
+        "tests/test_round10e_ops.py::test_wilcoxon_replica_and_hand",
+    ),
+    ("ev_wilcoxon_signed_rank__varnum", "wsr_dividend"): (
+        1.0,
+        "dividend = 3000*d2w^2 <= 3000*n^2(n+1)^2 ~ 2e23 at a decade"
+        " of hours — calendar-quartic, not data-grain",
+        "tests/test_round10e_ops.py::test_wilcoxon_replica_and_hand",
+    ),
     ("t_bigram_pmi_topk", "pmi_ratio_permille"): (
         1.0,
         "quotient <= 1000*nb/c_min since n1,n2 >= c >= c_min — LINEAR"

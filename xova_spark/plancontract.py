@@ -267,6 +267,58 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         r"|events\.parquet)",
         "source": r"global_ntile",
     },
+    # r10 batch 7: Mood / Cliff / CvM ride the distinct-value-bin
+    # cumsum through the size-gated primitive (ev_ks_test class)
+    "ev_mood_median_test": {
+        "kind": "size_gate",
+        "marker": r"HashAggregate\(keys=\[vm#\d+",
+        "source": r"global_cumsum",
+    },
+    "ev_cliff_delta": {
+        "kind": "size_gate",
+        "marker": r"HashAggregate\(keys=\[vm#\d+",
+        "source": r"global_cumsum",
+    },
+    "ev_cramer_von_mises": {
+        "kind": "size_gate",
+        "marker": r"HashAggregate\(keys=\[vm#\d+",
+        "source": r"global_cumsum",
+    },
+    # r10 batch 7: turning-points lag/lead and Bartels rank/lead
+    # windows all run at HOUR grain above the hr-keyed aggregate
+    # (calendar-bounded, the _trend_hours spine)
+    "ev_turning_points_test": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[hr#\d+",
+    },
+    "ev_bartels_rank_test": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[hr#\d+",
+    },
+    # RMST: the KM duration-grain window class exactly (suffix risk,
+    # prefix ln, at_zero carry-forward, lead interval)
+    "ev_rmst": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[dur#\d+",
+    },
+    # r10 batch 9: Mood dispersion rides the value-bin cumsum through
+    # the size-gated primitive (ev_ks_test class)
+    "ev_mood_dispersion_test": {
+        "kind": "size_gate",
+        "marker": r"HashAggregate\(keys=\[vm#\d+",
+        "source": r"global_cumsum",
+    },
+    # Wilcoxon cumulative midranks at DIFFERENCE-MAGNITUDE bin grain
+    # (bounded by the count range) above the ad-keyed aggregate
+    "ev_wilcoxon_signed_rank": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[ad#\d+",
+    },
+    # Cox-Stuart position rank + grand count at hour grain
+    "ev_cox_stuart_trend": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[hr#\d+",
+    },
 }
 
 
@@ -527,6 +579,29 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "ev_ks_test": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ev_mann_whitney_u": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ev_chisq_independence": {"kinds": ("one_row_agg",), "max_segments": 3},
+    # r10 batch 7: the same margin/median 1-row broadcasts onto
+    # bounded grains (value bins, contingency cells, KM durations)
+    "ev_mood_median_test": {"kinds": ("one_row_agg",), "max_segments": 7},
+    "ev_cliff_delta": {"kinds": ("one_row_agg",), "max_segments": 1},
+    "ev_cramer_von_mises": {"kinds": ("one_row_agg",), "max_segments": 1},
+    "ev_gtest_independence": {"kinds": ("one_row_agg",), "max_segments": 3},
+    # r10 batch 8: JT densifies the bin spine with the k=5 group
+    # margin (dim_agg) plus 1-row margins; the drift entry broadcasts
+    # the 1-row hour-bounds/margins back over the typed scan
+    "ev_jonckheere_terpstra": {
+        "kinds": ("dim_agg", "one_row_agg"),
+        "max_segments": 4,
+    },
+    "dq_categorical_drift": {"kinds": ("one_row_agg",), "max_segments": 4},
+    # r10 batch 9: 1-row margin/count broadcasts onto bounded grains
+    "ev_mood_dispersion_test": {"kinds": ("one_row_agg",), "max_segments": 2},
+    "ev_cox_stuart_trend": {"kinds": ("one_row_agg",), "max_segments": 2},
+    "ev_kendall_w": {"kinds": ("one_row_agg",), "max_segments": 2},
+    "pipeline_experiment_readout_e2e": {
+        "kinds": ("one_row_agg",),
+        "max_segments": 3,
+    },
+    "ev_rmst": {"kinds": ("one_row_agg",), "max_segments": 3},
     "ev_jackknife_ci": {"kinds": ("one_row_agg",), "max_segments": 1},
     "dq_mutual_information": {"kinds": ("one_row_agg",), "max_segments": 1},
     "ev_cramers_v": {"kinds": ("one_row_agg",), "max_segments": 3},

@@ -910,3 +910,145 @@ def dq_outlier_iqr(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch 8: categorical drift between time halves.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dq_categorical_drift",
+    """
+    WITH h AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr
+      FROM events
+    ), b AS (
+      SELECT (min(hr) + max(hr)) // 2 AS boundary FROM h
+    ), cell AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN hr <= boundary THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ce,
+             CAST(sum(CASE WHEN hr > boundary THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cl
+      FROM h, b GROUP BY event_type
+    ), m AS (
+      SELECT CAST(sum(ce) AS BIGINT) AS ne, CAST(sum(cl) AS BIGINT) AS nl,
+             CAST(count(*) AS BIGINT) AS k
+      FROM cell
+    ), term AS (
+      SELECT ne, nl, k,
+             CASE WHEN ne = 0 OR nl = 0 THEN 0
+                  ELSE CAST(round(
+                    (CAST(ce AS DOUBLE) - CAST(ce + cl AS DOUBLE) * ne
+                       / (ne + nl))
+                    * (CAST(ce AS DOUBLE) - CAST(ce + cl AS DOUBLE) * ne
+                       / (ne + nl))
+                    * (1000000.0 * (ne + nl)
+                       / (CAST(ce + cl AS DOUBLE) * ne)
+                       + 1000000.0 * (ne + nl)
+                       / (CAST(ce + cl AS DOUBLE) * nl)))
+                    AS BIGINT) END AS tm,
+             abs(CAST(ce AS HUGEINT) * nl - CAST(cl AS HUGEINT) * ne)
+                 AS tvd_num
+      FROM cell, m
+    )
+    SELECT max(ne) AS n_early, max(nl) AS n_late,
+           (SELECT boundary FROM b) AS boundary_hr,
+           CAST(max(k) AS BIGINT) AS n_types,
+           CAST(sum(tm) AS BIGINT) AS chi2_micro,
+           CAST(CASE WHEN max(ne) = 0 OR max(nl) = 0 THEN 0
+                ELSE sum(tvd_num) * 1000000
+                     // (2 * CAST(max(ne) AS HUGEINT) * max(nl)) END
+               AS BIGINT) AS tvd_micro
+    FROM term
+    """,
+)
+def dq_categorical_drift(spark, sf_dir):
+    """CATEGORICAL DRIFT between the first and second half of the
+    event stream (split at the calendar midpoint hour — a fixed
+    integer boundary, not a data quantile): the event-type mix of
+    early vs late halves compared two ways — the 2 x k chi-square
+    (statistical: is the drift bigger than sampling noise) and the
+    TOTAL VARIATION DISTANCE (operational: how much probability mass
+    actually moved, the dial dq_histogram_drift reads for numeric
+    columns, here for a categorical one). The pair is the categorical
+    companion to ev_psi_drift's binned numeric PSI.
+
+    Integer form: the boundary is one positive floor-div of exact
+    hour bounds (post-epoch contract, test-pinned); all 2k cell
+    counts are exact; each chi-square term is the fixed-shape-double
+    micro idiom of ev_chisq_independence; TVD avoids division
+    entirely until the last step — sum |ce*nl - cl*ne| on the
+    128-bit cross-multiplied lattice (the dq_histogram_drift
+    discipline; headroom probe tvd__dividend), ONE positive floor-div
+    to micro.
+
+    Scale shape: one per-row hour projection, a 1-row bounds
+    broadcast back over the typed scan (one_row_agg BNLJ, declared),
+    one k-row keyed aggregate, k-row arithmetic."""
+    (ev,) = load_tables(spark, sf_dir, ("events",)).values()
+    h = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+    )
+    b = h.agg(
+        F.expr("CAST((min(hr) + max(hr)) div 2 AS BIGINT)").alias(
+            "boundary"
+        )
+    )
+    cell = (
+        h.crossJoin(F.broadcast(b))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("hr") <= F.col("boundary"), 1).otherwise(0))
+            .cast("long")
+            .alias("ce"),
+            F.sum(F.when(F.col("hr") > F.col("boundary"), 1).otherwise(0))
+            .cast("long")
+            .alias("cl"),
+        )
+    )
+    m = cell.agg(
+        F.sum("ce").cast("long").alias("ne"),
+        F.sum("cl").cast("long").alias("nl"),
+        F.count("*").cast("long").alias("k"),
+    )
+    term = cell.crossJoin(F.broadcast(m)).selectExpr(
+        "ne",
+        "nl",
+        "k",
+        "CASE WHEN ne = 0 OR nl = 0 THEN 0"
+        " ELSE CAST(round("
+        " (CAST(ce AS DOUBLE) - CAST(ce + cl AS DOUBLE) * ne / (ne + nl))"
+        " * (CAST(ce AS DOUBLE) - CAST(ce + cl AS DOUBLE) * ne"
+        "    / (ne + nl))"
+        " * (1000000.0 * (ne + nl) / (CAST(ce + cl AS DOUBLE) * ne)"
+        "    + 1000000.0 * (ne + nl) / (CAST(ce + cl AS DOUBLE) * nl)))"
+        " AS BIGINT) END AS tm",
+        "abs(CAST(ce AS DECIMAL(38,0)) * nl - CAST(cl AS DECIMAL(38,0))"
+        " * ne) AS tvd_num",
+    )
+    return (
+        term.agg(
+            F.max("ne").alias("n_early"),
+            F.max("nl").alias("n_late"),
+            F.max("k").cast("long").alias("n_types"),
+            F.sum("tm").cast("long").alias("chi2_micro"),
+            F.expr(
+                "CAST(CASE WHEN max(ne) = 0 OR max(nl) = 0 THEN 0"
+                " ELSE sum(tvd_num) * 1000000"
+                " div (2 * CAST(max(ne) AS DECIMAL(38,0)) * max(nl)) END"
+                " AS BIGINT)"
+            ).alias("tvd_micro"),
+        )
+        .crossJoin(F.broadcast(b))
+        .select(
+            "n_early",
+            "n_late",
+            F.col("boundary").alias("boundary_hr"),
+            "n_types",
+            "chi2_micro",
+            "tvd_micro",
+        )
+    )

@@ -2023,3 +2023,185 @@ def graph_rich_club(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch 8: link-prediction score panel and Katz centrality.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "graph_link_prediction_scores",
+    f"""
+    WITH {_DUCK_EDGES},
+    light AS (
+      SELECT a.src, a.dst, d.degree FROM arcs a
+      JOIN deg d ON d.node = a.dst
+      WHERE d.degree BETWEEN 2 AND {WEDGE_DEGREE_CAP}
+    ),
+    cand AS (
+      SELECT a.src AS sa, b.src AS sb,
+             CAST(count(*) AS BIGINT) AS common_capped,
+             CAST(sum(1000000 // a.degree) AS BIGINT) AS ra_micro
+      FROM light a JOIN light b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT CAST(c.sa AS BIGINT) AS sa, CAST(c.sb AS BIGINT) AS sb,
+           c.common_capped, c.ra_micro,
+           CAST(da.degree * db.degree AS BIGINT) AS pa_score
+    FROM cand c
+    JOIN deg da ON da.node = c.sa
+    JOIN deg db ON db.node = c.sb
+    ORDER BY c.ra_micro DESC, c.sa, c.sb LIMIT 20
+    """,
+)
+def graph_link_prediction_scores(spark, sf_dir):
+    """LINK-PREDICTION SCORE PANEL on the co-purchase graph — the
+    three classical predictors side by side for the top candidate
+    pairs: common neighbors (raw overlap), RESOURCE ALLOCATION
+    (sum 1/deg(n) — Zhou et al.'s sharper Adamic-Adar, and unlike AA
+    it is EXACT on the integer lattice: 1e6 div degree needs no ln),
+    and preferential attachment deg(a)*deg(b) (the null model the
+    other two are read against). Ranked by RA — the measure with the
+    best reported precision on co-occurrence graphs.
+
+    Same hub-capped wedge spine as graph_adamic_adar (middle degree
+    in [2, cap] keeps candidate volume linear in |arcs| and makes the
+    capped RA/CN certified LOWER bounds; the dropped hub wedges carry
+    the smallest RA weights, so the capped ranking tracks the exact
+    one). PA uses the FULL degrees (a 2-column keyed join, no cap
+    needed — it never touches wedges).
+
+    Integer form: 1e6 div degree is a positive floor-div per wedge
+    (exact, both engines); sums bounded by 5e5 * common_capped —
+    linear in the cap, no 128-bit needed.
+
+    Scale shape: one keyed degree join, ONE keyed wedge self-join at
+    bounded fanout, one keyed aggregate, two keyed degree joins on
+    the 20-row frame, distributed TakeOrderedAndProject."""
+    edges = _edges_cached(spark, sf_dir)
+    arcs, deg = _arcs_and_degrees(edges)
+    light = arcs.join(
+        deg.where(
+            (F.col("degree") >= 2) & (F.col("degree") <= WEDGE_DEGREE_CAP)
+        ).select(F.col("node").alias("dst"), "degree"),
+        "dst",
+    )
+    a = light.select(
+        F.col("src").alias("sa"),
+        F.col("dst").alias("n"),
+        F.expr("CAST(1000000 div degree AS BIGINT)").alias("w"),
+    )
+    b = light.select(F.col("src").alias("sb"), F.col("dst").alias("n"))
+    cand = (
+        a.join(b, "n")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.count("*").cast("long").alias("common_capped"),
+            F.sum("w").cast("long").alias("ra_micro"),
+        )
+    )
+    return (
+        cand.join(
+            deg.select(F.col("node").alias("sa"), F.col("degree").alias("da")),
+            "sa",
+        )
+        .join(
+            deg.select(F.col("node").alias("sb"), F.col("degree").alias("db")),
+            "sb",
+        )
+        .select(
+            F.col("sa").cast("long"),
+            F.col("sb").cast("long"),
+            "common_capped",
+            "ra_micro",
+            (F.col("da") * F.col("db")).cast("long").alias("pa_score"),
+        )
+        .orderBy(F.desc("ra_micro"), "sa", "sb")
+        .limit(20)
+    )
+
+
+@q(
+    "graph_katz_centrality",
+    f"""
+    WITH {_DUCK_EDGES},
+    x1 AS (
+      SELECT node, 1000000 + (degree * 1000000) // 10 AS x
+      FROM deg
+    ),
+    s2 AS (
+      SELECT a.dst AS node, sum(CAST(x.x AS HUGEINT)) AS s
+      FROM arcs a JOIN x1 x ON x.node = a.src GROUP BY a.dst
+    ),
+    x2 AS (
+      SELECT d.node, 1000000 + CAST(coalesce(s.s, 0) // 10 AS BIGINT) AS x
+      FROM deg d LEFT JOIN s2 s ON s.node = d.node
+    ),
+    s3 AS (
+      SELECT a.dst AS node, sum(CAST(x.x AS HUGEINT)) AS s
+      FROM arcs a JOIN x2 x ON x.node = a.src GROUP BY a.dst
+    ),
+    x3 AS (
+      SELECT d.node, 1000000 + CAST(coalesce(s.s, 0) // 10 AS BIGINT) AS x
+      FROM deg d LEFT JOIN s3 s ON s.node = d.node
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(x AS BIGINT) AS katz_micro
+    FROM x3 ORDER BY katz_micro DESC, node LIMIT 20
+    """,
+)
+def graph_katz_centrality(spark, sf_dir):
+    """KATZ CENTRALITY (3 truncated iterations, alpha = 0.1) on the
+    co-purchase graph — the walk-counting centrality between degree
+    (1 hop) and PageRank (stationary): x <- 1 + alpha * A x counts
+    walks of every length damped by alpha^len; three iterations carry
+    paths up to length 3, the standard truncation when the graph is
+    re-centralized per batch. Ranks hub-adjacent nodes PageRank's
+    degree normalization deliberately suppresses.
+
+    Integer form: x0 = 1e6 (micro lattice); each iteration is one
+    keyed join + keyed sum + ONE positive floor-div by 10 (alpha as
+    an exact decimal literal — both engines floor), so every x_t is
+    an exact integer and the iteration is bit-reproducible. The
+    neighbor sums cross BIGINT on hub-dense graphs (sum of ~deg_max
+    values each ~deg_max*1e4) and ride HUGEINT/DECIMAL(38,0)
+    (headroom probe katz__in_sum).
+
+    Scale shape: 3 unrolled (join arcs, aggregate by dst) rounds —
+    each a pair of keyed shuffles, the graph_pagerank shape without
+    the convergence loop — then a distributed TakeOrderedAndProject.
+    Law (test-pinned): on a star graph the center's truncated Katz is
+    1 + k/10 + k/100 + ... computed exactly on the lattice."""
+    edges = _edges_cached(spark, sf_dir)
+    arcs, deg = _arcs_and_degrees(edges)
+    x = deg.select(
+        "node",
+        (
+            F.lit(1000000)
+            + F.expr("CAST(degree * 1000000 div 10 AS BIGINT)")
+        ).alias("x"),
+    )
+    for _ in range(2):
+        s = (
+            arcs.join(
+                x.select(F.col("node").alias("src"), "x"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.expr("sum(CAST(x AS DECIMAL(38,0)))").alias("s"))
+        )
+        x = deg.join(s, "node", "left").select(
+            "node",
+            F.expr(
+                "CAST(1000000 + CAST(coalesce(s, 0) div 10 AS BIGINT)"
+                " AS BIGINT)"
+            ).alias("x"),
+        )
+    return (
+        x.select(
+            F.col("node").cast("long"),
+            F.col("x").cast("long").alias("katz_micro"),
+        )
+        .orderBy(F.desc("katz_micro"), "node")
+        .limit(20)
+    )

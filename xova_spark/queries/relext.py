@@ -9211,3 +9211,2001 @@ def ev_logrank_test(spark, sf_dir):
         " div (CAST(v_micro AS DECIMAL(38,0)) * 1000) END"
         " AS BIGINT) AS logrank_chi2_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch 7: distribution-comparison and randomness tests on the
+# exact integer lattices (Mood's median, Cliff's delta, Cramer-von
+# Mises, turning points, Bartels von Neumann, RMST, G-test, SRM).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ev_srm_check",
+    """
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), arms AS (
+      SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT) % 2
+                 AS arm
+      FROM u
+    ), c AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(count(*) AS BIGINT) AS n
+      FROM arms
+    )
+    SELECT n AS n_users, n0 AS n_arm0, n1 AS n_arm1,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE CAST(n0 - n1 AS HUGEINT) * (n0 - n1) * 1000 // n
+                END AS BIGINT) AS chi2_milli,
+           CASE WHEN n = 0 THEN FALSE
+                ELSE CAST(n0 - n1 AS HUGEINT) * (n0 - n1) * 1000 // n
+                     > 3841 END AS srm_flagged
+    FROM c
+    """,
+)
+def ev_srm_check(spark, sf_dir):
+    """SAMPLE-RATIO-MISMATCH check — the first gate every A/B readout
+    must pass (a biased assignment invalidates ev_ab_test_ztest and
+    ev_cuped_adjustment before any effect math runs): users are
+    assigned to two arms by the t_split_deterministic hash idiom
+    (md5 of user_id — content-independent, identical on both engines),
+    expected 50/50, and the goodness-of-fit chi-square against that
+    literal design collapses to (n0-n1)^2/n. Flag at the chi2_1
+    alpha=0.05 critical value 3.841 (milli lattice, the Welch
+    sqrt-free discipline).
+
+    Integer form: counts are exact; the single squared difference
+    accumulates DECIMAL(38,0) ((n0-n1)^2 ~ n^2 = 1e24 at the 100 TB
+    user extrapolation — past BIGINT, inside the 128-bit lattice;
+    headroom probe srm__dividend) and ONE positive floor-div lands the
+    milli quotient (floor == truncate, operands nonnegative).
+
+    Scale shape: one distinct-user shuffle (the only data-grain
+    exchange), a per-row hash projection, one 1-row aggregate."""
+    (ev,) = _t(spark, sf_dir, "events")
+    arms = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            F.expr(
+                "cast(conv(substring(md5(cast(user_id as string)), 1, 15),"
+                " 16, 10) as bigint) % 2"
+            ).alias("arm")
+        )
+    )
+    c = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return c.selectExpr(
+        "n AS n_users",
+        "n0 AS n_arm0",
+        "n1 AS n_arm1",
+        "CAST(CASE WHEN n = 0 THEN 0"
+        " ELSE CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n1) * 1000 div n"
+        " END AS BIGINT) AS chi2_milli",
+        "CASE WHEN n = 0 THEN false"
+        " ELSE CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n1) * 1000 div n"
+        " > 3841 END AS srm_flagged",
+    )
+
+
+@q(
+    "ev_mood_median_test",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ), bins AS (
+      SELECT vm, CAST(count(*) AS BIGINT) AS ct FROM v GROUP BY vm
+    ), cum AS (
+      SELECT vm, CAST(sum(ct) OVER (ORDER BY vm
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM bins
+    ), tot AS (
+      SELECT max(cum) AS n FROM cum
+    ), med AS (
+      SELECT min(vm) AS med_vm FROM cum, tot WHERE cum * 2 >= n
+    ), grp AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(CASE WHEN vm > med_vm THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ag
+      FROM v, med GROUP BY event_type
+    ), marg AS (
+      SELECT CAST(sum(ag) AS BIGINT) AS a, CAST(sum(ng) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k
+      FROM grp
+    ), term AS (
+      SELECT n, k,
+             CASE WHEN a = 0 OR a = n THEN 0
+                  ELSE CAST(round(
+                    (CAST(ag AS DOUBLE) - CAST(ng AS DOUBLE) * a / n)
+                    * (CAST(ag AS DOUBLE) - CAST(ng AS DOUBLE) * a / n)
+                    * (1000000.0 * n / (CAST(ng AS DOUBLE) * a)
+                       + 1000000.0 * n / (CAST(ng AS DOUBLE) * (n - a))))
+                    AS BIGINT) END AS tm
+      FROM grp, marg
+    )
+    SELECT max(n) AS n_events, max(k) AS k_groups,
+           (SELECT med_vm FROM med) AS grand_med_vm,
+           CAST(max(k) - 1 AS BIGINT) AS dof,
+           CAST(sum(tm) AS BIGINT) AS chi2_micro
+    FROM term
+    """,
+)
+def ev_mood_median_test(spark, sf_dir):
+    """MOOD'S MEDIAN TEST across the five event-type groups — the
+    coarsest (and most outlier-proof) k-group location test: classify
+    every observation as above / not-above the GRAND lower median and
+    chi-square the resulting 2 x k contingency against independence.
+    The blunt sibling of ev_kruskal_wallis (which uses full rank
+    information) — the pair brackets how much of a shift signal
+    survives rank destruction.
+
+    Integer form: the grand median comes off the distinct-value-bin
+    cumulative-crossing idiom (ev_ks_test class — bins bounded by the
+    VALUE RANGE at any row count, cumsum via the size-gated
+    global_cumsum primitive); all 2k cell counts are exact integers;
+    each group's (O-E)^2/E pair is ONE fixed-shape IEEE-double
+    expression of those integers landing on the micro lattice BEFORE
+    the k-row sum (the ev_chisq_independence contract). Both engines
+    see identical doubles, so the rounding is bit-identical.
+
+    Scale shape: one keyed aggregate to value bins, the gated cumsum,
+    a 1-row median broadcast back over the typed scan (one_row_agg
+    BNLJ, declared survivor), one k-row group aggregate, k-row
+    arithmetic."""
+    from xova_spark.operators.ranking import global_cumsum
+
+    (ev,) = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    bins = v.groupBy("vm").agg(F.count("*").cast("long").alias("ct"))
+    cum = global_cumsum(bins, [F.col("vm").asc()], "ct", "cum")
+    tot = cum.agg(F.max("cum").cast("long").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cum") * 2 >= F.col("n"))
+        .agg(F.min("vm").cast("long").alias("med_vm"))
+    )
+    grp = (
+        v.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("ng"),
+            F.sum(F.when(F.col("vm") > F.col("med_vm"), 1).otherwise(0))
+            .cast("long")
+            .alias("ag"),
+        )
+    )
+    marg = grp.agg(
+        F.sum("ag").cast("long").alias("a"),
+        F.sum("ng").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    term = grp.crossJoin(F.broadcast(marg)).selectExpr(
+        "n",
+        "k",
+        "CASE WHEN a = 0 OR a = n THEN 0"
+        " ELSE CAST(round("
+        " (CAST(ag AS DOUBLE) - CAST(ng AS DOUBLE) * a / n)"
+        " * (CAST(ag AS DOUBLE) - CAST(ng AS DOUBLE) * a / n)"
+        " * (1000000.0 * n / (CAST(ng AS DOUBLE) * a)"
+        "    + 1000000.0 * n / (CAST(ng AS DOUBLE) * (n - a))))"
+        " AS BIGINT) END AS tm",
+    )
+    return (
+        term.agg(
+            F.max("n").alias("nx"),
+            F.max("k").alias("kx"),
+            F.sum("tm").cast("long").alias("chi2_micro"),
+        )
+        .crossJoin(F.broadcast(med))
+        .selectExpr(
+            "nx AS n_events",
+            "kx AS k_groups",
+            "med_vm AS grand_med_vm",
+            "CAST(kx - 1 AS BIGINT) AS dof",
+            "chi2_micro",
+        )
+    )
+
+
+@q(
+    "ev_cliff_delta",
+    """
+    WITH v AS (
+      SELECT CAST(round(value * 1000) AS BIGINT) AS vm,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+      FROM events WHERE event_type IN ('click', 'view')
+    ), bins AS (
+      SELECT vm, CAST(sum(isa) AS BIGINT) AS ac,
+             CAST(sum(1 - isa) AS BIGINT) AS bc
+      FROM v GROUP BY vm
+    ), cum AS (
+      SELECT vm, ac, bc,
+             CAST(sum(ac) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cuma,
+             CAST(sum(bc) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cumb
+      FROM bins
+    ), tot AS (
+      SELECT max(cuma) AS n1, max(cumb) AS n2 FROM cum
+    ), dom AS (
+      SELECT n1, n2,
+             sum(CAST(ac AS HUGEINT) * (2 * cumb - bc - n2)) AS d
+      FROM cum, tot GROUP BY n1, n2
+    )
+    SELECT n1 AS n_click, n2 AS n_view,
+           CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0
+                WHEN d >= 0 THEN d * 1000000
+                     // (CAST(n1 AS HUGEINT) * n2)
+                ELSE -((-d) * 1000000
+                     // (CAST(n1 AS HUGEINT) * n2)) END
+               AS BIGINT) AS delta_micro
+    FROM dom
+    """,
+)
+def ev_cliff_delta(spark, sf_dir):
+    """CLIFF'S DELTA ordinal effect size between the click and view
+    value distributions — the nonparametric companion to
+    ev_welch_t2_effect's Cohen's d (and algebraically the
+    rank-biserial correlation of ev_mann_whitney_u: delta =
+    2U/(n1*n2) - 1): the probability a click value exceeds a view
+    value minus the reverse, ties counting for neither.
+
+    Integer form: dominance = sum over value bins of
+    a_v * (b_below - b_above) = a_v * (2*cumb - bc - n2) — EXACT pair
+    counting without materializing pairs (never all-pairs: the
+    quadratic lives in the algebra, not the plan). The dominance sum
+    is ~n1*n2 (~1e24 at the 100 TB extrapolation) so it accumulates
+    DECIMAL(38,0) (headroom probe cliff__dividend) and only the
+    signed micro quotient leaves — sign applied OUTSIDE the division
+    (floor-vs-truncate on both engines, the MK discipline).
+
+    Scale shape: one keyed aggregate to value bins (bounded by the
+    VALUE RANGE at any row count), one size-gated global_cumsum pass
+    (multi-column: both groups ride ONE range shuffle), a 1-row
+    margin broadcast over the bin grain, 1-row arithmetic."""
+    from xova_spark.operators.ranking import global_cumsum
+
+    (ev,) = _t(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("isa"),
+    )
+    bins = v.groupBy("vm").agg(
+        F.sum("isa").cast("long").alias("ac"),
+        F.sum(1 - F.col("isa")).cast("long").alias("bc"),
+    )
+    cum = global_cumsum(
+        bins, [F.col("vm").asc()], ["ac", "bc"], ["cuma", "cumb"]
+    )
+    tot = cum.agg(
+        F.max("cuma").cast("long").alias("n1"),
+        F.max("cumb").cast("long").alias("n2"),
+    )
+    dom = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.expr(
+                "sum(CAST(ac AS DECIMAL(38,0)) * (2 * cumb - bc - n2))"
+            ).alias("d")
+        )
+    )
+    return dom.selectExpr(
+        "n1 AS n_click",
+        "n2 AS n_view",
+        "CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0"
+        " WHEN d >= 0 THEN d * 1000000"
+        " div (CAST(n1 AS DECIMAL(38,0)) * n2)"
+        " ELSE -((-d) * 1000000"
+        " div (CAST(n1 AS DECIMAL(38,0)) * n2)) END"
+        " AS BIGINT) AS delta_micro",
+    )
+
+
+@q(
+    "ev_cramer_von_mises",
+    """
+    WITH v AS (
+      SELECT CAST(round(value * 1000) AS BIGINT) AS vm,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+      FROM events WHERE event_type IN ('click', 'view')
+    ), bins AS (
+      SELECT vm, CAST(sum(isa) AS BIGINT) AS ac,
+             CAST(sum(1 - isa) AS BIGINT) AS bc
+      FROM v GROUP BY vm
+    ), cum AS (
+      SELECT vm, ac, bc,
+             CAST(sum(ac) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cuma,
+             CAST(sum(bc) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cumb
+      FROM bins
+    ), tot AS (
+      SELECT max(cuma) AS n1, max(cumb) AS n2 FROM cum
+    ), d AS (
+      SELECT ac, bc, n1, n2,
+             CASE WHEN CAST(n2 AS HUGEINT) * cuma
+                       - CAST(n1 AS HUGEINT) * cumb >= 0
+                  THEN (CAST(n2 AS HUGEINT) * cuma
+                        - CAST(n1 AS HUGEINT) * cumb) * 1000
+                       // (CAST(n1 AS HUGEINT) * n2)
+                  ELSE -((CAST(n1 AS HUGEINT) * cumb
+                          - CAST(n2 AS HUGEINT) * cuma) * 1000
+                       // (CAST(n1 AS HUGEINT) * n2)) END AS dm
+      FROM cum, tot
+    ), s AS (
+      SELECT max(n1) AS n1, max(n2) AS n2,
+             CAST(sum((ac + bc) * CAST(dm AS HUGEINT) * dm)
+                  AS BIGINT) AS s_milli2
+      FROM d
+    )
+    SELECT n1 AS n_click, n2 AS n_view, s_milli2,
+           CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0
+                ELSE round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                           * CAST(s_milli2 AS DOUBLE)
+                           / (CAST(n1 + n2 AS DOUBLE)
+                              * CAST(n1 + n2 AS DOUBLE))) END
+               AS BIGINT) AS t_micro
+    FROM s
+    """,
+)
+def ev_cramer_von_mises(spark, sf_dir):
+    """CRAMER-VON MISES two-sample statistic between the click and
+    view value distributions — the INTEGRATED ECDF-gap companion to
+    ev_ks_test's supremum gap (CvM weighs the whole curve, so it
+    catches broad shape drift a single-point KS max misses):
+    T = n1*n2/(n1+n2)^2 * sum over combined points of (F1 - F2)^2.
+
+    Integer form: per value bin the scaled ECDF gap
+    (n2*cuma - n1*cumb)/(n1*n2) lands on the milli lattice via one
+    sign-outside floor-div (dividend ~n^2 — DECIMAL(38,0), headroom
+    probe cvm__dividend); S = sum (ac+bc)*dm^2 is then an exact
+    integer on the milli^2 lattice bounded by N*1e6 (~1e18 at the
+    100 TB extrapolation — inside BIGINT, probed anyway); the final
+    T is ONE fixed-shape double of three exact integers (the
+    Kruskal-Wallis H precedent), reported in micro units.
+
+    Scale shape: identical to ev_cliff_delta — bin aggregate, one
+    multi-column gated cumsum, 1-row margins broadcast, 1-row
+    arithmetic. Law (test-pinned): T is invariant under any strictly
+    monotone transform of the values, and the identical-samples
+    boundary lands at the tiny-population hand value."""
+    from xova_spark.operators.ranking import global_cumsum
+
+    (ev,) = _t(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("isa"),
+    )
+    bins = v.groupBy("vm").agg(
+        F.sum("isa").cast("long").alias("ac"),
+        F.sum(1 - F.col("isa")).cast("long").alias("bc"),
+    )
+    cum = global_cumsum(
+        bins, [F.col("vm").asc()], ["ac", "bc"], ["cuma", "cumb"]
+    )
+    tot = cum.agg(
+        F.max("cuma").cast("long").alias("n1"),
+        F.max("cumb").cast("long").alias("n2"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).selectExpr(
+        "ac",
+        "bc",
+        "n1",
+        "n2",
+        "CASE WHEN CAST(n2 AS DECIMAL(38,0)) * cuma"
+        " - CAST(n1 AS DECIMAL(38,0)) * cumb >= 0"
+        " THEN (CAST(n2 AS DECIMAL(38,0)) * cuma"
+        " - CAST(n1 AS DECIMAL(38,0)) * cumb) * 1000"
+        " div (CAST(n1 AS DECIMAL(38,0)) * n2)"
+        " ELSE -((CAST(n1 AS DECIMAL(38,0)) * cumb"
+        " - CAST(n2 AS DECIMAL(38,0)) * cuma) * 1000"
+        " div (CAST(n1 AS DECIMAL(38,0)) * n2)) END AS dm",
+    )
+    s = d.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.expr(
+            "CAST(sum((ac + bc) * CAST(dm AS DECIMAL(38,0)) * dm)"
+            " AS BIGINT)"
+        ).alias("s_milli2"),
+    )
+    return s.selectExpr(
+        "n1 AS n_click",
+        "n2 AS n_view",
+        "s_milli2",
+        "CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0"
+        " ELSE round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+        " * CAST(s_milli2 AS DOUBLE)"
+        " / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))) END"
+        " AS BIGINT) AS t_micro",
+    )
+
+
+@q(
+    "ev_turning_points_test",
+    f"""
+    WITH {_TREND_HOURS_SQL},
+    x AS (
+      SELECT cnt,
+             lag(cnt) OVER (ORDER BY hr) AS p,
+             lead(cnt) OVER (ORDER BY hr) AS q
+      FROM hrs
+    ), s AS (
+      SELECT CAST((SELECT count(*) FROM hrs) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN p IS NOT NULL AND q IS NOT NULL
+                      AND (cnt - p) * (cnt - q) > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t
+      FROM x
+    )
+    SELECT n AS n_hours, t AS turning_points,
+           CAST(3 * t - 2 * (n - 2) AS BIGINT) AS d3,
+           CAST(CASE WHEN 16 * n - 29 <= 0 THEN 0
+                WHEN 3 * t - 2 * (n - 2) >= 0
+                THEN (3 * t - 2 * (n - 2)) * (3 * t - 2 * (n - 2)) * 10000
+                     // (9 * (16 * n - 29))
+                ELSE -((3 * t - 2 * (n - 2)) * (3 * t - 2 * (n - 2)) * 10000
+                     // (9 * (16 * n - 29))) END AS BIGINT)
+               AS z2_signed_milli
+    FROM s
+    """,
+)
+def ev_turning_points_test(spark, sf_dir):
+    """TURNING-POINTS randomness test on the hourly event-count series
+    — the cheapest is-this-series-iid screen (count local extrema: a
+    random sequence has E[T] = 2(n-2)/3, Var[T] = (16n-29)/90), the
+    natural companion to ev_runs_test (signs vs median) and
+    ev_bartels_rank_test (rank autocorrelation): too FEW turning
+    points means trend/persistence, too MANY means alternation.
+
+    Integer form: strict inequalities define a turning point (lattice
+    ties break both peaks and troughs identically on both engines);
+    d3 = 3T - 2(n-2) clears E's denominator exactly; z^2 = d3^2 * 10
+    / (16n - 29) reported sign-outside on the milli lattice (|z| >
+    1.96 <=> |z2_milli| > 3841, the Welch discipline). Everything is
+    small-integer exact — the hour count is calendar-bounded at any
+    data scale, so no 128-bit internals.
+
+    Scale shape: one keyed aggregate to hour grain, one lag/lead
+    window AT that bounded dimension grain (declared survivor above
+    the hr-keyed aggregate), 1-row arithmetic."""
+    hrs = _trend_hours(spark, sf_dir)
+    w = Window.orderBy("hr")
+    x = hrs.select(
+        "cnt",
+        F.lag("cnt").over(w).alias("p"),
+        F.lead("cnt").over(w).alias("q"),
+    )
+    s = x.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("p").isNotNull()
+                & F.col("q").isNotNull()
+                & ((F.col("cnt") - F.col("p")) * (F.col("cnt") - F.col("q")) > 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    return s.selectExpr(
+        "n AS n_hours",
+        "t AS turning_points",
+        "CAST(3 * t - 2 * (n - 2) AS BIGINT) AS d3",
+        "CAST(CASE WHEN 16 * n - 29 <= 0 THEN 0"
+        " WHEN 3 * t - 2 * (n - 2) >= 0"
+        " THEN (3 * t - 2 * (n - 2)) * (3 * t - 2 * (n - 2)) * 10000"
+        " div (9 * (16 * n - 29))"
+        " ELSE -((3 * t - 2 * (n - 2)) * (3 * t - 2 * (n - 2)) * 10000"
+        " div (9 * (16 * n - 29))) END AS BIGINT) AS z2_signed_milli",
+    )
+
+
+@q(
+    "ev_bartels_rank_test",
+    f"""
+    WITH {_TREND_HOURS_SQL},
+    rk AS (
+      SELECT hr,
+             2 * rank() OVER (ORDER BY cnt)
+               + count(*) OVER (PARTITION BY cnt) - 1 AS r2
+      FROM hrs
+    ), seq AS (
+      SELECT r2, lead(r2) OVER (ORDER BY hr) AS r2n
+      FROM rk
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS sq4,
+             CAST(sum(CASE WHEN r2n IS NULL THEN 0
+                      ELSE CAST(r2 - r2n AS HUGEINT) * (r2 - r2n) END)
+                  AS HUGEINT) AS num4
+      FROM seq
+    )
+    SELECT n AS n_hours,
+           CAST(num4 AS BIGINT) AS num4,
+           CAST(sq4 - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS BIGINT)
+               AS den4,
+           CAST(CASE WHEN sq4 - CAST(n AS HUGEINT) * (n + 1) * (n + 1) <= 0
+                THEN 0
+                ELSE num4 * 1000
+                     // (sq4 - CAST(n AS HUGEINT) * (n + 1) * (n + 1)) END
+               AS BIGINT) AS rvn_milli
+    FROM s
+    """,
+)
+def ev_bartels_rank_test(spark, sf_dir):
+    """BARTELS RANK TEST (von Neumann ratio on ranks) for serial
+    randomness of the hourly event-count series — the rank-robust
+    lag-1 autocorrelation screen (ev_autocorr on ranks, roughly:
+    RVN = sum (R_i - R_{{i+1}})^2 / sum (R_i - Rbar)^2, E[RVN] = 2
+    under H0, < 2 means positive persistence, > 2 alternation).
+
+    Integer form: doubled midranks (the Friedman/MWU idiom —
+    rank2 = 2*rank + ties - 1) make every rank integral even under
+    lattice ties; sum of midranks is n(n+1)/2 IDENTICALLY (ties
+    preserve it), so the centered denominator collapses exactly to
+    sum R2^2 - n(n+1)^2 with no mean division; the ratio leaves on
+    the milli lattice via one positive floor-div. Quartic-in-n
+    internals ride HUGEINT/DECIMAL38 (calendar-bounded n keeps them
+    ~1e16 even at a decade of hours; probed anyway).
+
+    Scale shape: one keyed aggregate to hour grain, one rank window
+    and one lead window at that bounded dimension grain (declared
+    survivors), 1-row arithmetic."""
+    hrs = _trend_hours(spark, sf_dir)
+    rk = hrs.select(
+        "hr",
+        (
+            2 * F.rank().over(Window.orderBy("cnt"))
+            + F.count("*").over(Window.partitionBy("cnt"))
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    seq = rk.select(
+        "r2", F.lead("r2").over(Window.orderBy("hr")).alias("r2n")
+    )
+    s = seq.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("sum(CAST(r2 AS DECIMAL(38,0)) * r2)").alias("sq4"),
+        F.expr(
+            "sum(CASE WHEN r2n IS NULL THEN CAST(0 AS DECIMAL(38,0))"
+            " ELSE CAST(r2 - r2n AS DECIMAL(38,0)) * (r2 - r2n) END)"
+        ).alias("num4"),
+    )
+    return s.selectExpr(
+        "n AS n_hours",
+        "CAST(num4 AS BIGINT) AS num4",
+        "CAST(sq4 - CAST(n AS DECIMAL(38,0)) * (n + 1) * (n + 1)"
+        " AS BIGINT) AS den4",
+        "CAST(CASE WHEN sq4 - CAST(n AS DECIMAL(38,0)) * (n + 1) * (n + 1)"
+        " <= 0 THEN 0"
+        " ELSE num4 * 1000"
+        " div (sq4 - CAST(n AS DECIMAL(38,0)) * (n + 1) * (n + 1)) END"
+        " AS BIGINT) AS rvn_milli",
+    )
+
+
+@q(
+    "ev_rmst",
+    f"""
+    WITH spans AS (
+      SELECT user_id,
+             min(epoch_us(ts) // {_US_PER_HOUR}) AS first_hr,
+             max(epoch_us(ts) // {_US_PER_HOUR}) AS last_hr
+      FROM events GROUP BY user_id
+    ), horizon AS (
+      SELECT max(last_hr) AS m FROM spans
+    ), users AS (
+      SELECT s.last_hr - s.first_hr AS dur,
+             CASE WHEN s.last_hr <= h.m - {_KM_QUIET_HOURS}
+                  THEN 1 ELSE 0 END AS churned
+      FROM spans s CROSS JOIN horizon h
+    ), durs AS (
+      SELECT dur,
+             CAST(sum(churned) AS BIGINT) AS n_churn,
+             CAST(sum(1 - churned) AS BIGINT) AS n_censored
+      FROM users GROUP BY dur
+    ), risk AS (
+      SELECT dur, n_churn,
+             CAST(sum(n_churn + n_censored) OVER (ORDER BY dur DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+      FROM durs
+    ), steps AS (
+      SELECT dur, n_risk, n_churn,
+             CASE WHEN n_churn < n_risk
+                  THEN CAST(round(ln((n_risk - n_churn) * 1.0 / n_risk)
+                                  * 1000000) AS BIGINT)
+                  ELSE 0 END AS step_micro,
+             n_churn = n_risk AS at_zero
+      FROM risk WHERE n_churn > 0
+    ), surv AS (
+      SELECT dur,
+             CASE WHEN max(CASE WHEN at_zero THEN 1 ELSE 0 END)
+                       OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) = 1
+                  THEN 0
+                  ELSE CAST(round(exp(
+                       CAST(sum(step_micro) OVER (ORDER BY dur
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       / 1000000) * 1000000) AS BIGINT) END AS s_micro,
+             lead(dur) OVER (ORDER BY dur) AS dur_next
+      FROM steps
+    )
+    SELECT CAST((SELECT max(dur) FROM steps) AS BIGINT) AS tau_hours,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           CAST((SELECT min(dur) FROM steps) * 1000000
+                + sum(CASE WHEN dur_next IS NULL THEN 0
+                      ELSE s_micro * (dur_next - dur) END) AS BIGINT)
+               AS rmst_micro_hours
+    FROM surv
+    """,
+)
+def ev_rmst(spark, sf_dir):
+    """RESTRICTED MEAN SURVIVAL TIME over the ev_kaplan_meier curve
+    (identical spans/churn/censoring machinery — docstring there) —
+    the single-number survival summary clinicians and retention
+    analysts actually compare: the area under S(t) up to the horizon
+    tau = last observed churn duration, i.e. the expected hours a
+    user stays active within tau.
+
+    Integer form: each step's survival comes off the KM micro-nat ln
+    lattice via ONE fixed-shape exp landing on the micro lattice
+    (round(exp(cum/1e6)*1e6) — exp of an exact integer quotient,
+    bit-identical on both engines); the area is then an EXACT integer
+    sum of s_micro * interval-width plus the leading S=1 strip up to
+    the first death. An at_zero step (everyone dies) pins survival to
+    0 from that step on (the KM NULL certificate becomes a hard zero
+    here because the area integral needs a number, not a flag).
+
+    Scale shape: the KM shape exactly — user-grain keyed aggregate,
+    then DISTINCT-DURATION grain (calendar-bounded) for the suffix
+    risk window, prefix ln window, the at_zero carry-forward max, and
+    the lead interval window — all declared survivors over the
+    dur-keyed aggregate; 1-row arithmetic. Law (test-pinned):
+    RMST <= tau always, with equality iff nobody churns before tau."""
+    (ev,) = _t(spark, sf_dir, "events")
+    hr = F.expr(f"unix_micros(ts) div {_US_PER_HOUR}")
+    spans = ev.groupBy("user_id").agg(
+        F.min(hr).alias("first_hr"), F.max(hr).alias("last_hr")
+    )
+    horizon = spans.agg(F.max("last_hr").alias("m"))
+    users = spans.crossJoin(F.broadcast(horizon)).select(
+        (F.col("last_hr") - F.col("first_hr")).alias("dur"),
+        F.when(
+            F.col("last_hr") <= F.col("m") - _KM_QUIET_HOURS, 1
+        ).otherwise(0).alias("churned"),
+    )
+    durs = users.groupBy("dur").agg(
+        F.sum("churned").cast("long").alias("n_churn"),
+        F.sum(1 - F.col("churned")).cast("long").alias("n_censored"),
+    )
+    w_suffix = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = durs.select(
+        "dur",
+        "n_churn",
+        F.sum(F.col("n_churn") + F.col("n_censored"))
+        .over(w_suffix)
+        .cast("long")
+        .alias("n_risk"),
+    )
+    steps = risk.where(F.col("n_churn") > 0).select(
+        "dur",
+        F.when(
+            F.col("n_churn") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("n_churn"))
+                    * 1.0
+                    / F.col("n_risk")
+                )
+                * 1000000
+            ).cast("long"),
+        )
+        .otherwise(0)
+        .alias("step_micro"),
+        (F.col("n_churn") == F.col("n_risk")).alias("at_zero"),
+    )
+    w_prefix = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = (
+        steps.withColumn(
+            "_cum", F.sum("step_micro").over(w_prefix).cast("long")
+        )
+        .withColumn(
+            "_dead",
+            F.max(F.when(F.col("at_zero"), 1).otherwise(0)).over(w_prefix),
+        )
+        .select(
+            "dur",
+            F.when(F.col("_dead") == 1, F.lit(0).cast("long"))
+            .otherwise(
+                F.round(
+                    F.exp(F.col("_cum").cast("double") / 1000000) * 1000000
+                ).cast("long")
+            )
+            .alias("s_micro"),
+            F.lead("dur").over(Window.orderBy("dur")).alias("dur_next"),
+        )
+    )
+    bounds = steps.agg(
+        F.max("dur").cast("long").alias("tau"),
+        F.min("dur").cast("long").alias("first_dur"),
+    )
+    return (
+        surv.agg(
+            F.count("*").cast("long").alias("n_steps"),
+            F.sum(
+                F.when(F.col("dur_next").isNull(), 0).otherwise(
+                    F.col("s_micro") * (F.col("dur_next") - F.col("dur"))
+                )
+            )
+            .cast("long")
+            .alias("area_micro"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .selectExpr(
+            "tau AS tau_hours",
+            "n_steps",
+            "CAST(first_dur * 1000000 + area_micro AS BIGINT)"
+            " AS rmst_micro_hours",
+        )
+    )
+
+
+@q(
+    "ev_gtest_independence",
+    """
+    WITH cell AS (
+      SELECT event_type, date_part('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, date_part('hour', ts)
+    ), mr AS (
+      SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+      FROM cell GROUP BY event_type
+    ), mc AS (
+      SELECT hr, CAST(sum(o) AS BIGINT) AS c
+      FROM cell GROUP BY hr
+    ), tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n FROM cell
+    ), term AS (
+      SELECT o,
+             CAST(round(ln(CAST(o AS DOUBLE) * n
+                           / (CAST(r AS DOUBLE) * c)) * 1000000)
+                  AS BIGINT) AS lr_micro
+      FROM cell JOIN mr USING (event_type) JOIN mc USING (hr), tot
+    )
+    SELECT (SELECT count(*) FROM cell) AS n_cells,
+           CAST(((SELECT count(*) FROM mr) - 1)
+                * ((SELECT count(*) FROM mc) - 1) AS BIGINT) AS dof,
+           CAST(2 * greatest(sum(CAST(o AS HUGEINT) * lr_micro),
+                             CAST(0 AS HUGEINT)) // 1000
+                AS BIGINT) AS g2_milli
+    FROM term
+    """,
+)
+def ev_gtest_independence(spark, sf_dir):
+    """G-TEST (likelihood-ratio chi-square) over the same event_type x
+    hour-of-day contingency table as ev_chisq_independence — the
+    information-theoretic twin (G = 2N * MI in nats, directly
+    comparable to dq_mutual_information) that dominates Pearson when
+    cells are sparse or effects multiplicative:
+    G = 2 * sum O * ln(O*N/(r*c)).
+
+    Integer form: per cell the log-likelihood ratio lands on the
+    micro-nat lattice via ONE fixed-shape double ln of exact integer
+    counts (the KM/BM25 ln discipline — identical rounding on both
+    engines); the weighted sum O * lr_micro accumulates DECIMAL(38,0)
+    (O ~ 1e12 at the 100 TB extrapolation times 1e6-lattice values —
+    headroom probe gtest__dividend); empty cells contribute nothing
+    by construction (the contingency aggregate only materializes
+    observed cells, and lim O->0 of O*ln(O) = 0 matches). Sign: G's
+    per-cell terms CAN be negative (O < E) but the TOTAL is 2N times
+    a KL divergence, hence >= 0 analytically — the sum is clamped
+    with greatest(.., 0) BEFORE the single floor-div so lattice
+    rounding near zero can never hand a negative dividend to the
+    floor-vs-truncate gap (the ev_psi_drift analytic-clamp
+    precedent).
+
+    Scale shape: identical to ev_chisq_independence — one keyed
+    aggregate to the ~120-cell contingency grain, margin broadcasts,
+    cell-grain arithmetic."""
+    (ev,) = _t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").cast("long").alias("o"))
+    mr = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    mc = cell.groupBy("hr").agg(F.sum("o").cast("long").alias("c"))
+    tot = cell.agg(F.sum("o").cast("long").alias("n"))
+    n_rows = mr.agg(F.count("*").cast("long").alias("nr"))
+    n_cols = mc.agg(F.count("*").cast("long").alias("nc"))
+    term = (
+        cell.join(F.broadcast(mr), "event_type")
+        .join(F.broadcast(mc), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            F.expr(
+                "CAST(round(ln(CAST(o AS DOUBLE) * n"
+                " / (CAST(r AS DOUBLE) * c)) * 1000000) AS BIGINT)"
+            ).alias("lr_micro"),
+        )
+    )
+    return (
+        term.agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.expr(
+                "CAST(2 * greatest(sum(CAST(o AS DECIMAL(38,0)) * lr_micro),"
+                " CAST(0 AS DECIMAL(38,0))) div 1000 AS BIGINT)"
+            ).alias("g2_milli"),
+        )
+        .crossJoin(F.broadcast(n_rows))
+        .crossJoin(F.broadcast(n_cols))
+        .select(
+            "n_cells",
+            F.expr("CAST((nr - 1) * (nc - 1) AS BIGINT)").alias("dof"),
+            "g2_milli",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch 8: ordered-alternative trend tests (Page, Jonckheere-
+# Terpstra) and the TOST equivalence gate.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ev_page_trend_test",
+    """
+    WITH cells AS (
+      SELECT l_suppkey AS blk, l_returnflag AS trt,
+             CAST(sum(CAST(l_quantity AS BIGINT)) * 1000000
+                  // count(*) AS BIGINT) AS cellv
+      FROM lineitem GROUP BY 1, 2
+    ), complete AS (
+      SELECT blk FROM cells GROUP BY blk HAVING count(*) = 3
+    ), ranked AS (
+      SELECT c.blk,
+             CASE c.trt WHEN 'A' THEN 1 WHEN 'N' THEN 2 ELSE 3 END AS j,
+             2 * rank() OVER (PARTITION BY c.blk ORDER BY c.cellv)
+               + count(*) OVER (PARTITION BY c.blk, c.cellv) - 1 AS rank2
+      FROM cells c JOIN complete USING (blk)
+    ), s AS (
+      SELECT CAST(count(DISTINCT blk) AS BIGINT) AS b,
+             CAST(sum(j * rank2) AS BIGINT) AS l2
+      FROM ranked
+    )
+    SELECT b AS n_blocks, l2 AS l2_sum,
+           CAST(l2 - 24 * b AS BIGINT) AS d,
+           CAST(CASE WHEN b = 0 THEN 0
+                WHEN l2 - 24 * b >= 0
+                THEN CAST(l2 - 24 * b AS HUGEINT) * (l2 - 24 * b) * 36000
+                     // (288 * b)
+                ELSE -(CAST(24 * b - l2 AS HUGEINT) * (24 * b - l2) * 36000
+                     // (288 * b)) END AS BIGINT) AS z2_signed_milli
+    FROM s
+    """,
+)
+def ev_page_trend_test(spark, sf_dir):
+    """PAGE'S TREND TEST (L statistic) for an ORDERED alternative in
+    the Friedman blocked design — same blocks (suppliers), treatments
+    (the three return-flag populations) and doubled-midrank lattice as
+    ev_friedman_test, but testing the a-priori ordering A < N < R
+    (the fixed design labeling, alphabetical) instead of "any
+    difference": L = sum over treatments of j * R_j. Page's L is the
+    blocked sibling of ev_jonckheere_terpstra and dominates Friedman
+    exactly when the effect is monotone in the hypothesized order.
+
+    Integer form: with doubled midranks L2 = 2L stays exact under
+    ties; E[L2] = b*k(k+1)^2/2 = 24b for k=3, so d = L2 - 24b is the
+    exact doubled deviation; z^2 = 36*d^2/(b*k^2(k+1)^2(k-1)) =
+    d^2/(8b) leaves on the milli lattice via one sign-outside
+    floor-div of the 128-bit d^2 dividend (d is ~b so d^2 crosses
+    BIGINT at ~3e9 suppliers; headroom probe page__dividend).
+    Hand law (test-pinned): a perfect A<N<R ordering in every block
+    gives L = 14b, d = 4b, z^2 = 2b exactly.
+
+    Scale shape: identical to ev_friedman_test — one (block,
+    treatment)-grain keyed aggregate, block-partitioned rank windows
+    (bounded grain k=3), one k-row rank-sum aggregate, 1-row
+    arithmetic."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_suppkey").alias("blk"), F.col("l_returnflag").alias("trt")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(l_quantity AS BIGINT)) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("cellv")
+    )
+    complete = cells.groupBy("blk").agg(F.count("*").alias("kc")).filter(
+        F.col("kc") == 3
+    )
+    ranked = cells.join(complete.select("blk"), "blk").select(
+        "blk",
+        F.expr(
+            "CASE trt WHEN 'A' THEN 1 WHEN 'N' THEN 2 ELSE 3 END"
+        ).alias("j"),
+        (
+            2 * F.rank().over(Window.partitionBy("blk").orderBy("cellv"))
+            + F.count("*").over(Window.partitionBy("blk", "cellv"))
+            - 1
+        ).alias("rank2"),
+    )
+    s = ranked.agg(
+        F.countDistinct("blk").cast("long").alias("b"),
+        F.sum(F.col("j") * F.col("rank2")).cast("long").alias("l2"),
+    )
+    return s.selectExpr(
+        "b AS n_blocks",
+        "l2 AS l2_sum",
+        "CAST(l2 - 24 * b AS BIGINT) AS d",
+        "CAST(CASE WHEN b = 0 THEN 0"
+        " WHEN l2 - 24 * b >= 0"
+        " THEN CAST(l2 - 24 * b AS DECIMAL(38,0)) * (l2 - 24 * b) * 36000"
+        " div (288 * b)"
+        " ELSE -(CAST(24 * b - l2 AS DECIMAL(38,0)) * (24 * b - l2) * 36000"
+        " div (288 * b)) END AS BIGINT) AS z2_signed_milli",
+    )
+
+
+@q(
+    "ev_jonckheere_terpstra",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ), cells AS (
+      SELECT event_type, vm, CAST(count(*) AS BIGINT) AS c
+      FROM v GROUP BY event_type, vm
+    ), groups AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS ng
+      FROM cells GROUP BY event_type
+    ), bins AS (
+      SELECT DISTINCT vm FROM cells
+    ), grid AS (
+      SELECT g.event_type, b.vm,
+             CASE g.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                  WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+                  ELSE 5 END AS gi,
+             coalesce(c.c, 0) AS c0
+      FROM bins b CROSS JOIN groups g
+      LEFT JOIN cells c
+        ON c.event_type = g.event_type AND c.vm = b.vm
+    ), cum AS (
+      SELECT event_type, vm, gi, c0,
+             CAST(sum(c0) OVER (PARTITION BY event_type ORDER BY vm
+                  ROWS UNBOUNDED PRECEDING) - c0 AS BIGINT) AS below
+      FROM grid
+    ), j AS (
+      SELECT CAST(sum(CAST(h.c AS HUGEINT)
+                      * (2 * g.below + g.c0)) AS HUGEINT) AS j2
+      FROM cells h
+      JOIN cum g ON g.vm = h.vm
+      WHERE g.gi < CASE h.event_type WHEN 'click' THEN 1
+                   WHEN 'error' THEN 2 WHEN 'purchase' THEN 3
+                   WHEN 'signup' THEN 4 ELSE 5 END
+    ), m AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(ng AS HUGEINT) * ng) AS HUGEINT) AS sn2,
+             CAST(sum(CAST(ng AS HUGEINT) * ng * (2 * ng + 3))
+                  AS HUGEINT) AS sn23
+      FROM groups
+    ), f AS (
+      SELECT n, k, j2,
+             CAST(n AS HUGEINT) * n - sn2 AS cross2,
+             j2 - (CAST(n AS HUGEINT) * n - sn2) // 2 AS d2,
+             CAST(n AS HUGEINT) * n * (2 * n + 3) - sn23 AS v72
+      FROM j, m
+    )
+    SELECT n AS n_events, k AS k_groups,
+           CAST(CASE WHEN cross2 = 0 THEN 0
+                ELSE j2 * 1000000 // cross2 END AS BIGINT)
+               AS jt_ratio_micro,
+           CAST(CASE WHEN v72 <= 0 THEN 0
+                WHEN d2 >= 0
+                THEN round(18000.0 * CAST(d2 AS DOUBLE)
+                           / CAST(v72 AS DOUBLE) * CAST(d2 AS DOUBLE))
+                ELSE -round(18000.0 * CAST(-d2 AS DOUBLE)
+                           / CAST(v72 AS DOUBLE) * CAST(-d2 AS DOUBLE))
+                END AS BIGINT) AS z2_signed_milli
+    FROM f
+    """,
+)
+def ev_jonckheere_terpstra(spark, sf_dir):
+    """JONCKHEERE-TERPSTRA ordered-alternative test across the five
+    event-type groups in the FIXED design order click < error <
+    purchase < signup < view (the alphabetical labeling — a design
+    constant like ev_page_trend_test's A < N < R, documented, not
+    data-derived): J = sum over ordered group pairs g < h of the
+    Mann-Whitney count #(x_g < x_h), ties half-credited. The
+    unblocked sibling of Page's L — strictly more powerful than
+    Kruskal-Wallis when the alternative is monotone.
+
+    Integer form: doubled pair counts (J2 = 2J stays integral under
+    half-credit ties) computed per VALUE BIN against a group-densified
+    cumulative grid — the quadratic pair count lives in the algebra
+    (c_h * (2*below_g + c_g)), never in the plan. J2 and the exact
+    doubled deviation d2 = J2 - (N^2 - sum n_g^2)/2 ride HUGEINT /
+    DECIMAL(38,0) (~N^2); the no-tie variance numerator v72 =
+    N^2(2N+3) - sum n^2(2n+3) is ~2N^3 (2e36 at the 100 TB row count,
+    inside the 128-bit lattice; headroom probe jt__v72). z^2 =
+    18*d2^2/v72 would need ~N^4, so it is the bounded 1-row
+    FIXED-SHAPE double of the two exact 128-bit integers (the KW H /
+    ANOVA F precedent), reported sign-outside in milli. The variance
+    is the classical NO-TIE form (documented approximation — the
+    lattice ties are micro-grain; the tie-corrected J2 itself is
+    exact). jt_ratio = J2/(N^2 - sum n^2) is the bounded effect size
+    (0.5 under H0, 1 at perfect ordering), one positive floor-div.
+
+    Scale shape: one keyed aggregate to (group, value-bin) cells, the
+    k=5-row group margin broadcast across the bin spine (dim_agg
+    BNLJ, declared), group-PARTITIONED cumulative windows at bin
+    grain, one vm-keyed equi-join (cells x grid), 1-row arithmetic."""
+    (ev,) = _t(spark, sf_dir, "events")
+    gi_case = (
+        "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2"
+        " WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END"
+    )
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    cells = v.groupBy("event_type", "vm").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    groups = cells.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("ng")
+    )
+    bins = cells.select("vm").distinct()
+    grid = (
+        bins.crossJoin(F.broadcast(groups))
+        .join(
+            cells.withColumnRenamed("c", "cc"),
+            ["event_type", "vm"],
+            "left",
+        )
+        .select(
+            "event_type",
+            "vm",
+            F.expr(gi_case).alias("gi"),
+            F.coalesce(F.col("cc"), F.lit(0)).cast("long").alias("c0"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "event_type",
+        "vm",
+        "gi",
+        "c0",
+        (F.sum("c0").over(w) - F.col("c0")).cast("long").alias("below"),
+    )
+    h = cells.select(
+        F.col("vm").alias("hvm"),
+        F.col("c").alias("hc"),
+        F.expr(gi_case).alias("hgi"),
+    )
+    j = (
+        h.join(cum, F.col("hvm") == F.col("vm"))
+        .where(F.col("gi") < F.col("hgi"))
+        .agg(
+            F.expr(
+                "sum(CAST(hc AS DECIMAL(38,0)) * (2 * below + c0))"
+            ).alias("j2")
+        )
+    )
+    m = groups.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.expr("sum(CAST(ng AS DECIMAL(38,0)) * ng)").alias("sn2"),
+        F.expr(
+            "sum(CAST(ng AS DECIMAL(38,0)) * ng * (2 * ng + 3))"
+        ).alias("sn23"),
+    )
+    f = j.crossJoin(F.broadcast(m)).selectExpr(
+        "n",
+        "k",
+        "j2",
+        "CAST(n AS DECIMAL(38,0)) * n - sn2 AS cross2",
+        "j2 - (CAST(n AS DECIMAL(38,0)) * n - sn2) div 2 AS d2",
+        "CAST(n AS DECIMAL(38,0)) * n * (2 * n + 3) - sn23 AS v72",
+    )
+    return f.selectExpr(
+        "n AS n_events",
+        "k AS k_groups",
+        "CAST(CASE WHEN cross2 = 0 THEN 0"
+        " ELSE j2 * 1000000 div cross2 END AS BIGINT) AS jt_ratio_micro",
+        "CAST(CASE WHEN v72 <= 0 THEN 0"
+        " WHEN d2 >= 0"
+        " THEN round(18000.0 * CAST(d2 AS DOUBLE)"
+        " / CAST(v72 AS DOUBLE) * CAST(d2 AS DOUBLE))"
+        " ELSE -round(18000.0 * CAST(-d2 AS DOUBLE)"
+        " / CAST(v72 AS DOUBLE) * CAST(-d2 AS DOUBLE))"
+        " END AS BIGINT) AS z2_signed_milli",
+    )
+
+
+@q(
+    "ev_tost_equivalence",
+    """
+    WITH v AS (
+      SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT) % 2
+                 AS arm,
+             CAST(round(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ), g AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(vm) AS BIGINT) AS s,
+             sum(CAST(vm AS HUGEINT) * vm) AS q2
+      FROM v GROUP BY arm
+    ), w AS (
+      SELECT arm, ng,
+             CAST(round(CAST(s AS DOUBLE) * 1000 / ng) AS BIGINT) AS mb,
+             greatest(CAST(0 AS HUGEINT), q2 * 1000000
+                      - CAST(ng AS HUGEINT) * (CAST(round(CAST(s AS DOUBLE)
+                        * 1000 / ng) AS BIGINT))
+                      * (CAST(round(CAST(s AS DOUBLE) * 1000 / ng)
+                        AS BIGINT))) // (ng - 1) AS v2
+      FROM g WHERE ng > 1
+    ), pair AS (
+      SELECT max(CASE WHEN arm = 0 THEN ng END) AS n0,
+             max(CASE WHEN arm = 1 THEN ng END) AS n1,
+             max(CASE WHEN arm = 0 THEN mb END) AS m0,
+             max(CASE WHEN arm = 1 THEN mb END) AS m1,
+             max(CASE WHEN arm = 0 THEN v2 END) AS v0,
+             max(CASE WHEN arm = 1 THEN v2 END) AS v1
+      FROM w
+    ), z AS (
+      SELECT n0, n1, m0 - m1 AS d,
+             v0 // n0 + v1 // n1 AS se2
+      FROM pair
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_arm0, CAST(n1 AS BIGINT) AS n_arm1,
+           CAST(d AS BIGINT) AS delta_micro,
+           CAST(CASE WHEN se2 <= 0 THEN 0
+                WHEN d + 50000 >= 0
+                THEN CAST(d + 50000 AS HUGEINT) * (d + 50000) * 1000 // se2
+                ELSE -(CAST(-(d + 50000) AS HUGEINT) * (-(d + 50000))
+                     * 1000 // se2) END AS BIGINT) AS z_lo_sq_signed_milli,
+           CAST(CASE WHEN se2 <= 0 THEN 0
+                WHEN 50000 - d >= 0
+                THEN CAST(50000 - d AS HUGEINT) * (50000 - d) * 1000 // se2
+                ELSE -(CAST(d - 50000 AS HUGEINT) * (d - 50000)
+                     * 1000 // se2) END AS BIGINT) AS z_hi_sq_signed_milli,
+           CASE WHEN se2 <= 0 THEN FALSE
+                ELSE d + 50000 > 0 AND 50000 - d > 0
+                     AND CAST(d + 50000 AS HUGEINT) * (d + 50000) * 1000
+                         // se2 > 2706
+                     AND CAST(50000 - d AS HUGEINT) * (50000 - d) * 1000
+                         // se2 > 2706 END AS equivalent
+    FROM z
+    """,
+)
+def ev_tost_equivalence(spark, sf_dir):
+    """TOST EQUIVALENCE TEST (two one-sided tests) between the two
+    hash-assigned arms of ev_srm_check — the A/A-test readout every
+    experimentation platform needs: instead of failing to reject
+    "no difference" (which proves nothing), TOST REJECTS both
+    |effect| >= epsilon one-sided nulls, certifying the arms are
+    equivalent within the design margin epsilon = 50 milli value
+    units (a fixed literal, ~5% of the unit-scale metric).
+
+    Integer form: the Welch machinery of ev_welch_t2_effect verbatim
+    (exact per-arm moments, micro means, micro^2 variances, Welch
+    se^2 via two positive floor-divs); both one-sided z statistics
+    reported SQRT-FREE as sign-outside squared-milli (z > 1.645 <=>
+    signed z^2 > 2706, the one-sided 0.05 gate); equivalent iff BOTH
+    margins clear the gate with positive sign. The (d +- eps)^2
+    dividends are ~1e10 micro^2 but ride the 128-bit lattice like
+    every Welch internal (headroom probe tost__dividend).
+
+    Scale shape: one per-row hash projection, ONE keyed aggregate to
+    the 2-arm grain, 2-row arithmetic — the ev_welch_t2_effect
+    single-shuffle shape."""
+    (ev,) = _t(spark, sf_dir, "events")
+    v = ev.select(
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 15),"
+            " 16, 10) as bigint) % 2"
+        ).alias("arm"),
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    g = v.groupBy("arm").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("vm").cast("long").alias("s"),
+        F.expr("sum(CAST(vm AS DECIMAL(38,0)) * vm)").alias("q2"),
+    )
+    w = g.filter(F.col("ng") > 1).selectExpr(
+        "arm",
+        "ng",
+        "CAST(round(CAST(s AS DOUBLE) * 1000 / ng) AS BIGINT) AS mb",
+        "greatest(CAST(0 AS DECIMAL(38,0)), q2 * 1000000"
+        " - CAST(ng AS DECIMAL(38,0))"
+        " * CAST(round(CAST(s AS DOUBLE) * 1000 / ng) AS BIGINT)"
+        " * CAST(round(CAST(s AS DOUBLE) * 1000 / ng) AS BIGINT))"
+        " div (ng - 1) AS v2",
+    )
+    pair = w.agg(
+        F.expr("max(CASE WHEN arm = 0 THEN ng END)").alias("n0"),
+        F.expr("max(CASE WHEN arm = 1 THEN ng END)").alias("n1"),
+        F.expr("max(CASE WHEN arm = 0 THEN mb END)").alias("m0"),
+        F.expr("max(CASE WHEN arm = 1 THEN mb END)").alias("m1"),
+        F.expr("max(CASE WHEN arm = 0 THEN v2 END)").alias("v0"),
+        F.expr("max(CASE WHEN arm = 1 THEN v2 END)").alias("v1"),
+    )
+    z = pair.selectExpr(
+        "n0",
+        "n1",
+        "m0 - m1 AS d",
+        "v0 div n0 + v1 div n1 AS se2",
+    )
+    return z.selectExpr(
+        "CAST(n0 AS BIGINT) AS n_arm0",
+        "CAST(n1 AS BIGINT) AS n_arm1",
+        "CAST(d AS BIGINT) AS delta_micro",
+        "CAST(CASE WHEN se2 <= 0 THEN 0"
+        " WHEN d + 50000 >= 0"
+        " THEN CAST(d + 50000 AS DECIMAL(38,0)) * (d + 50000) * 1000"
+        " div se2"
+        " ELSE -(CAST(-(d + 50000) AS DECIMAL(38,0)) * (-(d + 50000))"
+        " * 1000 div se2) END AS BIGINT) AS z_lo_sq_signed_milli",
+        "CAST(CASE WHEN se2 <= 0 THEN 0"
+        " WHEN 50000 - d >= 0"
+        " THEN CAST(50000 - d AS DECIMAL(38,0)) * (50000 - d) * 1000"
+        " div se2"
+        " ELSE -(CAST(d - 50000 AS DECIMAL(38,0)) * (d - 50000)"
+        " * 1000 div se2) END AS BIGINT) AS z_hi_sq_signed_milli",
+        "CASE WHEN se2 <= 0 THEN false"
+        " ELSE d + 50000 > 0 AND 50000 - d > 0"
+        " AND CAST(d + 50000 AS DECIMAL(38,0)) * (d + 50000) * 1000"
+        " div se2 > 2706"
+        " AND CAST(50000 - d AS DECIMAL(38,0)) * (50000 - d) * 1000"
+        " div se2 > 2706 END AS equivalent",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch 9: rank-dispersion and paired/positional trend tests,
+# concordance, and the composed experiment readout.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ev_mood_dispersion_test",
+    """
+    WITH v AS (
+      SELECT CAST(round(value * 1000) AS BIGINT) AS vm,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+      FROM events WHERE event_type IN ('click', 'view')
+    ), bins AS (
+      SELECT vm, CAST(sum(isa) AS BIGINT) AS ac,
+             CAST(sum(1 - isa) AS BIGINT) AS bc
+      FROM v GROUP BY vm
+    ), cum AS (
+      SELECT vm, ac, bc,
+             CAST(sum(ac + bc) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+                  - (ac + bc) AS BIGINT) AS cb
+      FROM bins
+    ), tot AS (
+      SELECT CAST(sum(ac) AS BIGINT) AS m, CAST(sum(bc) AS BIGINT) AS n2
+      FROM bins
+    ), term AS (
+      SELECT ac, m, n2,
+             2 * cb + (ac + bc) + 1 - (m + n2 + 1) AS dd
+      FROM cum, tot
+    ), s AS (
+      SELECT max(m) AS m, max(n2) AS n2,
+             CAST(sum(CAST(ac AS HUGEINT)
+                      * ((CAST(dd AS HUGEINT) * dd) // 1000000))
+                  AS HUGEINT) AS t4ds
+      FROM term
+    ), f AS (
+      SELECT m, n2, m + n2 AS n, t4ds,
+             CAST(m AS HUGEINT)
+               * (CAST(m + n2 AS HUGEINT) * (m + n2) - 1) // 3000000 AS ed
+      FROM s
+    )
+    SELECT m AS n_click, n2 AS n_view,
+           CAST(CASE WHEN ed = 0 THEN 0
+                ELSE t4ds * 1000000 // ed END AS BIGINT) AS vr_micro,
+           CAST(CASE WHEN m = 0 OR n2 = 0 OR n < 3 THEN 0
+                WHEN t4ds - ed >= 0
+                THEN round(1.0e15 * CAST(t4ds - ed AS DOUBLE)
+                     / (4.0 * m * n2 * (n + 1)
+                        * (CAST(n AS DOUBLE) * n - 4))
+                     * CAST(t4ds - ed AS DOUBLE))
+                ELSE -round(1.0e15 * CAST(ed - t4ds AS DOUBLE)
+                     / (4.0 * m * n2 * (n + 1)
+                        * (CAST(n AS DOUBLE) * n - 4))
+                     * CAST(ed - t4ds AS DOUBLE))
+                END AS BIGINT) AS z2_signed_milli
+    FROM f
+    """,
+)
+def ev_mood_dispersion_test(spark, sf_dir):
+    """MOOD'S DISPERSION TEST (squared rank deviations) between the
+    click and view value distributions — the SCALE companion to
+    ev_mann_whitney_u's location shift on the same joint-midrank
+    machinery: T = sum over group-A observations of
+    (rank - (N+1)/2)^2; A sitting in the TAILS of the pooled sample
+    (larger spread) inflates T, A compressed to the middle deflates
+    it. Reported as the variance ratio T/E[T] (micro) plus the
+    sqrt-free signed z^2 (milli).
+
+    Integer form: doubled joint midranks off the value-bin cumulative
+    (the MWU 2cb+ct+1 idiom); centered deviations dd = R2 - (N+1) are
+    exact (sum of doubled midranks is N(N+1) identically); the
+    deviation sum is UNIT^2-DOWNSCALED per term (dd^2 div 1e6) before
+    the ac multiply — the Kruskal-Wallis discipline that keeps the
+    128-bit accumulator at ~N^3/1e6 instead of N^3 (headroom probe
+    moodvar__t4ds); E[T4ds] uses the same 1e6 downscale so the
+    deviation d = T4ds - ed is lattice-consistent. The no-tie
+    variance 4mn(N+1)(N^2-4)/45 is ~N^4 — past the 128-bit lattice at
+    the 100 TB row count — so z^2 is the bounded 1-row FIXED-SHAPE
+    double of the two exact 128-bit integers (the KW/ANOVA/JT
+    precedent), sign outside.
+
+    Scale shape: ev_cliff_delta's exactly — value-bin keyed
+    aggregate, one bounded-bin cumulative window (size-gated
+    global_cumsum), 1-row margins broadcast, 1-row arithmetic."""
+    from xova_spark.operators.ranking import global_cumsum
+
+    (ev,) = _t(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("isa"),
+    )
+    bins = v.groupBy("vm").agg(
+        F.sum("isa").cast("long").alias("ac"),
+        F.sum(1 - F.col("isa")).cast("long").alias("bc"),
+    ).withColumn("ct", F.col("ac") + F.col("bc"))
+    cum = global_cumsum(bins, [F.col("vm").asc()], "ct", "ct_incl").select(
+        "vm",
+        "ac",
+        "bc",
+        "ct",
+        (F.col("ct_incl") - F.col("ct")).alias("cb"),
+    )
+    tot = bins.agg(
+        F.sum("ac").cast("long").alias("m"),
+        F.sum("bc").cast("long").alias("n2"),
+    )
+    term = cum.crossJoin(F.broadcast(tot)).selectExpr(
+        "ac",
+        "m",
+        "n2",
+        "2 * cb + ct + 1 - (m + n2 + 1) AS dd",
+    )
+    s = term.agg(
+        F.max("m").alias("m"),
+        F.max("n2").alias("n2"),
+        F.expr(
+            "sum(CAST(ac AS DECIMAL(38,0))"
+            " * ((CAST(dd AS DECIMAL(38,0)) * dd) div 1000000))"
+        ).alias("t4ds"),
+    )
+    f = s.selectExpr(
+        "m",
+        "n2",
+        "m + n2 AS n",
+        "t4ds",
+        "CAST(m AS DECIMAL(38,0))"
+        " * (CAST(m + n2 AS DECIMAL(38,0)) * (m + n2) - 1)"
+        " div 3000000 AS ed",
+    )
+    return f.selectExpr(
+        "m AS n_click",
+        "n2 AS n_view",
+        "CAST(CASE WHEN ed = 0 THEN 0"
+        " ELSE t4ds * 1000000 div ed END AS BIGINT) AS vr_micro",
+        "CAST(CASE WHEN m = 0 OR n2 = 0 OR n < 3 THEN 0"
+        " WHEN t4ds - ed >= 0"
+        " THEN round(1.0e15 * CAST(t4ds - ed AS DOUBLE)"
+        " / (4.0 * m * n2 * (n + 1) * (CAST(n AS DOUBLE) * n - 4))"
+        " * CAST(t4ds - ed AS DOUBLE))"
+        " ELSE -round(1.0e15 * CAST(ed - t4ds AS DOUBLE)"
+        " / (4.0 * m * n2 * (n + 1) * (CAST(n AS DOUBLE) * n - 4))"
+        " * CAST(ed - t4ds AS DOUBLE))"
+        " END AS BIGINT) AS z2_signed_milli",
+    )
+
+
+@q(
+    "ev_wilcoxon_signed_rank",
+    f"""
+    WITH {_TREND_HOURS_SQL},
+    pairs AS (
+      SELECT b.cnt - a.cnt AS d
+      FROM hrs a JOIN hrs b ON b.hr = a.hr + 24
+      WHERE b.cnt <> a.cnt
+    ), bins AS (
+      SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ctp
+      FROM pairs GROUP BY abs(d)
+    ), cum AS (
+      SELECT ad, ct, ctp,
+             CAST(sum(ct) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING)
+                  - ct AS BIGINT) AS cb
+      FROM bins
+    ), s AS (
+      SELECT CAST(sum(ct) AS BIGINT) AS n,
+             CAST(sum(ctp * (2 * cb + ct + 1)) AS BIGINT) AS w2p,
+             CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS HUGEINT)
+                 AS t3t
+      FROM cum
+    )
+    SELECT n AS n_pairs_nonzero, w2p AS w2_plus,
+           CAST(2 * w2p - n * (n + 1) AS BIGINT) AS d2w,
+           CAST(CASE WHEN 2 * (CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1))
+                          - t3t <= 0 THEN 0
+                WHEN 2 * w2p - n * (n + 1) >= 0
+                THEN CAST(2 * w2p - n * (n + 1) AS HUGEINT)
+                     * (2 * w2p - n * (n + 1)) * 3000
+                     // (2 * (CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1)
+                          - t3t // 2))
+                ELSE -(CAST(n * (n + 1) - 2 * w2p AS HUGEINT)
+                     * (n * (n + 1) - 2 * w2p) * 3000
+                     // (2 * (CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1)
+                          - t3t // 2))) END AS BIGINT) AS z2_signed_milli
+    FROM s
+    """,
+)
+def ev_wilcoxon_signed_rank(spark, sf_dir):
+    """WILCOXON SIGNED-RANK TEST on day-over-day paired hourly counts
+    (each hour paired with the same hour 24h later — the seasonality-
+    matched pairing, so the test reads day-on-day LEVEL shift with the
+    diurnal cycle differenced out): rank |d| with midranks, W+ = sum
+    of positive-difference ranks, zero differences dropped (the
+    classical convention). The paired companion to ev_mann_whitney_u
+    and the nonparametric twin of a paired t-test.
+
+    Integer form: doubled midranks over the |d|-bin cumulative (the
+    MWU idiom at DIFFERENCE-MAGNITUDE grain — bounded by the count
+    range, not the row count); W2+ = 2W+ stays integral under ties;
+    d2w = 2*W2+ - n(n+1) = 4(W+ - E[W+]) clears the expectation
+    exactly; the tie-corrected variance numerator
+    n(n+1)(2n+1) - sum(t^3-t)/2 is exact 128-bit (t^3-t is even, so
+    the halving is exact integer); z^2 = 3*d2w^2/(2*varnum) leaves on
+    the milli lattice via one sign-outside floor-div. All internals
+    are calendar-bounded (~n_hours^3).
+
+    Scale shape: one keyed aggregate to hour grain, ONE hr-keyed
+    equi-join (the +24h pairing), one keyed aggregate to
+    difference-magnitude bins, a bounded-bin cumulative window
+    (declared survivor above the ad-keyed aggregate), 1-row
+    arithmetic."""
+    hrs = _trend_hours(spark, sf_dir)
+    a = hrs.select(
+        (F.col("hr") + 24).alias("hr24"), F.col("cnt").alias("ca")
+    )
+    b = hrs.select(F.col("hr").alias("hr24"), F.col("cnt").alias("cb_"))
+    pairs = (
+        a.join(b, "hr24")
+        .where(F.col("cb_") != F.col("ca"))
+        .select((F.col("cb_") - F.col("ca")).alias("d"))
+    )
+    # Project ad BEFORE the groupBy so the aggregate keys on the named
+    # column (the _trend_hours plan-contract trick — keys=[ad#N]).
+    bins = pairs.select(
+        F.abs(F.col("d")).alias("ad"), "d"
+    ).groupBy("ad").agg(
+        F.count("*").cast("long").alias("ct"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ctp"),
+    )
+    w = Window.orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "ad",
+        "ct",
+        "ctp",
+        (F.sum("ct").over(w) - F.col("ct")).cast("long").alias("cb"),
+    )
+    s = cum.agg(
+        F.sum("ct").cast("long").alias("n"),
+        F.sum(F.col("ctp") * (2 * F.col("cb") + F.col("ct") + 1))
+        .cast("long")
+        .alias("w2p"),
+        F.expr(
+            "sum(CAST(ct AS DECIMAL(38,0)) * ct * ct - ct)"
+        ).alias("t3t"),
+    )
+    return s.selectExpr(
+        "n AS n_pairs_nonzero",
+        "w2p AS w2_plus",
+        "CAST(2 * w2p - n * (n + 1) AS BIGINT) AS d2w",
+        "CAST(CASE WHEN 2 * (CAST(n AS DECIMAL(38,0)) * (n + 1)"
+        " * (2 * n + 1)) - t3t <= 0 THEN 0"
+        " WHEN 2 * w2p - n * (n + 1) >= 0"
+        " THEN CAST(2 * w2p - n * (n + 1) AS DECIMAL(38,0))"
+        " * (2 * w2p - n * (n + 1)) * 3000"
+        " div (2 * (CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1)"
+        " - t3t div 2))"
+        " ELSE -(CAST(n * (n + 1) - 2 * w2p AS DECIMAL(38,0))"
+        " * (n * (n + 1) - 2 * w2p) * 3000"
+        " div (2 * (CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1)"
+        " - t3t div 2))) END AS BIGINT) AS z2_signed_milli",
+    )
+
+
+@q(
+    "ev_cox_stuart_trend",
+    f"""
+    WITH {_TREND_HOURS_SQL},
+    pos AS (
+      SELECT cnt, row_number() OVER (ORDER BY hr) AS i,
+             count(*) OVER () AS n
+      FROM hrs
+    ), h AS (
+      SELECT cnt, i, n, (n + 1) // 2 AS lag
+      FROM pos
+    ), p AS (
+      SELECT a.cnt AS ca, b.cnt AS cb
+      FROM h a JOIN h b ON b.i = a.i + a.lag
+    ), s AS (
+      SELECT CAST((SELECT max(n) FROM pos) AS BIGINT) AS n_hours,
+             CAST(sum(CASE WHEN cb > ca THEN 1 ELSE 0 END) AS BIGINT)
+                 AS sp,
+             CAST(sum(CASE WHEN cb < ca THEN 1 ELSE 0 END) AS BIGINT)
+                 AS sm
+      FROM p
+    )
+    SELECT n_hours, sp AS s_plus, sm AS s_minus,
+           CAST(sp + sm AS BIGINT) AS n_pairs_used,
+           CAST(CASE WHEN sp + sm = 0 THEN 0
+                WHEN sp >= sm
+                THEN greatest(sp - sm - 1, 0) * greatest(sp - sm - 1, 0)
+                     * 1000 // (sp + sm)
+                ELSE -(greatest(sm - sp - 1, 0) * greatest(sm - sp - 1, 0)
+                     * 1000 // (sp + sm)) END AS BIGINT)
+               AS z2_signed_milli
+    FROM s
+    """,
+)
+def ev_cox_stuart_trend(spark, sf_dir):
+    """COX-STUART SIGN TEST for trend on the hourly event-count series
+    — the assumption-free trend screen between ev_turning_points_test
+    (randomness) and ev_mann_kendall_trend (full pairwise S): pair
+    each hour with the hour half-a-series later, count up-moves vs
+    down-moves, and sign-test the split (a monotone trend drives all
+    pairs one way; under H0 the signs are fair coin flips).
+
+    Integer form: positions come from a row_number over the
+    calendar-bounded hour grain (declared survivor); the pairing lag
+    (n+1)//2 is one positive floor-div (odd series drop the middle
+    element, per the classical construction); ties drop; the
+    continuity-corrected z^2 = (|s+ - s-| - 1)^2 / (s+ + s-) is pure
+    small-integer arithmetic on the milli lattice, sign outside
+    (positive = upward trend).
+
+    Scale shape: one keyed aggregate to hour grain, two hour-grain
+    windows (rank + grand count), one position-keyed equi-join,
+    1-row arithmetic."""
+    hrs = _trend_hours(spark, sf_dir)
+    pos = hrs.select(
+        "cnt",
+        F.row_number().over(Window.orderBy("hr")).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    h = pos.withColumn("lag", F.expr("CAST((n + 1) div 2 AS INT)"))
+    a = h.select(
+        (F.col("i") + F.col("lag")).alias("j"), F.col("cnt").alias("ca")
+    )
+    b = h.select(F.col("i").alias("j"), F.col("cnt").alias("cb"))
+    p = a.join(b, "j")
+    nrow = hrs.agg(F.count("*").cast("long").alias("n_hours"))
+    s = p.agg(
+        F.sum(F.when(F.col("cb") > F.col("ca"), 1).otherwise(0))
+        .cast("long")
+        .alias("sp"),
+        F.sum(F.when(F.col("cb") < F.col("ca"), 1).otherwise(0))
+        .cast("long")
+        .alias("sm"),
+    ).crossJoin(F.broadcast(nrow))
+    return s.selectExpr(
+        "n_hours",
+        "sp AS s_plus",
+        "sm AS s_minus",
+        "CAST(sp + sm AS BIGINT) AS n_pairs_used",
+        "CAST(CASE WHEN sp + sm = 0 THEN 0"
+        " WHEN sp >= sm"
+        " THEN greatest(sp - sm - 1, 0) * greatest(sp - sm - 1, 0)"
+        " * 1000 div (sp + sm)"
+        " ELSE -(greatest(sm - sp - 1, 0) * greatest(sm - sp - 1, 0)"
+        " * 1000 div (sp + sm)) END AS BIGINT) AS z2_signed_milli",
+    )
+
+
+@q(
+    "ev_kendall_w",
+    """
+    WITH cells AS (
+      SELECT l_suppkey AS blk, l_returnflag AS trt,
+             CAST(sum(CAST(l_quantity AS BIGINT)) * 1000000
+                  // count(*) AS BIGINT) AS cellv
+      FROM lineitem GROUP BY 1, 2
+    ), complete AS (
+      SELECT blk FROM cells GROUP BY blk HAVING count(*) = 3
+    ), ranked AS (
+      SELECT c.blk, c.trt,
+             2 * rank() OVER (PARTITION BY c.blk ORDER BY c.cellv)
+               + count(*) OVER (PARTITION BY c.blk, c.cellv) - 1 AS rank2
+      FROM cells c JOIN complete USING (blk)
+    ), rs AS (
+      SELECT trt, CAST(sum(rank2) AS BIGINT) AS r2_sum
+      FROM ranked GROUP BY trt
+    ), s AS (
+      SELECT CAST((SELECT count(*) FROM complete) AS BIGINT) AS b,
+             CAST(sum(CAST(r2_sum AS HUGEINT) * r2_sum) AS HUGEINT) AS ssq
+      FROM rs
+    )
+    SELECT b AS n_blocks,
+           CAST(CASE WHEN b = 0 THEN 0
+                ELSE (3000 * ssq
+                      - 3000 * CAST(b AS HUGEINT) * b * 3 * 16)
+                     // (CAST(b AS HUGEINT) * 3 * 4) END AS BIGINT)
+               AS chi2_milli,
+           CAST(CASE WHEN b = 0 THEN 0
+                ELSE ((3000 * ssq
+                       - 3000 * CAST(b AS HUGEINT) * b * 3 * 16)
+                      // (CAST(b AS HUGEINT) * 3 * 4)) * 1000
+                     // (b * 2) END AS BIGINT) AS w_micro
+    FROM s
+    """,
+)
+def ev_kendall_w(spark, sf_dir):
+    """KENDALL'S COEFFICIENT OF CONCORDANCE W over the Friedman design
+    (same supplier blocks, return-flag treatments, doubled-midrank
+    lattice as ev_friedman_test) — the EFFECT SIZE the Friedman
+    chi-square lacks: W = chi2 / (b(k-1)) in [0, 1], how strongly the
+    b blocks agree on one treatment ordering (1 = every supplier
+    ranks A/N/R identically, 0 = no agreement). The raters-agreement
+    statistic for ORDINAL ratings, next to ev_cohens_kappa /
+    ev_fleiss_kappa's categorical agreement.
+
+    Integer form: the Friedman chi2 integer pipeline verbatim (one
+    positive floor-div of the 128-bit ssq dividend), then ONE more
+    positive floor-div by b(k-1) onto the micro lattice — the
+    compounded flooring is identical on both engines by construction.
+    Hand law (test-pinned): perfect concordance gives chi2 = b(k-1)
+    exactly, so w_micro = 1e6; all-tied blocks give 0.
+
+    Scale shape: ev_friedman_test's exactly — (block, treatment)
+    keyed aggregate, block-partitioned rank windows, k-row rank-sum
+    aggregate, 1-row arithmetic."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_suppkey").alias("blk"), F.col("l_returnflag").alias("trt")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(l_quantity AS BIGINT)) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("cellv")
+    )
+    complete = cells.groupBy("blk").agg(F.count("*").alias("kc")).filter(
+        F.col("kc") == 3
+    )
+    ranked = cells.join(complete.select("blk"), "blk").select(
+        "blk",
+        "trt",
+        (
+            2 * F.rank().over(Window.partitionBy("blk").orderBy("cellv"))
+            + F.count("*").over(Window.partitionBy("blk", "cellv"))
+            - 1
+        ).alias("rank2"),
+    )
+    rs = ranked.groupBy("trt").agg(
+        F.sum("rank2").cast("long").alias("r2_sum")
+    )
+    nb = complete.agg(F.count("*").cast("long").alias("b"))
+    s = rs.agg(
+        F.expr("sum(CAST(r2_sum AS DECIMAL(38,0)) * r2_sum)").alias("ssq")
+    ).crossJoin(F.broadcast(nb))
+    return s.selectExpr(
+        "b AS n_blocks",
+        "CAST(CASE WHEN b = 0 THEN 0"
+        " ELSE (3000 * ssq - 3000 * CAST(b AS DECIMAL(38,0)) * b * 3 * 16)"
+        " div (CAST(b AS DECIMAL(38,0)) * 3 * 4) END AS BIGINT)"
+        " AS chi2_milli",
+        "CAST(CASE WHEN b = 0 THEN 0"
+        " ELSE ((3000 * ssq - 3000 * CAST(b AS DECIMAL(38,0)) * b * 3 * 16)"
+        " div (CAST(b AS DECIMAL(38,0)) * 3 * 4)) * 1000"
+        " div (b * 2) END AS BIGINT) AS w_micro",
+    )
+
+
+def _experiment_readout_sql() -> str:
+    """Compose the srm + tost component oracles verbatim (the
+    pipeline_eval_gate_e2e discipline: the composite's oracle embeds
+    its components as derived tables so the twins cannot drift)."""
+    srm = REGISTRY["ev_srm_check"][1]
+    tost = REGISTRY["ev_tost_equivalence"][1]
+    return f"""
+    WITH srm AS ({srm}), tost AS ({tost})
+    SELECT srm.n_users, srm.chi2_milli AS srm_chi2_milli,
+           srm.srm_flagged, tost.delta_micro, tost.equivalent,
+           CASE WHEN srm.srm_flagged THEN 'invalid_assignment'
+                WHEN tost.equivalent THEN 'no_effect_certified'
+                WHEN abs(tost.delta_micro) > 50000
+                     THEN 'effect_beyond_margin'
+                ELSE 'inconclusive' END AS readout
+    FROM srm, tost
+    """
+
+
+@q("pipeline_experiment_readout_e2e", _experiment_readout_sql())
+def pipeline_experiment_readout_e2e(spark, sf_dir):
+    """END-TO-END EXPERIMENT READOUT — the composed decision an A/B
+    platform renders nightly, chaining the assignment-validity and
+    equivalence entries into ONE row: first the SRM gate (a biased
+    split invalidates everything downstream), then the TOST verdict,
+    then the margin check on the point estimate. The four-way readout
+    is the exact decision tree an experimentation review encodes:
+    invalid_assignment / no_effect_certified / effect_beyond_margin /
+    inconclusive.
+
+    Composition discipline (the pipeline_eval_gate_e2e idiom): the
+    Spark side CALLS the component entry functions — one shared
+    implementation per metric — and broadcast-joins their 1-row
+    outputs; the oracle embeds the component oracle SQLs verbatim as
+    CTEs (_experiment_readout_sql), so the twins cannot drift from
+    their components. All decisions are integer-lattice comparisons.
+
+    Scale shape: the union of the component shapes (each ONE
+    data-grain keyed aggregate); the composition adds only 1-row
+    broadcasts."""
+    srm = ev_srm_check(spark, sf_dir).select(
+        "n_users",
+        F.col("chi2_milli").alias("srm_chi2_milli"),
+        "srm_flagged",
+    )
+    tost = ev_tost_equivalence(spark, sf_dir).select(
+        "delta_micro", "equivalent"
+    )
+    return srm.crossJoin(F.broadcast(tost)).selectExpr(
+        "n_users",
+        "srm_chi2_milli",
+        "srm_flagged",
+        "delta_micro",
+        "equivalent",
+        "CASE WHEN srm_flagged THEN 'invalid_assignment'"
+        " WHEN equivalent THEN 'no_effect_certified'"
+        " WHEN abs(delta_micro) > 50000 THEN 'effect_beyond_margin'"
+        " ELSE 'inconclusive' END AS readout",
+    )
+
+
+@q(
+    "ev_seasonal_mann_kendall",
+    f"""
+    WITH cells AS (
+      SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+             epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT a.hod,
+             CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+                      WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT)
+                 AS s_g
+      FROM cells a JOIN cells b
+        ON b.hod = a.hod AND b.d > a.d
+      GROUP BY a.hod
+    ), nsz AS (
+      SELECT hod, CAST(count(*) AS BIGINT) AS n_g
+      FROM cells GROUP BY hod
+    ), ties AS (
+      SELECT hod,
+             CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1)
+                  * (2 * t + 5)), 0) AS BIGINT) AS tsum
+      FROM (
+        SELECT hod, cnt, CAST(count(*) AS BIGINT) AS t
+        FROM cells GROUP BY hod, cnt
+      ) GROUP BY hod
+    ), per AS (
+      SELECT n.hod, coalesce(s.s_g, 0) AS s_g,
+             CAST(n.n_g AS HUGEINT) * (n.n_g - 1) * (2 * n.n_g + 5)
+               - t.tsum AS var18_g
+      FROM nsz n
+      LEFT JOIN s ON s.hod = n.hod
+      JOIN ties t ON t.hod = n.hod
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_seasons,
+             CAST(sum(s_g) AS BIGINT) AS s_total,
+             CAST(sum(var18_g) AS HUGEINT) AS var18
+      FROM per
+    )
+    SELECT n_seasons, s_total, CAST(var18 AS BIGINT) AS var18,
+           CAST(CASE WHEN var18 <= 0 OR s_total = 0 THEN 0
+                WHEN s_total > 0
+                THEN CAST(greatest(abs(s_total) - 1, 0) AS HUGEINT)
+                     * greatest(abs(s_total) - 1, 0) * 18000 // var18
+                ELSE -(CAST(greatest(abs(s_total) - 1, 0) AS HUGEINT)
+                     * greatest(abs(s_total) - 1, 0) * 18000 // var18)
+                END AS BIGINT) AS z2_signed_milli
+    FROM tot
+    """,
+)
+def ev_seasonal_mann_kendall(spark, sf_dir):
+    """SEASONAL MANN-KENDALL trend test (Hirsch-Slack) on daily event
+    counts with hour-of-day seasons — ev_mann_kendall_trend with the
+    diurnal cycle partialled out: the pairwise S statistic runs
+    WITHIN each of the 24 hour-of-day series (day i vs day j at the
+    same clock hour), the 24 per-season S and tie-corrected variances
+    ADD, and one continuity-corrected z comes off the totals. The
+    trend question a traffic dashboard actually asks (is load
+    growing, seasonality aside) — same readout contract as the plain
+    MK entry (sqrt-free signed (|S|-1)^2*18000/var18 milli).
+
+    Integer form: the MK integer pipeline verbatim per season — exact
+    +-1 pair sums, HUGEINT/DECIMAL(38,0) tie cubics (calendar-bounded
+    n_days^3 per season), sign-outside continuity-corrected quotient.
+    The cross-season additivity of S and var is the classical
+    independence assumption, documented (serial correlation between
+    seasons is not corrected — the Hirsch-Slack base form).
+
+    Scale shape: one keyed aggregate to (hour-of-day, day) cells —
+    both dims calendar-bounded — then a SEASON-KEYED pair self-join
+    (fanout bounded by days-per-season, and keyed on hod, unlike the
+    plain MK broadcast), three season-grain aggregates, 1-row
+    arithmetic."""
+    (ev,) = _t(spark, sf_dir, "events")
+    cells = ev.select(
+        F.hour("ts").cast("long").alias("hod"),
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    ).groupBy("hod", "d").agg(F.count("*").cast("long").alias("cnt"))
+    a = cells.select(
+        F.col("hod").alias("hod"),
+        F.col("d").alias("da"),
+        F.col("cnt").alias("ca"),
+    )
+    b = cells.select(
+        F.col("hod").alias("hod"),
+        F.col("d").alias("db"),
+        F.col("cnt").alias("cb"),
+    )
+    s = (
+        a.join(b, "hod")
+        .where(F.col("db") > F.col("da"))
+        .groupBy("hod")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_g")
+        )
+    )
+    nsz = cells.groupBy("hod").agg(F.count("*").cast("long").alias("n_g"))
+    ties = (
+        cells.groupBy("hod", "cnt")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("hod")
+        .agg(
+            F.expr(
+                "CAST(coalesce(sum(CAST(t AS DECIMAL(38,0)) * (t - 1)"
+                " * (2 * t + 5)), 0) AS BIGINT)"
+            ).alias("tsum")
+        )
+    )
+    per = (
+        nsz.join(s, "hod", "left")
+        .join(ties, "hod")
+        .selectExpr(
+            "coalesce(s_g, 0) AS s_g",
+            "CAST(n_g AS DECIMAL(38,0)) * (n_g - 1) * (2 * n_g + 5)"
+            " - tsum AS var18_g",
+        )
+    )
+    tot = per.agg(
+        F.count("*").cast("long").alias("n_seasons"),
+        F.sum("s_g").cast("long").alias("s_total"),
+        F.expr("sum(CAST(var18_g AS DECIMAL(38,0)))").alias("var18"),
+    )
+    return tot.selectExpr(
+        "n_seasons",
+        "s_total",
+        "CAST(var18 AS BIGINT) AS var18",
+        "CAST(CASE WHEN var18 <= 0 OR s_total = 0 THEN 0"
+        " WHEN s_total > 0"
+        " THEN CAST(greatest(abs(s_total) - 1, 0) AS DECIMAL(38,0))"
+        " * greatest(abs(s_total) - 1, 0) * 18000 div var18"
+        " ELSE -(CAST(greatest(abs(s_total) - 1, 0) AS DECIMAL(38,0))"
+        " * greatest(abs(s_total) - 1, 0) * 18000 div var18)"
+        " END AS BIGINT) AS z2_signed_milli",
+    )
+
+
+@q(
+    "join_levenshtein_blocked",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name, substr(p_name, 1, 12) AS blk
+      FROM part
+    ), cand AS (
+      SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM p a JOIN p b
+        ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    )
+    SELECT pk_a, pk_b, CAST(dist AS BIGINT) AS dist
+    FROM cand WHERE dist <= 6
+    ORDER BY dist, pk_a, pk_b LIMIT 20
+    """,
+)
+def join_levenshtein_blocked(spark, sf_dir):
+    """BLOCKED FUZZY STRING JOIN on part names — the edit-distance
+    self-join every entity-resolution and catalog-dedup pipeline
+    needs, done the scale-safe way: a PREFIX BLOCK (first 12 chars)
+    keys the join so only same-block pairs ever materialize (the
+    er_blocked_candidates discipline applied to string similarity),
+    then exact Levenshtein verifies candidates at distance <= 6.
+    Top-20 closest pairs, deterministic tiebreak. The quadratic
+    lives inside blocks whose size the key distribution bounds —
+    never all-pairs.
+
+    Cross-engine form: levenshtein() is the classical unit-cost edit
+    distance on BOTH engines (integer, no lattice needed); the block
+    key is a plain substring — byte-identical. Candidate recall is
+    the standard prefix-blocking tradeoff (an edit inside the first
+    12 chars escapes the block), documented — the er_blocking_recall
+    entry measures exactly this class of loss.
+
+    Scale shape: one keyed self-join on the block prefix, per-pair
+    JVM edit distance (whole-stage codegen), distributed
+    TakeOrderedAndProject top-20."""
+    (p,) = _t(spark, sf_dir, "part")
+    blocked = p.select(
+        "p_partkey",
+        "p_name",
+        F.expr("substr(p_name, 1, 12)").alias("blk"),
+    )
+    a = blocked.select(
+        F.col("p_partkey").alias("pk_a"),
+        F.col("p_name").alias("name_a"),
+        "blk",
+    )
+    b = blocked.select(
+        F.col("p_partkey").alias("pk_b"),
+        F.col("p_name").alias("name_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("pk_a") < F.col("pk_b"))
+        .select(
+            "pk_a",
+            "pk_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= 6)
+        .orderBy("dist", "pk_a", "pk_b")
+        .limit(20)
+    )

@@ -1700,3 +1700,97 @@ def stream_histogram_quantiles(spark, sf_dir):
         .select(F.col("q").cast("long").alias("q_permille"), "est_vm")
         .orderBy("q_permille")
     )
+
+
+@q(
+    "stream_srm_monitor",
+    """
+    WITH w AS (
+      SELECT epoch_us(ts) // 21600000000 AS w6,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT) % 2
+                 AS arm
+      FROM events
+    ), c AS (
+      SELECT w6,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n1
+      FROM w GROUP BY w6
+    )
+    SELECT CAST(w6 AS BIGINT) AS w6, n0 AS n_arm0, n1 AS n_arm1,
+           CAST(CASE WHEN n0 + n1 = 0 THEN 0
+                ELSE CAST(n0 - n1 AS HUGEINT) * (n0 - n1) * 1000
+                     // (n0 + n1) END AS BIGINT) AS chi2_milli,
+           CASE WHEN n0 + n1 = 0 THEN FALSE
+                ELSE CAST(n0 - n1 AS HUGEINT) * (n0 - n1) * 1000
+                     // (n0 + n1) > 3841 END AS srm_flagged
+    FROM c
+    """,
+)
+def stream_srm_monitor(spark, sf_dir):
+    """STREAMING SAMPLE-RATIO-MISMATCH MONITOR — ev_srm_check run
+    continuously: per 6-hour tumbling event-time window, the hash-arm
+    event counts and the 50/50 goodness-of-fit chi-square, flagged at
+    the 3.841 critical value. The alert an experimentation platform
+    wants DURING the experiment, not at readout time — a logging bug
+    that drops one arm's events shows up in the first flagged window.
+    (Window grain is EVENT counts per window — the per-window traffic
+    split — while the batch readout entry hashes distinct users;
+    both read the same assignment hash.)
+
+    Streaming shape: watermarked (1h) tumbling 6h event-time windows
+    in append-safe aggregation; availableNow convergence equals the
+    batch 6h-bucket aggregation (epoch-aligned windows, the
+    stream_hourly_rollup contract), which IS the oracle SQL. The
+    hash projection is stateless per-row; only the window aggregate
+    carries state.
+
+    Integer form: identical to ev_srm_check — exact counts, one
+    sign-free squared difference on the 128-bit lattice, one positive
+    floor-div to milli."""
+    from xova_spark.queries.relational import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.to_utc_timestamp(F.col("ts"), "UTC")
+    )
+    arm = F.expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 15),"
+        " 16, 10) as bigint) % 2"
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .select("ts", arm.alias("arm"))
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+        )
+    )
+    name = f"q_stream_srm_{next(_uniq)}"
+    with SA.stream_state_partitions(spark):
+        q_ = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    t = spark.table(name)
+    return t.selectExpr(
+        "CAST(unix_micros(w.start) div 21600000000 AS BIGINT) AS w6",
+        "n0 AS n_arm0",
+        "n1 AS n_arm1",
+        "CAST(CASE WHEN n0 + n1 = 0 THEN 0"
+        " ELSE CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n1) * 1000"
+        " div (n0 + n1) END AS BIGINT) AS chi2_milli",
+        "CASE WHEN n0 + n1 = 0 THEN false"
+        " ELSE CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n1) * 1000"
+        " div (n0 + n1) > 3841 END AS srm_flagged",
+    )

@@ -4633,10 +4633,10 @@ def t_mattr_chunked(spark, sf_dir):
     ), s AS (
       SELECT source,
              CAST(sum(c) AS BIGINT) AS t_tokens,
-             CAST(sum(c * c) AS BIGINT) AS s2
+             sum(CAST(c AS HUGEINT) * c) AS s2
       FROM wf GROUP BY source
     )
-    SELECT source, t_tokens, s2,
+    SELECT source, t_tokens,
            CAST(CASE WHEN t_tokens = 0 THEN 0
                 ELSE CAST(10000 AS HUGEINT) * (s2 - t_tokens) * 1000
                      // (CAST(t_tokens AS HUGEINT) * t_tokens) END
@@ -4655,18 +4655,21 @@ def t_yule_k(spark, sf_dir):
     richness dashboard.
 
     Integer form: S2/T are exact; K leaves as one positive milli
-    floor-div with a quadratic 128-bit dividend. Same single
-    (source, word)-keyed plan as Chao1/Simpson — one scan, one explode,
-    two keyed aggregates."""
+    floor-div with a quadratic 128-bit dividend. S2 itself is a
+    quadratic-in-corpus 128-bit INTERNAL (sum c^2 crosses BIGINT at
+    ~3e9 occurrences of one type — the round-10 headroom sweep
+    flagged the old BIGINT output column at 3.65x; it now accumulates
+    HUGEINT/DECIMAL(38,0) and only the bounded K quotient leaves,
+    probed as t_yule_k__s2). Same single (source, word)-keyed plan as
+    Chao1/Simpson — one scan, one explode, two keyed aggregates."""
     wf = _source_word_counts(spark, sf_dir)
     s = wf.groupBy("source").agg(
         F.sum("c").cast("long").alias("t_tokens"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        F.expr("sum(CAST(c AS DECIMAL(38,0)) * c)").alias("s2"),
     )
     return s.selectExpr(
         "source",
         "t_tokens",
-        "s2",
         "CAST(CASE WHEN t_tokens = 0 THEN 0"
         " ELSE CAST(10000 AS DECIMAL(38,0)) * (s2 - t_tokens) * 1000"
         " div (CAST(t_tokens AS DECIMAL(38,0)) * t_tokens) END"
@@ -4780,3 +4783,290 @@ def pipeline_corpus_health_gate(spark, sf_dir):
         " AND min_flesch_milli >= 0"
         " AND min_mattr_micro >= 300000 AS healthy",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch 8: corpus-composition signals — code-likeness, hapax/
+# Guiraud richness ratios, ARI readability.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "t_code_ratio",
+    """
+    WITH d AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS len,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[{}();=<>]', '', 'g'))
+                  AS BIGINT) AS cc
+      FROM documents WHERE length(text) > 0
+    ), scored AS (
+      SELECT source, len, cc,
+             CASE WHEN cc * 1000 // len >= 20 THEN 1 ELSE 0 END AS codey
+      FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(cc) AS BIGINT) AS code_chars,
+           CAST(sum(cc) * 1000 // sum(len) AS BIGINT)
+               AS density_permille,
+           CAST(sum(codey) AS BIGINT) AS n_codey,
+           CAST(sum(codey) * 1000 // count(*) AS BIGINT)
+               AS codey_permille
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def t_code_ratio(spark, sf_dir):
+    """CODE-LIKENESS profile per source — the prose-vs-code mix dial
+    every LLM data recipe needs (code is upweighted or routed to its
+    own mixture bucket; prose pipelines treat high-symbol docs as
+    boilerplate): per document the density of code-signal characters
+    {}();=<> over total length, a doc flagged codey at >= 2% density
+    (fixed literal), rolled up to per-source density and codey rate.
+
+    Integer form: character counts via ONE regexp_replace strip per
+    doc (a fixed character class — identical RE semantics on both
+    engines); every ratio is a positive floor-div on the permille
+    lattice. Scale shape: embarrassingly parallel per-row projection,
+    one source-grain keyed aggregate (5 groups) — the t_quality_score
+    class."""
+    (docs,) = _docs(spark, sf_dir)
+    d = docs.where(F.length("text") > 0).select(
+        "source",
+        F.length("text").cast("long").alias("len"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[{}();=<>]", ""))
+        )
+        .cast("long")
+        .alias("cc"),
+    )
+    scored = d.selectExpr(
+        "source",
+        "len",
+        "cc",
+        "CASE WHEN cc * 1000 div len >= 20 THEN 1 ELSE 0 END AS codey",
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("cc").cast("long").alias("code_chars"),
+            F.expr("CAST(sum(cc) * 1000 div sum(len) AS BIGINT)").alias(
+                "density_permille"
+            ),
+            F.sum("codey").cast("long").alias("n_codey"),
+            F.expr(
+                "CAST(sum(codey) * 1000 div count(*) AS BIGINT)"
+            ).alias("codey_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "t_hapax_guiraud",
+    """
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), wf AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      FROM w WHERE word != '' GROUP BY source, word
+    ), s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS d_vocab,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM wf GROUP BY source
+    )
+    SELECT source, n_tokens, d_vocab, f1,
+           CAST(f1 * 1000 // d_vocab AS BIGINT) AS hapax_permille,
+           CAST(CAST(d_vocab AS HUGEINT) * d_vocab * 1000000 // n_tokens
+                AS BIGINT) AS guiraud2_micro
+    FROM s ORDER BY source
+    """,
+)
+def t_hapax_guiraud(spark, sf_dir):
+    """HAPAX RATIO and (squared) GUIRAUD'S R per source — the two
+    classic vocabulary-richness RATIOS next to t_chao1_vocab_richness's
+    unseen-mass estimate: hapax share f1/V (how much of the vocabulary
+    is one-shot — high in fresh crawl, low in boilerplate farms) and
+    Guiraud's R = V/sqrt(N), the length-robust richness index,
+    reported SQRT-FREE as R^2 = V^2/N in micro units (the Welch
+    discipline: comparisons square too).
+
+    Integer form: rides the SHARED (source, word, c) frequency frame
+    (_source_word_counts — one explode + keyed count for the whole
+    richness dashboard); both ratios are single positive floor-divs;
+    V^2 is quadratic in vocabulary size (~1e24 at a 1e12-type corpus)
+    so it rides the 128-bit lattice (headroom probe guiraud__v2).
+
+    Scale shape: the Chao1 shape exactly — word-grain keyed aggregate
+    (map-side combined), source-grain rollup."""
+    wf = _source_word_counts(spark, sf_dir)
+    s = wf.groupBy("source").agg(
+        F.count("*").cast("long").alias("d_vocab"),
+        F.sum(F.expr("CASE WHEN c = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("f1"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    return s.selectExpr(
+        "source",
+        "n_tokens",
+        "d_vocab",
+        "f1",
+        "CAST(f1 * 1000 div d_vocab AS BIGINT) AS hapax_permille",
+        "CAST(CAST(d_vocab AS DECIMAL(38,0)) * d_vocab * 1000000"
+        " div n_tokens AS BIGINT) AS guiraud2_micro",
+    ).orderBy("source")
+
+
+@q(
+    "t_ari_readability",
+    """
+    WITH d AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS c,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x != '')) AS BIGINT) AS w,
+             greatest(CAST(1 AS BIGINT),
+                      CAST(length(text)
+                           - length(regexp_replace(text, '[.!?]', '', 'g'))
+                           AS BIGINT)) AS s
+      FROM documents WHERE length(text) > 0
+    ), scored AS (
+      SELECT source,
+             4710 * c // w + 500 * w // s - 21430 AS ari_milli
+      FROM d WHERE w > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN sum(ari_milli) >= 0
+                THEN sum(ari_milli) // count(*)
+                ELSE -((-sum(ari_milli)) // count(*)) END AS BIGINT)
+               AS mean_ari_milli,
+           CAST(sum(CASE WHEN ari_milli > 14000 THEN 1 ELSE 0 END)
+                * 1000 // count(*) AS BIGINT) AS hard_permille
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def t_ari_readability(spark, sf_dir):
+    """AUTOMATED READABILITY INDEX per source — the character-based
+    grade-level formula next to t_flesch_readability's syllable proxy
+    (ARI needs only chars/words/sentences, so it is the readability
+    score that stays EXACT on the integer lattice with no vowel-run
+    heuristic): ARI = 4.71*chars/words + 0.5*words/sentences - 21.43,
+    per doc in milli, averaged per source, with the share of docs
+    above grade 14 (college — the 'too dense for general pretraining'
+    flag).
+
+    Integer form: chars/words/sentences are exact counts (words =
+    nonempty space tokens, the corpus-wide idiom; sentences = .!?
+    characters floored at 1); each doc's ARI is two positive
+    floor-divs on the milli lattice minus the literal; the source
+    MEAN divides the signed sum with the sign OUTSIDE (ARI goes
+    negative on telegraphic text — floor-vs-truncate discipline).
+
+    Scale shape: per-row projection, one source-grain keyed
+    aggregate."""
+    (docs,) = _docs(spark, sf_dir)
+    d = docs.where(F.length("text") > 0).select(
+        "source",
+        F.length("text").cast("long").alias("c"),
+        F.expr(
+            "CAST(size(filter(split(text, ' '), x -> x != ''))"
+            " AS BIGINT)"
+        ).alias("w"),
+        F.expr(
+            "greatest(CAST(1 AS BIGINT),"
+            " CAST(length(text)"
+            " - length(regexp_replace(text, '[.!?]', '')) AS BIGINT))"
+        ).alias("s"),
+    )
+    scored = d.where(F.col("w") > 0).selectExpr(
+        "source",
+        "4710 * c div w + 500 * w div s - 21430 AS ari_milli",
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(CASE WHEN sum(ari_milli) >= 0"
+                " THEN sum(ari_milli) div count(*)"
+                " ELSE -((-sum(ari_milli)) div count(*)) END AS BIGINT)"
+            ).alias("mean_ari_milli"),
+            F.expr(
+                "CAST(sum(CASE WHEN ari_milli > 14000 THEN 1 ELSE 0 END)"
+                " * 1000 div count(*) AS BIGINT)"
+            ).alias("hard_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "t_honore_r",
+    """
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), wf AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      FROM w WHERE word != '' GROUP BY source, word
+    ), s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS d_vocab,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM wf GROUP BY source
+    )
+    SELECT source, n_tokens, d_vocab, f1,
+           CAST(CASE WHEN f1 = d_vocab THEN 0
+                ELSE CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000)
+                          AS BIGINT) * 100000
+                     // (1000000 - f1 * 1000000 // d_vocab) END
+               AS BIGINT) AS honore_r_milli
+    FROM s ORDER BY source
+    """,
+)
+def t_honore_r(spark, sf_dir):
+    """HONORE'S R vocabulary-richness statistic per source —
+    R = 100 * ln(N) / (1 - V1/V), the hapax-weighted richness index
+    that grows when one-shot vocabulary dominates (completing the
+    richness dashboard next to t_chao1_vocab_richness's unseen-mass
+    bound and t_hapax_guiraud's plain ratios): high R = productive,
+    fresh text; low R = closed, repetitive vocabulary.
+
+    Integer form: rides the SHARED (source, word, c) frequency frame;
+    ln(N) lands on the micro-nat lattice via ONE fixed-shape double of
+    an exact count (the KM/BM25 discipline); the hapax fraction is a
+    positive floor-div to micro; one more positive floor-div lands R
+    in milli. The all-hapax pole (V1 = V, R undefined) reports the 0
+    certificate rather than a division by zero — documented boundary,
+    pinned in the law test.
+
+    Scale shape: the Chao1 shape — word-grain keyed aggregate
+    (map-side combined), source-grain rollup, per-row arithmetic."""
+    wf = _source_word_counts(spark, sf_dir)
+    s = wf.groupBy("source").agg(
+        F.count("*").cast("long").alias("d_vocab"),
+        F.sum(F.expr("CASE WHEN c = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("f1"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    return s.selectExpr(
+        "source",
+        "n_tokens",
+        "d_vocab",
+        "f1",
+        "CAST(CASE WHEN f1 = d_vocab THEN 0"
+        " ELSE CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000)"
+        " AS BIGINT) * 100000"
+        " div (1000000 - f1 * 1000000 div d_vocab) END"
+        " AS BIGINT) AS honore_r_milli",
+    ).orderBy("source")
