@@ -11197,6 +11197,13 @@ def join_levenshtein_blocked(spark, sf_dir):
         F.col("p_name").alias("name_b"),
         "blk",
     )
+    # A length pre-filter (|len diff| > 6 => dist > 6) was measured
+    # and REJECTED: same-session A/B medians at sf0.1 read 8.77 s
+    # WITH the filter vs 6.03 s without — part names are built from a
+    # fixed word vocabulary so lengths cluster tightly, the filter
+    # prunes almost nothing, and carrying the length columns through
+    # the block-keyed exchange plus the extra predicate costs more
+    # than the saved levenshtein calls (SCALE.md round-10 note).
     return (
         a.join(b, "blk")
         .where(F.col("pk_a") < F.col("pk_b"))
