@@ -7027,20 +7027,39 @@ def ev_poisson_bootstrap_ci(spark, sf_dir):
     x = ev.select(
         "event_id", F.round(F.col("value") * 1000).cast("long").alias("vm")
     )
-    ex = x.select(
+    # The oracle's 128-bit form (event_id*K1 + (b+1)*K2) % 2^31 reduces
+    # EXACTLY to 64-bit arithmetic: % is multiplicative, so
+    # (event_id*K1) % M == ((event_id % M) * (K1 % M)) % M for the
+    # nonnegative ids the fixture contract pins, and every intermediate
+    # is bounded by 2^31 * 2^29 < 2^63 at ANY data scale (the bound is
+    # on the CONSTANTS, not the data). Computing the per-event factor
+    # BEFORE the x64 explode moves the only multiply off the exploded
+    # grain; the exploded rows do one add + one mod each. Same u,
+    # bit-for-bit — measured 6.76 s -> see OPTIMIZATION_r10.md (the
+    # per-row DECIMAL(38,0) multiply on the x64 grain was the query's
+    # entire hot spot).
+    xa = x.selectExpr(
         "vm",
+        f"CAST(((event_id % {_PB_MOD}) * {_PB_MUL_ID % _PB_MOD})"
+        f" % {_PB_MOD} AS BIGINT) AS a1",
+    )
+    ex = xa.select(
+        "vm",
+        "a1",
         F.explode(F.sequence(F.lit(0), F.lit(_PB_REPS - 1))).alias("b"),
-        "event_id",
     ).selectExpr(
         "vm",
         "b",
-        f"CAST((CAST(event_id AS DECIMAL(38,0)) * {_PB_MUL_ID}"
-        f" + (b + 1) * {_PB_MUL_B}) % {_PB_MOD} AS BIGINT) AS u",
+        f"CAST((a1 + (b + 1) * {_PB_MUL_B}) % {_PB_MOD} AS BIGINT) AS u",
     )
     w = ex.selectExpr("b", "vm", f"{_PB_W_SQL} AS w")
+    # swv keeps the headroom-audited DECIMAL(38,0) accumulator
+    # (ev_poisson_bootstrap_ci__wsum) but casts AFTER the w*vm product:
+    # w <= 4 and vm is the milli-lattice value, so the product is
+    # BIGINT-exact; only the row-count-linear SUM needs 128 bits.
     rep = w.groupBy("b").agg(
         F.sum("w").cast("long").alias("sw"),
-        F.expr("sum(CAST(w AS DECIMAL(38,0)) * vm)").alias("swv"),
+        F.expr("sum(CAST(w * vm AS DECIMAL(38,0)))").alias("swv"),
     )
     means = rep.selectExpr(
         "b",
