@@ -11201,35 +11201,44 @@ def join_levenshtein_blocked(spark, sf_dir):
     JVM edit distance (whole-stage codegen), distributed
     TakeOrderedAndProject top-20."""
     (p,) = _t(spark, sf_dir, "part")
+    # COMMON-PREFIX STRIPPING (exact, general): the block key IS the
+    # first 12 chars of both names, so every joined pair shares that
+    # exact prefix (when a name is shorter than 12 the block is the
+    # whole name and equal blocks force equal 12-prefixes of both).
+    # Levenshtein is invariant under a shared prefix —
+    # lev(P+s1, P+s2) == lev(s1, s2) — so the join carries only the
+    # suffixes beyond char 12 and the per-pair DP runs on them alone.
+    # Same dist for EVERY input, bit-for-bit; on prefix-heavy corpora
+    # (the case blocking selects for) the verify cost collapses.
+    # Measured same-session A/B at sf0.1: 6.24 s -> see
+    # OPTIMIZATION_r10.md. Two REJECTED alternatives, both measured:
+    # a length pre-filter (|len diff| > 6 => dist > 6) read 8.77 s vs
+    # 6.03 s — lengths cluster too tightly to prune (SCALE.md round-10
+    # note); the banded 3-arg levenshtein(a, b, 6) read 7.58 s vs
+    # 6.24 s — its per-call overhead exceeds the band's savings at
+    # these name lengths.
     blocked = p.select(
         "p_partkey",
-        "p_name",
+        F.expr("substr(p_name, 13)").alias("sfx"),
         F.expr("substr(p_name, 1, 12)").alias("blk"),
     )
     a = blocked.select(
         F.col("p_partkey").alias("pk_a"),
-        F.col("p_name").alias("name_a"),
+        F.col("sfx").alias("sfx_a"),
         "blk",
     )
     b = blocked.select(
         F.col("p_partkey").alias("pk_b"),
-        F.col("p_name").alias("name_b"),
+        F.col("sfx").alias("sfx_b"),
         "blk",
     )
-    # A length pre-filter (|len diff| > 6 => dist > 6) was measured
-    # and REJECTED: same-session A/B medians at sf0.1 read 8.77 s
-    # WITH the filter vs 6.03 s without — part names are built from a
-    # fixed word vocabulary so lengths cluster tightly, the filter
-    # prunes almost nothing, and carrying the length columns through
-    # the block-keyed exchange plus the extra predicate costs more
-    # than the saved levenshtein calls (SCALE.md round-10 note).
     return (
         a.join(b, "blk")
         .where(F.col("pk_a") < F.col("pk_b"))
         .select(
             "pk_a",
             "pk_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+            F.levenshtein("sfx_a", "sfx_b").cast("long").alias("dist"),
         )
         .where(F.col("dist") <= 6)
         .orderBy("dist", "pk_a", "pk_b")
