@@ -866,26 +866,47 @@ def dq_outlier_iqr(spark, sf_dir):
         F.col("l_returnflag").alias("flag"),
         F.expr("CAST(l_quantity AS BIGINT)").alias("q"),
     )
-    w = Window.partitionBy("flag")
-    rk = qv.select(
+    # HISTOGRAM-GRAIN order statistics (same results, data-grain window
+    # removed): the rank-rn value in a sorted population equals the
+    # smallest value whose cumulative frequency reaches rn, so the
+    # quartiles come from the (flag, q) value histogram — ONE map-side
+    # partial-agged shuffle collapsing the scan to distinct-value grain
+    # — instead of row_number over every row shuffled into 3 flag
+    # partitions (the window sort was this query's entire cost: a
+    # 3-task sort of the full table, unboundable at scale). The fence
+    # counts aggregate histogram weights against the broadcast quartile
+    # row. Both consumers reuse the SAME cells exchange (scan+partial
+    # agg dedup via ReuseExchange). Measured 2.11 s -> see
+    # OPTIMIZATION_r10.md; oracle unchanged and EXACT.
+    cells = qv.groupBy("flag", "q").agg(F.count("*").cast("long").alias("c"))
+    wf = Window.partitionBy("flag")
+    cum = cells.select(
         "flag",
         "q",
-        F.row_number().over(w.orderBy("q")).alias("rn"),
-        F.count("*").over(w).cast("long").alias("n"),
+        "c",
+        F.sum("c")
+        .over(
+            wf.orderBy("q").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long")
+        .alias("cum"),
+        F.sum("c").over(wf).cast("long").alias("n"),
     )
-    quart = rk.groupBy("flag").agg(
+    quart = cum.groupBy("flag").agg(
         F.max("n").cast("long").alias("n"),
         F.expr(
-            "CAST(sum(CASE WHEN rn = (n + 3) div 4 THEN q ELSE 0 END)"
+            "CAST(min(CASE WHEN cum >= (n + 3) div 4 THEN q END)"
             " AS BIGINT)"
         ).alias("q1"),
         F.expr(
-            "CAST(sum(CASE WHEN rn = (3 * n + 3) div 4 THEN q ELSE 0 END)"
+            "CAST(min(CASE WHEN cum >= (3 * n + 3) div 4 THEN q END)"
             " AS BIGINT)"
         ).alias("q3"),
     )
     return (
-        qv.join(quart, "flag")
+        cells.join(F.broadcast(quart), "flag")
         .groupBy(F.col("flag").alias("l_returnflag"))
         .agg(
             F.max("n").alias("n_rows"),
@@ -894,7 +915,7 @@ def dq_outlier_iqr(spark, sf_dir):
             F.sum(
                 F.expr(
                     "CASE WHEN 2 * q < 2 * q1 - 3 * (q3 - q1)"
-                    " THEN 1 ELSE 0 END"
+                    " THEN c ELSE 0 END"
                 )
             )
             .cast("long")
@@ -902,7 +923,7 @@ def dq_outlier_iqr(spark, sf_dir):
             F.sum(
                 F.expr(
                     "CASE WHEN 2 * q > 2 * q3 + 3 * (q3 - q1)"
-                    " THEN 1 ELSE 0 END"
+                    " THEN c ELSE 0 END"
                 )
             )
             .cast("long")
