@@ -7192,12 +7192,24 @@ def ev_theil_sen_trend(spark, sf_dir):
     b = hrs.select(
         F.col("hr").alias("hr_b"), F.col("cnt").alias("cnt_b")
     )
+    # Exact BIGINT floor division via quotient/remainder decomposition:
+    # with dy = cnt_b - cnt_a, dx = hr_b - hr_a > 0, q = floor(dy/dx)
+    # and r = pmod(dy, dx) in [0, dx), the slope
+    # floor(dy*1e6/dx) == q*1e6 + (r*1e6) div dx — and every
+    # intermediate is bounded by max(|slope|, dx*1e6), i.e. by the
+    # declared BIGINT OUTPUT plus the calendar span, so this cannot
+    # overflow unless the reported slope itself would. Replaces three
+    # per-pair DECIMAL(38,0) ops on the O(hours^2) pair grain with
+    # BIGINT arithmetic; bit-identical to the oracle's HUGEINT floor
+    # division. Same-session A/B at sf0.1: 1.79 s -> see
+    # OPTIMIZATION_r10.md.
     pairs = a.join(
         F.broadcast(b), F.col("hr_b") > F.col("hr_a")
     ).selectExpr(
-        "CAST((CAST(cnt_b - cnt_a AS DECIMAL(38,0)) * 1000000"
-        " - pmod(CAST(cnt_b - cnt_a AS DECIMAL(38,0)) * 1000000,"
-        " hr_b - hr_a)) div (hr_b - hr_a) AS BIGINT) AS slope_micro"
+        "CAST(((cnt_b - cnt_a - pmod(cnt_b - cnt_a, hr_b - hr_a))"
+        " div (hr_b - hr_a)) * 1000000"
+        " + (pmod(cnt_b - cnt_a, hr_b - hr_a) * 1000000)"
+        " div (hr_b - hr_a) AS BIGINT) AS slope_micro"
     )
     sg = pairs.groupBy("slope_micro").agg(
         F.count("*").cast("long").alias("c")
