@@ -520,7 +520,6 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     # rich club: the K=4 literal threshold spine (a 4-row parallelized
     # RDD) broadcast into both theta joins — the degree/edge side
     # streams
-    "graph_rich_club": {"kinds": ("model_rdd",), "max_segments": 2},
     # burstiness: the 1-row corpus doc-count broadcast
     "t_burstiness_fano": {"kinds": ("one_row_agg",), "max_segments": 1},
     # corpus-health gate: six 1-row component rollups cross-joined

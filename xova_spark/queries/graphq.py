@@ -115,6 +115,26 @@ def _arcs_and_degrees(edges):
     return arcs, deg
 
 
+def _arcs_deg_cached(spark, sf_dir):
+    """arcs (lazy two-way union over the cached edge list) plus the
+    degree table with deg PERSISTED once per session: the deg
+    Union+Exchange+HashAggregate subtree showed up recomputed up to 3x
+    per graph query plan (broadcast filter side + both endpoint
+    annotations — plans/r10/graph_node_jaccard_capped_before.txt), and
+    a dozen graph entries rebuild it per run. deg is node-grain —
+    linear in edges — so the persist is the same trade the edge list
+    itself already makes; arcs stays lazy (a map-only union over the
+    cached frame, cheaper to recompute than to store)."""
+    edges = _edges_cached(spark, sf_dir)
+    arcs, _ = _arcs_and_degrees(edges)
+    deg = shared(
+        spark,
+        ("copurchase_deg", sf_dir),
+        lambda: _arcs_and_degrees(edges)[1],
+    )
+    return arcs, deg
+
+
 @q(
     "graph_copurchase_edges",
     f"WITH {_DUCK_EDGES} SELECT pa, pb, support FROM edges",
@@ -136,7 +156,7 @@ def graph_degree_distribution(spark, sf_dir):
     """Degree histogram of the supported graph — two keyed shuffles
     (node degree, then degree histogram), both over the pruned edge
     set."""
-    _, deg = _arcs_and_degrees(_edges_cached(spark, sf_dir))
+    _, deg = _arcs_deg_cached(spark, sf_dir)
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
 
 
@@ -232,8 +252,7 @@ def graph_pagerank(spark, sf_dir):
     # once so the three consumers and every downstream action reuse one
     # materialization instead of re-running the 1M-pair groupBy per
     # action (measured 18.5 s -> ~6 s at sf0.1).
-    edges = _edges_cached(spark, sf_dir)
-    arcs, deg = _arcs_and_degrees(edges)
+    arcs, deg = _arcs_deg_cached(spark, sf_dir)
     # arc list annotated with the sender's degree, reused by every
     # iteration's join.
     arcd = shared(
@@ -298,7 +317,7 @@ def graph_jaccard_link_scores(spark, sf_dir):
     via broadcast-sized joins. Edges with zero common neighbors drop
     out (inner wedge join) — score-absent means score-zero."""
     edges = _edges_cached(spark, sf_dir)
-    arcs, deg = _arcs_and_degrees(edges)
+    arcs, deg = _arcs_deg_cached(spark, sf_dir)
     e = edges.alias("e")
     x = arcs.alias("x")
     y = arcs.alias("y")
@@ -717,8 +736,7 @@ def graph_assortativity(spark, sf_dir):
 
     Plan: degrees (one shuffle over the pruned edge list), two keyed
     joins to annotate arc endpoints, a single moment aggregation."""
-    edges = _edges_cached(spark, sf_dir)
-    arcs, deg = _arcs_and_degrees(edges)
+    arcs, deg = _arcs_deg_cached(spark, sf_dir)
     dd = (
         arcs.join(deg.withColumnRenamed("node", "src"), "src")
         .withColumnRenamed("degree", "dx")
@@ -786,7 +804,7 @@ def graph_clustering_coefficient(spark, sf_dir):
         )
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
-    _, deg = _arcs_and_degrees(edges)
+    _, deg = _arcs_deg_cached(spark, sf_dir)
     wed = deg.agg(
         F.sum(F.expr("degree * (degree - 1) div 2"))
         .cast("long")
@@ -917,7 +935,7 @@ def _hub_relax(spark, sf_dir, weighted: bool):
             F.col("pb").alias("src"), F.col("pa").alias("dst"), cost.alias("cost")
         )
     )
-    _, deg_df = _arcs_and_degrees(edges)
+    _, deg_df = _arcs_deg_cached(spark, sf_dir)
     maxdeg_df = deg_df.agg(F.max("degree").alias("degree"))
     hubs = deg_df.join(F.broadcast(maxdeg_df), "degree", "left_semi").select(
         "node"
@@ -1103,8 +1121,7 @@ def graph_node_jaccard(spark, sf_dir):
     ``WEDGE_DEGREE_CAP``, which bounds candidate volume by
     cap * |arcs| (linear in edges), with the recall/volume law measured
     in tests/test_graphq.py."""
-    edges = _edges_cached(spark, sf_dir)
-    arcs, deg = _arcs_and_degrees(edges)
+    arcs, deg = _arcs_deg_cached(spark, sf_dir)
     a = arcs.select(F.col("src").alias("sa"), F.col("dst").alias("n"))
     b = arcs.select(F.col("src").alias("sb"), F.col("dst").alias("n"))
     wedges = (
@@ -1194,8 +1211,7 @@ def graph_node_jaccard_capped(spark, sf_dir):
     lives in tests/test_graphq.py and SCALE.md; hub pairs lose recall
     by design, tail pairs (the link-prediction targets) are untouched
     because their wedges never route through hubs."""
-    edges = _edges_cached(spark, sf_dir)
-    arcs, deg = _arcs_and_degrees(edges)
+    arcs, deg = _arcs_deg_cached(spark, sf_dir)
     light = arcs.join(
         deg.where(F.col("degree") <= WEDGE_DEGREE_CAP).select(
             F.col("node").alias("dst")
@@ -1505,20 +1521,21 @@ def graph_hits_scores(spark, sf_dir):
     edges = _shared(spark, ("hits_edges", sf_dir), _build_edges)
 
     def _norm(df, key):
-        # localCheckpoint: the normalized frame is referenced by the
-        # next half-step AND (for the last round) the top-k readout;
-        # without lineage truncation each consumer re-embeds the whole
-        # upstream chain and even the plan STRING re-expands per round
-        # (the k-truss plan-OOM lesson — persist alone does not cut
-        # the logical plan). The frame is K-row (score grain), so the
-        # eager materialization is trivial.
-        mx = df.agg(F.max("s").alias("mx"))
-        return (
-            df.crossJoin(F.broadcast(mx))
-            .select(
-                key, F.expr("CAST(s * 1000000 div mx AS BIGINT)").alias("s")
-            )
-            .localCheckpoint()
+        # localCheckpoint the UN-normalized score frame FIRST: the max
+        # aggregate and the normalized projection then both read the
+        # materialized K-row frame instead of each re-running the
+        # edge-grain join+agg (the old order — max inside the broadcast,
+        # checkpoint after the crossJoin — executed every half-step's
+        # upstream TWICE: once for the 1-row max, once for the eager
+        # checkpoint; measured 2.14 s -> 1.26 s, plans/r10). Lineage
+        # truncation is still load-bearing for the same k-truss
+        # plan-OOM reason: the next half-step and the top-k readout see
+        # a flat checkpointed base + a 1-row broadcast, never the
+        # round-chain.
+        base = df.localCheckpoint()
+        mx = base.agg(F.max("s").alias("mx"))
+        return base.crossJoin(F.broadcast(mx)).select(
+            key, F.expr("CAST(s * 1000000 div mx AS BIGINT)").alias("s")
         )
 
     h = None
@@ -1615,8 +1632,7 @@ def graph_adamic_adar(spark, sf_dir):
     Scale shape: one keyed degree join to filter light arcs, ONE keyed
     wedge self-join at bounded fanout, one keyed aggregate, and a
     distributed TakeOrderedAndProject top-20."""
-    edges = _edges_cached(spark, sf_dir)
-    arcs, deg = _arcs_and_degrees(edges)
+    arcs, deg = _arcs_deg_cached(spark, sf_dir)
     light = arcs.join(
         deg.where(
             (F.col("degree") >= 2) & (F.col("degree") <= WEDGE_DEGREE_CAP)
@@ -1694,7 +1710,7 @@ def graph_local_clustering(spark, sf_dir):
     the pruned edge set; a left join back to the degree table and a
     top-20 TakeOrderedAndProject."""
     edges = _edges_cached(spark, sf_dir)
-    arcs, deg = _arcs_and_degrees(edges)
+    arcs, deg = _arcs_deg_cached(spark, sf_dir)
     light = arcs.join(
         deg.where(F.col("degree") <= WEDGE_DEGREE_CAP).select(
             F.col("node").alias("dst")
@@ -1781,8 +1797,7 @@ def graph_degree_assortativity(spark, sf_dir):
     list, ONE 1-row moment reduction. n*sxy stays under DECIMAL(38,0)
     to ~1e12 arcs at degree ~1e6 (1e36) — documented headroom, probed
     by the lattice audit's alpha fit on the output."""
-    edges = _edges_cached(spark, sf_dir)
-    arcs, deg = _arcs_and_degrees(edges)
+    arcs, deg = _arcs_deg_cached(spark, sf_dir)
     dd = (
         arcs.join(
             F.broadcast(
@@ -1901,7 +1916,7 @@ def graph_closeness_sampled(spark, sf_dir):
             rows, "src long, n_reached long, sum_hops long,"
             " harmonic_micro long"
         )
-    arcs_df, deg = _arcs_and_degrees(edges)
+    arcs_df, deg = _arcs_deg_cached(spark, sf_dir)
     seeds = (
         deg.select(F.col("node").alias("s"))
         .orderBy("s")
@@ -1986,14 +2001,29 @@ def graph_rich_club(spark, sf_dir):
     thresholds ride one small broadcast spine) — never a pair
     enumeration; everything after is threshold grain."""
     edges = _edges_cached(spark, sf_dir)
-    _, deg = _arcs_and_degrees(edges)
-    ks = spark.createDataFrame(
-        [(k,) for k in RICH_CLUB_KS], "k int"
-    )
+    _, deg = _arcs_deg_cached(spark, sf_dir)
+    # The K=4 thresholds are compile-time constants, so the oracle's
+    # theta joins (deg x ks, ed x ks — a 4x row multiplication through
+    # a BroadcastNestedLoopJoin) collapse to ONE conditional-count pass
+    # per input: count(degree > k) over the node-grain degree table and
+    # count(dega > k AND degb > k) over the annotated edge list, then a
+    # 4-row stack. Bit-identical (each count is the same predicate the
+    # join applied; the n_k > 0 filter restores the oracle's inner-join
+    # semantics; count() handles the empty-input row), removes both
+    # BNLJs and the 4x multiplied aggregates.
     rich = (
-        deg.join(F.broadcast(ks), deg["degree"] > ks["k"])
-        .groupBy("k")
-        .agg(F.count("*").cast("long").alias("n_k"))
+        deg.agg(
+            *[
+                F.count(F.when(F.col("degree") > k, True)).alias(f"n{k}")
+                for k in RICH_CLUB_KS
+            ]
+        )
+        .selectExpr(
+            f"stack({len(RICH_CLUB_KS)}, "
+            + ", ".join(f"{k}, n{k}" for k in RICH_CLUB_KS)
+            + ") AS (k, n_k)"
+        )
+        .where("n_k > 0")
     )
     da = deg.select(
         F.col("node").alias("pa"), F.col("degree").alias("dega")
@@ -2002,13 +2032,17 @@ def graph_rich_club(spark, sf_dir):
         F.col("node").alias("pb"), F.col("degree").alias("degb")
     )
     ed = edges.join(da, "pa").join(db, "pb")
-    re_ = (
-        ed.join(
-            F.broadcast(ks),
-            (ed["dega"] > ks["k"]) & (ed["degb"] > ks["k"]),
-        )
-        .groupBy("k")
-        .agg(F.count("*").cast("long").alias("e_k"))
+    re_ = ed.agg(
+        *[
+            F.count(
+                F.when((F.col("dega") > k) & (F.col("degb") > k), True)
+            ).alias(f"e{k}")
+            for k in RICH_CLUB_KS
+        ]
+    ).selectExpr(
+        f"stack({len(RICH_CLUB_KS)}, "
+        + ", ".join(f"{k}, e{k}" for k in RICH_CLUB_KS)
+        + ") AS (k, e_k)"
     )
     return (
         rich.join(re_, "k", "left")
@@ -2079,8 +2113,7 @@ def graph_link_prediction_scores(spark, sf_dir):
     Scale shape: one keyed degree join, ONE keyed wedge self-join at
     bounded fanout, one keyed aggregate, two keyed degree joins on
     the 20-row frame, distributed TakeOrderedAndProject."""
-    edges = _edges_cached(spark, sf_dir)
-    arcs, deg = _arcs_and_degrees(edges)
+    arcs, deg = _arcs_deg_cached(spark, sf_dir)
     light = arcs.join(
         deg.where(
             (F.col("degree") >= 2) & (F.col("degree") <= WEDGE_DEGREE_CAP)
@@ -2173,8 +2206,7 @@ def graph_katz_centrality(spark, sf_dir):
     the convergence loop — then a distributed TakeOrderedAndProject.
     Law (test-pinned): on a star graph the center's truncated Katz is
     1 + k/10 + k/100 + ... computed exactly on the lattice."""
-    edges = _edges_cached(spark, sf_dir)
-    arcs, deg = _arcs_and_degrees(edges)
+    arcs, deg = _arcs_deg_cached(spark, sf_dir)
     x = deg.select(
         "node",
         (
