@@ -98,9 +98,17 @@ def er_blocked_candidates(spark, sf_dir):
     needs the standard MDM pre-pass (group identical (name, segment)
     records first, fuzzy-match the representatives; dedup_exact is
     that pass on the document side)."""
+    # COMMON-PREFIX STRIPPING (the join_levenshtein_blocked lever):
+    # every candidate pair shares its exact BLOCK_PREFIX_LEN-char name
+    # prefix (the join key IS that prefix; a shorter name makes the
+    # block the whole name, and equal blocks then force equal
+    # prefixes), and Levenshtein is invariant under a shared prefix —
+    # lev(P+s1, P+s2) == lev(s1, s2) — so the join carries only the
+    # suffix beyond the block and the per-pair DP runs on ~2 chars
+    # instead of ~18. Same name_dist for every input, bit-for-bit.
     c = load_tables(spark, sf_dir, ("customer",))["customer"].select(
         "c_custkey",
-        "c_name",
+        F.expr(f"substr(c_name, {BLOCK_PREFIX_LEN + 1})").alias("sfx"),
         "c_nationkey",
         "c_mktsegment",
         F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
@@ -108,7 +116,7 @@ def er_blocked_candidates(spark, sf_dir):
     )
     a = c.alias("a")
     b = c.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    dist = F.levenshtein(F.col("a.sfx"), F.col("b.sfx"))
     return (
         a.join(
             b,
@@ -382,6 +390,8 @@ def grouped_candidate_pairs(cust):
     Takes the raw customer frame so the duplicate-heavy law test
     (tests/test_erq.py) can feed a synthetic k-copies blow-up through
     the PRODUCTION logic, not a replica."""
+    # Same common-prefix strip as er_blocked_candidates: joined pairs
+    # share the bkey prefix exactly, so the DP runs on the suffixes.
     g = (
         cust.groupBy("c_name", "c_mktsegment")
         .agg(
@@ -389,9 +399,11 @@ def grouped_candidate_pairs(cust):
             F.count("*").alias("n_records"),
         )
         .withColumn("bkey", F.substring("c_name", 1, BLOCK_PREFIX_LEN))
+        .withColumn("sfx", F.expr(f"substr(c_name, {BLOCK_PREFIX_LEN + 1})"))
+        .drop("c_name")
     )
     a, b = g.alias("a"), g.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    dist = F.levenshtein(F.col("a.sfx"), F.col("b.sfx"))
     return (
         a.join(
             b,

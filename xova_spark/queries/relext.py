@@ -2799,18 +2799,23 @@ def agg_weighted_median(spark, sf_dir):
     wp = li.groupBy(
         "l_returnflag", F.col("l_extendedprice").alias("price")
     ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
-    tot = wp.groupBy("l_returnflag").agg(
-        F.sum("w").cast("long").alias("total_w")
-    )
+    # total_w rides the SAME flag-partitioned window pass as the
+    # cumulative sum (whole-partition frame, no ordering needed) —
+    # the former broadcast-join form recomputed the whole wp subtree
+    # (second lineitem scan + two exchanges) just to attach a 3-row
+    # total. One exchange now feeds both window frames.
     cw = (
         Window.partitionBy("l_returnflag")
         .orderBy("price")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = wp.join(F.broadcast(tot), "l_returnflag").select(
+    wt = Window.partitionBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = wp.select(
         "l_returnflag",
         "price",
-        "total_w",
+        F.sum("w").over(wt).cast("long").alias("total_w"),
         F.sum("w").over(cw).cast("long").alias("cw"),
     )
     return (

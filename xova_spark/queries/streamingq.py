@@ -1258,12 +1258,16 @@ def stream_er_ingest(spark, sf_dir):
     from xova_spark.queries.erq import BLOCK_PREFIX_LEN, MAX_NAME_DIST
     from xova_spark.queries.relational import load_tables
 
+    # Common-prefix strip (the er_blocked_candidates lever): matched
+    # pairs share the bkey prefix exactly, so only the name suffixes
+    # cross the join and the per-pair DP runs on them alone —
+    # lev(P+s1, P+s2) == lev(s1, s2), same name_dist bit-for-bit.
     master = (
         load_tables(spark, sf_dir, ("customer",))["customer"]
         .filter(F.col("c_custkey") % 4 != 0)
         .select(
             F.col("c_custkey").alias("master_key"),
-            F.col("c_name").alias("m_name"),
+            F.expr(f"substr(c_name, {BLOCK_PREFIX_LEN + 1})").alias("m_sfx"),
             F.col("c_nationkey").alias("m_nation"),
             F.col("c_mktsegment").alias("m_seg"),
             F.substring("c_name", 1, BLOCK_PREFIX_LEN).alias("bkey"),
@@ -1274,13 +1278,13 @@ def stream_er_ingest(spark, sf_dir):
         .filter(F.col("c_custkey") % 4 == 0)
         .select(
             F.col("c_custkey").alias("new_key"),
-            F.col("c_name").alias("n_name"),
+            F.expr(f"substr(c_name, {BLOCK_PREFIX_LEN + 1})").alias("n_sfx"),
             F.col("c_nationkey").alias("n_nation"),
             F.col("c_mktsegment").alias("m_seg"),
             F.substring("c_name", 1, BLOCK_PREFIX_LEN).alias("bkey"),
         )
     )
-    dist = F.levenshtein(F.col("n_name"), F.col("m_name"))
+    dist = F.levenshtein(F.col("n_sfx"), F.col("m_sfx"))
     matches = (
         arriving.join(master, ["bkey", "m_seg"])
         .where(dist <= MAX_NAME_DIST)
