@@ -110,28 +110,57 @@ def dedup_exact(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """3-word-shingle Jaccard near-dup pairs (threshold 0.5). Quadratic in
-    colliding shingles — the exact verifier; LSH below is the scale path."""
-    (docs,) = _docs(spark, sf_dir)
-    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", F.expr(SPARK_SHINGLES).alias("shingles")
-    )
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    a, b = ex.alias("a"), ex.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    colliding shingles — the exact verifier; LSH below is the scale path.
+
+    Spark-side form: the inverted-index self-join runs on the COMPACT
+    60-bit shingle hashes (the _shingle_hash_arrays frame the LSH path
+    already shares — 8-byte join keys instead of ~50-char strings), it
+    produces DISTINCT candidate pairs only, and the per-pair common
+    count is the per-row array_intersect on the hash arrays — NOT the
+    pair x shingle groupBy (the exact rewrite that fixed the 10x bench
+    artifact's 18.4x scaler in _lsh_pair_stats). Equal to the oracle's
+    string-set count unless two different shingles in one compared pair
+    share a 60-bit md5 prefix (~2e-15 per pair — the frame's documented
+    exactness contract). Jaccard >= 0.5 pairs share >= 1 shingle, so
+    candidate recall is complete. SHARED per (session, sf_dir): the
+    recall gate consumes this frame twice on top of the entry itself."""
+
+    def build():
+        arr = _shingle_hash_arrays(spark, sf_dir)
+        ex = arr.select("doc_id", F.explode("hs").alias("h"))
+        a, b = ex.alias("a"), ex.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
         )
-        .agg(F.count("*").alias("c"))
-    )
-    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
-        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+        aa = arr.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("hs").alias("ha"),
+            F.col("nsh").alias("na"),
+        )
+        ab = arr.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("hs").alias("hb"),
+            F.col("nsh").alias("nb"),
+        )
+        c = F.size(F.array_intersect("ha", "hb"))
+        jac = c * 1.0 / (F.col("na") + F.col("nb") - c)
+        return (
+            cand.join(aa, "doc_a")
+            .join(ab, "doc_b")
+            .filter(jac >= 0.5)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        )
+
+    return shared(spark, ("dedup_ngram_jac", sf_dir), build)
 
 
 def _minhash_sql_exprs(hcol: str) -> list[str]:
@@ -224,17 +253,25 @@ def _minhash_sig(spark, sf_dir):
     consumers reuse one materialization."""
 
     def build():
-        hashed = (
-            _shingle_hash_arrays(spark, sf_dir)
-            .select("doc_id", F.explode("hs").alias("h60"))
-            .select("doc_id", (F.col("h60") % F.lit(P31)).alias("h"))
-        )
-        return hashed.groupBy("doc_id").agg(
+        # Map-only form (guide §2.4): the per-doc min over permuted
+        # shingle hashes is an array_min(transform(...)) on the shared
+        # compact hash ARRAYS — the former explode + groupBy(doc_id)
+        # shuffled docs x shingles rows just to take 16 mins that are
+        # computable per row. Bit-identical: same (a*h + b) % P31
+        # permutations over the same h = h60 % P31 values (a, b, h all
+        # < P31 so a*h + b < 2^62 — no BIGINT overflow), and
+        # nsh == size(hs) == the exploded count. The oracle keeps its
+        # exploded GROUP BY form — values match exactly.
+        return _shingle_hash_arrays(spark, sf_dir).select(
+            "doc_id",
             *[
-                F.expr(e).alias(f"m{i}")
-                for i, e in enumerate(_minhash_sql_exprs("h"))
+                F.expr(
+                    f"array_min(transform(hs,"
+                    f" x -> ({a} * (x % {P31}) + {b}) % {P31}))"
+                ).alias(f"m{i}")
+                for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
             ],
-            F.count("*").alias("nsh"),
+            F.col("nsh").cast("long").alias("nsh"),
         )
 
     return shared(spark, ("dedup_minhash_sig", sf_dir), build)
@@ -251,7 +288,21 @@ def _lsh_pair_stats(spark, sf_dir, band_specs: list[tuple[int, ...]]):
     (doc_a, doc_b, nc, nsha, nshb) — nc = |A∩B|, nsh* = |A|,|B|;
     stats only carries pairs with nc >= 1 (the band-tuning report,
     which also needs the zero-overlap candidates, builds its own
-    single-pass tagged-band chain)."""
+    single-pass tagged-band chain).
+
+    SHARED per (session, sf_dir, banding): five 4x4 consumers and two
+    16x1 consumers each re-ran the band self-join + array-intersect
+    verify from scratch (the er_*/graph sharing lesson, VERDICT r9
+    item 5); the persisted frame is candidate-pair grain — bounded by
+    the banding design, never the corpus."""
+    return shared(
+        spark,
+        ("dedup_pair_stats", sf_dir, tuple(band_specs)),
+        lambda: _build_lsh_pair_stats(spark, sf_dir, band_specs),
+    )
+
+
+def _build_lsh_pair_stats(spark, sf_dir, band_specs: list[tuple[int, ...]]):
     sig = _minhash_sig(spark, sf_dir)
     # One (band, bkey) row per signature per band via a single explode —
     # NOT a 16-way union of per-band selects: the union form scans the
@@ -538,8 +589,18 @@ def dedup_cc_clusters(spark, sf_dir):
     rounds). Both paths are deterministic and oracle-EXACT; tests pin
     them against each other."""
     (docs,) = _docs(spark, sf_dir)
-    pairs = _lsh_verified_pairs(spark, sf_dir, BANDS_16x1).select("doc_a", "doc_b")
-    return cc_components(spark, pairs, id_col="doc_id")
+
+    # Shared per (session, sf_dir): the cluster assignment is consumed
+    # by dedup_keep_best and dedup_cluster_size_profile too — each used
+    # to redo verified-pair generation + the union-find collect (the
+    # er_asg sharing pattern, VERDICT r9 item 5).
+    def build():
+        pairs = _lsh_verified_pairs(spark, sf_dir, BANDS_16x1).select(
+            "doc_a", "doc_b"
+        )
+        return cc_components(spark, pairs, id_col="doc_id")
+
+    return shared(spark, ("dedup_cc_asg", sf_dir), build)
 
 
 def cc_components(spark, pairs, id_col="doc_id"):
