@@ -878,30 +878,44 @@ def layout_sort_advisor(spark, sf_dir):
             "ship_day"
         ),
     )
-    layouts = (
-        base.select(
-            F.lit("natural").alias("layout"),
-            F.expr(f"l_orderkey div {_ZM_ROWGROUP_ORDERS}").alias("rg"),
-            "ship_day",
-        )
-        .unionAll(
-            base.select(
-                F.lit("ship_week").alias("layout"),
-                F.expr("ship_day div 7").alias("rg"),
-                "ship_day",
+    # ONE scan feeding all three candidate layouts via an inline
+    # explode (the union form re-planned the lineitem scan per branch),
+    # and the zone table — row-group grain, thousands of rows —
+    # localCheckpointed: every downstream consumer (events, n_groups)
+    # otherwise re-embedded the whole scan+union subtree, and the
+    # 3-row metric frame below is consumed three times more (argmin,
+    # tie-break, final readout) — the before-plan held 54 parquet
+    # scans for one table; now 1.
+    layouts = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("natural").alias("layout"),
+                    F.expr(f"l_orderkey div {_ZM_ROWGROUP_ORDERS}").alias(
+                        "rg"
+                    ),
+                ),
+                F.struct(
+                    F.lit("ship_week").alias("layout"),
+                    F.expr("ship_day div 7").alias("rg"),
+                ),
+                F.struct(
+                    F.lit("part_bucket").alias("layout"),
+                    F.expr(f"l_partkey div {_ADVISOR_PART_BUCKET}").alias(
+                        "rg"
+                    ),
+                ),
             )
+        ).alias("lr"),
+        "ship_day",
+    ).select(F.col("lr.layout").alias("layout"), F.col("lr.rg").alias("rg"), "ship_day")
+    zones = (
+        layouts.groupBy("layout", "rg")
+        .agg(
+            F.min("ship_day").alias("day_min"),
+            F.max("ship_day").alias("day_max"),
         )
-        .unionAll(
-            base.select(
-                F.lit("part_bucket").alias("layout"),
-                F.expr(f"l_partkey div {_ADVISOR_PART_BUCKET}").alias("rg"),
-                "ship_day",
-            )
-        )
-    )
-    zones = layouts.groupBy("layout", "rg").agg(
-        F.min("ship_day").alias("day_min"),
-        F.max("ship_day").alias("day_max"),
+        .localCheckpoint()
     )
     events = (
         zones.select(
@@ -948,6 +962,9 @@ def layout_sort_advisor(spark, sf_dir):
             ).alias("avg_depth_permille"),
         )
         .join(F.broadcast(ng), "layout")
+        # 3-row frame, read three times below (argmin, tie-break,
+        # readout) — materialize once.
+        .localCheckpoint()
     )
     best = m.agg(F.min("avg_depth_permille").alias("best_depth"))
     bestname = (

@@ -6508,9 +6508,14 @@ def ev_kruskal_wallis(spark, sf_dir):
         "event_type",
         F.round(F.col("value") * 1000).cast("long").alias("vm"),
     )
+    # cell is (event_type, vm) grain — bounded by the milli value
+    # lattice x 5 types at any row count — and is consumed by BOTH the
+    # bin chain (probe + cumsum + ties) and the per-group rank sums;
+    # without the cut the events scan + first aggregate ran 4x per
+    # query (cumsum gate probe, cum window, ties, grp).
     cell = v.groupBy("event_type", "vm").agg(
         F.count("*").cast("long").alias("c")
-    )
+    ).localCheckpoint()
     bins = cell.groupBy("vm").agg(F.sum("c").cast("long").alias("ct"))
     cum = global_cumsum(bins, [F.col("vm").asc()], "ct", "ct_incl").select(
         "vm", "ct", (F.col("ct_incl") - F.col("ct")).alias("cb")
@@ -6524,6 +6529,8 @@ def ev_kruskal_wallis(spark, sf_dir):
                 "sum(CAST(c AS DECIMAL(38,0)) * (2 * cb + ct + 1))"
             ).alias("r2g"),
         )
+        # 5-row frame consumed by tot AND dev — materialize once.
+        .localCheckpoint()
     )
     tot = grp.agg(
         F.sum("ng").cast("long").alias("n"),
@@ -6641,6 +6648,10 @@ def ev_levene_brown_forsythe(spark, sf_dir):
         )
         .groupBy("event_type", "vm")
         .agg(F.count("*").cast("long").alias("c"))
+        # (event_type, vm) grain — value-lattice-bounded; consumed by
+        # both the cumulative-crossing chain and the value re-join, so
+        # cut the scan+aggregate from running twice per query.
+        .localCheckpoint()
     )
     w_cum = (
         Window.partitionBy("event_type")
@@ -7534,6 +7545,10 @@ def ev_winsorized_mean(spark, sf_dir):
         )
         .groupBy("event_type", "vm")
         .agg(F.count("*").cast("long").alias("c"))
+        # (event_type, vm) grain — value-lattice-bounded; consumed by
+        # both the cumulative-crossing chain and the value re-join, so
+        # cut the scan+aggregate from running twice per query.
+        .localCheckpoint()
     )
     w_cum = (
         Window.partitionBy("event_type")

@@ -590,6 +590,49 @@ _IVF_K = 8       # coarse-quantizer size (cells)
 _IVF_NPROBE = 2  # cells searched per query
 
 
+def _ivf_cells_shared(spark, sf_dir):
+    """The seed-centroid IVF assignment frame — (vec_id, label,
+    embedding, nrm, cent_id, rn) for every (vector, centroid) pair,
+    rn ranking centroids by cosine per vector — SHARED per (session,
+    sf_dir): ann_ivf_topk, ann_hard_negative_mining_ivf and
+    ann_nprobe_tuning_report each rebuilt the identical corpus x K
+    cross join + per-vector rank window (the costliest subtree in each
+    plan, built 2x per entry for the assigned + probes branches).
+    Corpus x K grain — the same linear-in-corpus trade the shared
+    cosine-pair frame already makes."""
+    from xova_spark.sharedframes import shared
+
+    def build():
+        (emb,) = _emb(spark, sf_dir)
+        normed = emb.select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+        )
+        cent = normed.filter(F.col("vec_id") < _IVF_K).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cemb"),
+            F.col("nrm").alias("cnrm"),
+        )
+        cent_cos = _spark_dot("embedding", "cemb") / (
+            F.col("nrm") * F.col("cnrm")
+        )
+        wc = Window.partitionBy("vec_id").orderBy(
+            F.desc("cent_cos"), "cent_id"
+        )
+        return (
+            normed.crossJoin(F.broadcast(cent))
+            .withColumn("cent_cos", cent_cos)
+            .withColumn("rn", F.row_number().over(wc))
+            .select(
+                "vec_id", "label", "embedding", "nrm", "cent_id", "rn"
+            )
+        )
+
+    return shared(spark, ("ivf_cells", sf_dir), build)
+
+
 @q(
     "ann_ivf_topk",
     f"""
@@ -642,23 +685,7 @@ def ann_ivf_topk(spark, sf_dir):
     ~NPROBE/K of the corpus. At billions of vectors the assignment pass
     is a broadcast of K centroids over one scan, and the cell id is the
     natural storage-partitioning key (partition pruning per probe)."""
-    (emb,) = _emb(spark, sf_dir)
-    normed = emb.select(
-        "vec_id", "embedding",
-        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
-    )
-    cent = normed.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cemb"),
-        F.col("nrm").alias("cnrm"),
-    )
-    cent_cos = _spark_dot("embedding", "cemb") / (F.col("nrm") * F.col("cnrm"))
-    wc = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), "cent_id")
-    ranked_cells = (
-        normed.crossJoin(F.broadcast(cent))
-        .withColumn("cent_cos", cent_cos)
-        .withColumn("rn", F.row_number().over(wc))
-    )
+    ranked_cells = _ivf_cells_shared(spark, sf_dir)
     assigned = ranked_cells.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("ce"),
@@ -2077,25 +2104,7 @@ def ann_hard_negative_mining_ivf(spark, sf_dir):
     (the assignment pass), one shuffle keyed on the cell, per-query
     top-5 windows. No full-corpus broadcast anywhere — the plan test
     pins the scored join as a keyed join."""
-    (emb,) = _emb(spark, sf_dir)
-    normed = emb.select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
-    )
-    cent = normed.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cemb"),
-        F.col("nrm").alias("cnrm"),
-    )
-    cent_cos = _spark_dot("embedding", "cemb") / (F.col("nrm") * F.col("cnrm"))
-    wc = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), "cent_id")
-    cells = (
-        normed.crossJoin(F.broadcast(cent))
-        .withColumn("cent_cos", cent_cos)
-        .withColumn("rn", F.row_number().over(wc))
-    )
+    cells = _ivf_cells_shared(spark, sf_dir)
     assigned = cells.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("cid"),
         F.col("label").alias("neg_label"),
@@ -2223,18 +2232,7 @@ def ann_nprobe_tuning_report(spark, sf_dir):
         "embedding",
         F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
     )
-    cent = normed.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cemb"),
-        F.col("nrm").alias("cnrm"),
-    )
-    cent_cos = _spark_dot("embedding", "cemb") / (F.col("nrm") * F.col("cnrm"))
-    wc = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), "cent_id")
-    cells = (
-        normed.crossJoin(F.broadcast(cent))
-        .withColumn("cent_cos", cent_cos)
-        .withColumn("rn", F.row_number().over(wc))
-    )
+    cells = _ivf_cells_shared(spark, sf_dir)
     assigned = cells.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("ce"),
