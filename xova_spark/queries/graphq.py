@@ -1284,8 +1284,17 @@ def basket_triples_support(spark, sf_dir):
     standard frequent-item pre-filter composes in front of the
     collect_set to shrink baskets before expansion."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    pp = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    # The C(n,3) expansion is CPU-bound on byte-small basket rows, so
+    # AQE's byte-based coalescing strands it on a handful of tasks
+    # (observed: 4 tasks on 32 cores). Re-spread the baskets to the
+    # session's core count — scale-adaptive (defaultParallelism), not a
+    # tuned constant; the extra exchange moves only order-grain arrays.
+    pp = (
+        li.repartition(
+            spark.sparkContext.defaultParallelism, "l_orderkey"
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
     triples = pp.select(
         F.explode(
@@ -1297,14 +1306,20 @@ def basket_triples_support(spark, sf_dir):
             )
         ).alias("t")
     ).select("t.pa", "t.pb", "t.pc")
+    # Group on the native INT part keys and widen to the declared
+    # BIGINT columns only after the aggregate — the (pa, pb, pc)
+    # shuffle carries 12 bytes of key instead of 24 (guide §2.3
+    # narrower types); the post-agg cast is value-identical.
     return (
-        triples.groupBy(
+        triples.groupBy("pa", "pb", "pc")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+        .select(
             F.col("pa").cast("long").alias("pa"),
             F.col("pb").cast("long").alias("pb"),
             F.col("pc").cast("long").alias("pc"),
+            "support",
         )
-        .agg(F.count("*").cast("long").alias("support"))
-        .filter(F.col("support") >= MIN_SUPPORT)
     )
 
 
@@ -1538,6 +1553,13 @@ def graph_hits_scores(spark, sf_dir):
             key, F.expr("CAST(s * 1000000 div mx AS BIGINT)").alias("s")
         )
 
+    # NOTE (r10, measured): hinting the node-grain score side into the
+    # join (size-gated planned_broadcast) was tried and REJECTED —
+    # 2.91 s vs 1.92 s. The static plan broadcasts the cached edge
+    # side, which looks backwards but is reused across all four
+    # half-steps (ReuseExchange), and the join OUTPUT is edge-grain
+    # either way; the hint replaced one reused broadcast with four
+    # fresh score broadcasts plus per-step planning jobs.
     h = None
     a = None
     for r in range(1, HITS_ROUNDS + 1):

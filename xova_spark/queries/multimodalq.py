@@ -795,43 +795,47 @@ def mm_audio_fingerprint_matches(spark, sf_dir):
     from pyspark.sql import Window
 
     media = _media(spark, sf_dir)
-    frames = MM.frame_sample(media, _FRAME, 1)
-    # band energies: one row per (doc, frame, band) — JVM-side from the
-    # frame bytes (no extra Python pass beyond the shared frame split)
+    # band energies: one ARRAY of {_AB_BANDS} energies per frame,
+    # computed STRAIGHT from the payload bytes — with every_n=1 the
+    # frame split is fixed-offset byte slices, so the Python
+    # frame_sample stage (ArrowEvalPython over every payload) is pure
+    # overhead here; substr(payload, k*F + j*W + i, 1) is byte-for-byte
+    # the old substr(frame, j*W + i, 1). Array form instead of a
+    # band-grain explode: the old shape shuffled (doc, frame, band)-
+    # grain rows through a per-(doc, band) lag window and re-aggregated
+    # them back to frame grain — two exchanges over 4x the rows; the
+    # delta-sign code now folds element-wise against lag(array) on the
+    # SAME doc-partitioned window the shingle leads use, so one
+    # exchange carries the whole frame chain.
     band_width = _FRAME // _AB_BANDS
-    b = frames.select(
+    b = media.filter(F.expr(f"length(payload) >= {_FRAME}")).select(
         "doc_id",
-        F.col("frame_id").alias("k"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    F.expr(
-                        f"aggregate(transform(sequence({j * band_width + 1},"
-                        f" {(j + 1) * band_width}),"
-                        " i -> cast(ascii(substr(frame, i, 1)) as bigint)),"
-                        " 0L, (acc, v) -> acc + v * v)"
-                    ).alias("energy"),
-                )
-                for j in range(_AB_BANDS)
-            ])
-        ).alias("be"),
-    ).select("doc_id", "k", "be.j", "be.energy")
-    w = Window.partitionBy("doc_id", "j").orderBy("k")
-    delta = b.withColumn("prev", F.lag("energy").over(w)).filter(
-        F.col("prev").isNotNull()
-    )
-    code = (
-        delta.groupBy("doc_id", "k")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("energy") > F.col("prev"), F.expr("shiftleft(1, j)")
-                ).otherwise(0)
-            ).cast("int").alias("c")
-        )
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(length(payload) div {_FRAME}"
+                f" as int) - 1), k -> "
+                f"transform(sequence(0, {_AB_BANDS - 1}), j -> "
+                f"aggregate(transform(sequence(1, {band_width}),"
+                f" i -> cast(ascii(substr(payload,"
+                f" k * {_FRAME} + j * {band_width} + i, 1)) as bigint)),"
+                " 0L, (acc, v) -> acc + v * v)))"
+            )
+        ).alias("k", "es"),
     )
     wc = Window.partitionBy("doc_id").orderBy("k")
+    code = (
+        b.withColumn("prev", F.lag("es").over(wc))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "doc_id",
+            "k",
+            F.expr(
+                f"cast(aggregate(sequence(0, {_AB_BANDS - 1}), 0,"
+                " (acc, j) -> acc +"
+                " IF(es[j] > prev[j], shiftleft(1, j), 0)) AS int)"
+            ).alias("c"),
+        )
+    )
     sh = (
         code.withColumn("c1", F.lead("c", 1).over(wc))
         .withColumn("c2", F.lead("c", 2).over(wc))
@@ -841,6 +845,11 @@ def mm_audio_fingerprint_matches(spark, sf_dir):
             (F.col("c") * 256 + F.col("c1") * 16 + F.col("c2")).alias("shingle"),
         )
         .distinct()
+        # doc x distinct-shingle grain (bounded by frames per clip);
+        # consumed three times below (stop-landmark census + both
+        # inverted-index sides) — each re-run repeats the Python decode
+        # stage. Materialize once.
+        .localCheckpoint()
     )
     # STOP-LANDMARK removal: a shingle appearing in many clips would
     # fan out quadratically inside its bucket (the classic inverted-

@@ -8435,12 +8435,12 @@ def ev_fleiss_kappa(spark, sf_dir):
     construction (law-tested). Scale shape: one partitioned-window
     rater pick, one (item, cat) keyed aggregate, one 1-row rollup."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    eligible = li.groupBy("l_orderkey").agg(F.count("*").alias("nl")).filter(
-        F.col("nl") >= 4
-    )
+    # Eligibility (>= 4 lines per order) rides the SAME order-keyed
+    # window exchange as the rater pick — count(*) over the unordered
+    # partition frame — instead of a separate groupBy + semi-join
+    # (2 lineitem scans + an extra exchange for the same row set).
     raters = (
-        li.join(eligible.select("l_orderkey"), "l_orderkey")
-        .select(
+        li.select(
             F.col("l_orderkey").alias("item"),
             F.expr(
                 "least((CAST(l_quantity AS BIGINT) - 1) div 17, 2)"
@@ -8456,8 +8456,12 @@ def ev_fleiss_kappa(spark, sf_dir):
                 )
             )
             .alias("rn"),
+            F.count("*")
+            .over(Window.partitionBy("l_orderkey"))
+            .alias("nl"),
         )
-        .filter(F.col("rn") <= 4)
+        .filter((F.col("nl") >= 4) & (F.col("rn") <= 4))
+        .drop("nl", "rn")
     )
     cells = raters.groupBy("item", "cat").agg(
         F.count("*").cast("long").alias("nij")

@@ -2921,14 +2921,24 @@ def t_bm25_topk(spark, sf_dir):
     row_number window runs on the BOUNDED 20-row frame only."""
     (docs,) = _docs(spark, sf_dir)
     ws = F.split("text", " ")
-    dld = docs.select("doc_id", F.size(ws).alias("dl"))
-    stats = dld.agg(
+    # ONE corpus scan + split: the old shape re-ran split(text) over
+    # the whole corpus three times (the stats pass, and the tf subtree
+    # embedded under BOTH df and contrib). The doc-grain base (dl +
+    # query-term hits only — the in-row filter keeps the array tiny)
+    # is materialized once and feeds all three consumers.
+    terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    base = docs.select(
+        "doc_id",
+        F.size(ws).alias("dl"),
+        F.expr(f"filter(split(text, ' '), t -> t IN ({terms_sql}))").alias(
+            "qt"
+        ),
+    ).localCheckpoint()
+    stats = base.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
     )
-    tok = docs.select(
-        "doc_id", F.size(ws).alias("dl"), F.explode(ws).alias("term")
-    ).where(F.col("term").isin(*BM25_QUERY_TERMS))
+    tok = base.select("doc_id", "dl", F.explode("qt").alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(
         F.min("dl").alias("dl"), F.count("*").cast("long").alias("tf")
     )
