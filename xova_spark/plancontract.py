@@ -229,11 +229,10 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "kind": "dim_agg",
         "marker": r"HashAggregate\(keys=\[(event_type|hr)#\d+",
     },
-    # BY: same contingency-grain ranking windows as BH/Holm
-    "ev_benjamini_yekutieli": {
-        "kind": "dim_agg",
-        "marker": r"HashAggregate\(keys=\[(event_type|hr)#\d+",
-    },
+    # BY (r10): its triple-consumed ranked frame is localCheckpointed,
+    # so the ranking windows run inside the eager checkpoint build and
+    # the final plan no longer exposes unpartitioned windows — dropped
+    # from the frozen list (same note as ev_kruskal_wallis above).
     # the composed eval gate inherits its components' bounded windows:
     # the KS distinct-value-bin cumsum and the FDR contingency ranking
     "pipeline_eval_gate_e2e": {

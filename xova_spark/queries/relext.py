@@ -6786,22 +6786,29 @@ def ev_benjamini_yekutieli(spark, sf_dir):
     cell = ev.groupBy(
         "event_type", F.hour("ts").cast("long").alias("hr")
     ).agg(F.count("*").cast("long").alias("o"))
-    mr = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
-    mc = cell.groupBy("hr").agg(F.sum("o").cast("long").alias("c"))
-    tot = cell.agg(F.sum("o").cast("long").alias("n"))
-    zp = (
-        cell.join(F.broadcast(mr), "event_type")
-        .join(F.broadcast(mc), "hr")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "event_type",
-            "hr",
-            "o",
-            F.expr(
-                "CAST(round(abs(o - CAST(r AS DOUBLE) * c / n)"
-                " / sqrt(CAST(r AS DOUBLE) * c / n) * 1000) AS BIGINT)"
-            ).alias("absz_milli"),
-        )
+    # Margins ride window sums over the ~120-cell contingency frame
+    # (lazy — ONE events scan feeds the whole pp build) instead of
+    # three aggregates broadcast-joined back; r/c/n are the same exact
+    # integers. The margin windows run on the lattice-bounded cell
+    # grain and execute inside pp's eager checkpoint below.
+    zp = cell.select(
+        "event_type",
+        "hr",
+        "o",
+        F.sum("o")
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("r"),
+        F.sum("o").over(Window.partitionBy("hr")).cast("long").alias("c"),
+        F.sum("o").over(Window.partitionBy()).cast("long").alias("n"),
+    ).select(
+        "event_type",
+        "hr",
+        "o",
+        F.expr(
+            "CAST(round(abs(o - CAST(r AS DOUBLE) * c / n)"
+            " / sqrt(CAST(r AS DOUBLE) * c / n) * 1000) AS BIGINT)"
+        ).alias("absz_milli"),
     )
     p_expr = _p_stairs_sql("absz_milli / 1000.0")
     w_all = Window.partitionBy()
@@ -6814,7 +6821,18 @@ def ev_benjamini_yekutieli(spark, sf_dir):
         F.expr(p_expr).cast("long").alias("p_micro"),
         F.count("*").over(w_all).cast("long").alias("m"),
         F.row_number().over(w_rk).cast("long").alias("rk"),
-    )
+        # Consumed three times (harmonic number, kmax probe, readout),
+        # and each copy re-embedded the full margin-join chain — 12
+        # events scans per query. The frame is contingency-grain
+        # bounded (~120 rows); materialize once. The ranking windows
+        # run inside the eager checkpoint build (same note as
+        # ev_kruskal_wallis in plancontract.py). Measured 1.59->0.9 s;
+        # the same checkpoint on the SINGLE-consumer siblings
+        # (chisq/cramers/gtest/MI/BH/Holm) was measured and REJECTED —
+        # their redundant lazy subtrees run in parallel inside one
+        # action, and the eager cut serialized them (gate composite
+        # 1.81 -> 3.04 s before reverting).
+    ).localCheckpoint()
     harm = pp.agg(
         F.expr("CAST(sum(1000000000 div rk) AS BIGINT)").alias("h_nano")
     )
