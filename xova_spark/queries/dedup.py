@@ -277,29 +277,35 @@ def _minhash_sig(spark, sf_dir):
     return shared(spark, ("dedup_minhash_sig", sf_dir), build)
 
 
-def _lsh_pair_stats(spark, sf_dir, band_specs: list[tuple[int, ...]]):
+def _lsh_pair_stats(
+    spark, sf_dir, band_specs: list[tuple[int, ...]], with_zero: bool = False
+):
     """Shared MinHash+LSH candidate generation with exact shingle-set
     statistics — the scale path for every near-dup consumer.
 
     ``band_specs`` is a list of tuples of minhash indices; docs whose
     signatures agree on ALL indices of any one band become a candidate
     pair. The only big shuffle keys on (band, bucket); verification
-    touches candidate pairs only. Returns UNFILTERED candidate stats
-    (doc_a, doc_b, nc, nsha, nshb) — nc = |A∩B|, nsh* = |A|,|B|;
-    stats only carries pairs with nc >= 1 (the band-tuning report,
-    which also needs the zero-overlap candidates, builds its own
-    single-pass tagged-band chain).
+    touches candidate pairs only. Returns candidate stats
+    (doc_a, doc_b, nc, nsha, nshb) — nc = |A∩B|, nsh* = |A|,|B|.
+    The STORED shared frame is unfiltered (zero-overlap candidates
+    included) so the band-tuning report, which counts raw candidate
+    volume, reads the same materialization; every other consumer gets
+    the historical nc >= 1 view via a lazy map-only filter
+    (``with_zero=False``, the default) — identical rows to the old
+    per-consumer chains.
 
     SHARED per (session, sf_dir, banding): five 4x4 consumers and two
     16x1 consumers each re-ran the band self-join + array-intersect
     verify from scratch (the er_*/graph sharing lesson, VERDICT r9
     item 5); the persisted frame is candidate-pair grain — bounded by
     the banding design, never the corpus."""
-    return shared(
+    stats = shared(
         spark,
         ("dedup_pair_stats", sf_dir, tuple(band_specs)),
         lambda: _build_lsh_pair_stats(spark, sf_dir, band_specs),
     )
+    return stats if with_zero else stats.filter(F.col("nc") >= 1)
 
 
 def _build_lsh_pair_stats(spark, sf_dir, band_specs: list[tuple[int, ...]]):
@@ -363,7 +369,6 @@ def _build_lsh_pair_stats(spark, sf_dir, band_specs: list[tuple[int, ...]]):
             "nsha",
             "nshb",
         )
-        .filter(F.col("nc") >= 1)
     )
 
 
@@ -935,99 +940,41 @@ def dedup_band_tuning_report(spark, sf_dir):
     (recall rises with 16×1, precision and candidate volume pay for
     it); both configs share one shingle/signature computation.
 
-    Plan (one pass for ALL configs): every config's band keys come out
-    of a single tagged explode of one shared signature table, so the
-    candidate self-join keys on (config, band, bucket) in ONE shuffle;
-    the union of candidate pairs across configs is verified ONCE (the
-    4x4 candidates are mostly a subset of 16x1 — verifying per config
-    would redo the expensive overlap work on the shared pairs) by the
-    per-row array-intersect shape; each config then equi-joins its
-    candidates to the shared stats (zero-overlap candidates carry
-    nc = 0 — no collected scalars, no re-run of the LSH chain)."""
-    configs = (("bands_4x4", BANDS_4x4), ("bands_16x1", BANDS_16x1))
-    sig = _minhash_sig(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(tag).alias("cfg"),
-                        F.lit(k).alias("band"),
-                        F.concat_ws(",", *[f"m{i}" for i in idxs]).alias("bkey"),
-                    )
-                    for tag, specs in configs
-                    for k, idxs in enumerate(specs)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.cfg", "bb.band", "bb.bkey")
-    def _build_cand():
-        a, b = bands.alias("a"), bands.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.cfg") == F.col("b.cfg"))
-                & (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bkey") == F.col("b.bkey"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.cfg").alias("cfg"),
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
-        )
-
-    # Session-shared (not a bare .cache()): the candidate table is the
-    # entry's multi-consumer midpoint, and shared() both dedupes repeat
-    # invocations in one session and lets the gate driver reclaim it.
-    cand_cfg = shared(spark, ("band_tuning_cand", sf_dir), _build_cand)
-    pairs = cand_cfg.select("doc_a", "doc_b").distinct()
-    # Same array-intersect verification shape as _lsh_pair_stats (the
-    # 10x artifact's flagged scaler was this chain's exploded join);
-    # zero-overlap candidates get nc = 0 directly — no left join needed.
-    arr = _shingle_hash_arrays(spark, sf_dir)
-    aa = arr.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("hs").alias("ha"),
-        F.col("nsh").alias("nsha"),
-    )
-    ab = arr.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("hs").alias("hb"),
-        F.col("nsh").alias("nshb"),
-    )
-    stats = (
-        pairs.join(aa, "doc_a")
-        .join(ab, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("ha", "hb")).alias("nc"),
-            "nsha",
-            "nshb",
-        )
-    )
+    Plan (r10): both configs read the SAME two shared per-banding
+    candidate-stat frames the rest of the pack consumes
+    (``_lsh_pair_stats`` with ``with_zero=True`` — the stored frame
+    keeps zero-overlap candidates precisely so this report counts raw
+    candidate volume); the report is then two candidate-grain
+    aggregates + a 2-row union. The former private tagged-explode
+    chain re-ran the 20-band self-join + verification from scratch
+    every run even though 7 sibling entries had already materialized
+    the identical per-banding stats."""
     jac_ok = (
         F.col("nc") * 1.0 / (F.col("nsha") + F.col("nshb") - F.col("nc")) >= 0.5
     )
-    return (
-        cand_cfg.join(stats, ["doc_a", "doc_b"])
-        .groupBy(F.col("cfg").alias("config"))
-        .agg(
-            F.count("*").cast("long").alias("n_candidates"),
-            F.sum(F.when(jac_ok, 1).otherwise(0)).cast("long").alias("n_verified"),
+
+    def _cfg_report(tag, specs):
+        return (
+            _lsh_pair_stats(spark, sf_dir, specs, with_zero=True)
+            .groupBy(F.lit(tag).alias("config"))
+            .agg(
+                F.count("*").cast("long").alias("n_candidates"),
+                F.sum(F.when(jac_ok, 1).otherwise(0))
+                .cast("long")
+                .alias("n_verified"),
+            )
+            .select(
+                "config",
+                "n_candidates",
+                "n_verified",
+                F.expr("n_verified * 1000 div greatest(n_candidates, 1)")
+                .cast("long")
+                .alias("precision_permille"),
+            )
         )
-        .select(
-            "config",
-            "n_candidates",
-            "n_verified",
-            F.expr("n_verified * 1000 div greatest(n_candidates, 1)")
-            .cast("long")
-            .alias("precision_permille"),
-        )
+
+    return _cfg_report("bands_4x4", BANDS_4x4).unionByName(
+        _cfg_report("bands_16x1", BANDS_16x1)
     )
 
 
