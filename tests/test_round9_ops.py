@@ -143,8 +143,12 @@ def test_hard_negative_ivf_plan_is_keyed_cell_join(spark):
         plan,
     ), "mining join is not keyed on the cell id"
     # every BNLJ segment must carry the centroid key bound
+    # (r10: ceiling 2 -> 4, matching plancontract.BNLJ_SURVIVORS — the
+    # shared persisted `_ivf_cells_shared` frame's stored plan
+    # re-exposes the K=8-row centroid BNLJ under each of the entry's
+    # two InMemoryTableScans; still zero corpus-sized broadcasts.)
     n_bnlj = plan.count("BroadcastNestedLoopJoin")
-    assert n_bnlj <= 2, f"unexpected BNLJ growth: {n_bnlj}"
+    assert n_bnlj <= 4, f"unexpected BNLJ growth: {n_bnlj}"
     if n_bnlj:
         assert re.search(
             r"(PushedFilters: \[[^\]\n]*LessThan\(vec_id"
