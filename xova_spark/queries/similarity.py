@@ -810,73 +810,46 @@ def ann_ivfkm_topk(spark, sf_dir):
     update rounds (k·dim sums shuffle — tiny); search is ONE shuffle
     keyed on the cell id. At billions of vectors the trained cells are
     also the storage partitioning key (see the index/search CLI)."""
-    from xova_spark.queries.pipelineq import _DIM
+    # Training + the post-training cell ranking are memoized/shared
+    # (pipelineq._ivfkm_train / _ivfkm_cellrank_shared): this entry,
+    # its recall gate and ann_ivfkm_pq_topk each re-ran the identical
+    # Lloyd chain (3 collect jobs) at every query construction, and
+    # the trained dyadic centroids are exact in either plan. The raw
+    # embeddings + norms the scorer needs join back on vec_id.
+    from xova_spark.queries.pipelineq import _ivfkm_cellrank_shared
 
     (emb,) = _emb(spark, sf_dir)
-    quant = emb.select(
+    normed = emb.select(
         "vec_id",
         "embedding",
-        F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") * 1024) / 1024
-        ).alias("emb"),
         F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
-    ).cache()
-
-    cents = {
-        r["vec_id"]: list(r["emb"])
-        for r in quant.filter(F.col("vec_id") < _IVFKM_K).collect()
-    }
-
-    def ranked_cells(cent_map):
-        rows = [
-            (int(cid), [float(v) for v in cv])
-            for cid, cv in sorted(cent_map.items())
-        ]
-        cdf = spark.createDataFrame(rows, "cid int, cv array<double>")
-        d = F.aggregate(
-            F.zip_with("emb", "cv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        w = Window.partitionBy("vec_id").orderBy("d", "cid")
-        return (
-            quant.crossJoin(F.broadcast(cdf))
-            .select("vec_id", "embedding", "nrm", "cid", d.alias("d"))
-            .withColumn("rn", F.row_number().over(w))
-        )
-
-    for _ in range(_IVFKM_ITERS):
-        a = ranked_cells(cents).filter(F.col("rn") == 1)
-        upd = (
-            a.join(quant.select("vec_id", "emb"), "vec_id")
-            .select("cid", F.posexplode("emb").alias("dim", "x"))
-            .groupBy("cid", "dim")
-            .agg((F.sum("x") / F.count("*")).alias("v"))
-            .collect()
-        )
-        new_cents: dict[int, list[float]] = {}
-        for row in upd:
-            new_cents.setdefault(row["cid"], [0.0] * _DIM)[row["dim"]] = row["v"]
-        cents = new_cents
-
-    final = ranked_cells(cents)
-    assigned = final.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("cid_v"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"),
-        F.col("cid").alias("cell"),
     )
-    probes = final.filter(
-        (F.col("vec_id") < _IVFKM_NQ) & (F.col("rn") <= _IVFKM_NPROBE)
-    ).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-        F.col("cid").alias("pcell"),
+    cr = _ivfkm_cellrank_shared(spark, sf_dir)
+    assigned = (
+        cr.filter(F.col("rn") == 1)
+        .join(normed, "vec_id")
+        .select(
+            F.col("vec_id").alias("cid_v"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cn"),
+            F.col("cid").alias("cell"),
+        )
+    )
+    probes = (
+        cr.filter(
+            (F.col("vec_id") < _IVFKM_NQ) & (F.col("rn") <= _IVFKM_NPROBE)
+        )
+        .join(normed, "vec_id")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+            F.col("cid").alias("pcell"),
+        )
     )
     cos = _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
-    out = (
+    return (
         probes.join(assigned, F.col("cell") == F.col("pcell"))
         .filter(F.col("cid_v") != F.col("qid"))
         .withColumn("cos", cos)
@@ -885,8 +858,6 @@ def ann_ivfkm_topk(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("qid", "cid", F.round("cos", 6).alias("cos"), "rank")
     )
-    quant.unpersist()
-    return out
 
 
 @q(
