@@ -56,6 +56,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # File-split sizing is max(openCostInBytes, bytes/parallelism)
+        # capped by maxPartitionBytes; the 4 MB default left the 56 MB
+        # bench-scale visibility table at 14 splits on 32 cores (the
+        # scan + map-side partial aggregate is the whole hot stage of
+        # timechannel_avg/bda_avg). 1 MB is scale-adaptive by the
+        # formula itself: at 8 cores bytes/parallelism (7 MB) already
+        # dominates (split count unchanged), and at cluster scale
+        # maxPartitionBytes governs — the open cost only prices
+        # per-file open overhead, which is page-cache cheap here.
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
