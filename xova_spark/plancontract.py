@@ -207,13 +207,10 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "kind": "limit",
         "marker": r"TakeOrderedAndProject\(limit=\d+",
     },
-    # PSI: decile-fence crossing over first-half value bins, through
-    # the size-gated primitive (ev_ks_test class)
-    "ev_psi_drift": {
-        "kind": "size_gate",
-        "marker": r"HashAggregate\(keys=\[vm#\d+",
-        "source": r"global_cumsum",
-    },
+    # PSI (r10): the fence cumsum now runs inside the eager
+    # localCheckpoint of the (half, vm) lattice chain, so the final
+    # plan no longer exposes an unpartitioned window — dropped from
+    # the frozen list (same note as ev_kruskal_wallis below).
     # Kruskal-Wallis midranks use the same size-gated global_cumsum
     # prefix as ev_mann_whitney_u, but since r10 the window runs during
     # the eager localCheckpoint of the 5-row `grp` frame, so the final

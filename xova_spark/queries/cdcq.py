@@ -372,45 +372,35 @@ def cdc_join_view_maintenance(spark, sf_dir):
     o_old = orders.where(
         F.col("o_orderdate") < F.lit(_OLD_CUT).cast("timestamp")
     ).select("o_orderkey", "o_custkey", cents.alias("price_cents"))
-    o_new = (
-        orders.where(
-            (F.col("o_orderdate") < F.lit(_NEW_CUT).cast("timestamp"))
-            & (F.col("o_orderkey") % 97 != 3)
-        ).select(
-            "o_orderkey",
-            F.when(
-                F.col("o_orderkey") % _OWNER_MOVE_MOD == 0,
-                F.col("o_custkey") + 1,
-            )
-            .otherwise(F.col("o_custkey"))
-            .alias("o_custkey"),
-            (
-                cents
-                + F.when(F.col("o_orderkey") % 10 == 0, 500).otherwise(0)
-            ).alias("price_cents"),
-        )
-    )
+    # (the o_new/c_new snapshot frames are no longer materialized
+    # separately — the delta builds below fold both sides' predicates
+    # into single scans; the oracle SQL keeps its snapshot CTEs)
     c_old = cust.select("c_custkey", F.col("c_mktsegment").alias("seg"))
-    c_new = cust.where(
-        F.col("c_custkey") % _CUST_DEL_MOD != _CUST_DEL_RES
-    ).select(
-        "c_custkey",
-        F.when(F.col("c_custkey") % _CUST_MOVE_MOD == 0, F.lit("MOVED"))
-        .otherwise(F.col("c_mktsegment"))
-        .alias("seg"),
-    )
 
     # Signed order delta: -old row and/or +new row per changed key.
-    ok = F.col("o_orderkey")
-    oo = o_old.select(
-        ok.alias("k"), F.col("o_custkey").alias("ck"),
-        F.col("price_cents").alias("p_old"),
+    # o_orderkey is unique, and o_old/o_new are per-row predicates over
+    # the SAME orders table — the old FULL OUTER self-join (two scans,
+    # two sort exchanges) is therefore a single map-only scan: each row
+    # carries its old-side columns when the old predicate holds and its
+    # new-side columns when the new predicate holds, rows failing both
+    # are dropped. Row-for-row identical to the join output.
+    old_pred = F.col("o_orderdate") < F.lit(_OLD_CUT).cast("timestamp")
+    new_pred = (
+        F.col("o_orderdate") < F.lit(_NEW_CUT).cast("timestamp")
+    ) & (F.col("o_orderkey") % 97 != 3)
+    new_ck = F.when(
+        F.col("o_orderkey") % _OWNER_MOVE_MOD == 0, F.col("o_custkey") + 1
+    ).otherwise(F.col("o_custkey"))
+    new_price = cents + F.when(
+        F.col("o_orderkey") % 10 == 0, 500
+    ).otherwise(0)
+    oj = orders.where(old_pred | new_pred).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(old_pred, F.col("o_custkey")).alias("ck"),
+        F.when(old_pred, cents).alias("p_old"),
+        F.when(new_pred, new_ck).alias("ck_new"),
+        F.when(new_pred, new_price).alias("p_new"),
     )
-    on = o_new.select(
-        ok.alias("k"), F.col("o_custkey").alias("ck_new"),
-        F.col("price_cents").alias("p_new"),
-    )
-    oj = oo.join(on, "k", "full_outer")
     # A row is CHANGED when it appears/disappears, its price moved, or
     # its CUSTKEY moved (ADVICE r6: a custkey change with equal price
     # was silently dropped, and both signed rows were attributed to one
@@ -453,9 +443,21 @@ def cdc_join_view_maintenance(spark, sf_dir):
     )
 
     # Signed customer delta: -old segment and/or +new segment per key.
-    co = c_old.select(F.col("c_custkey").alias("k"), F.col("seg").alias("seg_old"))
-    cn = c_new.select(F.col("c_custkey").alias("k2"), F.col("seg").alias("seg_new"))
-    cj = co.join(cn, co.k == cn.k2, "full_outer")
+    # Same single-scan collapse as oj: c_custkey is unique and c_new is
+    # a predicate view of the same customer table (a strict subset of
+    # c_old's keys, so the old FULL OUTER could never produce a
+    # null-k row — the coalesce/isNotNull consumers below are kept
+    # verbatim).
+    keep_pred = F.col("c_custkey") % _CUST_DEL_MOD != _CUST_DEL_RES
+    moved_seg = F.when(
+        F.col("c_custkey") % _CUST_MOVE_MOD == 0, F.lit("MOVED")
+    ).otherwise(F.col("c_mktsegment"))
+    cj = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg_old"),
+        F.when(keep_pred, F.col("c_custkey")).alias("k2"),
+        F.when(keep_pred, moved_seg).alias("seg_new"),
+    )
     d_c = cj.where(
         F.col("k2").isNull() | (F.col("seg_old") != F.col("seg_new"))
     ).select(

@@ -7999,10 +7999,24 @@ def ev_psi_drift(spark, sf_dir):
         "CASE WHEN unix_micros(ts) < mid THEN 0 ELSE 1 END AS half",
         "CAST(round(value * 1000) AS BIGINT) AS vm",
     )
-    g1 = v.filter("half = 0").groupBy("vm").agg(
-        F.count("*").cast("long").alias("c")
+    # ONE (half, vm) lattice aggregate feeds both the fence fit and the
+    # final binning (the #12 lattice-chain discipline): the old plan
+    # re-scanned the data grain a third time to bin rows one by one,
+    # but binning distributes over the lattice counts. Checkpointed at
+    # the lattice grain (<= 2 x value range rows); the fence chain is
+    # sequentially downstream, so nothing parallel is serialized.
+    lat = (
+        v.groupBy("half", "vm")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
     )
-    c1 = global_cumsum(g1, [F.col("vm").asc()], "c", "cum")
+    g1 = lat.filter("half = 0").select("vm", "c")
+    # Checkpointed after the cumsum: c1 feeds both the totals rollup
+    # and the fence aggregate, and the size-gated window now executes
+    # inside the eager build at the lattice grain — the final plan no
+    # longer exposes an unpartitioned window (the ev_kruskal_wallis
+    # plancontract precedent).
+    c1 = global_cumsum(g1, [F.col("vm").asc()], "c", "cum").localCheckpoint()
     n1tot = c1.agg(F.sum("c").cast("long").alias("n"))
     # All nine decile fences in ONE aggregate over the bin frame (a
     # k-spine variant planned 13 BNLJ segments; this is one 1-row agg).
@@ -8019,14 +8033,14 @@ def ev_psi_drift(spark, sf_dir):
     bin_expr = " + ".join(
         f"(CASE WHEN vm >= f{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
     )
-    binned = v.crossJoin(F.broadcast(fence)).selectExpr(
-        "half", f"{bin_expr} AS bin"
+    binned = lat.crossJoin(F.broadcast(fence)).selectExpr(
+        "half", "c", f"{bin_expr} AS bin"
     )
     cells = binned.groupBy("bin").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0))
         .cast("long")
         .alias("ca"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0))
         .cast("long")
         .alias("cb"),
     )
