@@ -133,16 +133,18 @@ import contextlib
 
 
 @contextlib.contextmanager
-def stream_state_partitions(spark: SparkSession, n: int = 8):
+def stream_state_partitions(spark: SparkSession, n: int = 4):
     """Scope ``spark.sql.shuffle.partitions`` around a streaming query
     start. A stateful streaming op fixes its state-store count to the
     shuffle-partition setting AT START — each state partition costs a
     store commit (and, for applyInPandasWithState, a Python worker) per
     micro-batch, so the right number tracks the STREAM's key volume,
     not the batch-scan parallelism. The fixture-scale streams here are
-    one small file; 8 partitions cuts the converged-run wall 3-4x. At
-    production volume, size it to keys/executors before first start —
-    the checkpoint pins it for the query's lifetime."""
+    one small file; r9 measured the 8 -> 4 cut at 16-19% on the two
+    heaviest chained-join entries (2 and 1 were worse — SCALE.md), and
+    r10 extended the measured default to the whole pack (same key
+    volumes). At production volume, size it to keys/executors before
+    first start — the checkpoint pins it for the query's lifetime."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
