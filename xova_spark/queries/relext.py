@@ -9456,6 +9456,11 @@ def ev_mood_median_test(spark, sf_dir):
         "event_type",
         F.round(F.col("value") * 1000).cast("long").alias("vm"),
     )
+    # NOTE (r10): a checkpointed (event_type, vm) lattice feeding both
+    # the median fit and the classification (the ev_psi_drift shape)
+    # was measured and REJECTED here — 10-15% slower in both
+    # interleaved A/B rounds; the eager lattice cut costs more than
+    # the one saved scan at this entry's two-consumer shape.
     bins = v.groupBy("vm").agg(F.count("*").cast("long").alias("ct"))
     cum = global_cumsum(bins, [F.col("vm").asc()], "ct", "cum")
     tot = cum.agg(F.max("cum").cast("long").alias("n"))
