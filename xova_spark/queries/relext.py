@@ -11167,6 +11167,11 @@ def ev_seasonal_mann_kendall(spark, sf_dir):
     plain MK broadcast), three season-grain aggregates, 1-row
     arithmetic."""
     (ev,) = _t(spark, sf_dir, "events")
+    # NOTE (r10): checkpointing this 4-consumer frame was measured and
+    # REJECTED (0.85 -> 1.04 s in both interleaved A/B rounds): the
+    # four lazy subtrees run in PARALLEL inside the one action, and
+    # the eager cut serializes them — the pipeline_eval_gate_e2e
+    # lesson (#17), not the er_asg one.
     cells = ev.select(
         F.hour("ts").cast("long").alias("hod"),
         F.expr("unix_micros(ts) div 86400000000").alias("d"),
