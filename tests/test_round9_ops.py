@@ -143,18 +143,26 @@ def test_hard_negative_ivf_plan_is_keyed_cell_join(spark):
         plan,
     ), "mining join is not keyed on the cell id"
     # every BNLJ segment must carry the centroid key bound
-    # (r10: ceiling 2 -> 4, matching plancontract.BNLJ_SURVIVORS — the
-    # shared persisted `_ivf_cells_shared` frame's stored plan
-    # re-exposes the K=8-row centroid BNLJ under each of the entry's
-    # two InMemoryTableScans; still zero corpus-sized broadcasts.)
-    n_bnlj = plan.count("BroadcastNestedLoopJoin")
-    assert n_bnlj <= 4, f"unexpected BNLJ growth: {n_bnlj}"
-    if n_bnlj:
-        assert re.search(
-            r"(PushedFilters: \[[^\]\n]*LessThan\(vec_id"
-            r"|Filter [^\n]*vec_id#\d+L? < 8)",
-            plan,
-        ), "BNLJ present without the K-centroid key bound"
+    # (r11: ceiling restored 4 -> 2, matching
+    # plancontract.BNLJ_SURVIVORS — the contract parser now counts each
+    # distinct persisted stored plan once (split_stored_plans), so the
+    # `_ivf_cells_shared` InMemoryTableScan re-exposures no longer
+    # inflate the count; ADVICE r10 #3 additionally asks that every
+    # counted segment itself carry the vec_id bound, not just the plan
+    # somewhere.)
+    from xova_spark.plancontract import bnlj_build_segments
+
+    segs = bnlj_build_segments(plan)
+    assert len(segs) <= 2, f"unexpected BNLJ growth: {len(segs)}"
+    key_bound = re.compile(
+        r"(PushedFilters: \[[^\]\n]*LessThan\(vec_id"
+        r"|Filter [^\n]*vec_id#\d+L? < 8"
+        r"|InMemoryTableScan [^\n]*vec_id)"
+    )
+    for i, seg in enumerate(segs):
+        assert key_bound.search(seg), (
+            f"BNLJ segment #{i} without the K-centroid key bound: {seg}"
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -221,6 +221,31 @@ WINDOW_SURVIVORS: dict[str, dict[str, str]] = {
         "kind": "dim_agg",
         "marker": r"HashAggregate\(keys=\[(event_type|hr)#\d+",
     },
+    # r11: the whole contingency family now rides
+    # _etype_hr_cells_margined — margins as window sums over the
+    # ~120-cell grain (the BY r10 surgery family-wide); the grand-total
+    # margin is an unpartitioned window whose input is the bounded
+    # cell aggregate.
+    "ev_chisq_independence": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[(event_type|hr)#\d+",
+    },
+    "dq_mutual_information": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[(event_type|hr)#\d+",
+    },
+    "ev_cramers_v": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[(event_type|hr)#\d+",
+    },
+    "ev_gtest_independence": {
+        "kind": "dim_agg",
+        "marker": r"HashAggregate\(keys=\[(event_type|hr)#\d+",
+    },
+    # (ev_benjamini_yekutieli stays unlisted: its margin windows run
+    # inside pp's eager localCheckpoint, so the final plan exposes no
+    # unpartitioned window — the accuracy test pins list membership to
+    # observed plans.)
     # Holm step-down: same contingency-grain ranking windows as BH
     "ev_holm_bonferroni": {
         "kind": "dim_agg",
@@ -361,10 +386,106 @@ def _art_pos(line: str) -> int:
     return min(positions) if positions else -1
 
 
+def split_stored_plans(plan: str) -> tuple[str, list[str]]:
+    """Split a plan dump into its LIVE text and the DISTINCT stored
+    build plans of ``InMemoryRelation`` nodes.
+
+    A persisted shared frame's stored plan executes AT MOST ONCE per
+    session (when the cache is first materialized); every
+    ``InMemoryTableScan`` consumer merely re-prints it. Counting those
+    re-prints per query ratcheted the BNLJ ceilings up across rounds
+    (2→4, 4→7 in r10 — VERDICT r10 "what's wrong" #5 / next-round #9).
+    This splitter lets the contract count each distinct stored subtree
+    ONCE (deduplicated structurally, expression IDs normalized away)
+    while still checking what's inside it, and count live segments at
+    their true per-execution multiplicity. The ``InMemoryRelation``
+    line itself stays in the live text (markers like
+    ``pinned_artifact``/``key_filter`` match above the cache
+    boundary)."""
+    lines = plan.splitlines()
+    live: list[str] = []
+    stored: list[str] = []
+    seen: set[str] = set()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if "InMemoryRelation" not in line:
+            live.append(line)
+            i += 1
+            continue
+        live.append(line)
+        base = _art_pos(line)
+        seg: list[str] = []
+        j = i + 1
+        while j < len(lines):
+            pos = _art_pos(lines[j])
+            if 0 <= pos <= base:
+                break
+            seg.append(lines[j])
+            j += 1
+        # Normalize per-print artifacts — leading tree-art indentation
+        # (the same stored plan prints at whatever depth its consumer
+        # sits), expression IDs, plan IDs, cached-RDD numbers — so
+        # re-prints of the SAME stored plan under different consumers
+        # dedupe; structural differences (operators, columns, literals)
+        # still distinguish.
+        key = re.sub(
+            r"#\d+|plan_id=\d+|CachedRDD\[\d+\]|rdd \d+",
+            "#",
+            "\n".join(re.sub(r"^[\s:]*(\+- |:- )?", "", s) for s in seg),
+        )
+        if seg and key not in seen:
+            seen.add(key)
+            stored.append("\n".join(seg))
+        i = j
+    return "\n".join(live), stored
+
+
+def _drop_initial_plans(plan: str) -> str:
+    """Remove ``== Initial Plan ==`` sections from AQE-finalized
+    AdaptiveSparkPlan dumps: the initial plan is the SAME query pre-AQE
+    (printed for reference, never executed separately), so counting its
+    operators doubles every segment once a plan finalizes — which made
+    contract counts depend on session warm-up order."""
+    lines = plan.splitlines()
+    out: list[str] = []
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if "== Initial Plan ==" in line:
+            base = _art_pos(line)
+            i += 1
+            while i < len(lines):
+                pos = _art_pos(lines[i])
+                if 0 <= pos <= base:
+                    break
+                i += 1
+            continue
+        out.append(line)
+        i += 1
+    return "\n".join(out)
+
+
+def _segments_once_per_stored(plan: str, collect) -> list[str]:
+    """Run a segment collector over the live plan plus each DISTINCT
+    stored build plan exactly once (recursing into caches-of-caches).
+    AQE initial-plan echoes are dropped first (they never execute)."""
+    live, stored = split_stored_plans(_drop_initial_plans(plan))
+    out = collect(live)
+    for sub in stored:
+        out.extend(_segments_once_per_stored(sub, collect))
+    return out
+
+
 def unpartitioned_window_segments(plan: str) -> list[str]:
     """For each unpartitioned Window line, the plan text below it — its
     input subtree in the linearized tree (lines until tree-art depth
-    returns to the window's level)."""
+    returns to the window's level).
+
+    Deliberately NOT routed through split_stored_plans: the window
+    contract has no per-entry ceiling (re-printed stored-plan windows
+    just repeat the same marker check, harmlessly), and a bound marker
+    may legitimately live INSIDE a cached subtree below the window."""
     lines = plan.splitlines()
     out: list[str] = []
     for i, line in enumerate(lines):
@@ -443,15 +564,13 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     "ann_hard_negative_mining": {"kinds": ("emb_corpus",), "max_segments": 1},
     "ann_label_knn_accuracy": {"kinds": ("emb_corpus",), "max_segments": 1},
     "ann_hybrid_rrf_topk": {"kinds": ("one_row_agg", "pushed_key",), "max_segments": 3},
-    # r10: the K-centroid assignment subtree is the shared persisted
-    # `_ivf_cells_shared` frame; its stored plan re-exposes the one
-    # K=8-row broadcast BNLJ under each of the entry's two
-    # InMemoryTableScans (assigned + probes) on top of the two live
-    # segments AQE may leave — same re-exposure pattern ann_mmr_rerank
-    # documents. Still zero corpus-sized broadcasts.
+    # r11: the contract parser now counts each distinct persisted
+    # stored plan ONCE (split_stored_plans), so the r10 ceiling raise
+    # for `_ivf_cells_shared` InMemoryTableScan re-exposure is undone —
+    # restored to the pre-r10 live-plan ceiling (VERDICT r10 #9).
     "ann_ivf_topk": {
         "kinds": ("pushed_key", "key_filter"),
-        "max_segments": 4,
+        "max_segments": 2,
     },
     # balance audit: the same K-centroid broadcast (vec_id < K pushed
     # into the scan) as ann_ivf_topk's assignment pass
@@ -460,12 +579,11 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     # K=8 centroid broadcast of the assignment pass (vec_id < 8 pushed
     # into the scan, or post-scan when the frame is pinned); the
     # mining join itself is keyed on the cell id.
-    # (r10: ceiling 2 → 4 — the shared `_ivf_cells_shared` frame's
-    # stored plan re-exposes the K-centroid BNLJ under each
-    # InMemoryTableScan; see ann_ivf_topk note.)
+    # (r11: ceiling restored 4 → 2 — stored plans now counted once by
+    # the parser; see ann_ivf_topk note.)
     "ann_hard_negative_mining_ivf": {
         "kinds": ("pushed_key", "key_filter"),
-        "max_segments": 4,
+        "max_segments": 2,
     },
     # pushed_key OR key_filter: the same vec_id bound appears as a
     # parquet PushedFilter when the dyadic embedding frame is cold, or
@@ -494,17 +612,25 @@ BNLJ_SURVIVORS: dict[str, dict] = {
     # r9 tuning report: the K-centroid assignment BNLJ (pushed/filtered
     # vec_id bound), the declared brute-force exact-top-5 referee
     # (emb_corpus), and 1-row n_exact broadcast
-    # (r10: ceiling 4 → 7 — the shared `_ivf_cells_shared` frame's
-    # stored plan re-exposes the K-centroid BNLJ under each of this
-    # entry's InMemoryTableScans; see ann_ivf_topk note.)
+    # (r11: ceiling restored 7 → 4 — stored plans now counted once by
+    # the parser, and the report's rank-annotated single-frame rewrite
+    # dropped the duplicate scored subtree; observed 2 live+stored.)
     "ann_nprobe_tuning_report": {
         "kinds": ("pushed_key", "key_filter", "emb_corpus", "one_row_agg"),
-        "max_segments": 7,
+        "max_segments": 4,
     },
     "ann_pq_rerank_topk": {"kinds": ("model_rdd",), "max_segments": 1},
     "ann_pq_topk": {"kinds": ("model_rdd",), "max_segments": 1},
     "ann_quantized_recall_at5": {"kinds": ("emb_corpus",), "max_segments": 2},
-    "ann_rank_agreement": {"kinds": ("one_row_agg", "pushed_key",), "max_segments": 16},
+    # r11: the merged lex/sem frame is shared with ann_hybrid_rrf_topk
+    # (pinned_artifact build side for the pair self-join); observed 5
+    # segments — 2 live (pairs rollup + the b broadcast over the cache)
+    # + 3 inside the one distinct stored build plan (two bm25 stats
+    # rollups, the vec_id=0 query-vector broadcast).
+    "ann_rank_agreement": {
+        "kinds": ("one_row_agg", "pushed_key", "pinned_artifact"),
+        "max_segments": 5,
+    },
     "ann_recall_at5": {"kinds": ("emb_corpus",), "max_segments": 1},
     "ann_truncated_recall_at5": {"kinds": ("emb_corpus",), "max_segments": 2},
     # r10: sign-bit recall gate — the exact referee + the declared
@@ -729,6 +855,14 @@ BNLJ_SURVIVORS: dict[str, dict] = {
 
 
 def bnlj_build_segments(plan: str) -> list[str]:
+    """BNLJ build segments that can EXECUTE: live plan segments at full
+    multiplicity, plus each DISTINCT persisted stored plan's segments
+    counted once (a cache materializes once per session no matter how
+    many InMemoryTableScan consumers re-print its lineage)."""
+    return _segments_once_per_stored(plan, _bnlj_build_segments_raw)
+
+
+def _bnlj_build_segments_raw(plan: str) -> list[str]:
     """For each BroadcastNestedLoopJoin line, the text of its broadcast
     build segment: the BroadcastExchange subtree inside the BNLJ's own
     subtree (line inclusive). A ReusedExchange build side has no

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from xova_spark.queries.dedup import DUCK_SHINGLES, SPARK_SHINGLES
 from xova_spark.session import load_tables
-from xova_spark.sharedframes import pin, shared
+from xova_spark.sharedframes import pin, register_cache, shared
 
 
 def _doc_shingle_arrays(spark, sf_dir):
@@ -1769,12 +1769,12 @@ def emb_pq_encode(spark, sf_dir):
 # rebuilding a B-tree per lookup. Memoized per (session, corpus) exactly
 # like load_tables; the persisted-index path is the `xova-spark index`
 # CLI, which writes codes + codebooks to parquet.
-_PQ_FIT_CACHE: dict[tuple[int, str], tuple] = {}
+_PQ_FIT_CACHE: dict[tuple[int, str], tuple] = register_cache({})
 
 # ann_ivfadc_topk's driver-side prep (residual LUTs + probe list) —
 # deterministic per (session, sf_dir), memoized with the same keying
 # discipline as _PQ_FIT_CACHE.
-_IVFADC_PREP_CACHE: dict[tuple, tuple] = {}
+_IVFADC_PREP_CACHE: dict[tuple, tuple] = register_cache({})
 
 
 def _pq_fit(spark, sf_dir):
@@ -2080,7 +2080,7 @@ def ann_pq_rerank_topk(spark, sf_dir):
 # the bit-identical frame — yet each query CONSTRUCTION re-ran the
 # collect job. Keyed per (session, sf_dir); the collected doubles come
 # from the same in-engine fold either way.
-_LUT_WIDE_CACHE: dict[tuple, object] = {}
+_LUT_WIDE_CACHE: dict[tuple, object] = register_cache({})
 
 
 def _global_lut_wide(spark, sf_dir):
@@ -3354,7 +3354,7 @@ _IVFKMPQ_CITERS = 2  # Lloyd updates for the coarse quantizer
 
 # Trained coarse-quantizer centroids — train-once/search-many per
 # (session, sf_dir), the _PQ_FIT_CACHE discipline.
-_IVFKM_TRAIN_CACHE: dict[tuple, dict] = {}
+_IVFKM_TRAIN_CACHE: dict[tuple, dict] = register_cache({})
 
 
 def _ivfkm_train(spark, sf_dir, k: int = _IVFPQ_CELLS,

@@ -4342,6 +4342,41 @@ def ev_spearman_rho(spark, sf_dir):
     )
 
 
+def _etype_hr_cells_margined(spark, sf_dir):
+    """The (event_type, hour-of-day) contingency cells with row/column/
+    total margins r, c, n annotated via WINDOW SUMS over the bounded
+    (~120-row) cell grain — the ev_benjamini_yekutieli r10 surgery
+    (margins ride the cell frame instead of three aggregate+broadcast
+    branches that each re-embed the events scan subtree) applied to the
+    whole contingency family: ev_chisq_independence, dq_mutual_
+    information, ev_cramers_v, ev_fdr_segment_residuals,
+    ev_holm_bonferroni, ev_gtest_independence (guide §2.4 — share one
+    exchange).
+
+    Deliberately LAZY and UNPERSISTED (no checkpoint): the margin sums
+    are exact integer arithmetic either way, and entries composed into
+    one plan (pipeline_eval_gate_e2e chains cramers_v + fdr) build the
+    token-identical subtree so Spark's ReuseExchange computes the
+    data-sized cell aggregate once — the eager-cut alternative was
+    measured and REJECTED in r10 (#17's sibling experiment, 1.81 →
+    3.04 s)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").cast("long").alias("o"))
+    return cell.select(
+        "event_type",
+        "hr",
+        "o",
+        F.sum("o")
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("r"),
+        F.sum("o").over(Window.partitionBy("hr")).cast("long").alias("c"),
+        F.sum("o").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+
+
 @q(
     "ev_chisq_independence",
     """
@@ -4393,38 +4428,26 @@ def ev_chisq_independence(spark, sf_dir):
     grain margin rollups broadcast back onto the cells, one bounded
     reduction. UTC session timezone keeps date_part('hour') identical
     across engines (session.py contract)."""
-    (ev,) = _t(spark, sf_dir, "events")
-    cell = ev.groupBy(
-        "event_type", F.hour("ts").cast("long").alias("hr")
-    ).agg(F.count("*").cast("long").alias("o"))
-    mr = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
-    mc = cell.groupBy("hr").agg(F.sum("o").cast("long").alias("c"))
-    tot = cell.agg(F.sum("o").cast("long").alias("n"))
-    n_rows = mr.agg(F.count("*").cast("long").alias("nr"))
-    n_cols = mc.agg(F.count("*").cast("long").alias("nc"))
-    term = (
-        cell.join(F.broadcast(mr), "event_type")
-        .join(F.broadcast(mc), "hr")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.expr(
-                "CAST(round(power(o - CAST(r AS DOUBLE) * c / n, 2)"
-                " / (CAST(r AS DOUBLE) * c / n) * 1000000) AS BIGINT)"
-            ).alias("tm")
-        )
+    term = _etype_hr_cells_margined(spark, sf_dir).select(
+        "event_type",
+        "hr",
+        F.expr(
+            "CAST(round(power(o - CAST(r AS DOUBLE) * c / n, 2)"
+            " / (CAST(r AS DOUBLE) * c / n) * 1000000) AS BIGINT)"
+        ).alias("tm"),
     )
-    return (
-        term.agg(
-            F.count("*").cast("long").alias("n_cells"),
-            F.sum("tm").cast("long").alias("chi2_micro"),
-        )
-        .crossJoin(F.broadcast(n_rows))
-        .crossJoin(F.broadcast(n_cols))
-        .select(
-            "n_cells",
-            F.expr("CAST((nr - 1) * (nc - 1) AS BIGINT)").alias("dof"),
-            "chi2_micro",
-        )
+    # countDistinct on the ~120-row cell frame replaces the two
+    # margin-count branches (same integers: |distinct event_type| and
+    # |distinct hr| ARE the mr/mc row counts).
+    return term.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("tm").cast("long").alias("chi2_micro"),
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("hr").alias("nc"),
+    ).select(
+        "n_cells",
+        F.expr("CAST((nr - 1) * (nc - 1) AS BIGINT)").alias("dof"),
+        "chi2_micro",
     )
 
 
@@ -4581,26 +4604,14 @@ def dq_mutual_information(spark, sf_dir):
     Scale shape: identical to ev_chisq_independence — one data-sized
     keyed aggregate to the ~120-cell contingency grain, margin rollups
     broadcast back, one bounded reduction."""
-    (ev,) = _t(spark, sf_dir, "events")
-    cell = ev.groupBy(
-        "event_type", F.hour("ts").cast("long").alias("hr")
-    ).agg(F.count("*").cast("long").alias("o"))
-    mr = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
-    mc = cell.groupBy("hr").agg(F.sum("o").cast("long").alias("c"))
-    tot = cell.agg(F.sum("o").cast("long").alias("n"))
-    term = (
-        cell.join(F.broadcast(mr), "event_type")
-        .join(F.broadcast(mc), "hr")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "n",
-            F.expr(
-                "CAST(o AS DECIMAL(38,0))"
-                " * CAST(round(ln(CAST(o AS DOUBLE) * n"
-                "               / (CAST(r AS DOUBLE) * c)) * 1000000)"
-                "        AS BIGINT)"
-            ).alias("tm"),
-        )
+    term = _etype_hr_cells_margined(spark, sf_dir).select(
+        "n",
+        F.expr(
+            "CAST(o AS DECIMAL(38,0))"
+            " * CAST(round(ln(CAST(o AS DOUBLE) * n"
+            "               / (CAST(r AS DOUBLE) * c)) * 1000000)"
+            "        AS BIGINT)"
+        ).alias("tm"),
     )
     return term.agg(
         F.max("n").alias("n_events"),
@@ -4661,19 +4672,8 @@ def ev_cramers_v(spark, sf_dir):
     Scale shape: identical to the chi-square entry — one data-sized
     keyed aggregate to contingency grain, margin broadcasts, 1-row
     readout."""
-    (ev,) = _t(spark, sf_dir, "events")
-    cell = ev.groupBy(
-        "event_type", F.hour("ts").cast("long").alias("hr")
-    ).agg(F.count("*").cast("long").alias("o"))
-    mr = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
-    mc = cell.groupBy("hr").agg(F.sum("o").cast("long").alias("c"))
-    tot = cell.agg(F.sum("o").cast("long").alias("n"))
-    n_rows = mr.agg((F.count("*") - 1).cast("long").alias("rm1"))
-    n_cols = mc.agg((F.count("*") - 1).cast("long").alias("cm1"))
     chi = (
-        cell.join(F.broadcast(mr), "event_type")
-        .join(F.broadcast(mc), "hr")
-        .crossJoin(F.broadcast(tot))
+        _etype_hr_cells_margined(spark, sf_dir)
         .agg(
             F.max("n").alias("n"),
             F.expr(
@@ -4681,9 +4681,9 @@ def ev_cramers_v(spark, sf_dir):
                 " / (CAST(r AS DOUBLE) * c / n) * 1000000) AS BIGINT))"
                 " AS BIGINT)"
             ).alias("chi2_micro"),
+            (F.countDistinct("event_type") - 1).cast("long").alias("rm1"),
+            (F.countDistinct("hr") - 1).cast("long").alias("cm1"),
         )
-        .crossJoin(F.broadcast(n_rows))
-        .crossJoin(F.broadcast(n_cols))
         .select(
             "n",
             "chi2_micro",
@@ -4790,26 +4790,14 @@ def ev_fdr_segment_residuals(spark, sf_dir):
     broadcasts, a bounded window, a 1-row kmax broadcast back. The
     monitoring primitive every segment-drift dashboard needs at
     100 TB."""
-    (ev,) = _t(spark, sf_dir, "events")
-    cell = ev.groupBy(
-        "event_type", F.hour("ts").cast("long").alias("hr")
-    ).agg(F.count("*").cast("long").alias("o"))
-    mr = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
-    mc = cell.groupBy("hr").agg(F.sum("o").cast("long").alias("c"))
-    tot = cell.agg(F.sum("o").cast("long").alias("n"))
-    zp = (
-        cell.join(F.broadcast(mr), "event_type")
-        .join(F.broadcast(mc), "hr")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "event_type",
-            "hr",
-            "o",
-            F.expr(
-                "CAST(round(abs(o - CAST(r AS DOUBLE) * c / n)"
-                " / sqrt(CAST(r AS DOUBLE) * c / n) * 1000) AS BIGINT)"
-            ).alias("absz_milli"),
-        )
+    zp = _etype_hr_cells_margined(spark, sf_dir).select(
+        "event_type",
+        "hr",
+        "o",
+        F.expr(
+            "CAST(round(abs(o - CAST(r AS DOUBLE) * c / n)"
+            " / sqrt(CAST(r AS DOUBLE) * c / n) * 1000) AS BIGINT)"
+        ).alias("absz_milli"),
     )
     p_expr = _p_stairs_sql("absz_milli / 1000.0")
     w_all = Window.partitionBy()
@@ -4823,14 +4811,27 @@ def ev_fdr_segment_residuals(spark, sf_dir):
         F.count("*").over(w_all).cast("long").alias("m"),
         F.row_number().over(w_rk).cast("long").alias("rk"),
     )
-    kmax = pp.filter(
-        F.expr(
-            "CAST(p_micro AS DECIMAL(38,0)) * m"
-            " <= CAST(rk AS DECIMAL(38,0)) * 50000"
-        )
-    ).agg(F.coalesce(F.max("rk"), F.lit(0)).cast("long").alias("k"))
+    # BH cutoff via one more window over the SAME bounded contingency
+    # grain (the ev_holm_bonferroni kf idiom): k = max rank satisfying
+    # the BH inequality, 0 when none does — replaces the filter+agg
+    # branch and its broadcast back (which re-embedded the whole pp
+    # lineage as a second subtree).
     return (
-        pp.crossJoin(F.broadcast(kmax))
+        pp.withColumn(
+            "k",
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.expr(
+                            "CAST(p_micro AS DECIMAL(38,0)) * m"
+                            " <= CAST(rk AS DECIMAL(38,0)) * 50000"
+                        ),
+                        F.col("rk"),
+                    )
+                ).over(w_all),
+                F.lit(0),
+            ),
+        )
         .select(
             "event_type",
             "hr",
@@ -5628,26 +5629,14 @@ def ev_holm_bonferroni(spark, sf_dir):
     Scale shape: identical to the BH entry — one data-sized keyed
     aggregate to the ~120-cell contingency grain, margin broadcasts, a
     bounded window, a 1-row broadcast back."""
-    (ev,) = _t(spark, sf_dir, "events")
-    cell = ev.groupBy(
-        "event_type", F.hour("ts").cast("long").alias("hr")
-    ).agg(F.count("*").cast("long").alias("o"))
-    mr = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
-    mc = cell.groupBy("hr").agg(F.sum("o").cast("long").alias("c"))
-    tot = cell.agg(F.sum("o").cast("long").alias("n"))
-    zp = (
-        cell.join(F.broadcast(mr), "event_type")
-        .join(F.broadcast(mc), "hr")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "event_type",
-            "hr",
-            "o",
-            F.expr(
-                "CAST(round(abs(o - CAST(r AS DOUBLE) * c / n)"
-                " / sqrt(CAST(r AS DOUBLE) * c / n) * 1000) AS BIGINT)"
-            ).alias("absz_milli"),
-        )
+    zp = _etype_hr_cells_margined(spark, sf_dir).select(
+        "event_type",
+        "hr",
+        "o",
+        F.expr(
+            "CAST(round(abs(o - CAST(r AS DOUBLE) * c / n)"
+            " / sqrt(CAST(r AS DOUBLE) * c / n) * 1000) AS BIGINT)"
+        ).alias("absz_milli"),
     )
     p_expr = _p_stairs_sql("absz_milli / 1000.0")
     w_all = Window.partitionBy()
@@ -6782,26 +6771,13 @@ def ev_benjamini_yekutieli(spark, sf_dir):
     aggregate to the ~120-cell contingency grain (bounded: event
     types x 24 hours at ANY row count), margin broadcasts, bounded
     windows, two 1-row broadcasts back."""
-    (ev,) = _t(spark, sf_dir, "events")
-    cell = ev.groupBy(
-        "event_type", F.hour("ts").cast("long").alias("hr")
-    ).agg(F.count("*").cast("long").alias("o"))
     # Margins ride window sums over the ~120-cell contingency frame
     # (lazy — ONE events scan feeds the whole pp build) instead of
     # three aggregates broadcast-joined back; r/c/n are the same exact
-    # integers. The margin windows run on the lattice-bounded cell
-    # grain and execute inside pp's eager checkpoint below.
-    zp = cell.select(
-        "event_type",
-        "hr",
-        "o",
-        F.sum("o")
-        .over(Window.partitionBy("event_type"))
-        .cast("long")
-        .alias("r"),
-        F.sum("o").over(Window.partitionBy("hr")).cast("long").alias("c"),
-        F.sum("o").over(Window.partitionBy()).cast("long").alias("n"),
-    ).select(
+    # integers. Shared family helper (_etype_hr_cells_margined); the
+    # margin windows run on the lattice-bounded cell grain and execute
+    # inside pp's eager checkpoint below.
+    zp = _etype_hr_cells_margined(spark, sf_dir).select(
         "event_type",
         "hr",
         "o",
@@ -10119,42 +10095,27 @@ def ev_gtest_independence(spark, sf_dir):
     Scale shape: identical to ev_chisq_independence — one keyed
     aggregate to the ~120-cell contingency grain, margin broadcasts,
     cell-grain arithmetic."""
-    (ev,) = _t(spark, sf_dir, "events")
-    cell = ev.groupBy(
-        "event_type", F.hour("ts").cast("long").alias("hr")
-    ).agg(F.count("*").cast("long").alias("o"))
-    mr = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
-    mc = cell.groupBy("hr").agg(F.sum("o").cast("long").alias("c"))
-    tot = cell.agg(F.sum("o").cast("long").alias("n"))
-    n_rows = mr.agg(F.count("*").cast("long").alias("nr"))
-    n_cols = mc.agg(F.count("*").cast("long").alias("nc"))
-    term = (
-        cell.join(F.broadcast(mr), "event_type")
-        .join(F.broadcast(mc), "hr")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "o",
-            F.expr(
-                "CAST(round(ln(CAST(o AS DOUBLE) * n"
-                " / (CAST(r AS DOUBLE) * c)) * 1000000) AS BIGINT)"
-            ).alias("lr_micro"),
-        )
+    term = _etype_hr_cells_margined(spark, sf_dir).select(
+        "event_type",
+        "hr",
+        "o",
+        F.expr(
+            "CAST(round(ln(CAST(o AS DOUBLE) * n"
+            " / (CAST(r AS DOUBLE) * c)) * 1000000) AS BIGINT)"
+        ).alias("lr_micro"),
     )
-    return (
-        term.agg(
-            F.count("*").cast("long").alias("n_cells"),
-            F.expr(
-                "CAST(2 * greatest(sum(CAST(o AS DECIMAL(38,0)) * lr_micro),"
-                " CAST(0 AS DECIMAL(38,0))) div 1000 AS BIGINT)"
-            ).alias("g2_milli"),
-        )
-        .crossJoin(F.broadcast(n_rows))
-        .crossJoin(F.broadcast(n_cols))
-        .select(
-            "n_cells",
-            F.expr("CAST((nr - 1) * (nc - 1) AS BIGINT)").alias("dof"),
-            "g2_milli",
-        )
+    return term.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.expr(
+            "CAST(2 * greatest(sum(CAST(o AS DECIMAL(38,0)) * lr_micro),"
+            " CAST(0 AS DECIMAL(38,0))) div 1000 AS BIGINT)"
+        ).alias("g2_milli"),
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("hr").alias("nc"),
+    ).select(
+        "n_cells",
+        F.expr("CAST((nr - 1) * (nc - 1) AS BIGINT)").alias("dof"),
+        "g2_milli",
     )
 
 

@@ -816,7 +816,22 @@ def ann_ivfkm_topk(spark, sf_dir):
     # Lloyd chain (3 collect jobs) at every query construction, and
     # the trained dyadic centroids are exact in either plan. The raw
     # embeddings + norms the scorer needs join back on vec_id.
-    from xova_spark.queries.pipelineq import _ivfkm_cellrank_shared
+    from xova_spark.queries.pipelineq import (
+        _IVFKMPQ_CITERS,
+        _IVFPQ_CELLS,
+        _ivfkm_cellrank_shared,
+    )
+
+    # The shared trainer runs with pipelineq's (_IVFPQ_CELLS,
+    # _IVFKMPQ_CITERS) while THIS entry's DuckDB oracle SQL is generated
+    # from (_IVFKM_K, _IVFKM_ITERS); they coincide today (8, 2) but an
+    # edit to either pair would silently desync the Spark path from its
+    # oracle (ADVICE r10 #1) — fail loudly instead.
+    assert (_IVFKM_K, _IVFKM_ITERS) == (_IVFPQ_CELLS, _IVFKMPQ_CITERS), (
+        "ann_ivfkm_topk oracle constants (_IVFKM_K, _IVFKM_ITERS)="
+        f"{(_IVFKM_K, _IVFKM_ITERS)} desynced from the shared trainer's "
+        f"(_IVFPQ_CELLS, _IVFKMPQ_CITERS)={(_IVFPQ_CELLS, _IVFKMPQ_CITERS)}"
+    )
 
     (emb,) = _emb(spark, sf_dir)
     normed = emb.select(
@@ -1320,6 +1335,65 @@ def _rrf_sql() -> str:
     """
 
 
+def _lex_sem_merged_shared(spark, sf_dir):
+    """The full-outer merge of the BM25 top-20 (rank_lex) and the dense
+    cosine top-20 for query _RRF_QVEC (rank_sem), persisted once per
+    (session, sf_dir): ann_hybrid_rrf_topk fuses exactly this frame and
+    ann_rank_agreement diagnoses exactly this frame, so one corpus
+    TakeOrdered + one BM25 rollup serve both entries (guide §2.4/§5).
+    <= 40 rows at ANY corpus size."""
+    from xova_spark.sharedframes import shared
+
+    def build():
+        from xova_spark.queries.textops import t_bm25_topk
+
+        lex = t_bm25_topk(spark, sf_dir).select(
+            "doc_id", F.col("rank").alias("rank_lex")
+        )
+        (emb,) = _emb(spark, sf_dir)
+        normed = emb.select(
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+        )
+        qv = normed.where(F.col("doc_id") == _RRF_QVEC).select(
+            F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+        )
+        sem_scored = (
+            normed.where(F.col("doc_id") != _RRF_QVEC)
+            .crossJoin(F.broadcast(qv))
+            .select(
+                "doc_id",
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            "qe",
+                            "embedding",
+                            lambda x, y: x.cast("double") * y.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (F.col("qn") * F.col("nrm"))
+                ).alias("cos"),
+            )
+        )
+        sem = (
+            sem_scored.orderBy(F.desc("cos"), "doc_id")
+            .limit(20)
+            .select(
+                "doc_id",
+                F.row_number()
+                .over(Window.orderBy(F.desc("cos"), "doc_id"))
+                .cast("long")
+                .alias("rank_sem"),
+            )
+        )
+        return lex.join(sem, "doc_id", "full_outer")
+
+    return shared(spark, ("lex_sem_merged", sf_dir), build)
+
+
 @q("ann_hybrid_rrf_topk", _rrf_sql())
 def ann_hybrid_rrf_topk(spark, sf_dir):
     """HYBRID RETRIEVAL via Reciprocal Rank Fusion — the standard RAG
@@ -1338,48 +1412,7 @@ def ann_hybrid_rrf_topk(spark, sf_dir):
     contract: kind=limit). At 100 TB the dense side swaps in the IVF/PQ
     index entries (same list contract); the fusion itself is a 40-row
     outer join regardless of corpus size."""
-    from xova_spark.queries.textops import t_bm25_topk
-
-    lex = t_bm25_topk(spark, sf_dir).select(
-        "doc_id", F.col("rank").alias("rank_lex")
-    )
-    (emb,) = _emb(spark, sf_dir)
-    normed = emb.select(
-        F.col("vec_id").alias("doc_id"),
-        "embedding",
-        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
-    )
-    qv = normed.where(F.col("doc_id") == _RRF_QVEC).select(
-        F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
-    )
-    sem_scored = (
-        normed.where(F.col("doc_id") != _RRF_QVEC)
-        .crossJoin(F.broadcast(qv))
-        .select(
-            "doc_id",
-            (
-                F.aggregate(
-                    F.zip_with(
-                        "qe",
-                        "embedding",
-                        lambda x, y: x.cast("double") * y.cast("double"),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("qn") * F.col("nrm"))
-            ).alias("cos"),
-        )
-    )
-    sem_top = sem_scored.orderBy(F.desc("cos"), "doc_id").limit(20)
-    sem = sem_top.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("cos"), "doc_id"))
-        .cast("long")
-        .alias("rank_sem"),
-    )
-    fused = lex.join(sem, "doc_id", "full_outer").select(
+    fused = _lex_sem_merged_shared(spark, sf_dir).select(
         "doc_id",
         F.expr(
             f"CAST(coalesce(1000000000 DIV ({_RRF_C} + rank_lex), 0)"
@@ -1711,55 +1744,31 @@ def ann_rank_agreement(spark, sf_dir):
     (TakeOrderedAndProject); intersection and its pair join are
     <= 20-row broadcast-tiny artifacts; output is one row. Integer
     counts and single integer divisions end to end."""
-    from xova_spark.queries.textops import t_bm25_topk
-
-    lex = t_bm25_topk(spark, sf_dir).select(
-        "doc_id", F.col("rank").alias("rank_lex")
+    # ONE full-outer merge of the two top-20 lists, shared with
+    # ann_hybrid_rrf_topk (it fuses the SAME frame): the old shape
+    # re-embedded the lex subtree (bm25 agg) and the sem subtree (a
+    # full-corpus TakeOrdered) up to FOUR times each across
+    # sizes/common/pairs (65 scans, 8 TakeOrderedAndProject nodes in
+    # plans/r11/ann_rank_agreement_before.txt). The merged frame is
+    # <= 40 rows at ANY corpus size; every downstream consumer (the
+    # three size counts, the pair self-join) reads the persisted copy,
+    # so the corpus is sorted ONCE per session (guide §2.4/§5).
+    merged = _lex_sem_merged_shared(spark, sf_dir)
+    common = merged.where(
+        F.col("rank_lex").isNotNull() & F.col("rank_sem").isNotNull()
     )
-    (emb,) = _emb(spark, sf_dir)
-    normed = emb.select(
-        F.col("vec_id").alias("doc_id"),
-        "embedding",
-        F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
-    )
-    qv = normed.where(F.col("doc_id") == _RRF_QVEC).select(
-        F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
-    )
-    sem_scored = (
-        normed.where(F.col("doc_id") != _RRF_QVEC)
-        .crossJoin(F.broadcast(qv))
-        .select(
-            "doc_id",
-            (
-                F.aggregate(
-                    F.zip_with(
-                        "qe",
-                        "embedding",
-                        lambda x, y: x.cast("double") * y.cast("double"),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("qn") * F.col("nrm"))
-            ).alias("cos"),
+    sizes = merged.agg(
+        F.count("rank_lex").cast("long").alias("n_lex"),
+        F.count("rank_sem").cast("long").alias("n_sem"),
+        F.count(
+            F.when(
+                F.col("rank_lex").isNotNull()
+                & F.col("rank_sem").isNotNull(),
+                1,
+            )
         )
-    )
-    sem = (
-        sem_scored.orderBy(F.desc("cos"), "doc_id")
-        .limit(20)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.desc("cos"), "doc_id"))
-            .cast("long")
-            .alias("rank_sem"),
-        )
-    )
-    common = lex.join(sem, "doc_id")
-    sizes = (
-        lex.agg(F.count("*").cast("long").alias("n_lex"))
-        .crossJoin(sem.agg(F.count("*").cast("long").alias("n_sem")))
-        .crossJoin(common.agg(F.count("*").cast("long").alias("n_common")))
+        .cast("long")
+        .alias("n_common"),
     )
     a = common.select(
         F.col("doc_id").alias("da"),
@@ -2230,23 +2239,24 @@ def ann_nprobe_tuning_report(spark, sf_dir):
         )
     )
     wi = Window.partitionBy("np", "qid").orderBy(F.desc("cos"), "cid")
-    # localCheckpoint the two tiny result frames (<= 150 and <= 50 rows
-    # at ANY corpus size — 3 nprobes x 10 queries x top-5): each feeds
-    # 2-3 consumers, and without the cut every consumer re-prints the
-    # centroid/referee broadcast lineage (the mmr/k-truss lesson; 8
-    # BNLJ segments down to the 2 genuine ones).
-    ivf_top = (
-        scored.withColumn("rk", F.row_number().over(wi))
-        .filter(F.col("rk") <= 5)
-        .select("np", "qid", "cid")
-        .localCheckpoint(eager=True)
-    )
+    # ONE rank-annotated candidate frame serves all three readout
+    # columns (VERDICT r10 next-round #7): n_candidates is its row
+    # count per np, n_hits_cand counts referee membership over ALL
+    # candidates, and the recall numerator is the same membership
+    # restricted to rk <= 5 — so the expensive cell-join subtree
+    # (`scored`) appears ONCE in the plan instead of twice (it was
+    # embedded under both the checkpointed ivf_top and cand_stats), and
+    # the per-call eager ivf_top materialization is gone entirely.
+    ranked = scored.withColumn("rk", F.row_number().over(wi))
     qs = normed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),
     )
     we = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    # The referee keeps its eager cut: it is consumed twice (n_exact
+    # readout + the membership join) and its lineage is a full-corpus
+    # broadcast cross join; the frame is <= 50 rows at ANY corpus size.
     exact_top = (
         qs.crossJoin(F.broadcast(normed.select(
             F.col("vec_id").alias("cid"),
@@ -2263,9 +2273,11 @@ def ann_nprobe_tuning_report(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     nx = exact_top.agg(F.count("*").cast("long").alias("n_exact"))
-    cand_stats = (
-        scored.join(
-            exact_top.withColumn("hit", F.lit(1)), ["qid", "cid"], "left"
+    return (
+        ranked.join(
+            F.broadcast(exact_top.withColumn("hit", F.lit(1))),
+            ["qid", "cid"],
+            "left",
         )
         .groupBy("np")
         .agg(
@@ -2273,15 +2285,10 @@ def ann_nprobe_tuning_report(spark, sf_dir):
             F.coalesce(F.sum("hit"), F.lit(0))
             .cast("long")
             .alias("n_hits_cand"),
+            F.coalesce(F.sum(F.when(F.col("rk") <= 5, F.col("hit"))), F.lit(0))
+            .cast("long")
+            .alias("n_rec"),
         )
-    )
-    rec = (
-        ivf_top.join(exact_top, ["qid", "cid"])
-        .groupBy("np")
-        .agg(F.count("*").cast("long").alias("n_rec"))
-    )
-    return (
-        cand_stats.join(rec, "np", "left")
         .crossJoin(F.broadcast(nx))
         .select(
             F.col("np").cast("int").alias("nprobe"),

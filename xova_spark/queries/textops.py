@@ -2855,6 +2855,38 @@ BM25_TOPK = 20
 # and DuckDB float expressions are token-identical.
 
 
+def _bm25_base_shared(spark, sf_dir):
+    """Doc-grain BM25 base (doc_id, dl, query-term hits) persisted ONCE
+    per (session, sf_dir) via the sharedframes registry.
+
+    ONE corpus scan + split: the pre-r10 shape re-ran split(text) over
+    the whole corpus three times (the stats pass, and the tf subtree
+    embedded under BOTH df and contrib); r10 cut that with an eager
+    ``.localCheckpoint()``, but that taxed every CONSUMER of
+    t_bm25_topk (ann_rank_agreement −21%, ann_hybrid_rrf_topk −5% in
+    the r10 driver bench) with a serialized materialization at plan
+    CONSTRUCTION time. The lazy shared persist keeps the single-scan
+    dedup (in-plan InMemoryTableScan reuse) without the eager cut, and
+    the two ANN consumers share the same frame instead of rebuilding
+    it (guide §2.4/§5; VERDICT r10 next-round #1)."""
+    from xova_spark.sharedframes import shared
+
+    terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+    def build():
+        (docs,) = _docs(spark, sf_dir)
+        ws = F.split("text", " ")
+        return docs.select(
+            "doc_id",
+            F.size(ws).alias("dl"),
+            F.expr(
+                f"filter(split(text, ' '), t -> t IN ({terms_sql}))"
+            ).alias("qt"),
+        )
+
+    return shared(spark, ("bm25_base", sf_dir), build)
+
+
 @q(
     "t_bm25_topk",
     f"""
@@ -2919,21 +2951,7 @@ def t_bm25_topk(spark, sf_dir):
     (doc, term) grain; df/stats are tiny broadcast joins; top-k is
     TakeOrderedAndProject (no global sort materialized); the final
     row_number window runs on the BOUNDED 20-row frame only."""
-    (docs,) = _docs(spark, sf_dir)
-    ws = F.split("text", " ")
-    # ONE corpus scan + split: the old shape re-ran split(text) over
-    # the whole corpus three times (the stats pass, and the tf subtree
-    # embedded under BOTH df and contrib). The doc-grain base (dl +
-    # query-term hits only — the in-row filter keeps the array tiny)
-    # is materialized once and feeds all three consumers.
-    terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
-    base = docs.select(
-        "doc_id",
-        F.size(ws).alias("dl"),
-        F.expr(f"filter(split(text, ' '), t -> t IN ({terms_sql}))").alias(
-            "qt"
-        ),
-    ).localCheckpoint()
+    base = _bm25_base_shared(spark, sf_dir)
     stats = base.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),

@@ -41,6 +41,19 @@ def shared(spark, key: tuple, builder: Callable):
 
 _PINS: list = []
 
+# Module-level memo dicts (keyed by applicationId) registered by query
+# modules so clear_shared() evicts them too — without registration,
+# entries (including DataFrame references from stopped sessions)
+# accumulate for the life of the process (ADVICE r10 #2).
+_EXTERNAL_CACHES: list[dict] = []
+
+
+def register_cache(cache: dict) -> dict:
+    """Register a module-level memo dict for eviction by
+    ``clear_shared()``; returns the dict so it can wrap the literal."""
+    _EXTERNAL_CACHES.append(cache)
+    return cache
+
 
 def pin(df):
     """Track a persisted DataFrame that must outlive its builder (e.g.
@@ -62,6 +75,8 @@ def clear_shared() -> None:
             pass
     _REG.clear()
     _PINS.clear()
+    for cache in _EXTERNAL_CACHES:
+        cache.clear()
     from xova_spark.operators.ranking import release_pins
 
     release_pins()
