@@ -701,7 +701,12 @@ def stream_click_attribution(spark, sf_dir):
         ),
     )
     name = f"q_stream_attrib_{next(_uniq)}"
-    with SA.stream_state_partitions(spark):
+    # Pure inner-join graph — idle watermark-advance batches skipped
+    # (measured 3.75 -> 2.21 s median at sf0.1, identical output; see
+    # SA.no_idle_microbatches).
+    with SA.stream_state_partitions(spark), SA.no_idle_microbatches(
+        spark
+    ):
         q_ = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -1600,7 +1605,13 @@ def stream_funnel_conversion(spark, sf_dir):
     # stream-stream join adds ~1.2-1.4 s (two state sides + the extra
     # watermark-propagation microbatch) — irreducible harness
     # machinery under availableNow, not per-row work.
-    with SA.stream_state_partitions(spark, 4):
+    # Pure inner-join graph: result rows emit in their data batch, so
+    # the idle watermark-advance batches are skipped (measured 4.91 ->
+    # 3.36 s median at sf0.1, identical output; see
+    # SA.no_idle_microbatches).
+    with SA.stream_state_partitions(spark, 4), SA.no_idle_microbatches(
+        spark
+    ):
         q_ = (
             vcp.writeStream.format("memory")
             .queryName(name)

@@ -153,6 +153,32 @@ def stream_state_partitions(spark: SparkSession, n: int = 4):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+@contextlib.contextmanager
+def no_idle_microbatches(spark: SparkSession):
+    """Scope ``spark.sql.streaming.noDataMicroBatches.enabled=false``
+    around a streaming query whose graph has NO watermark-gated
+    emission — pure inner stream-stream/stream-static joins and
+    unwatermarked dropDuplicates. For those, every result row emits in
+    the data batch that completes its match; the idle (no-data)
+    micro-batches an availableNow run appends afterward only advance
+    the watermark for STATE EVICTION, which is moot when the query
+    stops at convergence — each one still costs a full plan+commit
+    cycle per stateful operator (measured r11: stream_funnel_conversion
+    4.91 -> 3.36 s median, identical output). NEVER use around
+    append-mode aggregations (session/tumbling windows): their final
+    emission NEEDS the watermark advance the idle batch provides. At
+    production scale the same flag choice applies to availableNow
+    replay/backfill jobs; a continuously-running query keeps the
+    default so state is evicted."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Execute a streaming aggregation to completion over the available
     files (Trigger.AvailableNow) into an in-memory sink; returns the
