@@ -928,7 +928,19 @@ def bnlj_violations(name: str, plan: str) -> list[str]:
             " key it, or consciously raise the ceiling with its bound"
         )
     pats = [BNLJ_KIND_PATTERNS[k] for k in spec["kinds"]]
-    for j, seg in enumerate(segs):
+    # Marker corroboration runs over the UNSPLIT plan (AQE initial-plan
+    # echoes still dropped): a PERSISTED build side prints as an
+    # InMemoryTableScan whose evidence (the parquet path for
+    # emb_corpus, the pushed key bound) lives in the stored plan BELOW
+    # the InMemoryRelation line — which split_stored_plans moves out of
+    # the counted live segment (r11; ann_ivfpq_recall_at5's exact
+    # referee surfaced this the day the dyadic corpus frame became
+    # shared). The raw build subtree still CONFINES the match to this
+    # BNLJ's broadcast side; duplicate stored re-prints only repeat the
+    # same check. Counting above stays deduped via split_stored_plans.
+    for j, seg in enumerate(
+        _bnlj_build_segments_raw(_drop_initial_plans(plan))
+    ):
         if not any(re.search(p, seg) for p in pats):
             problems.append(
                 f"{name}: BNLJ #{j} broadcast side matches none of its"
