@@ -1161,6 +1161,56 @@ def graph_node_jaccard(spark, sf_dir):
 WEDGE_DEGREE_CAP = 8
 
 
+def _capped_wedge_stats(spark, sf_dir):
+    """The (sa, sb)-grain capped wedge aggregate, persisted once per
+    (session, sf_dir) and shared by the three link-prediction-family
+    entries (graph_node_jaccard_capped / graph_adamic_adar /
+    graph_link_prediction_scores): each ran the IDENTICAL light-arc
+    wedge self-join + (sa, sb) aggregate per run, differing only in
+    which per-wedge weight it sums — so ONE pass computes the common
+    count plus both weight sums (the _arcs_deg_cached / _lsh_pair_stats
+    discipline, r11).
+
+    Wedge-set identity: jaccard's spine filters middles at deg <= cap,
+    the weighted pair at 2 <= deg <= cap — but a degree-1 middle has a
+    single arc and can never satisfy sa < sb against itself, so the
+    [2, cap] build produces exactly jaccard's wedge set too. Weights
+    land on the micro lattice PER WEDGE (BIGINT round/div of exact
+    integers) before summation, so sums are order-exact and every
+    consumer reads the same integers it used to compute."""
+
+    def build():
+        arcs, deg = _arcs_deg_cached(spark, sf_dir)
+        light = arcs.join(
+            deg.where(
+                (F.col("degree") >= 2)
+                & (F.col("degree") <= WEDGE_DEGREE_CAP)
+            ).select(F.col("node").alias("dst"), "degree"),
+            "dst",
+        )
+        a = light.select(
+            F.col("src").alias("sa"),
+            F.col("dst").alias("n"),
+            F.expr("CAST(1000000 div degree AS BIGINT)").alias("ra_w"),
+            F.expr(
+                "CAST(round(1000000 / ln(degree)) AS BIGINT)"
+            ).alias("aa_w"),
+        )
+        b = light.select(F.col("src").alias("sb"), F.col("dst").alias("n"))
+        return (
+            a.join(b, "n")
+            .filter(F.col("sa") < F.col("sb"))
+            .groupBy("sa", "sb")
+            .agg(
+                F.count("*").alias("common_capped"),
+                F.sum("ra_w").cast("long").alias("ra_micro"),
+                F.sum("aa_w").cast("long").alias("aa_micro"),
+            )
+        )
+
+    return shared(spark, ("capped_wedge_stats", sf_dir), build)
+
+
 @q(
     "graph_node_jaccard_capped",
     f"""
@@ -1211,20 +1261,13 @@ def graph_node_jaccard_capped(spark, sf_dir):
     lives in tests/test_graphq.py and SCALE.md; hub pairs lose recall
     by design, tail pairs (the link-prediction targets) are untouched
     because their wedges never route through hubs."""
-    arcs, deg = _arcs_deg_cached(spark, sf_dir)
-    light = arcs.join(
-        deg.where(F.col("degree") <= WEDGE_DEGREE_CAP).select(
-            F.col("node").alias("dst")
-        ),
-        "dst",
-    )
-    a = light.select(F.col("src").alias("sa"), F.col("dst").alias("n"))
-    b = light.select(F.col("src").alias("sb"), F.col("dst").alias("n"))
-    wedges = (
-        a.join(b, "n")
-        .filter(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count("*").alias("common_capped"))
+    _, deg = _arcs_deg_cached(spark, sf_dir)
+    # The wedge self-join + (sa, sb) aggregate reads the SHARED stats
+    # frame (see _capped_wedge_stats: a degree-1 middle can never form
+    # an sa < sb pair, so the [2, cap] shared spine IS this entry's
+    # deg <= cap wedge set, bit-for-bit).
+    wedges = _capped_wedge_stats(spark, sf_dir).select(
+        "sa", "sb", "common_capped"
     )
     da = deg.select(F.col("node").alias("sa"), F.col("degree").alias("deg_a"))
     db = deg.select(F.col("node").alias("sb"), F.col("degree").alias("deg_b"))
@@ -1654,26 +1697,15 @@ def graph_adamic_adar(spark, sf_dir):
     Scale shape: one keyed degree join to filter light arcs, ONE keyed
     wedge self-join at bounded fanout, one keyed aggregate, and a
     distributed TakeOrderedAndProject top-20."""
-    arcs, deg = _arcs_deg_cached(spark, sf_dir)
-    light = arcs.join(
-        deg.where(
-            (F.col("degree") >= 2) & (F.col("degree") <= WEDGE_DEGREE_CAP)
-        ).select(F.col("node").alias("dst"), "degree"),
-        "dst",
-    )
-    a = light.select(
-        F.col("src").alias("sa"),
-        F.col("dst").alias("n"),
-        F.expr("CAST(round(1000000 / ln(degree)) AS BIGINT)").alias("w"),
-    )
-    b = light.select(F.col("src").alias("sb"), F.col("dst").alias("n"))
+    # Shared wedge aggregate (one self-join per session, not per entry);
+    # this entry reads its count + ln-weight sum columns.
     return (
-        a.join(b, "n")
-        .filter(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(
-            F.count("*").cast("long").alias("common_capped"),
-            F.sum("w").cast("long").alias("aa_micro"),
+        _capped_wedge_stats(spark, sf_dir)
+        .select(
+            "sa",
+            "sb",
+            F.col("common_capped").cast("long").alias("common_capped"),
+            "aa_micro",
         )
         .orderBy(F.desc("aa_micro"), "sa", "sb")
         .limit(20)
@@ -2135,27 +2167,14 @@ def graph_link_prediction_scores(spark, sf_dir):
     Scale shape: one keyed degree join, ONE keyed wedge self-join at
     bounded fanout, one keyed aggregate, two keyed degree joins on
     the 20-row frame, distributed TakeOrderedAndProject."""
-    arcs, deg = _arcs_deg_cached(spark, sf_dir)
-    light = arcs.join(
-        deg.where(
-            (F.col("degree") >= 2) & (F.col("degree") <= WEDGE_DEGREE_CAP)
-        ).select(F.col("node").alias("dst"), "degree"),
-        "dst",
-    )
-    a = light.select(
-        F.col("src").alias("sa"),
-        F.col("dst").alias("n"),
-        F.expr("CAST(1000000 div degree AS BIGINT)").alias("w"),
-    )
-    b = light.select(F.col("src").alias("sb"), F.col("dst").alias("n"))
-    cand = (
-        a.join(b, "n")
-        .filter(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(
-            F.count("*").cast("long").alias("common_capped"),
-            F.sum("w").cast("long").alias("ra_micro"),
-        )
+    _, deg = _arcs_deg_cached(spark, sf_dir)
+    # Shared wedge aggregate (one self-join per session, not per entry);
+    # this entry reads its count + reciprocal-degree sum columns.
+    cand = _capped_wedge_stats(spark, sf_dir).select(
+        "sa",
+        "sb",
+        F.col("common_capped").cast("long").alias("common_capped"),
+        "ra_micro",
     )
     return (
         cand.join(
