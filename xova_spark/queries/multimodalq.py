@@ -43,6 +43,90 @@ def _media(spark, sf_dir):
     return MM.media_table(docs)
 
 
+def _scene_marks(spark, sf_dir):
+    """Frame-grain shot-boundary frame (doc_id, k, fh, is_b, scene_id),
+    JVM-only, persisted once per (session, sf_dir) and shared by the
+    scene family (mm_keyframe_select / mm_scene_segments /
+    mm_scene_dedup) — r11, the mm_audio_fingerprint_matches lever
+    (r10 #16) applied to the video path.
+
+    Each of the three entries ran its OWN ArrowEvalPython
+    frame-histogram stage (and mm_scene_dedup a second Python
+    frame_sample stage plus a frame x scene range join). With every_n=1
+    the frame split is fixed-offset byte slices, so the histogram is
+    computable straight from the payload bytes:
+    ascii(substr(payload, k*F+i, 1)) % BINS is byte-for-byte the
+    Python kernel's ``px % n_bins`` (ASCII corpus, byte == char), and
+    md5(substr(payload, k*F+1, F)) is exactly the old per-frame md5.
+    The L1 boundary test folds element-wise against lag(array) on the
+    one doc-partitioned window; the running boundary count assigns
+    scene ids AT FRAME GRAIN, so the dedup entry's range join
+    (frame_id BETWEEN start AND end) disappears outright. Frames per
+    doc are text_len/64 <= ~10 (ORACLE_TEXT_CAP), so the persisted
+    frame is corpus-linear and narrow."""
+    from pyspark.sql import Window
+
+    from xova_spark.sharedframes import shared
+
+    def build():
+        media = _media(spark, sf_dir)
+        b = media.filter(
+            F.expr(f"length(payload) >= {_FRAME}")
+        ).select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(length(payload)"
+                    f" div {_FRAME} as int) - 1), k -> struct("
+                    f"transform(sequence(0, {_BINS - 1}), c -> "
+                    f"size(filter(transform(sequence(1, {_FRAME}),"
+                    f" i -> ascii(substr(payload, k * {_FRAME} + i, 1))"
+                    f" % {_BINS}), v -> v = c))) AS hs, "
+                    f"md5(substr(payload, k * {_FRAME} + 1, {_FRAME}))"
+                    f" AS fh))"
+                )
+            ).alias("k", "s"),
+        )
+        w = Window.partitionBy("doc_id").orderBy("k")
+        marks = (
+            b.select(
+                "doc_id",
+                "k",
+                F.col("s.hs").alias("hs"),
+                F.col("s.fh").alias("fh"),
+            )
+            .withColumn("prev", F.lag("hs").over(w))
+            .withColumn(
+                "is_b",
+                (
+                    F.col("prev").isNull()
+                    | (
+                        F.expr(
+                            f"aggregate(sequence(0, {_BINS - 1}), 0,"
+                            " (acc, j) -> acc + abs(hs[j] - prev[j]))"
+                        )
+                        > _KF_THRESH
+                    )
+                ).cast("int"),
+            )
+        )
+        return (
+            marks.withColumn(
+                "scene_id",
+                F.sum("is_b")
+                .over(
+                    w.rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                .cast("int"),
+            )
+            .select("doc_id", "k", "fh", "is_b", "scene_id")
+        )
+
+    return shared(spark, ("scene_marks", sf_dir), build)
+
+
 @q(
     "mm_media_schema",
     f"""
@@ -221,11 +305,13 @@ GROUP BY f.doc_id
 def mm_keyframe_select(spark, sf_dir):
     """Content-aware keyframe selection (shot-boundary heuristic): a
     frame is kept when its intensity histogram moves more than the
-    threshold from the previous frame (L1), frame 0 always kept. The
-    per-frame histogram is the only Python stage; distance, lag window
-    and rollup are Catalyst (operators.multimodal.keyframe_select)."""
-    return MM.keyframe_select(
-        _media(spark, sf_dir), _FRAME, _BINS, _KF_THRESH
+    threshold from the previous frame (L1), frame 0 always kept.
+    Reads the shared JVM-only frame-grain boundary frame (_scene_marks,
+    r11 — no Python stage) and rolls it up per video; is_b IS the
+    keyframe criterion."""
+    return _scene_marks(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("is_b").alias("n_keyframes"),
     )
 
 
@@ -619,11 +705,14 @@ def mm_scene_segments(spark, sf_dir):
     at the keyframe boundaries (histogram-L1 > threshold opens a new
     scene; frame 0 always does): one row per (video, scene) with start
     frame and length — the structure a frame-sampling curriculum or a
-    clip-level dedup keys on. Shares the single Python feature stage
-    with mm_keyframe_select (operators.multimodal.scene_segments);
-    boundary lag, running scene counter, and rollup are Catalyst
-    windows partitioned per video."""
-    return MM.scene_segments(_media(spark, sf_dir), _FRAME, _BINS, _KF_THRESH)
+    clip-level dedup keys on. Reads the shared JVM-only frame-grain
+    scene assignment (_scene_marks, r11 — no Python stage; boundary
+    lag, running scene counter ride ONE doc-partitioned window) and
+    rolls it up per (video, scene)."""
+    return _scene_marks(spark, sf_dir).groupBy("doc_id", "scene_id").agg(
+        F.min("k").cast("int").alias("start_frame"),
+        F.count("*").cast("long").alias("n_frames"),
+    )
 
 
 @q(
@@ -685,33 +774,20 @@ def mm_scene_dedup(spark, sf_dir):
     keyed exactly like exact text dedup — one shuffle on the
     fingerprint, no pair expansion.
 
-    Plan: the scene assignment re-uses scene_segments' lineage (one
-    Python feature stage, per-video windows); the fingerprint is a
-    per-(video, scene) ordered aggregation of frame hashes; the dedup
+    Plan (r11): the shared frame-grain scene assignment (_scene_marks —
+    JVM-only, no Python stage) already carries each frame's md5 AND its
+    scene id, so the old frame x scene range join (plus the second
+    Python frame_sample pass it joined) disappears; the fingerprint is
+    a per-(video, scene) ordered aggregation of frame hashes; the dedup
     is one partial-aggregated groupBy on the 128-bit fingerprint."""
-    media = _media(spark, sf_dir)
-    frames = MM.frame_sample(media, _FRAME, 1).select(
-        "doc_id", "frame_id", F.md5(F.col("frame")).alias("fh")
-    )
-    seg = MM.scene_segments(media, _FRAME, _BINS, _KF_THRESH)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("frame_id")
-    tagged = frames.join(
-        seg.select(
-            "doc_id",
-            "scene_id",
-            "start_frame",
-            (F.col("start_frame") + F.col("n_frames")).alias("end_frame"),
-        ),
-        (F.col("frame_id") >= F.col("start_frame"))
-        & (F.col("frame_id") < F.col("end_frame")),
-    ).where(frames["doc_id"] == seg["doc_id"]).drop(seg["doc_id"])
     fp = (
-        tagged.groupBy("doc_id", "scene_id")
+        _scene_marks(spark, sf_dir)
+        .groupBy("doc_id", "scene_id")
         .agg(
             F.md5(F.concat_ws("", F.array_sort(
-                F.collect_list(F.struct("frame_id", "fh"))
+                F.collect_list(
+                    F.struct(F.col("k").alias("frame_id"), "fh")
+                )
             ).getField("fh"))).alias("scene_fp"),
             F.count("*").alias("n_frames"),
         )
