@@ -4330,20 +4330,49 @@ def t_good_turing_counts(spark, sf_dir):
         .groupBy("gram")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    fof = gf.groupBy(F.col("c").alias("r")).agg(
-        F.count("*").cast("long").alias("n_r")
+    # r11: N_r and N_{r+1} in ONE pass over the gram-count table — the
+    # old fof self-join embedded the whole trigram explode + count
+    # subtree TWICE in the plan (2 scans, 2 Generates; ReuseExchange
+    # did not fire across the shifted projection). A gram counted c
+    # times contributes to N_r at r = c AND to N_{r+1} at r = c - 1,
+    # so exploding each gram-type row into those two tallies and
+    # re-aggregating by r yields both columns from one subtree. A tally
+    # row with zero self-contributions (an r present only as some
+    # gram's c - 1) is an r absent from the frequency-of-frequencies
+    # table and is dropped — exactly the old inner-side filter; the
+    # old LEFT join's missing-neighbor case is sum(plus) = 0.
+    fof2 = (
+        gf.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("c").alias("r"),
+                        F.lit(1).alias("self_"),
+                        F.lit(0).alias("plus"),
+                    ),
+                    F.struct(
+                        (F.col("c") - 1).alias("r"),
+                        F.lit(0).alias("self_"),
+                        F.lit(1).alias("plus"),
+                    ),
+                )
+            ).alias("t")
+        )
+        .select("t.r", "t.self_", "t.plus")
+        .filter((F.col("r") >= 1) & (F.col("r") <= 8))
+        .groupBy("r")
+        .agg(
+            F.sum("self_").cast("long").alias("n_r"),
+            F.sum("plus").cast("long").alias("n_r1"),
+        )
+        .filter(F.col("n_r") > 0)
     )
-    a = fof.filter(F.col("r") <= 8).alias("a")
-    b = fof.select(
-        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
-    ).alias("b")
     return (
-        a.join(b, "r", "left")
-        .selectExpr(
+        fof2.selectExpr(
             "CAST(r AS BIGINT) AS r",
             "n_r",
-            "CAST(coalesce(n_r1, 0) AS BIGINT) AS n_r_plus_1",
-            "CAST((r + 1) * CAST(coalesce(n_r1, 0) AS DECIMAL(38,0))"
+            "CAST(n_r1 AS BIGINT) AS n_r_plus_1",
+            "CAST((r + 1) * CAST(n_r1 AS DECIMAL(38,0))"
             " * 1000000 div n_r AS BIGINT) AS r_star_micro",
         )
         .orderBy("r")
