@@ -349,12 +349,20 @@ def layout_zonemap_prune_audit(spark, sf_dir):
         F.max("o_custkey").cast("long").alias("k_max"),
         F.count("*").cast("long").alias("n_rows"),
     )
-    tot = zone.groupBy("layout").agg(
-        F.count("*").cast("long").alias("n_files"),
-        F.sum("n_rows").cast("long").alias("total_rows"),
-    )
+    # r11: per-layout totals ride a window ON THE FILE-GRAIN zone frame
+    # (2-value partition key, metadata-sized input) instead of a
+    # separate aggregate branch — the old `tot` re-embedded the whole
+    # 2x-orders-scan union+agg subtree a third time (the
+    # agg_weighted_median r10 #8 lever). Constant per layout, so
+    # first() after the probe join reads the same integers.
+    from pyspark.sql import Window as _W
+
+    wl = _W.partitionBy("layout")
+    zonet = zone.withColumn(
+        "n_files", F.count("*").over(wl).cast("long")
+    ).withColumn("total_rows", F.sum("n_rows").over(wl).cast("long"))
     cand = (
-        zone.join(
+        zonet.join(
             probes,
             (F.col("k") >= F.col("k_min")) & (F.col("k") <= F.col("k_max")),
         )
@@ -362,19 +370,24 @@ def layout_zonemap_prune_audit(spark, sf_dir):
         .agg(
             F.count("*").cast("long").alias("cand_files"),
             F.sum("n_rows").cast("long").alias("cand_rows"),
+            F.first("n_files").alias("n_files"),
+            F.first("total_rows").alias("total_rows"),
         )
     )
+    # r11: the probe keys are STATIC literals, so the truth branch
+    # filters with isin() instead of joining the broadcast dim — the
+    # In-predicate pushes into both orders scans (PushedFilters), which
+    # at 100 TB turns the truth pass into a metadata-skippable probe
+    # instead of two full scans.
     truth = (
-        files.join(probes, files["o_custkey"] == probes["k"])
-        .groupBy("layout", "k")
+        files.where(F.col("o_custkey").isin([int(k) for k in _ZM_PROBES]))
+        .groupBy("layout", F.col("o_custkey").alias("tk"))
         .agg(F.count("*").cast("long").alias("true_rows"))
+        .withColumnRenamed("layout", "tlayout")
     )
     return (
-        cand.join(F.broadcast(tot), "layout")
-        .join(
-            truth.withColumnRenamed("k", "tk").withColumnRenamed(
-                "layout", "tlayout"
-            ),
+        cand.join(
+            truth,
             (F.col("layout") == F.col("tlayout"))
             & (F.col("k") == F.col("tk")),
             "left",
@@ -676,15 +689,14 @@ def layout_bloom_skip_audit(spark, sf_dir):
         .otherwise(0)
         .alias("bl"),
     )
+    # r11: static probe keys filter with isin() instead of the
+    # broadcast-dim join — the In-predicate pushes into both orders
+    # scans (see layout_zonemap_prune_audit's truth note).
     truth = (
-        files.join(probes, files.o_custkey == F.col("k"))
-        .groupBy("layout", "k")
+        files.where(F.col("o_custkey").isin([int(k) for k in _ZM_PROBES]))
+        .groupBy("layout", F.col("o_custkey").alias("tk"))
         .agg(F.countDistinct("file_id").cast("long").alias("true_files"))
-        .select(
-            F.col("layout").alias("tlayout"),
-            F.col("k").alias("tk"),
-            "true_files",
-        )
+        .withColumnRenamed("layout", "tlayout")
     )
     return (
         verdicts.groupBy("layout", "k")
