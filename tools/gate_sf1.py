@@ -29,49 +29,41 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Round-10 sample (VERDICT r9 item 4): rotate toward the round-9 and
-# round-10 lattice/iterative entries never sf1-gated — the Welch
-# 128-bit pooled forms (ANOVA proved last round, keep Welch), the
-# CUPED moments, the assortativity shifted-negative quotient, the
-# doc-entropy ln lattice (post its r10 DECIMAL(38,0) accumulator
-# fix), the hub-capped local clustering, the nprobe frontier, the
-# entity-grain conflict rate (post the r10 shared-assignment change),
-# plus ALL 14 round-10 entries (rank lattices, trend pairs, the
-# deterministic Poisson bootstrap, survival hazard, density census).
-# The 26 round-9-proven names rotate out (GATE_SF1.md history keeps
-# their EXACT rows).
+# Round-11 sample: rotate toward every entry THIS optimization round
+# rewired — the shared capped-wedge aggregate, the JVM-only scene
+# family, the one-pass Good-Turing, the pushed-probe layout audits,
+# and the earlier-r11-session changes (bm25 sharedframes + its
+# consumers, the window-margined contingency family, the single-frame
+# nprobe report, the no-idle-microbatch streams) — plus
+# join_levenshtein_blocked re-proven on the REGENERATED tier (p_name
+# replica tags, the r11 duplicate-block fix). The 26 round-10-proven
+# names rotate out (GATE_SF1.md history keeps their EXACT rows).
 SF1_SAMPLE: tuple[str, ...] = (
-    # round-10 batches 7-9 at 10x for the first time: value-bin
-    # cumsum lattices (Mood/Cliff/CvM), KM exp lattice (RMST),
-    # ln lattice (G-test), Welch forms (TOST/SRM), quartic hour
-    # internals (Wilcoxon/Bartels), 128-bit trend dividends
-    # (Page/JT), iterative lattice (Katz), cross-multiplied TVD
-    "ev_srm_check",
-    "ev_mood_median_test",
-    "ev_cliff_delta",
-    "ev_cramer_von_mises",
-    "ev_turning_points_test",
-    "ev_bartels_rank_test",
-    "ev_rmst",
-    "ev_gtest_independence",
-    "ev_page_trend_test",
-    "ev_jonckheere_terpstra",
-    "ev_tost_equivalence",
-    "t_code_ratio",
-    "t_hapax_guiraud",
-    "t_ari_readability",
+    "graph_node_jaccard_capped",
+    "graph_adamic_adar",
     "graph_link_prediction_scores",
-    "graph_katz_centrality",
-    "dq_categorical_drift",
-    "ev_mood_dispersion_test",
-    "ev_wilcoxon_signed_rank",
-    "ev_cox_stuart_trend",
-    "ev_kendall_w",
-    "pipeline_experiment_readout_e2e",
-    "stream_srm_monitor",
-    "ev_seasonal_mann_kendall",
+    "mm_keyframe_select",
+    "mm_scene_segments",
+    "mm_scene_dedup",
+    "t_good_turing_counts",
+    "pipeline_corpus_health_gate",
+    "layout_zonemap_prune_audit",
+    "layout_bloom_skip_audit",
+    "t_bm25_topk",
+    "ann_rank_agreement",
+    "ann_hybrid_rrf_topk",
+    "ann_nprobe_tuning_report",
+    "ev_chisq_independence",
+    "ev_cramers_v",
+    "ev_gtest_independence",
+    "ev_holm_bonferroni",
+    "ev_fdr_segment_residuals",
+    "dq_mutual_information",
+    "ev_benjamini_yekutieli",
+    "pipeline_eval_gate_e2e",
+    "stream_funnel_conversion",
+    "stream_click_attribution",
     "join_levenshtein_blocked",
-    "t_honore_r",
 )
 
 

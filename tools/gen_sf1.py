@@ -99,7 +99,25 @@ def generate(spark) -> str:
             ),
         ),
         "supplier": reps(t["supplier"], {"s_suppkey": s["supp"]}),
-        "part": reps(t["part"], {"p_partkey": s["part"]}),
+        # p_name gets a 1-char replica tag (i > 0) for the same reason
+        # c_name is re-derived: the fixture's part names hold only ~64
+        # distinct 12-char block prefixes, so verbatim replication
+        # piles 10 identical name sets into every fuzzy-join block —
+        # block width x10, candidate pairs x100 (the r11 sf1 run
+        # measured join_levenshtein_blocked at 117x for 10x data). A
+        # real 10x catalog grows new name stems; the tag keeps each
+        # replica's block structure intact and disjoint from the
+        # others, so blocked-join candidates scale ~10x.
+        "part": reps(
+            t["part"],
+            {"p_partkey": s["part"]},
+            extra=lambda d, i: (
+                d if i == 0 else d.withColumn(
+                    "p_name",
+                    F.concat(F.lit(chr(ord("a") + i)), F.col("p_name")),
+                )
+            ),
+        ),
         "orders": reps(
             t["orders"], {"o_orderkey": s["ord"], "o_custkey": s["cust"]}
         ),
